@@ -1,0 +1,177 @@
+"""P0 — build the statistical model stores as DataFrame aggregations
+(SURVEY.md §1.3, §2.4 A1-A6).
+
+The reference ingests pre-computed wikistats TSVs (uriCounts,
+pairCounts, sfAndTotalCounts, tokenCounts — produced upstream by
+Pig/Hadoop jobs) into memory-mapped stores. Here the SAME relations
+are computed directly with salted, skew-aware groupBy aggregations
+(north_star), and the stores are plain columnar tables:
+
+    entities        c(e)              <- MemoryResourceStore
+    surface_forms   c(s), n(s)        <- MemorySurfaceFormStore
+    candidate_map   c(s,e), P(e|s)    <- MemoryCandidateMapStore
+    tokens          c(t)              <- MemoryTokenTypeStore
+    context_counts  c(t,e)            <- MemoryContextStore
+    entity_vectors  TF*ICF sparse vecs (pre-normalized for scoring)
+
+Interned integer ids (the reference's core storage trick) become
+deterministic dense ids assigned once here; all downstream joins are
+on longs, never strings.
+
+Scale notes: every count is a two-phase salted aggregation; id
+assignment uses a window over the (small, post-aggregation) store
+table — at true web scale swap `row_number` for `xxhash64`-based ids,
+the seam is `_dense_ids`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokenize
+from ..operators.salted_agg import salted_count
+from ..operators.spotting import spot_ngram_join
+
+
+def _dense_ids(df: DataFrame, key: str, id_col: str) -> DataFrame:
+    """Deterministic dense id per distinct key (stores are
+    post-aggregation small; at web scale swap for hash ids)."""
+    w = Window.orderBy(key)
+    return df.withColumn(id_col, F.row_number().over(w).cast("long") - 1)
+
+
+def build_stores(
+    spark: SparkSession,
+    wiki_corpus: DataFrame,
+    instance_types: DataFrame | None = None,
+    salt_n: int = 32,
+) -> dict[str, DataFrame]:
+    """wiki_corpus(doc_id, text, links) -> the six store tables."""
+    occ = wiki_corpus.select(
+        "doc_id", F.explode("links").alias("l")
+    ).select("doc_id", "l.surface_form", "l.uri")
+    occ = occ.persist()
+
+    # --- A1: uri counts -> entities -------------------------------------
+    uri_counts = salted_count(occ, ["uri"], out="support", salt_n=salt_n)
+    entities = _dense_ids(uri_counts, "uri", "entity_id")
+    if instance_types is not None:
+        types = instance_types.groupBy("uri").agg(
+            F.array_sort(F.collect_set("type")).alias("types")
+        )
+        entities = entities.join(types, "uri", "left").withColumn(
+            "types", F.coalesce("types", F.array().cast("array<string>"))
+        )
+    else:
+        entities = entities.withColumn(
+            "types", F.array().cast("array<string>")
+        )
+    entities = entities.select(
+        "entity_id", "uri", "support", "types"
+    ).persist()
+
+    # --- A3: surface form counts (annotated + total) --------------------
+    annotated = salted_count(
+        occ, ["surface_form"], out="annotated_count", salt_n=salt_n
+    )
+    max_len = (
+        annotated.select(
+            F.max(F.size(F.split("surface_form", " "))).alias("m")
+        ).collect()[0]["m"]
+    )
+    tokenized = wiki_corpus.select(
+        F.col("doc_id").cast("string").alias("url"),
+        tokenize(F.col("text")).alias("tokens"),
+    ).persist()
+    all_spots = spot_ngram_join(
+        tokenized, annotated.select("surface_form"), max_len
+    )
+    total = salted_count(
+        all_spots, ["surface_form"], out="total_count", salt_n=salt_n
+    )
+    surface_forms = (
+        annotated.join(total, "surface_form", "left")
+        .withColumn(
+            "total_count",
+            F.greatest(F.coalesce("total_count", F.lit(0)), F.col("annotated_count")),
+        )
+        .withColumn(
+            "annotation_prob",
+            F.col("annotated_count") / F.col("total_count"),
+        )
+    )
+    surface_forms = _dense_ids(surface_forms, "surface_form", "sf_id").select(
+        "sf_id", "surface_form", "annotated_count", "total_count", "annotation_prob"
+    ).persist()
+
+    # --- A2: pair counts -> candidate_map with P(e|s) -------------------
+    pair = salted_count(
+        occ, ["surface_form", "uri"], out="pair_count", salt_n=salt_n
+    )
+    w_sf = Window.partitionBy("surface_form")
+    candidate_map = (
+        pair.withColumn(
+            "p_e_given_s",
+            F.col("pair_count") / F.sum("pair_count").over(w_sf),
+        )
+        .join(F.broadcast(surface_forms.select("sf_id", "surface_form")), "surface_form")
+        .join(F.broadcast(entities.select("entity_id", "uri")), "uri")
+        .select("sf_id", "entity_id", "pair_count", "p_e_given_s")
+    ).persist()
+
+    # --- A4: token vocabulary + per-entity context counts ---------------
+    doc_tokens = tokenized.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.explode("tokens").alias("t"),
+    ).select("doc_id", F.lower(F.col("t.text")).alias("token"))
+    token_counts = salted_count(doc_tokens, ["token"], out="count", salt_n=salt_n)
+    tokens = _dense_ids(token_counts, "token", "token_id").select(
+        "token_id", "token", "count"
+    ).persist()
+
+    doc_uris = occ.select("doc_id", "uri").distinct()
+    ctx = (
+        doc_tokens.join(doc_uris, "doc_id")  # co-partitioned on doc_id
+        .groupBy("uri", "token")
+        .count()
+        .join(F.broadcast(entities.select("entity_id", "uri")), "uri")
+        .join(F.broadcast(tokens.select("token_id", "token")), "token")
+        .select("entity_id", "token_id", F.col("count").cast("long").alias("count"))
+    ).persist()
+
+    # --- A5/A6: ICF weights + pre-normalized sparse entity vectors ------
+    n_entities = entities.count()
+    icf = ctx.groupBy("token_id").agg(
+        F.countDistinct("entity_id").alias("df_e")
+    ).withColumn("icf", F.log(F.lit(float(n_entities)) / F.col("df_e")))
+    weighted = ctx.join(icf.select("token_id", "icf"), "token_id").withColumn(
+        "weight", F.col("count") * F.col("icf")
+    )
+    entity_vectors = (
+        weighted.groupBy("entity_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("token_id", "weight"))
+            ).alias("tw")
+        )
+        .select(
+            "entity_id",
+            F.expr("transform(tw, x -> cast(x.token_id as int))").alias("token_ids"),
+            F.expr("transform(tw, x -> cast(x.weight as float))").alias("weights"),
+            F.expr(
+                "cast(sqrt(aggregate(tw, 0.0d, (acc, x) -> acc + x.weight * x.weight)) as float)"
+            ).alias("norm"),
+        )
+    ).persist()
+
+    return {
+        "entities": entities,
+        "surface_forms": surface_forms,
+        "candidate_map": candidate_map,
+        "tokens": tokens,
+        "context_counts": ctx,
+        "entity_vectors": entity_vectors,
+        "icf": icf,
+        "max_sf_tokens": max_len,
+    }

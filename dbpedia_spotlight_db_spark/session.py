@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Scale posture (SURVEY.md §4): AQE on (dynamic coalescing + skew-join
+splitting), Arrow enabled for every Python boundary, shuffle
+partitions sized to >= 4x cores so an N -> 4N scale-up never
+under-partitions, and an explicit broadcast threshold so the store
+tables (surface_forms / candidate_map / entities) broadcast instead of
+shuffling the 10^12-row pages side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 128  # >= 4 x 32 local cores; cluster: set per-job
+
+
+def get_spark(
+    app_name: str = "dbpedia-spotlight-db-spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cores`` controls local parallelism (the sandbox proxy for
+    executor count: local[8] vs local[32] evidences the N->4N scaling
+    rule). On a real cluster the master is supplied by spark-submit
+    and this falls through untouched.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    nshuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- adaptive execution: runtime re-plan, skew-join splitting ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- Python boundary: Arrow everywhere, batched ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- broadcast: store tables are size-known small dims ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # quieter local runs
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

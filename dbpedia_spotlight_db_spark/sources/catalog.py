@@ -1,0 +1,75 @@
+"""Catalog seam (SURVEY.md §7.1).
+
+Production target is Iceberg (north_rule: "Iceberg tables of
+Common-Crawl-style web pages"); the sandbox has no Iceberg jars and no
+network, so the seam writes partitioned Parquet plus a JSON manifest
+sidecar carrying the metrics Iceberg snapshots would carry. Nothing
+outside this module may hard-code a format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def load(spark: SparkSession, name: str, root: str) -> DataFrame:
+    """Read table ``name`` from ``root`` (Iceberg identifier if a
+    catalog is configured, else ``{root}/{name}.parquet`` or directory)."""
+    p = os.path.join(root, f"{name}.parquet")
+    if not os.path.exists(p):
+        p = os.path.join(root, name)
+    return spark.read.parquet(p)
+
+
+def save(
+    df: DataFrame,
+    name: str,
+    root: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Write a table through the seam. Parquet fallback writes a JSON
+    manifest with row count + partition layout (the lineage/metrics
+    tables in plans/lineage.py reference it)."""
+    path = os.path.join(root, name)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    spark = df.sparkSession
+    n = spark.read.parquet(path).count()
+    manifest = {
+        "table": name,
+        "rows": n,
+        "partition_by": partition_by or [],
+        "written_at": time.time(),
+        "format": "parquet-fallback(iceberg-seam)",
+    }
+    with open(os.path.join(root, f"{name}.manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return path
+
+
+def read_nt_triples(spark: SparkSession, path: str) -> DataFrame:
+    """S3: NT/NQ triple ingestion (redirects / disambiguations /
+    instance-types files). Line-oriented `<s> <p> <o> .` parsed with
+    JVM-side regex — no Python."""
+    lines = spark.read.text(path)
+    pat = r"^<([^>]+)>\s+<([^>]+)>\s+<?([^>\s]+)>?\s*\.?\s*$"
+    return lines.select(
+        F.regexp_extract("value", pat, 1).alias("subj"),
+        F.regexp_extract("value", pat, 2).alias("pred"),
+        F.regexp_extract("value", pat, 3).alias("obj"),
+    ).filter(F.col("subj") != "")

@@ -1,0 +1,46 @@
+"""J4/J5: redirect closure fixpoint, chains, cycles, canonicalization."""
+
+from __future__ import annotations
+
+from dbpedia_spotlight_db_spark import fixtures, schemas
+from dbpedia_spotlight_db_spark.operators.closure import (
+    canonicalize,
+    redirect_closure,
+)
+
+
+def test_closure_resolves_chains(spark):
+    red = spark.createDataFrame(fixtures.gen_redirects(), schema=schemas.REDIRECTS)
+    got = {r.src_uri: r.dst_uri for r in redirect_closure(red).collect()}
+    # chain 175 -> 176 -> 177 -> 0 resolves fully
+    assert got["dbr:Entity_175"] == "dbr:Entity_0"
+    assert got["dbr:Entity_176"] == "dbr:Entity_0"
+    assert got["dbr:Entity_177"] == "dbr:Entity_0"
+    # single hop
+    assert got["dbr:Entity_187"] == "dbr:Entity_10"
+    # 2-cycle members drop out (canonicalize to themselves)
+    assert "dbr:Entity_198" not in got
+    assert "dbr:Entity_199" not in got
+
+
+def test_canonicalize_rewrites_and_drops(spark):
+    red = spark.createDataFrame(fixtures.gen_redirects(), schema=schemas.REDIRECTS)
+    dis = spark.createDataFrame(
+        fixtures.gen_disambiguations(), schema=schemas.DISAMBIGUATIONS
+    )
+    ann = spark.createDataFrame(
+        [
+            ("u1", "dbr:Entity_175"),   # chain -> Entity_0
+            ("u2", "dbr:Entity_50"),    # untouched
+            ("u3", "dbr:Entity_165"),   # disambiguation page -> dropped
+            ("u4", "dbr:Entity_198"),   # cycle member -> kept as-is
+        ],
+        ["url", "uri"],
+    )
+    closure = redirect_closure(red)
+    out = {r.url: r.uri for r in canonicalize(ann, closure, dis).collect()}
+    assert out == {
+        "u1": "dbr:Entity_0",
+        "u2": "dbr:Entity_50",
+        "u4": "dbr:Entity_198",
+    }
