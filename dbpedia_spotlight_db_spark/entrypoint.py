@@ -1,0 +1,161 @@
+"""Flagship end-to-end run (driver contract ``entry(spark)``).
+
+Builds the whole engine over the driver's ``documents`` table, with a
+deterministic "linking world" (surface-form dictionary + ambiguous
+candidates + redirects + disambiguation pages) synthesized from the
+documents vocabulary — no external data, fully reproducible:
+
+    P0: derive an annotated corpus (links assigned by deterministic
+        weighted hash) -> build all six count stores (salted aggs)
+    P1: wrap documents as pages(url, warc_ts, html, text, lang) ->
+        extract (byte-identical) -> tokenize -> spot -> disambiguate
+    P2: canonicalize through the redirect closure
+    P3: materialize (subj, pred, obj) triples
+
+Returns the triples DataFrame (driver collects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.text import tokenize
+from .operators.spotting import spot_ngram_join
+from .plans.annotate import AnnotateConfig, annotate
+from .plans.build_stores import build_stores
+from .plans.materialize import canonical_annotations, materialize_triples
+
+# Deterministic linking world over the documents vocabulary.
+# (sf, uri, weight) — ambiguous sfs have several candidates.
+WORLD: list[tuple[str, str, int]] = [
+    ("spark", "dbr:Apache_Spark", 8),
+    ("spark", "dbr:Spark_plug", 2),
+    ("merge", "dbr:Merge_sort", 5),
+    ("merge", "dbr:Git_merge", 3),
+    ("window", "dbr:Window_function", 6),
+    ("window", "dbr:Window_(computing)", 2),
+    ("vector", "dbr:Vector_(data)", 5),
+    ("vector", "dbr:Vector_graphics", 3),
+    ("hash", "dbr:Hash_function", 6),
+    ("batch", "dbr:Batch_processing", 6),
+    ("stream", "dbr:Stream_processing", 5),
+    ("stream", "dbr:Stream_(river)", 1),
+    ("query", "dbr:Query_language", 6),
+    ("table", "dbr:Table_(database)", 7),
+    ("column", "dbr:Column_(database)", 6),
+    ("row", "dbr:Row_(database)", 6),
+    ("customer", "dbr:Customer", 5),
+    ("hash join", "dbr:Hash_join", 9),
+    ("table scan", "dbr:Full_table_scan", 7),
+    ("sort merge", "dbr:Sort-merge_join", 5),
+    ("merge join", "dbr:Sort-merge_join", 5),
+    ("data line", "dbr:Data_line", 3),
+    ("key order", "dbr:Key_order", 2),
+    ("group query", "dbr:Group_query", 2),
+]
+WORLD_REDIRECTS: list[tuple[str, str]] = [
+    ("dbr:Git_merge", "dbr:Merge_(version_control)"),
+    ("dbr:Spark_plug", "dbr:Ignition_part"),
+    ("dbr:Stream_(river)", "dbr:River"),
+]
+WORLD_DISAMBIG: list[str] = ["dbr:Window_(computing)"]
+WORLD_TYPES: list[tuple[str, str]] = [
+    ("dbr:Apache_Spark", "dbo:Software"),
+    ("dbr:Hash_join", "dbo:Algorithm"),
+    ("dbr:Sort-merge_join", "dbo:Algorithm"),
+    ("dbr:Merge_sort", "dbo:Algorithm"),
+    ("dbr:Table_(database)", "dbo:Concept"),
+]
+
+HTML_PRE = "<html><head><title>t</title></head><body>"
+HTML_POST = "</body></html>"
+
+
+def documents_as_pages(docs: DataFrame) -> DataFrame:
+    """documents -> pages in the BASELINE.json input_hint shape; html
+    is the reversible wrapper (FIXTURES.md §1.1), built JVM-side."""
+    esc = F.col("text")
+    for raw, enc in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(enc))
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.concat(F.lit(HTML_PRE), esc, F.lit(HTML_POST)), "utf-8").alias(
+            "html"
+        ),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def derive_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Deterministic annotated corpus: spot the WORLD dictionary over
+    documents, assign each occurrence a candidate uri by weighted
+    deterministic hash, keep ~60% as links."""
+    world = spark.createDataFrame(WORLD, ["surface_form", "uri", "w"])
+    from pyspark.sql.window import Window
+
+    cum = (
+        world.withColumn(
+            "hi",
+            F.sum("w").over(
+                Window.partitionBy("surface_form")
+                .orderBy("uri")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("lo", F.col("hi") - F.col("w"))
+        .withColumn(
+            "tot", F.sum("w").over(Window.partitionBy("surface_form"))
+        )
+    )
+    tokenized = docs.select(
+        F.col("doc_id").cast("string").alias("url"), tokenize("text").alias("tokens")
+    )
+    mentions = spot_ngram_join(
+        tokenized, world.select("surface_form").distinct(), max_len=2
+    )
+    # deterministic weighted candidate assignment + 60% link sampling
+    m = mentions.withColumn(
+        "h", F.pmod(F.xxhash64("url", "start", "surface_form"), F.lit(1000))
+    ).withColumn("keep", F.pmod(F.xxhash64("url", "start", F.lit("l")), F.lit(10)) < 6)
+    linked = (
+        m.filter("keep")
+        .join(F.broadcast(cum), "surface_form")
+        .filter(
+            (F.pmod(F.col("h"), F.col("tot")) >= F.col("lo"))
+            & (F.pmod(F.col("h"), F.col("tot")) < F.col("hi"))
+        )
+        .select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.struct(
+                F.col("start").cast("int").alias("start"),
+                F.col("end").cast("int").alias("end"),
+                F.col("surface_form"),
+                F.col("uri"),
+            ).alias("link"),
+        )
+    )
+    links = linked.groupBy("doc_id").agg(F.collect_list("link").alias("links"))
+    return docs.select("doc_id", "text").join(links, "doc_id", "left").withColumn(
+        "links",
+        F.coalesce(
+            "links",
+            F.array().cast(
+                "array<struct<start:int,end:int,surface_form:string,uri:string>>"
+            ),
+        ),
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = derive_corpus(spark, docs).persist()
+    types_df = spark.createDataFrame(WORLD_TYPES, ["uri", "type"])
+    stores = build_stores(spark, corpus, instance_types=types_df)
+    pages = documents_as_pages(docs)
+    ann = annotate(spark, pages, stores, AnnotateConfig())
+    red = spark.createDataFrame(WORLD_REDIRECTS, ["src_uri", "dst_uri"])
+    dis = spark.createDataFrame([(u,) for u in WORLD_DISAMBIG], ["uri"])
+    canon = canonical_annotations(ann, red, dis)
+    return materialize_triples(canon, stores["entities"])

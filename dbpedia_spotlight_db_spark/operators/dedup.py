@@ -1,0 +1,186 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash(+LSH), SimHash, n-gram Jaccard.
+
+Engine-portable hashing: all hash material derives from ``md5`` hex
+strings (identical in Spark and DuckDB), so every operator here is
+SQL-oracle checkable — a deliberate choice over xxhash/murmur, whose
+implementations differ across engines. At production scale md5 cost
+is dwarfed by the shuffle it feeds; swap `_HASH` for xxhash64 when
+oracle parity is not required.
+
+Scale shapes:
+- exact: one salted groupBy on the content hash — embarrassingly
+  parallel, no skew (hashes are uniform).
+- MinHash/LSH: shingle explode -> per-doc min-agg (map-side combinable)
+  -> band-key equi-join. The band join is self-join on a uniform key;
+  at 10^12 docs, bucket counts bound the pair blow-up (hot buckets are
+  capped by `max_bucket` before pairing).
+- Jaccard: candidate pairs come only from shared shingles (inverted
+  index join), never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _words(text_col):
+    return F.split(F.lower(text_col), r"\s+")
+
+
+def shingle_df(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) — word n-gram shingles, generated per-row with
+    array HOFs (zero shuffle)."""
+    arr = _words(F.col(text_col))
+    expr = F.expr(
+        f"""
+        transform(
+            sequence(0, size(split(lower({text_col}), '\\\\s+')) - {n}),
+            i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i + 1, {n}))
+        )
+        """
+    )
+    return df.filter(F.size(arr) >= n).select(
+        F.col(id_col).alias("id"), F.explode(expr).alias("shingle")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: (text_hash, dup_count, keeper)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("id").alias("keeper"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, sig_i = min over shingles
+    of md5(i || ':' || shingle) (hex string min == numeric min for
+    fixed-width lowercase hex). Output: id, mh0..mh{n-1}."""
+    sh = shingle_df(df, id_col, text_col, shingle_n).dropDuplicates(["id", "shingle"])
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_pairs(
+    sigs: DataFrame, n_hashes: int = 8, bands: int = 4, max_bucket: int = 1000
+) -> DataFrame:
+    """Band the signature (rows-per-band = n_hashes/bands); docs
+    sharing any full band become candidate pairs (id_a < id_b).
+    Hot buckets above ``max_bucket`` are dropped (logged upstream) to
+    bound the self-join blow-up at scale."""
+    rows_per_band = n_hashes // bands
+    banded = None
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + j}" for j in range(rows_per_band)]
+        part = sigs.select(
+            "id",
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *cols).alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    w = Window.partitionBy("band", "bucket")
+    banded = banded.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("_n") <= max_bucket
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over distinct shingle sets, computed via an
+    inverted-index self-join (only pairs sharing >=1 shingle are ever
+    materialized). Output: id_a, id_b, jaccard (rounded 6dp for
+    engine-portable comparison)."""
+    sh = shingle_df(df, id_col, text_col, shingle_n).dropDuplicates(
+        ["id", "shingle"]
+    ).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash fingerprint: bit j of a token's hash = parity of the
+    j-th nibble of md5(token); document bit j = majority vote over
+    tokens. Engine-portable (md5-only). Output: id, simhash:string of
+    0/1 (msb-first)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(_words(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    bit_votes = [
+        F.sum(
+            F.when(
+                F.substring("h", j + 1, 1).isin(
+                    "1", "3", "5", "7", "9", "b", "d", "f"
+                ),
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    voted = toks.groupBy("id").agg(*bit_votes)
+    bit_cols = [
+        F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(bits)
+    ]
+    return voted.select("id", F.concat(*bit_cols).alias("simhash"))

@@ -1,0 +1,414 @@
+"""Training-data pipeline operators (prompt-mandated first-class ops):
+UDF families, dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard),
+ANN similarity search, text analytics, multimodal plumbing.
+
+All hashing is md5-based so the DuckDB oracle reproduces values
+bit-for-bit (see operators/dedup.py docstring).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..operators import ann as ann_ops
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from .common import t
+
+Q = {}
+O = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            O[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# UDF families
+# ---------------------------------------------------------------------------
+@q(
+    "udf_scalar",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def udf_scalar(spark, sf):
+    """Arrow-batched pandas scalar UDF (token count); oracle is the
+    pure-SQL equivalent."""
+
+    @pandas_udf(T.IntegerType())
+    def _ntok(text: pd.Series) -> pd.Series:
+        return text.str.strip().str.split(r"\s+").map(len).astype("int32")
+
+    return t(spark, sf, "documents").select(
+        "doc_id", _ntok(F.col("text")).alias("n_tokens")
+    )
+
+
+@q(
+    "udf_grouped",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def udf_grouped(spark, sf):
+    """applyInPandas grouped-map; aggregates computed with exact int
+    math then one float division (engine-identical)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("sum_chars", T.LongType()),
+            T.StructField("avg_chars", T.DoubleType()),
+        ]
+    )
+
+    def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["n_chars"].sum())
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [n],
+                "sum_chars": [s],
+                "avg_chars": [s / n],
+            }
+        )
+
+    return (
+        t(spark, sf, "documents")
+        .groupBy("lang")
+        .applyInPandas(_stats, out_schema)
+    )
+
+
+@q("udf_arrow", "SELECT doc_id, n_chars FROM documents")
+def udf_arrow(spark, sf):
+    """mapInArrow pass-through projection — proves the raw Arrow
+    boundary; oracle is the trivial projection."""
+    import pyarrow as pa
+
+    def _ident(batches):
+        for b in batches:
+            yield b.select(["doc_id", "n_chars"])
+
+    docs = t(spark, sf, "documents")
+    return docs.mapInArrow(
+        _ident,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS dup_count,
+           MIN(doc_id) AS keeper
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf):
+    return dd.exact_dedup(t(spark, sf, "documents"), "doc_id", "text")
+
+
+_SH_SQL = r"""
+    t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    idx AS (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM t),
+    sh AS (SELECT DISTINCT doc_id AS id,
+                  arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+           FROM idx WHERE i <= len(arr) - 2)
+"""
+
+
+@q(
+    "dedup_minhash",
+    f"""
+    WITH {_SH_SQL}
+    SELECT id,
+           MIN(md5('0:' || shingle)) AS mh0, MIN(md5('1:' || shingle)) AS mh1,
+           MIN(md5('2:' || shingle)) AS mh2, MIN(md5('3:' || shingle)) AS mh3
+    FROM sh GROUP BY id
+    """,
+)
+def dedup_minhash(spark, sf):
+    return dd.minhash_signatures(
+        t(spark, sf, "documents"), "doc_id", "text", n_hashes=4, shingle_n=3
+    )
+
+
+@q(
+    "dedup_lsh_pairs",
+    f"""
+    WITH {_SH_SQL},
+    sigs AS (
+      SELECT id,
+             MIN(md5('0:' || shingle)) AS mh0, MIN(md5('1:' || shingle)) AS mh1,
+             MIN(md5('2:' || shingle)) AS mh2, MIN(md5('3:' || shingle)) AS mh3
+      FROM sh GROUP BY id)
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM sigs a JOIN sigs b
+      ON a.id < b.id
+     AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
+    """,
+)
+def dedup_lsh_pairs(spark, sf):
+    sigs = dd.minhash_signatures(
+        t(spark, sf, "documents"), "doc_id", "text", n_hashes=4, shingle_n=3
+    )
+    return dd.lsh_pairs(sigs, n_hashes=4, bands=4)
+
+
+@q(
+    "dedup_jaccard",
+    f"""
+    WITH {_SH_SQL},
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.2
+    """,
+)
+def dedup_jaccard(spark, sf):
+    return dd.ngram_jaccard_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", shingle_n=3, threshold=0.2
+    )
+
+
+def _simhash_sql(bits: int) -> str:
+    hexdigits = "('1','3','5','7','9','b','d','f')"
+    votes = ", ".join(
+        f"SUM(CASE WHEN substring(h, {j + 1}, 1) IN {hexdigits} THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    bitstr = " || ".join(
+        f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, md5(unnest(string_split(lower(text), ' '))) AS h
+      FROM documents),
+    voted AS (SELECT id, {votes} FROM toks GROUP BY id)
+    SELECT id, {bitstr} AS simhash FROM voted
+    """
+
+
+@q("dedup_simhash", _simhash_sql(16))
+def dedup_simhash(spark, sf):
+    return dd.simhash(t(spark, sf, "documents"), "doc_id", "text", bits=16)
+
+
+# ---------------------------------------------------------------------------
+# ANN similarity search
+# ---------------------------------------------------------------------------
+_COS_SQL = """
+    round(
+      list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(nv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      6)
+"""
+
+
+@q(
+    "ann_cosine_topk",
+    f"""
+    WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    cs AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+    s AS (SELECT qid, nid, {_COS_SQL} AS cos FROM qs, cs WHERE qid <> nid)
+    SELECT qid, nid, cos, nn_rank FROM (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS nn_rank
+      FROM s) WHERE nn_rank <= 3
+    """,
+)
+def ann_cosine_topk(spark, sf):
+    emb = t(spark, sf, "embeddings")
+    return ann_ops.cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=3
+    )
+
+
+@q("ann_lsh_topk", None)  # NumPy hyperplanes — rows-only check by design
+def ann_lsh_topk(spark, sf):
+    emb = t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return ann_ops.lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") < 10), emb, dim=dim, k=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analytics
+# ---------------------------------------------------------------------------
+_STOP_SQL = "['the','a','of','and','to','in']"
+
+
+@q(
+    "text_quality",
+    rf"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+               / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio,
+             CAST(len(list_intersect(string_split_regex(lower(text), '\s+'), {_STOP_SQL})) AS DOUBLE) AS stop_hits
+      FROM documents)
+    SELECT doc_id,
+           round(0.4 * least(n_tokens / 50.0, 1.0)
+               + 0.4 * alpha_ratio
+               + 0.2 * least(stop_hits / 3.0, 1.0), 6) AS quality
+    FROM b
+    """,
+)
+def text_quality(spark, sf):
+    docs = t(spark, sf, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    alpha = F.length(
+        F.regexp_replace("text", r"[^A-Za-z ]", "")
+    ).cast("double") / F.greatest(
+        F.length("text").cast("double"), F.lit(1.0)
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.split(F.lower("text"), r"\s+"),
+            F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to", "in"]]),
+        )
+    ).cast("double")
+    return docs.select(
+        "doc_id",
+        F.round(
+            0.4 * F.least(n_tokens / 50.0, F.lit(1.0))
+            + 0.4 * alpha
+            + 0.2 * F.least(stop_hits / 3.0, F.lit(1.0)),
+            6,
+        ).alias("quality"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "que"],
+    "de": ["der", "und", "das"],
+}
+
+
+def _lang_sql() -> str:
+    s = {
+        lang: "len(list_intersect(ws, ["
+        + ", ".join(f"'{w}'" for w in ws)
+        + "]))"
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    return rf"""
+    WITH b AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+    sc AS (SELECT doc_id, {s['en']} AS s_en, {s['fr']} AS s_fr,
+                  {s['es']} AS s_es, {s['de']} AS s_de FROM b)
+    SELECT doc_id,
+           CASE WHEN s_de > s_es AND s_de > s_fr AND s_de > s_en THEN 'de'
+                WHEN s_es > s_fr AND s_es > s_en THEN 'es'
+                WHEN s_fr > s_en THEN 'fr'
+                ELSE 'en' END AS lang_guess
+    FROM sc
+    """
+
+
+@q("text_langid", _lang_sql())
+def text_langid(spark, sf):
+    from ..functions.text import langid_ngram_col
+
+    return t(spark, sf, "documents").select(
+        "doc_id", langid_ngram_col(F.col("text")).alias("lang_guess")
+    )
+
+
+@q(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf):
+    from ..functions.text import token_count_col
+
+    return t(spark, sf, "documents").select(
+        "doc_id", token_count_col(F.col("text")).cast("int").alias("n_tokens")
+    )
+
+
+@q(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf):
+    from ..functions.text import fingerprint_col
+
+    return t(spark, sf, "documents").select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf):
+    media = mm.attach_binary_payload(
+        t(spark, sf, "documents"), "doc_id", "text"
+    )
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id", F.col("n_bytes").cast("long").alias("n_bytes"), "checksum"
+    )
+
+
+@q("multimodal_features", None)  # fake-decode features — rows-only check
+def multimodal_features(spark, sf):
+    media = mm.attach_binary_payload(
+        t(spark, sf, "documents"), "doc_id", "text"
+    )
+    return mm.extract_features(media)

@@ -1,0 +1,221 @@
+"""KG-pipeline operators with DuckDB oracles, run over the driver's
+``documents`` table with a shared inline dictionary (the oracle can
+only see the registered views, so the dictionary/candidates/redirects
+are literal VALUES in both engines — same rows, same semantics as the
+store tables the real pipeline builds).
+
+Covers the SQL-checkable faces of T3 spotting, J1 candidate lookup,
+C1 prior scoring, A7 argmax, J4/J5 canonicalization, and P3 triple
+materialization (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.closure import canonicalize, redirect_closure
+from .common import t
+
+Q = {}
+O = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            O[name] = sql
+        return fn
+
+    return deco
+
+
+# Shared inline "world": surface forms with ambiguous candidates,
+# single-hop redirects, disambiguation pages. Tokens chosen from the
+# documents vocabulary so spotting actually fires.
+SPOT_CANDIDATES: list[tuple[str, str, int]] = [
+    ("spark", "dbr:Apache_Spark", 8),
+    ("spark", "dbr:Spark_plug", 2),
+    ("merge", "dbr:Merge_sort", 5),
+    ("merge", "dbr:Git_merge", 3),
+    ("merge", "dbr:Merge_(SQL)", 1),
+    ("window", "dbr:Window_function", 6),
+    ("window", "dbr:Window_(computing)", 4),
+    ("hash join", "dbr:Hash_join", 9),
+    ("table scan", "dbr:Full_table_scan", 7),
+    ("sort merge", "dbr:Sort-merge_join", 5),
+    ("data line", "dbr:Data_line", 3),
+    ("vector", "dbr:Vector_(data)", 4),
+    ("vector", "dbr:Vector_graphics", 4),  # tie -> uri asc break
+]
+REDIRECT_EDGES: list[tuple[str, str]] = [
+    ("dbr:Git_merge", "dbr:Merge_(version_control)"),
+    ("dbr:Spark_plug", "dbr:Ignition_part"),
+]
+DISAMBIG_URIS: list[str] = ["dbr:Merge_(SQL)"]
+
+
+def _values_sql(rows, cols) -> str:
+    def lit(v):
+        return f"'{v}'" if isinstance(v, str) else str(v)
+
+    vals = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {vals}) AS {cols}"
+
+
+_DICT_SQL = _values_sql(SPOT_CANDIDATES, "d(sf, uri, w)")
+_RED_SQL = _values_sql(REDIRECT_EDGES, "r(src_uri, dst_uri)")
+_DIS_SQL = _values_sql([(u,) for u in DISAMBIG_URIS], "x(uri)")
+
+_GRAMS_SQL = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    idx AS (SELECT doc_id, arr, generate_subscripts(arr, 1) AS i FROM t),
+    grams AS (
+      SELECT doc_id, i AS pos, arr[i] AS sf FROM idx
+      UNION ALL
+      SELECT doc_id, i AS pos, arr[i] || ' ' || arr[i+1] AS sf
+      FROM idx WHERE i < len(arr))
+"""
+
+
+def _grams_spark(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    uni = docs.select(
+        "doc_id", F.posexplode("arr").alias("p0", "sf")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "sf")
+    bi = docs.filter(F.size("arr") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(arr) - 2),"
+                " i -> struct(i + 1 AS pos, concat(arr[i], ' ', arr[i+1]) AS sf))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.sf")
+    return uni.unionByName(bi)
+
+
+def _dict_df(spark):
+    return spark.createDataFrame(SPOT_CANDIDATES, ["sf", "uri", "w"])
+
+
+@q(
+    "spot_mentions",
+    f"""
+    WITH {_GRAMS_SQL}
+    SELECT g.sf AS surface_form, COUNT(*) AS n_mentions
+    FROM grams g JOIN (SELECT DISTINCT sf FROM {_DICT_SQL}) d ON g.sf = d.sf
+    GROUP BY g.sf
+    """,
+)
+def spot_mentions(spark, sf_dir):
+    """T3 spotting (token-granularity face): dictionary hits per sf."""
+    grams = _grams_spark(spark, sf_dir)
+    d = F.broadcast(_dict_df(spark).select("sf").distinct())
+    return (
+        grams.join(d, "sf")
+        .groupBy(F.col("sf").alias("surface_form"))
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+
+
+@q(
+    "kg_annotate_prior",
+    f"""
+    WITH {_GRAMS_SQL},
+    cand AS (
+      SELECT g.doc_id, g.pos, g.sf AS surface_form, d.uri, d.w
+      FROM grams g JOIN {_DICT_SQL} ON g.sf = d.sf),
+    best AS (
+      SELECT doc_id, pos, surface_form, uri,
+             row_number() OVER (PARTITION BY doc_id, pos, surface_form
+                                ORDER BY w DESC, uri) AS rn
+      FROM cand)
+    SELECT doc_id, pos, surface_form, uri FROM best WHERE rn = 1
+    """,
+)
+def kg_annotate_prior(spark, sf_dir):
+    """J1 candidate lookup + C1 prior scoring + A7 argmax (the
+    `/candidates` -> best-prior face of the pipeline)."""
+    grams = _grams_spark(spark, sf_dir)
+    cand = grams.join(F.broadcast(_dict_df(spark)), "sf").withColumnRenamed(
+        "sf", "surface_form"
+    )
+    w = Window.partitionBy("doc_id", "pos", "surface_form").orderBy(
+        F.desc("w"), F.asc("uri")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pos", "surface_form", "uri")
+    )
+
+
+@q(
+    "kg_triples_mini",
+    f"""
+    WITH {_GRAMS_SQL},
+    cand AS (
+      SELECT g.doc_id, g.pos, g.sf AS surface_form, d.uri, d.w
+      FROM grams g JOIN {_DICT_SQL} ON g.sf = d.sf),
+    best AS (
+      SELECT doc_id, pos, surface_form, uri,
+             row_number() OVER (PARTITION BY doc_id, pos, surface_form
+                                ORDER BY w DESC, uri) AS rn
+      FROM cand),
+    ann AS (SELECT doc_id, uri FROM best WHERE rn = 1),
+    canon AS (
+      SELECT a.doc_id, coalesce(r.dst_uri, a.uri) AS uri
+      FROM ann a LEFT JOIN {_RED_SQL} ON a.uri = r.src_uri),
+    kept AS (
+      SELECT * FROM canon c
+      WHERE NOT EXISTS (SELECT 1 FROM {_DIS_SQL} WHERE x.uri = c.uri))
+    SELECT DISTINCT 'doc://' || CAST(doc_id AS VARCHAR) AS subj,
+           'dbo:mentions' AS pred, uri AS obj
+    FROM kept
+    """,
+)
+def kg_triples_mini(spark, sf_dir):
+    """Full mini-pipeline: spot -> prior argmax -> canonicalize
+    (redirect closure + disambiguation drop) -> (subj,pred,obj)
+    triples. Uses the production closure/canonicalize operators."""
+    ann = kg_annotate_prior(spark, sf_dir).select("doc_id", "uri")
+    red = spark.createDataFrame(REDIRECT_EDGES, ["src_uri", "dst_uri"])
+    dis = spark.createDataFrame([(u,) for u in DISAMBIG_URIS], ["uri"])
+    closure = redirect_closure(red, max_iter=4)
+    canon = canonicalize(ann, closure, dis)
+    return canon.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("dbo:mentions").alias("pred"),
+        F.col("uri").alias("obj"),
+    ).distinct()
+
+
+@q(
+    "closure_bounded",
+    """
+    WITH e(src_uri, dst_uri) AS (VALUES
+      ('a', 'b'), ('b', 'c'), ('c', 'd'),
+      ('x', 'y'),
+      ('p', 'q'), ('q', 'p')),
+    h1 AS (
+      SELECT a.src_uri, coalesce(b.dst_uri, a.dst_uri) AS dst_uri
+      FROM e a LEFT JOIN e b ON a.dst_uri = b.src_uri),
+    h2 AS (
+      SELECT a.src_uri, coalesce(b.dst_uri, a.dst_uri) AS dst_uri
+      FROM h1 a LEFT JOIN h1 b ON a.dst_uri = b.src_uri)
+    SELECT src_uri, dst_uri FROM h2 WHERE src_uri <> dst_uri
+    """,
+)
+def closure_bounded(spark, sf_dir):
+    """J4 redirect closure on a literal graph with a 3-chain and a
+    2-cycle. The SQL twin composes f∘f twice — exactly the pointer
+    jumping the production operator performs."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("p", "q"), ("q", "p")],
+        ["src_uri", "dst_uri"],
+    )
+    return redirect_closure(edges, max_iter=4)

@@ -1,0 +1,459 @@
+"""Relational operator surface (SURVEY.md §2.6) — scans, projections,
+filters, every join flavor, aggregations (incl. the salted two-phase
+variant), windows, sorts, set ops, and the scalar-function families.
+
+Each entry: (spark_fn, duckdb_sql | None). Column names match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.salted_agg import salted_count
+from .common import cents, t
+
+Q = {}
+O = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            O[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# scans / projection / filter
+# ---------------------------------------------------------------------------
+@q("scan_parquet", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def scan_parquet(spark, sf):
+    return t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@q(
+    "project_expr",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS disc_cents,
+           upper(l_returnflag) AS rf
+    FROM lineitem
+    """,
+)
+def project_expr(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "disc_cents"
+        ),
+        F.upper("l_returnflag").alias("rf"),
+    )
+
+
+@q(
+    "filter_pred",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+      AND l_quantity < 24
+    """,
+)
+def filter_pred(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+@q(
+    "join_broadcast",
+    f"""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           CAST(round(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))) AS BIGINT) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_broadcast(spark, sf):
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("tc", cents(F.col("o_totalprice")))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("tc").cast("long").alias("total_cents"),
+        )
+    )
+
+
+@q(
+    "join_sortmerge",
+    """
+    SELECT o.o_orderstatus, COUNT(*) AS n_items,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_sortmerge(spark, sf):
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    # big-big join: force shuffle merge (the plan the cluster would pick)
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+@q(
+    "join_anti",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "join_semi",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_active
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_nationkey
+    """,
+)
+def join_semi(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@q(
+    "join_outer_eval",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_cust_only,
+           COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_order_only
+    FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_outer_eval(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_cust_only"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_order_only"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregations
+# ---------------------------------------------------------------------------
+@q(
+    "agg_counts",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_counts(spark, sf):
+    li = t(spark, sf, "lineitem").withColumn("pc", cents(F.col("l_extendedprice")))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.sum("pc").cast("long").alias("sum_cents"),
+    )
+
+
+@q(
+    "agg_salted",
+    "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+)
+def agg_salted(spark, sf):
+    """Salted two-phase agg ≡ plain agg — the skew-safety invariant,
+    checked against the plain-SQL oracle."""
+    return salted_count(t(spark, sf, "lineitem"), ["l_returnflag"], out="n")
+
+
+@q(
+    "agg_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def agg_distinct(spark, sf):
+    return t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@q(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+@q("agg_approx_cd", None)  # approximate — rows-only check by design
+def agg_approx_cd(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    )
+
+
+@q(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# windows / sort
+# ---------------------------------------------------------------------------
+@q(
+    "win_topk",
+    """
+    SELECT o_custkey, o_orderkey, rk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) WHERE rk <= 3
+    """,
+)
+def win_topk(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t(spark, sf, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+@q(
+    "win_rank",
+    """
+    SELECT event_id,
+           rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+    FROM events
+    """,
+)
+def win_rank(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf, "events").select(
+        "event_id",
+        F.rank().over(w).alias("rk"),
+        F.lag("event_id").over(w).alias("prev_event"),
+    )
+
+
+@q(
+    "sort_limit",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50
+    """,
+)
+def sort_limit(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(50)
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# set ops
+# ---------------------------------------------------------------------------
+@q(
+    "set_union",
+    """
+    SELECT c_custkey AS k FROM customer
+    UNION SELECT o_custkey AS k FROM orders
+    """,
+)
+def set_union(spark, sf):
+    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    return c.union(o).distinct()
+
+
+@q(
+    "set_except",
+    """
+    SELECT c_custkey AS k FROM customer
+    EXCEPT SELECT o_custkey AS k FROM orders
+    """,
+)
+def set_except(spark, sf):
+    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    return c.exceptAll(o).distinct()
+
+
+@q(
+    "set_intersect",
+    """
+    SELECT c_custkey AS k FROM customer
+    INTERSECT SELECT o_custkey AS k FROM orders
+    """,
+)
+def set_intersect(spark, sf):
+    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    return c.intersect(o)
+
+
+# ---------------------------------------------------------------------------
+# scalar function families
+# ---------------------------------------------------------------------------
+@q(
+    "str_fns",
+    """
+    SELECT p_partkey, lower(p_brand) AS lb, length(p_name) AS ln,
+           substring(p_type, 1, 5) AS t5,
+           replace(p_name, ' ', '_') AS uname,
+           concat(p_brand, ':', p_type) AS bt
+    FROM part
+    """,
+)
+def str_fns(spark, sf):
+    return t(spark, sf, "part").select(
+        "p_partkey",
+        F.lower("p_brand").alias("lb"),
+        F.length("p_name").alias("ln"),
+        F.substring("p_type", 1, 5).alias("t5"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("uname"),
+        F.concat_ws(":", "p_brand", "p_type").alias("bt"),
+    )
+
+
+@q(
+    "date_fns",
+    """
+    SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(dayofmonth(o_orderdate) AS INT) AS d,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+    FROM orders
+    """,
+)
+def date_fns(spark, sf):
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+    )
+
+
+@q(
+    "math_fns",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(ln(l_extendedprice), 6) AS log_price,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           abs(l_discount - 0.05) AS d_off,
+           CAST(round(power(l_quantity, 2)) AS BIGINT) AS qty_sq
+    FROM lineitem
+    """,
+)
+def math_fns(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log("l_extendedprice"), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.abs(F.col("l_discount") - 0.05).alias("d_off"),
+        F.round(F.pow("l_quantity", 2)).cast("long").alias("qty_sq"),
+    )
+
+
+@q(
+    "arr_fns",
+    """
+    SELECT vec_id, len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS l1
+    FROM embeddings
+    """,
+)
+def arr_fns(spark, sf):
+    e = t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.round(
+            F.expr(
+                "aggregate(embedding, 0.0d, (acc, x) -> acc + cast(x as double))"
+            ),
+            6,
+        ).alias("l1"),
+    )
+
+
+@q(
+    "json_fns",
+    "SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events",
+)
+def json_fns(spark, sf):
+    ev = t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
