@@ -148,14 +148,79 @@ def derive_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
-def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def world_stores(spark: SparkSession, docs: DataFrame) -> dict:
+    """P0: deterministic annotated corpus -> the six count stores."""
     corpus = derive_corpus(spark, docs).persist()
     types_df = spark.createDataFrame(WORLD_TYPES, ["uri", "type"])
-    stores = build_stores(spark, corpus, instance_types=types_df)
-    pages = documents_as_pages(docs)
+    return build_stores(spark, corpus, instance_types=types_df)
+
+
+def replicate_docs(docs: DataFrame, r: int) -> DataFrame:
+    """Deterministic r-fold corpus blow-up with unique doc_ids (bench
+    scaling legs run the same job over the same replicated input at
+    two parallelism levels)."""
+    if r <= 1:
+        return docs
+    return (
+        docs.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(r - 1))))
+        .withColumn("doc_id", F.col("doc_id") * r + F.col("_rep"))
+        .drop("_rep")
+    )
+
+
+def annotate_to_triples(
+    spark: SparkSession,
+    pages: DataFrame,
+    stores: dict,
+    mode: str = "fused",
+    model_bc=None,
+) -> DataFrame:
+    """P1-P3 over an already-built store set (the 10^12-doc-scale part
+    of the pipeline; store build is the fixed-size offline model
+    build, like the reference's wikistats ingestion).
+
+    mode="fused": map-only broadcast-model annotator with P2
+    canonicalization baked into the broadcast model (scale path,
+    plans/annotate_fused.py); the only wide exchange is the triple
+    distinct, reused across both triple branches. mode="relational":
+    stage-by-stage DataFrame pipeline (oracle surface,
+    plans/annotate.py) with join-based canonicalization."""
+    if mode == "fused":
+        if model_bc is None:
+            model_bc = world_model_bc(spark, stores)
+        from .plans.annotate_fused import annotate_fused
+        from .plans.materialize import materialize_triples_from_annotations
+
+        ann = annotate_fused(spark, pages, stores, AnnotateConfig(), model_bc)
+        return materialize_triples_from_annotations(ann, stores["entities"])
+
     ann = annotate(spark, pages, stores, AnnotateConfig())
     red = spark.createDataFrame(WORLD_REDIRECTS, ["src_uri", "dst_uri"])
     dis = spark.createDataFrame([(u,) for u in WORLD_DISAMBIG], ["uri"])
     canon = canonical_annotations(ann, red, dis)
+    # canon feeds both mention- and type-triples: persist so the
+    # relational annotate pass runs once
+    canon = canon.persist()
     return materialize_triples(canon, stores["entities"])
+
+
+def world_model_bc(spark: SparkSession, stores: dict):
+    """Broadcast LinkingModel with the WORLD closure/disambig baked in."""
+    from .plans.annotate_fused import build_model
+
+    red = spark.createDataFrame(WORLD_REDIRECTS, ["src_uri", "dst_uri"])
+    dis = spark.createDataFrame([(u,) for u in WORLD_DISAMBIG], ["uri"])
+    return spark.sparkContext.broadcast(build_model(stores, red, dis))
+
+
+def flagship(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stores = world_stores(spark, docs)
+    # explicit round-robin repartition of the narrow doc rows before
+    # html wrapping: balances the pandas-UDF map stage (hash(doc_id)
+    # over few distinct keys would leave partition skew)
+    npart = spark.sparkContext.defaultParallelism * 4
+    pages = documents_as_pages(
+        replicate_docs(docs, replicate).repartition(npart)
+    )
+    return annotate_to_triples(spark, pages, stores)

@@ -1,0 +1,296 @@
+"""Fused map-only annotator — the web-scale P1 path.
+
+The reference serves each request single-threaded against broadcast/
+memory-mapped model stores (SpotlightModel; canonical upstream locus in
+SURVEY.md §1.1, UNVERIFIED-LOCALLY). The idiomatic Spark translation of
+that architecture at 10^12 documents is: **the model is a broadcast
+variable; the corpus pass is map-only**. One Arrow-batched
+``mapInPandas`` performs extract -> tokenize -> AC-spot -> threshold ->
+leftmost-longest overlap resolution -> candidate lookup -> generative
+scoring -> argmax per document, producing the annotations relation with
+ZERO shuffles. The only shuffles in P1-P3 are then the triple
+``distinct`` and the (tiny) redirect-closure build.
+
+Semantics are exactly those of the stage-by-stage relational pipeline
+in ``plans/annotate.py`` (tests/test_fused.py proves equality on the
+fixture corpus); the relational path remains the DuckDB-oracle surface
+and the fallback for model stores that exceed the broadcast budget.
+
+Scale math: the broadcast model is the same payload the reference mmaps
+per node (hundreds of MB for full Wikipedia — well inside executor
+memory); every executor gets it once per job, then streams pages.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import _TOKEN_RE, _extract_one
+from ..operators.spotting import TokenAhoCorasick
+
+ANNOTATION_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("surface_form", T.StringType(), False),
+        T.StructField("uri", T.StringType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("second_rank_ratio", T.DoubleType(), False),
+    ]
+)
+
+
+class LinkingModel:
+    """Picklable, broadcast-able model bundle (the SpotlightModel
+    equivalent): AC automaton + surface-form thresholds + candidate
+    arrays with precomputed log-priors + token ICF vocab + entity
+    context vectors."""
+
+    def __init__(
+        self,
+        automaton: TokenAhoCorasick,
+        sf_info: dict,  # surface_form -> (sf_id, annotation_prob)
+        candidates: dict,  # sf_id -> (uris list, entity_ids i64, prior f64) sorted by (-prior, uri)
+        vocab: dict,  # token -> (token_id, icf)
+        entity_vecs: dict,  # entity_id -> (token_ids i64 sorted, weights f64, norm)
+        canon_map: dict | None = None,  # uri -> canonical uri (redirect closure)
+        disambig: frozenset = frozenset(),  # disambiguation-page uris (dropped)
+    ):
+        self.automaton = automaton
+        self.sf_info = sf_info
+        self.candidates = candidates
+        self.vocab = vocab
+        self.entity_vecs = entity_vecs
+        self.canon_map = canon_map or {}
+        self.disambig = disambig
+
+
+def build_model(
+    stores: dict,
+    redirects: DataFrame | None = None,
+    disambiguations: DataFrame | None = None,
+) -> LinkingModel:
+    """Collect the (post-aggregation, small) store tables into the
+    broadcast bundle. Priors are precomputed here:
+    prior = log P(e) + log P(s|e) = log(c(e)/N) + log(c(s,e)/c(e)).
+
+    Passing ``redirects``/``disambiguations`` bakes P2 canonicalization
+    into the model (the reference resolves the redirect closure at
+    model-build time — WikipediaToDBpediaClosure): the fused pass then
+    emits canonical annotations directly and the relational
+    ``canonicalize`` join is not needed downstream."""
+    sf_rows = stores["surface_forms"].select(
+        "surface_form", "sf_id", "annotation_prob"
+    ).collect()
+    sf_info = {
+        r.surface_form: (int(r.sf_id), float(r.annotation_prob)) for r in sf_rows
+    }
+    automaton = TokenAhoCorasick(
+        [tuple(s.split(" ")) for s in sf_info]
+    )
+
+    ent = stores["entities"].select("entity_id", "uri", "support")
+    total_support = float(ent.agg(F.sum("support")).collect()[0][0])
+    cand_rows = (
+        stores["candidate_map"]
+        .join(ent, "entity_id")
+        .select("sf_id", "entity_id", "uri", "support", "pair_count")
+        .collect()
+    )
+    by_sf: dict[int, list] = {}
+    for r in cand_rows:
+        prior = math.log(r.support / total_support) + math.log(
+            r.pair_count / r.support
+        )
+        by_sf.setdefault(int(r.sf_id), []).append(
+            (prior, r.uri, int(r.entity_id))
+        )
+    candidates = {}
+    for sf_id, lst in by_sf.items():
+        lst.sort(key=lambda x: (-x[0], x[1]))  # prior desc, uri asc
+        candidates[sf_id] = (
+            [x[1] for x in lst],
+            np.asarray([x[2] for x in lst], dtype=np.int64),
+            np.asarray([x[0] for x in lst], dtype=np.float64),
+        )
+
+    vocab_rows = (
+        stores["tokens"]
+        .join(stores["icf"].select("token_id", "icf"), "token_id")
+        .select("token", "token_id", "icf")
+        .collect()
+    )
+    vocab = {r.token: (int(r.token_id), float(r.icf)) for r in vocab_rows}
+
+    vec_rows = stores["entity_vectors"].collect()
+    entity_vecs = {
+        int(r.entity_id): (
+            np.asarray(r.token_ids, dtype=np.int64),
+            np.asarray(r.weights, dtype=np.float64),
+            float(r.norm),
+        )
+        for r in vec_rows
+    }
+
+    canon_map: dict = {}
+    disambig: frozenset = frozenset()
+    if redirects is not None:
+        from ..operators.closure import redirect_closure
+
+        canon_map = {
+            r.src_uri: r.dst_uri for r in redirect_closure(redirects).collect()
+        }
+    if disambiguations is not None:
+        disambig = frozenset(r.uri for r in disambiguations.collect())
+    return LinkingModel(
+        automaton, sf_info, candidates, vocab, entity_vecs, canon_map, disambig
+    )
+
+
+def _annotate_doc(
+    url: str,
+    html,
+    model: LinkingModel,
+    spotter_threshold: float,
+    confidence: float,
+    top_m: int,
+    w_prior: float,
+    w_ctx: float,
+    out_rows: list,
+) -> None:
+    text = _extract_one(html)
+    if not text:
+        return
+    toks = [(m.group(0), m.start()) for m in _TOKEN_RE.finditer(text)]
+    if not toks:
+        return
+    low = [t.lower() for t, _ in toks]
+
+    # T3 spot + T4 threshold
+    spans = []
+    for i, ln in model.automaton.scan(low):
+        sf = " ".join(low[i : i + ln])
+        info = model.sf_info.get(sf)
+        if info is None or info[1] < spotter_threshold:
+            continue
+        start = toks[i][1]
+        end = toks[i + ln - 1][1] + len(toks[i + ln - 1][0])
+        spans.append((start, end, sf, info[0]))
+    if not spans:
+        return
+    # T4 leftmost-longest greedy (sort start asc, end desc)
+    spans.sort(key=lambda s: (s[0], -s[1]))
+    kept = []
+    last_end = -1
+    for s in spans:
+        if s[0] >= last_end:
+            kept.append(s)
+            last_end = s[1]
+
+    # document context vector (TF * ICF, sorted by token_id)
+    tf: dict[int, float] = {}
+    icf_of: dict[int, float] = {}
+    for t in low:
+        v = model.vocab.get(t)
+        if v is not None:
+            tf[v[0]] = tf.get(v[0], 0.0) + 1.0
+            icf_of[v[0]] = v[1]
+    if tf:
+        ctx_ids = np.fromiter(sorted(tf), dtype=np.int64, count=len(tf))
+        ctx_ws = np.asarray([tf[i] * icf_of[i] for i in sorted(tf)], dtype=np.float64)
+        ctx_norm = float(np.sqrt(np.dot(ctx_ws, ctx_ws)))
+    else:
+        ctx_ids = np.empty(0, dtype=np.int64)
+        ctx_ws = np.empty(0, dtype=np.float64)
+        ctx_norm = 0.0
+
+    # J1-J3 + C1-C4 + A7 per mention
+    for start, end, sf, sf_id in kept:
+        cand = model.candidates.get(sf_id)
+        if cand is None:
+            continue
+        uris, ent_ids, priors = cand
+        m = min(top_m, len(uris))
+        scored = []
+        for j in range(m):
+            ev = model.entity_vecs.get(int(ent_ids[j]))
+            ctx_score = 0.0
+            if ev is not None and ctx_norm > 0:
+                etids, ews, enorm = ev
+                idx = np.searchsorted(etids, ctx_ids)
+                ok = (idx < len(etids)) & (
+                    etids[np.minimum(idx, len(etids) - 1)] == ctx_ids
+                )
+                denom = ctx_norm * enorm
+                if denom > 0:
+                    ctx_score = float(np.dot(ctx_ws[ok], ews[idx[ok]])) / denom
+            score = w_prior * math.exp(priors[j]) + w_ctx * ctx_score
+            scored.append((score, uris[j]))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        best_score, best_uri = scored[0]
+        if len(scored) > 1 and best_score > 0:
+            srr = scored[1][0] / best_score
+        else:
+            srr = 0.0
+        if (1.0 - srr) < confidence:
+            continue
+        # P2 baked in: canonicalize through the closure, drop
+        # disambiguation-page targets (no-ops for an empty model)
+        best_uri = model.canon_map.get(best_uri, best_uri)
+        if best_uri in model.disambig:
+            continue
+        out_rows[0].append(url)
+        out_rows[1].append(start)
+        out_rows[2].append(end)
+        out_rows[3].append(sf)
+        out_rows[4].append(best_uri)
+        out_rows[5].append(best_score)
+        out_rows[6].append(srr)
+
+
+def annotate_fused(
+    spark: SparkSession,
+    pages: DataFrame,
+    stores: dict,
+    cfg,
+    model_bc=None,
+) -> DataFrame:
+    """pages(url, html, lang, ...) -> annotations, map-only.
+
+    ``model_bc``: pass a prebuilt ``sc.broadcast(build_model(stores))``
+    to reuse the model across jobs (the model is built once per run,
+    like the reference loads SpotlightModel once at boot)."""
+    if model_bc is None:
+        model_bc = spark.sparkContext.broadcast(build_model(stores))
+    thr, conf = cfg.spotter_threshold, cfg.confidence
+    top_m, w_p, w_c = cfg.top_m_prior, cfg.w_prior, cfg.w_ctx
+    routed = pages.filter(F.col("lang").isin(*cfg.langs)).select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model: LinkingModel = model_bc.value
+        for pdf in batches:
+            # column-wise buffers: typed ndarray/Series construction,
+            # never a row-at-a-time DataFrame of tuples
+            cols: list = [[], [], [], [], [], [], []]
+            for url, html in zip(pdf["url"], pdf["html"]):
+                _annotate_doc(url, html, model, thr, conf, top_m, w_p, w_c, cols)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(cols[0], dtype="object"),
+                    "start": pd.Series(cols[1], dtype="int32"),
+                    "end": pd.Series(cols[2], dtype="int32"),
+                    "surface_form": pd.Series(cols[3], dtype="object"),
+                    "uri": pd.Series(cols[4], dtype="object"),
+                    "score": pd.Series(cols[5], dtype="float64"),
+                    "second_rank_ratio": pd.Series(cols[6], dtype="float64"),
+                }
+            )
+
+    return routed.mapInPandas(run, ANNOTATION_SCHEMA)

@@ -45,3 +45,36 @@ def materialize_triples(
         .distinct()
     )
     return mention_triples.unionByName(type_triples)
+
+
+def materialize_triples_from_annotations(
+    annotations: DataFrame, entities: DataFrame, eager: bool = True
+) -> DataFrame:
+    """Triples straight from already-canonical annotations (the fused
+    path bakes P2 into the map pass).
+
+    Shuffle shape: ONE wide exchange — the (url, uri) distinct. Its
+    result is persisted (and with ``eager=True`` materialized now):
+    both triple branches read it, so the upstream map-only annotate
+    pass over the corpus executes exactly once. At cluster scale this
+    materialization is the P1/P2→P3 stage boundary that the
+    lineage/resume layer checkpoints to the warehouse."""
+    ment = annotations.select(
+        F.col("url").alias("subj"), F.col("uri").alias("obj")
+    ).distinct().persist()
+    if eager:
+        ment.count()
+    mention_triples = ment.select(
+        "subj", F.lit(PRED_MENTIONS).alias("pred"), "obj"
+    )
+    used = ment.select(F.col("obj").alias("uri")).distinct()
+    type_triples = (
+        used.join(F.broadcast(entities.select("uri", "types")), "uri", "inner")
+        .select(
+            F.col("uri").alias("subj"),
+            F.lit(PRED_TYPE).alias("pred"),
+            F.explode("types").alias("obj"),
+        )
+        .distinct()
+    )
+    return mention_triples.unionByName(type_triples)
