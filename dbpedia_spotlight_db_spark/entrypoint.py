@@ -174,6 +174,7 @@ def annotate_to_triples(
     stores: dict,
     mode: str = "fused",
     model_bc=None,
+    checkpoint_path: str | None = None,
 ) -> DataFrame:
     """P1-P3 over an already-built store set (the 10^12-doc-scale part
     of the pipeline; store build is the fixed-size offline model
@@ -188,11 +189,18 @@ def annotate_to_triples(
     if mode == "fused":
         if model_bc is None:
             model_bc = world_model_bc(spark, stores)
-        from .plans.annotate_fused import annotate_fused
-        from .plans.materialize import materialize_triples_from_annotations
+        from .plans.annotate_fused import annotate_mention_pairs
+        from .plans.materialize import materialize_triples_from_mention_pairs
 
-        ann = annotate_fused(spark, pages, stores, AnnotateConfig(), model_bc)
-        return materialize_triples_from_annotations(ann, stores["entities"])
+        # the pair emitter dedups (url, uri) per document inside the
+        # map pass; url is the pages primary key, so the pairs are
+        # globally distinct — the triple pipeline has no wide exchange
+        pairs = annotate_mention_pairs(
+            spark, pages, stores, AnnotateConfig(), model_bc
+        )
+        return materialize_triples_from_mention_pairs(
+            pairs, stores["entities"], checkpoint_path
+        )
 
     ann = annotate(spark, pages, stores, AnnotateConfig())
     red = spark.createDataFrame(WORLD_REDIRECTS, ["src_uri", "dst_uri"])
@@ -216,11 +224,12 @@ def world_model_bc(spark: SparkSession, stores: dict):
 def flagship(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     stores = world_stores(spark, docs)
-    # explicit round-robin repartition of the narrow doc rows before
-    # html wrapping: balances the pandas-UDF map stage (hash(doc_id)
-    # over few distinct keys would leave partition skew)
+    # explicit round-robin repartition of the narrow doc rows BEFORE
+    # replication and html wrapping: the single-file source would
+    # otherwise explode serially in one task, and hash(doc_id) over
+    # few distinct keys would leave partition skew
     npart = spark.sparkContext.defaultParallelism * 4
     pages = documents_as_pages(
-        replicate_docs(docs, replicate).repartition(npart)
+        replicate_docs(docs.repartition(npart), replicate)
     )
     return annotate_to_triples(spark, pages, stores)

@@ -117,8 +117,10 @@ def build_model(
         lst.sort(key=lambda x: (-x[0], x[1]))  # prior desc, uri asc
         candidates[sf_id] = (
             [x[1] for x in lst],
-            np.asarray([x[2] for x in lst], dtype=np.int64),
-            np.asarray([x[0] for x in lst], dtype=np.float64),
+            [int(x[2]) for x in lst],
+            # exp(prior) precomputed: score = w_p*exp_prior + w_c*ctx,
+            # and ordering by exp_prior desc == prior desc
+            [math.exp(x[0]) for x in lst],
         )
 
     vocab_rows = (
@@ -173,72 +175,93 @@ def _annotate_doc(
         return
     low = [t.lower() for t, _ in toks]
 
-    # T3 spot + T4 threshold
+    # T3 spot + T4 threshold. Spans carry -end so the native tuple
+    # sort gives (start asc, end desc) without a key lambda; (start,
+    # -end) is unique per match so later elements never compare.
     spans = []
+    sf_info_get = model.sf_info.get
     for i, ln in model.automaton.scan(low):
         sf = " ".join(low[i : i + ln])
-        info = model.sf_info.get(sf)
+        info = sf_info_get(sf)
         if info is None or info[1] < spotter_threshold:
             continue
-        start = toks[i][1]
-        end = toks[i + ln - 1][1] + len(toks[i + ln - 1][0])
-        spans.append((start, end, sf, info[0]))
+        last_tok = toks[i + ln - 1]
+        spans.append((toks[i][1], -(last_tok[1] + len(last_tok[0])), sf, info[0]))
     if not spans:
         return
-    # T4 leftmost-longest greedy (sort start asc, end desc)
-    spans.sort(key=lambda s: (s[0], -s[1]))
+    spans.sort()
     kept = []
     last_end = -1
     for s in spans:
         if s[0] >= last_end:
             kept.append(s)
-            last_end = s[1]
+            last_end = -s[1]
 
     # document context vector (TF * ICF, sorted by token_id)
     tf: dict[int, float] = {}
     icf_of: dict[int, float] = {}
+    vocab_get = model.vocab.get
     for t in low:
-        v = model.vocab.get(t)
+        v = vocab_get(t)
         if v is not None:
             tf[v[0]] = tf.get(v[0], 0.0) + 1.0
             icf_of[v[0]] = v[1]
     if tf:
-        ctx_ids = np.fromiter(sorted(tf), dtype=np.int64, count=len(tf))
-        ctx_ws = np.asarray([tf[i] * icf_of[i] for i in sorted(tf)], dtype=np.float64)
+        ids_sorted = sorted(tf)
+        ctx_ids = np.fromiter(ids_sorted, dtype=np.int64, count=len(ids_sorted))
+        ctx_ws = np.asarray(
+            [tf[i] * icf_of[i] for i in ids_sorted], dtype=np.float64
+        )
         ctx_norm = float(np.sqrt(np.dot(ctx_ws, ctx_ws)))
     else:
         ctx_ids = np.empty(0, dtype=np.int64)
         ctx_ws = np.empty(0, dtype=np.float64)
         ctx_norm = 0.0
 
-    # J1-J3 + C1-C4 + A7 per mention
-    for start, end, sf, sf_id in kept:
+    # J1-J3 + C1-C4 + A7 per mention. The cosine is cached per
+    # (doc, entity): repeated mentions of the same surface form / the
+    # same candidate in one document score against the same context.
+    cos_cache: dict[int, float] = {}
+    vecs_get = model.entity_vecs.get
+    for start, neg_end, sf, sf_id in kept:
         cand = model.candidates.get(sf_id)
         if cand is None:
             continue
-        uris, ent_ids, priors = cand
+        uris, ent_ids, exp_priors = cand
         m = min(top_m, len(uris))
-        scored = []
+        # single-pass argmax + runner-up with (score desc, uri asc)
+        best_score = second = -1.0
+        best_uri = None
         for j in range(m):
-            ev = model.entity_vecs.get(int(ent_ids[j]))
-            ctx_score = 0.0
-            if ev is not None and ctx_norm > 0:
-                etids, ews, enorm = ev
-                idx = np.searchsorted(etids, ctx_ids)
-                ok = (idx < len(etids)) & (
-                    etids[np.minimum(idx, len(etids) - 1)] == ctx_ids
-                )
-                denom = ctx_norm * enorm
-                if denom > 0:
-                    ctx_score = float(np.dot(ctx_ws[ok], ews[idx[ok]])) / denom
-            score = w_prior * math.exp(priors[j]) + w_ctx * ctx_score
-            scored.append((score, uris[j]))
-        scored.sort(key=lambda x: (-x[0], x[1]))
-        best_score, best_uri = scored[0]
-        if len(scored) > 1 and best_score > 0:
-            srr = scored[1][0] / best_score
-        else:
-            srr = 0.0
+            eid = ent_ids[j]
+            ctx_score = cos_cache.get(eid)
+            if ctx_score is None:
+                ctx_score = 0.0
+                if ctx_norm > 0:
+                    ev = vecs_get(eid)
+                    if ev is not None:
+                        etids, ews, enorm = ev
+                        idx = np.searchsorted(etids, ctx_ids)
+                        ok = (idx < len(etids)) & (
+                            etids[np.minimum(idx, len(etids) - 1)] == ctx_ids
+                        )
+                        denom = ctx_norm * enorm
+                        if denom > 0:
+                            ctx_score = (
+                                float(np.dot(ctx_ws[ok], ews[idx[ok]])) / denom
+                            )
+                cos_cache[eid] = ctx_score
+            score = w_prior * exp_priors[j] + w_ctx * ctx_score
+            if score > best_score or (
+                score == best_score and uris[j] < best_uri
+            ):
+                second = best_score
+                best_score, best_uri = score, uris[j]
+            elif score > second:
+                second = score
+        if best_uri is None:
+            continue
+        srr = second / best_score if m > 1 and best_score > 0 else 0.0
         if (1.0 - srr) < confidence:
             continue
         # P2 baked in: canonicalize through the closure, drop
@@ -248,7 +271,7 @@ def _annotate_doc(
             continue
         out_rows[0].append(url)
         out_rows[1].append(start)
-        out_rows[2].append(end)
+        out_rows[2].append(-neg_end)
         out_rows[3].append(sf)
         out_rows[4].append(best_uri)
         out_rows[5].append(best_score)
@@ -294,3 +317,57 @@ def annotate_fused(
             )
 
     return routed.mapInPandas(run, ANNOTATION_SCHEMA)
+
+
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("uri", T.StringType(), False),
+    ]
+)
+
+
+def annotate_mention_pairs(
+    spark: SparkSession,
+    pages: DataFrame,
+    stores: dict,
+    cfg,
+    model_bc=None,
+) -> DataFrame:
+    """pages -> distinct canonical (url, uri) mention pairs, map-only.
+
+    The triples pipeline only needs the per-document entity SET, so
+    the per-doc dedup happens inside the same Arrow pass — the 2-3x
+    larger annotation relation never crosses the Python/JVM boundary
+    (and, urls being unique per page, the output is globally distinct
+    without any exchange)."""
+    if model_bc is None:
+        model_bc = spark.sparkContext.broadcast(build_model(stores))
+    thr, conf = cfg.spotter_threshold, cfg.confidence
+    top_m, w_p, w_c = cfg.top_m_prior, cfg.w_prior, cfg.w_ctx
+    routed = pages.filter(F.col("lang").isin(*cfg.langs)).select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model: LinkingModel = model_bc.value
+        for pdf in batches:
+            cols: list = [[], [], [], [], [], [], []]
+            urls_out: list = []
+            uris_out: list = []
+            uri_col = cols[4]
+            for url, html in zip(pdf["url"], pdf["html"]):
+                n0 = len(uri_col)
+                _annotate_doc(url, html, model, thr, conf, top_m, w_p, w_c, cols)
+                n1 = len(uri_col)
+                if n1 > n0:
+                    # sorted for row-order determinism across hash seeds
+                    distinct = sorted(set(uri_col[n0:n1]))
+                    urls_out.extend([url] * len(distinct))
+                    uris_out.extend(distinct)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls_out, dtype="object"),
+                    "uri": pd.Series(uris_out, dtype="object"),
+                }
+            )
+
+    return routed.mapInPandas(run, PAIR_SCHEMA)

@@ -201,6 +201,8 @@ def run_flagship_resumable(
     ann = run.unit_phase("annotations", sorted(langs), ann_unit)
     triples = run.phase(
         "triples",
-        lambda: materialize_triples_from_annotations(ann, entities_ck, eager=False),
+        # ann is already parquet-backed (the annotations checkpoint),
+        # so both triple branches re-read storage — no extra checkpoint
+        lambda: materialize_triples_from_annotations(ann, entities_ck),
     )
     return triples

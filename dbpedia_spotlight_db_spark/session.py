@@ -48,7 +48,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # --- Python boundary: Arrow everywhere, batched ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_ARROW_BATCH", "10000"),
+        )
         # --- broadcast: store tables are size-known small dims ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # quieter local runs

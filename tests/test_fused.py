@@ -43,3 +43,21 @@ def test_fused_partition_independent(spark, small_pages, stores):
     a = _ann_map(annotate_fused(spark, small_pages.repartition(1), stores, cfg))
     b = _ann_map(annotate_fused(spark, small_pages.repartition(13), stores, cfg))
     assert a == b
+
+
+def test_triples_fused_equals_relational(spark, small_pages, stores):
+    """Full P1-P3: the zero-exchange fused shape (baked canon +
+    partition-local mention dedup) emits the same triple SET as the
+    relational join/distinct shape."""
+    from dbpedia_spotlight_db_spark.entrypoint import annotate_to_triples
+
+    def tset(df):
+        return {(r.subj, r.pred, r.obj) for r in df.collect()}
+
+    fused = tset(
+        annotate_to_triples(spark, small_pages.repartition(7), stores, mode="fused")
+    )
+    rel = tset(
+        annotate_to_triples(spark, small_pages, stores, mode="relational")
+    )
+    assert fused == rel and fused

@@ -2,14 +2,18 @@
 efficiency >= 0.8 from N to 4N executors; sandbox proxy sanctioned by
 the driver: identical job + identical input at local[8] vs local[32]).
 
-Runs ``bench.py --leg <cores> <replicate>`` in a fresh subprocess per
-parallelism level (clean JVM each), computes
+The sandbox host shows 2x run-to-run wall-clock swings (single shared
+JVM, GC, host jitter), so the protocol is noise-robust: legs run
+INTERLEAVED (8, 32, 8, 32, ...) in fresh subprocesses, and efficiency
+is computed from the per-level MINIMUM (standard practice for noisy
+microbenchmarking — the minimum is the least-perturbed observation):
 
-    efficiency = throughput_32 / (4 * throughput_8)
+    efficiency = min_T(8) / (4 * min_T(32))
 
-and writes BENCH_SCALING.json + the scaling section of BENCH.md.
+Writes BENCH_SCALING.json (all rounds + the aggregate) — bench.py
+embeds it in its JSON line — and prints the record.
 
-Usage: python tools/bench_scaling.py [replicate=40]
+Usage: python tools/bench_scaling.py [replicate=120] [rounds=3]
 """
 
 from __future__ import annotations
@@ -27,8 +31,15 @@ REPO = Path(__file__).resolve().parent.parent
 def run_leg(cores: int, replicate: int) -> dict:
     env = dict(os.environ)
     env.pop("SPARK_GRAFT_MASTER", None)
+    # pin the whole process tree (driver + executor JVMs + Python
+    # workers) to exactly `cores` CPUs — the container cpu-limit a
+    # real cluster scheduler would impose per executor set
     proc = subprocess.run(
-        [sys.executable, str(REPO / "bench.py"), "--leg", str(cores), str(replicate)],
+        [
+            "taskset", "-c", f"0-{cores - 1}",
+            sys.executable, str(REPO / "bench.py"),
+            "--leg", str(cores), str(replicate),
+        ],
         capture_output=True,
         text=True,
         cwd=REPO,
@@ -43,20 +54,33 @@ def run_leg(cores: int, replicate: int) -> dict:
 
 
 def main() -> None:
-    replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    legs = {}
-    for cores in (8, 32):
-        legs[cores] = run_leg(cores, replicate)
-        print(f"local[{cores}]: {legs[cores]}", file=sys.stderr)
+    replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    runs: dict[int, list[dict]] = {8: [], 32: []}
+    for i in range(rounds):
+        for cores in (8, 32):
+            leg = run_leg(cores, replicate)
+            runs[cores].append(leg)
+            print(f"round {i} local[{cores}]: {leg['sec']}s "
+                  f"({leg['docs_per_sec']} docs/s)", file=sys.stderr)
 
-    eff = legs[32]["docs_per_sec"] / (4 * legs[8]["docs_per_sec"])
+    best8 = min(runs[8], key=lambda r: r["sec"])
+    best32 = min(runs[32], key=lambda r: r["sec"])
+    eff = best32["docs_per_sec"] / (4 * best8["docs_per_sec"])
     record = {
-        "protocol": "same job + same input, local[8] vs local[32] (driver-sanctioned N->4N proxy)",
+        "protocol": (
+            "same job + same input, local[8] vs local[32] interleaved x"
+            f"{rounds}, per-level minimum (driver-sanctioned N->4N proxy)"
+        ),
         "date": datetime.date.today().isoformat(),
-        "input_docs": legs[8]["docs"],
-        "triples": legs[8]["triples"],
-        "local8": legs[8],
-        "local32": legs[32],
+        "input_docs": best8["docs"],
+        "triples": best8["triples"],
+        "local8": best8,
+        "local32": best32,
+        "all_rounds": {
+            "8": [r["sec"] for r in runs[8]],
+            "32": [r["sec"] for r in runs[32]],
+        },
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,

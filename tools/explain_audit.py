@@ -1,0 +1,152 @@
+"""Physical-plan audit (SURVEY.md §4.1 "verify in explain() during
+bench, don't reimplement"). Asserts the plan properties the 100TB
+design depends on and writes EXPLAIN_AUDIT.md with the evidence:
+
+- store-table joins in the annotation path are BroadcastHashJoin
+  (never shuffle the corpus side);
+- parquet scans push filters and prune columns (PushedFilters +
+  narrow ReadSchema);
+- the fused annotate pass is map-only: no Exchange between the pages
+  scan and the mapInPandas operator;
+- the salted aggregation is two-phase (partial agg before the
+  exchange, final after);
+- per-group top-k uses a windowed partial sort, not a global Sort.
+
+Usage: python tools/explain_audit.py
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+OUT = Path(__file__).resolve().parent.parent / "EXPLAIN_AUDIT.md"
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_db_spark.entrypoint import (
+        documents_as_pages,
+        world_model_bc,
+        world_stores,
+    )
+    from dbpedia_spotlight_db_spark.operators.salted_agg import salted_count
+    from dbpedia_spotlight_db_spark.plans.annotate import AnnotateConfig
+    from dbpedia_spotlight_db_spark.plans.annotate_fused import annotate_fused
+    from dbpedia_spotlight_db_spark.queries import QUERIES
+    from dbpedia_spotlight_db_spark.session import get_spark
+
+    spark = get_spark("explain-audit", cores=8, shuffle_partitions=16)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stores = world_stores(spark, docs)
+    model_bc = world_model_bc(spark, stores)
+    checks: list[tuple[str, bool, str]] = []
+    sections: list[str] = []
+
+    def check(name: str, ok: bool, detail: str, plan: str | None = None):
+        checks.append((name, ok, detail))
+        if plan:
+            sections.append(f"## {name}\n\n```\n{plan[:4000]}\n```\n")
+
+    # 1. fused annotate: map-only (no Exchange above the pages scan)
+    pages = documents_as_pages(docs)
+    ann = annotate_fused(spark, pages, stores, AnnotateConfig(), model_bc)
+    p = plan_of(ann)
+    n_exchanges = len(re.findall(r"\bExchange\b", p))
+    check(
+        "fused annotate is map-only",
+        n_exchanges == 0,
+        f"{n_exchanges} Exchange nodes in the annotate plan (want 0)",
+        p,
+    )
+
+    # 2. candidate-attach joins broadcast the store side
+    p = plan_of(QUERIES["kg_annotate_prior"](spark, SF))
+    bhj = len(re.findall(r"BroadcastHashJoin", p))
+    smj = len(re.findall(r"SortMergeJoin", p))
+    check(
+        "store joins are broadcast",
+        bhj >= 2 and smj == 0,
+        f"{bhj} BroadcastHashJoin / {smj} SortMergeJoin in kg_annotate_prior",
+        p,
+    )
+
+    # 3. pushdown + column pruning on a filtered scan
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") >= "1995-01-01").select("l_orderkey", "l_quantity")
+    p = plan_of(q)
+    pushed = "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in p
+    schema_m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    ncols = len(schema_m.group(1).split(",")) if schema_m else 99
+    check(
+        "filter pushdown + column pruning",
+        pushed and ncols <= 3,
+        f"pushed={pushed}, scanned cols={ncols} (want <=3 of 16)",
+        p,
+    )
+
+    # 4. salted agg is two-phase (partial + final HashAggregate around one exchange)
+    occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    p = plan_of(salted_count(occ, ["w"], out="c", salt_n=16))
+    n_hashagg = len(re.findall(r"HashAggregate", p))
+    check(
+        "salted agg two-phase",
+        n_hashagg >= 4,
+        f"{n_hashagg} HashAggregate nodes (partial+final per phase, want >=4)",
+        p,
+    )
+
+    # 5. top-k per group: Window + filter, no global Sort over all rows
+    p = plan_of(QUERIES["win_topk"](spark, SF))
+    global_sort = bool(re.search(r"\bSort\b(?!Aggregate).*global=true.*rows", p)) or (
+        "Exchange SinglePartition" in p
+    )
+    check(
+        "win_topk avoids global sort",
+        not global_sort,
+        "no single-partition exchange / global sort in win_topk plan",
+        p,
+    )
+
+    # 6. whole-stage codegen present on the relational surface (AQE
+    # finalizes codegen per stage at runtime: execute, then inspect
+    # the final adaptive plan)
+    q6 = QUERIES["agg_counts"](spark, SF)
+    q6.collect()  # count() would execute a different (count-agg) plan
+    p_final = q6._jdf.queryExecution().executedPlan().toString()
+    n_codegen = len(re.findall(r"\*\(\d+\)", p_final))
+    check(
+        "whole-stage codegen on aggregations",
+        "isFinalPlan=true" in p_final and n_codegen >= 2,
+        f"{n_codegen} codegen stages `*(n)` in agg_counts final adaptive plan",
+    )
+
+    lines = ["# EXPLAIN AUDIT", "", "Generated by tools/explain_audit.py", ""]
+    ok_all = True
+    for name, ok, detail in checks:
+        ok_all &= ok
+        lines.append(f"- {'PASS' if ok else 'FAIL'} — {name}: {detail}")
+    lines.append("")
+    lines.extend(sections)
+    OUT.write_text("\n".join(lines))
+    print("\n".join(lines[:4 + len(checks)]))
+    sys.exit(0 if ok_all else 1)
+
+
+if __name__ == "__main__":
+    main()
