@@ -258,6 +258,36 @@ def ann_cosine_topk(spark, sf):
     )
 
 
+@q(
+    "dedup_embed",
+    f"""
+    WITH a AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings),
+         b AS (SELECT vec_id AS id_b, embedding AS nv FROM embeddings),
+         s AS (SELECT id_a, id_b, {_COS_SQL} AS cos FROM a, b WHERE id_a < id_b)
+    SELECT id_a, id_b, cos FROM s WHERE cos >= 0.35
+    """,
+)
+def dedup_embed(spark, sf):
+    """Embedding-cosine near-duplicate pairs. Scale shape: at corpus
+    scale route through ann.hyperplane_buckets and pair only within a
+    bucket (same plan as dedup_lsh_pairs); here the exact all-pairs
+    form is the oracle-checkable baseline."""
+    emb = t(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("nv"))
+    from ..operators.ann import _dot_expr, _norm_expr
+
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(_dot_expr("qv", "nv") / (_norm_expr("qv") * _norm_expr("nv")), 6),
+        )
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 @q("ann_lsh_topk", None)  # NumPy hyperplanes — rows-only check by design
 def ann_lsh_topk(spark, sf):
     emb = t(spark, sf, "embeddings")
