@@ -66,8 +66,16 @@ def headline_mode() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench", cores=cores)
-    # warm the JVM/codegen path so timings measure the queries
+    # warm the JVM/codegen path AND the Python worker pool (spawning
+    # `cores` workers takes seconds and is a one-off on a long-lived
+    # cluster) so timings measure the queries
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm_df = spark.range(cores * 8).repartition(cores * 4)
+
+    def _noop_batches(it):
+        yield from it
+
+    warm_df.mapInPandas(_noop_batches, warm_df.schema).count()
 
     times: dict[str, float] = {}
 

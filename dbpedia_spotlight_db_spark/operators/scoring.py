@@ -155,8 +155,14 @@ def context_scores_relational(
         )
         .join(F.broadcast(entity_vectors.select("entity_id", "norm")), "entity_id")
         .withColumn(
+            # zero norms (e.g. every context token has icf 0) score 0,
+            # matching the pandas/fused guards — and ANSI mode forbids
+            # a bare divide-by-zero
             "ctx_score",
-            F.col("dot") / (F.col("ctx_norm") * F.col("norm")),
+            F.when(
+                (F.col("ctx_norm") > 0) & (F.col("norm") > 0),
+                F.col("dot") / (F.col("ctx_norm") * F.col("norm")),
+            ).otherwise(F.lit(0.0)),
         )
         .select("mention_id", "entity_id", "ctx_score")
     )
@@ -186,7 +192,9 @@ def context_scores_pandas(
         out = np.zeros(len(entity_id), dtype=np.float64)
         for i in range(len(entity_id)):
             ev = vecs.get(int(entity_id.iloc[i]))
-            if ev is None:
+            # token_ids None <- left join: document had no in-vocab
+            # tokens; mention scores by prior alone (ctx 0)
+            if ev is None or token_ids.iloc[i] is None:
                 continue
             etids, ews, enorm = ev
             mtids = np.asarray(token_ids.iloc[i], dtype=np.int64)

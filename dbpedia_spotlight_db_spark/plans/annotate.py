@@ -99,19 +99,15 @@ def disambiguate(
             stores["entity_vectors"],
         )
     else:
-        vec_rows = stores["entity_vectors"].collect()
-        import numpy as np
+        from .annotate_fused import entity_vecs_dict
 
-        vec_map = {
-            int(r.entity_id): (
-                np.asarray(r.token_ids, dtype=np.int64),
-                np.asarray(r.weights, dtype=np.float64),
-                float(r.norm),
-            )
-            for r in vec_rows
-        }
-        bc = spark.sparkContext.broadcast(vec_map)
-        scored = scoring.context_scores_pandas(cands.join(doc_ctx, "url"), bc)
+        bc = spark.sparkContext.broadcast(entity_vecs_dict(stores))
+        # LEFT join: a document whose tokens are all out-of-vocabulary
+        # has no context row but its mentions still score by prior
+        # (ctx_score 0), matching the relational and fused paths
+        scored = scoring.context_scores_pandas(
+            cands.join(doc_ctx, "url", "left"), bc
+        )
         scored = scored.drop("ctx_token_ids", "ctx_weights", "ctx_norm")
 
     scored = scoring.combine_scores(scored, cfg.w_prior, cfg.w_ctx)

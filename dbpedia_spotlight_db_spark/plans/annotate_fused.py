@@ -131,15 +131,7 @@ def build_model(
     )
     vocab = {r.token: (int(r.token_id), float(r.icf)) for r in vocab_rows}
 
-    vec_rows = stores["entity_vectors"].collect()
-    entity_vecs = {
-        int(r.entity_id): (
-            np.asarray(r.token_ids, dtype=np.int64),
-            np.asarray(r.weights, dtype=np.float64),
-            float(r.norm),
-        )
-        for r in vec_rows
-    }
+    entity_vecs = entity_vecs_dict(stores)
 
     canon_map: dict = {}
     disambig: frozenset = frozenset()
@@ -154,6 +146,20 @@ def build_model(
     return LinkingModel(
         automaton, sf_info, candidates, vocab, entity_vecs, canon_map, disambig
     )
+
+
+def entity_vecs_dict(stores: dict) -> dict:
+    """entity_id -> (sorted token_ids i64, weights f64, norm): the
+    NumPy form of the entity context vectors, shared by the fused
+    model and the relational pipeline's pandas scorer."""
+    return {
+        int(r.entity_id): (
+            np.asarray(r.token_ids, dtype=np.int64),
+            np.asarray(r.weights, dtype=np.float64),
+            float(r.norm),
+        )
+        for r in stores["entity_vectors"].collect()
+    }
 
 
 def _annotate_doc(

@@ -50,7 +50,16 @@ def build_stores(
     """wiki_corpus(doc_id, text, links) -> the six store tables."""
     occ = wiki_corpus.select(
         "doc_id", F.explode("links").alias("l")
-    ).select("doc_id", "l.surface_form", "l.uri")
+    ).select(
+        # normalize anchors to the spotters' casing (every spotter —
+        # n-gram join and AC — matches on lowercased token sequences;
+        # a cased anchor would otherwise be unspottable and its
+        # total_count join would silently miss, pinning
+        # annotation_prob at 1.0)
+        "doc_id",
+        F.lower("l.surface_form").alias("surface_form"),
+        F.col("l.uri"),
+    )
     occ = occ.persist()
 
     # --- A1: uri counts -> entities -------------------------------------

@@ -127,6 +127,11 @@ class CheckpointedRun:
         independently (``{phase}/unit={u}``), so a killed run resumes
         at unit granularity — completed units are anti-joined away.
         ``build_unit_fn(unit) -> DataFrame``."""
+        if not units:
+            raise ValueError(
+                f"unit_phase({name!r}): empty unit list — the caller must "
+                "supply at least one work unit (or skip the phase)"
+            )
         base = os.path.join(self.dir, name)
         done = set()
         if os.path.exists(self._lineage_path()):
@@ -180,9 +185,19 @@ def run_flagship_resumable(
 
     run = CheckpointedRun(spark, root, run_id)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # P0: every store table is a checkpointed phase — a resume of a
+    # fully-annotated run re-reads parquet instead of re-running the
+    # store aggregations, and the broadcast model is rebuilt from the
+    # checkpointed tables (cheap collects over columnar files)
     stores = world_stores(spark, docs)
-    entities_ck = run.phase("store_entities", lambda: stores["entities"])
-    model_bc = world_model_bc(spark, stores)
+    ck_stores: dict = dict(stores)
+    for tbl in (
+        "entities", "surface_forms", "candidate_map",
+        "tokens", "context_counts", "entity_vectors", "icf",
+    ):
+        ck_stores[tbl] = run.phase(f"store_{tbl}", lambda t=tbl: stores[t])
+    entities_ck = ck_stores["entities"]
+    model_bc = world_model_bc(spark, ck_stores)
     pages = documents_as_pages(docs).repartition(
         spark.sparkContext.defaultParallelism * 4
     )
@@ -191,14 +206,20 @@ def run_flagship_resumable(
         {r.lang for r in pages.select("lang").distinct().collect()}
         & set(AnnotateConfig().langs)
     )
+    if not langs:
+        # no routable languages: the annotation set is empty by
+        # definition — produce an empty triples relation
+        return spark.createDataFrame(
+            [], "subj string, pred string, obj string"
+        )
 
     def ann_unit(lang: str) -> DataFrame:
         cfg = AnnotateConfig(langs=(lang,))
         return annotate_fused(
-            spark, pages.filter(F.col("lang") == lang), stores, cfg, model_bc
+            spark, pages.filter(F.col("lang") == lang), ck_stores, cfg, model_bc
         )
 
-    ann = run.unit_phase("annotations", sorted(langs), ann_unit)
+    ann = run.unit_phase("annotations", langs, ann_unit)
     triples = run.phase(
         "triples",
         # ann is already parquet-backed (the annotations checkpoint),

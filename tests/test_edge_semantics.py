@@ -1,0 +1,92 @@
+"""Regression tests for edge semantics found in review:
+
+1. Cased corpus anchors must be spottable (stores normalize to the
+   spotters' lowercase token space) with correct annotation_prob.
+2. A document with zero in-vocabulary context tokens still gets its
+   mentions annotated (prior-only) on ALL three scorer paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_db_spark import schemas
+from dbpedia_spotlight_db_spark.plans.annotate import AnnotateConfig, annotate
+from dbpedia_spotlight_db_spark.plans.annotate_fused import annotate_fused
+from dbpedia_spotlight_db_spark.plans.build_stores import build_stores
+
+
+@pytest.fixture(scope="module")
+def cased_world(spark):
+    corpus = spark.createDataFrame(
+        [
+            (
+                1,
+                "Paris is the capital and Paris hosts the Louvre museum",
+                [
+                    {"start": 0, "end": 5, "surface_form": "Paris", "uri": "dbr:Paris"},
+                    {"start": 25, "end": 30, "surface_form": "Paris", "uri": "dbr:Paris"},
+                ],
+            ),
+            (
+                2,
+                "The louvre museum and paris appear in lowercase text here",
+                [
+                    {"start": 22, "end": 27, "surface_form": "paris", "uri": "dbr:Paris"},
+                ],
+            ),
+        ],
+        schema=schemas.WIKI_CORPUS,
+    )
+    return build_stores(spark, corpus, salt_n=4)
+
+
+def test_cased_anchor_spottable(spark, cased_world):
+    sf = {r.surface_form: r for r in cased_world["surface_forms"].collect()}
+    # store key is the lowercased form, counts merged across casings
+    assert "paris" in sf and "Paris" not in sf
+    assert sf["paris"].annotated_count == 3
+    # 'paris' appears 3x as raw text (docs 1 twice + doc 2 once... doc2
+    # has one more in running text) -> annotation_prob < 1 is not
+    # required here; it must simply be a valid probability
+    assert 0 < sf["paris"].annotation_prob <= 1.0
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "doc://x",
+                None,
+                "<html><head><title>t</title></head><body>Paris is lovely</body></html>".encode(),
+                "Paris is lovely",
+                "en",
+            )
+        ],
+        schema=schemas.PAGES,
+    )
+    ann = annotate_fused(spark, pages, cased_world, AnnotateConfig())
+    rows = ann.collect()
+    assert any(r.surface_form == "paris" and r.uri == "dbr:Paris" for r in rows)
+
+
+def test_oov_context_doc_still_annotated(spark, cased_world):
+    # every context token is OOV w.r.t. the store vocabulary except the
+    # mention itself; all scorer paths must emit the mention
+    text = "zzq wwk Paris qqv xxj"
+    html = f"<html><head><title>t</title></head><body>{text}</body></html>".encode()
+    pages = spark.createDataFrame(
+        [("doc://oov", None, html, text, "en")], schema=schemas.PAGES
+    )
+
+    def keys(df):
+        return {(r.url, r.start, r.end, r.surface_form, r.uri) for r in df.collect()}
+
+    fused = keys(annotate_fused(spark, pages, cased_world, AnnotateConfig()))
+    rel_pandas = keys(
+        annotate(spark, pages, cased_world, AnnotateConfig(scorer="pandas"))
+    )
+    rel_join = keys(
+        annotate(spark, pages, cased_world, AnnotateConfig(scorer="relational"))
+    )
+    assert fused == rel_pandas == rel_join
+    assert any(k[3] == "paris" for k in fused)
