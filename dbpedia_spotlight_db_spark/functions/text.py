@@ -129,7 +129,8 @@ def langid_ngram_col(text_col):
     for lang, sc in scores:
         expr = F.when(sc > best, F.lit(lang)).otherwise(expr)
         best = F.greatest(sc, best)
-    return expr
+    # zero marker hits anywhere -> genuinely unknown, not 'en'
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
 
 
 def fingerprint_col(text_col):

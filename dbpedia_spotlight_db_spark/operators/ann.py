@@ -47,16 +47,24 @@ def cosine_topk(
     """Exact top-k cosine neighbors per query (excluding self).
     Cosine rounded to ``round_dp`` with vec_id tie-break so rankings
     are engine-deterministic. Output: qid, nid, cos, nn_rank."""
+    # norms once per vector BEFORE the join (not O(|Q|*|C|) times
+    # after), and zero-norm vectors score 0 instead of tripping ANSI
+    # DIVIDE_BY_ZERO
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    ).withColumn("qn", _norm_expr("qv"))
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+    ).withColumn("nn", _norm_expr("nv"))
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
         .withColumn(
             "cos",
             F.round(
-                _dot_expr("qv", "nv") / (_norm_expr("qv") * _norm_expr("nv")),
+                F.when(
+                    (F.col("qn") > 0) & (F.col("nn") > 0),
+                    _dot_expr("qv", "nv") / (F.col("qn") * F.col("nn")),
+                ).otherwise(F.lit(0.0)),
                 round_dp,
             ),
         )
@@ -109,15 +117,21 @@ def lsh_bucketed_topk(
     cb = hyperplane_buckets(corpus, dim, n_planes, id_col=id_col, vec_col=vec_col)
     q = qb.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket"
-    )
-    c = cb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "bucket")
+    ).withColumn("qn", _norm_expr("qv"))
+    c = cb.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "bucket"
+    ).withColumn("nn", _norm_expr("nv"))
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .filter(F.col("qid") != F.col("nid"))
         .withColumn(
             "cos",
             F.round(
-                _dot_expr("qv", "nv") / (_norm_expr("qv") * _norm_expr("nv")), 6
+                F.when(
+                    (F.col("qn") > 0) & (F.col("nn") > 0),
+                    _dot_expr("qv", "nv") / (F.col("qn") * F.col("nn")),
+                ).otherwise(F.lit(0.0)),
+                6,
             ),
         )
         .select("qid", "nid", "cos")

@@ -9,9 +9,14 @@ Spark-first design: the closure is computed by **pointer jumping**
 (iterated self-join, f := f∘f), which converges in O(log(longest
 chain)) shuffles instead of O(chain) — 12 iterations covers chains of
 4096. Each iteration is localCheckpoint()ed to cut lineage growth.
-Cycles (e.g. a↔b) collapse to self-loops after one jump; self-loops
-are dropped at the end, i.e. cycle members deterministically stay
-un-redirected (they canonicalize to themselves).
+
+Cycle semantics (matching the reference's visited-set bailout: a
+redirect chain that loops is treated as no redirect): even cycles
+(a↔b) collapse to self-loops under f∘f and are dropped; odd cycles
+oscillate and never stabilize, so after the loop any row whose target
+is still a non-stable redirect source (f(dst) exists and != dst) is
+dropped — cycle members and chains that dead-end in a cycle all
+canonicalize to themselves, deterministically.
 """
 
 from __future__ import annotations
@@ -52,8 +57,25 @@ def redirect_closure(redirects: DataFrame, max_iter: int = 12) -> DataFrame:
         cur = nxt.drop("_changed")
         if changed == 0:
             break
-    # cycles became self-loops -> canonical form is "no redirect"
-    return cur.filter(F.col("src_uri") != F.col("dst_uri"))
+    # drop rows whose target never stabilized: f(dst) exists and
+    # differs from dst ⇒ dst sits on (or the chain feeds into) a
+    # cycle that f∘f cannot collapse (odd length) — treat as no
+    # redirect, like the reference's visited-set bailout
+    stable = (
+        cur.alias("a")
+        .join(
+            cur.alias("b"),
+            F.col("a.dst_uri") == F.col("b.src_uri"),
+            "left",
+        )
+        .filter(
+            F.col("b.src_uri").isNull()
+            | (F.col("b.dst_uri") == F.col("a.dst_uri"))
+        )
+        .select(F.col("a.src_uri").alias("src_uri"), F.col("a.dst_uri").alias("dst_uri"))
+    )
+    # even cycles became self-loops -> canonical form is "no redirect"
+    return stable.filter(F.col("src_uri") != F.col("dst_uri"))
 
 
 def canonicalize(

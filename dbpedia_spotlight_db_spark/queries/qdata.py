@@ -261,9 +261,18 @@ def ann_cosine_topk(spark, sf):
 @q(
     "dedup_embed",
     f"""
-    WITH a AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings),
-         b AS (SELECT vec_id AS id_b, embedding AS nv FROM embeddings),
-         s AS (SELECT id_a, id_b, {_COS_SQL} AS cos FROM a, b WHERE id_a < id_b)
+    WITH a AS (SELECT vec_id AS id_a, embedding AS qv,
+                      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS qn
+               FROM embeddings),
+         b AS (SELECT vec_id AS id_b, embedding AS nv,
+                      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nn
+               FROM embeddings),
+         s AS (SELECT id_a, id_b,
+                      CASE WHEN qn > 0 AND nn > 0
+                           THEN round(list_sum(list_transform(range(1, len(qv) + 1),
+                                      i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE))) / (qn * nn), 6)
+                           ELSE 0.0 END AS cos
+               FROM a, b WHERE id_a < id_b)
     SELECT id_a, id_b, cos FROM s WHERE cos >= 0.35
     """,
 )
@@ -273,15 +282,25 @@ def dedup_embed(spark, sf):
     bucket (same plan as dedup_lsh_pairs); here the exact all-pairs
     form is the oracle-checkable baseline."""
     emb = t(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("nv"))
     from ..operators.ann import _dot_expr, _norm_expr
 
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv")
+    ).withColumn("qn", _norm_expr("qv"))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("nv")
+    ).withColumn("nn", _norm_expr("nv"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
-            F.round(_dot_expr("qv", "nv") / (_norm_expr("qv") * _norm_expr("nv")), 6),
+            F.round(
+                F.when(
+                    (F.col("qn") > 0) & (F.col("nn") > 0),
+                    _dot_expr("qv", "nv") / (F.col("qn") * F.col("nn")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
         )
         .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b", "cos")
@@ -365,7 +384,8 @@ def _lang_sql() -> str:
     sc AS (SELECT doc_id, {s['en']} AS s_en, {s['fr']} AS s_fr,
                   {s['es']} AS s_es, {s['de']} AS s_de FROM b)
     SELECT doc_id,
-           CASE WHEN s_de > s_es AND s_de > s_fr AND s_de > s_en THEN 'de'
+           CASE WHEN s_en = 0 AND s_fr = 0 AND s_es = 0 AND s_de = 0 THEN 'und'
+                WHEN s_de > s_es AND s_de > s_fr AND s_de > s_en THEN 'de'
                 WHEN s_es > s_fr AND s_es > s_en THEN 'es'
                 WHEN s_fr > s_en THEN 'fr'
                 ELSE 'en' END AS lang_guess

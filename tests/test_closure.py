@@ -44,3 +44,21 @@ def test_canonicalize_rewrites_and_drops(spark):
         "u2": "dbr:Entity_50",
         "u4": "dbr:Entity_198",
     }
+
+
+def test_odd_cycle_members_stay_unredirected(spark):
+    """Odd cycles oscillate under f∘f; the stability filter must drop
+    them (and chains feeding them) — nothing may canonicalize to a
+    URI that is itself still a redirect source."""
+    from dbpedia_spotlight_db_spark.operators.closure import redirect_closure
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),   # 3-cycle
+            ("x", "a"),                            # chain into the cycle
+            ("m", "n"), ("n", "o"),                # clean chain
+        ],
+        ["src_uri", "dst_uri"],
+    )
+    got = {(r.src_uri, r.dst_uri) for r in redirect_closure(edges).collect()}
+    assert got == {("m", "o"), ("n", "o")}
