@@ -89,3 +89,85 @@ def extract_features(
             )
 
     return media.select("media_id", "payload").mapInPandas(_run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+        T.StructField("frame_bytes", T.LongType(), False),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame, n_frames: int = 4, fake_decode: bool = True
+) -> DataFrame:
+    """Video/audio frame sampling: payload -> n evenly-spaced frames.
+    Real decode (ffmpeg keyframe extraction) is stubbed; the
+    deterministic fake slices the byte payload into n evenly-spaced
+    windows — the Spark-side shape (explode to one row per frame,
+    typed binary column, batch plumbing) is exactly production's."""
+    if not fake_decode:
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg — not in this container"
+        )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, sizes = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = max(1, len(payload) // n_frames)
+                for j in range(n_frames):
+                    fr = bytes(payload[j * n : (j + 1) * n])
+                    if not fr:
+                        break
+                    ids.append(mid)
+                    idxs.append(j)
+                    frames.append(fr)
+                    sizes.append(len(fr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_run, FRAME_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, target_bytes: int = 64, fake_decode: bool = True
+) -> DataFrame:
+    """Image resize: payload -> fixed-size representation. Real decode
+    (PIL thumbnail) is stubbed; the deterministic fake truncates/pads
+    the payload to ``target_bytes`` — schema and batch shape are
+    production's."""
+    if not fake_decode:
+        raise NotImplementedError(
+            "real resize requires PIL — not in this container"
+        )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes(p[:target_bytes]).ljust(target_bytes, b"\0")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pd.Series(resized, dtype="object"),
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pd.Series(
+                        [len(r) for r in resized], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.select(
+        "media_id", "payload", "media_type"
+    ).mapInPandas(_run, MEDIA_SCHEMA)

@@ -462,3 +462,48 @@ def multimodal_features(spark, sf):
         t(spark, sf, "documents"), "doc_id", "text"
     )
     return mm.extract_features(media)
+
+
+@q(
+    "multimodal_frames",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+                      octet_length(encode(text)) AS len FROM documents),
+         n AS (SELECT media_id, len, GREATEST(1, len // 4) AS fn FROM m),
+         f AS (SELECT media_id, CAST(j AS INT) AS frame_idx,
+                      LEAST(fn, len - j * fn) AS frame_bytes
+               FROM n, (SELECT unnest([0, 1, 2, 3]) AS j)
+               WHERE j * fn < len)
+    SELECT media_id, frame_idx, CAST(frame_bytes AS BIGINT) AS frame_bytes
+    FROM f
+    """,
+)
+def multimodal_frames(spark, sf):
+    """Frame-sampling plumbing: the oracle cross-checks the byte-window
+    arithmetic of the deterministic fake decoder (one row per sampled
+    frame, evenly spaced windows over the payload)."""
+    media = mm.attach_binary_payload(
+        t(spark, sf, "documents"), "doc_id", "text"
+    )
+    return mm.frame_sample(media, n_frames=4).select(
+        "media_id", "frame_idx", "frame_bytes"
+    )
+
+
+@q(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id, CAST(64 AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf):
+    """Resize plumbing: fixed-size output representation per media row
+    (the fake pads/truncates to 64 bytes; oracle checks cardinality +
+    the size invariant)."""
+    media = mm.attach_binary_payload(
+        t(spark, sf, "documents"), "doc_id", "text"
+    )
+    return mm.resize_media(media, target_bytes=64).select(
+        "media_id", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
