@@ -22,7 +22,6 @@ Scale shapes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 
 def _words(text_col):
@@ -95,9 +94,17 @@ def lsh_pairs(
             F.concat_ws("|", *cols).alias("bucket"),
         )
         banded = part if banded is None else banded.unionByName(part)
-    w = Window.partitionBy("band", "bucket")
-    banded = banded.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
-        F.col("_n") <= max_bucket
+    # hot-bucket cap via partial-agg count + anti-join — not a window
+    # over (band, bucket), which would sort-shuffle every banded row;
+    # the overfull-bucket relation is tiny (few hot buckets by
+    # definition) and broadcasts
+    counts = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    banded = banded.join(
+        F.broadcast(counts.filter(F.col("_n") > max_bucket)),
+        ["band", "bucket"],
+        "left_anti",
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
