@@ -77,6 +77,91 @@ def cosine_topk(
     )
 
 
+def _assign_cells(
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid (max-cosine) cell per vector; deterministic
+    tie-break on centroid id. Centroids broadcast."""
+    v = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_vn", _norm_expr("_v"))
+    scored = v.join(F.broadcast(cents)).withColumn(
+        "_cc",
+        F.round(
+            F.when(
+                (F.col("_vn") > 0) & (F.col("cn") > 0),
+                _dot_expr("_v", "cv") / (F.col("_vn") * F.col("cn")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_cc"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_v").alias(vec_col),
+            "cid",
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: a coarse quantizer assigns every
+    vector to its nearest centroid's cell; a query searches only its
+    own cell (nprobe=1), with exact cosine ranking inside.
+
+    The quantizer here is deterministic — the ``n_centroids``
+    lowest-id corpus vectors stand in for offline k-means centroids
+    (the quantizer is a pluggable input at scale; determinism makes
+    the operator DuckDB-oracle checkable). At corpus scale the cell id
+    becomes the partition/bucket key, so a query probes one partition
+    instead of the corpus — same plan shape as lsh_bucketed_topk with
+    a learned instead of random partitioner."""
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("cn", _norm_expr("cv"))
+    )
+    c_cells = _assign_cells(corpus, cents, id_col, vec_col)
+    q_cells = _assign_cells(queries, cents, id_col, vec_col)
+    q = q_cells.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "cid"
+    ).withColumn("qn", _norm_expr("qv"))
+    c = c_cells.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cid"
+    ).withColumn("nn", _norm_expr("nv"))
+    scored = (
+        c.join(F.broadcast(q), ["cid"])
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.when(
+                    (F.col("qn") > 0) & (F.col("nn") > 0),
+                    _dot_expr("qv", "nv") / (F.col("qn") * F.col("nn")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .select("qid", "nid", "cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     dim: int,

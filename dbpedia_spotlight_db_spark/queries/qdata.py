@@ -307,6 +307,50 @@ def dedup_embed(spark, sf):
     )
 
 
+_IVF_COS = """
+    round(CASE WHEN {an} > 0 AND {bn} > 0
+          THEN list_sum(list_transform(range(1, len({a}) + 1),
+               i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / ({an} * {bn})
+          ELSE 0.0 END, 6)
+"""
+_NORM = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv, {_NORM.format(v='embedding')} AS cn
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    vecs AS (
+      SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS vn FROM embeddings),
+    assign AS (
+      SELECT v.vec_id, v.embedding, v.vn, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_IVF_COS.format(a='v.embedding', b='c.cv', an='v.vn', bn='c.cn')} DESC, c.cid
+             ) AS rn
+      FROM vecs v, cents c),
+    cell AS (SELECT vec_id, embedding, vn, cid FROM assign WHERE rn = 1),
+    qs AS (SELECT vec_id AS qid, embedding AS qv, vn AS qn, cid FROM cell WHERE vec_id < 10),
+    s AS (
+      SELECT qs.qid, c.vec_id AS nid,
+             {_IVF_COS.format(a='qs.qv', b='c.embedding', an='qs.qn', bn='c.vn')} AS cos
+      FROM qs JOIN cell c ON qs.cid = c.cid AND qs.qid <> c.vec_id)
+    SELECT qid, nid, cos, nn_rank FROM (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS nn_rank
+      FROM s) WHERE nn_rank <= 3
+    """,
+)
+def ann_ivf_topk(spark, sf):
+    """IVF-Flat with the deterministic coarse quantizer (lowest-id
+    vectors as centroids); oracle replicates assignment + in-cell
+    ranking exactly."""
+    emb = t(spark, sf, "embeddings")
+    return ann_ops.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=3)
+
+
 @q("ann_lsh_topk", None)  # NumPy hyperplanes — rows-only check by design
 def ann_lsh_topk(spark, sf):
     emb = t(spark, sf, "embeddings")
