@@ -3,21 +3,18 @@
 - ``cosine_topk``: brute-force baseline — broadcast the (small) query
   set against the corpus; dot products via array higher-order
   functions entirely JVM-side (zip_with + aggregate in double).
-- ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH
-  assigns each vector a sign-bit bucket (vectorized NumPy matmul in a
-  pandas UDF over Arrow batches); top-k search runs only within the
-  query's bucket (optionally with multi-probe neighbors). At 10^12
-  rows the bucket column becomes the partition key, so a query probes
-  one partition instead of the corpus.
+- ``lsh_bucketed_topk``: the scale path — hyperplane LSH assigns each
+  vector a sign-bit bucket (md5-derived ±1 planes embedded as array
+  literals, dot products via JVM higher-order functions — zero
+  Python, zero shuffle); top-k search runs only within the query's
+  bucket (optionally with multi-probe neighbors). At 10^12 rows the
+  bucket column becomes the partition key, so a query probes one
+  partition instead of the corpus.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql import types as T
-from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -78,32 +75,55 @@ def cosine_topk(
 
 
 def _assign_cells(
-    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+    df: DataFrame, cent_rows: list, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Nearest-centroid (max-cosine) cell per vector; deterministic
-    tie-break on centroid id. Centroids broadcast."""
+    """Nearest-centroid (max-cosine) cell per vector, MAP-ONLY. The
+    coarse quantizer is model metadata — ``cent_rows`` is the tiny
+    centroid table collected once on the driver (like the broadcast
+    AC dictionary) and embedded as an array-of-structs literal; the
+    argmax runs INSIDE the row via array HOFs (array_max over
+    (cos, -cid) structs), so assignment adds ZERO Exchange. The
+    previous join+window form shuffled corpus × n_centroids rows
+    through a per-vector sort. Deterministic tie-break on lowest cid
+    (lexicographic struct max: cos desc, then -cid max = cid asc)."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+                F.lit(float(r["cn"])).alias("cn"),
+            )
+            for r in cent_rows
+        ]
+    )
     v = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).withColumn("_vn", _norm_expr("_v"))
-    scored = v.join(F.broadcast(cents)).withColumn(
-        "_cc",
-        F.round(
+        F.col(id_col), F.col(vec_col)
+    ).withColumn("_vn", _norm_expr(vec_col))
+
+    def _cos(c):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), c["cv"], lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        return F.round(
             F.when(
-                (F.col("_vn") > 0) & (F.col("cn") > 0),
-                _dot_expr("_v", "cv") / (F.col("_vn") * F.col("cn")),
+                (F.col("_vn") > 0) & (c["cn"] > 0),
+                dot / (F.col("_vn") * c["cn"]),
             ).otherwise(F.lit(0.0)),
             6,
-        ),
-    )
-    w = Window.partitionBy("_id").orderBy(F.desc("_cc"), F.asc("cid"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_v").alias(vec_col),
-            "cid",
         )
+
+    best = F.array_max(
+        F.transform(
+            cents,
+            lambda c: F.struct(_cos(c).alias("cc"), (-c["cid"]).alias("ncid")),
+        )
+    )
+    return v.withColumn("cid", -best["ncid"]).select(
+        id_col, vec_col, "cid"
     )
 
 
@@ -126,14 +146,15 @@ def ivf_topk(
     becomes the partition/bucket key, so a query probes one partition
     instead of the corpus — same plan shape as lsh_bucketed_topk with
     a learned instead of random partitioner."""
-    cents = (
+    cent_rows = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .withColumn("cn", _norm_expr("cv"))
+        .collect()
     )
-    c_cells = _assign_cells(corpus, cents, id_col, vec_col)
-    q_cells = _assign_cells(queries, cents, id_col, vec_col)
+    c_cells = _assign_cells(corpus, cent_rows, id_col, vec_col)
+    q_cells = _assign_cells(queries, cent_rows, id_col, vec_col)
     q = q_cells.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "cid"
     ).withColumn("qn", _norm_expr("qv"))
@@ -162,28 +183,51 @@ def ivf_topk(
     )
 
 
+def sign_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic Rademacher (±1) hyperplanes: sign(p, i) = +1 iff
+    the first hex nibble of md5(f"{p}:{i}") is odd. Sign-only random
+    projections are standard LSH (E[sgn agreement] still tracks the
+    angle); deriving them from md5 instead of an RNG makes the bucket
+    assignment reproducible in ANY engine with md5 — the DuckDB
+    oracle twin inlines the same signs bit-for-bit."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) % 2
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_buckets(
     df: DataFrame,
     dim: int,
     n_planes: int = 8,
-    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket per vector. The plane matrix is
-    seeded on the driver and broadcast implicitly via UDF closure; the
-    UDF is a single NumPy matmul per Arrow batch (no per-row Python)."""
-    planes = np.random.RandomState(seed).randn(dim, n_planes)
-
-    @pandas_udf(T.StringType())
-    def _bucket(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
-        signs = (m @ planes) > 0
-        return pd.Series(
-            ["".join("1" if b else "0" for b in row) for row in signs]
+    """Hyperplane-LSH bucket per vector, fully JVM-side: the (tiny)
+    plane matrix is built on the driver (model metadata, like the
+    broadcast AC dictionary) and embedded as array literals; each bit
+    is a zip_with/aggregate dot product inside whole-stage codegen —
+    no Python boundary, no shuffle."""
+    planes = sign_planes(dim, n_planes)
+    bits = []
+    for p in range(n_planes):
+        lit = F.array(*[F.lit(s) for s in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), lit, lambda x, c: x.cast("double") * c
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-
-    return df.withColumn("bucket", _bucket(F.col(vec_col)))
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn("bucket", F.concat(*bits))
 
 
 def lsh_bucketed_topk(

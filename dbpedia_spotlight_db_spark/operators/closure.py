@@ -11,12 +11,14 @@ chain)) shuffles instead of O(chain) — 12 iterations covers chains of
 4096. Each iteration is localCheckpoint()ed to cut lineage growth.
 
 Cycle semantics (matching the reference's visited-set bailout: a
-redirect chain that loops is treated as no redirect): even cycles
-(a↔b) collapse to self-loops under f∘f and are dropped; odd cycles
-oscillate and never stabilize, so after the loop any row whose target
-is still a non-stable redirect source (f(dst) exists and != dst) is
-dropped — cycle members and chains that dead-end in a cycle all
-canonicalize to themselves, deterministically.
+redirect chain that ever revisits a node is treated as no redirect):
+after pointer jumping, a row's target is still a redirect *source*
+exactly when it lies on a cycle — even cycles collapse to self-loops
+under f∘f, odd cycles oscillate — so the final filter keeps only rows
+whose dst is terminal (left_anti on dst==src). Cycle members AND
+chains that dead-end in a cycle of either parity all canonicalize to
+themselves, deterministically (tests/test_closure.py,
+tests/test_property.py hypothesis fuzz vs the visited-set model).
 """
 
 from __future__ import annotations
@@ -57,25 +59,18 @@ def redirect_closure(redirects: DataFrame, max_iter: int = 12) -> DataFrame:
         cur = nxt.drop("_changed")
         if changed == 0:
             break
-    # drop rows whose target never stabilized: f(dst) exists and
-    # differs from dst ⇒ dst sits on (or the chain feeds into) a
-    # cycle that f∘f cannot collapse (odd length) — treat as no
-    # redirect, like the reference's visited-set bailout
-    stable = (
-        cur.alias("a")
-        .join(
-            cur.alias("b"),
-            F.col("a.dst_uri") == F.col("b.src_uri"),
-            "left",
-        )
-        .filter(
-            F.col("b.src_uri").isNull()
-            | (F.col("b.dst_uri") == F.col("a.dst_uri"))
-        )
-        .select(F.col("a.src_uri").alias("src_uri"), F.col("a.dst_uri").alias("dst_uri"))
+    # A valid canonical target is TERMINAL: at fixpoint, dst is still a
+    # redirect source only when it sits on a cycle (an even cycle
+    # collapsed to a self-loop, or an odd cycle that oscillates under
+    # f∘f) — and a chain whose resolution lands on such a dst reached a
+    # cycle too. The reference's visited-set bailout maps all of those
+    # to "no redirect", so keep exactly the rows whose dst is not a
+    # source (left_anti on dst==src; self-loops are sources of
+    # themselves, so this also subsumes the src != dst filter).
+    sources = cur.select(F.col("src_uri").alias("dst_uri")).distinct()
+    return cur.join(sources, "dst_uri", "left_anti").select(
+        "src_uri", "dst_uri"
     )
-    # even cycles became self-loops -> canonical form is "no redirect"
-    return stable.filter(F.col("src_uri") != F.col("dst_uri"))
 
 
 def canonicalize(

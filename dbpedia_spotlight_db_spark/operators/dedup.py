@@ -21,11 +21,27 @@ Scale shapes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 
 def _words(text_col):
     return F.split(F.lower(text_col), r"\s+")
+
+
+def parquet_checkpoint(df: DataFrame, tag: str) -> DataFrame:
+    """Materialize a multiply-consumed relation to columnar storage and
+    re-read it. Deliberately NOT .persist(): at multi-M rows the
+    deserialized cache is a GC storm, while a parquet round-trip
+    through spark.local.dir (tmpfs here) measured faster (CLAUDE.md
+    perf note). The path is fixed per tag (overwrite mode), so
+    repeated calls reuse space instead of accumulating."""
+    spark = df.sparkSession
+    base = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
+    path = os.path.join(base, "spark_graft_ckpt", tag)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def shingle_df(
@@ -127,14 +143,38 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over distinct shingle sets, computed via an
+    """n-gram Jaccard over distinct shingle sets, computed via an
     inverted-index self-join (only pairs sharing >=1 shingle are ever
     materialized). Output: id_a, id_b, jaccard (rounded 6dp for
-    engine-portable comparison)."""
-    sh = shingle_df(df, id_col, text_col, shingle_n).dropDuplicates(
-        ["id", "shingle"]
-    ).persist()
+    engine-portable comparison).
+
+    Skew guard: a stop-phrase shingle ("of the and") with document
+    frequency d would emit O(d^2) join rows in ONE key group — the
+    quadratic hot-key blow-up that kills the self-join at corpus
+    scale. Shingles with df > ``max_df`` are therefore removed from
+    the shingle UNIVERSE (both intersection and union sides), i.e.
+    the operator computes df-capped Jaccard — the standard stopword
+    treatment in production near-dup pipelines. The hot-shingle
+    relation is tiny by definition (few shingles exceed the cap), so
+    the exclusion is a partial-agg count + broadcast anti-join (the
+    same pattern as lsh_pairs' hot-bucket cap, dedup.py lsh_pairs).
+    Pairs sharing no hot shingle are bit-identical to the uncapped
+    result (tests/test_dedup_cap.py property)."""
+    sh = parquet_checkpoint(
+        shingle_df(df, id_col, text_col, shingle_n).dropDuplicates(
+            ["id", "shingle"]
+        ),
+        "jaccard_shingles",
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -104,7 +104,7 @@ def doc_context_vectors(
         F.array_sort(F.collect_list(F.struct("token_id", "w"))).alias("tw")
     ).select(
         "url",
-        F.expr("transform(tw, x -> cast(x.token_id as int))").alias("ctx_token_ids"),
+        F.expr("transform(tw, x -> cast(x.token_id as bigint))").alias("ctx_token_ids"),
         F.expr("transform(tw, x -> cast(x.w as float))").alias("ctx_weights"),
         F.expr(
             "cast(sqrt(aggregate(tw, 0.0d, (acc, x) -> acc + x.w * x.w)) as float)"

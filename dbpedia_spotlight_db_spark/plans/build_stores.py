@@ -19,9 +19,8 @@ deterministic dense ids assigned once here; all downstream joins are
 on longs, never strings.
 
 Scale notes: every count is a two-phase salted aggregation; id
-assignment uses a window over the (small, post-aggregation) store
-table — at true web scale swap `row_number` for `xxhash64`-based ids,
-the seam is `_dense_ids`.
+assignment is `xxhash64(key)` — per-row, partition-parallel, no
+global-order window anywhere in P0 (see `_dense_ids`).
 """
 
 from __future__ import annotations
@@ -35,10 +34,16 @@ from ..operators.spotting import spot_ngram_join
 
 
 def _dense_ids(df: DataFrame, key: str, id_col: str) -> DataFrame:
-    """Deterministic dense id per distinct key (stores are
-    post-aggregation small; at web scale swap for hash ids)."""
-    w = Window.orderBy(key)
-    return df.withColumn(id_col, F.row_number().over(w).cast("long") - 1)
+    """Deterministic 64-bit id per distinct key: xxhash64 of the key
+    string — computed per-row, partition-parallel, ZERO shuffle. The
+    previous global-order window (Window.orderBy with no partition)
+    funneled every distinct key through ONE task; at a web-scale
+    vocabulary that single sort is the P0 bottleneck. Ids are join
+    keys only, never ordinals, so hash ids are a drop-in; collision
+    odds for k keys are ~k^2/2^65 (≈3e-4 at 100M keys), and the
+    stores are built once offline where a collision check
+    (count distinct id vs key) is one cheap agg."""
+    return df.withColumn(id_col, F.xxhash64(F.col(key)))
 
 
 def build_stores(
@@ -166,7 +171,7 @@ def build_stores(
         )
         .select(
             "entity_id",
-            F.expr("transform(tw, x -> cast(x.token_id as int))").alias("token_ids"),
+            F.expr("transform(tw, x -> cast(x.token_id as bigint))").alias("token_ids"),
             F.expr("transform(tw, x -> cast(x.weight as float))").alias("weights"),
             F.expr(
                 "cast(sqrt(aggregate(tw, 0.0d, (acc, x) -> acc + x.weight * x.weight)) as float)"

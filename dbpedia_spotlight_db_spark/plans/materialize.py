@@ -9,35 +9,12 @@ Set-semantics, order-insensitive.
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.closure import canonicalize, redirect_closure
 
 PRED_MENTIONS = "dbo:mentions"
 PRED_TYPE = "rdf:type"
-
-
-def dedup_within_partitions(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Partition-local distinct over ``cols`` — NO exchange. Equals a
-    global distinct iff the first column's values never span
-    partitions (e.g. url after an explicit per-page repartition).
-    Cross-batch state lives in the generator; per batch the dedup is
-    vectorized pandas ``drop_duplicates``."""
-    proj = df.select(*cols)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen: set = set()
-        for pdf in batches:
-            pdf = pdf.drop_duplicates(cols)
-            keys = list(map(tuple, pdf[cols].itertuples(index=False, name=None)))
-            mask = [k not in seen for k in keys]
-            seen.update(k for k, m in zip(keys, mask) if m)
-            yield pdf[mask]
-
-    return proj.mapInPandas(run, proj.schema)
 
 
 def canonical_annotations(
@@ -85,9 +62,15 @@ def materialize_triples_from_mention_pairs(
     a partial-agg-dominated distinct (<= |entities| rows leave each
     partition). ``checkpoint_path`` materializes the pairs once so the
     two branches don't re-run the corpus map (the P1→P3 stage
-    boundary; at fixture scale recompute is cheaper than the write)."""
+    boundary; at fixture scale recompute is cheaper than the write) —
+    and it doubles as the resume point: a completed checkpoint
+    (``_SUCCESS`` present) is re-read instead of re-annotating the
+    corpus, mirroring lineage.CheckpointedRun.phase's skip rule."""
     if checkpoint_path:
-        pairs.write.mode("overwrite").parquet(checkpoint_path)
+        import os
+
+        if not os.path.exists(os.path.join(checkpoint_path, "_SUCCESS")):
+            pairs.write.mode("overwrite").parquet(checkpoint_path)
         pairs = pairs.sparkSession.read.parquet(checkpoint_path)
     mention_triples = pairs.select(
         F.col("url").alias("subj"),
@@ -111,7 +94,6 @@ def materialize_triples_from_annotations(
     annotations: DataFrame,
     entities: DataFrame,
     checkpoint_path: str | None = None,
-    url_partition_local: bool = False,
 ) -> DataFrame:
     """Triples straight from already-canonical annotations (the fused
     path bakes P2 into the map pass).
@@ -127,24 +109,13 @@ def materialize_triples_from_annotations(
     two branches may recompute the upstream — fine at fixture scale
     or when ``annotations`` is already storage-backed.
 
-    ``url_partition_local=True`` (the fused-path caller guarantees
-    each page url lives in exactly one partition — pages are
-    repartitioned before the map and url is the pages primary key)
-    replaces the wide exchange with a partition-local dedup: the
-    mention-triple branch then has NO shuffle at all, and the
-    used-entity aggregation is partial-agg dominated (tiny exchange).
-    tests/test_fused.py proves set-equality of the two shapes."""
-    if url_partition_local:
-        ment = dedup_within_partitions(
-            annotations.select(
-                F.col("url").alias("subj"), F.col("uri").alias("obj")
-            ),
-            ["subj", "obj"],
-        )
-    else:
-        ment = annotations.select(
-            F.col("url").alias("subj"), F.col("uri").alias("obj")
-        ).distinct()
+    Shuffle-free alternative: when per-doc dedup can run inside the
+    annotate pass itself, use ``annotate_mention_pairs`` +
+    ``materialize_triples_from_mention_pairs`` — the production fused
+    path — which needs no (url, uri) exchange at all."""
+    ment = annotations.select(
+        F.col("url").alias("subj"), F.col("uri").alias("obj")
+    ).distinct()
     if checkpoint_path:
         ment.write.mode("overwrite").parquet(checkpoint_path)
         ment = annotations.sparkSession.read.parquet(checkpoint_path)

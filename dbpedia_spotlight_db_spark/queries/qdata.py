@@ -184,10 +184,12 @@ def dedup_lsh_pairs(spark, sf):
     "dedup_jaccard",
     f"""
     WITH {_SH_SQL},
-    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    okd AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+    shc AS (SELECT sh.id, sh.shingle FROM sh JOIN okd USING (shingle)),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM shc GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
       GROUP BY a.id, b.id)
     SELECT id_a, id_b,
            round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
@@ -198,8 +200,12 @@ def dedup_lsh_pairs(spark, sf):
     """,
 )
 def dedup_jaccard(spark, sf):
+    """df-capped Jaccard (max_df=1000): the twin mirrors the
+    hot-shingle exclusion, which is a no-op at sf0.01 (500 docs) but
+    defines the same semantics the operator keeps at corpus scale."""
     return dd.ngram_jaccard_pairs(
-        t(spark, sf, "documents"), "doc_id", "text", shingle_n=3, threshold=0.2
+        t(spark, sf, "documents"), "doc_id", "text", shingle_n=3,
+        threshold=0.2, max_df=1000,
     )
 
 
@@ -229,12 +235,18 @@ def dedup_simhash(spark, sf):
 # ---------------------------------------------------------------------------
 # ANN similarity search
 # ---------------------------------------------------------------------------
+# zero-norm vectors score 0.0, mirroring the Spark operator's guard
+# (a bare division would diverge or error on an all-zero embedding)
 _COS_SQL = """
     round(
-      list_sum(list_transform(range(1, len(qv) + 1),
-               i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))
-      / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       * sqrt(list_sum(list_transform(nv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      CASE WHEN sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+            AND sqrt(list_sum(list_transform(nv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0
+      THEN
+        list_sum(list_transform(range(1, len(qv) + 1),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(nv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      ELSE 0.0 END,
       6)
 """
 
@@ -351,12 +363,59 @@ def ann_ivf_topk(spark, sf):
     return ann_ops.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=3)
 
 
-@q("ann_lsh_topk", None)  # NumPy hyperplanes — rows-only check by design
+# Embedding dim is fixed by the driver fixture schema (TESTDATA.md /
+# embeddings.parquet: embedding list<float> of 64) — a table-metadata
+# constant, NOT probed with a driver-side .first() action.
+_EMB_DIM = 64
+_LSH_PLANES = 6
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    """DuckDB twin of operators.ann.hyperplane_buckets: same md5-derived
+    ±1 planes (generated by the same Python function), inlined as list
+    literals; one CASE per plane, concatenated msb-first."""
+    planes = ann_ops.sign_planes(_EMB_DIM, _LSH_PLANES)
+    bits = []
+    for row in planes:
+        lit = "[" + ", ".join(f"{s:.1f}" for s in row) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {_EMB_DIM} + 1),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i])) > 0"
+            " THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+@q(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS vn,
+             {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings),
+    qs AS (SELECT vec_id AS qid, embedding AS qv, vn AS qn, bucket
+           FROM b WHERE vec_id < 10),
+    s AS (
+      SELECT qs.qid, c.vec_id AS nid,
+             {_IVF_COS.format(a='qs.qv', b='c.embedding', an='qs.qn', bn='c.vn')} AS cos
+      FROM qs JOIN b c ON qs.bucket = c.bucket AND qs.qid <> c.vec_id)
+    SELECT qid, nid, cos, nn_rank FROM (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS nn_rank
+      FROM s) WHERE nn_rank <= 3
+    """,
+)
 def ann_lsh_topk(spark, sf):
+    """Hyperplane-LSH bucketed top-k with deterministic md5-derived
+    planes — full rows+schema+hash oracle (the IVF pattern from
+    commit 1804524 applied to the LSH path)."""
     emb = t(spark, sf, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
     return ann_ops.lsh_bucketed_topk(
-        emb.filter(F.col("vec_id") < 10), emb, dim=dim, k=3
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        dim=_EMB_DIM,
+        k=3,
+        n_planes=_LSH_PLANES,
     )
 
 
@@ -500,12 +559,47 @@ def multimodal_meta(spark, sf):
     )
 
 
-@q("multimodal_features", None)  # fake-decode features — rows-only check
+@q(
+    "multimodal_features",
+    """
+    WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+                      md5(text) AS checksum FROM documents),
+         d AS (SELECT media_id, n_bytes, checksum, CAST(j AS INT) AS dim_idx,
+                      16 * (strpos('0123456789abcdef', substring(checksum, 2*j+1, 1)) - 1)
+                       + (strpos('0123456789abcdef', substring(checksum, 2*j+2, 1)) - 1) AS byte
+               FROM m, (SELECT unnest([0,1,2,3,4,5,6,7]) AS j))
+    SELECT media_id, n_bytes, checksum, dim_idx,
+           round(byte / 255.0, 6) AS value
+    FROM d
+    """,
+)
 def multimodal_features(spark, sf):
+    """Feature extraction through the real mapInPandas decode path,
+    surfaced as hashable exploded rows (media_id, dim_idx, value) —
+    array cells can't be canonicalized by the driver's pandas
+    sorter. The fake decoder's features are md5(payload) bytes / 255
+    as float32; exploding and snapping back to the exact byte value
+    (round(v*255) is exact for float32(b/255)) lets the DuckDB twin
+    reproduce every value from the md5 hex pair — a full
+    rows+schema+hash check of the decode plumbing."""
     media = mm.attach_binary_payload(
         t(spark, sf, "documents"), "doc_id", "text"
     )
-    return mm.extract_features(media)
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        F.posexplode("features").alias("dim_idx", "v"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        "dim_idx",
+        F.round(
+            F.round(F.col("v") * 255).cast("int") / F.lit(255.0), 6
+        ).alias("value"),
+    )
 
 
 @q(

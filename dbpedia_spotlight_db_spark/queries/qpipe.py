@@ -200,22 +200,32 @@ def kg_triples_mini(spark, sf_dir):
     WITH e(src_uri, dst_uri) AS (VALUES
       ('a', 'b'), ('b', 'c'), ('c', 'd'),
       ('x', 'y'),
-      ('p', 'q'), ('q', 'p')),
+      ('p', 'q'), ('q', 'p'),
+      ('m', 'p')),
     h1 AS (
       SELECT a.src_uri, coalesce(b.dst_uri, a.dst_uri) AS dst_uri
       FROM e a LEFT JOIN e b ON a.dst_uri = b.src_uri),
     h2 AS (
       SELECT a.src_uri, coalesce(b.dst_uri, a.dst_uri) AS dst_uri
       FROM h1 a LEFT JOIN h1 b ON a.dst_uri = b.src_uri)
-    SELECT src_uri, dst_uri FROM h2 WHERE src_uri <> dst_uri
+    SELECT src_uri, dst_uri FROM h2 a
+    WHERE NOT EXISTS (SELECT 1 FROM h2 b WHERE b.src_uri = a.dst_uri)
     """,
 )
 def closure_bounded(spark, sf_dir):
-    """J4 redirect closure on a literal graph with a 3-chain and a
-    2-cycle. The SQL twin composes f∘f twice — exactly the pointer
-    jumping the production operator performs."""
+    """J4 redirect closure on a literal graph with a 3-chain, a
+    2-cycle, and a chain feeding the 2-cycle. The SQL twin composes
+    f∘f twice (the pointer jumping the production operator performs)
+    then keeps only terminal targets (NOT EXISTS dst==src — the same
+    stability rule as the operator's left_anti; cycle members and the
+    chain into the cycle get no redirect)."""
     edges = spark.createDataFrame(
-        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("p", "q"), ("q", "p")],
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),
+            ("x", "y"),
+            ("p", "q"), ("q", "p"),
+            ("m", "p"),
+        ],
         ["src_uri", "dst_uri"],
     )
     return redirect_closure(edges, max_iter=4)

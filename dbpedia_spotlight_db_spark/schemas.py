@@ -95,7 +95,7 @@ CONTEXT_COUNTS = T.StructType(
 ENTITY_VECTORS = T.StructType(
     [
         T.StructField("entity_id", T.LongType(), False),
-        T.StructField("token_ids", T.ArrayType(T.IntegerType()), False),
+        T.StructField("token_ids", T.ArrayType(T.LongType()), False),
         T.StructField("weights", T.ArrayType(T.FloatType()), False),
         T.StructField("norm", T.FloatType(), False),
     ]

@@ -11,8 +11,11 @@ Reads the pages table (partition-pruned by --langs), loads the count
 stores built by jobs/build_stores (or the fixture world when --stores
 is 'world:<sf_dir>'), broadcasts the linking model, runs the map-only
 fused annotator, and writes (subj, pred, obj) triples through the
-catalog seam. Resumable: with --checkpoint-root + --run-id, completed
-phases/units are skipped via plans/lineage.py.
+catalog seam. With --checkpoint-root + --run-id the mention pairs are
+materialized at the P1→P3 stage boundary and a completed checkpoint
+(_SUCCESS present) is re-read on re-run instead of re-annotating the
+corpus. For full phase/unit-level lineage + resume (per-store, per
+lang), drive plans/lineage.run_flagship_resumable instead.
 
 The SparkSession is built WITHOUT a master so spark-submit supplies
 cluster/master/executor config; local smoke:

@@ -62,3 +62,20 @@ def test_odd_cycle_members_stay_unredirected(spark):
     )
     got = {(r.src_uri, r.dst_uri) for r in redirect_closure(edges).collect()}
     assert got == {("m", "o"), ("n", "o")}
+
+
+def test_chain_into_even_cycle_gets_no_redirect(spark):
+    """A chain feeding an even cycle (a->b, b->c, c<->d) must
+    canonicalize every involved node to itself — the reference's
+    visited-set bailout treats any revisit as 'no redirect'. The
+    collapsed self-loop (c->c under f∘f) is still a redirect source,
+    so the terminal-target filter must drop rows landing on it."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"), ("d", "c"),  # chain -> 2-cycle
+            ("m", "n"),                                       # clean single hop
+        ],
+        ["src_uri", "dst_uri"],
+    )
+    got = {(r.src_uri, r.dst_uri) for r in redirect_closure(edges).collect()}
+    assert got == {("m", "n")}

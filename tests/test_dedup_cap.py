@@ -1,0 +1,78 @@
+"""Hot-shingle df-cap in ngram_jaccard_pairs (the quadratic-blow-up
+guard): pairs untouched by hot shingles are bit-identical to the
+uncapped result; pairs containing a hot shingle use the df-capped
+universe (hot shingles removed from intersection AND union)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from dbpedia_spotlight_db_spark.operators.dedup import ngram_jaccard_pairs
+
+
+def _ref_jaccard(docs: dict[int, str], n: int, max_df: int | None):
+    """Pure-python reference: distinct word-3-gram sets, optional
+    df-cap exclusion, exact jaccard."""
+    sets = {}
+    for i, text in docs.items():
+        ws = text.lower().split()
+        sets[i] = {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+    if max_df is not None:
+        df: dict[str, int] = {}
+        for s in sets.values():
+            for sh in s:
+                df[sh] = df.get(sh, 0) + 1
+        hot = {sh for sh, d in df.items() if d > max_df}
+        sets = {i: s - hot for i, s in sets.items()}
+    out = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter and union:
+            out[(a, b)] = round(inter / union, 6)
+    return out
+
+
+DOCS = {
+    # "zz yy xx" is the hot shingle: present in docs 0-4 (df=5)
+    0: "zz yy xx alpha beta gamma delta",
+    1: "zz yy xx alpha beta gamma epsilon",
+    2: "zz yy xx totally different words here",
+    3: "zz yy xx more unrelated filler tokens",
+    4: "zz yy xx qq rr ss tt",
+    # 5/6 share no hot shingle: their pair must be identical capped
+    # vs uncapped
+    5: "one two three four five six seven",
+    6: "one two three four five six eight",
+}
+
+
+def _run(spark, max_df):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in DOCS.items()], ["doc_id", "text"]
+    )
+    got = ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.01, max_df=max_df
+    ).collect()
+    return {(r.id_a, r.id_b): r.jaccard for r in got}
+
+
+def test_capped_matches_reference(spark):
+    got = _run(spark, max_df=4)  # df=5 shingle is hot
+    want = _ref_jaccard(DOCS, 3, max_df=4)
+    assert got == want
+
+
+def test_cap_noop_when_nothing_hot(spark):
+    got = _run(spark, max_df=1000)
+    want = _ref_jaccard(DOCS, 3, max_df=None)
+    assert got == want
+
+
+def test_non_hot_pairs_unchanged_by_cap(spark):
+    capped = _run(spark, max_df=4)
+    uncapped = _run(spark, max_df=1000)
+    # the (5,6) pair shares no hot shingle -> identical either way
+    assert capped[(5, 6)] == uncapped[(5, 6)]
+    # hot-shingle pairs lose the hot shingle from inter AND union
+    assert capped[(0, 1)] != uncapped[(0, 1)]

@@ -8,7 +8,7 @@ with trivially-correct pure-Python references on random inputs.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from dbpedia_spotlight_db_spark.functions.text import _extract_one
 from dbpedia_spotlight_db_spark.operators.spotting import TokenAhoCorasick
@@ -80,6 +80,31 @@ def test_closure_matches_reference_fuzz(spark):
         got = {(r.src_uri, r.dst_uri) for r in redirect_closure(df).collect()}
         want = set(resolve_reference(edges).items())
         assert got == want, (trial, edges, got, want)
+
+
+@given(edge_maps())
+@example({"a": "b", "b": "c", "c": "d", "d": "c"})  # chain feeds even cycle
+@example({"a": "b", "b": "c", "c": "a", "x": "a"})  # chain feeds odd cycle
+@example({"a": "b", "b": "a", "x": "a", "y": "x"})  # 2-chain into 2-cycle
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_closure_matches_reference_hypothesis(spark, edges):
+    """Hypothesis-driven closure fuzz (shrinking + directed @example
+    seeds for the chain-into-cycle class the fixed-seed fuzz missed):
+    distributed closure == visited-set reference on arbitrary
+    functional graphs over 8 nodes."""
+    from dbpedia_spotlight_db_spark.operators.closure import redirect_closure
+
+    edges = {s: d for s, d in edges.items() if s != d}
+    if not edges:
+        return
+    df = spark.createDataFrame(list(edges.items()), ["src_uri", "dst_uri"])
+    got = {(r.src_uri, r.dst_uri) for r in redirect_closure(df).collect()}
+    want = set(resolve_reference(edges).items())
+    assert got == want, (edges, got, want)
 
 
 # ---------------------------------------------------------------------------

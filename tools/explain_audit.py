@@ -123,7 +123,60 @@ def main() -> None:
         p,
     )
 
-    # 6. whole-stage codegen present on the relational surface (AQE
+    # 6. P0 store build has NO single-partition exchange anywhere
+    # (the old _dense_ids global-order window funneled every distinct
+    # key through one task; ids are now xxhash64 — map-side)
+    bad = []
+    for tbl in ("entities", "surface_forms", "tokens", "entity_vectors"):
+        p = plan_of(stores[tbl])
+        if "Exchange SinglePartition" in p:
+            bad.append(tbl)
+    check(
+        "P0 stores: no single-partition exchange",
+        not bad,
+        f"store tables with Exchange SinglePartition: {bad or 'none'}",
+        plan_of(stores["tokens"]),
+    )
+
+    # 7. IVF cell assignment is map-only (centroid argmax via array
+    # HOFs against a driver-built literal — zero Exchange, zero Window)
+    from dbpedia_spotlight_db_spark.operators.ann import (
+        _assign_cells,
+        _norm_expr,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent_rows = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .withColumn("cn", _norm_expr("cv"))
+        .collect()
+    )
+    p = plan_of(_assign_cells(emb, cent_rows, "vec_id", "embedding"))
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    n_win = len(re.findall(r"\bWindow\b", p))
+    check(
+        "IVF assignment is map-only",
+        n_ex == 0 and n_win == 0,
+        f"{n_ex} Exchange / {n_win} Window nodes in cell assignment (want 0/0)",
+        p,
+    )
+
+    # 8. jaccard inverted-index self-join is df-capped: the hot-shingle
+    # exclusion shows as a broadcast LeftAnti join, and there is no
+    # window operator anywhere in the plan
+    p = plan_of(QUERIES["dedup_jaccard"](spark, SF))
+    has_anti = "LeftAnti" in p
+    n_win = len(re.findall(r"\bWindow\b", p))
+    check(
+        "jaccard self-join is df-capped (broadcast anti-join)",
+        has_anti and n_win == 0,
+        f"LeftAnti={has_anti}, {n_win} Window nodes in dedup_jaccard plan",
+        p,
+    )
+
+    # 9. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
     q6 = QUERIES["agg_counts"](spark, SF)
