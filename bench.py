@@ -119,6 +119,74 @@ def headline_mode() -> None:
     print(json.dumps(out))
 
 
+class _CpuSampler:
+    """Samples /proc/stat for cpus [0, cores) during the timed section
+    — the leg is taskset-pinned to exactly those cpus, so busy_frac
+    answers the attribution question directly: a ~1.0 busy fraction at
+    both levels means the efficiency ceiling is memory bandwidth (the
+    no-Spark control's explanation), not idle workers."""
+
+    def __init__(self, cores: int):
+        self.cores = cores
+        self.samples: list[float] = []
+        self._stop = False
+        import threading
+
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _read(self):
+        busy = idle = 0
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu") and line[3].isdigit():
+                    parts = line.split()
+                    n = int(parts[0][3:])
+                    if n >= self.cores:
+                        continue
+                    vals = list(map(int, parts[1:]))
+                    idle += vals[3] + vals[4]  # idle + iowait
+                    busy += sum(vals) - vals[3] - vals[4]
+        return busy, idle
+
+    def _run(self):
+        import time as _t
+
+        prev = self._read()
+        while not self._stop:
+            _t.sleep(0.5)
+            cur = self._read()
+            db, di = cur[0] - prev[0], cur[1] - prev[1]
+            if db + di > 0:
+                self.samples.append(db / (db + di))
+            prev = cur
+
+    def start(self):
+        self._t.start()
+
+    def stop(self) -> float:
+        self._stop = True
+        self._t.join(timeout=2)
+        return (
+            round(sum(self.samples) / len(self.samples), 3)
+            if self.samples
+            else -1.0
+        )
+
+
+def _jvm_gc_ms(spark) -> int:
+    """Cumulative GC time of the (single local-mode) JVM."""
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return sum(
+            beans.get(i).getCollectionTime() for i in range(beans.size())
+        )
+    except Exception:
+        return -1
+
+
 def leg_mode(cores: int, replicate: int) -> None:
     from dbpedia_spotlight_db_spark.entrypoint import (
         annotate_to_triples,
@@ -193,6 +261,9 @@ def leg_mode(cores: int, replicate: int) -> None:
     )
     annotate_to_triples(spark, warm, stores, model_bc=model_bc).count()
 
+    sampler = _CpuSampler(cores)
+    gc0 = _jvm_gc_ms(spark)
+    sampler.start()
     t0 = time.perf_counter()
     triples = annotate_to_triples(
         spark, pages, stores, model_bc=model_bc,
@@ -200,6 +271,8 @@ def leg_mode(cores: int, replicate: int) -> None:
     )
     n_triples = triples.count()
     sec = time.perf_counter() - t0
+    busy = sampler.stop()
+    gc_ms = _jvm_gc_ms(spark) - gc0 if gc0 >= 0 else -1
     shutil.rmtree(scratch, ignore_errors=True)
 
     print(
@@ -212,6 +285,11 @@ def leg_mode(cores: int, replicate: int) -> None:
                 "sec": round(sec, 3),
                 "docs_per_sec": round(n_docs / sec, 2),
                 "triples_per_sec": round(n_triples / sec, 2),
+                # attribution: busy fraction of the pinned cpus during
+                # the timed window + JVM GC delta (driver+executor in
+                # one local-mode JVM)
+                "cpu_busy_frac": busy,
+                "jvm_gc_ms": gc_ms,
             }
         )
     )

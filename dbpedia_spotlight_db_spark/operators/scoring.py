@@ -43,18 +43,29 @@ def with_mention_id(mentions: DataFrame) -> DataFrame:
 
 
 def attach_candidates(
-    mentions_sf: DataFrame, candidate_map: DataFrame, entities: DataFrame
+    mentions_sf: DataFrame,
+    candidate_map: DataFrame,
+    entities: DataFrame,
+    broadcast: bool = True,
 ) -> DataFrame:
     """J1+J2: mention -> candidate entities with pair counts and
-    priors. Both store tables are broadcast (size-known small vs the
-    page corpus; at web scale candidate_map stays broadcastable after
-    minCount pruning — the reference quantizes/prunes similarly)."""
-    return mentions_sf.join(
-        F.broadcast(candidate_map), "sf_id", "inner"
-    ).join(
-        F.broadcast(entities.select("entity_id", "uri", "support")),
-        "entity_id",
-        "inner",
+    priors. Default: both store tables are broadcast (size-known
+    small vs the page corpus; at web scale candidate_map stays
+    broadcastable after minCount pruning — the reference quantizes/
+    prunes similarly).
+
+    ``broadcast=False`` is the sort-merge-bucket fallback for stores
+    beyond the broadcast budget: pass store tables registered via
+    ``catalog.save_bucketed`` (bucketed+sorted on sf_id / entity_id)
+    and the SMB join shuffles ONLY the mentions side — the store side
+    has no Exchange and no Sort (tests/test_bucketed.py asserts the
+    plan)."""
+    cm = F.broadcast(candidate_map) if broadcast else candidate_map
+    ent = entities.select("entity_id", "uri", "support")
+    if broadcast:
+        ent = F.broadcast(ent)
+    return mentions_sf.join(cm, "sf_id", "inner").join(
+        ent, "entity_id", "inner"
     )
 
 
@@ -93,7 +104,10 @@ def doc_context_vectors(
         tokenized.select(
             "url", F.explode("tokens").alias("t")
         )
-        .select("url", F.lower(F.col("t.text")).alias("token"))
+        # same T2 analysis chain as the store build: drop stopwords,
+        # look the stem up in the (stem-keyed) vocabulary
+        .filter(~F.col("t.is_stop"))
+        .select("url", F.col("t.stem").alias("token"))
         .join(F.broadcast(tokens.select("token_id", "token")), "token")
         .groupBy("url", "token_id")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -112,21 +126,81 @@ def doc_context_vectors(
     )
 
 
+def mention_context_vectors(
+    mentions: DataFrame,
+    tokenized: DataFrame,
+    tokens: DataFrame,
+    icf: DataFrame,
+    window: int,
+) -> DataFrame:
+    """T5 (window form): ±``window``-token context per mention
+    (reference: DBTwoStepDisambiguator scores against the mention's
+    surrounding tokens, not the whole page — material on long
+    multi-topic documents). The mention's token span is recovered by
+    joining its char offsets back to the indexed token stream; context
+    tokens are the T2 analysis chain (stop-filtered stems) within the
+    window. Output mirrors ``doc_context_vectors`` keyed by
+    mention_id. Relational twin of the fused per-mention window; the
+    scale path is the fused annotator (no shuffle)."""
+    tok_idx = tokenized.select(
+        "url", F.posexplode("tokens").alias("pos", "t")
+    )
+    m = mentions.select("mention_id", "url", "start", "end")
+    span = (
+        m.join(tok_idx, "url")
+        .filter(
+            (F.col("t.start") >= F.col("start"))
+            & (F.col("t.start") < F.col("end"))
+        )
+        .groupBy("mention_id", "url")
+        .agg(F.min("pos").alias("pos_lo"), F.max("pos").alias("pos_hi"))
+    )
+    tf = (
+        span.join(tok_idx, "url")
+        .filter(
+            (F.col("pos") >= F.col("pos_lo") - window)
+            & (F.col("pos") <= F.col("pos_hi") + window)
+        )
+        .filter(~F.col("t.is_stop"))
+        .select("mention_id", F.col("t.stem").alias("token"))
+        .join(F.broadcast(tokens.select("token_id", "token")), "token")
+        .groupBy("mention_id", "token_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(icf.select("token_id", "icf")), "token_id")
+        .withColumn("w", F.col("tf") * F.col("icf"))
+    )
+    return tf.groupBy("mention_id").agg(
+        F.array_sort(F.collect_list(F.struct("token_id", "w"))).alias("tw")
+    ).select(
+        "mention_id",
+        F.expr("transform(tw, x -> cast(x.token_id as bigint))").alias("ctx_token_ids"),
+        F.expr("transform(tw, x -> cast(x.w as float))").alias("ctx_weights"),
+        F.expr(
+            "cast(sqrt(aggregate(tw, 0.0d, (acc, x) -> acc + x.w * x.w)) as float)"
+        ).alias("ctx_norm"),
+    )
+
+
 def context_scores_relational(
     cands: DataFrame,
     doc_ctx: DataFrame,
     context_counts: DataFrame,
     icf: DataFrame,
     entity_vectors: DataFrame,
+    ctx_key: str = "url",
 ) -> DataFrame:
     """C2 (relational): cosine as explode + equi-join + sum.
+
+    ``ctx_key``: "url" with whole-document vectors
+    (``doc_context_vectors``) or "mention_id" with per-mention window
+    vectors (``mention_context_vectors``) — T5's two context models.
 
     Scale shape: (mention x doc-token) rows join (entity, token)
     weights on (entity_id, token_id) — bucket both sides on token_id
     at web scale. The candidate prune (top-M) runs before this."""
     mention_tokens = (
         cands.select("mention_id", "entity_id", "url")
-        .join(doc_ctx, "url")
+        .join(doc_ctx, ctx_key)
         .select(
             "mention_id",
             "entity_id",

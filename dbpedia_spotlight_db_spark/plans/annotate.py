@@ -34,6 +34,10 @@ class AnnotateConfig:
     spotter: str = "ngram"            # "ngram" (relational) | "ac" (automaton)
     scorer: str = "pandas"            # "pandas" (vectorized UDF) | "relational"
     langs: tuple[str, ...] = ("en", "fr", "es", "de", "zh")
+    # T5: None = whole-document context (reference default for
+    # single-paragraph texts); W = score against ±W tokens around the
+    # mention (material on long multi-topic pages)
+    context_window: int | None = None
 
 
 def extract_and_tokenize(pages: DataFrame, cfg: AnnotateConfig) -> DataFrame:
@@ -87,26 +91,40 @@ def disambiguate(
     cands = scoring.prior_scores(cands, total_support)
     cands = scoring.prune_top_m_by_prior(cands, cfg.top_m_prior)
 
-    doc_ctx = scoring.doc_context_vectors(
-        tokenized, stores["tokens"], stores["icf"]
-    )
+    if cfg.context_window is None:
+        ctx, ctx_key = (
+            scoring.doc_context_vectors(
+                tokenized, stores["tokens"], stores["icf"]
+            ),
+            "url",
+        )
+    else:
+        ctx, ctx_key = (
+            scoring.mention_context_vectors(
+                m, tokenized, stores["tokens"], stores["icf"],
+                cfg.context_window,
+            ),
+            "mention_id",
+        )
     if cfg.scorer == "relational":
         scored = scoring.context_scores_relational(
             cands,
-            doc_ctx,
+            ctx,
             stores["context_counts"],
             stores["icf"],
             stores["entity_vectors"],
+            ctx_key=ctx_key,
         )
     else:
         from .annotate_fused import entity_vecs_dict
 
         bc = spark.sparkContext.broadcast(entity_vecs_dict(stores))
         # LEFT join: a document whose tokens are all out-of-vocabulary
-        # has no context row but its mentions still score by prior
-        # (ctx_score 0), matching the relational and fused paths
+        # (or an all-stopword context window) has no context row but
+        # its mentions still score by prior (ctx_score 0), matching
+        # the relational and fused paths
         scored = scoring.context_scores_pandas(
-            cands.join(doc_ctx, "url", "left"), bc
+            cands.join(ctx, ctx_key, "left"), bc
         )
         scored = scored.drop("ctx_token_ids", "ctx_weights", "ctx_norm")
 

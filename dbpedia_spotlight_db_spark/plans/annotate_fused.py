@@ -31,7 +31,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from ..functions.text import _TOKEN_RE, _extract_one
+from ..functions.text import (
+    _TOKEN_RE,
+    _extract_one,
+    _stem_cached,
+    LINKING_STOPWORDS,
+)
 from ..operators.spotting import TokenAhoCorasick
 
 ANNOTATION_SCHEMA = T.StructType(
@@ -172,6 +177,7 @@ def _annotate_doc(
     w_prior: float,
     w_ctx: float,
     out_rows: list,
+    context_window: int | None = None,
 ) -> None:
     text = _extract_one(html)
     if not text:
@@ -180,6 +186,7 @@ def _annotate_doc(
     if not toks:
         return
     low = [t.lower() for t, _ in toks]
+    n_tok = len(toks)
 
     # T3 spot + T4 threshold. Spans carry -end so the native tuple
     # sort gives (start asc, end desc) without a key lambda; (start,
@@ -192,7 +199,9 @@ def _annotate_doc(
         if info is None or info[1] < spotter_threshold:
             continue
         last_tok = toks[i + ln - 1]
-        spans.append((toks[i][1], -(last_tok[1] + len(last_tok[0])), sf, info[0]))
+        spans.append(
+            (toks[i][1], -(last_tok[1] + len(last_tok[0])), sf, info[0], i, ln)
+        )
     if not spans:
         return
     spans.sort()
@@ -203,36 +212,59 @@ def _annotate_doc(
             kept.append(s)
             last_end = -s[1]
 
-    # document context vector (TF * ICF, sorted by token_id)
-    tf: dict[int, float] = {}
-    icf_of: dict[int, float] = {}
+    # per-position analyzed entries (T5 input) — same T2 analysis chain
+    # as the store build: stopwords skipped, the (memoized) stem is the
+    # vocabulary key; None marks stop/OOV positions
     vocab_get = model.vocab.get
-    for t in low:
-        v = vocab_get(t)
-        if v is not None:
-            tf[v[0]] = tf.get(v[0], 0.0) + 1.0
-            icf_of[v[0]] = v[1]
-    if tf:
+    entries = [
+        None if t in LINKING_STOPWORDS else vocab_get(_stem_cached(t))
+        for t in low
+    ]
+
+    def _ctx_vec(lo: int, hi: int):
+        """TF*ICF vector over token positions [lo, hi) — the whole
+        document when context_window is None (reference default for
+        single-paragraph texts), else the mention's ±W token window
+        (T5: DBTwoStepDisambiguator scores against the mention
+        context, not the full page)."""
+        tf: dict[int, float] = {}
+        icf_of: dict[int, float] = {}
+        for e in entries[lo:hi]:
+            if e is not None:
+                tf[e[0]] = tf.get(e[0], 0.0) + 1.0
+                icf_of[e[0]] = e[1]
+        if not tf:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+                0.0,
+            )
         ids_sorted = sorted(tf)
         ctx_ids = np.fromiter(ids_sorted, dtype=np.int64, count=len(ids_sorted))
         ctx_ws = np.asarray(
             [tf[i] * icf_of[i] for i in ids_sorted], dtype=np.float64
         )
-        ctx_norm = float(np.sqrt(np.dot(ctx_ws, ctx_ws)))
-    else:
-        ctx_ids = np.empty(0, dtype=np.int64)
-        ctx_ws = np.empty(0, dtype=np.float64)
-        ctx_norm = 0.0
+        return ctx_ids, ctx_ws, float(np.sqrt(np.dot(ctx_ws, ctx_ws)))
+
+    whole_doc = _ctx_vec(0, n_tok) if context_window is None else None
 
     # J1-J3 + C1-C4 + A7 per mention. The cosine is cached per
-    # (doc, entity): repeated mentions of the same surface form / the
-    # same candidate in one document score against the same context.
-    cos_cache: dict[int, float] = {}
+    # (window, entity): with whole-document context (the hot default)
+    # every mention shares one window, so repeated candidates in one
+    # document score against the same context exactly once.
+    cos_cache: dict[tuple, float] = {}
     vecs_get = model.entity_vecs.get
-    for start, neg_end, sf, sf_id in kept:
+    for start, neg_end, sf, sf_id, ti, ln in kept:
         cand = model.candidates.get(sf_id)
         if cand is None:
             continue
+        if context_window is None:
+            lo, hi = 0, n_tok
+            ctx_ids, ctx_ws, ctx_norm = whole_doc
+        else:
+            lo = max(0, ti - context_window)
+            hi = min(n_tok, ti + ln + context_window)
+            ctx_ids, ctx_ws, ctx_norm = _ctx_vec(lo, hi)
         uris, ent_ids, exp_priors = cand
         m = min(top_m, len(uris))
         # single-pass argmax + runner-up with (score desc, uri asc)
@@ -240,7 +272,8 @@ def _annotate_doc(
         best_uri = None
         for j in range(m):
             eid = ent_ids[j]
-            ctx_score = cos_cache.get(eid)
+            ckey = (lo, hi, eid)
+            ctx_score = cos_cache.get(ckey)
             if ctx_score is None:
                 ctx_score = 0.0
                 if ctx_norm > 0:
@@ -256,7 +289,7 @@ def _annotate_doc(
                             ctx_score = (
                                 float(np.dot(ctx_ws[ok], ews[idx[ok]])) / denom
                             )
-                cos_cache[eid] = ctx_score
+                cos_cache[ckey] = ctx_score
             score = w_prior * exp_priors[j] + w_ctx * ctx_score
             if score > best_score or (
                 score == best_score and uris[j] < best_uri
@@ -300,6 +333,7 @@ def annotate_fused(
         model_bc = spark.sparkContext.broadcast(build_model(stores))
     thr, conf = cfg.spotter_threshold, cfg.confidence
     top_m, w_p, w_c = cfg.top_m_prior, cfg.w_prior, cfg.w_ctx
+    ctx_w = getattr(cfg, "context_window", None)
     routed = pages.filter(F.col("lang").isin(*cfg.langs)).select("url", "html")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -309,7 +343,10 @@ def annotate_fused(
             # never a row-at-a-time DataFrame of tuples
             cols: list = [[], [], [], [], [], [], []]
             for url, html in zip(pdf["url"], pdf["html"]):
-                _annotate_doc(url, html, model, thr, conf, top_m, w_p, w_c, cols)
+                _annotate_doc(
+                    url, html, model, thr, conf, top_m, w_p, w_c, cols,
+                    context_window=ctx_w,
+                )
             yield pd.DataFrame(
                 {
                     "url": pd.Series(cols[0], dtype="object"),
@@ -351,6 +388,7 @@ def annotate_mention_pairs(
         model_bc = spark.sparkContext.broadcast(build_model(stores))
     thr, conf = cfg.spotter_threshold, cfg.confidence
     top_m, w_p, w_c = cfg.top_m_prior, cfg.w_prior, cfg.w_ctx
+    ctx_w = getattr(cfg, "context_window", None)
     routed = pages.filter(F.col("lang").isin(*cfg.langs)).select("url", "html")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -362,7 +400,10 @@ def annotate_mention_pairs(
             uri_col = cols[4]
             for url, html in zip(pdf["url"], pdf["html"]):
                 n0 = len(uri_col)
-                _annotate_doc(url, html, model, thr, conf, top_m, w_p, w_c, cols)
+                _annotate_doc(
+                    url, html, model, thr, conf, top_m, w_p, w_c, cols,
+                    context_window=ctx_w,
+                )
                 n1 = len(uri_col)
                 if n1 > n0:
                     # sorted for row-order determinism across hash seeds

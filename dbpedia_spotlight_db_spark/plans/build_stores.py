@@ -135,10 +135,18 @@ def build_stores(
     ).persist()
 
     # --- A4: token vocabulary + per-entity context counts ---------------
-    doc_tokens = tokenized.select(
-        F.col("url").cast("long").alias("doc_id"),
-        F.explode("tokens").alias("t"),
-    ).select("doc_id", F.lower(F.col("t.text")).alias("token"))
+    # The context/vocabulary analysis chain (T2): stopwords excluded,
+    # stems as vocabulary keys — the reference's SnowballStemmer +
+    # stopword-file config applied to context scoring. Surface-form
+    # spotting above keeps matching raw lowercased token text.
+    doc_tokens = (
+        tokenized.select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.explode("tokens").alias("t"),
+        )
+        .filter(~F.col("t.is_stop"))
+        .select("doc_id", F.col("t.stem").alias("token"))
+    )
     token_counts = salted_count(doc_tokens, ["token"], out="count", salt_n=salt_n)
     tokens = _dense_ids(token_counts, "token", "token_id").select(
         "token_id", "token", "count"

@@ -62,6 +62,41 @@ def save(
     return path
 
 
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    root: str,
+    bucket_key: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> str:
+    """SURVEY.md §4.3 physical layout: store tables bucketed (and
+    sorted) on their join key, so a join against them shuffles ONLY
+    the probe side — the store side gets neither Exchange nor Sort.
+    This is the sort-merge-bucket fallback for J1/J3 when a store
+    exceeds the broadcast budget at web scale.
+
+    Bucket metadata lives in the session catalog (saveAsTable); the
+    sandbox has no Hive metastore or Iceberg jars, so the table
+    registration is per-session (in-memory catalog) while the files
+    persist under ``{root}/{name}`` — production swaps this for
+    Iceberg bucket-partitioning through the same seam. Table name =
+    ``name`` (re-registered idempotently)."""
+    spark = df.sparkSession
+    path = os.path.join(root, name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_key)
+    )
+    if sort:
+        writer = writer.sortBy(bucket_key)
+    writer.saveAsTable(name)
+    return path
+
+
 def read_nt_triples(spark: SparkSession, path: str) -> DataFrame:
     """S3: NT/NQ triple ingestion (redirects / disambiguations /
     instance-types files). Line-oriented `<s> <p> <o> .` parsed with
