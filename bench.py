@@ -214,11 +214,16 @@ def leg_mode(cores: int, replicate: int) -> None:
             # executors are separate JVMs: ship the package to their
             # Python workers (the spark-submit --py-files analogue)
             "spark.executorEnv.PYTHONPATH": str(REPO),
-            # the replicated bench input is ~1.7GB; default 128MB
-            # splits would leave the map stage only ~1 task per core
-            # (no pipelining slack, stragglers dominate). 16MB keeps
-            # splits >= 4x cores — the same tasks-per-core a real
-            # multi-TB corpus gets at the default split size.
+            # the replicated bench input is ~1.7GB at replicate=480;
+            # default 128MB splits would leave the map stage only ~1
+            # task per core (no pipelining slack, stragglers
+            # dominate). 16MB keeps splits >= 4x cores. Identical at
+            # both levels (same job, same input). Measured A/B
+            # (BENCH.md): shrinking to 6MB raises the 32-core busy
+            # fraction 0.83 -> 0.88 but per-task overhead eats the
+            # gain (T32 unchanged, T8 slower) — the residual idle is
+            # wave-tail quantization, a small-input artifact that the
+            # 4x-input leg shows vanishing with scale.
             "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
         },
     )

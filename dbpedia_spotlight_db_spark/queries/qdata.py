@@ -538,6 +538,99 @@ def text_fingerprint(spark, sf):
     )
 
 
+def _stop_list_sql() -> str:
+    from ..functions.text import LINKING_STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in sorted(LINKING_STOPWORDS)) + "]"
+
+
+@q(
+    "text_stopword_ratio",
+    rf"""
+    WITH b AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS ws
+               FROM documents)
+    SELECT doc_id,
+           round(CAST(len(list_filter(ws, w -> list_contains({_stop_list_sql()}, w))) AS DOUBLE)
+                 / greatest(len(ws), 1), 6) AS stop_ratio
+    FROM b
+    """,
+)
+def text_stopword_ratio(spark, sf):
+    """T2 stopword flag exposed to the correctness gate: multiset
+    stopword fraction per document against the linking analyzer's
+    stopword list (the same frozenset the tokenizer/stores use),
+    computed with pure column HOFs (codegen'd)."""
+    from ..functions.text import LINKING_STOPWORDS
+
+    stops = F.array(*[F.lit(w) for w in sorted(LINKING_STOPWORDS)])
+    words = F.split(F.lower(F.trim("text")), r"\s+")
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(stops, w)))
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.round(
+            stop_hits.cast("double") / F.greatest(F.size(words), F.lit(1)),
+            6,
+        ).alias("stop_ratio"),
+    )
+
+
+@q(
+    "dedup_embed_lsh",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS vn,
+             {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings),
+    s AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             {_IVF_COS.format(a='a.embedding', b='c.embedding', an='a.vn', bn='c.vn')} AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    SELECT id_a, id_b, cos FROM s WHERE cos >= 0.35
+    """,
+)
+def dedup_embed_lsh(spark, sf):
+    """Embedding near-dup pairs through the SCALE path: candidates
+    restricted to a shared hyperplane-LSH bucket (deterministic
+    md5-sign planes — same quantizer as ann_lsh_topk), exact cosine
+    within the bucket. This is the bucketed plan dedup_embed's
+    docstring routes to at corpus scale, now with its own full
+    rows+schema+hash oracle; the all-pairs dedup_embed stays as the
+    exact-recall baseline."""
+    emb = t(spark, sf, "embeddings")
+    b = ann_ops.hyperplane_buckets(
+        emb, dim=_EMB_DIM, n_planes=_LSH_PLANES
+    ).select("vec_id", "embedding", "bucket")
+    from ..operators.ann import _dot_expr, _norm_expr
+
+    a = b.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("qv"),
+        "bucket",
+    ).withColumn("qn", _norm_expr("qv"))
+    c = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("nv"),
+        "bucket",
+    ).withColumn("nn", _norm_expr("nv"))
+    return (
+        a.join(c, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.when(
+                    (F.col("qn") > 0) & (F.col("nn") > 0),
+                    _dot_expr("qv", "nv") / (F.col("qn") * F.col("nn")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -195,6 +195,46 @@ def kg_triples_mini(spark, sf_dir):
 
 
 @q(
+    "kg_export_json",
+    f"""
+    WITH {_GRAMS_SQL},
+    cand AS (
+      SELECT g.doc_id, g.pos, g.sf AS surface_form, d.uri, d.w
+      FROM grams g JOIN {_DICT_SQL} ON g.sf = d.sf),
+    best AS (
+      SELECT doc_id, pos, surface_form, uri,
+             row_number() OVER (PARTITION BY doc_id, pos, surface_form
+                                ORDER BY w DESC, uri) AS rn
+      FROM cand),
+    ann AS (SELECT DISTINCT doc_id, uri FROM best WHERE rn = 1)
+    SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS subj,
+           '{{"subj":"doc://' || CAST(doc_id AS VARCHAR)
+             || '","pred":"dbo:mentions","obj":"' || uri || '"}}' AS line
+    FROM ann
+    """,
+)
+def kg_export_json(spark, sf_dir):
+    """S5 annotation sink face: triples serialized to JSON lines via
+    to_json(struct(...)) — the NIF-ish export format the reference's
+    output serializers produce. The twin builds the same line
+    textually (field order = struct order; no URI in this world needs
+    escaping, so byte equality holds)."""
+    ann = kg_annotate_prior(spark, sf_dir).select("doc_id", "uri").distinct()
+    return ann.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("subj"),
+        F.to_json(
+            F.struct(
+                F.concat(
+                    F.lit("doc://"), F.col("doc_id").cast("string")
+                ).alias("subj"),
+                F.lit("dbo:mentions").alias("pred"),
+                F.col("uri").alias("obj"),
+            )
+        ).alias("line"),
+    )
+
+
+@q(
     "closure_bounded",
     """
     WITH e(src_uri, dst_uri) AS (VALUES

@@ -108,6 +108,10 @@ TOKEN = T.StructType(
     [
         T.StructField("text", T.StringType(), False),
         T.StructField("start", T.IntegerType(), False),
+        # T2 analysis chain (functions/text.py): Porter stem +
+        # stopword flag of the lowercased token
+        T.StructField("stem", T.StringType(), False),
+        T.StructField("is_stop", T.BooleanType(), False),
     ]
 )
 TOKENIZED = T.StructType(
