@@ -109,9 +109,12 @@ def derive_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
             "tot", F.sum("w").over(Window.partitionBy("surface_form"))
         )
     )
+    # tokenize ONCE: the token arrays ride along on the corpus output
+    # so build_stores doesn't re-run the (Python) tokenizer over the
+    # same text — P0 touches each document's tokens a single time
     tokenized = docs.select(
         F.col("doc_id").cast("string").alias("url"), tokenize("text").alias("tokens")
-    )
+    ).persist()
     mentions = spot_ngram_join(
         tokenized, world.select("surface_form").distinct(), max_len=2
     )
@@ -137,14 +140,24 @@ def derive_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
         )
     )
     links = linked.groupBy("doc_id").agg(F.collect_list("link").alias("links"))
-    return docs.select("doc_id", "text").join(links, "doc_id", "left").withColumn(
-        "links",
-        F.coalesce(
-            "links",
-            F.array().cast(
-                "array<struct<start:int,end:int,surface_form:string,uri:string>>"
+    return (
+        docs.select("doc_id", "text")
+        .join(links, "doc_id", "left")
+        .join(
+            tokenized.select(
+                F.col("url").cast("long").alias("doc_id"), "tokens"
             ),
-        ),
+            "doc_id",
+        )
+        .withColumn(
+            "links",
+            F.coalesce(
+                "links",
+                F.array().cast(
+                    "array<struct<start:int,end:int,surface_form:string,uri:string>>"
+                ),
+            ),
+        )
     )
 
 

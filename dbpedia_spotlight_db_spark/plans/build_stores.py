@@ -94,10 +94,18 @@ def build_stores(
             F.max(F.size(F.split("surface_form", " "))).alias("m")
         ).collect()[0]["m"]
     )
-    tokenized = wiki_corpus.select(
-        F.col("doc_id").cast("string").alias("url"),
-        tokenize(F.col("text")).alias("tokens"),
-    ).persist()
+    # reuse the corpus's token arrays when the source carries them
+    # (derive_corpus tokenizes once and ships tokens along); fall back
+    # to tokenizing here for plain (doc_id, text, links) corpora
+    if "tokens" in wiki_corpus.columns:
+        tokenized = wiki_corpus.select(
+            F.col("doc_id").cast("string").alias("url"), "tokens"
+        ).persist()
+    else:
+        tokenized = wiki_corpus.select(
+            F.col("doc_id").cast("string").alias("url"),
+            tokenize(F.col("text")).alias("tokens"),
+        ).persist()
     all_spots = spot_ngram_join(
         tokenized, annotated.select("surface_form"), max_len
     )

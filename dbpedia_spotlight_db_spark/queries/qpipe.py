@@ -195,6 +195,52 @@ def kg_triples_mini(spark, sf_dir):
 
 
 @q(
+    "kg_candidates",
+    f"""
+    WITH {_GRAMS_SQL},
+    cand AS (
+      SELECT g.doc_id, g.pos, g.sf AS surface_form, d.uri, d.w
+      FROM grams g JOIN {_DICT_SQL} ON g.sf = d.sf),
+    ranked AS (
+      SELECT doc_id, pos, surface_form, uri,
+             round(CAST(w AS DOUBLE) / SUM(w) OVER (
+               PARTITION BY doc_id, pos, surface_form), 6) AS p_e_given_s,
+             row_number() OVER (PARTITION BY doc_id, pos, surface_form
+                                ORDER BY w DESC, uri) AS cand_rank
+      FROM cand)
+    SELECT doc_id, pos, surface_form, uri, p_e_given_s, cand_rank
+    FROM ranked WHERE cand_rank <= 3
+    """,
+)
+def kg_candidates(spark, sf_dir):
+    """Reference lifecycle E3 (`/candidates`): the ranked candidate
+    list per mention — stops after J1 + C1 + A7 top-k with NO argmax
+    commit, returning P(e|s) per candidate. The third public entry
+    point of the REST service (SURVEY.md §3.1), as a relational face."""
+    grams = _grams_spark(spark, sf_dir)
+    cand = grams.join(F.broadcast(_dict_df(spark)), "sf").withColumnRenamed(
+        "sf", "surface_form"
+    )
+    key = ["doc_id", "pos", "surface_form"]
+    w = Window.partitionBy(*key).orderBy(F.desc("w"), F.asc("uri"))
+    return (
+        cand.withColumn(
+            "p_e_given_s",
+            F.round(
+                F.col("w").cast("double")
+                / F.sum("w").over(Window.partitionBy(*key)),
+                6,
+            ),
+        )
+        .withColumn("cand_rank", F.row_number().over(w))
+        .filter(F.col("cand_rank") <= 3)
+        .select(
+            "doc_id", "pos", "surface_form", "uri", "p_e_given_s", "cand_rank"
+        )
+    )
+
+
+@q(
     "kg_export_json",
     f"""
     WITH {_GRAMS_SQL},

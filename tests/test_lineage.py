@@ -72,3 +72,37 @@ def test_metrics_rollup(spark, run_root):
     assert m["triples"].status in ("complete", "skipped")
     lin = run.lineage()
     assert lin.filter("kind = 'file'").count() > 0
+
+
+def test_mention_pair_checkpoint_resume_skips_rewrite(spark, tmp_path):
+    """materialize_triples_from_mention_pairs treats a completed
+    checkpoint (_SUCCESS present) as the resume point: the second call
+    must re-read it, not re-run the annotate pass (jobs/annotate.py's
+    --checkpoint-root semantics)."""
+    from dbpedia_spotlight_db_spark.plans.materialize import (
+        materialize_triples_from_mention_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [("u1", "dbr:A"), ("u2", "dbr:B")], ["url", "uri"]
+    )
+    entities = spark.createDataFrame(
+        [("dbr:A", ["T1"])], ["uri", "types"]
+    )
+    ck = str(tmp_path / "mentions")
+    t1 = materialize_triples_from_mention_pairs(pairs, entities, ck)
+    got1 = {(r.subj, r.pred, r.obj) for r in t1.collect()}
+    mtimes1 = {
+        f: os.path.getmtime(os.path.join(ck, f)) for f in os.listdir(ck)
+    }
+
+    # second run with DIFFERENT upstream pairs: the completed
+    # checkpoint wins (resume semantics — upstream is not re-run)
+    other = spark.createDataFrame([("u9", "dbr:Z")], ["url", "uri"])
+    t2 = materialize_triples_from_mention_pairs(other, entities, ck)
+    got2 = {(r.subj, r.pred, r.obj) for r in t2.collect()}
+    mtimes2 = {
+        f: os.path.getmtime(os.path.join(ck, f)) for f in os.listdir(ck)
+    }
+    assert got1 == got2  # re-read, not re-written
+    assert mtimes1 == mtimes2
