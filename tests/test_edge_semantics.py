@@ -90,3 +90,33 @@ def test_oov_context_doc_still_annotated(spark, cased_world):
     )
     assert fused == rel_pandas == rel_join
     assert any(k[3] == "paris" for k in fused)
+
+
+def test_all_stopword_context_doc_still_annotated(spark, cased_world):
+    """T2 edge: every context token around the mention is a stopword
+    (excluded from the analysis chain), so the context vector is empty
+    — all three scorer paths must still emit the mention, scored by
+    prior alone, and agree with each other."""
+    text = "the and of Paris to in is"
+    html = f"<html><head><title>t</title></head><body>{text}</body></html>".encode()
+    pages = spark.createDataFrame(
+        [("doc://stop", None, html, text, "en")], schema=schemas.PAGES
+    )
+
+    def keys(df):
+        return {(r.url, r.start, r.end, r.surface_form, r.uri) for r in df.collect()}
+
+    fused = keys(annotate_fused(spark, pages, cased_world, AnnotateConfig()))
+    rel_pandas = keys(
+        annotate(spark, pages, cased_world, AnnotateConfig(scorer="pandas"))
+    )
+    rel_join = keys(
+        annotate(spark, pages, cased_world, AnnotateConfig(scorer="relational"))
+    )
+    win = keys(
+        annotate_fused(
+            spark, pages, cased_world, AnnotateConfig(context_window=2)
+        )
+    )
+    assert fused == rel_pandas == rel_join == win
+    assert any(k[3] == "paris" for k in fused)
