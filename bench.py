@@ -120,14 +120,18 @@ def headline_mode() -> None:
 
 
 class _CpuSampler:
-    """Samples /proc/stat for cpus [0, cores) during the timed section
-    — the leg is taskset-pinned to exactly those cpus, so busy_frac
-    answers the attribution question directly: a ~1.0 busy fraction at
-    both levels means the efficiency ceiling is memory bandwidth (the
-    no-Spark control's explanation), not idle workers."""
+    """Samples /proc/stat for THIS PROCESS's allowed cpu set (from
+    sched_getaffinity — the taskset pin when bench_scaling drives the
+    leg, every cpu when run unpinned) during the timed section.
+    busy_frac answers the attribution question directly: a ~1.0 busy
+    fraction at both levels means the efficiency ceiling is memory
+    bandwidth (the no-Spark control's explanation), not idle workers.
+    Hypervisor steal is excluded from both numerator and denominator —
+    stolen cycles were never available to the job, and counting them
+    as busy would bias the attribution the metric exists for."""
 
     def __init__(self, cores: int):
-        self.cores = cores
+        self.cpus = sorted(os.sched_getaffinity(0))
         self.samples: list[float] = []
         self._stop = False
         import threading
@@ -136,16 +140,18 @@ class _CpuSampler:
 
     def _read(self):
         busy = idle = 0
+        allowed = set(self.cpus)
         with open("/proc/stat") as f:
             for line in f:
                 if line.startswith("cpu") and line[3].isdigit():
                     parts = line.split()
                     n = int(parts[0][3:])
-                    if n >= self.cores:
+                    if n not in allowed:
                         continue
                     vals = list(map(int, parts[1:]))
+                    steal = vals[7] if len(vals) > 7 else 0
                     idle += vals[3] + vals[4]  # idle + iowait
-                    busy += sum(vals) - vals[3] - vals[4]
+                    busy += sum(vals) - vals[3] - vals[4] - steal
         return busy, idle
 
     def _run(self):
@@ -174,7 +180,10 @@ class _CpuSampler:
 
 
 def _jvm_gc_ms(spark) -> int:
-    """Cumulative GC time of the (single local-mode) JVM."""
+    """Cumulative GC time of the DRIVER JVM only — in local mode (the
+    scaling protocol) driver and executor share one JVM so this is the
+    whole story; under SPARK_GRAFT_MASTER=local-cluster the separate
+    executor JVMs' GC is NOT included here."""
     try:
         beans = (
             spark.sparkContext._jvm.java.lang.management.ManagementFactory
@@ -290,9 +299,10 @@ def leg_mode(cores: int, replicate: int) -> None:
                 "sec": round(sec, 3),
                 "docs_per_sec": round(n_docs / sec, 2),
                 "triples_per_sec": round(n_triples / sec, 2),
-                # attribution: busy fraction of the pinned cpus during
-                # the timed window + JVM GC delta (driver+executor in
-                # one local-mode JVM)
+                # attribution: busy fraction of this process's allowed
+                # cpu set during the timed window (steal excluded) +
+                # driver-JVM GC delta (= the whole JVM in local mode;
+                # excludes executor JVMs under local-cluster)
                 "cpu_busy_frac": busy,
                 "jvm_gc_ms": gc_ms,
             }

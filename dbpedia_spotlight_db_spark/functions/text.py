@@ -205,15 +205,22 @@ def porter_stem(word: str) -> str:
 
 
 _STEM_CACHE: dict[str, str] = {}
+# Zipfian vocabularies mean the head dominates lookups, so a bounded
+# cache keeps a ~1.0 hit rate; the bound matters on long-lived workers
+# streaming web text, where distinct tokens (ids, hashes, typos) grow
+# without limit and an unbounded memo dict would leak.
+_STEM_CACHE_MAX = 1 << 18
 
 
 def _stem_cached(word: str) -> str:
     """Per-worker memoized stem — vocabulary tokens repeat heavily, so
-    the amortized cost per token is a dict hit."""
+    the amortized cost per token is a dict hit. Once the cache is full
+    new tail tokens are stemmed without being inserted."""
     s = _STEM_CACHE.get(word)
     if s is None:
         s = porter_stem(word)
-        _STEM_CACHE[word] = s
+        if len(_STEM_CACHE) < _STEM_CACHE_MAX:
+            _STEM_CACHE[word] = s
     return s
 
 

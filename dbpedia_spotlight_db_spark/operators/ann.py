@@ -74,6 +74,23 @@ def cosine_topk(
     )
 
 
+def ivf_centroid_rows(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list:
+    """The deterministic coarse quantizer: the ``n_centroids``
+    lowest-id corpus vectors with precomputed norms, collected on the
+    driver (model metadata — tiny). Shared by ``ivf_topk`` and
+    tools/explain_audit.py so the audited assignment plan is built
+    from EXACTLY the production quantizer."""
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("cn", _norm_expr("cv"))
+        .collect()
+    )
+
+
 def _assign_cells(
     df: DataFrame, cent_rows: list, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -146,13 +163,7 @@ def ivf_topk(
     becomes the partition/bucket key, so a query probes one partition
     instead of the corpus — same plan shape as lsh_bucketed_topk with
     a learned instead of random partitioner."""
-    cent_rows = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .withColumn("cn", _norm_expr("cv"))
-        .collect()
-    )
+    cent_rows = ivf_centroid_rows(corpus, n_centroids, id_col, vec_col)
     c_cells = _assign_cells(corpus, cent_rows, id_col, vec_col)
     q_cells = _assign_cells(queries, cent_rows, id_col, vec_col)
     q = q_cells.select(

@@ -35,13 +35,23 @@ def parquet_checkpoint(df: DataFrame, tag: str) -> DataFrame:
     re-read it. Deliberately NOT .persist(): at multi-M rows the
     deserialized cache is a GC storm, while a parquet round-trip
     through spark.local.dir (tmpfs here) measured faster (CLAUDE.md
-    perf note). The path is fixed per tag (overwrite mode), so
-    repeated calls reuse space instead of accumulating."""
+    perf note). Each call writes a UNIQUE path (pid + counter): a
+    fixed per-tag path would let a later call clobber the files behind
+    a previously returned lazy DataFrame (and race across processes).
+    Space is bounded by calls per process; the dirs live under
+    spark.local.dir, which the host clears like Spark's own scratch."""
+    global _CKPT_SEQ
+    _CKPT_SEQ += 1
     spark = df.sparkSession
     base = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
-    path = os.path.join(base, "spark_graft_ckpt", tag)
+    path = os.path.join(
+        base, "spark_graft_ckpt", f"{tag}-{os.getpid()}-{_CKPT_SEQ}"
+    )
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+_CKPT_SEQ = 0
 
 
 def shingle_df(

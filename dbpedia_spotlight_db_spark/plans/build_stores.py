@@ -96,11 +96,14 @@ def build_stores(
     )
     # reuse the corpus's token arrays when the source carries them
     # (derive_corpus tokenizes once and ships tokens along); fall back
-    # to tokenizing here for plain (doc_id, text, links) corpora
+    # to tokenizing here for plain (doc_id, text, links) corpora.
+    # The reuse branch does NOT persist: callers cache the corpus
+    # itself (world_stores), so a second cache of the same token
+    # arrays would just duplicate the largest column in memory.
     if "tokens" in wiki_corpus.columns:
         tokenized = wiki_corpus.select(
             F.col("doc_id").cast("string").alias("url"), "tokens"
-        ).persist()
+        )
     else:
         tokenized = wiki_corpus.select(
             F.col("doc_id").cast("string").alias("url"),

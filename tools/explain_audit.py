@@ -142,17 +142,13 @@ def main() -> None:
     # HOFs against a driver-built literal — zero Exchange, zero Window)
     from dbpedia_spotlight_db_spark.operators.ann import (
         _assign_cells,
-        _norm_expr,
+        ivf_centroid_rows,
     )
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    cent_rows = (
-        emb.orderBy("vec_id")
-        .limit(8)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-        .withColumn("cn", _norm_expr("cv"))
-        .collect()
-    )
+    # EXACTLY ivf_topk's quantizer (shared helper) so the audited plan
+    # cannot drift from the shipped operator
+    cent_rows = ivf_centroid_rows(emb, 8, "vec_id", "embedding")
     p = plan_of(_assign_cells(emb, cent_rows, "vec_id", "embedding"))
     n_ex = len(re.findall(r"\bExchange\b", p))
     n_win = len(re.findall(r"\bWindow\b", p))
