@@ -214,6 +214,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    candidate-pair graph (the step after pair generation in every
+    dedup pipeline — each component keeps one representative).
+    Output: (id, component) with component = min id in the component.
+
+    Algorithm: min-label propagation with a pointer-jump step each
+    round (label := label-of-label), so chains collapse in
+    O(log diameter) shuffles like the redirect closure's pointer
+    jumping — not O(diameter). Near-dup components are shallow by
+    construction (pairs come from shared buckets), so convergence is
+    a handful of rounds; each round localCheckpoints to cut lineage.
+    At web scale the production refinement is the large-star /
+    small-star alternation (same join shapes, better skew behavior on
+    giant components); the fixpoint semantics checked by the DuckDB
+    recursive-CTE oracle are identical."""
+    edges = pairs.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).unionByName(
+        pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    lab = (
+        edges.select(F.col("s").alias("v"))
+        .distinct()
+        .withColumn("l", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # propagate: every neighbor's label reaches v
+        prop = (
+            edges.join(lab, edges["s"] == lab["v"])
+            .select(F.col("d").alias("v"), F.col("l"))
+        )
+        new = (
+            lab.unionByName(prop)
+            .groupBy("v")
+            .agg(F.min("l").alias("l"))
+        )
+        # pointer jump: l := label(l) (labels are node ids)
+        jump = lab.select(
+            F.col("v").alias("_lv"), F.col("l").alias("_ll")
+        )
+        new = (
+            new.join(jump, new["l"] == jump["_lv"], "left")
+            .select("v", F.least("l", F.coalesce("_ll", "l")).alias("l"))
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "v")
+            .filter(F.col("n.l") != F.col("o.l"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    return lab.select(F.col("v").alias("id"), F.col("l").alias("component"))
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:

@@ -209,6 +209,43 @@ def dedup_jaccard(spark, sf):
     )
 
 
+@q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_SH_SQL},
+    sigs AS (
+      SELECT id,
+             MIN(md5('0:' || shingle)) AS mh0, MIN(md5('1:' || shingle)) AS mh1,
+             MIN(md5('2:' || shingle)) AS mh2, MIN(md5('3:' || shingle)) AS mh3
+      FROM sh GROUP BY id),
+    prs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.id < b.id
+       AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)),
+    edges AS (SELECT id_a AS s, id_b AS d FROM prs
+              UNION SELECT id_b, id_a FROM prs),
+    nodes AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, l) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.v)
+    SELECT v AS id, MIN(l) AS component FROM reach GROUP BY v
+    """,
+)
+def dedup_components(spark, sf):
+    """Dup-cluster assignment over the MinHash-LSH candidate pairs:
+    connected components by pointer-jumping min-label propagation
+    (operators/dedup.py). The DuckDB twin computes the identical
+    fixpoint with a recursive CTE (symmetric reachability -> min
+    reachable id per node)."""
+    sigs = dd.minhash_signatures(
+        t(spark, sf, "documents"), "doc_id", "text", n_hashes=4, shingle_n=3
+    )
+    pairs = dd.lsh_pairs(sigs, n_hashes=4, bands=4)
+    return dd.connected_components(pairs)
+
+
 def _simhash_sql(bits: int) -> str:
     hexdigits = "('1','3','5','7','9','b','d','f')"
     votes = ", ".join(

@@ -76,3 +76,26 @@ def test_non_hot_pairs_unchanged_by_cap(spark):
     assert capped[(5, 6)] == uncapped[(5, 6)]
     # hot-shingle pairs lose the hot shingle from inter AND union
     assert capped[(0, 1)] != uncapped[(0, 1)]
+
+
+def test_connected_components_directed(spark):
+    """Chains, a star, and singletons-by-absence: component = min id,
+    long chain converges via the pointer-jump step (O(log d) rounds)."""
+    from dbpedia_spotlight_db_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5-6-7-8, star 20-(21,22,23), pair 30-31
+        [(i, i + 1) for i in range(1, 8)]
+        + [(20, 21), (20, 22), (20, 23), (30, 31)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r.id: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        **{i: 1 for i in range(1, 9)},
+        **{i: 20 for i in (20, 21, 22, 23)},
+        30: 30, 31: 30,
+    }
