@@ -249,12 +249,29 @@ def lsh_bucketed_topk(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket, then exact cosine within. Recall grows with fewer planes /
-    multi-probe; partition corpus by bucket at scale."""
+    bucket, then exact cosine within. ``multiprobe=True`` also probes
+    every bucket at Hamming distance 1 (flip each sign bit once) —
+    the standard recall lever when buckets are sparse: the QUERY side
+    fans out n_planes+1 ways (tiny), the corpus is still touched only
+    at its own buckets, so at scale a query reads 1+n_planes
+    partitions instead of the corpus."""
     qb = hyperplane_buckets(queries, dim, n_planes, id_col=id_col, vec_col=vec_col)
     cb = hyperplane_buckets(corpus, dim, n_planes, id_col=id_col, vec_col=vec_col)
+    if multiprobe:
+        probes = [F.col("bucket")] + [
+            F.concat(
+                F.substring("bucket", 1, i),
+                F.when(
+                    F.substring("bucket", i + 1, 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1")),
+                F.expr(f"substring(bucket, {i + 2})"),
+            )
+            for i in range(n_planes)
+        ]
+        qb = qb.withColumn("bucket", F.explode(F.array(*probes)))
     q = qb.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket"
     ).withColumn("qn", _norm_expr("qv"))

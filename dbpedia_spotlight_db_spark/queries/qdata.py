@@ -246,6 +246,50 @@ def dedup_components(spark, sf):
     return dd.connected_components(pairs)
 
 
+@q(
+    "dedup_survivors",
+    f"""
+    WITH RECURSIVE {_SH_SQL},
+    sigs AS (
+      SELECT id,
+             MIN(md5('0:' || shingle)) AS mh0, MIN(md5('1:' || shingle)) AS mh1,
+             MIN(md5('2:' || shingle)) AS mh2, MIN(md5('3:' || shingle)) AS mh3
+      FROM sh GROUP BY id),
+    prs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.id < b.id
+       AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)),
+    edges AS (SELECT id_a AS s, id_b AS d FROM prs
+              UNION SELECT id_b, id_a FROM prs),
+    nodes AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, l) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.v),
+    comp AS (SELECT v AS id, MIN(l) AS component FROM reach GROUP BY v),
+    losers AS (SELECT id FROM comp WHERE id <> component)
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM losers x WHERE x.id = d.doc_id)
+    """,
+)
+def dedup_survivors(spark, sf):
+    """End-to-end dedup: the documents that SURVIVE near-duplicate
+    removal — each LSH dup-cluster keeps its min-id representative,
+    documents in no cluster pass through. Spark shape: components
+    (pointer-jumping) -> losers (id != component, tiny) -> broadcast
+    anti-join against the corpus — the corpus-side pass is map-only."""
+    docs = t(spark, sf, "documents")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", n_hashes=4, shingle_n=3)
+    comp = dd.connected_components(dd.lsh_pairs(sigs, n_hashes=4, bands=4))
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id"
+    )
+
+
 def _simhash_sql(bits: int) -> str:
     hexdigits = "('1','3','5','7','9','b','d','f')"
     votes = ", ".join(
@@ -453,6 +497,49 @@ def ann_lsh_topk(spark, sf):
         dim=_EMB_DIM,
         k=3,
         n_planes=_LSH_PLANES,
+    )
+
+
+@q(
+    "ann_lsh_multiprobe",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_NORM.format(v='embedding')} AS vn,
+             {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings),
+    qs AS (SELECT vec_id AS qid, embedding AS qv, vn AS qn, bucket
+           FROM b WHERE vec_id < 10),
+    qp AS (
+      SELECT qid, qv, qn,
+             CASE WHEN j = 0 THEN bucket
+                  ELSE substr(bucket, 1, j - 1)
+                       || (CASE WHEN substr(bucket, j, 1) = '1' THEN '0' ELSE '1' END)
+                       || substr(bucket, j + 1)
+             END AS bucket
+      FROM qs, (SELECT unnest(range(0, {_LSH_PLANES} + 1)) AS j)),
+    s AS (
+      SELECT qp.qid, c.vec_id AS nid,
+             {_IVF_COS.format(a='qp.qv', b='c.embedding', an='qp.qn', bn='c.vn')} AS cos
+      FROM qp JOIN b c ON qp.bucket = c.bucket AND qp.qid <> c.vec_id)
+    SELECT qid, nid, cos, nn_rank FROM (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS nn_rank
+      FROM s) WHERE nn_rank <= 3
+    """,
+)
+def ann_lsh_multiprobe(spark, sf):
+    """Hamming-distance-1 multi-probe LSH top-k: the query fans out to
+    its own bucket plus each one-bit-flipped bucket (n_planes+1
+    probes), recovering neighbors that a single sign flip separated.
+    Same deterministic md5-sign planes as ann_lsh_topk, full oracle."""
+    emb = t(spark, sf, "embeddings")
+    return ann_ops.lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        dim=_EMB_DIM,
+        k=3,
+        n_planes=_LSH_PLANES,
+        multiprobe=True,
     )
 
 
