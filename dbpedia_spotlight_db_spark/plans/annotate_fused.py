@@ -90,10 +90,45 @@ def build_model(
     into the model (the reference resolves the redirect closure at
     model-build time — WikipediaToDBpediaClosure): the fused pass then
     emits canonical annotations directly and the relational
-    ``canonicalize`` join is not needed downstream."""
-    sf_rows = stores["surface_forms"].select(
-        "surface_form", "sf_id", "annotation_prob"
-    ).collect()
+    ``canonicalize`` join is not needed downstream.
+
+    The four store collects are independent Spark actions submitted
+    CONCURRENTLY (thread pool): with lazily-persisted store tables the
+    sequential form materialized the shared P0 lineage one chain at a
+    time; concurrent submission overlaps those jobs (Spark's scheduler
+    and block manager are thread-safe; shared cached parents are
+    computed once and served to the other jobs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ent = stores["entities"].select("entity_id", "uri", "support")
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_sf = pool.submit(
+            stores["surface_forms"]
+            .select("surface_form", "sf_id", "annotation_prob")
+            .collect
+        )
+        f_total = pool.submit(
+            lambda: float(ent.agg(F.sum("support")).collect()[0][0])
+        )
+        f_cand = pool.submit(
+            stores["candidate_map"]
+            .join(ent, "entity_id")
+            .select("sf_id", "entity_id", "uri", "support", "pair_count")
+            .collect
+        )
+        f_vocab = pool.submit(
+            stores["tokens"]
+            .join(stores["icf"].select("token_id", "icf"), "token_id")
+            .select("token", "token_id", "icf")
+            .collect
+        )
+        f_vecs = pool.submit(entity_vecs_dict, stores)
+        sf_rows = f_sf.result()
+        total_support = f_total.result()
+        cand_rows = f_cand.result()
+        vocab_rows = f_vocab.result()
+        entity_vecs = f_vecs.result()
+
     sf_info = {
         r.surface_form: (int(r.sf_id), float(r.annotation_prob)) for r in sf_rows
     }
@@ -101,14 +136,6 @@ def build_model(
         [tuple(s.split(" ")) for s in sf_info]
     )
 
-    ent = stores["entities"].select("entity_id", "uri", "support")
-    total_support = float(ent.agg(F.sum("support")).collect()[0][0])
-    cand_rows = (
-        stores["candidate_map"]
-        .join(ent, "entity_id")
-        .select("sf_id", "entity_id", "uri", "support", "pair_count")
-        .collect()
-    )
     by_sf: dict[int, list] = {}
     for r in cand_rows:
         prior = math.log(r.support / total_support) + math.log(
@@ -128,15 +155,7 @@ def build_model(
             [math.exp(x[0]) for x in lst],
         )
 
-    vocab_rows = (
-        stores["tokens"]
-        .join(stores["icf"].select("token_id", "icf"), "token_id")
-        .select("token", "token_id", "icf")
-        .collect()
-    )
     vocab = {r.token: (int(r.token_id), float(r.icf)) for r in vocab_rows}
-
-    entity_vecs = entity_vecs_dict(stores)
 
     canon_map: dict = {}
     disambig: frozenset = frozenset()
