@@ -130,7 +130,7 @@ class _CpuSampler:
     stolen cycles were never available to the job, and counting them
     as busy would bias the attribution the metric exists for."""
 
-    def __init__(self, cores: int):
+    def __init__(self):
         self.cpus = sorted(os.sched_getaffinity(0))
         self.samples: list[float] = []
         self._stop = False
@@ -275,7 +275,7 @@ def leg_mode(cores: int, replicate: int) -> None:
     )
     annotate_to_triples(spark, warm, stores, model_bc=model_bc).count()
 
-    sampler = _CpuSampler(cores)
+    sampler = _CpuSampler()
     gc0 = _jvm_gc_ms(spark)
     sampler.start()
     t0 = time.perf_counter()

@@ -140,7 +140,7 @@ def derive_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
         )
     )
     links = linked.groupBy("doc_id").agg(F.collect_list("link").alias("links"))
-    return (
+    corpus = (
         docs.select("doc_id", "text")
         .join(links, "doc_id", "left")
         .join(
@@ -159,11 +159,19 @@ def derive_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
             ),
         )
     )
+    # own the cache lifecycle: materialize the corpus (its cache now
+    # carries the token arrays), then drop the interim tokenized cache
+    # — otherwise the largest column sits in memory twice for the rest
+    # of the session
+    corpus = corpus.persist()
+    corpus.count()
+    tokenized.unpersist()
+    return corpus
 
 
 def world_stores(spark: SparkSession, docs: DataFrame) -> dict:
     """P0: deterministic annotated corpus -> the six count stores."""
-    corpus = derive_corpus(spark, docs).persist()
+    corpus = derive_corpus(spark, docs)  # persisted+materialized inside
     types_df = spark.createDataFrame(WORLD_TYPES, ["uri", "type"])
     return build_stores(spark, corpus, instance_types=types_df)
 

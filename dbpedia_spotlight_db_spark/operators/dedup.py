@@ -35,23 +35,47 @@ def parquet_checkpoint(df: DataFrame, tag: str) -> DataFrame:
     re-read it. Deliberately NOT .persist(): at multi-M rows the
     deserialized cache is a GC storm, while a parquet round-trip
     through spark.local.dir (tmpfs here) measured faster (CLAUDE.md
-    perf note). Each call writes a UNIQUE path (pid + counter): a
-    fixed per-tag path would let a later call clobber the files behind
-    a previously returned lazy DataFrame (and race across processes).
-    Space is bounded by calls per process; the dirs live under
-    spark.local.dir, which the host clears like Spark's own scratch."""
-    global _CKPT_SEQ
-    _CKPT_SEQ += 1
+    perf note). Each call writes a UNIQUE path (pid + atomic counter):
+    a fixed per-tag path would let a later call clobber the files
+    behind a previously returned lazy DataFrame (and race across
+    processes/threads). Space lifecycle: all generations are removed
+    at interpreter exit (atexit), and per tag only the newest
+    ``_CKPT_KEEP`` generations are kept — every in-repo caller
+    consumes a checkpoint before writing more than that many newer
+    ones of the same tag."""
     spark = df.sparkSession
     base = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
     path = os.path.join(
-        base, "spark_graft_ckpt", f"{tag}-{os.getpid()}-{_CKPT_SEQ}"
+        base,
+        "spark_graft_ckpt",
+        f"{tag}-{os.getpid()}-{next(_CKPT_COUNTER)}",
     )
     df.write.mode("overwrite").parquet(path)
+    _CKPT_PATHS.setdefault(tag, []).append(path)
+    stale = _CKPT_PATHS[tag][:-_CKPT_KEEP]
+    _CKPT_PATHS[tag] = _CKPT_PATHS[tag][-_CKPT_KEEP:]
+    import shutil
+
+    for p in stale:
+        shutil.rmtree(p, ignore_errors=True)
     return spark.read.parquet(path)
 
 
-_CKPT_SEQ = 0
+import atexit
+import itertools
+
+_CKPT_COUNTER = itertools.count()
+_CKPT_PATHS: dict[str, list[str]] = {}
+_CKPT_KEEP = 4
+
+
+@atexit.register
+def _cleanup_checkpoints() -> None:
+    import shutil
+
+    for paths in _CKPT_PATHS.values():
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def shingle_df(
@@ -235,10 +259,16 @@ def connected_components(
     small-star alternation (same join shapes, better skew behavior on
     giant components); the fixpoint semantics checked by the DuckDB
     recursive-CTE oracle are identical."""
-    edges = pairs.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).unionByName(
-        pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    # checkpoint the symmetric edge set ONCE: each convergence round
+    # runs two jobs over it (propagate + changed-count), and `pairs`
+    # upstream is typically the expensive LSH self-join — without the
+    # checkpoint every round would re-execute that whole lineage
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(
+            pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .localCheckpoint(eager=True)
     )
     lab = (
         edges.select(F.col("s").alias("v"))
@@ -275,6 +305,13 @@ def connected_components(
         lab = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — component labels would be silently wrong; "
+            "raise max_iter (pointer jumping needs O(log diameter) "
+            "rounds, so this indicates a pathologically deep graph)"
+        )
     return lab.select(F.col("v").alias("id"), F.col("l").alias("component"))
 
 

@@ -97,13 +97,18 @@ def build_stores(
     # reuse the corpus's token arrays when the source carries them
     # (derive_corpus tokenizes once and ships tokens along); fall back
     # to tokenizing here for plain (doc_id, text, links) corpora.
-    # The reuse branch does NOT persist: callers cache the corpus
-    # itself (world_stores), so a second cache of the same token
-    # arrays would just duplicate the largest column in memory.
+    # The reuse branch does not re-persist an already-cached corpus
+    # (that would duplicate the largest column in memory) — but an
+    # UNcached tokens-carrying corpus must be persisted here, else the
+    # two downstream consumers would each re-run the corpus lineage.
     if "tokens" in wiki_corpus.columns:
         tokenized = wiki_corpus.select(
             F.col("doc_id").cast("string").alias("url"), "tokens"
         )
+        from pyspark import StorageLevel
+
+        if wiki_corpus.storageLevel == StorageLevel.NONE:
+            tokenized = tokenized.persist()
     else:
         tokenized = wiki_corpus.select(
             F.col("doc_id").cast("string").alias("url"),
