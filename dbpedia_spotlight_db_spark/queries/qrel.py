@@ -296,6 +296,67 @@ def win_rank(spark, sf):
 
 
 @q(
+    "events_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    f AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev IS NULL
+                       OR date_diff('second', prev, ts) > 43200
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+    SELECT user_id, CAST(sid AS INT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS INT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_sessionize(spark, sf):
+    """Sessionization (batch face): a session is a maximal run of a
+    user's events with consecutive gaps <= 12h — the gap-and-cumsum
+    window formulation (lag -> new-session flag -> running sum as
+    session id). Deterministic tie-break (ts, event_id). The streaming
+    twin (streaming/sessionize_stream, applyInPandasWithState) carries
+    the open session as group state instead of a window."""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = 43200
+    flagged = e.select(
+        "user_id", "event_id", "ts", F.lag("ts").over(w).alias("prev")
+    ).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("prev").cast("timestamp"))
+                > gap
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sid = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sid.groupBy("user_id", F.col("sid").cast("int").alias("session_id")).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+    )
+
+
+@q(
     "sort_limit",
     """
     SELECT l_orderkey, l_linenumber FROM lineitem

@@ -43,6 +43,89 @@ def annotate_stream(
     )
 
 
+def sessionize_stream(
+    events_stream: DataFrame, gap_seconds: int = 43200
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    per-user sessionization (maximal runs with consecutive gaps <=
+    ``gap_seconds``). The open session rides in the group state
+    (start/last/n as epoch seconds) across micro-batches; a session is
+    EMITTED when a later event closes it by exceeding the gap. The
+    batch twin is queries/qrel.events_sessionize (lag + cumsum
+    windows); tests/test_streaming.py proves the streamed closed
+    sessions equal the batch sessions minus each user's final (still
+    open) one, driving multiple micro-batches via maxFilesPerTrigger
+    so state genuinely crosses batch boundaries.
+
+    Contract: events arrive in ts order PER KEY across micro-batches
+    (a time-bucketed file source or per-key-ordered log like a Kafka
+    partition). Out-of-order sources need the event-time session
+    window + watermark formulation instead."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events int"
+    )
+    # epoch MICROSECONDS as int64 — float seconds lose sub-microsecond
+    # precision at 2024 epochs and fail Arrow's safe timestamp cast
+    state_schema = "start long, last long, n int"
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            # tz-aware datetime64[ns] -> exact integer microseconds
+            ts_list.extend(
+                int(v) // 1000 for v in pdf["ts"].astype("int64")
+            )
+        ts_list.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        out = []
+        for ts in ts_list:
+            if start is None:
+                start, last, n = ts, ts, 1
+            elif ts - last > gap_us:
+                out.append((user_id, start, last, n))
+                start, last, n = ts, ts, 1
+            else:
+                last, n = ts, n + 1
+        state.update((int(start), int(last), int(n)))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": pd.to_datetime(
+                        [o[1] for o in out], unit="us", utc=True
+                    ),
+                    "session_end": pd.to_datetime(
+                        [o[2] for o in out], unit="us", utc=True
+                    ),
+                    "n_events": pd.Series(
+                        [o[3] for o in out], dtype="int32"
+                    ),
+                }
+            )
+
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window_dur: str = "1 hour",

@@ -85,3 +85,70 @@ def test_annotate_stream_equals_batch(spark, tmp_path, pages_df, stores):
         )
     )
     assert got == want and got
+
+
+def test_sessionize_stream_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted
+    by the stream == batch sessions minus each user's final (still
+    open) session. maxFilesPerTrigger=1 over range-partitioned files
+    forces multiple micro-batches, so the open session genuinely
+    rides in group state across batches."""
+    from dbpedia_spotlight_db_spark.queries.qrel import events_sessionize
+    from dbpedia_spotlight_db_spark.streaming.annotate_stream import (
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "events_src")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # the operator's contract is in-order arrival per key across
+    # micro-batches (a time-bucketed source); FileStreamSource orders
+    # files by modification time, so write each time slice as its own
+    # append with a distinct mtime
+    import time as _time
+
+    from pyspark.sql import functions as _F
+
+    cuts = ev.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), array(0.25, 0.5, 0.75)) as p"
+    ).collect()[0].p
+    bounds = [float("-inf")] + list(cuts) + [float("inf")]
+    for i in range(4):
+        sl = ev.filter(
+            (_F.unix_micros(_F.col("ts").cast("timestamp")) > bounds[i])
+            & (_F.unix_micros(_F.col("ts").cast("timestamp")) <= bounds[i + 1])
+        )
+        sl.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None
+
+    def norm(rows):
+        return {
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+            for r in rows
+        }
+
+    got = norm(spark.table("sess_stream").collect())
+
+    batch = events_sessionize(spark, "/root/testdata/sf0.001").collect()
+    last_sid = {}
+    for r in batch:
+        last_sid[r.user_id] = max(last_sid.get(r.user_id, 0), r.session_id)
+    want = norm(
+        [r for r in batch if r.session_id != last_sid[r.user_id]]
+    )
+    assert got == want and got
