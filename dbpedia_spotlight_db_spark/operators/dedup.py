@@ -116,12 +116,25 @@ def minhash_signatures(
     n_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per doc: for seed i, sig_i = min over shingles
-    of md5(i || ':' || shingle) (hex string min == numeric min for
-    fixed-width lowercase hex). Output: id, mh0..mh{n-1}."""
-    sh = shingle_df(df, id_col, text_col, shingle_n).dropDuplicates(["id", "shingle"])
+    """MinHash signature per doc: ONE md5 per shingle, sliced into
+    ``n_hashes`` disjoint fixed-width hex ranges — each slice is an
+    independent uniform hash of the shingle, and hex-string min ==
+    numeric min for fixed-width lowercase hex. One hash call instead
+    of n per exploded shingle row (the explode is the dominant cost
+    of the minhash/LSH family at corpus scale). ``n_hashes`` must
+    divide 32 (md5 hex length). Output: id, mh0..mh{n-1}.
+
+    No per-doc shingle dedup: MIN is idempotent over duplicates, so
+    the distinct that jaccard needs would only add a full shuffle of
+    the exploded relation here — the single groupBy(id) min-agg is
+    map-side combinable and is the only exchange."""
+    assert 32 % n_hashes == 0, "n_hashes must divide 32 (md5 hex chars)"
+    L = 32 // n_hashes
+    sh = shingle_df(df, id_col, text_col, shingle_n).withColumn(
+        "_h", F.md5(F.col("shingle"))
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(F.substring("_h", i * L + 1, L)).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)

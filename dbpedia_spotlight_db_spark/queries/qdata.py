@@ -147,8 +147,10 @@ _SH_SQL = r"""
     f"""
     WITH {_SH_SQL}
     SELECT id,
-           MIN(md5('0:' || shingle)) AS mh0, MIN(md5('1:' || shingle)) AS mh1,
-           MIN(md5('2:' || shingle)) AS mh2, MIN(md5('3:' || shingle)) AS mh3
+           MIN(substring(md5(shingle), 1, 8)) AS mh0,
+           MIN(substring(md5(shingle), 9, 8)) AS mh1,
+           MIN(substring(md5(shingle), 17, 8)) AS mh2,
+           MIN(substring(md5(shingle), 25, 8)) AS mh3
     FROM sh GROUP BY id
     """,
 )
@@ -164,8 +166,10 @@ def dedup_minhash(spark, sf):
     WITH {_SH_SQL},
     sigs AS (
       SELECT id,
-             MIN(md5('0:' || shingle)) AS mh0, MIN(md5('1:' || shingle)) AS mh1,
-             MIN(md5('2:' || shingle)) AS mh2, MIN(md5('3:' || shingle)) AS mh3
+             MIN(substring(md5(shingle), 1, 8)) AS mh0,
+             MIN(substring(md5(shingle), 9, 8)) AS mh1,
+             MIN(substring(md5(shingle), 17, 8)) AS mh2,
+             MIN(substring(md5(shingle), 25, 8)) AS mh3
       FROM sh GROUP BY id)
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM sigs a JOIN sigs b
@@ -215,8 +219,10 @@ def dedup_jaccard(spark, sf):
     WITH RECURSIVE {_SH_SQL},
     sigs AS (
       SELECT id,
-             MIN(md5('0:' || shingle)) AS mh0, MIN(md5('1:' || shingle)) AS mh1,
-             MIN(md5('2:' || shingle)) AS mh2, MIN(md5('3:' || shingle)) AS mh3
+             MIN(substring(md5(shingle), 1, 8)) AS mh0,
+             MIN(substring(md5(shingle), 9, 8)) AS mh1,
+             MIN(substring(md5(shingle), 17, 8)) AS mh2,
+             MIN(substring(md5(shingle), 25, 8)) AS mh3
       FROM sh GROUP BY id),
     prs AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -252,8 +258,10 @@ def dedup_components(spark, sf):
     WITH RECURSIVE {_SH_SQL},
     sigs AS (
       SELECT id,
-             MIN(md5('0:' || shingle)) AS mh0, MIN(md5('1:' || shingle)) AS mh1,
-             MIN(md5('2:' || shingle)) AS mh2, MIN(md5('3:' || shingle)) AS mh3
+             MIN(substring(md5(shingle), 1, 8)) AS mh0,
+             MIN(substring(md5(shingle), 9, 8)) AS mh1,
+             MIN(substring(md5(shingle), 17, 8)) AS mh2,
+             MIN(substring(md5(shingle), 25, 8)) AS mh3
       FROM sh GROUP BY id),
     prs AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
