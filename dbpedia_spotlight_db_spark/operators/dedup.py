@@ -40,9 +40,13 @@ def parquet_checkpoint(df: DataFrame, tag: str) -> DataFrame:
     behind a previously returned lazy DataFrame (and race across
     processes/threads). Space lifecycle: all generations are removed
     at interpreter exit (atexit), and per tag only the newest
-    ``_CKPT_KEEP`` generations are kept — every in-repo caller
-    consumes a checkpoint before writing more than that many newer
-    ones of the same tag."""
+    ``_CKPT_KEEP`` generations are kept. CONTRACT: a returned
+    DataFrame must be consumed before ``_CKPT_KEEP`` newer
+    checkpoints of the SAME tag are written — a caller holding a lazy
+    result across a longer parameter sweep must materialize it first
+    (every in-repo caller consumes within the same query). Registry
+    mutations are lock-guarded (build_model submits Spark actions
+    from a thread pool)."""
     spark = df.sparkSession
     base = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
     path = os.path.join(
@@ -51,9 +55,10 @@ def parquet_checkpoint(df: DataFrame, tag: str) -> DataFrame:
         f"{tag}-{os.getpid()}-{next(_CKPT_COUNTER)}",
     )
     df.write.mode("overwrite").parquet(path)
-    _CKPT_PATHS.setdefault(tag, []).append(path)
-    stale = _CKPT_PATHS[tag][:-_CKPT_KEEP]
-    _CKPT_PATHS[tag] = _CKPT_PATHS[tag][-_CKPT_KEEP:]
+    with _CKPT_LOCK:
+        _CKPT_PATHS.setdefault(tag, []).append(path)
+        stale = _CKPT_PATHS[tag][:-_CKPT_KEEP]
+        _CKPT_PATHS[tag] = _CKPT_PATHS[tag][-_CKPT_KEEP:]
     import shutil
 
     for p in stale:
@@ -63,10 +68,12 @@ def parquet_checkpoint(df: DataFrame, tag: str) -> DataFrame:
 
 import atexit
 import itertools
+import threading
 
 _CKPT_COUNTER = itertools.count()
 _CKPT_PATHS: dict[str, list[str]] = {}
 _CKPT_KEEP = 4
+_CKPT_LOCK = threading.Lock()
 
 
 @atexit.register
@@ -113,7 +120,7 @@ def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n_hashes: int = 8,
+    n_hashes: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signature per doc: ONE md5 per shingle, sliced into
@@ -122,13 +129,20 @@ def minhash_signatures(
     numeric min for fixed-width lowercase hex. One hash call instead
     of n per exploded shingle row (the explode is the dominant cost
     of the minhash/LSH family at corpus scale). ``n_hashes`` must
-    divide 32 (md5 hex length). Output: id, mh0..mh{n-1}.
+    divide 32 (md5 hex length) and be <= 4, keeping every slice >=
+    32 bits: narrower slices (e.g. 16-bit at n_hashes=8) saturate
+    toward 0 on large documents and the LSH band join then produces
+    spurious collisions far above the Jaccard estimate. For more than
+    4 hash functions, derive extra slices from md5 of a salted
+    shingle instead. Output: id, mh0..mh{n-1}.
 
     No per-doc shingle dedup: MIN is idempotent over duplicates, so
     the distinct that jaccard needs would only add a full shuffle of
     the exploded relation here — the single groupBy(id) min-agg is
     map-side combinable and is the only exchange."""
-    assert 32 % n_hashes == 0, "n_hashes must divide 32 (md5 hex chars)"
+    assert 32 % n_hashes == 0 and n_hashes <= 4, (
+        "n_hashes must divide 32 and be <= 4 (slices stay >= 32 bits)"
+    )
     L = 32 // n_hashes
     sh = shingle_df(df, id_col, text_col, shingle_n).withColumn(
         "_h", F.md5(F.col("shingle"))
@@ -275,13 +289,16 @@ def connected_components(
     # checkpoint the symmetric edge set ONCE: each convergence round
     # runs two jobs over it (propagate + changed-count), and `pairs`
     # upstream is typically the expensive LSH self-join — without the
-    # checkpoint every round would re-execute that whole lineage
-    edges = (
+    # checkpoint every round would re-execute that whole lineage.
+    # parquet_checkpoint, not localCheckpoint: the edge set is the
+    # multi-M-row multiply-consumed relation the repo's cache rule
+    # covers (deserialized JVM cache = GC storm; CLAUDE.md)
+    edges = parquet_checkpoint(
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(
             pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-        )
-        .localCheckpoint(eager=True)
+        ),
+        "cc_edges",
     )
     lab = (
         edges.select(F.col("s").alias("v"))

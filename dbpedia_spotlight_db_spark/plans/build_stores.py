@@ -52,7 +52,12 @@ def build_stores(
     instance_types: DataFrame | None = None,
     salt_n: int = 32,
 ) -> dict[str, DataFrame]:
-    """wiki_corpus(doc_id, text, links) -> the six store tables."""
+    """wiki_corpus(doc_id, text, links[, tokens]) -> the six store
+    tables. Cache ownership: the returned store tables (and their
+    intermediates) stay persisted for the session — P0 runs once per
+    model build and everything downstream reuses them; a
+    memory-constrained caller building several store sets should
+    spark.catalog.clearCache() between builds."""
     occ = wiki_corpus.select(
         "doc_id", F.explode("links").alias("l")
     ).select(

@@ -301,7 +301,7 @@ def win_rank(spark, sf):
     WITH o AS (
       SELECT user_id, event_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     f AS (
       SELECT user_id, event_id, ts,
              CASE WHEN prev IS NULL
@@ -326,7 +326,8 @@ def events_sessionize(spark, sf):
     session id). Deterministic tie-break (ts, event_id). The streaming
     twin (streaming/sessionize_stream, applyInPandasWithState) carries
     the open session as group state instead of a window."""
-    e = t(spark, sf, "events")
+    # null-ts events are excluded (parity with sessionize_stream)
+    e = t(spark, sf, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = 43200
     flagged = e.select(

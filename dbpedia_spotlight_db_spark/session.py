@@ -54,6 +54,10 @@ def get_spark(
         )
         # --- broadcast: store tables are size-known small dims ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # deterministic timestamps everywhere: pandas/Arrow boundaries
+        # localize to the session tz, so a host-dependent tz would skew
+        # stateful-streaming epochs and oracle timestamp comparisons
+        .config("spark.sql.session.timeZone", "UTC")
         # quieter local runs
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))

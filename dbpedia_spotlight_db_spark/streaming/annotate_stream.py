@@ -69,18 +69,24 @@ def sessionize_stream(
         "n_events int"
     )
     # epoch MICROSECONDS as int64 — float seconds lose sub-microsecond
-    # precision at 2024 epochs and fail Arrow's safe timestamp cast
+    # precision at 2024 epochs and fail Arrow's safe timestamp cast.
+    # The gap test compares WHOLE SECONDS (integer division), mirroring
+    # the batch twin's unix_timestamp()/date_diff('second') truncation —
+    # sub-second gap boundaries must agree across the twins.
     state_schema = "start long, last long, n int"
-    gap_us = gap_seconds * 1_000_000
 
     def fn(key, pdfs, state):
         (user_id,) = key
         ts_list: list[int] = []
         for pdf in pdfs:
-            # tz-aware datetime64[ns] -> exact integer microseconds
-            ts_list.extend(
-                int(v) // 1000 for v in pdf["ts"].astype("int64")
-            )
+            # applyInPandasWithState delivers session-tz-naive
+            # datetime64[ns] wall clocks; keep everything naive so the
+            # round-trip is tz-independent (the session tz is pinned
+            # to UTC in session.py anyway)
+            col = pdf["ts"]
+            if getattr(col.dtype, "tz", None) is not None:
+                col = col.dt.tz_localize(None)
+            ts_list.extend(int(v) // 1000 for v in col.astype("int64"))
         ts_list.sort()
         if state.exists:
             start, last, n = state.get
@@ -91,7 +97,7 @@ def sessionize_stream(
         for ts in ts_list:
             if start is None:
                 start, last, n = ts, ts, 1
-            elif ts - last > gap_us:
+            elif ts // 1_000_000 - last // 1_000_000 > gap_seconds:
                 out.append((user_id, start, last, n))
                 start, last, n = ts, ts, 1
             else:
@@ -102,10 +108,10 @@ def sessionize_stream(
                 {
                     "user_id": [o[0] for o in out],
                     "session_start": pd.to_datetime(
-                        [o[1] for o in out], unit="us", utc=True
+                        [o[1] for o in out], unit="us"
                     ),
                     "session_end": pd.to_datetime(
-                        [o[2] for o in out], unit="us", utc=True
+                        [o[2] for o in out], unit="us"
                     ),
                     "n_events": pd.Series(
                         [o[3] for o in out], dtype="int32"
@@ -114,7 +120,8 @@ def sessionize_stream(
             )
 
     return (
-        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        events_stream.filter(F.col("ts").isNotNull())  # NaT crashes int64
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,

@@ -31,7 +31,7 @@ def test_windowed_event_counts_match_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     got = {
         (r.win_start, r.event_type): r.n
         for r in spark.table("evt_counts").collect()
@@ -70,7 +70,7 @@ def test_annotate_stream_equals_batch(spark, tmp_path, pages_df, stores):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     def keys(df):
         return {
@@ -133,7 +133,7 @@ def test_sessionize_stream_state_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
     assert q.lastProgress is not None
 
     def norm(rows):
