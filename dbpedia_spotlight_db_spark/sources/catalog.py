@@ -62,6 +62,36 @@ def save(
     return path
 
 
+def iceberg_ddl(
+    name: str,
+    schema,
+    partition_by: list[str] | None = None,
+    bucket_key: str | None = None,
+    n_buckets: int = 16,
+    catalog: str = "spark_catalog",
+) -> str:
+    """The production DDL this seam targets (SURVEY.md §4.3): an
+    Iceberg table with identity partitioning on e.g. ``lang`` and
+    hash-bucket partitioning on the join key, so J1/J3 bucket joins
+    and partition pruning work without extra shuffles. The sandbox has
+    no Iceberg jars (SURVEY.md §0), so this returns the statement for
+    the deployment to execute; the parquet fallback in ``save`` /
+    ``save_bucketed`` mirrors the same layout locally."""
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    parts = list(partition_by or [])
+    if bucket_key:
+        parts.append(f"bucket({n_buckets}, {bucket_key})")
+    part_clause = f" PARTITIONED BY ({', '.join(parts)})" if parts else ""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {catalog}.{name} ({cols}) "
+        f"USING iceberg{part_clause} "
+        "TBLPROPERTIES ('format-version' = '2', "
+        "'write.distribution-mode' = 'hash')"
+    )
+
+
 def save_bucketed(
     df: DataFrame,
     name: str,

@@ -157,3 +157,21 @@ def wrap(text: str) -> bytes:
 @settings(max_examples=300, deadline=None)
 def test_extract_byte_identity(text):
     assert _extract_one(wrap(text)) == text
+
+
+@given(st.text(min_size=0, max_size=24))
+@settings(max_examples=300, deadline=None)
+def test_porter_stemmer_total_and_deterministic(word):
+    """The stemmer is a total, deterministic function on arbitrary
+    text (the tokenizer feeds it every lowercased \\w+ token,
+    including digits, underscores, and non-Latin scripts): never
+    raises, idempotent across calls, never returns empty for
+    non-empty input."""
+    from dbpedia_spotlight_db_spark.functions.text import porter_stem
+
+    a = porter_stem(word)
+    assert a == porter_stem(word)
+    if word:
+        assert a
+    # stemming only ever strips/rewrites suffixes of bounded growth
+    assert len(a) <= len(word) + 1

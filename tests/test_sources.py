@@ -51,3 +51,24 @@ def test_catalog_roundtrip_with_manifest(spark, tmp_path):
     # idempotent overwrite (lineage requirement: never append)
     catalog.save(df, "t1", root, partition_by=["lang"])
     assert catalog.load(spark, "t1", root).count() == 3
+
+
+def test_iceberg_ddl_shape():
+    """The catalog seam's production DDL: identity + bucket
+    partitioning over the declared schema (no Iceberg jars locally —
+    SURVEY.md §0 — so the statement itself is the contract)."""
+    from dbpedia_spotlight_db_spark import schemas
+    from dbpedia_spotlight_db_spark.sources.catalog import iceberg_ddl
+
+    ddl = iceberg_ddl(
+        "pages", schemas.PAGES, partition_by=["lang"],
+        bucket_key="url", n_buckets=32,
+    )
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS spark_catalog.pages (")
+    assert "url string" in ddl and "html binary" in ddl
+    assert "USING iceberg" in ddl
+    assert "PARTITIONED BY (lang, bucket(32, url))" in ddl
+    assert "'format-version' = '2'" in ddl
+
+    plain = iceberg_ddl("triples", schemas.TRIPLES)
+    assert "PARTITIONED BY" not in plain
