@@ -265,6 +265,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_pairs(
+    fingerprints: DataFrame,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by banded Hamming search over simhash
+    fingerprints. Pigeonhole guarantee: with ``bands`` chunks, any two
+    fingerprints within Hamming distance ``bands - 1`` share at least
+    one unchanged chunk — so for ``max_hamming < bands`` the banded
+    candidate generation has EXACT recall (unlike MinHash-LSH's
+    probabilistic bands). Chunk-equality buckets are the join key (a
+    uniform self-join, never all-pairs); exact Hamming distance is
+    computed inside the row with array HOFs; hot buckets above
+    ``max_bucket`` are dropped by the same partial-agg-count +
+    broadcast anti-join pattern as lsh_pairs. Output: id_a, id_b,
+    hamming."""
+    assert bits % bands == 0 and max_hamming < bands
+    chunk = bits // bands
+    banded = None
+    for b in range(bands):
+        part = fingerprints.select(
+            "id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * chunk + 1, chunk).alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    counts = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    banded = banded.join(
+        F.broadcast(counts.filter(F.col("_n") > max_bucket)),
+        ["band", "bucket"],
+        "left_anti",
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    hamming = F.expr(
+        f"size(filter(sequence(1, {bits}),"
+        " i -> substring(a.simhash, i, 1) != substring(b.simhash, i, 1)))"
+    )
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

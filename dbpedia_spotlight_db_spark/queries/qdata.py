@@ -321,6 +321,36 @@ def dedup_simhash(spark, sf):
     return dd.simhash(t(spark, sf, "documents"), "doc_id", "text", bits=16)
 
 
+@q(
+    "dedup_simhash_pairs",
+    f"""
+    WITH fp AS ({_simhash_sql(16)}),
+    banded AS (
+      SELECT id, simhash, j AS band,
+             substring(simhash, j * 4 + 1, 4) AS bucket
+      FROM fp, (SELECT unnest([0, 1, 2, 3]) AS j)),
+    s AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             len(list_filter(range(1, 17),
+                 i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+    SELECT DISTINCT id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM s WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf):
+    """Banded Hamming near-dup pairs over 16-bit simhash fingerprints
+    (4 chunks -> pigeonhole-EXACT recall at hamming <= 3). The twin
+    replicates banding, in-row Hamming, and the <= 3 filter; the
+    hot-bucket cap is a no-op at 500 docs and mirrors lsh_pairs at
+    scale."""
+    fp = dd.simhash(t(spark, sf, "documents"), "doc_id", "text", bits=16)
+    return dd.simhash_pairs(
+        fp, bits=16, bands=4, max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 # ---------------------------------------------------------------------------
 # ANN similarity search
 # ---------------------------------------------------------------------------

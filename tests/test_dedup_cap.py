@@ -99,3 +99,35 @@ def test_connected_components_directed(spark):
         **{i: 20 for i in (20, 21, 22, 23)},
         30: 30, 31: 30,
     }
+
+
+def test_simhash_pairs_pigeonhole_exact(spark):
+    """Banded candidate generation has EXACT recall for
+    hamming <= bands-1 (pigeonhole): banded pairs == brute-force
+    all-pairs Hamming on random 16-bit fingerprints."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_db_spark.operators.dedup import simhash_pairs
+
+    rng = random.Random(7)
+    fps = [(i, "".join(rng.choice("01") for _ in range(16))) for i in range(60)]
+    # seed some near-dups so the <=3 band actually fires
+    for i in range(0, 20, 2):
+        base = list(fps[i][1])
+        flip = rng.randrange(16)
+        base[flip] = "1" if base[flip] == "0" else "0"
+        fps[i + 1] = (fps[i + 1][0], "".join(base))
+    df = spark.createDataFrame(fps, ["id", "simhash"])
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(df, bits=16, bands=4, max_hamming=3).collect()
+    }
+    want = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            h = sum(a != b for a, b in zip(fps[i][1], fps[j][1]))
+            if h <= 3:
+                want.add((fps[i][0], fps[j][0], h))
+    assert got == want and got
