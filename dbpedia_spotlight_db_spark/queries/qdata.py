@@ -581,6 +581,56 @@ def ann_lsh_multiprobe(spark, sf):
     )
 
 
+@q(
+    "embed_quantize",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings),
+    e AS (
+      SELECT vec_id, round(maxabs / 127.0, 9) AS scale,
+             CAST(j AS INT) AS dim_idx,
+             CASE WHEN maxabs > 0
+                  THEN CAST(round(CAST(embedding[j + 1] AS DOUBLE) * 127.0 / maxabs) AS INT)
+                  ELSE 0 END AS qval
+      FROM m, (SELECT unnest(range(0, 64)) AS j))
+    SELECT vec_id, scale, dim_idx, qval FROM e
+    """,
+)
+def embed_quantize(spark, sf):
+    """int8 symmetric quantization of the embedding column — the
+    standard compression for web-scale vector stores (4x smaller than
+    float32, dequantize = qval * scale). Per-vector max-abs scaling,
+    qval = round(x * 127 / maxabs) in [-127, 127]; all column HOFs,
+    no UDF, and exploded (vec_id, dim_idx, qval) rows so the driver
+    comparator can hash them. Both engines round half-away-from-zero,
+    so the twin matches bit-for-bit."""
+    emb = t(spark, sf, "embeddings")
+    maxabs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    m = emb.select("vec_id", "embedding", maxabs.alias("maxabs"))
+    return m.select(
+        "vec_id",
+        F.round(F.col("maxabs") / 127.0, 9).alias("scale"),
+        F.posexplode("embedding").alias("dim_idx", "x"),
+        "maxabs",
+    ).select(
+        "vec_id",
+        "scale",
+        "dim_idx",
+        F.when(
+            F.col("maxabs") > 0,
+            F.round(F.col("x").cast("double") * 127.0 / F.col("maxabs")),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("qval"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analytics
 # ---------------------------------------------------------------------------
