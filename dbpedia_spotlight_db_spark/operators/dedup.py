@@ -270,7 +270,6 @@ def simhash_pairs(
     bits: int = 16,
     bands: int = 4,
     max_hamming: int = 3,
-    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by banded Hamming search over simhash
     fingerprints. Pigeonhole guarantee: with ``bands`` chunks, any two
@@ -278,11 +277,16 @@ def simhash_pairs(
     one unchanged chunk — so for ``max_hamming < bands`` the banded
     candidate generation has EXACT recall (unlike MinHash-LSH's
     probabilistic bands). Chunk-equality buckets are the join key (a
-    uniform self-join, never all-pairs); exact Hamming distance is
-    computed inside the row with array HOFs; hot buckets above
-    ``max_bucket`` are dropped by the same partial-agg-count +
-    broadcast anti-join pattern as lsh_pairs. Output: id_a, id_b,
-    hamming."""
+    chunk-keyed self-join, never all-pairs); exact Hamming distance
+    is computed inside the row with array HOFs.
+
+    NO hot-bucket cap here, deliberately: exact recall forbids
+    dropping buckets (unlike lsh_pairs, whose bands are already
+    probabilistic), and the bucket space is only 2^(bits/bands) per
+    band — at corpus scale the join is bounded by WIDENING the
+    fingerprint (e.g. bits=64, bands=4 -> 16-bit chunks), which
+    shrinks every bucket quadratically, not by discarding candidates.
+    Output: id_a, id_b, hamming."""
     assert bits % bands == 0 and max_hamming < bands
     chunk = bits // bands
     banded = None
@@ -294,14 +298,6 @@ def simhash_pairs(
             F.substring("simhash", b * chunk + 1, chunk).alias("bucket"),
         )
         banded = part if banded is None else banded.unionByName(part)
-    counts = banded.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    banded = banded.join(
-        F.broadcast(counts.filter(F.col("_n") > max_bucket)),
-        ["band", "bucket"],
-        "left_anti",
-    )
     a, b_ = banded.alias("a"), banded.alias("b")
     hamming = F.expr(
         f"size(filter(sequence(1, {bits}),"

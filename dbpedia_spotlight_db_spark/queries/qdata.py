@@ -342,9 +342,9 @@ def dedup_simhash(spark, sf):
 def dedup_simhash_pairs(spark, sf):
     """Banded Hamming near-dup pairs over 16-bit simhash fingerprints
     (4 chunks -> pigeonhole-EXACT recall at hamming <= 3). The twin
-    replicates banding, in-row Hamming, and the <= 3 filter; the
-    hot-bucket cap is a no-op at 500 docs and mirrors lsh_pairs at
-    scale."""
+    replicates banding, in-row Hamming, and the <= 3 filter exactly —
+    no bucket dropping on either side (exact recall forbids it; scale
+    is governed by fingerprint width, see simhash_pairs docstring)."""
     fp = dd.simhash(t(spark, sf, "documents"), "doc_id", "text", bits=16)
     return dd.simhash_pairs(
         fp, bits=16, bands=4, max_hamming=3
@@ -589,14 +589,16 @@ def ann_lsh_multiprobe(spark, sf):
              list_max(list_transform(embedding,
                       x -> abs(CAST(x AS DOUBLE)))) AS maxabs
       FROM embeddings),
-    e AS (
-      SELECT vec_id, round(maxabs / 127.0, 9) AS scale,
-             CAST(j AS INT) AS dim_idx,
-             CASE WHEN maxabs > 0
-                  THEN CAST(round(CAST(embedding[j + 1] AS DOUBLE) * 127.0 / maxabs) AS INT)
-                  ELSE 0 END AS qval
-      FROM m, (SELECT unnest(range(0, 64)) AS j))
-    SELECT vec_id, scale, dim_idx, qval FROM e
+    e0 AS (
+      SELECT vec_id, embedding, maxabs,
+             unnest(range(0, len(embedding))) AS j
+      FROM m)
+    SELECT vec_id, round(maxabs / 127.0, 9) AS scale,
+           CAST(j AS INT) AS dim_idx,
+           CASE WHEN maxabs > 0
+                THEN CAST(round(CAST(embedding[j + 1] AS DOUBLE) * 127.0 / maxabs) AS INT)
+                ELSE 0 END AS qval
+    FROM e0
     """,
 )
 def embed_quantize(spark, sf):

@@ -77,15 +77,17 @@ def iceberg_ddl(
     no Iceberg jars (SURVEY.md §0), so this returns the statement for
     the deployment to execute; the parquet fallback in ``save`` /
     ``save_bucketed`` mirrors the same layout locally."""
+    # backtick-quote identifiers: reserved words (`order`, `group`) or
+    # odd characters in field names must still yield executable DDL
     cols = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
     )
-    parts = list(partition_by or [])
+    parts = [f"`{p}`" for p in (partition_by or [])]
     if bucket_key:
-        parts.append(f"bucket({n_buckets}, {bucket_key})")
+        parts.append(f"bucket({n_buckets}, `{bucket_key}`)")
     part_clause = f" PARTITIONED BY ({', '.join(parts)})" if parts else ""
     return (
-        f"CREATE TABLE IF NOT EXISTS {catalog}.{name} ({cols}) "
+        f"CREATE TABLE IF NOT EXISTS {catalog}.`{name}` ({cols}) "
         f"USING iceberg{part_clause} "
         "TBLPROPERTIES ('format-version' = '2', "
         "'write.distribution-mode' = 'hash')"

@@ -64,10 +64,10 @@ def test_iceberg_ddl_shape():
         "pages", schemas.PAGES, partition_by=["lang"],
         bucket_key="url", n_buckets=32,
     )
-    assert ddl.startswith("CREATE TABLE IF NOT EXISTS spark_catalog.pages (")
-    assert "url string" in ddl and "html binary" in ddl
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS spark_catalog.`pages` (")
+    assert "`url` string" in ddl and "`html` binary" in ddl
     assert "USING iceberg" in ddl
-    assert "PARTITIONED BY (lang, bucket(32, url))" in ddl
+    assert "PARTITIONED BY (`lang`, bucket(32, `url`))" in ddl
     assert "'format-version' = '2'" in ddl
 
     plain = iceberg_ddl("triples", schemas.TRIPLES)
