@@ -36,3 +36,22 @@ def test_multiprobe_superset_and_exact_ceiling(spark):
     assert len(_pairs(multi) & ex) >= len(_pairs(single) & ex)
     # the exact path answers every query fully
     assert len(ex) == 10 * 3
+
+
+def test_quantization_error_bounded(spark):
+    """int8 symmetric quantization invariant: |x - qval*scale| <=
+    scale/2 (+ float tolerance) for every dimension of every vector,
+    and qval stays in [-127, 127]."""
+    from dbpedia_spotlight_db_spark.queries.qdata import embed_quantize
+
+    rows = embed_quantize(spark, SF_DIR).collect()
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    assert rows
+    for r in rows:
+        assert -127 <= r.qval <= 127
+        x = emb[r.vec_id][r.dim_idx]
+        # scale is rounded to 9dp in the output; allow that rounding
+        assert abs(x - r.qval * r.scale) <= r.scale / 2 + 1e-6
