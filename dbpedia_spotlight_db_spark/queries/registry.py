@@ -1,9 +1,54 @@
+"""Driver-facing query registry.
+
+Key ORDER is part of the contract: the round driver evaluates the
+first N registry entries (r2 ran exactly the first 50 of 59), so the
+queries that most need a driver-correctness row must sit early.
+``_FRONT`` holds the keys that fell outside r2's 50-query window (and
+therefore have never had a driver row — VERDICT.md r2 "What's missing"
+#1); ``_TAIL`` holds cheap, long-stable relational keys that have been
+green since round 1 and can safely absorb any window truncation.
+"""
+
 from __future__ import annotations
 
 from . import qdata, qpipe, qrel
 
-QUERIES = {}
-ORACLES = {}
+_QUERIES = {}
+_ORACLES = {}
 for mod in (qrel, qpipe, qdata):
-    QUERIES.update(mod.Q)
-    ORACLES.update(mod.O)
+    _QUERIES.update(mod.Q)
+    _ORACLES.update(mod.O)
+
+_FRONT = [
+    "multimodal_features",  # r1's only hard failure; fixed, never driver-run
+    "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_resize",
+    "text_langid",
+    "text_token_count",
+    "text_fingerprint",
+    "text_stopword_ratio",
+    "dedup_embed_lsh",
+]
+_TAIL = [
+    "sort_limit",
+    "set_union",
+    "set_except",
+    "set_intersect",
+    "str_fns",
+    "date_fns",
+    "math_fns",
+    "arr_fns",
+    "json_fns",
+]
+
+_missing = [k for k in _FRONT + _TAIL if k not in _QUERIES]
+assert not _missing, f"registry reorder references unknown keys: {_missing}"
+
+_order = (
+    _FRONT
+    + [k for k in _QUERIES if k not in _FRONT and k not in _TAIL]
+    + _TAIL
+)
+QUERIES = {k: _QUERIES[k] for k in _order}
+ORACLES = {k: _ORACLES[k] for k in _order if k in _ORACLES}
