@@ -150,8 +150,16 @@ class _CpuSampler:
                         continue
                     vals = list(map(int, parts[1:]))
                     steal = vals[7] if len(vals) > 7 else 0
+                    # guest/guest_nice (fields 9-10) are already folded
+                    # into user/nice by the kernel — counting them again
+                    # would double-book guest cycles as busy
+                    guest = vals[8] if len(vals) > 8 else 0
+                    guest_nice = vals[9] if len(vals) > 9 else 0
                     idle += vals[3] + vals[4]  # idle + iowait
-                    busy += sum(vals) - vals[3] - vals[4] - steal
+                    busy += (
+                        sum(vals) - vals[3] - vals[4] - steal
+                        - guest - guest_nice
+                    )
         return busy, idle
 
     def _run(self):

@@ -196,6 +196,7 @@ def annotate_to_triples(
     mode: str = "fused",
     model_bc=None,
     checkpoint_path: str | None = None,
+    run_key: str | None = None,
 ) -> DataFrame:
     """P1-P3 over an already-built store set (the 10^12-doc-scale part
     of the pipeline; store build is the fixed-size offline model
@@ -220,7 +221,7 @@ def annotate_to_triples(
             spark, pages, stores, AnnotateConfig(), model_bc
         )
         return materialize_triples_from_mention_pairs(
-            pairs, stores["entities"], checkpoint_path
+            pairs, stores["entities"], checkpoint_path, run_key=run_key
         )
 
     ann = annotate(spark, pages, stores, AnnotateConfig())

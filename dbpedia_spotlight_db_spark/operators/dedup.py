@@ -155,7 +155,7 @@ def minhash_signatures(
 
 
 def lsh_pairs(
-    sigs: DataFrame, n_hashes: int = 8, bands: int = 4, max_bucket: int = 1000
+    sigs: DataFrame, n_hashes: int = 4, bands: int = 4, max_bucket: int = 1000
 ) -> DataFrame:
     """Band the signature (rows-per-band = n_hashes/bands); docs
     sharing any full band become candidate pairs (id_a < id_b).

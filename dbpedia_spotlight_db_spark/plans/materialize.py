@@ -47,10 +47,23 @@ def materialize_triples(
     return mention_triples.unionByName(type_triples)
 
 
+def _checkpoint_complete(spark, path: str) -> bool:
+    """True when ``path`` holds a completed write (``_SUCCESS``
+    marker). Resolved through the Hadoop FileSystem API, not
+    ``os.path``: checkpoint roots are hdfs://, s3a://, etc. in
+    production, where a local-FS stat would always say "absent" and
+    resume would silently never trigger."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
 def materialize_triples_from_mention_pairs(
     pairs: DataFrame,
     entities: DataFrame,
     checkpoint_path: str | None = None,
+    run_key: str | None = None,
 ) -> DataFrame:
     """Triples from already-distinct canonical (url, uri) mention
     pairs (annotate_mention_pairs dedups per document inside the map
@@ -64,14 +77,20 @@ def materialize_triples_from_mention_pairs(
     two branches don't re-run the corpus map (the P1→P3 stage
     boundary; at fixture scale recompute is cheaper than the write) —
     and it doubles as the resume point: a completed checkpoint
-    (``_SUCCESS`` present) is re-read instead of re-annotating the
-    corpus, mirroring lineage.CheckpointedRun.phase's skip rule."""
+    (``_SUCCESS`` present, probed via the Hadoop FileSystem API so
+    hdfs:// / s3a:// roots resume too) is re-read instead of
+    re-annotating the corpus, mirroring lineage.CheckpointedRun.phase's
+    skip rule. ``run_key`` (a run-id or config hash) is appended to the
+    path so a checkpoint from a DIFFERENT input/config is never
+    silently reused as this run's result — callers that pass a bare
+    shared root must supply it (jobs/annotate.py keys by --run-id)."""
     if checkpoint_path:
-        import os
-
-        if not os.path.exists(os.path.join(checkpoint_path, "_SUCCESS")):
+        if run_key:
+            checkpoint_path = checkpoint_path.rstrip("/") + "/" + run_key
+        spark = pairs.sparkSession
+        if not _checkpoint_complete(spark, checkpoint_path):
             pairs.write.mode("overwrite").parquet(checkpoint_path)
-        pairs = pairs.sparkSession.read.parquet(checkpoint_path)
+        pairs = spark.read.parquet(checkpoint_path)
     mention_triples = pairs.select(
         F.col("url").alias("subj"),
         F.lit(PRED_MENTIONS).alias("pred"),

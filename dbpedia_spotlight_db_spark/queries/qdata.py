@@ -285,17 +285,19 @@ def dedup_survivors(spark, sf):
     """End-to-end dedup: the documents that SURVIVE near-duplicate
     removal — each LSH dup-cluster keeps its min-id representative,
     documents in no cluster pass through. Spark shape: components
-    (pointer-jumping) -> losers (id != component, tiny) -> broadcast
-    anti-join against the corpus — the corpus-side pass is map-only."""
+    (pointer-jumping) -> losers (id != component) -> left_anti against
+    the corpus. The anti-join is deliberately UNHINTED: losers is
+    O(dup_fraction x corpus) — commonly 30-80% of a web crawl — so a
+    forced broadcast would ship a corpus-proportional relation to every
+    executor. AQE broadcasts when the runtime size actually fits and
+    falls back to a shuffled join when it doesn't."""
     docs = t(spark, sf, "documents")
     sigs = dd.minhash_signatures(docs, "doc_id", "text", n_hashes=4, shingle_n=3)
     comp = dd.connected_components(dd.lsh_pairs(sigs, n_hashes=4, bands=4))
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )
-    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
-        "doc_id"
-    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
 
 
 def _simhash_sql(bits: int) -> str:

@@ -62,6 +62,14 @@ def save(
     return path
 
 
+def manifest(root: str, name: str) -> dict:
+    """Read back the manifest sidecar ``save`` wrote for ``name`` —
+    the local stand-in for an Iceberg snapshot summary. Jobs read row
+    counts from here instead of re-counting tables they just wrote."""
+    with open(os.path.join(root, f"{name}.manifest.json")) as f:
+        return json.load(f)
+
+
 def iceberg_ddl(
     name: str,
     schema,

@@ -98,11 +98,20 @@ def main(argv: list[str] | None = None) -> None:
     npart = spark.sparkContext.defaultParallelism * 4
     pages = pages.repartition(npart)
 
-    ck = None
+    ck = run_key = None
     if args.checkpoint_root and args.run_id:
+        import hashlib
+
         ck = os.path.join(args.checkpoint_root, args.run_id, "mentions")
+        # key the checkpoint by the inputs/config too: a --run-id
+        # accidentally reused against different pages/stores/langs must
+        # MISS (re-annotate), not silently return the stale result
+        run_key = hashlib.md5(
+            f"{args.pages}|{args.stores}|{args.langs}".encode()
+        ).hexdigest()[:12]
     triples = annotate_to_triples(
-        spark, pages, stores, model_bc=model_bc, checkpoint_path=ck
+        spark, pages, stores, model_bc=model_bc, checkpoint_path=ck,
+        run_key=run_key,
     )
     catalog.save(triples, "triples", args.out)
     print(f"wrote triples to {args.out}/triples")

@@ -14,8 +14,10 @@ Outputs under --out:
 Plan shape (the 100TB story): shingle explode is map-only; signatures
 are one map-side-combinable agg; the band self-join is bucketed with a
 hot-bucket cap; components converge in O(log diameter) pointer-jumping
-rounds over a parquet-checkpointed edge set; the final drop is a
-broadcast anti-join, so the corpus-side pass stays map-only.
+rounds over a parquet-checkpointed edge set; the final drop is an
+UNHINTED anti-join against the written components table (losers is
+corpus-proportional at real dup rates, so AQE — not a forced
+broadcast — decides the join strategy).
 """
 
 from __future__ import annotations
@@ -55,16 +57,27 @@ def main(argv: list[str] | None = None) -> None:
     comp = dd.connected_components(pairs)
     catalog.save(comp, "components", args.out)
 
+    # re-read components from the table just written: the survivors
+    # join then scans a few parquet files instead of re-executing the
+    # whole LSH + CC lineage
+    comp = catalog.load(spark, "components", args.out)
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(args.id_col)
     )
-    survivors = docs.join(F.broadcast(losers), args.id_col, "left_anti")
+    # UNHINTED anti-join: losers is O(dup_fraction x corpus) — at real
+    # web dup rates (30-80%) a forced broadcast ships a corpus-sized
+    # relation to every executor; AQE picks broadcast only when the
+    # runtime size fits
+    survivors = docs.join(losers, args.id_col, "left_anti")
     catalog.save(survivors, "survivors", args.out)
 
-    n_in, n_out = docs.count(), survivors.count()
+    # counts come from the manifests the saves just wrote (plus the
+    # tiny losers relation) — no extra full action over the corpus
+    n_removed = losers.count()
+    n_out = catalog.manifest(args.out, "survivors")["rows"]
     print(
-        f"dedup: {n_in} docs in, {n_out} survivors "
-        f"({n_in - n_out} near-duplicates removed) -> {args.out}"
+        f"dedup: {n_out + n_removed} docs in, {n_out} survivors "
+        f"({n_removed} near-duplicates removed) -> {args.out}"
     )
 
 

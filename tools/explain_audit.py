@@ -172,7 +172,21 @@ def main() -> None:
         p,
     )
 
-    # 9. whole-stage codegen present on the relational surface (AQE
+    # 9. survivors anti-join is UNHINTED: losers is corpus-proportional
+    # at real dup rates, so a forced broadcast there is a scale-killer;
+    # AQE must be free to pick the strategy from runtime sizes. The
+    # hint would survive into the analyzed logical plan as ResolvedHint.
+    surv = QUERIES["dedup_survivors"](spark, SF)
+    logical = surv._jdf.queryExecution().analyzed().toString()
+    check(
+        "survivors anti-join has no forced broadcast",
+        "ResolvedHint" not in logical and "UnresolvedHint" not in logical,
+        "no broadcast hint in dedup_survivors' analyzed plan "
+        f"(hints present: {'ResolvedHint' in logical})",
+        logical,
+    )
+
+    # 10. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
     q6 = QUERIES["agg_counts"](spark, SF)
