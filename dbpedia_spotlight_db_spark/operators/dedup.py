@@ -267,9 +267,11 @@ def ngram_jaccard_pairs(
 
 def simhash_pairs(
     fingerprints: DataFrame,
-    bits: int = 16,
+    bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
+    expected_docs: int | None = None,
+    max_avg_bucket: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by banded Hamming search over simhash
     fingerprints. Pigeonhole guarantee: with ``bands`` chunks, any two
@@ -282,12 +284,27 @@ def simhash_pairs(
 
     NO hot-bucket cap here, deliberately: exact recall forbids
     dropping buckets (unlike lsh_pairs, whose bands are already
-    probabilistic), and the bucket space is only 2^(bits/bands) per
-    band — at corpus scale the join is bounded by WIDENING the
-    fingerprint (e.g. bits=64, bands=4 -> 16-bit chunks), which
-    shrinks every bucket quadratically, not by discarding candidates.
+    probabilistic), and the bucket space is 2^(bits/bands) per band —
+    at corpus scale the join is bounded by WIDENING the fingerprint,
+    which shrinks every bucket quadratically, not by discarding
+    candidates. The DEFAULT is therefore 64-bit fingerprints (16-bit
+    chunks, 65536 buckets per band); narrow geometries are a footgun
+    the geometry guard makes explicit: pass ``expected_docs`` and the
+    operator refuses a bucket space whose AVERAGE bucket exceeds
+    ``max_avg_bucket`` docs (expected join fan-out ~ docs^2 /
+    2^chunk_bits per band — quadratic in the average bucket size).
     Output: id_a, id_b, hamming."""
     assert bits % bands == 0 and max_hamming < bands
+    if expected_docs is not None:
+        chunk_bits = bits // bands
+        avg_bucket = expected_docs / float(2 ** chunk_bits)
+        assert avg_bucket <= max_avg_bucket, (
+            f"simhash geometry too narrow: {expected_docs} docs over "
+            f"2^{chunk_bits} buckets/band = {avg_bucket:.0f} docs per "
+            f"bucket on average (> {max_avg_bucket}); the banded "
+            "self-join degenerates toward all-pairs — widen `bits` "
+            "(e.g. 64 -> 128) instead of narrowing recall"
+        )
     chunk = bits // bands
     banded = None
     for b in range(bands):
@@ -320,27 +337,136 @@ def simhash_pairs(
     )
 
 
+def _cc_two_phase(
+    pairs: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    """Large-star / small-star alternation (Kiveris et al., SoCC'14).
+
+    State is a directed edge set converging to a star forest
+    (child -> component minimum). Each operator is expressed as
+    groupBy-min (map-side combinable — the hub key's per-partition
+    partials are tiny) followed by an equi-join of the edges against
+    that per-node min table; AQE's skew-join split handles the hot
+    join key a giant component creates, which is exactly the shape
+    min-label propagation can't give it (there the hub's whole
+    membership meets behind one reduce key).
+
+      large-star: for each node u, attach every STRICTLY LARGER
+        neighbor v to m = min(N(u) + {u}). Runs on the symmetrized
+        edge set, halving long chains toward small ids.
+      small-star: orient every edge (big, small); for each node u,
+        attach u and all its smaller neighbors to m = min(N(u)); the
+        edge (m, m) collapses away. Flattens the partial stars.
+
+    Fixpoint: both passes leave the edge set unchanged, at which
+    point every edge is (node, component-min). Worst case
+    O(log^2 n) alternations; bucket-generated near-dup graphs
+    converge in a handful."""
+    edges = parquet_checkpoint(
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct(),
+        "cc2_edges",
+    )
+    nodes = (
+        edges.select(F.col("a").alias("id"))
+        .unionByName(edges.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prev = edges
+        # --- large-star over the symmetric neighborhood ---
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        edges = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # --- small-star over edges oriented (big, small) ---
+        oriented = edges.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).filter(F.col("a") != F.col("b"))
+        mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        edges = (
+            oriented.join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(mins.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged iff the round changed nothing: the (distinct)
+        # edge sets are identical — equal cardinality + empty one-way
+        # difference. Compared against the ROUND START, not between
+        # the two half-steps, so a large-star change undone by
+        # small-star still counts as progress-pending.
+        if (
+            edges.count() == prev.count()
+            and edges.exceptAll(prev).count() == 0
+        ):
+            break
+    else:
+        raise RuntimeError(
+            f"two-phase connected components did not converge in "
+            f"{max_iter} alternations — raise max_iter (worst case "
+            "O(log^2 n) rounds)"
+        )
+    # the fixpoint must be a star forest (every parent is a root):
+    # guards against a composed-operator fixpoint that is not a star
+    bad = edges.join(
+        edges.select(F.col("a").alias("b")).distinct(), "b", "semi"
+    ).count()
+    assert bad == 0, f"two-phase CC fixpoint is not a star forest ({bad})"
+    # star forest: every non-root points at its component min; roots
+    # (the mins themselves) never appear on the child side
+    return nodes.join(
+        edges.select(F.col("a").alias("id"), F.col("b").alias("_c")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("_c", "id").alias("component"))
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "two_phase",
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the
     candidate-pair graph (the step after pair generation in every
     dedup pipeline — each component keeps one representative).
     Output: (id, component) with component = min id in the component.
 
-    Algorithm: min-label propagation with a pointer-jump step each
-    round (label := label-of-label), so chains collapse in
-    O(log diameter) shuffles like the redirect closure's pointer
-    jumping — not O(diameter). Near-dup components are shallow by
-    construction (pairs come from shared buckets), so convergence is
-    a handful of rounds; each round localCheckpoints to cut lineage.
-    At web scale the production refinement is the large-star /
-    small-star alternation (same join shapes, better skew behavior on
-    giant components); the fixpoint semantics checked by the DuckDB
-    recursive-CTE oracle are identical."""
+    ``algorithm="two_phase"`` (default): the large-star / small-star
+    alternation of Kiveris et al., "Connected Components in MapReduce
+    and Beyond" (SoCC'14) — the web-scale choice. Each round is two
+    (groupBy-min + equi-join) passes over the edge set; O(log^2 n)
+    rounds worst case, and crucially the edge set per node SHRINKS as
+    neighbors re-attach directly to the component minimum, so a giant
+    component (the boilerplate cluster that dominates every web crawl)
+    never concentrates its full membership behind one reduce key the
+    way label propagation's min-agg on the hub's label does.
+
+    ``algorithm="propagate"``: min-label propagation with a
+    pointer-jump step each round (label := label-of-label) — fine for
+    the shallow components bucket-generated pairs usually produce,
+    kept as the simpler reference implementation.
+
+    Both share the fixpoint semantics checked by the DuckDB
+    recursive-CTE oracle; tests pin their outputs equal (including a
+    giant-component fixture)."""
+    if algorithm == "two_phase":
+        return _cc_two_phase(pairs, src, dst, max_iter)
+    assert algorithm == "propagate", algorithm
     # checkpoint the symmetric edge set ONCE: each convergence round
     # runs two jobs over it (propagate + changed-count), and `pairs`
     # upstream is typically the expensive LSH self-join — without the
@@ -371,16 +497,21 @@ def connected_components(
             lab.unionByName(prop)
             .groupBy("v")
             .agg(F.min("l").alias("l"))
+            .localCheckpoint(eager=True)
         )
-        # pointer jump: l := label(l) (labels are node ids)
-        jump = lab.select(
+        # pointer jump: l := label(l) against THIS round's labels
+        # (labels are node ids) — shortcutting on the current state
+        # is what makes the pointer tree halve per round; jumping on
+        # the stale previous-round labels only adds one hop and
+        # degrades convergence to ~diameter/2 rounds
+        jump = new.select(
             F.col("v").alias("_lv"), F.col("l").alias("_ll")
         )
         new = (
             new.join(jump, new["l"] == jump["_lv"], "left")
             .select("v", F.least("l", F.coalesce("_ll", "l")).alias("l"))
+            .localCheckpoint(eager=True)
         )
-        new = new.localCheckpoint(eager=True)
         changed = (
             new.alias("n")
             .join(lab.alias("o"), "v")

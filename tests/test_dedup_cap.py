@@ -101,6 +101,61 @@ def test_connected_components_directed(spark):
     }
 
 
+def test_connected_components_two_phase_equals_propagate(spark):
+    """Both CC algorithms (large-star/small-star vs min-label
+    propagation) reach the identical fixpoint on a random sparse
+    graph — the semantics the DuckDB recursive-CTE oracle pins."""
+    import random
+
+    from dbpedia_spotlight_db_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    pairs = spark.createDataFrame(
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(150)],
+        ["id_a", "id_b"],
+    ).filter("id_a != id_b")
+    two = {
+        r.id: r.component
+        for r in connected_components(pairs, algorithm="two_phase").collect()
+    }
+    prop = {
+        r.id: r.component
+        for r in connected_components(pairs, algorithm="propagate").collect()
+    }
+    assert two == prop and two
+
+
+def test_connected_components_giant_component(spark):
+    """Web-crawl skew fixture: one boilerplate cluster spans >50% of
+    all nodes (a 600-node hub-and-chain mix) next to small clusters.
+    The two-phase default must label it correctly — this is the shape
+    where label propagation concentrates the whole membership behind
+    one reduce key."""
+    from dbpedia_spotlight_db_spark.operators.dedup import (
+        connected_components,
+    )
+
+    giant = (
+        # hub 0 with 300 spokes
+        [(0, i) for i in range(1, 301)]
+        # plus a 300-node chain hanging off spoke 300
+        + [(i, i + 1) for i in range(300, 600)]
+    )
+    small = [(1000 + 2 * k, 1001 + 2 * k) for k in range(50)]
+    pairs = spark.createDataFrame(giant + small, ["id_a", "id_b"])
+    got = {
+        r.id: r.component for r in connected_components(pairs).collect()
+    }
+    assert all(got[i] == 0 for i in range(0, 601))
+    assert all(
+        got[1000 + 2 * k] == got[1001 + 2 * k] == 1000 + 2 * k
+        for k in range(50)
+    )
+    assert len(got) == 601 + 100
+
+
 def test_simhash_pairs_pigeonhole_exact(spark):
     """Banded candidate generation has EXACT recall for
     hamming <= bands-1 (pigeonhole): banded pairs == brute-force
@@ -131,3 +186,51 @@ def test_simhash_pairs_pigeonhole_exact(spark):
             if h <= 3:
                 want.add((fps[i][0], fps[j][0], h))
     assert got == want and got
+
+
+def test_simhash_pairs_default_geometry_64bit(spark):
+    """The job-facing default is now 64-bit fingerprints (16-bit
+    chunks): exact recall still holds at the wide default, checked
+    against brute-force all-pairs Hamming."""
+    import random
+
+    from dbpedia_spotlight_db_spark.operators.dedup import simhash_pairs
+
+    rng = random.Random(11)
+    fps = [
+        (i, "".join(rng.choice("01") for _ in range(64))) for i in range(40)
+    ]
+    for i in range(0, 16, 2):  # seed near-dups (1-3 bit flips)
+        base = list(fps[i][1])
+        for flip in rng.sample(range(64), rng.randint(1, 3)):
+            base[flip] = "1" if base[flip] == "0" else "0"
+        fps[i + 1] = (fps[i + 1][0], "".join(base))
+    df = spark.createDataFrame(fps, ["id", "simhash"])
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(df, expected_docs=10**6).collect()
+    }
+    want = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            h = sum(a != b for a, b in zip(fps[i][1], fps[j][1]))
+            if h <= 3:
+                want.add((fps[i][0], fps[j][0], h))
+    assert got == want and got
+
+
+def test_simhash_geometry_guard_refuses_narrow_buckets(spark):
+    """The 16-bit fixture geometry is fine for hundreds of docs but a
+    corpus-scale footgun: with expected_docs set, the operator must
+    refuse an average bucket above the threshold instead of silently
+    degenerating toward an all-pairs join."""
+    import pytest
+
+    from dbpedia_spotlight_db_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(0, "0" * 16)], ["id", "simhash"])
+    with pytest.raises(AssertionError, match="geometry too narrow"):
+        simhash_pairs(df, bits=16, bands=4, expected_docs=10**9)
+    # wide default comfortably passes the same corpus size
+    simhash_pairs(df.withColumn("simhash", df.simhash.substr(1, 16)),
+                  bits=16, bands=4, expected_docs=500)
