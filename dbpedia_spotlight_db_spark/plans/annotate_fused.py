@@ -267,22 +267,45 @@ def _annotate_doc(
 
     whole_doc = _ctx_vec(0, n_tok) if context_window is None else None
 
-    # J1-J3 + C1-C4 + A7 per mention. The cosine is cached per
-    # (window, entity): with whole-document context (the hot default)
-    # every mention shares one window, so repeated candidates in one
-    # document score against the same context exactly once.
+    # J1-J3 + C1-C4 + A7 per mention. Two memo levels, both scoped to
+    # the document: the cosine is cached per (window, entity), and the
+    # whole disambiguation DECISION — (uri, score, srr) or a drop — is
+    # cached per (window, surface form), since it depends on nothing
+    # else. With whole-document context (the hot default) every
+    # mention shares one window, so a surface form repeated across the
+    # page is scored exactly once and repeated candidates hit the
+    # cosine cache across surface forms. (A fully NumPy-vectorized
+    # candidate axis was measured 2.5x SLOWER here: candidate lists
+    # are short, so per-mention ndarray call overhead dominates —
+    # tools/control_kernel.py is the harness that settles this.)
     cos_cache: dict[tuple, float] = {}
+    decision_cache: dict[tuple, tuple | None] = {}
     vecs_get = model.entity_vecs.get
     for start, neg_end, sf, sf_id, ti, ln in kept:
-        cand = model.candidates.get(sf_id)
-        if cand is None:
-            continue
         if context_window is None:
             lo, hi = 0, n_tok
-            ctx_ids, ctx_ws, ctx_norm = whole_doc
         else:
             lo = max(0, ti - context_window)
             hi = min(n_tok, ti + ln + context_window)
+        dkey = (lo, hi, sf_id)
+        if dkey in decision_cache:
+            hit = decision_cache[dkey]
+            if hit is not None:
+                out_rows[0].append(url)
+                out_rows[1].append(start)
+                out_rows[2].append(-neg_end)
+                out_rows[3].append(sf)
+                out_rows[4].append(hit[0])
+                out_rows[5].append(hit[1])
+                out_rows[6].append(hit[2])
+            continue
+        cand = model.candidates.get(sf_id)
+        if cand is None:
+            decision_cache[dkey] = None
+            continue
+        if context_window is None:
+            ctx_ids, ctx_ws, ctx_norm = whole_doc
+        else:
             ctx_ids, ctx_ws, ctx_norm = _ctx_vec(lo, hi)
         uris, ent_ids, exp_priors = cand
         m = min(top_m, len(uris))
@@ -318,15 +341,19 @@ def _annotate_doc(
             elif score > second:
                 second = score
         if best_uri is None:
+            decision_cache[dkey] = None
             continue
         srr = second / best_score if m > 1 and best_score > 0 else 0.0
         if (1.0 - srr) < confidence:
+            decision_cache[dkey] = None
             continue
         # P2 baked in: canonicalize through the closure, drop
         # disambiguation-page targets (no-ops for an empty model)
         best_uri = model.canon_map.get(best_uri, best_uri)
         if best_uri in model.disambig:
+            decision_cache[dkey] = None
             continue
+        decision_cache[dkey] = (best_uri, best_score, srr)
         out_rows[0].append(url)
         out_rows[1].append(start)
         out_rows[2].append(-neg_end)

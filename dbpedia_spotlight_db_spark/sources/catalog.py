@@ -50,16 +50,19 @@ def save(
     writer.parquet(path)
     spark = df.sparkSession
     n = spark.read.parquet(path).count()
+    _write_manifest(root, name, rows=n, partition_by=partition_by or [])
+    return path
+
+
+def _write_manifest(root: str, name: str, **fields) -> None:
     manifest = {
         "table": name,
-        "rows": n,
-        "partition_by": partition_by or [],
         "written_at": time.time(),
         "format": "parquet-fallback(iceberg-seam)",
+        **fields,
     }
     with open(os.path.join(root, f"{name}.manifest.json"), "w") as f:
         json.dump(manifest, f)
-    return path
 
 
 def manifest(root: str, name: str) -> dict:
@@ -134,6 +137,14 @@ def save_bucketed(
     if sort:
         writer = writer.sortBy(bucket_key)
     writer.saveAsTable(name)
+    _write_manifest(
+        root,
+        name,
+        rows=spark.table(name).count(),
+        bucket_key=bucket_key,
+        n_buckets=n_buckets,
+        sorted=sort,
+    )
     return path
 
 

@@ -18,10 +18,20 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STORE_TABLES = (
-    "entities", "surface_forms", "candidate_map",
-    "tokens", "context_counts", "entity_vectors", "icf",
-)
+# production physical layout (SURVEY.md §4.3): every store table is
+# bucketed + sorted on the key the annotate pipeline joins it on, so
+# the sort-merge-bucket fallback (stores beyond the broadcast budget)
+# shuffles ONLY the probe side — tests/test_bucketed.py pins that the
+# bucketed scan contributes no Exchange and no Sort
+STORE_BUCKET_KEYS = {
+    "entities": "entity_id",        # J1/J5 canonical lookup
+    "surface_forms": "sf_id",       # T3->J1 spot attach
+    "candidate_map": "sf_id",       # J1 candidate lookup
+    "tokens": "token_id",           # T2 vocabulary attach
+    "context_counts": "entity_id",  # J3 context attach
+    "entity_vectors": "entity_id",  # J3/C2 vector attach
+    "icf": "token_id",              # A5 weight attach
+}
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -30,6 +40,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--redirects", default=None)
     ap.add_argument("--salt-n", type=int, default=32)
+    ap.add_argument("--n-buckets", type=int, default=8)
     args = ap.parse_args(argv)
 
     from dbpedia_spotlight_db_spark.plans.build_stores import build_stores
@@ -39,11 +50,16 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("kg-build-stores")
     corpus = spark.read.parquet(args.corpus)
     stores = build_stores(spark, corpus, salt_n=args.salt_n)
-    for name in STORE_TABLES:
-        catalog.save(stores[name], name, args.out)
+    for name, key in STORE_BUCKET_KEYS.items():
+        catalog.save_bucketed(
+            stores[name], name, args.out, key, n_buckets=args.n_buckets
+        )
     if args.redirects:
         catalog.save(spark.read.parquet(args.redirects), "redirects", args.out)
-    print(f"wrote {len(STORE_TABLES)} store tables to {args.out}")
+    print(
+        f"wrote {len(STORE_BUCKET_KEYS)} store tables to {args.out} "
+        f"(bucketed x{args.n_buckets} on their join keys)"
+    )
 
 
 if __name__ == "__main__":

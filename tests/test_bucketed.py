@@ -73,3 +73,36 @@ def test_smb_fallback_shuffles_probe_side_only(spark, stores, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_build_stores_job_writes_bucketed_warehouse(
+    spark, wiki_df, tmp_path
+):
+    """The production stores job writes every table through
+    save_bucketed on its join key (not plain save): the manifest
+    sidecars carry the bucket layout, and a broadcast-disabled probe
+    join against the written candidate_map has no store-side
+    Exchange/Sort."""
+    from jobs.build_stores import STORE_BUCKET_KEYS, main
+
+    corpus_p = str(tmp_path / "corpus")
+    out = str(tmp_path / "warehouse")
+    wiki_df.write.parquet(corpus_p)
+    main(["--corpus", corpus_p, "--out", out, "--n-buckets", "4"])
+
+    for name, key in STORE_BUCKET_KEYS.items():
+        m = catalog.manifest(out, name)
+        assert m["bucket_key"] == key and m["n_buckets"] == 4
+        assert m["rows"] > 0
+        assert spark.table(name).count() == m["rows"]
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = spark.range(50).select(F.col("id").alias("sf_id"))
+        p = _plan(probe.join(spark.table("candidate_map"), "sf_id"))
+        assert "Bucketed: true" in p
+        # exactly the probe-side exchange; the bucketed scan adds none
+        assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 1, p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
