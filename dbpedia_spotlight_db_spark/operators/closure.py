@@ -95,3 +95,57 @@ def canonicalize(
         out[uri_col] == disambiguations["uri"],
         "left_anti",
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge set — entity
+    salience for the constructed KG (which entities anchor the graph;
+    the standard prior for entity-ranking downstream of annotation).
+    Output: (uri, rank), nodes = edge endpoints, uniform init 1/|V|,
+    rank_{t+1}(v) = (1-d)/|V| + d * sum_{u->v} rank_t(u)/outdeg(u).
+
+    Spark shape per iteration: one broadcast-sized contribution agg
+    (groupBy dst, map-side combinable) + a left join back to the node
+    set — rank/degree relations are |V|-sized (entities, not pages),
+    orders of magnitude below the corpus, so every join side here
+    broadcasts at web scale. Fixed iteration count (not convergence
+    polling) keeps the plan static and the DuckDB oracle expressible
+    as unrolled CTEs. Dangling nodes contribute nothing (matching the
+    unrolled-SQL twin); with symmetric edge input every node has
+    outdeg >= 1 and the distinction vanishes."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("uri"))
+        .unionByName(e.select(F.col("dst").alias("uri")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_v = nodes.select(F.count(F.lit(1)).alias("n_v"))
+    ranks = nodes.crossJoin(F.broadcast(n_v)).select(
+        "uri", (F.lit(1.0) / F.col("n_v")).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(F.broadcast(ranks), e["src"] == ranks["uri"])
+            .join(F.broadcast(deg), "src")
+            .groupBy(F.col("dst").alias("uri"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("m"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(contrib), "uri", "left")
+            .crossJoin(F.broadcast(n_v))
+            .select(
+                "uri",
+                (
+                    F.lit(1.0 - damping) / F.col("n_v")
+                    + F.lit(damping) * F.coalesce("m", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

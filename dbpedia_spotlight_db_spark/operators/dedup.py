@@ -136,22 +136,40 @@ def minhash_signatures(
     4 hash functions, derive extra slices from md5 of a salted
     shingle instead. Output: id, mh0..mh{n-1}.
 
-    No per-doc shingle dedup: MIN is idempotent over duplicates, so
-    the distinct that jaccard needs would only add a full shuffle of
-    the exploded relation here — the single groupBy(id) min-agg is
-    map-side combinable and is the only exchange."""
+    No per-doc shingle dedup: MIN is idempotent over duplicates.
+
+    MAP-ONLY: the signature is an array-HOF reduction INSIDE the row
+    (``transform`` the shingle array to md5s, ``array_min`` each hex
+    slice) — zero Exchange and zero exploded-row materialization,
+    where the explode -> groupBy(id) formulation paid the dominant
+    minhash/LSH cost in row churn (the agg itself was map-side
+    combinable, but Tungsten still materialized |shingles| rows).
+    Values are identical: min over the array == min over the exploded
+    rows. EXPLAIN_AUDIT asserts the 0-Exchange shape."""
     assert 32 % n_hashes == 0 and n_hashes <= 4, (
         "n_hashes must divide 32 and be <= 4 (slices stay >= 32 bits)"
     )
     L = 32 // n_hashes
-    sh = shingle_df(df, id_col, text_col, shingle_n).withColumn(
-        "_h", F.md5(F.col("shingle"))
+    arr = _words(F.col(text_col))
+    base = df.filter(F.size(arr) >= shingle_n).select(
+        F.col(id_col).alias("id"), arr.alias("_arr")
     )
-    aggs = [
-        F.min(F.substring("_h", i * L + 1, L)).alias(f"mh{i}")
+    hs = F.expr(
+        f"""
+        transform(
+            sequence(0, size(_arr) - {shingle_n}),
+            i -> md5(concat_ws(' ', slice(_arr, i + 1, {shingle_n})))
+        )
+        """
+    )
+    sel = base.select("id", hs.alias("_hs"))
+    mh_cols = [
+        F.array_min(
+            F.expr(f"transform(_hs, h -> substring(h, {i * L + 1}, {L}))")
+        ).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return sel.select("id", *mh_cols)
 
 
 def lsh_pairs(

@@ -315,3 +315,156 @@ def closure_bounded(spark, sf_dir):
         ["src_uri", "dst_uri"],
     )
     return redirect_closure(edges, max_iter=4)
+
+
+# Shared CTE for the co-occurrence family: distinct (doc_id, entity)
+# containment via the same gram spotting as the other pipeline faces
+_DOCENT_SQL = f"""
+    de AS (
+      SELECT DISTINCT g.doc_id, d.uri
+      FROM grams g JOIN {_DICT_SQL} ON g.sf = d.sf)
+"""
+
+
+def _doc_entities(spark, sf_dir):
+    return (
+        _grams_spark(spark, sf_dir)
+        .join(F.broadcast(_dict_df(spark)), "sf")
+        .select("doc_id", "uri")
+        .distinct()
+    )
+
+
+@q(
+    "kg_cooccurrence",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    ca AS (SELECT uri, COUNT(*) AS c FROM de GROUP BY uri),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    p AS (
+      SELECT a.uri AS uri_a, b.uri AS uri_b, COUNT(*) AS n_ab
+      FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.uri < b.uri
+      GROUP BY a.uri, b.uri)
+    SELECT p.uri_a, p.uri_b, p.n_ab,
+           round(ln((CAST(p.n_ab AS DOUBLE) * n.n_docs)
+                    / (CAST(ca1.c AS DOUBLE) * ca2.c)), 6) AS pmi
+    FROM p
+    JOIN ca ca1 ON ca1.uri = p.uri_a
+    JOIN ca ca2 ON ca2.uri = p.uri_b
+    CROSS JOIN n
+    """,
+)
+def kg_cooccurrence(spark, sf_dir):
+    """Entity co-occurrence graph with PMI weights — the KG-
+    construction step after annotation (relatedness edges between
+    entities that share documents; the signal behind related-entity
+    panels and disambiguation coherence priors). Scale shape: the
+    per-document entity set is bounded (dictionary hits), so the
+    doc-keyed self-join fans out quadratically only in that small
+    per-doc set; both count dimensions attach by broadcast (the
+    entity-marginal relation is |E|-sized, not corpus-sized)."""
+    de = _doc_entities(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    n = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    ca = de.groupBy("uri").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        de.alias("a")
+        .join(de.alias("b"), "doc_id")
+        .filter(F.col("a.uri") < F.col("b.uri"))
+        .groupBy(
+            F.col("a.uri").alias("uri_a"), F.col("b.uri").alias("uri_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                ca.select(F.col("uri").alias("uri_a"), F.col("c").alias("c_a"))
+            ),
+            "uri_a",
+        )
+        .join(
+            F.broadcast(
+                ca.select(F.col("uri").alias("uri_b"), F.col("c").alias("c_b"))
+            ),
+            "uri_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "uri_a",
+            "uri_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("n_docs"))
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled PageRank iteration as a CTE (the oracle twin of
+    operators.closure.pagerank's loop body)."""
+    return f"""
+    {cur} AS (
+      SELECT v.uri,
+             CAST(0.15 AS DOUBLE) / nv.n_v
+               + CAST(0.85 AS DOUBLE) * COALESCE(s.m, CAST(0 AS DOUBLE))
+               AS rank
+      FROM v CROSS JOIN nv
+      LEFT JOIN (
+        SELECT e.dst AS uri, SUM(r.rank / deg.outdeg) AS m
+        FROM e JOIN {prev} r ON e.src = r.uri
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst) s ON s.uri = v.uri)
+"""
+
+
+@q(
+    "kg_pagerank",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    p AS (
+      SELECT a.uri AS uri_a, b.uri AS uri_b
+      FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.uri < b.uri
+      GROUP BY a.uri, b.uri),
+    e AS (SELECT uri_a AS src, uri_b AS dst FROM p
+          UNION ALL SELECT uri_b, uri_a FROM p),
+    v AS (SELECT DISTINCT src AS uri FROM e),
+    nv AS (SELECT COUNT(*) AS n_v FROM v),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT v.uri, CAST(1.0 AS DOUBLE) / nv.n_v AS rank
+           FROM v CROSS JOIN nv),
+    {_pagerank_iter_sql("r0", "r1")},
+    {_pagerank_iter_sql("r1", "r2")},
+    {_pagerank_iter_sql("r2", "r3")}
+    SELECT uri, round(rank, 6) AS rank FROM r3
+    """,
+)
+def kg_pagerank(spark, sf_dir):
+    """Entity salience: 3-iteration PageRank (d=0.85) over the
+    symmetric co-occurrence graph. The operator's per-iteration plan
+    is broadcast-only (rank/degree are |E|ntity-sized); the oracle is
+    the same recurrence unrolled as SQL CTEs."""
+    from ..operators.closure import pagerank
+
+    de = _doc_entities(spark, sf_dir)
+    pairs = (
+        de.alias("a")
+        .join(de.alias("b"), "doc_id")
+        .filter(F.col("a.uri") < F.col("b.uri"))
+        .select(F.col("a.uri").alias("uri_a"), F.col("b.uri").alias("uri_b"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("uri_a").alias("src"), F.col("uri_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("uri_b").alias("src"), F.col("uri_a").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("uri", F.round("rank", 6).alias("rank"))

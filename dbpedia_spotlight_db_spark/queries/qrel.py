@@ -358,6 +358,123 @@ def events_sessionize(spark, sf):
 
 
 @q(
+    "stream_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE ts IS NOT NULL),
+    f AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev IS NULL
+                       OR date_diff('second', prev, ts) > 43200
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f),
+    sess AS (
+      SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(COUNT(*) AS INT) AS n_events
+      FROM s GROUP BY user_id, sid),
+    mx AS (SELECT user_id, MAX(sid) AS mx FROM sess GROUP BY user_id)
+    SELECT sess.user_id, sess.session_start, sess.session_end, sess.n_events
+    FROM sess JOIN mx ON sess.user_id = mx.user_id AND sess.sid < mx.mx
+    """,
+)
+def stream_sessionize(spark, sf):
+    """The STATEFUL STREAMING sessionizer under the full oracle gate:
+    runs streaming/sessionize_stream (applyInPandasWithState) over the
+    events table as a file-source stream with trigger(availableNow),
+    collects the append-mode output from a memory sink, and returns
+    it. The stream emits exactly the CLOSED sessions — every session
+    but each user's final (still-open) one — so the DuckDB twin is the
+    batch gap-and-cumsum sessionization minus each user's max session
+    id. This puts the state-store path on the hard driver signal
+    instead of only the batch-equivalence test."""
+    import os
+    import tempfile
+
+    from ..streaming.annotate_stream import sessionize_stream
+
+    name = f"stream_sess_{next(_STREAM_Q_COUNTER)}"
+    schema = t(spark, sf, "events").schema
+    with tempfile.TemporaryDirectory(prefix="stream_sess_") as tmp:
+        # The file stream source wants a DIRECTORY of files; the test
+        # fixtures are single .parquet files, so stage a symlink.
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q_ = (
+            sessionize_stream(src)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)
+
+
+import itertools as _itertools
+
+_STREAM_Q_COUNTER = _itertools.count()
+
+
+@q(
+    "join_asof",
+    """
+    WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    u AS (
+      SELECT user_id AS k, ts, 1 AS is_r, event_id AS click_id,
+             CAST(NULL AS BIGINT) AS purchase_id
+      FROM e WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, 0, CAST(NULL AS BIGINT), event_id
+      FROM e WHERE event_type = 'purchase'),
+    w AS (
+      SELECT *, last_value(click_id IGNORE NULLS) OVER (
+          PARTITION BY k ORDER BY ts, is_r DESC, coalesce(click_id, -1)
+          ROWS UNBOUNDED PRECEDING) AS asof_click_id
+      FROM u)
+    SELECT purchase_id AS event_id, k AS user_id, ts, asof_click_id
+    FROM w WHERE is_r = 0
+    """,
+)
+def join_asof(spark, sf):
+    """AS-OF JOIN (a custom operator Spark lacks natively): for each
+    purchase event, the user's most recent click at or before its
+    timestamp. Implemented as the SCALABLE union-scan form — tag both
+    sides, one shuffle+sort per user on (ts, side), carry the last
+    non-null right key forward with last_value(ignoreNulls) — never
+    the naive key-join + filter + row_number, whose candidate fan-out
+    is |left_per_key| x |right_per_key|. Ties at equal ts: the right
+    side wins (<= semantics), and among equal-ts clicks the largest
+    event_id (deterministic). Events with no prior click keep NULL.
+    Operator: operators/asof.asof_join (unit-tested edge semantics)."""
+    from ..operators.asof import asof_join
+
+    e = t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return asof_join(
+        purchases, clicks, "user_id", "ts", "click_id", "asof_click_id"
+    ).select("event_id", "user_id", "ts", "asof_click_id")
+
+
+@q(
     "sort_limit",
     """
     SELECT l_orderkey, l_linenumber FROM lineitem

@@ -29,6 +29,10 @@ _FRONT = [
     "text_fingerprint",
     "text_stopword_ratio",
     "dedup_embed_lsh",
+    "kg_cooccurrence",  # new in r3 (entity PMI graph)
+    "kg_pagerank",      # new in r3 (entity salience over that graph)
+    "stream_sessionize",  # new in r3 (stateful streaming on the oracle gate)
+    "join_asof",          # new in r3 (as-of join, union-scan form)
 ]
 _TAIL = [
     "sort_limit",

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from dbpedia_spotlight_db_spark import fixtures, schemas
 from dbpedia_spotlight_db_spark.operators.closure import (
     canonicalize,
@@ -79,3 +81,35 @@ def test_chain_into_even_cycle_gets_no_redirect(spark):
     )
     got = {(r.src_uri, r.dst_uri) for r in redirect_closure(edges).collect()}
     assert got == {("m", "n")}
+
+
+def test_pagerank_matches_reference_recurrence(spark):
+    """3-iteration PageRank on a small directed graph equals an
+    independent dict-based evaluation of the same recurrence
+    (uniform init, (1-d)/|V| + d * sum rank/outdeg, dangling nodes
+    contribute nothing)."""
+    from dbpedia_spotlight_db_spark.operators.closure import pagerank
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"),  # d has out-edges; nothing points at d
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.uri: r.rank for r in pagerank(df, iterations=3).collect()}
+
+    nodes = sorted({u for e in edges for u in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        m = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            m[d] += rank[s] / outdeg[s]
+        rank = {v: 0.15 / n + 0.85 * m[v] for v in nodes}
+    assert got.keys() == rank.keys()
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], rel=1e-12), v
+    # ranks form a probability-ish mass: sum <= 1 with dangling loss
+    assert sum(got.values()) <= 1.0 + 1e-9

@@ -120,3 +120,38 @@ def test_all_stopword_context_doc_still_annotated(spark, cased_world):
     )
     assert fused == rel_pandas == rel_join == win
     assert any(k[3] == "paris" for k in fused)
+
+
+def test_asof_join_edges(spark):
+    """As-of join edge semantics: equal-ts right row wins (<=), ties
+    among equal-ts right rows resolve to the largest value, no prior
+    right row -> NULL, keys never leak across partitions."""
+    import datetime as dt
+
+    from dbpedia_spotlight_db_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, 10, T(5)),   # after right rows at 1,3 -> latest is 3
+            (2, 10, T(3)),   # EXACTLY at a right ts -> that row (<=)
+            (3, 10, T(0)),   # before any right row -> NULL
+            (4, 20, T(9)),   # other key: equal-ts right tie -> max val
+            (5, 30, T(9)),   # key with no right rows at all -> NULL
+        ],
+        ["event_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, T(1), 100),
+            (10, T(3), 101),
+            (20, T(9), 200),
+            (20, T(9), 201),  # tie at same ts -> 201 wins
+        ],
+        ["k", "ts", "v"],
+    )
+    got = {
+        r.event_id: r.asof_v
+        for r in asof_join(left, right, "k", "ts", "v", "asof_v").collect()
+    }
+    assert got == {1: 101, 2: 101, 3: None, 4: 201, 5: None}

@@ -186,7 +186,64 @@ def main() -> None:
         logical,
     )
 
-    # 10. whole-stage codegen present on the relational surface (AQE
+    # 10. bucketed store warehouse (jobs/build_stores.py layout): a
+    # broadcast-disabled probe join against a save_bucketed table
+    # shuffles ONLY the probe side — the bucketed scan reports its
+    # layout and contributes no Exchange of its own
+    import tempfile
+
+    from dbpedia_spotlight_db_spark.sources import catalog as cat
+
+    with tempfile.TemporaryDirectory(prefix="audit_bucketed_") as tdir:
+        cat.save_bucketed(
+            stores["candidate_map"], "audit_cm", tdir, "sf_id", n_buckets=4
+        )
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = spark.range(64).select(F.col("id").alias("sf_id"))
+            p = plan_of(probe.join(spark.table("audit_cm"), "sf_id"))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        n_ex = len(re.findall(r"\(\d+\) Exchange\b", p))
+        check(
+            "bucketed store scan adds no Exchange",
+            "Bucketed: true" in p and n_ex <= 1,
+            f"Bucketed scan={'Bucketed: true' in p}, {n_ex} Exchange "
+            "nodes (want <=1: probe side only)",
+            p,
+        )
+
+    # 11. minhash signatures are map-only: the per-doc min is an
+    # array-HOF reduction inside the row, not an explode + groupBy —
+    # zero Exchange between the documents scan and the signature
+    from dbpedia_spotlight_db_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    p = plan_of(minhash_signatures(docs, "doc_id", "text"))
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "minhash signatures are map-only",
+        n_ex == 0,
+        f"{n_ex} Exchange nodes in the signature plan (want 0)",
+        p,
+    )
+
+    # 12. simhash banded candidate join: bucket-equality equi-join
+    # (never a cartesian/broadcast-nested-loop), no Window operator
+    p = plan_of(QUERIES["dedup_simhash_pairs"](spark, SF))
+    bad_join = ("CartesianProduct" in p) or ("BroadcastNestedLoopJoin" in p)
+    n_win = len(re.findall(r"\bWindow\b", p))
+    check(
+        "simhash banded join is an equi-join",
+        not bad_join and n_win == 0,
+        f"cartesian/BNLJ={bad_join}, {n_win} Window nodes in "
+        "dedup_simhash_pairs plan",
+        p,
+    )
+
+    # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
     q6 = QUERIES["agg_counts"](spark, SF)
