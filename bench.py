@@ -76,6 +76,15 @@ def headline_mode() -> None:
         yield from it
 
     warm_df.mapInPandas(_noop_batches, warm_df.schema).count()
+    # warm the FLAGSHIP plan shapes at the smallest fixture (sf0.001,
+    # ~2-3 s of data): Catalyst/Janino compile each distinct physical
+    # plan shape once per JVM, and on a long-lived cluster the engine
+    # is always past that point — the timed sf0.1 run below then
+    # measures the engine, not first-compilation of ~30 plan shapes
+    # (the "JIT warm pass matters" lesson, BENCH.md). The warm run's
+    # caches are dropped so the timed run materializes its own stores.
+    flagship(spark, "/root/testdata/sf0.001").count()
+    spark.catalog.clearCache()
 
     times: dict[str, float] = {}
 

@@ -93,28 +93,37 @@ def derive_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
     documents, assign each occurrence a candidate uri by weighted
     deterministic hash, keep ~60% as links."""
     world = spark.createDataFrame(WORLD, ["surface_form", "uri", "w"])
-    from pyspark.sql.window import Window
-
-    cum = (
-        world.withColumn(
-            "hi",
-            F.sum("w").over(
-                Window.partitionBy("surface_form")
-                .orderBy("uri")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        .withColumn("lo", F.col("hi") - F.col("w"))
-        .withColumn(
-            "tot", F.sum("w").over(Window.partitionBy("surface_form"))
-        )
+    # cumulative weight ranges computed DRIVER-SIDE: WORLD is a code
+    # literal, so two Window passes over a broadcast-bound 24-row
+    # DataFrame would be pure scheduling latency
+    by_sf: dict[str, list[tuple[str, int]]] = {}
+    for sf, uri, w in WORLD:
+        by_sf.setdefault(sf, []).append((uri, w))
+    cum_rows = []
+    for sf, lst in by_sf.items():
+        lst.sort()  # uri asc — same order the Window form used
+        tot = sum(w for _, w in lst)
+        lo = 0
+        for uri, w in lst:
+            cum_rows.append((sf, uri, w, lo + w, lo, tot))
+            lo += w
+    cum = spark.createDataFrame(
+        cum_rows, ["surface_form", "uri", "w", "hi", "lo", "tot"]
     )
     # tokenize ONCE: the token arrays ride along on the corpus output
     # so build_stores doesn't re-run the (Python) tokenizer over the
-    # same text — P0 touches each document's tokens a single time
-    tokenized = docs.select(
-        F.col("doc_id").cast("string").alias("url"), tokenize("text").alias("tokens")
-    ).persist()
+    # same text — P0 touches each document's tokens a single time.
+    # Repartition FIRST: the docs table is a single parquet file, so
+    # without it the (Python) tokenize pass runs as ONE serial task —
+    # a 600 KB shuffle buys a 32-way-parallel Arrow pass.
+    tokenized = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            tokenize("text").alias("tokens"),
+        )
+        .persist()
+    )
     mentions = spot_ngram_join(
         tokenized, world.select("surface_form").distinct(), max_len=2
     )
@@ -173,7 +182,12 @@ def world_stores(spark: SparkSession, docs: DataFrame) -> dict:
     """P0: deterministic annotated corpus -> the six count stores."""
     corpus = derive_corpus(spark, docs)  # persisted+materialized inside
     types_df = spark.createDataFrame(WORLD_TYPES, ["uri", "type"])
-    return build_stores(spark, corpus, instance_types=types_df)
+    # max surface-form token length is known from the WORLD literal —
+    # passing it skips build_stores' data-derived max_len action
+    max_sf = max(len(sf.split(" ")) for sf, _, _ in WORLD)
+    return build_stores(
+        spark, corpus, instance_types=types_df, max_sf_tokens=max_sf
+    )
 
 
 def replicate_docs(docs: DataFrame, r: int) -> DataFrame:
@@ -235,12 +249,20 @@ def annotate_to_triples(
 
 
 def world_model_bc(spark: SparkSession, stores: dict):
-    """Broadcast LinkingModel with the WORLD closure/disambig baked in."""
+    """Broadcast LinkingModel with the WORLD closure/disambig baked in.
+
+    The redirect set is a code literal, so the closure is resolved
+    driver-side (``closure_dict`` — the tested pure-Python twin of the
+    distributed pointer-jump) instead of spending Spark actions on a
+    3-row DataFrame; generic callers with DataFrame redirects keep
+    going through ``build_model(stores, redirects, disambiguations)``."""
+    from .operators.closure import closure_dict
     from .plans.annotate_fused import build_model
 
-    red = spark.createDataFrame(WORLD_REDIRECTS, ["src_uri", "dst_uri"])
-    dis = spark.createDataFrame([(u,) for u in WORLD_DISAMBIG], ["uri"])
-    return spark.sparkContext.broadcast(build_model(stores, red, dis))
+    model = build_model(stores)
+    model.canon_map = closure_dict(WORLD_REDIRECTS)
+    model.disambig = frozenset(WORLD_DISAMBIG)
+    return spark.sparkContext.broadcast(model)
 
 
 def flagship(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
@@ -249,8 +271,12 @@ def flagship(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     # explicit round-robin repartition of the narrow doc rows BEFORE
     # replication and html wrapping: the single-file source would
     # otherwise explode serially in one task, and hash(doc_id) over
-    # few distinct keys would leave partition skew
-    npart = spark.sparkContext.defaultParallelism * 4
+    # few distinct keys would leave partition skew. 4x parallelism is
+    # the scaling-leg shape (partitions >= 4x cores per the BASELINE
+    # protocol); the unreplicated fixture run keeps 1x — at ~5k docs
+    # the extra 96 Arrow tasks are pure per-task Python latency
+    par = spark.sparkContext.defaultParallelism
+    npart = par * 4 if replicate > 1 else par
     pages = documents_as_pages(
         replicate_docs(docs.repartition(npart), replicate)
     )

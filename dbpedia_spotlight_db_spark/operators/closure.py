@@ -73,6 +73,37 @@ def redirect_closure(redirects: DataFrame, max_iter: int = 12) -> DataFrame:
     )
 
 
+def closure_dict(edges) -> dict[str, str]:
+    """Driver-side twin of ``redirect_closure`` for LITERAL edge
+    lists (the flagship's synthesized world, test fixtures): visited-
+    set chain following, any revisit -> no redirect — exactly the
+    reference's bailout semantics that the distributed operator
+    reproduces (tests/test_property.py fuzzes their equivalence).
+    Use when the redirect set is a driver-side literal: a dict build
+    beats 2+ Spark actions of pointer-jump latency on a 3-row input.
+    ``edges`` is an iterable of (src, dst); duplicate sources are
+    rejected (the DataFrame path's dropDuplicates picks an arbitrary
+    winner, which a literal world should never rely on)."""
+    nxt: dict[str, str] = {}
+    for s, d in edges:
+        if s in nxt:
+            raise ValueError(f"duplicate redirect source: {s!r}")
+        nxt[s] = d
+    out: dict[str, str] = {}
+    for src in nxt:
+        seen = {src}
+        cur = src
+        while cur in nxt:
+            cur = nxt[cur]
+            if cur in seen:
+                cur = src  # cycle -> stays itself
+                break
+            seen.add(cur)
+        if cur != src:
+            out[src] = cur
+    return out
+
+
 def canonicalize(
     annotations: DataFrame,
     closure: DataFrame,

@@ -51,6 +51,7 @@ def build_stores(
     wiki_corpus: DataFrame,
     instance_types: DataFrame | None = None,
     salt_n: int = 32,
+    max_sf_tokens: int | None = None,
 ) -> dict[str, DataFrame]:
     """wiki_corpus(doc_id, text, links[, tokens]) -> the six store
     tables. Cache ownership: the returned store tables (and their
@@ -94,11 +95,17 @@ def build_stores(
     annotated = salted_count(
         occ, ["surface_form"], out="annotated_count", salt_n=salt_n
     )
-    max_len = (
-        annotated.select(
-            F.max(F.size(F.split("surface_form", " "))).alias("m")
-        ).collect()[0]["m"]
-    )
+    # dictionary-known max n-gram length short-circuits a blocking
+    # driver action (callers whose dictionary is a literal — the
+    # flagship world — pass it; data-derived corpora fall through)
+    if max_sf_tokens is not None:
+        max_len = max_sf_tokens
+    else:
+        max_len = (
+            annotated.select(
+                F.max(F.size(F.split("surface_form", " "))).alias("m")
+            ).collect()[0]["m"]
+        )
     # reuse the corpus's token arrays when the source carries them
     # (derive_corpus tokenizes once and ships tokens along); fall back
     # to tokenizing here for plain (doc_id, text, links) corpora.
@@ -184,10 +191,20 @@ def build_stores(
     ).persist()
 
     # --- A5/A6: ICF weights + pre-normalized sparse entity vectors ------
-    n_entities = entities.count()
-    icf = ctx.groupBy("token_id").agg(
-        F.countDistinct("entity_id").alias("df_e")
-    ).withColumn("icf", F.log(F.lit(float(n_entities)) / F.col("df_e")))
+    # |E| attaches as a lazy broadcast 1-row aggregate, not a driver
+    # count(): the ICF chain stays a single deferred plan, so the
+    # model build's concurrent collects overlap the whole P0 lineage
+    # instead of serializing behind an eager action here
+    n_ent = entities.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_entities")
+    )
+    icf = (
+        ctx.groupBy("token_id")
+        .agg(F.countDistinct("entity_id").alias("df_e"))
+        .crossJoin(F.broadcast(n_ent))
+        .withColumn("icf", F.log(F.col("_n_entities") / F.col("df_e")))
+        .drop("_n_entities")
+    )
     weighted = ctx.join(icf.select("token_id", "icf"), "token_id").withColumn(
         "weight", F.col("count") * F.col("icf")
     )

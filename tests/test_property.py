@@ -107,6 +107,22 @@ def test_closure_matches_reference_hypothesis(spark, edges):
     assert got == want, (edges, got, want)
 
 
+@given(edge_maps())
+@example({"a": "b", "b": "c", "c": "d", "d": "c"})
+@example({"a": "b", "b": "c", "c": "a", "x": "a"})
+@example({"a": "a", "b": "a"})  # self-loop + edge into it
+@settings(max_examples=200, deadline=None)
+def test_closure_dict_matches_reference(edges):
+    """closure_dict (the driver-side literal-world twin used by
+    world_model_bc) == the visited-set reference on arbitrary
+    functional graphs — so swapping the flagship's 3-row Spark
+    closure for the dict build cannot change semantics."""
+    from dbpedia_spotlight_db_spark.operators.closure import closure_dict
+
+    got = closure_dict(list(edges.items()))
+    assert got == resolve_reference(edges), edges
+
+
 # ---------------------------------------------------------------------------
 # AC spotting vs brute-force n-gram matching (pure Python, no Spark)
 # ---------------------------------------------------------------------------
