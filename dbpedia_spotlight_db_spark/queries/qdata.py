@@ -954,3 +954,48 @@ def multimodal_resize(spark, sf):
     return mm.resize_media(media, target_bytes=64).select(
         "media_id", F.col("n_bytes").cast("long").alias("n_bytes")
     )
+
+
+@q(
+    "text_unigram_lm",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+      FROM documents),
+    cnt AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
+    tot AS (SELECT SUM(c) AS n FROM cnt)
+    SELECT tok.doc_id,
+           round(AVG(-ln(CAST(cnt.c AS DOUBLE) / tot.n)), 6) AS nll
+    FROM tok JOIN cnt ON tok.tk = cnt.tk CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+)
+def text_unigram_lm(spark, sf):
+    """Unigram language-model quality score: per-document mean
+    negative log-likelihood under the corpus's own unigram
+    distribution — the classic cheap fluency/outlier signal for
+    training-data filtering (gibberish and boilerplate-stuffed docs
+    sit in the tails). Scale shape: the vocabulary count is a
+    map-side-combinable agg; the per-token log-prob dimension is
+    vocabulary-sized and BROADCASTS back onto the exploded corpus
+    (never a corpus-vs-corpus shuffle); the per-doc mean partial-aggs
+    before its shuffle. Token definition = whitespace split, matching
+    text_stopword_ratio's twin exactly."""
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tk"),
+    )
+    cnt = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("double").alias("n"))
+    logp = cnt.crossJoin(F.broadcast(tot)).select(
+        "tk", (-F.log(F.col("c") / F.col("n"))).alias("nll_tk")
+    )
+    return (
+        tok.join(F.broadcast(logp), "tk")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("nll_tk"), 6).alias("nll"))
+    )

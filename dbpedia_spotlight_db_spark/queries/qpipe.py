@@ -468,3 +468,106 @@ def kg_pagerank(spark, sf_dir):
     )
     pr = pagerank(edges, iterations=3, damping=0.85)
     return pr.select("uri", F.round("rank", 6).alias("rank"))
+
+
+# Shared SQL CTE: distinct co-occurrence pairs (uri_a < uri_b)
+_PAIRS_SQL = """
+    p AS (
+      SELECT a.uri AS uri_a, b.uri AS uri_b
+      FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.uri < b.uri
+      GROUP BY a.uri, b.uri)
+"""
+
+
+def _entity_pairs(spark, sf_dir):
+    de = _doc_entities(spark, sf_dir)
+    return (
+        de.alias("a")
+        .join(de.alias("b"), "doc_id")
+        .filter(F.col("a.uri") < F.col("b.uri"))
+        .select(F.col("a.uri").alias("uri_a"), F.col("b.uri").alias("uri_b"))
+        .distinct()
+    )
+
+
+@q(
+    "kg_degree",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    e AS (SELECT uri_a AS uri, n_ab FROM
+            (SELECT uri_a, uri_b, COUNT(*) AS n_ab
+             FROM (SELECT a.uri AS uri_a, b.uri AS uri_b
+                   FROM de a JOIN de b
+                     ON a.doc_id = b.doc_id AND a.uri < b.uri) q
+             GROUP BY uri_a, uri_b) w
+          UNION ALL
+          SELECT uri_b, n_ab FROM
+            (SELECT uri_a, uri_b, COUNT(*) AS n_ab
+             FROM (SELECT a.uri AS uri_a, b.uri AS uri_b
+                   FROM de a JOIN de b
+                     ON a.doc_id = b.doc_id AND a.uri < b.uri) q
+             GROUP BY uri_a, uri_b) w)
+    SELECT uri, CAST(COUNT(*) AS BIGINT) AS degree,
+           CAST(SUM(n_ab) AS BIGINT) AS strength
+    FROM e GROUP BY uri
+    """,
+)
+def kg_degree(spark, sf_dir):
+    """Entity degree + co-occurrence strength over the constructed
+    graph (the node-importance summary feeding entity pruning and
+    hub detection). One weighted-pair agg + a symmetric unpivot +
+    one final agg — both aggs map-side combinable; nothing touches
+    the corpus after the shared doc-entity containment relation."""
+    de = _doc_entities(spark, sf_dir)
+    weighted = (
+        de.alias("a")
+        .join(de.alias("b"), "doc_id")
+        .filter(F.col("a.uri") < F.col("b.uri"))
+        .groupBy(
+            F.col("a.uri").alias("uri_a"), F.col("b.uri").alias("uri_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    e = weighted.select(
+        F.col("uri_a").alias("uri"), "n_ab"
+    ).unionByName(weighted.select(F.col("uri_b").alias("uri"), "n_ab"))
+    return e.groupBy("uri").agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+        F.sum("n_ab").cast("long").alias("strength"),
+    )
+
+
+@q(
+    "kg_triangles",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM p e1
+    JOIN p e2 ON e2.uri_a = e1.uri_b
+    JOIN p e3 ON e3.uri_a = e1.uri_a AND e3.uri_b = e2.uri_b
+    """,
+)
+def kg_triangles(spark, sf_dir):
+    """Global triangle count on the co-occurrence graph (clustering /
+    community signal). ORIENTED enumeration — edges stored once with
+    uri_a < uri_b and joined a<b<c — so each triangle is produced
+    exactly once and the quadratic wedge set is bounded by the
+    out-degree of the lexicographic orientation, the standard
+    degree-skew guard for triangle counting at scale (high-degree
+    hubs mostly receive edges under the ordering instead of fanning
+    wedges out)."""
+    p = _entity_pairs(spark, sf_dir)
+    e1 = p.alias("e1")
+    e2 = p.alias("e2")
+    e3 = p.alias("e3")
+    wedges = e1.join(e2, F.col("e2.uri_a") == F.col("e1.uri_b"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.uri_a") == F.col("e1.uri_a"))
+        & (F.col("e3.uri_b") == F.col("e2.uri_b")),
+    )
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -475,6 +475,151 @@ def join_asof(spark, sf):
 
 
 @q(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf):
+    """EXACT percentiles (linear interpolation) per group — Spark's
+    ``percentile`` aggregate == DuckDB ``quantile_cont``, both the
+    standard type-7 quantile. Scale note: exact percentile is a
+    sort-based agg (per-group collect of the column); at corpus scale
+    the streaming-friendly variant is ``approx_percentile`` (KLL-ish
+    sketch, map-side combinable) — kept exact here because the oracle
+    gate demands bit-equality and the grouped column fits per group."""
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias(
+            "p90_price"
+        ),
+    )
+
+
+@q(
+    "agg_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(round(SUM(o_totalprice) * 100) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark, sf):
+    """ROLLUP grouping sets (subtotals + grand total). Spark expands
+    rollup into a single expand+hash-agg pass (one shuffle, map-side
+    partials per grouping set) — no per-set re-scan of the fact
+    table, which is the property that matters at 10^12 rows."""
+    o = t(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        cents(F.sum("o_totalprice")).alias("total_cents"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "pivot_events",
+    f"""
+    SELECT user_id,
+           {', '.join(
+               f"CAST(COUNT(*) FILTER (WHERE event_type = '{et}') AS BIGINT)"
+               f" AS {et}" for et in _EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_events(spark, sf):
+    """Pivot (long -> wide): per-user event-type counts. The pivot
+    value list is EXPLICIT — with it Spark plans a single two-phase
+    hash aggregation (one shuffle); without it a values-discovery
+    job must scan the corpus first, and an unbounded distinct-value
+    set would blow the schema at web scale."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        # absent (user, type) cells pivot to NULL; the FILTER-agg twin
+        # (and any sane consumer) wants 0
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@q(
+    "join_range",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS purchase_user, c.user_id AS click_user
+    FROM events p
+    JOIN events c
+      ON c.ts >= p.ts - INTERVAL 600 SECOND AND c.ts < p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND p.ts IS NOT NULL AND c.ts IS NOT NULL
+    """,
+)
+def join_range(spark, sf):
+    """TIME-RANGE JOIN with no equi key (every purchase paired with
+    every click — any user — in the preceding 10 minutes). The naive
+    theta-join is |P| x |C| and Spark would plan a
+    BroadcastNestedLoopJoin; operators/rangejoin.time_range_join
+    quantizes time into window-width buckets so it becomes a shuffle
+    EQUI-join on the bucket id (left side explodes to exactly 2
+    candidate buckets) + a residual filter — the partition-friendly
+    shape at web scale. The DuckDB twin is the declarative theta-join
+    (its IEJoin handles fixture scale)."""
+    from ..operators.rangejoin import time_range_join
+
+    e = t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return time_range_join(
+        purchases, clicks, "p_ts", "c_ts", window_sec=600
+    ).select("purchase_id", "click_id", "purchase_user", "click_user")
+
+
+@q(
+    "sample_hash",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    """,
+)
+def sample_hash(spark, sf):
+    """Deterministic ~1/16 corpus sample by content-independent key
+    hash (the reproducible-split primitive for training-data
+    pipelines: the same doc lands in the same split on every engine,
+    every run, every cluster size). Pure map-side filter — pushes to
+    the scan, no shuffle, and composes with any downstream op.
+    md5-on-key keeps the DuckDB twin bit-identical (Spark xxhash64
+    has no DuckDB counterpart)."""
+    d = t(spark, sf, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    ).select("doc_id", "lang")
+
+
+@q(
     "sort_limit",
     """
     SELECT l_orderkey, l_linenumber FROM lineitem

@@ -33,6 +33,14 @@ _FRONT = [
     "kg_pagerank",      # new in r3 (entity salience over that graph)
     "stream_sessionize",  # new in r3 (stateful streaming on the oracle gate)
     "join_asof",          # new in r3 (as-of join, union-scan form)
+    "join_range",         # new in r3 (bucketed time-range join, no equi key)
+    "kg_degree",          # new in r3 (graph degree/strength)
+    "kg_triangles",       # new in r3 (oriented triangle count)
+    "agg_percentiles",    # new in r3 (exact grouped quantiles)
+    "agg_rollup",         # new in r3 (grouping sets)
+    "pivot_events",       # new in r3 (explicit-values pivot)
+    "sample_hash",        # new in r3 (deterministic corpus split)
+    "text_unigram_lm",    # new in r3 (unigram-LM quality score)
 ]
 _TAIL = [
     "sort_limit",

@@ -155,3 +155,51 @@ def test_asof_join_edges(spark):
         for r in asof_join(left, right, "k", "ts", "v", "asof_v").collect()
     }
     assert got == {1: 101, 2: 101, 3: None, 4: 201, 5: None}
+
+
+def test_time_range_join_edges(spark):
+    """Range-join boundary semantics: right row exactly at l_ts - W is
+    INCLUDED, exactly at l_ts is EXCLUDED; bucket-edge timestamps
+    (l_ts a multiple of W) still find matches in the previous bucket;
+    sub-second precision is honored by the residual filter."""
+    import datetime as dt
+
+    from dbpedia_spotlight_db_spark.operators.rangejoin import (
+        time_range_join,
+    )
+
+    T = lambda s, us=0: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(  # noqa: E731
+        seconds=s, microseconds=us
+    )
+    W = 60
+    left = spark.createDataFrame(
+        [
+            (1, T(120)),        # exactly on a bucket edge
+            (2, T(90)),         # mid-bucket
+            (3, T(59, 999999)), # sub-second, just inside first bucket
+        ],
+        ["lid", "l_ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, T(60)),         # = l1 - W -> INCLUDED for l1; < l2-W? 90-60=30, 60>=30 yes INCLUDED for l2
+            (11, T(120)),        # = l1 ts -> EXCLUDED for l1
+            (12, T(119, 999999)),# just below l1 -> INCLUDED for l1
+            (13, T(0)),          # = l3 - 59.999999s? l3-W = -0.000001 -> INCLUDED for l3
+            (14, T(29)),         # INCLUDED for l2 (90-60=30? 29 < 30 -> EXCLUDED)
+        ],
+        ["rid", "r_ts"],
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in time_range_join(left, right, "l_ts", "r_ts", W).collect()
+    }
+    want = set()
+    for lid, lts in [(1, T(120)), (2, T(90)), (3, T(59, 999999))]:
+        for rid, rts in [
+            (10, T(60)), (11, T(120)), (12, T(119, 999999)),
+            (13, T(0)), (14, T(29)),
+        ]:
+            if lts - dt.timedelta(seconds=W) <= rts < lts:
+                want.add((lid, rid))
+    assert got == want

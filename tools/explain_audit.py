@@ -243,6 +243,23 @@ def main() -> None:
         p,
     )
 
+    # 14. time-range join is bucket-quantized into an EQUI-join: the
+    # no-equi-key theta-join would plan as BroadcastNestedLoopJoin /
+    # CartesianProduct (|L|x|R| at corpus scale); the bucket column
+    # must make it a hash-partitionable join
+    p = plan_of(QUERIES["join_range"](spark, SF))
+    bad_join = ("CartesianProduct" in p) or ("BroadcastNestedLoopJoin" in p)
+    has_equi = ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+    check(
+        "time-range join is a bucketed equi-join",
+        not bad_join and has_equi,
+        f"cartesian/BNLJ={bad_join}, equi-join present={has_equi} "
+        "in join_range plan",
+        p,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
