@@ -999,3 +999,64 @@ def text_unigram_lm(spark, sf):
         .groupBy("doc_id")
         .agg(F.round(F.avg("nll_tk"), 6).alias("nll"))
     )
+
+
+from ..functions.web import normalize_url as _normalize_url
+from ..functions.web import normalize_url_sql as _normalize_url_sql
+
+_MESSY_URL_SQL = """
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTP://WWW.Example.com:80/a/' || CAST(doc_id AS VARCHAR)
+                  || '/?utm_source=feed&b=2&a=1#frag'
+      WHEN 1 THEN 'https://Example.COM:443/path/To/'
+                  || CAST(doc_id AS VARCHAR) || '?fbclid=abc&z=9&y=1'
+      WHEN 2 THEN 'http://CDN.example.com:8080'
+      ELSE 'https://sub.example.com/c/d///?a=1&utm_campaign=x&ref=tw'
+    END
+"""
+
+
+@q(
+    "url_normalize",
+    f"""
+    WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents)
+    SELECT doc_id, {_normalize_url_sql('url')} AS url_norm FROM u
+    """,
+)
+def url_normalize(spark, sf):
+    """URL canonicalization (functions/web.normalize_url): the
+    pre-dedup key rewrite every crawl corpus needs — lowercase
+    scheme/host, strip www + default ports + fragments + tracking
+    params, sort the query string, collapse trailing slashes. The
+    fixture synthesizes a deterministic messy URL per doc_id (the
+    corpus table carries no real URLs); BOTH sides build the same
+    string, so the oracle checks the normalizer itself — whose DuckDB
+    twin lives next to the Spark rules in functions/web.py. Pure
+    column expressions end-to-end: codegen'd, scan-pushed, zero
+    shuffle."""
+    d = t(spark, sf, "documents")
+    m = F.col("doc_id") % 4
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Example.com:80/a/"),
+                sid,
+                F.lit("/?utm_source=feed&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://Example.COM:443/path/To/"),
+                sid,
+                F.lit("?fbclid=abc&z=9&y=1"),
+            ),
+        )
+        .when(m == 2, F.lit("http://CDN.example.com:8080"))
+        .otherwise(
+            F.lit("https://sub.example.com/c/d///?a=1&utm_campaign=x&ref=tw")
+        )
+    )
+    return d.select("doc_id", _normalize_url(url).alias("url_norm"))

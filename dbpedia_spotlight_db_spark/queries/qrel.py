@@ -781,3 +781,80 @@ def json_fns(spark, sf):
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+@q(
+    "join_salted",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def join_salted(spark, sf):
+    """Explicitly skew-salted equi-join (operators/skewjoin): the big
+    side carries a content-derived salt, the dim side is replicated
+    salt_n x, and the hot key's rows spread over salt_n reduce tasks
+    instead of one. Result set == the plain join (the oracle IS the
+    plain join); this face pins that identity on real tables. Used
+    where AQE's adaptive skew split can't reach (required
+    distributions, stats that predate the hot key) — north_rule's
+    "skew handled explicitly"."""
+    from ..operators.skewjoin import salted_join
+
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    pt = t(spark, sf, "part").select("p_partkey", "p_name", "p_brand")
+    return salted_join(
+        li,
+        pt,
+        "l_partkey",
+        "p_partkey",
+        salt_n=8,
+        salt_cols=["l_orderkey", "l_linenumber"],
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "p_name", "p_brand")
+
+
+@q(
+    "stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events WHERE ts IS NOT NULL
+    """,
+)
+def stream_dedup(spark, sf):
+    """Streaming EXACT DEDUP on the oracle gate: dedup_stream
+    (watermarked dropDuplicates — streaming/annotate_stream.py) over
+    the events table as a file-source stream, trigger(availableNow),
+    memory sink. Emitting only the key columns makes the output the
+    deterministic distinct-key SET (which physical row wins per key
+    is arrival-order-dependent and irrelevant), so the DuckDB twin is
+    a plain DISTINCT. The batch-scale twin of this exact semantics is
+    dedup_exact; this face puts the state-store path on the hard
+    driver signal."""
+    import os
+    import tempfile
+
+    from ..streaming.annotate_stream import dedup_stream
+
+    name = f"stream_dedup_{next(_STREAM_Q_COUNTER)}"
+    schema = t(spark, sf, "events").schema
+    with tempfile.TemporaryDirectory(prefix="stream_dedup_") as tmp:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q_ = (
+            dedup_stream(src, ["user_id", "event_type"])
+            .select("user_id", "event_type")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)

@@ -41,6 +41,9 @@ _FRONT = [
     "pivot_events",       # new in r3 (explicit-values pivot)
     "sample_hash",        # new in r3 (deterministic corpus split)
     "text_unigram_lm",    # new in r3 (unigram-LM quality score)
+    "url_normalize",      # new in r3 (crawl URL canonicalization)
+    "join_salted",        # new in r3 (explicit skew-salted join)
+    "stream_dedup",       # new in r3 (watermarked streaming dedup)
 ]
 _TAIL = [
     "sort_limit",

@@ -157,3 +157,33 @@ def windowed_event_counts(
             "n",
         )
     )
+
+
+def dedup_stream(
+    events_stream: DataFrame,
+    keys: list[str],
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming EXACT DEDUP: emit each key's first-seen row, drop
+    every later arrival. The training-data use is content-hash dedup
+    of an unbounded document feed (key = hash of the text); the state
+    store holds one entry per distinct key.
+
+    Scale note on state growth: with a plain ``dropDuplicates`` the
+    state is the full distinct-key set — unbounded on an infinite
+    stream. The watermark on the event-time column bounds it: Spark
+    evicts keys whose event time falls behind the watermark, i.e.
+    "duplicate" is only promised within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` is the same trade with
+    per-arrival rather than per-event-time eviction). That horizon IS
+    the contract a crawl pipeline wants — a re-crawl months later is
+    a new snapshot, not a dup.
+
+    ``ts`` cast as in the other faces (watermarks reject the
+    fixture's TIMESTAMP_NTZ)."""
+    return (
+        events_stream.filter(F.col("ts").isNotNull())
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(keys)
+    )

@@ -203,3 +203,58 @@ def test_time_range_join_edges(spark):
             if lts - dt.timedelta(seconds=W) <= rts < lts:
                 want.add((lid, rid))
     assert got == want
+
+
+def test_normalize_url_edges(spark):
+    """Edge semantics of the URL canonicalizer: garbage passthrough,
+    non-default port kept, tracking-only query dropped, path case
+    preserved, param sorting, fragment removal."""
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_db_spark.functions.web import normalize_url
+
+    cases = [
+        ("HTTPS://WWW.A.COM:443/X/Y/?b=2&a=1#z", "https://a.com/X/Y?a=1&b=2"),
+        ("http://a.com:8080/p", "http://a.com:8080/p"),
+        ("http://a.com/?utm_source=x&utm_medium=y", "http://a.com/"),
+        ("https://a.com:80/p", "https://a.com:80/p"),  # 80 not https default
+        ("not a url at all", "not a url at all"),
+        ("  http://A.com  ", "http://a.com/"),
+        ("ftp://Files.example.org/pub/", "ftp://files.example.org/pub"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [r.n for r in df.select(normalize_url("u").alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_salted_join_equals_plain_under_skew(spark):
+    """salted_join result set == plain join on a skewed input (one key
+    carries 90% of the big side), inner and left_outer, with
+    auto-broadcast disabled so the salted SHUFFLE path is what runs."""
+    from dbpedia_spotlight_db_spark.operators.skewjoin import salted_join
+
+    big = spark.createDataFrame(
+        [(1 if i < 90 else i % 7, i) for i in range(100)], ["k", "payload"]
+    )
+    small = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(5)], ["sk", "val"]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for how in ("inner", "left_outer"):
+            got = {
+                (r.k, r.payload, r.val)
+                for r in salted_join(
+                    big, small, "k", "sk", salt_n=4, how=how
+                ).collect()
+            }
+            want = {
+                (r.k, r.payload, r.val)
+                for r in big.join(
+                    small, big["k"] == small["sk"], how
+                ).collect()
+            }
+            assert got == want, how
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

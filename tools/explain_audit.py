@@ -260,6 +260,26 @@ def main() -> None:
         p,
     )
 
+    # 15. salted skew join: with auto-broadcast off, the join is a
+    # shuffle equi-join whose key set includes the salt (hot keys
+    # spread over salt_n partitions) — and never a nested-loop shape
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(QUERIES["join_salted"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    shuffle_join = ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    salted_key = "_salt" in p
+    bad_join = ("CartesianProduct" in p) or ("BroadcastNestedLoopJoin" in p)
+    check(
+        "salted join shuffles on (key, salt)",
+        shuffle_join and salted_key and not bad_join,
+        f"shuffle equi-join={shuffle_join}, salt in join keys={salted_key}, "
+        f"cartesian/BNLJ={bad_join} in join_salted plan",
+        p,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
