@@ -258,3 +258,59 @@ def test_salted_join_equals_plain_under_skew(spark):
             assert got == want, how
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_normalize_url_idempotent_and_twin_agrees(spark):
+    """Two properties over a diverse URL corpus (wider than the
+    fixture query's 4 shapes): (1) normalize is IDEMPOTENT — a second
+    pass is a no-op (canonical forms are fixed points); (2) the
+    DuckDB twin generator (normalize_url_sql) produces byte-identical
+    results to the Spark expression on every input."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_db_spark.functions.web import (
+        normalize_url,
+        normalize_url_sql,
+    )
+
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["WWW.Ex.COM", "sub.ex.com", "ex.com"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b/", "/x//y///"]
+    queries = ["", "?b=2&a=1", "?utm_source=x", "?a=1&utm_b=2&fbclid=z&c=3"]
+    frags = ["", "#sec"]
+    urls = [
+        f"{s}://{h}{po}{pa}{qu}{fr}"
+        for s in schemes
+        for h in hosts
+        for po in ports
+        for pa in paths
+        for qu in queries
+        for fr in frags
+    ] + ["", "   ", "no scheme here", "mailto:x@y.z", "http://"]
+
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    rows = (
+        df.select(
+            "u",
+            normalize_url("u").alias("n1"),
+            normalize_url(normalize_url("u")).alias("n2"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r.n2 == r.n1, f"not idempotent: {r.u!r} -> {r.n1!r} -> {r.n2!r}"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE urls (u VARCHAR)")
+    con.executemany("INSERT INTO urls VALUES (?)", [(u,) for u in urls])
+    duck = dict(
+        con.execute(
+            f"SELECT u, {normalize_url_sql('u')} FROM urls"
+        ).fetchall()
+    )
+    for r in rows:
+        assert duck[r.u] == r.n1, (
+            f"twin drift: {r.u!r} spark={r.n1!r} duck={duck[r.u]!r}"
+        )
