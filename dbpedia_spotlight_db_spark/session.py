@@ -2,10 +2,12 @@
 
 Scale posture (SURVEY.md §4): AQE on (dynamic coalescing + skew-join
 splitting), Arrow enabled for every Python boundary, shuffle
-partitions sized to >= 4x cores so an N -> 4N scale-up never
-under-partitions, and an explicit broadcast threshold so the store
-tables (surface_forms / candidate_map / entities) broadcast instead of
-shuffling the 10^12-row pages side.
+partitions fleet-sized by default and raised per-job for corpus-scale
+shuffles (see DEFAULT_SHUFFLE_PARTITIONS; the scaling legs pin
+>= 4x cores so an N -> 4N scale-up never under-partitions), and an
+explicit broadcast threshold so the store tables (surface_forms /
+candidate_map / entities) broadcast instead of shuffling the
+10^12-row pages side.
 """
 
 from __future__ import annotations
@@ -14,7 +16,18 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = 128  # >= 4 x 32 local cores; cluster: set per-job
+# Default shuffle partitions = the session's core count (fleet-sized).
+# Measured (interleaved A/B, sf0.1): the flagship model build is 2x
+# faster at 32 than at 128 on 32 cores — AQE's cost scales with the
+# INITIAL reducer count per stage (pinning
+# adaptive.coalescePartitions.initialPartitionNum=128 reproduces the
+# slowdown even with shuffle.partitions=32), and AQE can coalesce
+# reducers down but never raise them for non-skew stages. Jobs that
+# shuffle corpus-scale relations size UP per-job (the bench scaling
+# legs pin max(128, 4*cores); cluster jobs set SPARK_SHUFFLE_PARTITIONS
+# or the shuffle_partitions argument) — raising is the caller's call
+# because only the caller knows the data size.
+DEFAULT_SHUFFLE_PARTITIONS = 0  # 0 -> use core count
 
 
 def get_spark(
@@ -36,6 +49,8 @@ def get_spark(
     nshuffle = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
+    if not nshuffle:
+        nshuffle = int(cores) if str(cores).isdigit() else 32
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -76,3 +91,4 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
