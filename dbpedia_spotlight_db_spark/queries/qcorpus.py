@@ -1,0 +1,437 @@
+"""Web-corpus curation operators (round-3 breadth pass): the
+compaction / decontamination / chunking / retrieval faces a crawl ->
+training-data pipeline runs between ingestion and model training.
+
+Same contract as the sibling query modules: every key is a Spark
+callable plus a DuckDB twin with IDENTICAL column names and values
+(floats rounded to 6 before any hash-checked comparison; ranking
+always on rounded values + a total tie-break so row selection can
+never depend on sub-ulp libm differences between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import t
+
+Q = {}
+O = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            O[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# crawl compaction: latest snapshot per key
+# ---------------------------------------------------------------------------
+@q(
+    "crawl_latest",
+    """
+    SELECT user_id, event_id AS latest_event_id, ts AS latest_ts,
+           event_type AS latest_type
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def crawl_latest(spark, sf):
+    """Latest-snapshot-per-key compaction — the first pass over any
+    multi-fetch crawl (many (url, warc_ts) fetches -> one current row
+    per url; ``events`` stands in with user_id as the key and ts as
+    the fetch time). Implemented as a single ``max_by`` aggregation
+    rather than a row_number window: the agg is map-side combinable
+    (each map task emits at most one candidate row per key), so the
+    one exchange carries ~|keys| rows instead of every fetch of every
+    url — and a hot url (thousands of snapshots) can never skew the
+    shuffle. Spark plans the struct-buffer max_by as a two-phase
+    SortAggregate (asserted in tools/explain_audit.py); the sort is
+    the map-side group-by ordering, not a corpus-wide sort. (ts,
+    event_id) is a total order, so the winner is deterministic and
+    the QUALIFY twin selects the identical row."""
+    e = t(spark, sf, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    best = F.max_by(
+        F.struct(
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            F.col("event_type").alias("latest_type"),
+        ),
+        ordk,
+    ).alias("b")
+    return (
+        e.groupBy("user_id")
+        .agg(best)
+        .select("user_id", "b.latest_event_id", "b.latest_ts", "b.latest_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: n-gram overlap anti-join
+# ---------------------------------------------------------------------------
+_DECON_N = 8  # shingle width (words); benchmark = every 97th doc
+
+_DECON_SQL = f"""
+    tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+            WHERE len(string_split(text, ' ')) >= {_DECON_N}),
+    pos AS (
+      SELECT doc_id, arr,
+             unnest(generate_series(1, len(arr) - {_DECON_N - 1})) AS i
+      FROM tok),
+    corpus_g AS (
+      SELECT doc_id, array_to_string(arr[i:i+{_DECON_N - 1}], ' ') AS gram
+      FROM pos),
+    bench_g AS (
+      SELECT DISTINCT gram FROM corpus_g WHERE doc_id % 97 = 0),
+    dirty AS (
+      SELECT DISTINCT c.doc_id
+      FROM corpus_g c JOIN bench_g b ON c.gram = b.gram)
+"""
+
+
+@q(
+    "decontaminate",
+    f"""
+    WITH {_DECON_SQL}
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN dirty ON d.doc_id = dirty.doc_id
+    WHERE dirty.doc_id IS NULL
+    """,
+)
+def decontaminate(spark, sf):
+    """Benchmark decontamination: drop every training document that
+    shares any {N}-word shingle with the held-out benchmark set (here
+    the deterministic doc_id%97 slice stands in for the benchmark).
+    This is the standard anti-leak pass before LLM training. Scale
+    shape: the benchmark shingle set is benchmark-sized (thousands of
+    docs), so it BROADCASTS; the corpus side is a map-only shingle
+    expansion -> broadcast semi-join -> distinct on doc_id -> anti
+    join. The corpus is never shuffled by gram — the only wide
+    exchange is the doc_id distinct of the (small) contaminated set."""
+    n = _DECON_N
+    docs = t(spark, sf, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("arr")).filter(
+        F.size("arr") >= n
+    )
+    grams_expr = F.explode(
+        F.expr(
+            f"transform(sequence(1, size(arr) - {n - 1}),"
+            f" i -> array_join(slice(arr, i, {n}), ' '))"
+        )
+    ).alias("gram")
+    bench_g = (
+        tok.filter(F.col("doc_id") % 97 == 0).select(grams_expr).distinct()
+    )
+    dirty = (
+        tok.select("doc_id", grams_expr)
+        .join(F.broadcast(bench_g), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(dirty, "doc_id", "left_anti").select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking (training-example construction)
+# ---------------------------------------------------------------------------
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 16
+
+
+@q(
+    "text_chunks",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    pos AS (
+      SELECT doc_id, arr,
+             unnest(generate_series(1, len(arr), {_CHUNK_STRIDE})) AS i
+      FROM tok)
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS chunk_start,
+           CAST(least({_CHUNK_LEN}, len(arr) - (i - 1)) AS INT) AS n_tokens,
+           array_to_string(arr[i:i+{_CHUNK_LEN - 1}], ' ') AS chunk_text
+    FROM pos
+    """,
+)
+def text_chunks(spark, sf):
+    """Fixed-window token chunking with overlap (len=32, stride=16) —
+    how a document corpus becomes training examples. Pure map-side
+    array math (split -> sequence of starts -> slice + join per
+    start): no shuffle, no UDF, output rows ~2x input tokens/stride.
+    chunk_start is the 0-based token offset, so (doc_id, chunk_start)
+    is the stable chunk key downstream dedup/shuffle can hang onto."""
+    k, s = _CHUNK_LEN, _CHUNK_STRIDE
+    docs = t(spark, sf, "documents")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("arr"))
+        .select(
+            "doc_id",
+            F.size("arr").alias("n"),
+            F.explode(F.expr(f"sequence(1, size(arr), {s})")).alias("i"),
+            F.col("arr"),
+        )
+        .select(
+            "doc_id",
+            (F.col("i") - 1).cast("int").alias("chunk_start"),
+            F.least(F.lit(k), F.col("n") - (F.col("i") - 1))
+            .cast("int")
+            .alias("n_tokens"),
+            F.expr(f"array_join(slice(arr, i, {k}), ' ')").alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-host crawl statistics
+# ---------------------------------------------------------------------------
+_HOST_URL_SQL = (
+    "'https://h' || CAST(doc_id % 53 AS VARCHAR) || '.example.org/p/'"
+    " || CAST(doc_id AS VARCHAR)"
+)
+_HOST_RE = "^[a-z]+://([^/:?#]+)"
+
+
+@q(
+    "host_stats",
+    f"""
+    WITH u AS (SELECT doc_id, lang, n_chars, {_HOST_URL_SQL} AS url
+               FROM documents)
+    SELECT regexp_extract(url, '{_HOST_RE}', 1) AS host,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM u GROUP BY 1
+    """,
+)
+def host_stats(spark, sf):
+    """Per-host crawl statistics (docs, bytes, language spread) — the
+    politeness/quota/quality dimension every crawl pipeline maintains.
+    The corpus table carries no real URLs, so a deterministic URL is
+    synthesized per doc_id on BOTH sides and the oracle checks the
+    host extraction (regexp_extract) + aggregation. Scale shape: hash
+    agg on host with map-side partial aggregation; hosts are Zipfian
+    at crawl scale, which is exactly what the repo's salted_count
+    handles — this face keeps the plain agg so the twin stays SQL."""
+    d = t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 53).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        d.select(
+            F.regexp_extract(url, _HOST_RE, 1).alias("host"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified deterministic sampling
+# ---------------------------------------------------------------------------
+@q(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE CASE WHEN lang = 'en'
+               THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7'
+               ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' END
+    """,
+)
+def sample_stratified(spark, sf):
+    """Per-stratum deterministic sampling: ~8/16 of English docs,
+    ~1/16 of everything else — the language-rebalancing split step of
+    multilingual corpus curation. Same md5-on-key primitive as
+    sample_hash (reproducible across engines/runs/cluster sizes; hex
+    digit compare '0'..'7' is a clean 50% cut), still a pure map-side
+    filter that composes with pushdown — no sampleBy() RNG, whose
+    draw order would be partitioning-dependent."""
+    d = t(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.when(F.col("lang") == "en", h <= "7").otherwise(h == "0")
+    return d.filter(keep).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary: top-k tokens (heavy hitters)
+# ---------------------------------------------------------------------------
+@q(
+    "token_topk",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+    cnt AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk)
+    SELECT tk, c,
+           CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tk) AS INT) AS rnk
+    FROM cnt
+    QUALIFY rnk <= 100
+    """,
+)
+def token_topk(spark, sf):
+    """Corpus heavy hitters: top-100 tokens by frequency with a dense
+    Zipf rank — the vocabulary-head report used for stopword lists
+    and tokenizer sanity checks. Scale shape: exact counts via
+    map-side-combinable agg (vocab-sized shuffle, never corpus-sized),
+    then orderBy+LIMIT — Spark's TakeOrderedAndProject computes
+    per-partition top-100 and merges on the driver, so no global sort
+    materializes; the row_number window then runs on 100 rows. Ties
+    are broken by token text, so the cutoff row is engine-stable."""
+    d = t(spark, sf, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), "tk").limit(100)
+    w = Window.orderBy(F.desc("c"), "tk")
+    return top.select(
+        "tk", "c", F.row_number().over(w).cast("int").alias("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "hash", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@q(
+    "bm25_search",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl,
+                     COUNT(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, tk, COUNT(*) AS tf FROM tok
+      WHERE tk IN {_BM25_TERMS!r} GROUP BY doc_id, tk),
+    df AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tk)
+    SELECT tf.doc_id,
+           round(SUM(
+             ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                + {_BM25_B} * dl.dl / stats.avgdl))), 6) AS score
+    FROM tf
+    JOIN df ON tf.tk = df.tk
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def bm25_search(spark, sf):
+    """BM25 keyword retrieval over the corpus (query = a fixed term
+    set): the scoring half of a distributed search index, and the
+    relevance-filter face of targeted corpus curation ("keep docs
+    about X"). All relational: tf is a map-side-combinable agg
+    pre-filtered to the query terms (the IN pushes to the scan), df
+    and the corpus stats are term-/scalar-sized and attach by
+    broadcast, and the final per-doc sum shuffles only docs that
+    matched at least one term. Emits every matched doc with its
+    rounded score — selection is by exact term match, never by a
+    float cutoff, so the twin is hash-stable."""
+    k1, b = _BM25_K1, _BM25_B
+    d = t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        tok.filter(F.col("tk").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tk").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df), "tk")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (k1 + 1.0) / denom), 6
+            ).alias("score")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document keyword extraction (TF-IDF top terms)
+# ---------------------------------------------------------------------------
+@q(
+    "doc_tfidf_topterms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+    tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY doc_id, tk),
+    df AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY tk),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tk,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.tk = df.tk CROSS JOIN n)
+    SELECT doc_id, tk, tfidf FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, tk) <= 3
+    """,
+)
+def doc_tfidf_topterms(spark, sf):
+    """Per-document keyword extraction: top-3 terms by TF-IDF — the
+    cheap topic signal used for corpus clustering and faceting.
+    Ranking happens on the ROUNDED score (both engines), so row
+    selection can never hinge on a last-ulp ln() difference; ties
+    break on token text. Scale shape: tf/df as in bm25_search (df is
+    vocab-sized, broadcasts); the per-doc top-3 is a row_number
+    window partitioned by doc_id — Spark's WindowGroupLimit pushes
+    the limit before the full sort materializes, and the partition
+    key is the doc, so there is no skew (docs have bounded vocab)."""
+    d = t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+    tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    n = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tk")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tk",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tk")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tk", "tfidf")
+    )

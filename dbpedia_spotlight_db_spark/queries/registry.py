@@ -11,11 +11,11 @@ green since round 1 and can safely absorb any window truncation.
 
 from __future__ import annotations
 
-from . import qdata, qpipe, qrel
+from . import qcorpus, qdata, qpipe, qrel
 
 _QUERIES = {}
 _ORACLES = {}
-for mod in (qrel, qpipe, qdata):
+for mod in (qrel, qpipe, qdata, qcorpus):
     _QUERIES.update(mod.Q)
     _ORACLES.update(mod.O)
 
@@ -44,6 +44,14 @@ _FRONT = [
     "url_normalize",      # new in r3 (crawl URL canonicalization)
     "join_salted",        # new in r3 (explicit skew-salted join)
     "stream_dedup",       # new in r3 (watermarked streaming dedup)
+    "crawl_latest",       # new in r3 (latest-snapshot compaction, qcorpus)
+    "decontaminate",      # new in r3 (benchmark n-gram anti-leak)
+    "text_chunks",        # new in r3 (token-window training chunks)
+    "host_stats",         # new in r3 (per-host crawl stats)
+    "sample_stratified",  # new in r3 (per-lang deterministic split)
+    "token_topk",         # new in r3 (vocabulary heavy hitters)
+    "bm25_search",        # new in r3 (BM25 retrieval scoring)
+    "doc_tfidf_topterms", # new in r3 (per-doc keyword extraction)
 ]
 _TAIL = [
     "sort_limit",

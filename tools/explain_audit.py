@@ -280,6 +280,63 @@ def main() -> None:
         p,
     )
 
+    # 16. decontaminate: the corpus-vs-benchmark shingle overlap is a
+    # broadcast LeftSemi (the benchmark gram set is benchmark-sized,
+    # never a corpus-by-gram shuffle) and nothing degenerates into a
+    # cartesian scan
+    simple = (
+        QUERIES["decontaminate"](spark, SF)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    bcast_semi = bool(
+        re.search(r"BroadcastHashJoin .*LeftSemi", simple)
+    )
+    bad_join = "CartesianProduct" in simple
+    check(
+        "decontaminate semi-join broadcasts the benchmark",
+        bcast_semi and not bad_join,
+        f"broadcast LeftSemi={bcast_semi}, cartesian={bad_join} "
+        "in decontaminate plan",
+        simple,
+    )
+
+    # 17. crawl_latest compaction is ONE two-phase agg around exactly
+    # one exchange: partial aggregation runs BEFORE the shuffle, so
+    # the exchange carries at most one candidate row per (key, map
+    # task) — hot keys cannot skew it — where the row_number-window
+    # formulation would shuffle every fetch of every url. (Spark
+    # plans max_by-of-struct as SortAggregate — the var-width struct
+    # buffer can't hash-aggregate — so we assert the agg pair + no
+    # Window, not the agg flavor.)
+    p = plan_of(QUERIES["crawl_latest"](spark, SF))
+    n_win = len(re.findall(r"\bWindow\b", p))
+    n_ex = len(re.findall(r"\(\d+\) Exchange\b", p))
+    n_agg = len(re.findall(r"(?:Hash|Sort)Aggregate", p))
+    check(
+        "crawl_latest is a single two-phase agg",
+        n_win == 0 and n_ex == 1 and n_agg >= 2,
+        f"{n_win} Window / {n_ex} Exchange / {n_agg} aggregate nodes "
+        "in crawl_latest plan (want 0/1/>=2)",
+        p,
+    )
+
+    # 18. text_chunks is map-only (pure array math, zero Exchange) and
+    # token_topk's head is TakeOrderedAndProject (per-partition top-k
+    # merged on the driver), never a global Sort of the vocabulary
+    p = plan_of(QUERIES["text_chunks"](spark, SF))
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    p2 = plan_of(QUERIES["token_topk"](spark, SF))
+    take_ordered = "TakeOrderedAndProject" in p2
+    check(
+        "chunking map-only; token_topk TakeOrdered",
+        n_ex == 0 and take_ordered,
+        f"{n_ex} Exchange in text_chunks (want 0); "
+        f"TakeOrderedAndProject in token_topk={take_ordered}",
+        p,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
