@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from ..operators import curation
 from .common import t
 
 Q = {}
@@ -110,32 +111,13 @@ def decontaminate(spark, sf):
     shares any {N}-word shingle with the held-out benchmark set (here
     the deterministic doc_id%97 slice stands in for the benchmark).
     This is the standard anti-leak pass before LLM training. Scale
-    shape: the benchmark shingle set is benchmark-sized (thousands of
-    docs), so it BROADCASTS; the corpus side is a map-only shingle
-    expansion -> broadcast semi-join -> distinct on doc_id -> anti
-    join. The corpus is never shuffled by gram — the only wide
-    exchange is the doc_id distinct of the (small) contaminated set."""
-    n = _DECON_N
+    shape: operators/curation.py::decontaminate — benchmark shingles
+    broadcast, corpus map-only shingle expansion -> broadcast
+    semi-join -> distinct on doc_id -> anti-join; the corpus is never
+    shuffled by gram."""
     docs = t(spark, sf, "documents")
-    tok = docs.select("doc_id", F.split("text", " ").alias("arr")).filter(
-        F.size("arr") >= n
-    )
-    grams_expr = F.explode(
-        F.expr(
-            f"transform(sequence(1, size(arr) - {n - 1}),"
-            f" i -> array_join(slice(arr, i, {n}), ' '))"
-        )
-    ).alias("gram")
-    bench_g = (
-        tok.filter(F.col("doc_id") % 97 == 0).select(grams_expr).distinct()
-    )
-    dirty = (
-        tok.select("doc_id", grams_expr)
-        .join(F.broadcast(bench_g), "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
-    return docs.join(dirty, "doc_id", "left_anti").select("doc_id")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return curation.decontaminate(docs, bench, n=_DECON_N).select("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -165,26 +147,11 @@ def text_chunks(spark, sf):
     how a document corpus becomes training examples. Pure map-side
     array math (split -> sequence of starts -> slice + join per
     start): no shuffle, no UDF, output rows ~2x input tokens/stride.
-    chunk_start is the 0-based token offset, so (doc_id, chunk_start)
-    is the stable chunk key downstream dedup/shuffle can hang onto."""
-    k, s = _CHUNK_LEN, _CHUNK_STRIDE
-    docs = t(spark, sf, "documents")
-    return (
-        docs.select("doc_id", F.split("text", " ").alias("arr"))
-        .select(
-            "doc_id",
-            F.size("arr").alias("n"),
-            F.explode(F.expr(f"sequence(1, size(arr), {s})")).alias("i"),
-            F.col("arr"),
-        )
-        .select(
-            "doc_id",
-            (F.col("i") - 1).cast("int").alias("chunk_start"),
-            F.least(F.lit(k), F.col("n") - (F.col("i") - 1))
-            .cast("int")
-            .alias("n_tokens"),
-            F.expr(f"array_join(slice(arr, i, {k}), ' ')").alias("chunk_text"),
-        )
+    Delegates to operators/curation.py::chunk_tokens."""
+    return curation.chunk_tokens(
+        t(spark, sf, "documents"),
+        chunk_len=_CHUNK_LEN,
+        stride=_CHUNK_STRIDE,
     )
 
 
@@ -260,11 +227,12 @@ def sample_stratified(spark, sf):
     sample_hash (reproducible across engines/runs/cluster sizes; hex
     digit compare '0'..'7' is a clean 50% cut), still a pure map-side
     filter that composes with pushdown — no sampleBy() RNG, whose
-    draw order would be partitioning-dependent."""
+    draw order would be partitioning-dependent. Delegates to
+    operators/curation.py::stratified_sample."""
     d = t(spark, sf, "documents")
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    keep = F.when(F.col("lang") == "en", h <= "7").otherwise(h == "0")
-    return d.filter(keep).select("doc_id", "lang")
+    return curation.stratified_sample(
+        d, "lang", {"en": 0.5}, default_frac=1 / 16
+    ).select("doc_id", "lang")
 
 
 # ---------------------------------------------------------------------------
