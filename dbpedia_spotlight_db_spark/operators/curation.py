@@ -112,7 +112,6 @@ def stratified_sample(
         return format(k - 1, "x") if k > 0 else ""
 
     h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
-    keep = F.lit(None).cast("boolean")
     expr = None
     for stratum, frac in sorted(fractions.items()):
         cut = _hex_cut(frac)

@@ -241,6 +241,72 @@ def kg_candidates(spark, sf_dir):
 
 
 @q(
+    "kg_disambiguate",
+    f"""
+    WITH {_GRAMS_SQL},
+    spans AS (
+      SELECT doc_id, pos, sf AS surface_form FROM grams
+      WHERE pos % 3 = 1),
+    cand AS (
+      SELECT s.doc_id, s.pos, s.surface_form, d.uri, d.w
+      FROM spans s JOIN {_DICT_SQL} ON s.surface_form = d.sf),
+    scored AS (
+      SELECT doc_id, pos, surface_form, uri, w,
+             row_number() OVER (PARTITION BY doc_id, pos, surface_form
+                                ORDER BY w DESC, uri) AS rn,
+             lead(w) OVER (PARTITION BY doc_id, pos, surface_form
+                           ORDER BY w DESC, uri) AS w2
+      FROM cand)
+    SELECT doc_id, pos, surface_form, uri,
+           round(coalesce(CAST(w2 AS DOUBLE) / w, 0.0), 6)
+             AS second_rank_ratio
+    FROM scored WHERE rn = 1
+    """,
+)
+def kg_disambiguate(spark, sf_dir):
+    """Reference lifecycle E2 (`/disambiguate`): input arrives WITH
+    mention spans already marked (SpotXmlParser upstream), so the
+    front half — tokenize + spot — is skipped; candidate lookup,
+    scoring, argmax, and the second-rank confidence run unchanged.
+    The externally-supplied span list is synthesized deterministically
+    on BOTH sides (every dictionary gram at pos%3==1 plays the role
+    of a user-marked span). Emits the argmax entity per span plus
+    percentileOfSecondRank's relational face (second_rank_ratio =
+    runner-up weight / winner weight; 0 when unambiguous). Scale
+    shape identical to E1's join half: spans join the broadcast
+    dictionary; the per-span window partitions on (doc, pos, sf) —
+    bounded groups, no skew."""
+    grams = _grams_spark(spark, sf_dir)
+    spans = grams.filter(F.col("pos") % 3 == 1).withColumnRenamed(
+        "sf", "surface_form"
+    )
+    cand = spans.join(
+        F.broadcast(_dict_df(spark).withColumnRenamed("sf", "surface_form")),
+        "surface_form",
+    )
+    w = Window.partitionBy("doc_id", "pos", "surface_form").orderBy(
+        F.desc("w"), F.asc("uri")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .withColumn("w2", F.lead("w").over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "pos",
+            "surface_form",
+            "uri",
+            F.round(
+                F.coalesce(
+                    F.col("w2").cast("double") / F.col("w"), F.lit(0.0)
+                ),
+                6,
+            ).alias("second_rank_ratio"),
+        )
+    )
+
+
+@q(
     "kg_export_json",
     f"""
     WITH {_GRAMS_SQL},

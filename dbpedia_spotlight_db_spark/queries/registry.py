@@ -52,6 +52,7 @@ _FRONT = [
     "token_topk",         # new in r3 (vocabulary heavy hitters)
     "bm25_search",        # new in r3 (BM25 retrieval scoring)
     "doc_tfidf_topterms", # new in r3 (per-doc keyword extraction)
+    "kg_disambiguate",    # new in r3 (reference lifecycle E2 face)
 ]
 _TAIL = [
     "sort_limit",

@@ -143,3 +143,26 @@ def test_doc_tfidf_topterms_per_doc_limit(spark):
         ~F.array_contains(F.split("text", " "), F.col("tk"))
     )
     assert joined.count() == 0
+
+
+def test_kg_disambiguate_matches_e1_back_half(spark):
+    """E2 (/disambiguate, spans given) must agree with E1's argmax on
+    the same spans: kg_annotate_prior restricted to the synthesized
+    span subset == kg_disambiguate's entity commits."""
+    from dbpedia_spotlight_db_spark.queries import qpipe
+
+    e1 = (
+        qpipe.Q["kg_annotate_prior"](spark, SF)
+        .filter(F.col("pos") % 3 == 1)
+        .select("doc_id", "pos", "surface_form", "uri")
+    )
+    e2 = qpipe.Q["kg_disambiguate"](spark, SF).select(
+        "doc_id", "pos", "surface_form", "uri"
+    )
+    assert e1.exceptAll(e2).count() == 0
+    assert e2.exceptAll(e1).count() == 0
+    # srr is a valid confidence: in [0, 1], 0 iff single-candidate sf
+    srr = qpipe.Q["kg_disambiguate"](spark, SF)
+    assert srr.filter(
+        (F.col("second_rank_ratio") < 0) | (F.col("second_rank_ratio") > 1)
+    ).count() == 0
