@@ -403,3 +403,182 @@ def doc_tfidf_topterms(spark, sf):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tk", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus-level duplicate-line removal
+# ---------------------------------------------------------------------------
+_LINE_W = 3   # block width (tokens) — the "line" unit for newline-free text
+_LINE_K = 3   # corpus occurrence threshold (C4 drops lines seen >= 3 times)
+
+
+@q(
+    "dedup_lines",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    blk AS (
+      SELECT doc_id, CAST((i - 1) // {_LINE_W} AS INT) AS pos,
+             array_to_string(arr[i:i+{_LINE_W - 1}], ' ') AS block
+      FROM (SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr), {_LINE_W})) AS i
+            FROM tok)),
+    bad AS (SELECT block FROM blk GROUP BY block HAVING COUNT(*) >= {_LINE_K}),
+    kept AS (SELECT b.doc_id, b.pos, b.block FROM blk b
+             LEFT JOIN bad ON b.block = bad.block WHERE bad.block IS NULL),
+    rec AS (SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS clean_text,
+                   COUNT(*) AS n_kept FROM kept GROUP BY doc_id),
+    nb AS (SELECT doc_id,
+                  len(generate_series(1, len(string_split(text, ' ')),
+                                      {_LINE_W})) AS n_blocks
+           FROM documents)
+    SELECT nb.doc_id,
+           COALESCE(rec.clean_text, '') AS clean_text,
+           CAST(COALESCE(rec.n_kept, 0) AS INT) AS n_kept,
+           CAST(nb.n_blocks - COALESCE(rec.n_kept, 0) AS INT) AS n_dropped
+    FROM nb LEFT JOIN rec ON nb.doc_id = rec.doc_id
+    """,
+)
+def dedup_lines(spark, sf):
+    """C4-style duplicate-LINE removal across the corpus: any 3-token
+    block whose exact string occurs >= 3 times corpus-wide is
+    boilerplate and is dropped from every document; docs are then
+    reassembled from their surviving blocks in order. This is the
+    sub-document dedup pass (Raffel et al. C4; Lee et al. dedup) that
+    exact/minhash doc-level dedup cannot express. Scale shape in
+    operators/curation.py::line_dedup — block counts are a
+    vocabulary-sized map-combinable agg, the bad set anti-joins back
+    WITHOUT a forced broadcast, and the rebuild groups by doc id."""
+    return curation.line_dedup(
+        t(spark, sf, "documents"), width=_LINE_W, min_count=_LINE_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style within-document repetition signals (map-only)
+# ---------------------------------------------------------------------------
+@q(
+    "text_repetition",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    base AS (SELECT doc_id, arr, len(arr) AS n FROM tok),
+    bg AS (SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS g
+           FROM (SELECT doc_id, arr,
+                        unnest(generate_series(1, len(arr) - 1)) AS i
+                 FROM tok WHERE len(arr) >= 2)),
+    bgm AS (SELECT doc_id, MAX(c) AS mx
+            FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+            GROUP BY doc_id),
+    blk AS (SELECT doc_id, array_to_string(arr[i:i+{_LINE_W - 1}], ' ') AS b
+            FROM (SELECT doc_id, arr,
+                         unnest(generate_series(1, len(arr), {_LINE_W})) AS i
+                  FROM tok)),
+    blks AS (SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT b) AS ndb
+             FROM blk GROUP BY doc_id)
+    SELECT base.doc_id, CAST(base.n AS INT) AS n_tokens,
+           round(COALESCE(2.0 * bgm.mx / base.n, 0.0), 6) AS top_bigram_frac,
+           round((blks.nb - blks.ndb) * 1.0 / blks.nb, 6) AS dup_block_frac,
+           round(len(list_distinct(base.arr)) * 1.0 / base.n, 6)
+             AS distinct_frac
+    FROM base
+    LEFT JOIN bgm ON base.doc_id = bgm.doc_id
+    JOIN blks ON base.doc_id = blks.doc_id
+    """,
+)
+def text_repetition(spark, sf):
+    """Gopher-style repetition quality signals per document: fraction
+    of tokens covered by the most frequent bigram, fraction of
+    repeated 3-token blocks, type/token ratio. The Spark side is
+    MAP-ONLY (the max-bigram count is a run-length fold over the
+    sorted in-row bigram array — operators/curation.py::_MAX_RUN), so
+    at 10^12 docs this costs one scan and zero shuffle; the DuckDB
+    twin computes the same numbers relationally."""
+    return curation.repetition_signals(
+        t(spark, sf, "documents"), block_width=_LINE_W
+    )
+
+
+# ---------------------------------------------------------------------------
+# greedy sequence packing (training-example assembly)
+# ---------------------------------------------------------------------------
+_PACK_CTX = 256
+_PACK_SHARDS = 8
+
+
+@q(
+    "pack_sequences",
+    f"""
+    WITH d AS (SELECT doc_id, CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+                      md5(CAST(doc_id AS VARCHAR)) AS h,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, shard, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+    SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS tok_start,
+           CAST((cum - n_tokens) // {_PACK_CTX} AS INT) AS seq_id
+    FROM c
+    """,
+)
+def pack_sequences(spark, sf):
+    """Greedy concatenate-then-split sequence packing: docs shard by
+    id, order deterministically by md5(id) within the shard, lay end
+    to end by a running token offset, and land in the 256-token
+    training sequence where they start. One shuffle (by shard); the
+    per-shard cumsum is a window over the shard partition, and shard
+    count scales with the cluster so no window outgrows a task.
+    Delegates to operators/curation.py::pack_greedy."""
+    return curation.pack_greedy(
+        t(spark, sf, "documents"),
+        ctx_len=_PACK_CTX,
+        n_shards=_PACK_SHARDS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (compliance scrub)
+# ---------------------------------------------------------------------------
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.org call 555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' cc admin@example.com' ELSE '' END"
+)
+
+
+@q(
+    "pii_redact",
+    """
+    WITH u AS (SELECT doc_id, """ + _PII_AUG_SQL + """ AS text
+               FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+             '""" + curation._EMAIL_RE + """', '<EMAIL>', 'g'),
+             '""" + curation._PHONE_RE + """', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '""" + curation._EMAIL_RE
+    + """')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '""" + curation._PHONE_RE
+    + """')) AS INT) AS n_phones
+    FROM u
+    """,
+)
+def pii_redact(spark, sf):
+    """PII scrubbing: emails and phone numbers replaced with typed
+    placeholders plus per-doc redaction counts — the compliance pass
+    before any web text reaches training. The corpus carries no real
+    PII, so deterministic contact strings are synthesized per doc_id
+    on BOTH sides (the host_stats precedent) and the oracle checks
+    the identical RE2-compatible regexes. Map-only JVM regex — no
+    UDF, composes with scan pruning (reads 2 of 5 columns)."""
+    d = t(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" cc admin@example.com"))
+        .otherwise(F.lit("")),
+    )
+    return curation.pii_redact(d.select("doc_id", aug.alias("text")))

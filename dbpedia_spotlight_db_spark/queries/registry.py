@@ -11,11 +11,11 @@ green since round 1 and can safely absorb any window truncation.
 
 from __future__ import annotations
 
-from . import qcorpus, qdata, qpipe, qrel
+from . import qcorpus, qdata, qembed, qpipe, qrel
 
 _QUERIES = {}
 _ORACLES = {}
-for mod in (qrel, qpipe, qdata, qcorpus):
+for mod in (qrel, qpipe, qdata, qcorpus, qembed):
     _QUERIES.update(mod.Q)
     _ORACLES.update(mod.O)
 
@@ -53,6 +53,12 @@ _FRONT = [
     "bm25_search",        # new in r3 (BM25 retrieval scoring)
     "doc_tfidf_topterms", # new in r3 (per-doc keyword extraction)
     "kg_disambiguate",    # new in r3 (reference lifecycle E2 face)
+    "dedup_lines",        # new in r3 (C4 corpus-level duplicate-line removal)
+    "text_repetition",    # new in r3 (Gopher repetition signals, map-only)
+    "pack_sequences",     # new in r3 (greedy training-sequence packing)
+    "pii_redact",         # new in r3 (compliance scrub, JVM regex)
+    "dedup_semantic",     # new in r3 (SemDeDup: cluster-then-dedup)
+    "embed_kmeans",       # new in r3 (unrolled Lloyd iterations)
 ]
 _TAIL = [
     "sort_limit",

@@ -1,0 +1,209 @@
+"""Invariant tests for the second curation wave (round-3): corpus
+line-dedup, repetition signals, sequence packing, PII redaction, and
+the embedding-clustering faces (SemDeDup, Lloyd k-means). The
+Spark-vs-DuckDB value equality is the oracle gate's job; these pin
+the semantics the hash compare can't articulate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_db_spark.operators import clustering, curation
+from dbpedia_spotlight_db_spark.queries import qcorpus, qembed
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_lines_drops_exactly_the_hot_blocks(spark):
+    w, k = qcorpus._LINE_W, qcorpus._LINE_K
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = qcorpus.Q["dedup_lines"](spark, SF)
+    assert out.count() == docs.count()
+    blocks = curation.doc_blocks(docs, width=w)
+    bad = (
+        blocks.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= k)
+    )
+    assert bad.count() > 0, "fixture must exercise the drop path"
+    # no surviving block is hot: re-block the clean text and semi-join
+    clean_blocks = curation.doc_blocks(out, text_col="clean_text", width=w)
+    leaked = clean_blocks.join(bad, "block", "left_semi").count()
+    assert leaked == 0
+    # docs that dropped nothing round-trip byte-identically
+    joined = out.join(docs, "doc_id")
+    intact = joined.filter(F.col("n_dropped") == 0)
+    assert intact.filter(F.col("clean_text") != F.col("text")).count() == 0
+    assert joined.filter(F.col("n_dropped") > 0).count() > 0
+    # block accounting: kept + dropped == total blocks
+    acct = joined.select(
+        (F.col("n_kept") + F.col("n_dropped")).alias("tot"),
+        F.size(F.expr(f"sequence(1, size(split(text, ' ')), {w})")).alias(
+            "want"
+        ),
+    )
+    assert acct.filter(F.col("tot") != F.col("want")).count() == 0
+
+
+def test_repetition_signals_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x"), (3, "p q r p q r")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in curation.repetition_signals(df, block_width=3).collect()
+    }
+    # doc 1: bigrams [ab, ba, ab, ba, ab] -> max 3; 2*3/6 = 1.0;
+    # blocks ['a b a', 'b a b'] distinct; tokens {a, b} -> 2/6
+    assert rows[1]["top_bigram_frac"] == 1.0
+    assert rows[1]["dup_block_frac"] == 0.0
+    assert abs(rows[1]["distinct_frac"] - 0.333333) < 1e-9
+    # doc 2: single token -> bigram frac 0, one unique block, ttr 1
+    assert rows[2]["top_bigram_frac"] == 0.0
+    assert rows[2]["dup_block_frac"] == 0.0
+    assert rows[2]["distinct_frac"] == 1.0
+    # doc 3: blocks ['p q r', 'p q r'] -> half are repeats
+    assert rows[3]["dup_block_frac"] == 0.5
+
+
+def test_repetition_signals_map_only(spark):
+    plan = qcorpus.Q["text_repetition"](
+        spark, SF
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_contiguous_per_shard(spark):
+    out = qcorpus.Q["pack_sequences"](spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert out.count() == docs.count()
+    # within a shard the token ranges tile with no gap or overlap:
+    # sum of lengths below my start == my start
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("tok_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chk = out.withColumn(
+        "want_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    assert chk.filter(F.col("tok_start") != F.col("want_start")).count() == 0
+    # seq assignment consistent with ctx length
+    ctx = qcorpus._PACK_CTX
+    assert (
+        out.filter(
+            F.col("seq_id") != F.floor(F.col("tok_start") / ctx)
+        ).count()
+        == 0
+    )
+
+
+def test_pii_redact_scrubs_everything(spark):
+    out = qcorpus.Q["pii_redact"](spark, SF)
+    # nothing email- or phone-shaped survives
+    assert out.filter(F.col("clean_text").contains("@")).count() == 0
+    assert (
+        out.filter(F.col("clean_text").rlike("555-[0-9]{4}")).count() == 0
+    )
+    # synthesized counts: 1 email (+1 when doc_id%5==0), 1 phone
+    bad = out.filter(
+        (F.col("n_phones") != 1)
+        | (
+            F.col("n_emails")
+            != F.when(F.col("doc_id") % 5 == 0, 2).otherwise(1)
+        )
+    )
+    assert bad.count() == 0
+    assert out.filter(~F.col("clean_text").contains("<EMAIL>")).count() == 0
+
+
+def test_semdedup_survivor_set_is_dup_free(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    survivors = qembed.Q["dedup_semantic"](spark, SF)
+    n_all, n_surv = emb.count(), survivors.count()
+    assert 0 < n_surv < n_all, "fixture must exercise the drop path"
+    # no two survivors in the same cell are near-dups (else the
+    # higher id would itself have been dropped)
+    a = survivors.alias("a")
+    b = survivors.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+    )
+    vec = emb.select("vec_id", "embedding")
+    from dbpedia_spotlight_db_spark.operators.ann import (
+        _dot_expr,
+        _norm_expr,
+    )
+
+    scored = (
+        pairs.join(
+            vec.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("embedding").alias("va"),
+            ),
+            "id_a",
+        )
+        .join(
+            vec.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("embedding").alias("vb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                _dot_expr("va", "vb")
+                / (_norm_expr("va") * _norm_expr("vb")),
+                6,
+            ),
+        )
+    )
+    assert scored.filter(F.col("cos") >= qembed._SEM_THRESH).count() == 0
+
+
+def test_kmeans_assignment_is_nearest_final_centroid(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned, cents = clustering.lloyd_kmeans(emb, k=qembed._SEM_K, iters=2)
+    assert 0 < len(cents) <= qembed._SEM_K
+    # recompute the argmax in numpy and compare per vector
+    import numpy as np
+
+    C = {c["cid"]: np.array(c["cv"], dtype=np.float64) for c in cents}
+    cids = sorted(C)
+    rows = assigned.select("vec_id", "embedding", "cid").collect()
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        vn = float(np.sqrt((v * v).sum()))
+        best = None
+        for cid in cids:
+            c = C[cid]
+            cn = float(np.sqrt((c * c).sum()))
+            cos = (
+                round(float(v @ c) / (vn * cn), 6)
+                if vn > 0 and cn > 0
+                else 0.0
+            )
+            if best is None or cos > best[0]:
+                best = (cos, cid)
+        assert best[1] == r["cid"], r["vec_id"]
+    # second iteration actually moved the model: centroids are means,
+    # not the raw seed vectors
+    seed = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.orderBy("vec_id").limit(qembed._SEM_K).collect()
+    }
+    moved = sum(
+        1
+        for c in cents
+        if [round(float(x), 6) for x in seed[c["cid"]]] != list(c["cv"])
+    )
+    assert moved > 0

@@ -337,6 +337,62 @@ def main() -> None:
         p,
     )
 
+    # 19. text_repetition is strictly map-only (the max-bigram count
+    # is an in-row run-length fold, NOT a per-doc groupBy): zero
+    # Exchange — at 10^12 docs the signals cost one scan. pii_redact
+    # shares the contract and must also prune the documents scan to
+    # the 2 columns it reads.
+    p = plan_of(QUERIES["text_repetition"](spark, SF))
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    p2 = plan_of(QUERIES["pii_redact"](spark, SF))
+    n_ex2 = len(re.findall(r"\bExchange\b", p2))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p2)
+    cols = [c.split(":")[0] for c in m.group(1).split(",")] if m else []
+    check(
+        "repetition/PII scrubs are map-only with pruned scans",
+        n_ex == 0 and n_ex2 == 0 and sorted(cols) == ["doc_id", "text"],
+        f"{n_ex}/{n_ex2} Exchange in text_repetition/pii_redact (want 0/0); "
+        f"pii_redact reads {cols} (want [doc_id, text])",
+        p,
+    )
+
+    # 20. dedup_lines: the hot-block set joins back as a LeftAnti with
+    # NO forced BroadcastExchange on the logical plan (boilerplate
+    # sets are corpus-proportional at crawl scale — AQE may still
+    # choose broadcast at runtime when it fits; same discipline as
+    # the dedup_survivors fix), and block counting is a two-phase agg
+    # (partial before the shuffle).
+    df = QUERIES["dedup_lines"](spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    forced = "ResolvedHint" in logical or re.search(
+        r"(?i)hints=\[broadcast", logical
+    )
+    p = plan_of(df)
+    has_anti = "LeftAnti" in p
+    n_agg = len(re.findall(r"(?:Hash|Object|Sort)HashAggregate|HashAggregate", p))
+    check(
+        "dedup_lines anti-join is unhinted; counts are two-phase",
+        has_anti and not forced and n_agg >= 2,
+        f"LeftAnti={has_anti}, forced-broadcast-hint={bool(forced)}, "
+        f"{n_agg} hash-agg nodes in dedup_lines plan",
+        p,
+    )
+
+    # 21. SemDeDup cell assignment inherits the IVF map-only property
+    # (centroid argmax inside the row), so the ONLY exchanges in the
+    # whole dedup_semantic plan are the cid pair-join and the loser
+    # anti-join — never an exchange keyed by the raw vector.
+    p = plan_of(QUERIES["dedup_semantic"](spark, SF))
+    n_ex = len(re.findall(r"\(\d+\) Exchange\b", p))
+    has_anti = "LeftAnti" in p
+    check(
+        "dedup_semantic shuffles only by cell id",
+        has_anti and n_ex <= 4,
+        f"{n_ex} Exchange nodes (cid join + anti-join sides, want <=4), "
+        f"LeftAnti={has_anti} in dedup_semantic plan",
+        p,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
