@@ -104,3 +104,57 @@ def test_stratified_sample_general_fractions(spark):
         docs, "lang", {}, default_frac=0.0
     )
     assert none_rows.count() == 0
+
+
+def test_curate_job_extended_stages(spark, tmp_path_factory):
+    """Second invocation exercising the round-3 stages: duplicate-line
+    removal, repetition filter, PII redaction, sequence packing."""
+    tdir = str(tmp_path_factory.mktemp("curate2"))
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.write.mode("overwrite").parquet(f"{tdir}/docs.parquet")
+
+    from jobs.curate import main
+
+    main(
+        [
+            "--docs", f"{tdir}/docs.parquet",
+            "--out", f"{tdir}/out",
+            "--min-quality", "0.0",
+            "--line-dedup-width", "3",
+            "--max-top-bigram", "0.15",
+            "--redact-pii",
+            "--pack-ctx", "256",
+            "--pack-shards", "8",
+        ]
+    )
+    out = f"{tdir}/out"
+    clean = catalog.load(spark, "clean", out)
+    filtered = catalog.load(spark, "filtered", out)
+    assert 0 < clean.count() < filtered.count()
+    # repetition filter held: recompute signals on the ORIGINAL text of
+    # surviving docs (line dedup may only lower repetition)
+    sig = curation.repetition_signals(clean)
+    assert sig.filter(F.col("top_bigram_frac") > 0.15).count() == 0
+    # line dedup held: no 3-block in the clean corpus occurs >= 3 times
+    blocks = curation.doc_blocks(clean, width=3)
+    hot = (
+        blocks.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    assert hot.count() == 0 or blocks.count() == 0
+    # packing tiles each shard contiguously
+    packed = catalog.load(spark, "packed", out)
+    assert packed.count() == clean.count()
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("tok_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chk = packed.withColumn(
+        "want", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    assert chk.filter(F.col("tok_start") != F.col("want")).count() == 0
+    assert catalog.manifest(out, "packed")["rows"] == packed.count()
