@@ -637,3 +637,48 @@ def kg_triangles(spark, sf_dir):
         & (F.col("e3.uri_b") == F.col("e2.uri_b")),
     )
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+@q(
+    "kg_khop",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    e AS (SELECT uri_a AS src, uri_b AS dst FROM p
+          UNION ALL SELECT uri_b, uri_a FROM p),
+    two AS (SELECT e1.src, e2.dst FROM e e1
+            JOIN e e2 ON e1.dst = e2.src WHERE e2.dst <> e1.src),
+    reach AS (SELECT src, dst FROM e UNION SELECT src, dst FROM two)
+    SELECT src AS uri, CAST(COUNT(*) AS BIGINT) AS n_2hop
+    FROM reach GROUP BY src
+    """,
+)
+def kg_khop(spark, sf_dir):
+    """Bounded graph traversal: per entity, the number of DISTINCT
+    entities reachable within 2 hops on the undirected co-occurrence
+    graph (neighborhood size — the locality signal behind related-
+    entity expansion and graph-feature engineering). One hop-join on
+    the edge list (dst = src), self-paths excluded, then a distinct
+    union of the 1- and 2-hop frontiers. Scale shape: each hop is an
+    equi-join keyed by the frontier node; at web scale the expansion
+    is degree-capped exactly like the jaccard df-cap (drop hubs above
+    a degree bound from the INTERMEDIATE hop before the join —
+    operators/dedup.py:201's pattern) — the fixture graph is hub-free
+    so the face stays exact and the twin stays SQL."""
+    p = _entity_pairs(spark, sf_dir)
+    e = p.select(
+        F.col("uri_a").alias("src"), F.col("uri_b").alias("dst")
+    ).unionByName(
+        p.select(F.col("uri_b").alias("src"), F.col("uri_a").alias("dst"))
+    )
+    two = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .filter(F.col("e2.dst") != F.col("e1.src"))
+        .select(F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst"))
+    )
+    reach = e.unionByName(two).distinct()
+    return reach.groupBy(F.col("src").alias("uri")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_2hop")
+    )

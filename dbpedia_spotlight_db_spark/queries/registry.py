@@ -59,6 +59,7 @@ _FRONT = [
     "pii_redact",         # new in r3 (compliance scrub, JVM regex)
     "dedup_semantic",     # new in r3 (SemDeDup: cluster-then-dedup)
     "embed_kmeans",       # new in r3 (unrolled Lloyd iterations)
+    "kg_khop",            # new in r3 (bounded 2-hop neighborhood size)
 ]
 _TAIL = [
     "sort_limit",

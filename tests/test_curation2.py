@@ -207,3 +207,31 @@ def test_kmeans_assignment_is_nearest_final_centroid(spark):
         if [round(float(x), 6) for x in seed[c["cid"]]] != list(c["cv"])
     )
     assert moved > 0
+
+
+def test_new_ops_partition_independent(spark):
+    """The collect_list reconstruction (dedup_lines), the shard window
+    (pack_greedy), and the cell pair-join (cluster_dedup) must yield
+    identical results whatever the input partitioning — the property
+    that makes them safe on a real cluster where split boundaries are
+    arbitrary."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for a_in, b_in in ((docs.coalesce(1), docs.repartition(17)),):
+        a = curation.line_dedup(a_in).orderBy("doc_id").collect()
+        b = curation.line_dedup(b_in).orderBy("doc_id").collect()
+        assert a == b
+        a = curation.pack_greedy(a_in).orderBy("doc_id").collect()
+        b = curation.pack_greedy(b_in).orderBy("doc_id").collect()
+        assert a == b
+    a = (
+        clustering.cluster_dedup(emb.coalesce(1))
+        .orderBy("vec_id")
+        .collect()
+    )
+    b = (
+        clustering.cluster_dedup(emb.repartition(17))
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert a == b
