@@ -582,3 +582,77 @@ def pii_redact(spark, sf):
         .otherwise(F.lit("")),
     )
     return curation.pii_redact(d.select("doc_id", aug.alias("text")))
+
+
+# ---------------------------------------------------------------------------
+# temperature-rebalanced domain mixing
+# ---------------------------------------------------------------------------
+_MIX_TAU = 0.5
+# the corpus 'source' column is uniform by construction, so a skewed
+# pseudo-domain is derived per doc_id on BOTH sides (host_stats
+# precedent): floor(sqrt(doc_id % 100)) gives domains 0..9 with
+# counts 1,3,5,...,19 — a deterministic Zipf-ish split
+_MIX_DOM_SQL = "CAST(floor(sqrt(doc_id % 100)) AS INT)"
+_MIX_SCALE = 4294967296.0  # 16^8: md5 8-hex-digit prefix space
+
+
+@q(
+    "mix_domains",
+    f"""
+    WITH d AS (SELECT doc_id, {_MIX_DOM_SQL} AS domain FROM documents),
+    c AS (SELECT domain, COUNT(*) AS c FROM d GROUP BY domain),
+    n AS (SELECT SUM(c) AS n FROM c),
+    w AS (SELECT domain, pow(c * 1.0 / n.n, {_MIX_TAU} - 1.0) AS raw
+          FROM c CROSS JOIN n),
+    mx AS (SELECT MAX(raw) AS mx FROM w),
+    f AS (SELECT domain, round(raw / mx.mx, 6) AS keep_frac
+          FROM w CROSS JOIN mx)
+    SELECT d.doc_id, d.domain, f.keep_frac
+    FROM d JOIN f ON d.domain = f.domain
+    WHERE f.keep_frac >= 1.0
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < lpad(to_hex(CAST(floor(f.keep_frac * {_MIX_SCALE}) AS BIGINT)),
+                 8, '0')
+    """,
+)
+def mix_domains(spark, sf):
+    """Temperature-rebalanced domain mixing (tau=0.5): per-domain keep
+    fractions f_d proportional to p_d^(tau-1), normalized so the
+    rarest domain keeps everything — the multinomial-temperature
+    sampling used to stop head domains from dominating a training
+    mix. Two tiny aggregations (domain counts, their max-weight
+    scalar) broadcast back onto the corpus; the keep decision is the
+    md5-threshold filter (8 hex digits = 1/2^32 granularity, compared
+    as lowercase hex strings so both engines do the identical
+    lexicographic = numeric test), so the same doc is kept on every
+    run, engine, and cluster size. Fractions round to 6 before the
+    threshold, so the cut can never hinge on a pow() ulp."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.floor(F.sqrt(F.col("doc_id") % 100)).cast("int").alias("domain"),
+    )
+    c = d.groupBy("domain").agg(F.count(F.lit(1)).alias("c"))
+    n = c.agg(F.sum("c").alias("n"))
+    w = c.crossJoin(F.broadcast(n)).select(
+        "domain",
+        F.pow(F.col("c") / F.col("n"), _MIX_TAU - 1.0).alias("raw"),
+    )
+    mx = w.agg(F.max("raw").alias("mx"))
+    f = w.crossJoin(F.broadcast(mx)).select(
+        "domain", F.round(F.col("raw") / F.col("mx"), 6).alias("keep_frac")
+    )
+    thr = F.lpad(
+        F.lower(
+            F.hex((F.col("keep_frac") * _MIX_SCALE).cast("long"))
+        ),
+        8,
+        "0",
+    )
+    keep = (F.col("keep_frac") >= 1.0) | (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thr
+    )
+    return (
+        d.join(F.broadcast(f), "domain")
+        .filter(keep)
+        .select("doc_id", "domain", "keep_frac")
+    )

@@ -60,6 +60,7 @@ _FRONT = [
     "dedup_semantic",     # new in r3 (SemDeDup: cluster-then-dedup)
     "embed_kmeans",       # new in r3 (unrolled Lloyd iterations)
     "kg_khop",            # new in r3 (bounded 2-hop neighborhood size)
+    "mix_domains",        # new in r3 (temperature-rebalanced domain mix)
 ]
 _TAIL = [
     "sort_limit",

@@ -235,3 +235,32 @@ def test_new_ops_partition_independent(spark):
         .collect()
     )
     assert a == b
+
+
+def test_mix_domains_rebalances_toward_rare(spark):
+    got = qcorpus.Q["mix_domains"](spark, SF)
+    # rarest domain (0: one doc per 100-block) keeps everything
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.floor(F.sqrt(F.col("doc_id") % 100)).cast("int").alias("domain"),
+    )
+    per = (
+        d.groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_all"))
+        .join(
+            got.groupBy("domain").agg(F.count(F.lit(1)).alias("n_kept")),
+            "domain",
+            "left",
+        )
+        .fillna(0, ["n_kept"])
+        .collect()
+    )
+    by_dom = {r["domain"]: r for r in per}
+    assert by_dom[0]["n_kept"] == by_dom[0]["n_all"]
+    # the head domain is genuinely downsampled
+    head = max(by_dom.values(), key=lambda r: r["n_all"])
+    assert head["n_kept"] < head["n_all"]
+    # deterministic: the same rows come back every run
+    again = qcorpus.Q["mix_domains"](spark, SF)
+    assert got.exceptAll(again).count() == 0
+    assert again.exceptAll(got).count() == 0
