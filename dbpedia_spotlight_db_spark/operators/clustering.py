@@ -23,7 +23,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-from .ann import _assign_cells, _norm_expr, ivf_centroid_rows
+from .ann import _assign_cells, _dot_expr, _norm_expr, ivf_centroid_rows
 
 
 def update_centroids(assigned: DataFrame, vec_col: str) -> list:
@@ -115,17 +115,10 @@ def cluster_dedup(
         F.col("_vn").alias("nb"),
         "cid",
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     cos = F.round(
         F.when(
             (F.col("na") > 0) & (F.col("nb") > 0),
-            dot / (F.col("na") * F.col("nb")),
+            _dot_expr("va", "vb") / (F.col("na") * F.col("nb")),
         ).otherwise(F.lit(0.0)),
         6,
     )

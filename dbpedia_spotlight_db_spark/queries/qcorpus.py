@@ -611,8 +611,8 @@ _MIX_SCALE = 4294967296.0  # 16^8: md5 8-hex-digit prefix space
     FROM d JOIN f ON d.domain = f.domain
     WHERE f.keep_frac >= 1.0
        OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
-          < lpad(to_hex(CAST(floor(f.keep_frac * {_MIX_SCALE}) AS BIGINT)),
-                 8, '0')
+          < lpad(lower(to_hex(
+              CAST(floor(f.keep_frac * {_MIX_SCALE}) AS BIGINT))), 8, '0')
     """,
 )
 def mix_domains(spark, sf):

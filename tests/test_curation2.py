@@ -119,6 +119,16 @@ def test_pii_redact_scrubs_everything(spark):
     )
     assert bad.count() == 0
     assert out.filter(~F.col("clean_text").contains("<EMAIL>")).count() == 0
+    # real-world PII is not lowercase: the operator itself must catch
+    # mixed-case addresses (the query face only synthesizes lowercase)
+    mixed = curation.pii_redact(
+        spark.createDataFrame(
+            [(1, "mail John.Doe@Example.COM or USER@MAIL.ORG tel 555-0001")],
+            "doc_id long, text string",
+        )
+    ).collect()[0]
+    assert mixed["n_emails"] == 2 and mixed["n_phones"] == 1
+    assert "@" not in mixed["clean_text"]
 
 
 def test_semdedup_survivor_set_is_dup_free(spark):

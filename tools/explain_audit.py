@@ -369,7 +369,7 @@ def main() -> None:
     )
     p = plan_of(df)
     has_anti = "LeftAnti" in p
-    n_agg = len(re.findall(r"(?:Hash|Object|Sort)HashAggregate|HashAggregate", p))
+    n_agg = len(re.findall(r"(?:ObjectHash|Hash|Sort)Aggregate", p))
     check(
         "dedup_lines anti-join is unhinted; counts are two-phase",
         has_anti and not forced and n_agg >= 2,
