@@ -83,7 +83,10 @@ def headline_mode() -> None:
     # measures the engine, not first-compilation of ~30 plan shapes
     # (the "JIT warm pass matters" lesson, BENCH.md). The warm run's
     # caches are dropped so the timed run materializes its own stores.
-    flagship(spark, "/root/testdata/sf0.001").count()
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_sf):
+        warm_sf = sf_dir  # bench input lives elsewhere: warm on itself
+    flagship(spark, warm_sf).count()
     spark.catalog.clearCache()
 
     times: dict[str, float] = {}

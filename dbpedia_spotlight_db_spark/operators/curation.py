@@ -350,8 +350,13 @@ def stratified_sample(
         )
         expr = cond if expr is None else (expr | cond)
     dcut = _hex_cut(default_frac)
-    in_strata = F.col(strata_col).isin(*fractions) if fractions else F.lit(
-        False
+    # NULL-stratum rows route to the DEFAULT branch (matching the SQL
+    # twin's CASE ELSE): a bare ~isin() is NULL for NULL input and
+    # would silently drop every untagged row from every split
+    in_strata = (
+        F.coalesce(F.col(strata_col).isin(*fractions), F.lit(False))
+        if fractions
+        else F.lit(False)
     )
     default_cond = (~in_strata) & ((h <= dcut) if dcut else F.lit(False))
     keep = default_cond if expr is None else (expr | default_cond)

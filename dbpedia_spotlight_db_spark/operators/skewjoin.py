@@ -41,8 +41,14 @@ def salted_join(
 
     Supported ``how``: inner / left_outer semantics match the plain
     join (a left row's single salted replica either matches or
-    null-extends exactly as the unsalted row would).
+    null-extends exactly as the unsalted row would). Anything
+    right/full-flavored is REJECTED: the small side is replicated
+    salt_n times, so its unmatched rows would null-extend once per
+    replica — silent row inflation, not an outer join.
     """
+    assert how in ("inner", "left", "leftouter", "left_outer"), (
+        f"salted_join supports inner/left_outer only, got {how!r}"
+    )
     cols = salt_cols or [c for c in big.columns if c != big_key]
     if not cols:
         # degenerate single-column relation: salt by the key itself

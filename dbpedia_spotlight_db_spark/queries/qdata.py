@@ -24,6 +24,7 @@ O = {}
 
 def q(name: str, sql: str | None):
     def deco(fn):
+        assert name not in Q, f"duplicate query key {name!r}"
         Q[name] = fn
         if sql is not None:
             O[name] = sql

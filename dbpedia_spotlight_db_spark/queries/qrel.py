@@ -19,6 +19,7 @@ O = {}
 
 def q(name: str, sql: str | None):
     def deco(fn):
+        assert name not in Q, f"duplicate query key {name!r}"
         Q[name] = fn
         if sql is not None:
             O[name] = sql
@@ -505,7 +506,7 @@ def agg_percentiles(spark, sf):
 
 
 @q(
-    "agg_rollup",
+    "agg_rollup_orders",
     """
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n,
@@ -514,11 +515,15 @@ def agg_percentiles(spark, sf):
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
-def agg_rollup(spark, sf):
-    """ROLLUP grouping sets (subtotals + grand total). Spark expands
-    rollup into a single expand+hash-agg pass (one shuffle, map-side
-    partials per grouping set) — no per-set re-scan of the fact
-    table, which is the property that matters at 10^12 rows."""
+def agg_rollup_orders(spark, sf):
+    """ROLLUP grouping sets (subtotals + grand total) with a summed
+    measure, on the orders table (the plain-count lineitem rollup is
+    the long-stable `agg_rollup` face above — this one previously
+    shadowed it under the same key until the q() duplicate guard).
+    Spark expands rollup into a single expand+hash-agg pass (one
+    shuffle, map-side partials per grouping set) — no per-set re-scan
+    of the fact table, which is the property that matters at 10^12
+    rows."""
     o = t(spark, sf, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),

@@ -16,6 +16,11 @@ from . import qcorpus, qdata, qembed, qpipe, qrel
 _QUERIES = {}
 _ORACLES = {}
 for mod in (qrel, qpipe, qdata, qcorpus, qembed):
+    _dups = set(_QUERIES) & set(mod.Q)
+    assert not _dups, (
+        f"query key(s) {_dups} registered in more than one module — "
+        "a later registration would silently shadow the earlier face"
+    )
     _QUERIES.update(mod.Q)
     _ORACLES.update(mod.O)
 
@@ -37,7 +42,7 @@ _FRONT = [
     "kg_degree",          # new in r3 (graph degree/strength)
     "kg_triangles",       # new in r3 (oriented triangle count)
     "agg_percentiles",    # new in r3 (exact grouped quantiles)
-    "agg_rollup",         # new in r3 (grouping sets)
+    "agg_rollup_orders",  # new in r3 (grouping sets + summed measure)
     "pivot_events",       # new in r3 (explicit-values pivot)
     "sample_hash",        # new in r3 (deterministic corpus split)
     "text_unigram_lm",    # new in r3 (unigram-LM quality score)

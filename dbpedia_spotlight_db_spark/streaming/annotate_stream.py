@@ -171,13 +171,15 @@ def dedup_stream(
 
     Scale note on state growth: with a plain ``dropDuplicates`` the
     state is the full distinct-key set — unbounded on an infinite
-    stream. The watermark on the event-time column bounds it: Spark
-    evicts keys whose event time falls behind the watermark, i.e.
-    "duplicate" is only promised within the watermark horizon
-    (``dropDuplicatesWithinWatermark`` is the same trade with
-    per-arrival rather than per-event-time eviction). That horizon IS
-    the contract a crawl pipeline wants — a re-crawl months later is
-    a new snapshot, not a dup.
+    stream, because Spark only evicts dropDuplicates state when the
+    watermarked event-time column is ITSELF one of the dedup keys
+    (which it isn't here: the keys are content hashes, not times).
+    ``dropDuplicatesWithinWatermark`` is the operator built for this
+    shape: dedup on arbitrary keys, state evicted once a key's event
+    time falls behind the watermark — so "duplicate" is only promised
+    within the watermark horizon. That horizon IS the contract a
+    crawl pipeline wants — a re-crawl months later is a new snapshot,
+    not a dup.
 
     ``ts`` cast as in the other faces (watermarks reject the
     fixture's TIMESTAMP_NTZ)."""
@@ -185,5 +187,5 @@ def dedup_stream(
         events_stream.filter(F.col("ts").isNotNull())
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
-        .dropDuplicates(keys)
+        .dropDuplicatesWithinWatermark(keys)
     )

@@ -130,15 +130,20 @@ def main(argv: list[str] | None = None) -> None:
         )
 
     # ---- stage 2: quality + language filter --------------------------
-    lang = (
-        F.col(args.lang_col)
-        if args.lang_col in docs.columns
-        else langid_ngram_col(F.col(text_col))
-    )
+    # when the corpus carries no language tags, MATERIALIZE the derived
+    # langid as the lang column: later stages (--stratify) reference it
+    # as a physical column and must not crash after the expensive
+    # compaction/dedup stages have already run
+    if args.lang_col not in docs.columns:
+        docs = docs.withColumn(
+            args.lang_col, langid_ngram_col(F.col(text_col))
+        )
     filtered = docs.withColumn("quality", quality_score_col(F.col(text_col)))
     filtered = filtered.filter(F.col("quality") >= args.min_quality)
     if args.langs:
-        filtered = filtered.filter(lang.isin(*args.langs.split(",")))
+        filtered = filtered.filter(
+            F.col(args.lang_col).isin(*args.langs.split(","))
+        )
     catalog.save(filtered, "filtered", args.out)
     filtered = catalog.load(spark, "filtered", args.out)
 

@@ -274,3 +274,57 @@ def test_mix_domains_rebalances_toward_rare(spark):
     again = qcorpus.Q["mix_domains"](spark, SF)
     assert got.exceptAll(again).count() == 0
     assert again.exceptAll(got).count() == 0
+
+
+def test_stratified_sample_null_stratum_gets_default(spark):
+    """NULL-stratum rows must route to the DEFAULT branch like the SQL
+    twin's CASE ELSE — not vanish through three-valued ~isin logic."""
+    df = spark.createDataFrame(
+        [(i, None if i % 2 == 0 else "en") for i in range(40)],
+        "doc_id long, lang string",
+    )
+    # default keeps everything: every NULL-lang row must survive
+    got = curation.stratified_sample(df, "lang", {"en": 1.0}, 1.0)
+    assert got.count() == 40
+    # default drops everything: NULL rows excluded, en rows all kept
+    got = curation.stratified_sample(df, "lang", {"en": 1.0}, 0.0)
+    assert got.filter(F.col("lang").isNull()).count() == 0
+    assert got.count() == 20
+
+
+def test_salted_join_rejects_right_flavored_modes(spark):
+    from dbpedia_spotlight_db_spark.operators.skewjoin import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "kk")
+    import pytest
+
+    for how in ("right_outer", "full_outer", "full"):
+        with pytest.raises(AssertionError):
+            salted_join(big, small, "k", "kk", how=how)
+
+
+def test_curate_stratify_without_lang_column(spark, tmp_path):
+    """--stratify on a corpus with no lang column must use the
+    materialized derived langid, not crash on an unresolved column."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "nolang.parquet")
+    docs.write.mode("overwrite").parquet(src)
+    from dbpedia_spotlight_db_spark.sources import catalog
+    from jobs.curate import main
+
+    out = str(tmp_path / "out")
+    main(
+        [
+            "--docs", src,
+            "--out", out,
+            "--min-quality", "0.0",
+            "--skip-dedup",
+            "--stratify", "en=1.0,*=0.0",
+        ]
+    )
+    sampled = catalog.load(spark, "sampled", out)
+    assert sampled.count() > 0
+    assert "lang" in sampled.columns
