@@ -657,3 +657,64 @@ def mix_domains(spark, sf):
         .filter(keep)
         .select("doc_id", "domain", "keep_frac")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental snapshot merge (upsert + tombstone deletes)
+# ---------------------------------------------------------------------------
+_UPSERT_COMPACT = """
+      SELECT user_id, event_id, ts, event_type FROM {src}
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+@q(
+    "crawl_upsert",
+    f"""
+    WITH base_log AS (SELECT * FROM events WHERE event_id % 10 < 8),
+    delta_log AS (SELECT * FROM events WHERE event_id % 10 >= 8),
+    base AS ({_UPSERT_COMPACT.format(src="base_log")}),
+    delta AS ({_UPSERT_COMPACT.format(src="delta_log")})
+    SELECT b.user_id, b.event_id, b.ts, b.event_type
+    FROM base b LEFT JOIN delta d ON b.user_id = d.user_id
+    WHERE d.user_id IS NULL
+    UNION ALL
+    SELECT user_id, event_id, ts, event_type FROM delta
+    WHERE event_type <> 'error'
+    """,
+)
+def crawl_upsert(spark, sf):
+    """Incremental snapshot merge — apply a changelog DELTA onto a
+    compacted BASE state with upsert + tombstone-delete semantics (the
+    MERGE INTO shape every periodically-refreshed crawl/KG store
+    needs: re-fetches replace the old row, 410/parked pages delete
+    it). The fixture splits ``events`` into base (event_id%10<8) and
+    delta logs; ``event_type='error'`` is the tombstone. Both sides
+    compact to latest-per-key via the same map-side-combinable
+    ``max_by`` aggregation as crawl_latest (never a row_number sort of
+    the full log), then: base rows not touched by the delta survive a
+    left_anti join, delta winners that aren't tombstones are unioned
+    in. Scale shape: the delta is a day's crawl vs a corpus-sized
+    base, so AQE broadcasts the anti-join probe; with the base stored
+    bucketed on the key (sources/catalog.save_bucketed) the anti-join
+    needs no base-side exchange at all — the base is only ever
+    re-partitioned by the same key it is already laid out on."""
+    e = t(spark, sf, "events")
+
+    def compact(log):
+        best = F.max_by(
+            F.struct("event_id", "ts", "event_type"),
+            F.struct("ts", "event_id"),
+        ).alias("b")
+        return (
+            log.groupBy("user_id")
+            .agg(best)
+            .select("user_id", "b.event_id", "b.ts", "b.event_type")
+        )
+
+    base = compact(e.filter(F.col("event_id") % 10 < 8))
+    delta = compact(e.filter(F.col("event_id") % 10 >= 8))
+    kept = base.join(delta.select("user_id"), "user_id", "left_anti")
+    upserts = delta.filter(F.col("event_type") != "error")
+    return kept.unionByName(upserts)

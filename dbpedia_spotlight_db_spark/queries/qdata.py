@@ -1061,3 +1061,65 @@ def url_normalize(spark, sf):
         )
     )
     return d.select("doc_id", _normalize_url(url).alias("url_norm"))
+
+
+# ---------------------------------------------------------------------------
+# one-scan table profiling (pipeline data-quality report)
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _profile_sql() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               COUNT({c}) AS n_nonnull,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val
+        FROM documents
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@q("profile_columns", _profile_sql())
+def profile_columns(spark, sf):
+    """Per-column table profile (non-null count, exact distinct
+    cardinality, min/max rendered as strings) — the data-quality
+    report a pipeline runs before and after every curation stage.
+    ONE scan of the table: all 5 columns x 4 measures are a single
+    aggregation, then the 1-row result is inlined into one row per
+    column driver-side-free (F.inline over an array of structs — no
+    per-column re-scan, which is what matters when the table is
+    100 TB; the DuckDB twin's UNION ALL per-column re-scan is
+    oracle-only). The multi-column exact count(distinct) plans as one
+    Expand (x5 row multiplier) feeding a shared partial agg — at
+    corpus scale swap in approx_count_distinct (the HLL face of
+    agg_approx_cd) per column, which drops the Expand entirely;
+    min/max compare on the NATIVE type and cast after, so numeric
+    columns never sort lexicographically."""
+    d = t(spark, sf, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"n_{c}"),
+            F.count_distinct(F.col(c)).alias(f"d_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    row = d.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"n_{c}").alias("n_nonnull"),
+                F.col(f"d_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return row.select(F.inline(entries))

@@ -66,6 +66,8 @@ _FRONT = [
     "embed_kmeans",       # new in r3 (unrolled Lloyd iterations)
     "kg_khop",            # new in r3 (bounded 2-hop neighborhood size)
     "mix_domains",        # new in r3 (temperature-rebalanced domain mix)
+    "crawl_upsert",       # new in r3 (changelog merge, tombstone deletes)
+    "profile_columns",    # new in r3 (one-scan table profiling)
 ]
 _TAIL = [
     "sort_limit",

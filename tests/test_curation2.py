@@ -328,3 +328,44 @@ def test_curate_stratify_without_lang_column(spark, tmp_path):
     sampled = catalog.load(spark, "sampled", out)
     assert sampled.count() > 0
     assert "lang" in sampled.columns
+
+
+def test_crawl_upsert_merge_semantics(spark):
+    """Tombstoned keys vanish, delta winners replace base rows, and
+    untouched base rows survive byte-identically."""
+    out = qcorpus.Q["crawl_upsert"](spark, SF).cache()
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    delta = e.filter(F.col("event_id") % 10 >= 8)
+    # latest delta action per key decides that key's fate
+    latest = (
+        delta.groupBy("user_id")
+        .agg(F.max_by("event_type", F.struct("ts", "event_id")).alias("op"))
+    )
+    dead = latest.filter(F.col("op") == "error")
+    live = latest.filter(F.col("op") != "error")
+    if dead.count():
+        assert out.join(dead, "user_id", "left_semi").count() == 0
+    # every non-tombstoned delta key's current row comes FROM the delta
+    from_delta = out.join(live, "user_id", "left_semi")
+    assert from_delta.count() == live.count()
+    assert (
+        from_delta.filter(F.col("event_id") % 10 < 8).count() == 0
+    ), "a base row survived for a key the delta touched"
+    # exactly one current row per surviving key
+    assert out.groupBy("user_id").count().filter("count > 1").count() == 0
+
+
+def test_profile_columns_exact_values(spark):
+    from dbpedia_spotlight_db_spark.queries import qdata
+
+    out = {r["col_name"]: r for r in qdata.Q["profile_columns"](spark, SF).collect()}
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n = d.count()
+    assert set(out) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert out["doc_id"]["n_nonnull"] == n
+    assert out["doc_id"]["n_distinct"] == n
+    # numeric columns compare on the native type, not lexicographically
+    mn, mx = d.agg(F.min("n_chars"), F.max("n_chars")).first()
+    assert out["n_chars"]["min_val"] == str(mn)
+    assert out["n_chars"]["max_val"] == str(mx)
+    assert out["lang"]["n_distinct"] == d.select("lang").distinct().count()

@@ -393,6 +393,33 @@ def main() -> None:
         p,
     )
 
+    # 22. crawl_upsert: both logs compact via two-phase max_by aggs
+    # (0 Window — a row_number compaction would sort every fetch of
+    # every key), the base-vs-delta merge is an UNHINTED LeftAnti
+    # (the base is corpus-sized; only AQE may broadcast), and
+    # profile_columns is a single scan of the table (one parquet scan
+    # node feeding the Expand for the 5-way exact distinct).
+    df = QUERIES["crawl_upsert"](spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    forced = "ResolvedHint" in logical or re.search(
+        r"(?i)hints=\[broadcast", logical
+    )
+    p = plan_of(df)
+    n_window = len(re.findall(r"\bWindow\b", p))
+    has_anti = "LeftAnti" in p
+    p2 = plan_of(QUERIES["profile_columns"](spark, SF))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p2))
+    has_expand = "Expand" in p2
+    check(
+        "crawl_upsert agg-compacted unhinted anti-join; profile is one scan",
+        has_anti and not forced and n_window == 0 and n_scans == 1
+        and has_expand,
+        f"LeftAnti={has_anti}, forced-hint={bool(forced)}, {n_window} Window "
+        f"in crawl_upsert; {n_scans} parquet scan (want 1), Expand="
+        f"{has_expand} in profile_columns",
+        p,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
