@@ -683,3 +683,126 @@ def kg_khop(spark, sf_dir):
     return reach.groupBy(F.col("src").alias("uri")).agg(
         F.count(F.lit(1)).cast("long").alias("n_2hop")
     )
+
+
+_UEDGES_SQL = """
+    e AS (SELECT uri_a AS src, uri_b AS dst FROM p
+          UNION ALL SELECT uri_b, uri_a FROM p)
+"""
+
+
+def _undirected_edges(spark, sf_dir):
+    p = _entity_pairs(spark, sf_dir)
+    return p.select(
+        F.col("uri_a").alias("src"), F.col("uri_b").alias("dst")
+    ).unionByName(
+        p.select(F.col("uri_b").alias("src"), F.col("uri_a").alias("dst"))
+    )
+
+
+@q(
+    "kg_shortest_path",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    s AS (SELECT MIN(uri) AS uri FROM de),
+    d1 AS (SELECT DISTINCT e.dst AS uri FROM e JOIN s ON e.src = s.uri),
+    d2 AS (SELECT DISTINCT e.dst AS uri FROM e JOIN d1 ON e.src = d1.uri),
+    d3 AS (SELECT DISTINCT e.dst AS uri FROM e JOIN d2 ON e.src = d2.uri),
+    lv AS (SELECT uri, 0 AS dist FROM s
+           UNION ALL SELECT uri, 1 FROM d1
+           UNION ALL SELECT uri, 2 FROM d2
+           UNION ALL SELECT uri, 3 FROM d3)
+    SELECT uri, CAST(MIN(dist) AS INT) AS dist
+    FROM lv GROUP BY uri
+    """,
+)
+def kg_shortest_path(spark, sf_dir):
+    """Bounded single-source shortest path (BFS to 3 hops) on the
+    undirected co-occurrence graph, from the lexicographically-first
+    entity — the reachability/radius probe behind KG-quality checks
+    ("is the graph one blob or islands?") and path-feature
+    engineering. Each hop is one frontier-keyed equi-join on the edge
+    list; the final min-agg collapses revisits to the first (shortest)
+    level, so frontiers need no visited-set state and the twin stays
+    pure SQL. Scale shape: hop joins shuffle only the frontier (never
+    the corpus); production BFS prunes each frontier with a left_anti
+    against the visited set to stop re-expanding old nodes (same
+    shape as operators/closure.py's pointer jumping) and degree-caps
+    hubs like kg_khop — both change cost, not the min-dist result."""
+    e = _undirected_edges(spark, sf_dir)
+    de = _doc_entities(spark, sf_dir)
+    s = de.agg(F.min("uri").alias("uri"))
+    hops = [s]
+    for _ in range(3):
+        prev = hops[-1].select("uri").distinct()
+        nxt = (
+            e.join(F.broadcast(prev), e.src == prev.uri)
+            .select(F.col("dst").alias("uri"))
+            .distinct()
+        )
+        hops.append(nxt)
+    lv = None
+    for dist, h in enumerate(hops):
+        lab = h.select("uri", F.lit(dist).alias("dist"))
+        lv = lab if lv is None else lv.unionByName(lab)
+    return lv.groupBy("uri").agg(F.min("dist").cast("int").alias("dist"))
+
+
+@q(
+    "kg_labelprop",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    nodes AS (SELECT DISTINCT uri FROM de),
+    l1 AS (SELECT n.uri,
+                  LEAST(n.uri, COALESCE(MIN(e.dst), n.uri)) AS lbl
+           FROM nodes n LEFT JOIN e ON e.src = n.uri
+           GROUP BY n.uri),
+    l2 AS (SELECT a.uri,
+                  LEAST(a.lbl, COALESCE(MIN(m.lbl), a.lbl)) AS community
+           FROM l1 a
+           LEFT JOIN e ON e.src = a.uri
+           LEFT JOIN l1 m ON m.uri = e.dst
+           GROUP BY a.uri, a.lbl)
+    SELECT uri, community FROM l2
+    """,
+)
+def kg_labelprop(spark, sf_dir):
+    """Synchronous min-label propagation (2 unrolled rounds) — the
+    community-detection building block (LPA) over the co-occurrence
+    graph; after round k every node carries the smallest entity id
+    within k hops, and at fixpoint labels = connected components.
+    Per round: one neighbor join keyed on the edge src + one min-agg
+    per node (map-side combinable), exactly the join shape
+    operators/dedup.py's large-star/small-star CC iterates — this
+    face unrolls 2 rounds so the DuckDB twin is plain SQL (the
+    embed_kmeans precedent for iterative algorithms). LEFT joins keep
+    isolated entities as their own singleton community. Scale shape:
+    labels relation is |V|-sized, edges shuffle once per round keyed
+    by src; hot hubs are exactly the large-star case and inherit that
+    operator's remedy at fixpoint scale."""
+    e = _undirected_edges(spark, sf_dir)
+    nodes = _doc_entities(spark, sf_dir).select("uri").distinct()
+    lbl = nodes.withColumn("lbl", F.col("uri"))
+    for _ in range(2):
+        nb = (
+            e.join(
+                lbl.select(F.col("uri").alias("dst"), F.col("lbl").alias("nlbl")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("uri"))
+            .agg(F.min("nlbl").alias("nmin"))
+        )
+        lbl = (
+            lbl.join(nb, "uri", "left")
+            .select(
+                "uri",
+                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
+            )
+        )
+    return lbl.select("uri", F.col("lbl").alias("community"))

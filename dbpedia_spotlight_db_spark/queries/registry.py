@@ -68,6 +68,11 @@ _FRONT = [
     "mix_domains",        # new in r3 (temperature-rebalanced domain mix)
     "crawl_upsert",       # new in r3 (changelog merge, tombstone deletes)
     "profile_columns",    # new in r3 (one-scan table profiling)
+    "kg_shortest_path",   # new in r3 (bounded BFS min-distance)
+    "kg_labelprop",       # new in r3 (min-label community rounds)
+    "quality_gate",       # new in r3 (Gopher-style composite filter)
+    "host_blocklist",     # new in r3 (derived spam-host anti-join)
+    "index_postings",     # new in r3 (inverted-index posting lists)
 ]
 _TAIL = [
     "sort_limit",

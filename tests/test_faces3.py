@@ -1,0 +1,113 @@
+"""Invariant tests for the third round-3 breadth wave (graph BFS /
+label propagation, quality gate, host blocklist, inverted index).
+
+Spark-vs-DuckDB value equality is the oracle gate's job
+(tools/check_oracle.py); these pin the semantics the hash compare
+can't articulate: BFS level soundness, LPA = 2-hop min, rule-label
+consistency, blocklist soundness, posting-list ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_db_spark.queries import qcorpus, qpipe
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_shortest_path_levels_are_bfs_sound(spark):
+    got = qpipe.Q["kg_shortest_path"](spark, SF)
+    rows = {r.uri: r.dist for r in got.collect()}
+    e = qpipe._undirected_edges(spark, SF)
+    adj = {}
+    for r in e.collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+    seed = min(
+        r.uri for r in qpipe._doc_entities(spark, SF).select("uri").distinct().collect()
+    )
+    assert rows[seed] == 0
+    assert all(0 <= d <= 3 for d in rows.values())
+    # every node at dist d >= 1 has a neighbor at dist d - 1
+    for uri, d in rows.items():
+        if d >= 1:
+            assert any(rows.get(n) == d - 1 for n in adj.get(uri, ())), uri
+    # no reachable-within-3 node is missing
+    frontier, seen = {seed}, {seed}
+    for _ in range(3):
+        frontier = {n for u in frontier for n in adj.get(u, ())} - seen
+        seen |= frontier
+    assert seen == set(rows)
+
+
+def test_labelprop_is_two_hop_min(spark):
+    got = {r.uri: r.community for r in qpipe.Q["kg_labelprop"](spark, SF).collect()}
+    e = qpipe._undirected_edges(spark, SF)
+    adj = {}
+    for r in e.collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+    nodes = set(
+        r.uri for r in qpipe._doc_entities(spark, SF).select("uri").distinct().collect()
+    )
+    assert set(got) == nodes
+    for u in nodes:
+        hood = {u} | adj.get(u, set())
+        hood |= {w for v in adj.get(u, set()) for w in adj.get(v, set())}
+        assert got[u] == min(hood), u
+    # labels only ever move down toward the component min
+    assert all(got[u] <= u for u in nodes)
+
+
+def test_quality_gate_labels_match_signals(spark):
+    got = qcorpus.Q["quality_gate"](spark, SF)
+    rules = {"min_words", "max_words", "word_len", "stopwords", "digits", "long_token"}
+    for r in got.collect():
+        failed = set(r.failed.split(",")) if r.failed else set()
+        assert failed <= rules, r.failed
+        assert r.keep == (r.failed == "")
+        if "min_words" in failed:
+            assert r.n_words < 5
+        if r.n_words < 5:
+            assert "min_words" in failed
+    # the gate is a map-only plan: no exchange anywhere
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_host_blocklist_sound(spark):
+    got = qcorpus.Q["host_blocklist"](spark, SF)
+    hosts = {r.host for r in got.select("host").distinct().collect()}
+    assert not hosts & set(qcorpus._BL_LITERAL_HOSTS)
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        (F.col("doc_id") % 53).alias("h"), "n_chars"
+    )
+    g = d.agg(F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("n")).first()
+    per = {
+        f"h{r.h}.example.org": (r.s, r.n)
+        for r in d.groupBy("h").agg(
+            F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    for h in hosts:
+        s, n = per[h]
+        assert s * g.n >= g.s * n, f"{h} is below corpus-mean length but survived"
+    # every surviving host keeps ALL its docs (filter is host-granular)
+    kept = {r.host: r.cnt for r in got.groupBy("host").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for h, c in kept.items():
+        assert c == per[h][1]
+
+
+def test_index_postings_ordered_and_capped(spark):
+    got = qcorpus.Q["index_postings"](spark, SF).collect()
+    assert got
+    for r in got:
+        entries = [p.split(":") for p in r.postings.split(",")]
+        assert 1 <= len(entries) <= qcorpus._POSTINGS_K
+        assert r.df >= len(entries)
+        tfs = [int(tf) for _, tf in entries]
+        docs = [int(d) for d, _ in entries]
+        # impact order: tf desc, doc_id asc tie-break
+        assert tfs == sorted(tfs, reverse=True)
+        for i in range(len(entries) - 1):
+            if tfs[i] == tfs[i + 1]:
+                assert docs[i] < docs[i + 1]
