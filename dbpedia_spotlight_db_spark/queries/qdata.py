@@ -1123,3 +1123,44 @@ def profile_columns(spark, sf):
         ]
     )
     return row.select(F.inline(entries))
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish pretokenizer count (the subword-side token budget)
+# ---------------------------------------------------------------------------
+# GPT-2-style pretokenizer, simplified to the lookahead-free common
+# subset of Java regex (Spark) and RE2 (DuckDB): contractions, then
+# space-prefixed letter / digit / punctuation runs. Alternatives are
+# disjoint by leading character class, so leftmost-first (Java) and
+# leftmost-longest (RE2) pick identical matches.
+_BPE_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
+
+@q(
+    "text_token_bpe",
+    rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS INT) AS n_bpe,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws
+    FROM documents
+    """,
+)
+def text_token_bpe(spark, sf):
+    """Token counting, both budgets the brief names: whitespace words
+    (n_ws — the text_token_count primitive) and a BPE-ish pretokenizer
+    match count (n_bpe — the subword proxy every training-data token
+    accountant actually bills by; a GPT-2-style pretokenizer regex
+    counts contraction/letter/digit/punctuation pieces, which upper-
+    bounds merged-BPE length and tracks it closely on web text). Pure
+    JVM regexp_count — map-only, zero UDF, scan reads 2 of 5 columns;
+    the regex avoids lookaheads so the Java and RE2 engines tokenize
+    identically (pinned by the oracle twin)."""
+    from ..functions.text import token_count_col
+
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("int").alias("n_bpe"),
+        token_count_col(F.col("text")).cast("int").alias("n_ws"),
+    )

@@ -863,3 +863,103 @@ def stream_dedup(spark, sf):
         )
         q_.awaitTermination()
     return spark.table(name)
+
+
+@q(
+    "events_funnel",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT v.user_id,
+           CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+                AS INT) AS stage
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def events_funnel(spark, sf):
+    """Ordered-sequence funnel (view -> click -> purchase): per user,
+    the deepest stage reached with the strict-ordering semantics
+    (each stage must occur AFTER the previous stage's first
+    occurrence) — the sequential-pattern analytics face. Per stage:
+    one map-side-combinable min-agg over a pushed-down event_type
+    filter, then a user-keyed join to gate the next stage; the user
+    dimension is what shuffles, never the raw event log twice per
+    stage. At web scale the stage relations are |users|-sized and
+    the left joins collapse into one user-partitioned stage chain."""
+    e = t(spark, sf, "events")
+
+    def first_after(ev, gate, tcol, prev_t):
+        j = e.filter(F.col("event_type") == ev)
+        if gate is None:
+            return j.groupBy("user_id").agg(F.min("ts").alias(tcol))
+        return (
+            j.join(gate, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = first_after("view", None, "t1", None)
+    c = first_after("click", v, "t2", "t1")
+    p = first_after("purchase", c, "t3", "t2")
+    return (
+        v.join(c.select("user_id", F.lit(1).alias("s2")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("s3")), "user_id", "left")
+        .select(
+            "user_id",
+            (F.lit(1) + F.coalesce("s2", F.lit(0)) + F.coalesce("s3", F.lit(0)))
+            .cast("int")
+            .alias("stage"),
+        )
+    )
+
+
+@q(
+    "retention_cohorts",
+    """
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS d FROM events e)
+    SELECT CAST((f.first_day - DATE '2024-01-01') // 7 AS INT) AS cohort_week,
+           CAST((a.d - f.first_day) // 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM a JOIN f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark, sf):
+    """Cohort-retention matrix: users bucketed by first-seen week,
+    counted once per later active week — the cohort/retention
+    analytics face. Week buckets are integer day-arithmetic (days
+    since a fixed epoch, floor-div 7), not engine week-truncation,
+    so bucket edges are bit-identical across engines and timezones —
+    the twin must use DuckDB's `//` (its `/` is FLOAT division, and
+    the round-half-even int cast disagrees with Spark's floor()
+    whenever days % 7 >= 4; caught by the sf0.01 gate).
+    Scale shape: first-seen is one min-agg; the activity relation is
+    distinct (user, day) — bounded by users x horizon, not event
+    volume — and the final matrix agg is map-side combinable on a
+    tiny (cohort, offset) key space."""
+    e = t(spark, sf, "events")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    a = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    j = a.join(f, "user_id")
+    return (
+        j.select(
+            F.floor(F.datediff("first_day", F.lit("2024-01-01")) / 7)
+            .cast("int")
+            .alias("cohort_week"),
+            F.floor(F.datediff("d", "first_day") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )

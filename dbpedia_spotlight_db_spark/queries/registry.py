@@ -73,6 +73,9 @@ _FRONT = [
     "quality_gate",       # new in r3 (Gopher-style composite filter)
     "host_blocklist",     # new in r3 (derived spam-host anti-join)
     "index_postings",     # new in r3 (inverted-index posting lists)
+    "events_funnel",      # new in r3 (ordered-sequence funnel stages)
+    "retention_cohorts",  # new in r3 (cohort-retention matrix)
+    "text_token_bpe",     # new in r3 (BPE-ish pretokenizer count)
 ]
 _TAIL = [
     "sort_limit",

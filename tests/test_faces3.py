@@ -1,5 +1,6 @@
 """Invariant tests for the third round-3 breadth wave (graph BFS /
-label propagation, quality gate, host blocklist, inverted index).
+label propagation, quality gate, host blocklist, inverted index)
+and the fourth (funnel, retention cohorts, BPE-ish token count).
 
 Spark-vs-DuckDB value equality is the oracle gate's job
 (tools/check_oracle.py); these pin the semantics the hash compare
@@ -111,3 +112,77 @@ def test_index_postings_ordered_and_capped(spark):
         for i in range(len(entries) - 1):
             if tfs[i] == tfs[i + 1]:
                 assert docs[i] < docs[i + 1]
+
+
+def test_events_funnel_matches_imperative_replay(spark):
+    from dbpedia_spotlight_db_spark.queries import qrel
+
+    got = {r.user_id: r.stage for r in qrel.Q["events_funnel"](spark, SF).collect()}
+    ev = sorted(
+        spark.read.parquet(f"{SF}/events.parquet").collect(),
+        key=lambda r: (r.user_id, r.ts),
+    )
+    byuser = {}
+    for r in ev:
+        byuser.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    want = {}
+    for u, rows in byuser.items():
+        t1 = min((ts for ts, k in rows if k == "view"), default=None)
+        if t1 is None:
+            continue
+        t2 = min((ts for ts, k in rows if k == "click" and ts > t1), default=None)
+        t3 = (
+            min((ts for ts, k in rows if k == "purchase" and ts > t2), default=None)
+            if t2 is not None
+            else None
+        )
+        want[u] = 1 + (t2 is not None) + (t3 is not None)
+    assert got == want
+
+
+def test_retention_cohorts_week_zero_equals_cohort_size(spark):
+    from pyspark.sql import functions as F
+    from dbpedia_spotlight_db_spark.queries import qrel
+
+    got = qrel.Q["retention_cohorts"](spark, SF)
+    rows = got.collect()
+    assert all(r.week_offset >= 0 and r.cohort_week >= 0 for r in rows)
+    # every user is active in their own first week
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    sizes = {
+        r.cohort_week: r.n
+        for r in f.groupBy(
+            F.floor(F.datediff("first_day", F.lit("2024-01-01")) / 7)
+            .cast("int")
+            .alias("cohort_week")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    zero = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    assert zero == sizes
+
+
+def test_bpe_pretokenizer_hand_checked(spark):
+    from pyspark.sql import functions as F
+    from dbpedia_spotlight_db_spark.queries.qdata import _BPE_RE
+
+    cases = [
+        ("don't stop 123 foo-bar!!", 8),   # don|'t| stop| 123| foo|-|bar|!!
+        ("hello world", 2),
+        ("a1b2", 4),
+        ("...", 1),
+        ("x 42", 2),
+    ]
+    df = spark.createDataFrame(cases, ["text", "want"])
+    got = df.select(
+        "want", F.regexp_count("text", F.lit(_BPE_RE)).alias("n")
+    ).collect()
+    for r in got:
+        assert r.n == r.want, r
+    # subword pieces can never be fewer than whitespace words
+    from dbpedia_spotlight_db_spark.queries import qdata
+
+    t = qdata.Q["text_token_bpe"](spark, SF)
+    assert t.filter(F.col("n_bpe") < F.col("n_ws")).count() == 0
