@@ -420,6 +420,50 @@ def main() -> None:
         p,
     )
 
+    # 23. quality_gate is map-only with a pruned scan (the composite
+    # Gopher gate must never shuffle the corpus: pure column exprs
+    # reading 2 of 5 columns), and host_blocklist's corpus filter is
+    # an UNHINTED LeftAnti (host lists can reach millions of rows on
+    # a full crawl — AQE, not a forced hint, picks broadcast).
+    pq = plan_of(QUERIES["quality_gate"](spark, SF))
+    qg_exchanges = len(re.findall(r"\bExchange\b", pq))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", pq)
+    qg_cols = sorted(c.split(":")[0] for c in m.group(1).split(",")) if m else []
+    hb = QUERIES["host_blocklist"](spark, SF)
+    hb_logical = hb._jdf.queryExecution().optimizedPlan().toString()
+    hb_forced = "ResolvedHint" in hb_logical or re.search(
+        r"(?i)hints=\[broadcast", hb_logical
+    )
+    ph = plan_of(hb)
+    hb_anti = "LeftAnti" in ph
+    check(
+        "quality_gate map-only pruned; host_blocklist unhinted anti-join",
+        qg_exchanges == 0 and qg_cols == ["doc_id", "text"]
+        and hb_anti and not hb_forced,
+        f"{qg_exchanges} Exchange in quality_gate (want 0), reads {qg_cols} "
+        f"(want [doc_id, text]); LeftAnti={hb_anti}, "
+        f"forced-hint={bool(hb_forced)} in host_blocklist",
+        pq,
+    )
+
+    # 24. index_postings: the per-token top-k is a grouped window
+    # limit (WindowGroupLimit = partial top-k before the shuffle, no
+    # corpus-wide Sort), no cartesian anywhere, and the window + both
+    # aggs line up on the token key so the plan needs few exchanges.
+    pi = plan_of(QUERIES["index_postings"](spark, SF))
+    ip_wgl = "WindowGroupLimit" in pi
+    ip_cart = "CartesianProduct" in pi or "BroadcastNestedLoopJoin" in pi
+    ip_exchanges = len(
+        re.findall(r"\(\d+\) Exchange\b", pi)
+    )
+    check(
+        "index_postings grouped-window top-k, exchanges line up on token",
+        ip_wgl and not ip_cart and ip_exchanges <= 4,
+        f"WindowGroupLimit={ip_wgl}, cartesian={ip_cart}, "
+        f"{ip_exchanges} Exchange (want <=4) in index_postings",
+        pi,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
