@@ -963,3 +963,49 @@ def retention_cohorts(spark, sf):
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+@q(
+    "stream_enrich",
+    """
+    SELECT e.event_id, e.user_id, n.n_name, e.event_type
+    FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+    """,
+)
+def stream_enrich(spark, sf):
+    """STREAM-STATIC JOIN on the oracle gate: enrich_stream
+    (streaming/annotate_stream.py) joins the events file-stream to
+    the static nation dimension with a broadcast hash join inside
+    each micro-batch — the stateless enrichment shape (no watermark,
+    no state store) that attaches dimension attributes to an
+    unbounded stream. trigger(availableNow) + memory sink makes the
+    final output the exact batch-join row set, so the DuckDB twin is
+    the plain equi-join. The static side is re-planned per batch at
+    scale (dimension refreshes are picked up live)."""
+    import os
+    import tempfile
+
+    from ..streaming.annotate_stream import enrich_stream
+
+    name = f"stream_enrich_{next(_STREAM_Q_COUNTER)}"
+    schema = t(spark, sf, "events").schema
+    dim = t(spark, sf, "nation")
+    with tempfile.TemporaryDirectory(prefix="stream_enrich_") as tmp:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q_ = (
+            enrich_stream(src, dim)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)

@@ -76,6 +76,7 @@ _FRONT = [
     "events_funnel",      # new in r3 (ordered-sequence funnel stages)
     "retention_cohorts",  # new in r3 (cohort-retention matrix)
     "text_token_bpe",     # new in r3 (BPE-ish pretokenizer count)
+    "stream_enrich",      # new in r3 (stream-static broadcast join)
 ]
 _TAIL = [
     "sort_limit",

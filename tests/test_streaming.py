@@ -152,3 +152,44 @@ def test_sessionize_stream_state_across_batches(spark, tmp_path):
         [r for r in batch if r.session_id != last_sid[r.user_id]]
     )
     assert got == want and got
+
+
+def test_enrich_stream_across_batches(spark, tmp_path):
+    """Stream-static join: the dimension attaches correctly in EVERY
+    micro-batch (maxFilesPerTrigger=1 forces multiple batches), and
+    the final appended set equals the batch join."""
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_db_spark.streaming.annotate_stream import enrich_stream
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dim = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    src = str(tmp_path / "events_src")
+    e.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        enrich_stream(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enrich_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    got = {
+        (r.event_id, r.user_id, r.n_name, r.event_type)
+        for r in spark.table("enrich_stream_t").collect()
+    }
+    want = {
+        (r.event_id, r.user_id, r.n_name, r.event_type)
+        for r in e.join(
+            dim, dim.n_nationkey == (e.user_id % 25).cast("long")
+        ).collect()
+    }
+    assert got == want and got
