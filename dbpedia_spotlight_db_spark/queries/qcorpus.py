@@ -949,3 +949,69 @@ def index_postings(spark, sf):
         .join(dfc, "tk")
         .select("tk", "df", "postings")
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff: what changed between two crawl states
+# ---------------------------------------------------------------------------
+@q(
+    "snapshot_diff",
+    """
+    WITH a AS (
+      SELECT user_id, event_type, event_id AS eid FROM events
+      WHERE ts < TIMESTAMP '2024-01-21'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) = 1),
+    b AS (
+      SELECT user_id, event_type, event_id AS eid FROM events
+      WHERE ts >= TIMESTAMP '2024-01-11'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) = 1)
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           COALESCE(a.event_type, b.event_type) AS event_type,
+           CASE WHEN a.user_id IS NULL THEN 'added'
+                WHEN b.user_id IS NULL THEN 'removed'
+                WHEN a.eid = b.eid THEN 'same'
+                ELSE 'changed' END AS status
+    FROM a FULL JOIN b
+      ON a.user_id = b.user_id AND a.event_type = b.event_type
+    """,
+)
+def snapshot_diff(spark, sf):
+    """Snapshot comparison — the change-data report between two crawl
+    states (yesterday's compacted snapshot vs today's): per key,
+    added / removed / changed / same. The two states are the events
+    log compacted over two overlapping time windows (each via the
+    crawl_latest max_by shape — map-side combinable, no window sort),
+    then ONE full-outer join on the key. This is the read-only dual
+    of crawl_upsert (which merges the delta in; this reports what the
+    merge would do) — the audit every periodically-refreshed KG store
+    publishes alongside a new snapshot. Scale shape: both compactions
+    shuffle ~|keys| rows, the diff join is key-partitioned; nothing
+    corpus-sized survives past the map side."""
+    e = t(spark, sf, "events")
+
+    def compact(df):
+        ordk = F.struct(F.col("ts"), F.col("event_id"))
+        return (
+            df.groupBy("user_id", "event_type")
+            .agg(F.max_by(F.col("event_id"), ordk).alias("eid"))
+        )
+
+    a = compact(e.filter(F.col("ts") < F.lit("2024-01-21").cast("timestamp")))
+    b = compact(e.filter(F.col("ts") >= F.lit("2024-01-11").cast("timestamp")))
+    j = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") == F.col("b.event_type")),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("a.user_id", "b.user_id").alias("user_id"),
+        F.coalesce("a.event_type", "b.event_type").alias("event_type"),
+        F.when(F.col("a.user_id").isNull(), "added")
+        .when(F.col("b.user_id").isNull(), "removed")
+        .when(F.col("a.eid") == F.col("b.eid"), "same")
+        .otherwise("changed")
+        .alias("status"),
+    )

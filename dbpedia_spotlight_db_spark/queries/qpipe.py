@@ -806,3 +806,49 @@ def kg_labelprop(spark, sf_dir):
             )
         )
     return lbl.select("uri", F.col("lbl").alias("community"))
+
+
+_NT_PREFIX = "http://dbpedia.org/resource/"
+
+
+@q(
+    "kg_export_nt",
+    f"""
+    WITH {_GRAMS_SQL},
+    cand AS (
+      SELECT g.doc_id, g.pos, g.sf AS surface_form, d.uri, d.w
+      FROM grams g JOIN {_DICT_SQL} ON g.sf = d.sf),
+    best AS (
+      SELECT doc_id, pos, surface_form, uri,
+             row_number() OVER (PARTITION BY doc_id, pos, surface_form
+                                ORDER BY w DESC, uri) AS rn
+      FROM cand),
+    ann AS (SELECT DISTINCT doc_id, uri FROM best WHERE rn = 1)
+    SELECT '<http://doc/' || CAST(doc_id AS VARCHAR)
+             || '> <http://dbpedia.org/ontology/mentions> <{_NT_PREFIX}'
+             || substr(uri, 5) || '> .' AS line
+    FROM ann
+    """,
+)
+def kg_export_nt(spark, sf_dir):
+    """S5/P3 triple sink face, N-Triples flavor: the same annotation
+    set as kg_export_json serialized as `<s> <p> <o> .` lines with the
+    dbr: prefix expanded to full resource IRIs — the reference's own
+    interchange format (its redirect/disambiguation/type inputs are NT
+    dumps; S3's read_nt_triples is the matching source). Pure string
+    concat in both engines (this world's IRIs need no %-escaping, so
+    byte equality holds); tests/test_faces3 pins the round-trip
+    export -> read_nt_triples -> identical triple set, the sink/source
+    inverse pair. Scale shape: map-only over the deduped annotation
+    relation; text sinks shard like any other write."""
+    ann = kg_annotate_prior(spark, sf_dir).select("doc_id", "uri").distinct()
+    return ann.select(
+        F.concat(
+            F.lit("<http://doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("> <http://dbpedia.org/ontology/mentions> <"),
+            F.lit(_NT_PREFIX),
+            F.expr("substring(uri, 5)"),
+            F.lit("> ."),
+        ).alias("line")
+    )

@@ -1009,3 +1009,27 @@ def stream_enrich(spark, sf):
         )
         q_.awaitTermination()
     return spark.table(name)
+
+
+@q(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf):
+    """CUBE grouping sets (all 2^k dimension subsets in one Expand +
+    one agg pass — the OLAP dual of agg_rollup's hierarchy). Same
+    scale shape as rollup: the Expand multiplies rows map-side by the
+    number of grouping sets, then one map-side-combinable agg; never
+    k separate scans of the fact table."""
+    return (
+        t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+    )

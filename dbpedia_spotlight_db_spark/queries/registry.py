@@ -77,6 +77,9 @@ _FRONT = [
     "retention_cohorts",  # new in r3 (cohort-retention matrix)
     "text_token_bpe",     # new in r3 (BPE-ish pretokenizer count)
     "stream_enrich",      # new in r3 (stream-static broadcast join)
+    "kg_export_nt",       # new in r3 (N-Triples sink, source inverse)
+    "snapshot_diff",      # new in r3 (added/removed/changed report)
+    "agg_cube",           # new in r3 (CUBE grouping sets)
 ]
 _TAIL = [
     "sort_limit",

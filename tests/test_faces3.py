@@ -186,3 +186,65 @@ def test_bpe_pretokenizer_hand_checked(spark):
 
     t = qdata.Q["text_token_bpe"](spark, SF)
     assert t.filter(F.col("n_bpe") < F.col("n_ws")).count() == 0
+
+
+def test_nt_export_roundtrips_through_the_nt_source(spark, tmp_path):
+    """Sink/source inverse pair: kg_export_nt lines parsed back by
+    S3's read_nt_triples reproduce the exact triple set."""
+    from dbpedia_spotlight_db_spark.queries.qpipe import _NT_PREFIX, kg_annotate_prior
+    from dbpedia_spotlight_db_spark.sources.catalog import read_nt_triples
+
+    lines = qpipe.Q["kg_export_nt"](spark, SF)
+    out = str(tmp_path / "triples_nt")
+    lines.write.text(out)
+    back = read_nt_triples(spark, out)
+    got = {(r.subj, r.pred, r.obj) for r in back.collect()}
+    want = {
+        (
+            f"http://doc/{r.doc_id}",
+            "http://dbpedia.org/ontology/mentions",
+            _NT_PREFIX + r.uri[4:],
+        )
+        for r in kg_annotate_prior(spark, SF).select("doc_id", "uri").distinct().collect()
+    }
+    assert got == want and got
+
+
+def test_snapshot_diff_statuses_are_sound(spark):
+    from pyspark.sql import functions as F
+
+    got = qcorpus.Q["snapshot_diff"](spark, SF)
+    rows = got.collect()
+    assert {r.status for r in rows} <= {"added", "removed", "changed", "same"}
+    # one row per key in either snapshot window
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    keys = (
+        e.select("user_id", "event_type").distinct().count()
+    )
+    assert len(rows) <= keys
+    assert len({(r.user_id, r.event_type) for r in rows}) == len(rows)
+    # replay one key imperatively
+    import datetime
+
+    cut_a = datetime.datetime(2024, 1, 21)
+    cut_b = datetime.datetime(2024, 1, 11)
+    ev = e.collect()
+    r0 = rows[0]
+    mine = [
+        x for x in ev
+        if x.user_id == r0.user_id and x.event_type == r0.event_type
+    ]
+    la = max(
+        ((x.ts, x.event_id) for x in mine if x.ts < cut_a), default=None
+    )
+    lb = max(
+        ((x.ts, x.event_id) for x in mine if x.ts >= cut_b), default=None
+    )
+    if la is None:
+        assert r0.status == "added"
+    elif lb is None:
+        assert r0.status == "removed"
+    elif la[1] == lb[1]:
+        assert r0.status == "same"
+    else:
+        assert r0.status == "changed"
