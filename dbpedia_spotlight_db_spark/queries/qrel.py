@@ -1033,3 +1033,77 @@ def agg_cube(spark, sf):
             F.sum("l_quantity").cast("long").alias("sum_qty"),
         )
     )
+
+
+@q(
+    "win_moving_avg",
+    """
+    SELECT user_id, event_id,
+           round(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+    FROM events
+    """,
+)
+def win_moving_avg(spark, sf):
+    """Framed window aggregates: a 3-row moving average and a running
+    total per user in event-time order — the rolling-metric face
+    (smoothed rates, cumulative spend) that complements win_topk's
+    ranking windows with ROWS-frame aggregation. The running total
+    sums exact integer cents (cross-engine float SUM over a growing
+    frame would accumulate differently); the moving average divides
+    a <=3-value frame once and rounds to 6. (ts, event_id) is a total
+    order so frames are engine-identical. Scale shape: one shuffle on
+    user_id, per-partition sort, single pass — no self-join
+    formulation, which is the naive O(frame x rows) alternative."""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("mavg"),
+        F.sum(cents(F.col("value")))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("run_cents"),
+    )
+
+
+@q(
+    "unpivot_events",
+    """
+    SELECT event_type, 'n_events' AS metric,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 'cents',
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 'n_users',
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM events GROUP BY event_type
+    """,
+)
+def unpivot_events(spark, sf):
+    """Wide-to-long reshaping (the inverse of pivot_events): per-type
+    metrics computed wide in ONE agg pass, then melted to (event_type,
+    metric, total) rows with DataFrame.unpivot — the tidy-format
+    export shape dashboards and metric stores ingest. The twin builds
+    the same long relation from first principles (stacked UNION ALL),
+    so the oracle checks the reshape semantics, not the operator
+    spelling. Scale shape: one
+    map-side-combinable agg on the tiny type key, then a row-local
+    melt — the unpivot itself adds no exchange."""
+    e = t(spark, sf, "events")
+    wide = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents(F.col("value"))).cast("long").alias("cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return wide.unpivot(
+        ["event_type"], ["n_events", "cents", "n_users"], "metric", "total"
+    )

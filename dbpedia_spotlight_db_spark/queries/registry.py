@@ -80,6 +80,8 @@ _FRONT = [
     "kg_export_nt",       # new in r3 (N-Triples sink, source inverse)
     "snapshot_diff",      # new in r3 (added/removed/changed report)
     "agg_cube",           # new in r3 (CUBE grouping sets)
+    "win_moving_avg",     # new in r3 (ROWS-frame rolling metrics)
+    "unpivot_events",     # new in r3 (wide-to-long melt)
 ]
 _TAIL = [
     "sort_limit",
