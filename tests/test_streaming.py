@@ -193,3 +193,51 @@ def test_enrich_stream_across_batches(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_stream_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Kill-and-resume on the streaming side: a second availableNow
+    run against the SAME checkpoint processes only files that arrived
+    after the first run — previously-committed batches are never
+    re-emitted (file-sink exactly-once), mirroring the batch
+    pipeline's resumability invariant (BASELINE.md)."""
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_db_spark.streaming.annotate_stream import enrich_stream
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dim = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = e.filter(F.col("event_id") % 3 != 0)
+    late = e.filter(F.col("event_id") % 3 == 0)
+    first.write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(e.schema).parquet(src)
+        q = (
+            enrich_stream(stream, dim)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first.count()
+
+    # new files land; the resumed query picks up ONLY the delta
+    late.write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out)
+    assert got.count() == e.count()  # every event exactly once
+    assert (
+        got.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+    )
