@@ -1107,3 +1107,70 @@ def unpivot_events(spark, sf):
     return wide.unpivot(
         ["event_type"], ["n_events", "cents", "n_users"], "metric", "total"
     )
+
+
+@q(
+    "check_constraints",
+    """
+    SELECT 'orders.o_custkey_not_null' AS rule,
+           CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderkey_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_totalprice_positive',
+           CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.fk_customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def check_constraints(spark, sf):
+    """Data-quality constraint report (the Deequ/expectations face):
+    declared table constraints -> one (rule, n_violations) row
+    each — the validation gate a pipeline runs before publishing a
+    snapshot. Three single-table checks (not-null, key uniqueness,
+    value range) fold into ONE scan-and-aggregate pass over the fact
+    table (conditional counts + count-distinct side by side); the
+    referential check is a separate anti-join against the dimension
+    (unhinted — the dimension may be corpus-sized at web scale; AQE
+    picks broadcast when it fits). The report is tiny and total:
+    violation COUNTS, not violating rows, so it aggregates instead of
+    materializing the (possibly huge) offender set — offender
+    sampling is a follow-up query on a named constraint."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    one = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1))
+        .cast("long")
+        .alias("o_custkey_not_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("o_orderkey_unique"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1))
+        .cast("long")
+        .alias("o_totalprice_positive"),
+    )
+    singles = one.unpivot(
+        [], ["o_custkey_not_null", "o_orderkey_unique", "o_totalprice_positive"],
+        "k", "n_violations",
+    ).select(
+        F.concat(F.lit("orders."), F.col("k")).alias("rule"),
+        "n_violations",
+    )
+    orphans = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(
+            F.lit("orders.fk_customer").alias("rule"), "n_violations"
+        )
+    )
+    return singles.unionByName(orphans)

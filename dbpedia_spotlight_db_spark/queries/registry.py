@@ -82,6 +82,7 @@ _FRONT = [
     "agg_cube",           # new in r3 (CUBE grouping sets)
     "win_moving_avg",     # new in r3 (ROWS-frame rolling metrics)
     "unpivot_events",     # new in r3 (wide-to-long melt)
+    "check_constraints",  # new in r3 (data-quality violation report)
 ]
 _TAIL = [
     "sort_limit",
