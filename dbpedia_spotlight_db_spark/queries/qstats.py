@@ -1,0 +1,443 @@
+"""Analytics / data-profiling faces (round-3 fourth breadth wave):
+the time-series, statistics, and fuzzy-matching operators an
+annotation-pipeline owner runs over the crawl's event and commerce
+side tables — gap-filled daily series, trailing RANGE-frame windows,
+grouped moments (corr / covariance / stddev), fixed-width histograms,
+z-score outlier screens, Markov transition matrices, edit-distance
+entity matching, and the cogrouped-applyInPandas API face.
+
+Same contract as the sibling query modules: every key is a Spark
+callable plus a DuckDB twin with IDENTICAL column names and values.
+Floats are rounded to 6 before any hash-checked comparison; where a
+FILTER depends on a float (outlier screen), both engines filter on
+the ROUNDED value so row membership can never depend on sub-ulp
+accumulation-order differences between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import SQL_CENTS, cents, t
+
+Q = {}
+O = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        assert name not in Q, f"duplicate query key {name!r}"
+        Q[name] = fn
+        if sql is not None:
+            O[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# time-series gap filling: date spine + zero-fill
+# ---------------------------------------------------------------------------
+@q(
+    "events_gapfill",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT t.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+    FROM types t CROSS JOIN spine s
+    LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+    """,
+)
+def events_gapfill(spark, sf_dir):
+    """Gap-filled daily event series: one row per (event_type, day)
+    for EVERY day between the corpus min and max fetch date, zero
+    where nothing happened — the series a crawl-health dashboard or
+    anomaly detector needs (a missing day and a zero day are different
+    facts; a bare groupBy silently conflates them). The date spine is
+    generated from the global (min, max) bound — a 2-value aggregate,
+    so the spine relation is days x types = tiny and is broadcast to
+    the daily-count side; the corpus is touched exactly once by the
+    map-side-combinable daily groupBy. At 10^12 rows the spine stays
+    kilobytes (a decade is ~3.7k days), so the left join never
+    shuffles the fact side a second time."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = e.select("event_type").distinct()
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame trailing window over a gap-free numeric order key
+# ---------------------------------------------------------------------------
+_EPOCH = "2024-01-01"
+
+
+@q(
+    "win_trailing_range",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE)) AS INT)
+               AS day_num,
+             COUNT(*) AS n,
+             round(SUM(value), 6) AS v
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day_num,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(SUM(n) OVER w AS BIGINT) AS trail_events,
+           round(SUM(v) OVER w, 6) AS trail_value
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_trailing_range(spark, sf_dir):
+    """Trailing 7-day totals per event type via a RANGE frame keyed on
+    a day NUMBER — the frame faces win_moving_avg doesn't cover (ROWS
+    counts rows; RANGE spans an interval of the order key, so a
+    missing day genuinely shrinks the window instead of silently
+    pulling an older row in). The corpus is collapsed to per-day rows
+    by a map-side-combinable agg FIRST, so the window operator sorts
+    |types x days| rows, not events; the window partition key is the
+    event type, never a single global partition. The per-day value sum
+    is rounded to 6 BEFORE the trailing sum in both engines, so the
+    window accumulates identical operands and cross-engine equality
+    is exact."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit(_EPOCH)))
+        .cast("int")
+        .alias("day_num"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day_num",
+        F.col("n").cast("long").alias("n_events"),
+        F.sum("n").over(w).cast("long").alias("trail_events"),
+        F.round(F.sum("v").over(w), 6).alias("trail_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped statistical moments: corr / covar_samp / stddev_samp
+# ---------------------------------------------------------------------------
+@q(
+    "stat_corr",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(corr(l_quantity, l_extendedprice), 6) + 0 AS corr_qty_price,
+           round(covar_samp(l_discount, l_tax), 6) + 0 AS cov_disc_tax,
+           round(stddev_samp(l_discount), 6) AS sd_disc,
+           round(AVG(l_quantity), 6) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stat_corr(spark, sf_dir):
+    """Grouped second-moment statistics — Pearson correlation, sample
+    covariance, sample stddev — the column-relationship profile a
+    feature-engineering pass computes before model training. All four
+    moments are single-pass streaming aggregates (Spark's
+    CentralMomentAgg / Corr / Covariance buffers), so the plan is one
+    map-side-combinable hash agg with a |groups|-sized exchange — no
+    second scan, no window. The reported statistics are dimensionless
+    (corr) or small-magnitude (discount/tax moments), so round-6
+    equality is robust to the engines' different partial-merge
+    orders; large-magnitude moments (e.g. covar of raw prices) would
+    need scaling first, which is exactly why the face picks these
+    columns."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        # + 0.0 normalizes IEEE negative zero (-0.0 formats as
+        # "-0.000000" and breaks the cross-engine value hash)
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias(
+            "corr_qty_price"
+        ),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
+            "cov_disc_tax"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-width histogram (numeric profiling)
+# ---------------------------------------------------------------------------
+_HIST_W = 25_000
+
+
+@q(
+    "agg_histogram",
+    f"""
+    SELECT CAST(FLOOR(o_totalprice / {_HIST_W}) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(MIN(o_totalprice), 6) AS min_price,
+           round(MAX(o_totalprice), 6) AS max_price,
+           CAST(SUM({SQL_CENTS.format(x="o_totalprice")}) AS BIGINT)
+             AS sum_price_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width value histogram over order totals — the numeric-
+    distribution profile behind data-quality dashboards and join-skew
+    pre-checks. Bucketing is a pure projection (floor of a constant
+    division, identical in both engines on identical doubles), so the
+    whole face is ONE map-side-combinable agg keyed by ~20 buckets;
+    min/max select existing parquet doubles (no accumulation), and the
+    sum is carried in exact integer cents so no float sum ever crosses
+    the engine boundary. At 10^12 rows the reduce side is |buckets|
+    rows — the exchange is a rounding error."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / _HIST_W).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        F.sum(cents(F.col("o_totalprice"))).cast("long").alias(
+            "sum_price_cents"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# z-score outlier screen (broadcast group stats, no global window)
+# ---------------------------------------------------------------------------
+_Z_CUT = 2.5
+
+
+@q(
+    "events_outliers",
+    f"""
+    WITH s AS (
+      SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           round(e.value, 6) AS value,
+           round((e.value - s.mu) / s.sd, 6) AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs(round((e.value - s.mu) / s.sd, 6)) > {_Z_CUT}
+    """,
+)
+def events_outliers(spark, sf_dir):
+    """Per-group z-score outlier screen — the metric-anomaly face
+    (which events are >2.5 sigma from their type's mean?). The group
+    stats are a |types|-sized aggregate attached back by BROADCAST
+    join, so the corpus is scanned once for stats and once for the
+    screen with no wide exchange and no window over a whole group
+    partition (the naive avg-OVER-partition formulation would sort
+    every event of a type on one reducer). The filter compares the
+    ROUNDED z in both engines, so membership at the cut boundary
+    cannot flip on sub-ulp mean/stddev accumulation differences."""
+    e = t(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > _Z_CUT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix (lead window per user)
+# ---------------------------------------------------------------------------
+@q(
+    "events_transitions",
+    """
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events)
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM nxt WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition counts over per-user event
+    sequences (the session-model / next-action signal). One LEAD
+    window partitioned by user — a high-cardinality key, so the sort
+    is many small per-user runs, never a global sort — then a
+    map-side-combinable count keyed by the |types|^2 transition
+    matrix. (ts, event_id) is a total order, so the successor of
+    every event is deterministic and both engines count identical
+    pairs."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        nxt.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (edit-distance) dimension matching
+# ---------------------------------------------------------------------------
+@q(
+    "join_fuzzy",
+    """
+    WITH qset AS (
+      SELECT DISTINCT substr(n_name, 1, 2) || substr(n_name, 4) AS qname
+      FROM nation),
+    cand AS (
+      SELECT q.qname, n.n_name AS matched,
+             CAST(levenshtein(q.qname, n.n_name) AS INT) AS dist
+      FROM qset q CROSS JOIN nation n),
+    best AS (
+      SELECT qname, matched, dist FROM cand
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY qname ORDER BY dist, matched) = 1)
+    SELECT qname, matched, dist FROM best WHERE dist <= 2
+    """,
+)
+def join_fuzzy(spark, sf_dir):
+    """Fuzzy dimension matching: noisy surface strings (each nation
+    name with its 3rd character deterministically dropped — a
+    synthetic typo) resolved back to the canonical dimension by
+    minimum Levenshtein distance, ties broken lexicographically, far
+    matches (dist > 2) rejected — the entity-resolution face for
+    dirty crawl metadata (publisher names, country strings) against a
+    curated dimension. The dimension is CROSS-joined by broadcast
+    (dims are small by definition; a fuzzy join against a large right
+    side needs blocking first — exactly what dedup_lsh_pairs /
+    er-style banding provides), and the per-query argmin is a
+    map-side-combinable min_by agg, not a window, so no sort of the
+    candidate set survives the plan."""
+    n = t(spark, sf_dir, "nation")
+    qset = n.select(
+        F.concat(
+            F.substring("n_name", 1, 2), F.expr("substring(n_name, 4)")
+        ).alias("qname")
+    ).distinct()
+    d = F.levenshtein(F.col("qname"), F.col("n_name")).cast("int")
+    cand = qset.crossJoin(F.broadcast(n.select("n_name"))).select(
+        "qname", F.col("n_name").alias("matched"), d.alias("dist")
+    )
+    best = (
+        cand.groupBy("qname")
+        .agg(
+            F.min_by(
+                F.struct("matched", "dist"),
+                F.struct("dist", "matched"),
+            ).alias("b")
+        )
+        .select("qname", "b.matched", "b.dist")
+    )
+    return best.filter(F.col("dist") <= 2)
+
+
+# ---------------------------------------------------------------------------
+# cogrouped applyInPandas (two-sided per-key Arrow batches)
+# ---------------------------------------------------------------------------
+def _clicks_before_purchase(left, right):
+    """Per-user cogroup kernel: left = clicks, right = purchases.
+    Either side can be empty for a given key (cogroup emits the union
+    of keys), so the key is read from whichever side has rows."""
+    import pandas as pd
+
+    uid = left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0]
+    has_p = bool(len(right))
+    n = int((left["ts"] < right["ts"].min()).sum()) if has_p else 0
+    return pd.DataFrame(
+        {"user_id": [uid], "n_clicks_before": [n], "has_purchase": [has_p]}
+    )
+
+
+@q(
+    "udf_cogrouped",
+    """
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS first_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    ck AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    u AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('click', 'purchase'))
+    SELECT u.user_id,
+           CAST(COALESCE(SUM(CASE WHEN fp.first_ts IS NOT NULL
+                                   AND ck.ts < fp.first_ts
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_clicks_before,
+           fp.first_ts IS NOT NULL AS has_purchase
+    FROM u
+    LEFT JOIN fp ON u.user_id = fp.user_id
+    LEFT JOIN ck ON u.user_id = ck.user_id
+    GROUP BY u.user_id, fp.first_ts
+    """,
+)
+def udf_cogrouped(spark, sf_dir):
+    """Cogrouped applyInPandas — the two-sided Arrow-batch API face
+    (`groupBy().cogroup().applyInPandas`): clicks and purchases are
+    co-partitioned by user and handed to ONE pandas kernel per key as
+    two aligned frames, which computes clicks-before-first-purchase —
+    the attribution primitive that is awkward as a join (the naive
+    SQL twin re-joins every click against the first-purchase row).
+    Scale shape: both sides shuffle ONCE on the cogroup key and the
+    kernel sees only one user's rows at a time (bounded memory, Arrow
+    batch transfer, no per-row Python); this is the API the as-of /
+    interval merges fall back to when their window forms can't
+    express the semantics."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purch.groupBy("user_id"))
+        .applyInPandas(
+            _clicks_before_purchase,
+            "user_id long, n_clicks_before long, has_purchase boolean",
+        )
+    )

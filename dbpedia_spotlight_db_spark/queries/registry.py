@@ -11,11 +11,11 @@ green since round 1 and can safely absorb any window truncation.
 
 from __future__ import annotations
 
-from . import qcorpus, qdata, qembed, qpipe, qrel
+from . import qcorpus, qdata, qembed, qpipe, qrel, qstats
 
 _QUERIES = {}
 _ORACLES = {}
-for mod in (qrel, qpipe, qdata, qcorpus, qembed):
+for mod in (qrel, qpipe, qdata, qcorpus, qembed, qstats):
     _dups = set(_QUERIES) & set(mod.Q)
     assert not _dups, (
         f"query key(s) {_dups} registered in more than one module — "
@@ -25,6 +25,14 @@ for mod in (qrel, qpipe, qdata, qcorpus, qembed):
     _ORACLES.update(mod.O)
 
 _FRONT = [
+    "events_gapfill",       # new in r3 wave 5 (date-spine zero-fill)
+    "win_trailing_range",   # new in r3 wave 5 (RANGE interval frame)
+    "stat_corr",            # new in r3 wave 5 (grouped second moments)
+    "agg_histogram",        # new in r3 wave 5 (fixed-width histogram)
+    "events_outliers",      # new in r3 wave 5 (broadcast z-score screen)
+    "events_transitions",   # new in r3 wave 5 (Markov transition counts)
+    "join_fuzzy",           # new in r3 wave 5 (levenshtein dim matching)
+    "udf_cogrouped",        # new in r3 wave 5 (cogroup applyInPandas)
     "multimodal_features",  # r1's only hard failure; fixed, never driver-run
     "multimodal_meta",
     "multimodal_frames",
