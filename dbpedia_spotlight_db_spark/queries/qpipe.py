@@ -852,3 +852,142 @@ def kg_export_nt(spark, sf_dir):
             F.lit("> ."),
         ).alias("line")
     )
+
+
+@q(
+    "kg_hits",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    nodes AS (SELECT DISTINCT uri FROM de),
+    a1 AS (SELECT uri_b AS uri, CAST(COUNT(*) AS DOUBLE) AS a
+           FROM p GROUP BY uri_b),
+    h1 AS (SELECT p.uri_a AS uri, CAST(SUM(a1.a) AS DOUBLE) AS h
+           FROM p JOIN a1 ON a1.uri = p.uri_b GROUP BY p.uri_a),
+    mx AS (SELECT (SELECT MAX(a) FROM a1) AS amax,
+                  (SELECT MAX(h) FROM h1) AS hmax)
+    SELECT n.uri,
+           round(COALESCE(h1.h, 0) / mx.hmax, 6) AS hub,
+           round(COALESCE(a1.a, 0) / mx.amax, 6) AS auth
+    FROM nodes n
+    LEFT JOIN a1 ON a1.uri = n.uri
+    LEFT JOIN h1 ON h1.uri = n.uri
+    CROSS JOIN mx
+    """,
+)
+def kg_hits(spark, sf_dir):
+    """HITS hubs/authorities (one unrolled mutual-reinforcement round,
+    max-normalized) over the ORIENTED co-occurrence graph — the
+    link-analysis complement to kg_pagerank (authority = pointed-at by
+    many; hub = points at many good authorities; on the lexicographic
+    orientation these are asymmetric, which is exactly what makes the
+    face non-trivial). auth_1 is the in-degree agg, hub_1 re-joins the
+    edge list against that |V|-sized relation — both map-side
+    combinable, both keyed by a graph vertex, and the normalizing max
+    is a 2-value aggregate cross-joined back by broadcast. Scores are
+    ratios of small exact integers, so round-6 equality across engines
+    is exact. Scale shape: two edge-keyed aggs + one broadcast — the
+    same plan family as kg_degree; more iterations repeat the pair of
+    joins (embed_kmeans' unrolling precedent)."""
+    p = _entity_pairs(spark, sf_dir)
+    nodes = _doc_entities(spark, sf_dir).select("uri").distinct()
+    a1 = p.groupBy(F.col("uri_b").alias("uri")).agg(
+        F.count(F.lit(1)).cast("double").alias("a")
+    )
+    h1 = (
+        p.join(a1.withColumnRenamed("uri", "uri_b"), "uri_b")
+        .groupBy(F.col("uri_a").alias("uri"))
+        .agg(F.sum("a").alias("h"))
+    )
+    mx = a1.agg(F.max("a").alias("amax")).crossJoin(
+        h1.agg(F.max("h").alias("hmax"))
+    )
+    return (
+        nodes.join(a1, "uri", "left")
+        .join(h1, "uri", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "uri",
+            F.round(F.coalesce("h", F.lit(0.0)) / F.col("hmax"), 6).alias(
+                "hub"
+            ),
+            F.round(F.coalesce("a", F.lit(0.0)) / F.col("amax"), 6).alias(
+                "auth"
+            ),
+        )
+    )
+
+
+@q(
+    "kg_node_sim",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    cm AS (SELECT e1.src AS ua, e2.src AS ub, COUNT(*) AS nc
+           FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+           GROUP BY e1.src, e2.src)
+    SELECT p.uri_a, p.uri_b,
+           CAST(COALESCE(cm.nc, 0) AS BIGINT) AS n_common,
+           round(CAST(COALESCE(cm.nc, 0) AS DOUBLE)
+                 / (da.d + db.d - COALESCE(cm.nc, 0)), 6) AS jaccard
+    FROM p
+    LEFT JOIN cm ON cm.ua = p.uri_a AND cm.ub = p.uri_b
+    JOIN deg da ON da.src = p.uri_a
+    JOIN deg db ON db.src = p.uri_b
+    """,
+)
+def kg_node_sim(spark, sf_dir):
+    """Structural node similarity for every CONNECTED entity pair:
+    Jaccard overlap of undirected neighborhoods (|N(a) ∩ N(b)| /
+    |N(a) ∪ N(b)|) — the link-prediction / relatedness refinement
+    over raw co-occurrence (two entities that share most neighbors
+    are near-synonyms even if they rarely co-occur directly). The
+    common-neighbor count is a wedge self-join keyed on the SHARED
+    neighbor, restricted to pairs that are already edges (output stays
+    O(|E|), never all-pairs), then degrees attach from a |V|-sized
+    relation. Scale shape: the wedge join fans out quadratically in
+    hub degree — at corpus scale the intermediate neighbor relation is
+    degree-capped before the join exactly like dedup_jaccard's
+    df-cap (operators/dedup.py:201), which bounds skew without
+    changing the top of the similarity ranking; the fixture graph is
+    hub-free so the face stays exact and SQL-checkable. Ratios of
+    small exact integers -> round-6 equality is exact."""
+    p = _entity_pairs(spark, sf_dir)
+    e = _undirected_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    cm = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            (F.col("e1.dst") == F.col("e2.dst"))
+            & (F.col("e1.src") < F.col("e2.src")),
+        )
+        .groupBy(
+            F.col("e1.src").alias("uri_a"), F.col("e2.src").alias("uri_b")
+        )
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    nc = F.coalesce("nc", F.lit(0))
+    return (
+        p.join(cm, ["uri_a", "uri_b"], "left")
+        .join(
+            F.broadcast(deg.select(F.col("src").alias("uri_a"), F.col("d").alias("da"))),
+            "uri_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("src").alias("uri_b"), F.col("d").alias("db"))),
+            "uri_b",
+        )
+        .select(
+            "uri_a",
+            "uri_b",
+            nc.cast("long").alias("n_common"),
+            F.round(
+                nc.cast("double") / (F.col("da") + F.col("db") - nc), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -33,6 +33,8 @@ _FRONT = [
     "events_transitions",   # new in r3 wave 5 (Markov transition counts)
     "join_fuzzy",           # new in r3 wave 5 (levenshtein dim matching)
     "udf_cogrouped",        # new in r3 wave 5 (cogroup applyInPandas)
+    "kg_hits",              # new in r3 wave 6 (hubs/authorities round)
+    "kg_node_sim",          # new in r3 wave 6 (neighborhood Jaccard)
     "multimodal_features",  # r1's only hard failure; fixed, never driver-run
     "multimodal_meta",
     "multimodal_frames",
