@@ -1015,3 +1015,54 @@ def snapshot_diff(spark, sf):
         .otherwise("changed")
         .alias("status"),
     )
+
+
+@q(
+    "stream_upsert",
+    f"""
+    WITH base_log AS (SELECT * FROM events WHERE event_id % 10 < 8),
+    delta_log AS (SELECT * FROM events WHERE event_id % 10 >= 8),
+    base AS ({_UPSERT_COMPACT.format(src="base_log")}),
+    delta AS ({_UPSERT_COMPACT.format(src="delta_log")})
+    SELECT b.user_id, b.event_id, b.ts, b.event_type
+    FROM base b LEFT JOIN delta d ON b.user_id = d.user_id
+    WHERE d.user_id IS NULL
+    UNION ALL
+    SELECT user_id, event_id, ts, event_type FROM delta
+    WHERE event_type <> 'error'
+    """,
+)
+def stream_upsert(spark, sf):
+    """STREAMING incremental MERGE on the oracle gate: the same
+    changelog delta as crawl_upsert, but arriving as a file-source
+    STREAM one parquet file per trigger, folded into a compacted
+    upsert state by ``foreachBatch`` (streaming/upsert_stream.py) —
+    the continuously-refreshed-store shape (trigger(availableNow)
+    here; a real deployment just changes the trigger). Latest-per-key
+    compaction is associative over chunking, so the final state is
+    independent of the micro-batch split and the DuckDB twin is
+    crawl_upsert's batch SQL verbatim — the strongest cross-check a
+    stateful streaming face can get. Tombstones stay IN the state as
+    markers between epochs and are dropped only at final projection.
+    The final relation is parquet-checkpointed before the temp delta
+    spool is reclaimed."""
+    import os
+    import tempfile
+
+    from ..operators.dedup import parquet_checkpoint
+    from ..streaming.upsert_stream import compact_latest, run_upsert_stream
+
+    e = t(spark, sf, "events").select("user_id", "event_id", "ts", "event_type")
+    base = compact_latest(e.filter(F.col("event_id") % 10 < 8))
+    delta_log = e.filter(F.col("event_id") % 10 >= 8)
+    with tempfile.TemporaryDirectory(prefix="stream_upsert_") as tmp:
+        delta_dir = os.path.join(tmp, "delta")
+        delta_log.repartition(3).write.parquet(delta_dir)
+        state = run_upsert_stream(
+            spark,
+            delta_dir,
+            delta_log.schema,
+            os.path.join(tmp, "state"),
+            os.path.join(tmp, "ckpt"),
+        )
+        return parquet_checkpoint(state.merged(base), "stream_upsert_final")

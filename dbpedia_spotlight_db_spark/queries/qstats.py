@@ -69,16 +69,28 @@ def events_gapfill(spark, sf_dir):
     the daily-count side; the corpus is touched exactly once by the
     map-side-combinable daily groupBy. At 10^12 rows the spine stays
     kilobytes (a decade is ~3.7k days), so the left join never
-    shuffles the fact side a second time."""
+    shuffles the fact side a second time.
+
+    The corpus is scanned ONCE: the date bounds and the type list are
+    derived from the |types x days|-sized ``daily`` aggregate, and
+    ``daily`` is parquet-checkpointed before fan-out (per-branch
+    column pruning makes the three consumer subtrees structurally
+    different, so ReuseExchange can NOT collapse them — measured 6
+    source scans without the checkpoint; with it, the corpus is read
+    once and the three branches re-read only the tiny cell relation —
+    asserted in tools/explain_audit.py)."""
+    from ..operators.dedup import parquet_checkpoint
+
     e = t(spark, sf_dir, "events")
-    bounds = e.agg(
-        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    daily = parquet_checkpoint(
+        e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        "gapfill_daily",
     )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
-    types = e.select("event_type").distinct()
-    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    types = daily.select("event_type").distinct()
     return (
         types.crossJoin(F.broadcast(spine))
         .join(daily, ["event_type", "day"], "left")

@@ -35,6 +35,7 @@ _FRONT = [
     "udf_cogrouped",        # new in r3 wave 5 (cogroup applyInPandas)
     "kg_hits",              # new in r3 wave 6 (hubs/authorities round)
     "kg_node_sim",          # new in r3 wave 6 (neighborhood Jaccard)
+    "stream_upsert",        # new in r3 wave 7 (foreachBatch MERGE)
     "multimodal_features",  # r1's only hard failure; fixed, never driver-run
     "multimodal_meta",
     "multimodal_frames",

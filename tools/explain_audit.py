@@ -464,6 +464,42 @@ def main() -> None:
         pi,
     )
 
+    # 25. events_gapfill folds the corpus into one checkpointed cell
+    # relation: the query plan must contain NO scan of the raw events
+    # table (the only corpus read happens once, at checkpoint build),
+    # and the spine side must attach by broadcast, not shuffle.
+    pg = plan_of(QUERIES["events_gapfill"](spark, SF))
+    gf_event_scans = len(
+        [s for s in re.findall(r"Scan parquet[^\n]*", pg) if "events" in s]
+    )
+    gf_smj = len(re.findall(r"SortMergeJoin", pg))
+    check(
+        "events_gapfill single corpus scan via checkpoint, broadcast spine",
+        gf_event_scans == 0 and gf_smj == 0,
+        f"{gf_event_scans} raw events scans in the gapfill query plan "
+        f"(want 0 — corpus folded at checkpoint build), {gf_smj} SortMergeJoin",
+        pg,
+    )
+
+    # 26. events_outliers attaches |types|-sized group stats by
+    # broadcast (never a window over a whole type partition, never a
+    # shuffled join of the fact side); events_transitions' LEAD window
+    # is partitioned by user (no single-partition exchange).
+    po = plan_of(QUERIES["events_outliers"](spark, SF))
+    ol_bhj = len(re.findall(r"BroadcastHashJoin", po))
+    ol_smj = len(re.findall(r"SortMergeJoin", po))
+    ol_win = len(re.findall(r"\bWindow\b", po))
+    pt = plan_of(QUERIES["events_transitions"](spark, SF))
+    tr_single = "Exchange SinglePartition" in pt
+    check(
+        "events_outliers broadcast stats; transitions windowed per user",
+        ol_bhj >= 1 and ol_smj == 0 and ol_win == 0 and not tr_single,
+        f"outliers: {ol_bhj} BroadcastHashJoin / {ol_smj} SortMergeJoin / "
+        f"{ol_win} Window (want >=1/0/0); transitions single-partition "
+        f"exchange={tr_single} (want False)",
+        po,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
