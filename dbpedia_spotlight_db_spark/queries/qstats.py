@@ -453,3 +453,101 @@ def udf_cogrouped(spark, sf_dir):
             "user_id long, n_clicks_before long, has_purchase boolean",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution-position window functions (percent_rank / cume_dist / ntile)
+# ---------------------------------------------------------------------------
+@q(
+    "win_rank_fns",
+    """
+    SELECT event_id, user_id,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_rank_fns(spark, sf_dir):
+    """Distribution-position window functions — percent_rank /
+    cume_dist / ntile quartiles of each event within its user's
+    timeline (the percentile-feature face win_rank's rank/lag pair
+    doesn't cover). Partitioned by the HIGH-cardinality user key, so
+    the sort is many small per-user runs — the scale-sane shape; a
+    corpus-wide percentile would use the pre-aggregated quantile face
+    (agg_percentiles), never one global window partition. (ts,
+    event_id) is a total order and all three functions are exact
+    rationals of small integers, so round-6 parity is exact."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source language mix: mode + Shannon entropy
+# ---------------------------------------------------------------------------
+@q(
+    "source_lang_stats",
+    """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS c
+      FROM documents GROUP BY source, lang),
+    top AS (
+      SELECT source, lang AS top_lang FROM c
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY c DESC, lang) = 1),
+    agg AS (
+      SELECT source, SUM(c) AS n, COUNT(*) AS n_langs,
+             SUM(c * ln(c)) AS s
+      FROM c GROUP BY source)
+    SELECT a.source,
+           CAST(a.n AS BIGINT) AS n_docs,
+           CAST(a.n_langs AS BIGINT) AS n_langs,
+           t.top_lang,
+           round(ln(a.n) - a.s / a.n, 6) + 0 AS lang_entropy
+    FROM agg a JOIN top t ON t.source = a.source
+    """,
+)
+def source_lang_stats(spark, sf_dir):
+    """Per-source language-mix profile: document count, distinct
+    languages, modal language (count-desc, lang-asc tiebreak), and the
+    Shannon entropy of the language distribution — the corpus-balance
+    diagnostic a multilingual pipeline runs before deciding routing
+    and sampling temperatures (mix_domains' input signal). The corpus
+    collapses to |sources x langs| counted cells FIRST (one map-side-
+    combinable agg); mode and entropy are then computed entirely on
+    that tiny relation — the mode via a min_by over (−count, lang)
+    (no window, no second corpus pass) and the entropy via the
+    ln-sum identity H = ln(n) − Σ c·ln(c)/n, which needs only
+    per-cell terms (never materializing probabilities). The +0 guard
+    normalizes IEEE −0.0 on single-language sources."""
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.min_by("lang", F.struct((-F.col("c")).alias("nc"), "lang")).alias(
+                "top_lang"
+            ),
+            F.sum(F.col("c") * F.log("c")).alias("s"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "top_lang",
+            (
+                F.round(F.log("n_docs") - F.col("s") / F.col("n_docs"), 6)
+                + F.lit(0.0)
+            ).alias("lang_entropy"),
+        )
+    )

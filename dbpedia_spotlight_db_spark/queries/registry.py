@@ -36,6 +36,8 @@ _FRONT = [
     "kg_hits",              # new in r3 wave 6 (hubs/authorities round)
     "kg_node_sim",          # new in r3 wave 6 (neighborhood Jaccard)
     "stream_upsert",        # new in r3 wave 7 (foreachBatch MERGE)
+    "win_rank_fns",         # new in r3 wave 9 (percent_rank/cume_dist/ntile)
+    "source_lang_stats",    # new in r3 wave 9 (lang mode + entropy)
     "multimodal_features",  # r1's only hard failure; fixed, never driver-run
     "multimodal_meta",
     "multimodal_frames",

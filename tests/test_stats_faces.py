@@ -166,3 +166,42 @@ def test_stat_corr_matches_numpy(spark):
         assert math.isclose(row["corr_qty_price"], round(c, 6), abs_tol=2e-6)
         sd = grp["l_discount"].std(ddof=1)
         assert math.isclose(row["sd_disc"], round(sd, 6), abs_tol=2e-6)
+
+
+def test_win_rank_fns_match_per_user_replay(spark):
+    got = qstats.Q["win_rank_fns"](spark, SF).toPandas()
+    e = t(spark, SF, "events").toPandas().sort_values(["user_id", "ts", "event_id"])
+    by_ev = got.set_index("event_id")
+    for uid, grp in e.groupby("user_id"):
+        n = len(grp)
+        for i, eid in enumerate(grp["event_id"]):
+            row = by_ev.loc[eid]
+            pr = 0.0 if n == 1 else i / (n - 1)
+            cd = (i + 1) / n
+            assert math.isclose(row["pr"], round(pr, 6), abs_tol=1e-6)
+            assert math.isclose(row["cd"], round(cd, 6), abs_tol=1e-6)
+            # ntile(4): first (n % 4) tiles get the extra rows
+            base, extra = divmod(n, 4)
+            bounds, acc = [], 0
+            for q_ in range(4):
+                acc += base + (1 if q_ < extra else 0)
+                bounds.append(acc)
+            tile = next(j + 1 for j, b in enumerate(bounds) if i < b)
+            assert row["quartile"] == tile, (uid, eid)
+
+
+def test_source_lang_stats_entropy_and_mode(spark):
+    got = qstats.Q["source_lang_stats"](spark, SF).toPandas().set_index("source")
+    d = t(spark, SF, "documents").toPandas()
+    for src, grp in d.groupby("source"):
+        row = got.loc[src]
+        counts = grp.groupby("lang").size().sort_index()
+        assert row["n_docs"] == len(grp)
+        assert row["n_langs"] == len(counts)
+        # mode: max count, lexicographic tiebreak
+        best = counts[counts == counts.max()].index.min()
+        assert row["top_lang"] == best
+        p = counts / counts.sum()
+        h = float(-(p * p.map(math.log)).sum())
+        assert math.isclose(row["lang_entropy"], round(h, 6), abs_tol=1e-5)
+        assert row["lang_entropy"] >= 0
