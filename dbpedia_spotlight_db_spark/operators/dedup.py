@@ -283,6 +283,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: directed containment
+    C(src -> dst) = |S(src) ∩ S(dst)| / |S(src)| over distinct word
+    n-gram shingle sets. Jaccard misses the quote/superset case — a
+    short page fully embedded in a long aggregator page can have
+    Jaccard ~0.1 while its containment in the aggregator is ~1.0;
+    production crawl dedup (e.g. the C4/RefinedWeb family) screens
+    both. Output: (src_id, dst_id, containment) for every DIRECTED
+    pair with containment >= ``threshold``.
+
+    Same scale shape as ngram_jaccard_pairs: inverted-index self-join
+    on the shingle (only co-shingled pairs materialize), hot shingles
+    with df > ``max_df`` dropped from the shingle universe by a
+    broadcast anti-join BEFORE the quadratic step. The join itself is
+    computed once per UNORDERED pair (id_a < id_b) and unpivoted into
+    the two directions afterwards — half the join fan-out of a
+    directed a.id != b.id condition for the same result."""
+    sh = parquet_checkpoint(
+        shingle_df(df, id_col, text_col, shingle_n).dropDuplicates(
+            ["id", "shingle"]
+        ),
+        "containment_shingles",
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    directed = both.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
+    ).unionByName(
+        both.select(
+            F.col("id_b").alias("src_id"),
+            F.col("id_a").alias("dst_id"),
+            F.round(F.col("inter") / F.col("n_b"), 6).alias("containment"),
+        )
+    )
+    # filter on the ROUNDED ratio (exact small-int quotient) so row
+    # membership is engine-portable — same rule as dedup_jaccard
+    return directed.filter(F.col("containment") >= threshold)
+
+
 def simhash_pairs(
     fingerprints: DataFrame,
     bits: int = 64,

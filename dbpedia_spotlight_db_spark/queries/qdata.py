@@ -215,6 +215,43 @@ def dedup_jaccard(spark, sf):
 
 
 @q(
+    "dedup_containment",
+    f"""
+    WITH {_SH_SQL},
+    okd AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+    shc AS (SELECT sh.id, sh.shingle FROM sh JOIN okd USING (shingle)),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM shc GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pb AS (SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+           FROM inter
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b),
+    dirp AS (
+      SELECT id_a AS src_id, id_b AS dst_id,
+             round(inter / n_a, 6) AS containment FROM pb
+      UNION ALL
+      SELECT id_b, id_a, round(inter / n_b, 6) FROM pb)
+    SELECT src_id, dst_id, containment FROM dirp WHERE containment >= 0.4
+    """,
+)
+def dedup_containment(spark, sf):
+    """Directed shingle containment |S(src) ∩ S(dst)| / |S(src)| —
+    the asymmetric complement to dedup_jaccard that catches
+    quote/superset duplication (short page embedded in a long one
+    scores ~1.0 here while its Jaccard stays low). Same inverted-
+    index + df-cap scale shape; the unordered join is unpivoted into
+    both directions AFTER the quadratic step (operators/dedup.py
+    ngram_containment_pairs)."""
+    return dd.ngram_containment_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", shingle_n=3,
+        threshold=0.4, max_df=1000,
+    )
+
+
+@q(
     "dedup_components",
     f"""
     WITH RECURSIVE {_SH_SQL},

@@ -1,0 +1,328 @@
+"""Lakehouse-operations faces (round-3 wave 10): the table-maintenance
+and pipeline-engineering operators a 100-TB crawl warehouse runs
+BETWEEN the analytics — non-hierarchical GROUPING SETS profiles,
+deterministic token-balanced output sharding, A/B drift detection
+(chi-square), small-file compaction planning, and zone-map partition
+pruning — each as a Spark face with a value-identical DuckDB twin.
+
+Conventions are the sibling modules': md5-based hashing wherever both
+engines must agree bit-for-bit, float math written in the SAME
+operation order on both sides, final floats rounded to 6, integer
+division spelled `DIV` / `//` (DuckDB `/` is float division —
+CLAUDE.md), DATE/TIMESTAMP cells emitted as ISO strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import cents, t
+
+Q = {}
+O = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        assert name not in Q, f"duplicate query key {name!r}"
+        Q[name] = fn
+        if sql is not None:
+            O[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — non-hierarchical multi-profile in one scan
+# ---------------------------------------------------------------------------
+@q(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CASE WHEN o_orderpriority IS NOT NULL THEN 'by_priority'
+                WHEN o_orderstatus IS NOT NULL THEN 'by_status'
+                ELSE 'grand' END AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(round(SUM(o_totalprice) * 100) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf):
+    """GROUPING SETS with NON-hierarchical sets — two independent
+    one-dimension profiles plus the grand total in ONE pass, which
+    ROLLUP/CUBE cannot express (rollup is prefix-nested, cube is the
+    full lattice; this is a hand-picked subset). Spark plans a single
+    Expand + two-phase hash aggregate: the fact table is scanned
+    once and each row is replicated only per requested set (3x here)
+    with map-side partials — at 10^12 rows that beats three separate
+    scans-and-shuffles by the scan cost alone. The grouping columns
+    are never NULL in the data, so the output NULL pattern uniquely
+    identifies the set; ``grp`` makes that explicit instead of
+    relying on engine-specific GROUPING_ID bit orders."""
+    o = t(spark, sf, "orders")
+    pri, st = F.col("o_orderpriority"), F.col("o_orderstatus")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.when(pri.isNotNull(), F.lit("by_priority"))
+        .when(st.isNotNull(), F.lit("by_status"))
+        .otherwise(F.lit("grand"))
+        .alias("grp"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        cents(F.sum("o_totalprice")).alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic token-balanced output sharding
+# ---------------------------------------------------------------------------
+@q(
+    "shard_plan",
+    r"""
+    WITH toks AS (
+      SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             len(string_split_regex(trim(text), '\s+')) AS ntok
+      FROM documents),
+    per AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY shard)
+    SELECT shard, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) * 16.0
+                 / SUM(n_tokens) OVER (), 6) AS balance
+    FROM per
+    """,
+)
+def shard_plan(spark, sf):
+    """Output-shard assignment + balance audit for a training-data
+    writer: every doc lands in one of 16 shards by CONTENT-INDEPENDENT
+    key hash (same doc -> same shard on every engine / run / cluster
+    size — the property epoch-reproducible training needs), and the
+    report shows each shard's token mass relative to perfect balance
+    (1.0). The shard assignment is a pure map-side expression that
+    composes with DataFrameWriter.partitionBy; the balance window
+    runs over the 16-row POST-aggregate relation, never the corpus.
+    md5-on-key keeps the DuckDB twin bit-identical."""
+    d = t(spark, sf, "documents")
+    per = (
+        d.select(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
+                "shard"
+            ),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("ntok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") * 16.0
+            / F.sum("n_tokens").over(w),
+            6,
+        ).alias("balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution-drift detection: chi-square over a deterministic A/B split
+# ---------------------------------------------------------------------------
+@q(
+    "drift_chi2",
+    """
+    WITH lab AS (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'a' ELSE 'b' END AS half
+      FROM documents),
+    ct AS (
+      SELECT lang,
+             CAST(COUNT(*) FILTER (WHERE half = 'a') AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE half = 'b') AS BIGINT) AS n_b
+      FROM lab GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                   CAST(SUM(n_b) AS BIGINT) AS tb FROM ct),
+    ex AS (
+      SELECT lang, n_a, n_b,
+             CAST(n_a + n_b AS DOUBLE) * ta / (ta + tb) AS e_a,
+             CAST(n_a + n_b AS DOUBLE) * tb / (ta + tb) AS e_b
+      FROM ct CROSS JOIN tot)
+    SELECT lang, n_a, n_b,
+           round((n_a - e_a) * (n_a - e_a) / e_a
+                 + (n_b - e_b) * (n_b - e_b) / e_b, 6) AS contrib
+    FROM ex
+    """,
+)
+def drift_chi2(spark, sf):
+    """Snapshot-drift detector: chi-square homogeneity contributions
+    of the language distribution between two deterministic hash
+    halves of the corpus (the same machinery compares yesterday's
+    crawl to today's; on an A/A split like this the statistic should
+    be small — the twin checks the math, production checks the
+    value). Two-phase conditional-count agg over the corpus, then the
+    |langs|-sized table crosses the 1-row total by broadcast; the
+    expected-count expressions are written in the IDENTICAL operation
+    order on both engines so round-6 equality holds bit-for-bit."""
+    d = t(spark, sf, "documents")
+    half = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+    ct = (
+        d.select("lang", half.alias("half"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("half") == "a", 1)).cast("long").alias("n_a"),
+            F.count(F.when(F.col("half") == "b", 1)).cast("long").alias("n_b"),
+        )
+    )
+    tot = ct.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    ex = ct.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_a",
+        "n_b",
+        (
+            (F.col("n_a") + F.col("n_b")).cast("double")
+            * F.col("ta")
+            / (F.col("ta") + F.col("tb"))
+        ).alias("e_a"),
+        (
+            (F.col("n_a") + F.col("n_b")).cast("double")
+            * F.col("tb")
+            / (F.col("ta") + F.col("tb"))
+        ).alias("e_b"),
+    )
+    return ex.select(
+        "lang",
+        "n_a",
+        "n_b",
+        F.round(
+            (F.col("n_a") - F.col("e_a"))
+            * (F.col("n_a") - F.col("e_a"))
+            / F.col("e_a")
+            + (F.col("n_b") - F.col("e_b"))
+            * (F.col("n_b") - F.col("e_b"))
+            / F.col("e_b"),
+            6,
+        ).alias("contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planning (bin packing by running offset)
+# ---------------------------------------------------------------------------
+@q(
+    "compact_plan",
+    """
+    WITH files AS (
+      SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS file_bytes
+      FROM documents GROUP BY 1, 2),
+    cum AS (
+      SELECT source, lang, file_bytes,
+             CAST(COALESCE(SUM(file_bytes) OVER (
+                    PARTITION BY source ORDER BY lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS start_off
+      FROM files)
+    SELECT source, lang, file_bytes, start_off,
+           start_off // 4096 AS bin
+    FROM cum
+    """,
+)
+def compact_plan(spark, sf):
+    """Small-file compaction planner — the OPTIMIZE/rewriteDataFiles
+    primitive every Iceberg/Delta crawl warehouse schedules: within
+    each table partition (``source``), order the data files
+    deterministically, compute each file's running start offset, and
+    assign it to output bin floor(offset / target) so every bin
+    coalesces to ~target bytes. The per-(source, lang) byte totals
+    stand in for the file manifest (same shape the real planner reads
+    from Iceberg metadata, no corpus scan). Scale shape: the window
+    is partitioned BY source — per-partition planning, no global
+    sort, exactly how compaction parallelizes across a 10^12-row
+    table's partitions. All-integer arithmetic (`DIV`; DuckDB `/`
+    would be float — CLAUDE.md) so the twin is exact."""
+    d = t(spark, sf, "documents")
+    files = d.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("long").alias("file_bytes")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("lang")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = files.withColumn(
+        "start_off",
+        F.coalesce(F.sum("file_bytes").over(w), F.lit(0)).cast("long"),
+    )
+    return cum.select(
+        "source",
+        "lang",
+        "file_bytes",
+        "start_off",
+        F.expr("start_off DIV 4096").alias("bin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# zone-map partition pruning (data skipping from min/max stats)
+# ---------------------------------------------------------------------------
+@q(
+    "scan_prune_stats",
+    """
+    WITH parts AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS part,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx
+      FROM lineitem GROUP BY 1)
+    SELECT part, n_rows,
+           strftime(mn, '%Y-%m-%d') AS min_ship,
+           strftime(mx, '%Y-%m-%d') AS max_ship,
+           NOT (mx <  TIMESTAMP '1998-06-01'
+                OR mn >= TIMESTAMP '1998-09-01') AS scanned
+    FROM parts
+    """,
+)
+def scan_prune_stats(spark, sf):
+    """Zone-map data skipping made visible: build the per-partition
+    min/max stats an Iceberg manifest (or parquet row-group footer)
+    keeps for ``l_shipdate``, then evaluate which monthly partitions
+    a BETWEEN '1998-06' .. '1998-08' predicate can skip WITHOUT
+    reading them (scanned = stats range intersects the predicate
+    range). This is the planning half of partition pruning — the
+    execution half is what `.explain` shows as PartitionFilters /
+    PushedFilters on the real scans (EXPLAIN_AUDIT.md asserts it for
+    the pipeline's pruned pages scan). Stats build is one two-phase
+    agg; the prune decision is per-stats-row arithmetic on an
+    ~O(partitions) relation. TIMESTAMP cells exit as ISO strings
+    (DuckDB DATE/TIMESTAMP -> pandas Timestamp breaks the str()
+    hash — CLAUDE.md)."""
+    li = t(spark, sf, "lineitem")
+    lo = F.lit("1998-06-01").cast("timestamp")
+    hi = F.lit("1998-09-01").cast("timestamp")
+    parts = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("part")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("l_shipdate").alias("mn"),
+        F.max("l_shipdate").alias("mx"),
+    )
+    return parts.select(
+        "part",
+        "n_rows",
+        F.date_format("mn", "yyyy-MM-dd").alias("min_ship"),
+        F.date_format("mx", "yyyy-MM-dd").alias("max_ship"),
+        (~((F.col("mx") < lo) | (F.col("mn") >= hi))).alias("scanned"),
+    )

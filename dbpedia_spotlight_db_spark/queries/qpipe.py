@@ -991,3 +991,82 @@ def kg_node_sim(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@q(
+    "kg_clustering",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    tri AS (SELECT e1.uri_a AS va, e1.uri_b AS vb, e2.uri_b AS vc
+            FROM p e1
+            JOIN p e2 ON e2.uri_a = e1.uri_b
+            JOIN p e3 ON e3.uri_a = e1.uri_a AND e3.uri_b = e2.uri_b),
+    tv AS (SELECT uri, COUNT(*) AS nt FROM (
+             SELECT va AS uri FROM tri
+             UNION ALL SELECT vb FROM tri
+             UNION ALL SELECT vc FROM tri) u
+           GROUP BY uri),
+    deg AS (SELECT src AS uri, COUNT(*) AS d FROM e GROUP BY src)
+    SELECT deg.uri,
+           CAST(d AS BIGINT) AS degree,
+           CAST(COALESCE(nt, 0) AS BIGINT) AS n_tri,
+           CASE WHEN d >= 2
+                THEN round(CAST(2 * COALESCE(nt, 0) AS DOUBLE)
+                           / (d * (d - 1)), 6)
+                ELSE 0.0 END AS coeff
+    FROM deg LEFT JOIN tv ON tv.uri = deg.uri
+    """,
+)
+def kg_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient 2*tri(v) / (deg(v) *
+    (deg(v)-1)) — the community-density signal behind entity-cluster
+    detection and hub/bridge classification on the co-occurrence
+    graph. Triangles come from the SAME oriented enumeration as
+    kg_triangles (each triangle materialized exactly once, wedge
+    fan-out bounded by lexicographic out-degree), then credited to
+    all three corners by a 3-way unpivot + count — never a per-node
+    neighborhood self-join, which would square hub degree a second
+    time. Degrees attach from the |V|-sized relation by broadcast.
+    Ratio of small exact integers -> round-6 equality is exact."""
+    p = _entity_pairs(spark, sf_dir)
+    e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.uri_a") == F.col("e1.uri_b"))
+        .join(
+            e3,
+            (F.col("e3.uri_a") == F.col("e1.uri_a"))
+            & (F.col("e3.uri_b") == F.col("e2.uri_b")),
+        )
+        .select(
+            F.col("e1.uri_a").alias("va"),
+            F.col("e1.uri_b").alias("vb"),
+            F.col("e2.uri_b").alias("vc"),
+        )
+    )
+    tv = (
+        tri.select(F.col("va").alias("uri"))
+        .unionByName(tri.select(F.col("vb").alias("uri")))
+        .unionByName(tri.select(F.col("vc").alias("uri")))
+        .groupBy("uri")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    deg = _undirected_edges(spark, sf_dir).groupBy(
+        F.col("src").alias("uri")
+    ).agg(F.count(F.lit(1)).alias("d"))
+    nt = F.coalesce("nt", F.lit(0))
+    return deg.join(tv, "uri", "left").select(
+        "uri",
+        F.col("d").cast("long").alias("degree"),
+        nt.cast("long").alias("n_tri"),
+        F.when(
+            F.col("d") >= 2,
+            F.round(
+                (2 * nt).cast("double") / (F.col("d") * (F.col("d") - 1)), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )

@@ -11,11 +11,11 @@ green since round 1 and can safely absorb any window truncation.
 
 from __future__ import annotations
 
-from . import qcorpus, qdata, qembed, qpipe, qrel, qstats
+from . import qcorpus, qdata, qembed, qlake, qpipe, qrel, qstats
 
 _QUERIES = {}
 _ORACLES = {}
-for mod in (qrel, qpipe, qdata, qcorpus, qembed, qstats):
+for mod in (qrel, qpipe, qdata, qcorpus, qembed, qstats, qlake):
     _dups = set(_QUERIES) & set(mod.Q)
     assert not _dups, (
         f"query key(s) {_dups} registered in more than one module — "
@@ -38,6 +38,13 @@ _FRONT = [
     "stream_upsert",        # new in r3 wave 7 (foreachBatch MERGE)
     "win_rank_fns",         # new in r3 wave 9 (percent_rank/cume_dist/ntile)
     "source_lang_stats",    # new in r3 wave 9 (lang mode + entropy)
+    "agg_grouping_sets",    # new in r3 wave 10 (non-hierarchical sets)
+    "shard_plan",           # new in r3 wave 10 (token-balanced sharding)
+    "drift_chi2",           # new in r3 wave 10 (chi-square drift detect)
+    "compact_plan",         # new in r3 wave 10 (small-file bin packing)
+    "scan_prune_stats",     # new in r3 wave 10 (zone-map pruning report)
+    "dedup_containment",    # new in r3 wave 10 (asymmetric near-dup)
+    "kg_clustering",        # new in r3 wave 10 (local clustering coeff)
     "multimodal_features",  # r1's only hard failure; fixed, never driver-run
     "multimodal_meta",
     "multimodal_frames",
