@@ -500,6 +500,46 @@ def main() -> None:
         po,
     )
 
+    # 27. wave-10 lakehouse faces: GROUPING SETS must be ONE Expand +
+    # one scan (not a per-set union of re-scans); the compaction
+    # planner's prefix-sum window must be partitioned by source
+    # (a single-partition window would serialize the whole manifest).
+    pgs = plan_of(QUERIES["agg_grouping_sets"](spark, SF))
+    gs_expand = "Expand" in pgs
+    # formatted plans print each node twice (tree + numbered detail);
+    # count only the "(n) Scan parquet" detail headers
+    gs_scans = len(re.findall(r"\(\d+\) Scan parquet", pgs))
+    pcp = plan_of(QUERIES["compact_plan"](spark, SF))
+    cp_single = "Exchange SinglePartition" in pcp
+    cp_win = len(re.findall(r"\bWindow\b", pcp))
+    check(
+        "grouping sets one Expand+scan; compact_plan window per source",
+        gs_expand and gs_scans == 1 and cp_win >= 1 and not cp_single,
+        f"grouping_sets: Expand={gs_expand}, {gs_scans} parquet scan "
+        f"(want 1); compact_plan: {cp_win} Window, single-partition "
+        f"exchange={cp_single} (want False)",
+        pgs,
+    )
+
+    # 28. drift_chi2 attaches the 1-row total by broadcast (never a
+    # shuffled join against the per-lang relation); dedup_containment
+    # keeps the jaccard family's shapes — df-cap LeftAnti before the
+    # quadratic step, no cartesian anywhere.
+    pdc = plan_of(QUERIES["drift_chi2"](spark, SF))
+    dc_bcast = "Broadcast" in pdc
+    dc_smj = len(re.findall(r"SortMergeJoin", pdc))
+    pct = plan_of(QUERIES["dedup_containment"](spark, SF))
+    ct_anti = "LeftAnti" in pct
+    ct_cart = "CartesianProduct" in pct
+    check(
+        "drift totals broadcast; containment df-capped, no cartesian",
+        dc_bcast and dc_smj == 0 and ct_anti and not ct_cart,
+        f"drift_chi2: Broadcast={dc_bcast}, {dc_smj} SortMergeJoin "
+        f"(want 0); containment: LeftAnti={ct_anti}, "
+        f"cartesian={ct_cart} (want False)",
+        pct,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
