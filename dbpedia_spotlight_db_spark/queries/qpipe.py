@@ -1070,3 +1070,107 @@ def kg_clustering(spark, sf_dir):
         .otherwise(F.lit(0.0))
         .alias("coeff"),
     )
+
+
+@q(
+    "graph_degree_dist",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)
+    SELECT CAST(d AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY d
+    """,
+)
+def graph_degree_dist(spark, sf_dir):
+    """Degree distribution of the co-occurrence graph — the one-look
+    summary that decides every downstream scale knob (hub caps for
+    the wedge joins, salting thresholds, power-law tail mass). Two
+    chained map-side-combinable aggs; output is O(max degree), so at
+    web scale this is the cheap probe you run BEFORE the expensive
+    graph ops to size their df-caps."""
+    deg = _undirected_edges(spark, sf_dir).groupBy("src").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    return deg.groupBy(F.col("d").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+@q(
+    "kg_assortativity",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+    ed AS (SELECT ds.d AS x, dd.d AS y
+           FROM e
+           JOIN deg ds ON ds.src = e.src
+           JOIN deg dd ON dd.src = e.dst),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM ed)
+    SELECT n AS n_directed_edges,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def kg_assortativity(spark, sf_dir):
+    """Degree assortativity (Pearson correlation of endpoint degrees
+    over all directed edges) — one number that says whether hubs link
+    to hubs (assortative, social-graph-like) or to leaves
+    (disassortative, web/KG-like), which predicts how badly the
+    wedge-join faces will skew. Degrees attach to the edge list by
+    two broadcast joins (the degree relation is |V|-sized); the five
+    moments are EXACT integer sums in one map-side-combinable agg,
+    and the final Pearson formula runs once on the 1-row moment
+    relation — identical op order on both engines, so round-6 is
+    deterministic despite the double math."""
+    e = _undirected_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ed = (
+        e.join(
+            F.broadcast(deg.select(F.col("src"), F.col("d").alias("x"))),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("src").alias("dst"), F.col("d").alias("y"))
+            ),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )

@@ -551,3 +551,176 @@ def source_lang_stats(spark, sf_dir):
             ).alias("lang_entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+@q(
+    "basket_rules",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+    item AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_i FROM li GROUP BY pk),
+    pair AS (
+      SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2)
+    SELECT pk_a, pk_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+           round(CAST(n_ab AS DOUBLE) / ia.n_i, 6) AS confidence,
+           round(CAST(n_ab AS DOUBLE) * n_orders / (ia.n_i * ib.n_i), 6)
+             AS lift
+    FROM pair
+    JOIN item ia ON ia.pk = pk_a
+    JOIN item ib ON ib.pk = pk_b
+    CROSS JOIN n
+    """,
+)
+def basket_rules(spark, sf):
+    """Association-rule mining over order baskets: pair support,
+    confidence and lift for every part pair co-purchased in >= 2
+    orders (the co-view/co-buy recommender primitive — and on the
+    crawl side, the template-detection signal for co-occurring page
+    features). Scale shape: the quadratic step fans out only within
+    one basket (baskets are small and bounded — the same per-group
+    fan-out argument as kg_cooccurrence's per-doc entity sets); the
+    HAVING >= 2 prune runs map-side-combinable BEFORE the dimension
+    attach, and both marginals (item counts, the 1-row order total)
+    attach by broadcast. Ratios of exact ints, identical op order
+    both engines."""
+    li = (
+        t(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+    item = li.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n_i"))
+    pair = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("pk_a"), F.col("b.pk").alias("pk_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item.select(F.col("pk").alias("pk_a"), F.col("n_i").alias("na"))
+    ib = item.select(F.col("pk").alias("pk_b"), F.col("n_i").alias("nb"))
+    ab = F.col("n_ab").cast("double")
+    return (
+        pair.join(F.broadcast(ia), "pk_a")
+        .join(F.broadcast(ib), "pk_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pk_a",
+            "pk_b",
+            "n_ab",
+            F.round(ab / F.col("n_orders"), 6).alias("support"),
+            F.round(ab / F.col("na"), 6).alias("confidence"),
+            F.round(
+                ab * F.col("n_orders") / (F.col("na") * F.col("nb")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+@q(
+    "win_streaks",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    anch AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+      FROM ud),
+    runs AS (SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+             FROM anch GROUP BY user_id, anchor)
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def win_streaks(spark, sf):
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per
+    user (retention/engagement's standard sessionless streak metric).
+    The classic trick — day minus its per-user row_number is constant
+    exactly within a consecutive run — turns streak detection into
+    one window + two map-side-combinable aggs; the window partitions
+    by user_id (high cardinality, no skew), never a global sort.
+    Dates never leave the plan (the anchor is only a group key), so
+    there's no DATE-cell hashing hazard."""
+    ud = (
+        t(spark, sf, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    anch = ud.withColumn(
+        "anchor", F.expr("date_sub(d, CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT))")
+    )
+    runs = anch.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct actives (DAU + trailing-7-day WAU) via bounded fan-out
+# ---------------------------------------------------------------------------
+@q(
+    "events_rolling_dau",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    fan AS (
+      SELECT DISTINCT user_id, day + CAST(o AS INTEGER) AS rday
+      FROM ud CROSS JOIN (SELECT UNNEST(range(0, 7)) AS o)),
+    wau AS (SELECT rday, CAST(COUNT(*) AS BIGINT) AS wau7
+            FROM fan GROUP BY rday)
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau7
+    FROM dau JOIN wau ON wau.rday = dau.day
+    """,
+)
+def events_rolling_dau(spark, sf):
+    """DAU and trailing-7-day active users per day. Rolling COUNT
+    DISTINCT cannot be a window frame (distinct doesn't decompose);
+    the scalable identity is: user u active on day d is IN the
+    trailing window of exactly d..d+6 — so explode each distinct
+    (user, day) into its 7 report days map-side (bounded x7 fan-out,
+    the same quantization trick as the range join), dedup, and count.
+    Two shuffles on (user, day)-class keys, no self-join of the fact
+    table, no per-day rescan — the shape that survives 10^12 events.
+    DATE cells exit as ISO strings (CLAUDE.md)."""
+    ud = (
+        t(spark, sf, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    fan = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+            "day",
+        )
+        .select("user_id", F.expr("date_add(day, o)").alias("rday"))
+        .distinct()
+    )
+    wau = fan.groupBy("rday").agg(
+        F.count(F.lit(1)).cast("long").alias("wau7")
+    )
+    return dau.join(wau, dau["day"] == wau["rday"]).select(
+        F.date_format(dau["day"], "yyyy-MM-dd").alias("day"), "dau", "wau7"
+    )

@@ -45,6 +45,11 @@ _FRONT = [
     "scan_prune_stats",     # new in r3 wave 10 (zone-map pruning report)
     "dedup_containment",    # new in r3 wave 10 (asymmetric near-dup)
     "kg_clustering",        # new in r3 wave 10 (local clustering coeff)
+    "basket_rules",         # new in r3 wave 11 (support/confidence/lift)
+    "win_streaks",          # new in r3 wave 11 (gaps-and-islands)
+    "events_rolling_dau",   # new in r3 wave 11 (rolling distinct actives)
+    "graph_degree_dist",    # new in r3 wave 11 (degree histogram)
+    "kg_assortativity",     # new in r3 wave 11 (endpoint-degree Pearson)
     "multimodal_features",  # r1's only hard failure; fixed, never driver-run
     "multimodal_meta",
     "multimodal_frames",
