@@ -178,17 +178,35 @@ def lsh_pairs(
     """Band the signature (rows-per-band = n_hashes/bands); docs
     sharing any full band become candidate pairs (id_a < id_b).
     Hot buckets above ``max_bucket`` are dropped (logged upstream) to
-    bound the self-join blow-up at scale."""
+    bound the self-join blow-up at scale.
+
+    The signature relation is consumed three times (bucket counts +
+    both self-join sides) and each band needs its own row — naively
+    that re-runs the upstream shingle+minhash map up to bands x 3
+    times. Signatures are therefore checkpointed ONCE (tiny: a few
+    fixed-width hashes per doc, ~1% of the raw text the upstream pass
+    reads — materializing them is what a production LSH pipeline does
+    anyway), and the per-band melt is a single-pass ``stack`` instead
+    of a bands-way union, so the expensive text scan happens exactly
+    once regardless of band count or consumer count."""
     rows_per_band = n_hashes // bands
-    banded = None
-    for b in range(bands):
-        cols = [f"mh{b * rows_per_band + j}" for j in range(rows_per_band)]
-        part = sigs.select(
-            "id",
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *cols).alias("bucket"),
+    sigs = parquet_checkpoint(
+        sigs.select(
+            "id", *[f"mh{i}" for i in range(rows_per_band * bands)]
+        ),
+        "lsh_sigs",
+    )
+    stack_args = ", ".join(
+        f"{b}, concat_ws('|', "
+        + ", ".join(
+            f"mh{b * rows_per_band + j}" for j in range(rows_per_band)
         )
-        banded = part if banded is None else banded.unionByName(part)
+        + ")"
+        for b in range(bands)
+    )
+    banded = sigs.selectExpr(
+        "id", f"stack({bands}, {stack_args}) AS (band, bucket)"
+    )
     # hot-bucket cap via partial-agg count + anti-join — not a window
     # over (band, bucket), which would sort-shuffle every banded row;
     # the overfull-bucket relation is tiny (few hot buckets by
