@@ -1,0 +1,157 @@
+"""Format round-trip faces (round-3 wave 12): the non-parquet
+source/sink surface — ORC, quoted CSV, and JSON-lines with a nested
+struct — each exercised as write -> re-read -> aggregate ON the
+oracle gate. The DuckDB twin aggregates the original parquet table
+directly, so a green row proves the round trip is LOSSLESS (any
+encode/decode drift — quoting, escaping, type coercion, struct
+nesting — flips the value hash).
+
+Sinks land under spark.local.dir (tmpfs) in a per-call unique dir,
+removed at interpreter exit; every read supplies an EXPLICIT schema
+(schema inference is a second corpus scan and a type lottery — never
+acceptable at 10^12 rows, so the faces don't model it either).
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .common import t
+
+Q = {}
+O = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        assert name not in Q, f"duplicate query key {name!r}"
+        Q[name] = fn
+        if sql is not None:
+            O[name] = sql
+        return fn
+
+    return deco
+
+
+_TMPDIRS: list[str] = []
+
+
+def _sink_dir(spark, tag: str) -> str:
+    base = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
+    d = tempfile.mkdtemp(prefix=f"qio_{tag}_", dir=base)
+    _TMPDIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup() -> None:
+    for d in _TMPDIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_DOCS_DDL = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+@q(
+    "orc_roundtrip",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def orc_roundtrip(spark, sf):
+    """documents -> ORC sink -> ORC source -> aggregate; the twin
+    aggregates the parquet original, so equality proves the columnar
+    round trip preserves every value. ORC is the other splittable
+    columnar container a lake ingests from (Hive-era feeds); the
+    writer path is the same partitioned DataFrameWriter as the
+    parquet catalog sink."""
+    d = _sink_dir(spark, "orc")
+    t(spark, sf, "documents").write.mode("overwrite").orc(d)
+    back = spark.read.schema(_DOCS_DDL).orc(d)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@q(
+    "csv_roundtrip",
+    """
+    SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source
+    """,
+)
+def csv_roundtrip(spark, sf):
+    """documents -> quoted CSV -> explicit-schema read -> aggregate.
+    CSV is where round trips actually break (delimiters and quotes
+    inside free text, type re-inference), which is exactly what the
+    hash-equality twin guards: quoteAll + escape on the way out, a
+    declared schema (never inferSchema — that's a second full scan)
+    on the way in. The crawl-side reality this models is exporting
+    review samples / blocklists to spreadsheet-facing tools and
+    reading them back without corruption."""
+    d = _sink_dir(spark, "csv")
+    (
+        t(spark, sf, "documents")
+        .write.mode("overwrite")
+        .options(header=True, quoteAll=True, escape='"')
+        .csv(d)
+    )
+    back = (
+        spark.read.options(header=True, escape='"', multiLine=True)
+        .schema(_DOCS_DDL)
+        .csv(d)
+    )
+    return back.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@q(
+    "json_roundtrip",
+    """
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def json_roundtrip(spark, sf):
+    """documents re-shaped with a NESTED struct (meta.lang,
+    meta.source — the shape crawl sidecar metadata actually arrives
+    in) -> JSON-lines sink -> explicit-schema read -> unnest ->
+    aggregate. JSON-lines is the lingua franca for crawl interchange
+    (WARC sidecars, labeling exports); the twin proves nesting +
+    unicode text survive the trip bit-for-bit."""
+    d = _sink_dir(spark, "json")
+    (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "text",
+            F.struct("lang", "source").alias("meta"),
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .json(d)
+    )
+    back = spark.read.schema(
+        "doc_id long, text string, "
+        "meta struct<lang:string,source:string>, n_chars long"
+    ).json(d)
+    return back.groupBy(
+        F.col("meta.lang").alias("lang"), F.col("meta.source").alias("source")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -1174,3 +1174,59 @@ def check_constraints(spark, sf):
         )
     )
     return singles.unionByName(orphans)
+
+
+@q(
+    "join_interval",
+    """
+    WITH ci AS (
+      SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS click_day,
+             MIN(ts) AS c_lo, MAX(ts) AS c_hi
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, CAST(ts AS DATE)),
+    vi AS (
+      SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS view_day,
+             MIN(ts) AS v_lo, MAX(ts) AS v_hi
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, CAST(ts AS DATE))
+    SELECT ci.user_id, ci.click_day, vi.view_day
+    FROM ci JOIN vi ON vi.user_id = ci.user_id
+     AND ci.c_lo <= vi.v_hi AND vi.v_lo <= ci.c_hi
+    """,
+)
+def join_interval(spark, sf):
+    """INTERVAL-OVERLAP join: each user's daily click activity span
+    [first, last] matched to their view spans that overlap it in
+    time (the attribution primitive for 'was the user browsing while
+    clicking'). Unlike join_range (no equi key -> bucket
+    quantization), interval joins in practice carry a natural
+    co-partitioning key — here user_id — so the scale shape is an
+    EQUI-join shuffled once on that key with the overlap condition
+    [lo_a <= hi_b AND lo_b <= hi_a] as a residual filter; per-key
+    group sizes are bounded (days per user), so no quadratic blow-up
+    and no nested-loop fallback. Interval endpoints never leave the
+    plan (days exit as ISO strings — CLAUDE.md DATE rule)."""
+    e = t(spark, sf, "events")
+
+    def spans(etype, day_alias, lo, hi):
+        return (
+            e.filter(F.col("event_type") == etype)
+            .groupBy("user_id", F.to_date("ts").alias("_d"))
+            .agg(F.min("ts").alias(lo), F.max("ts").alias(hi))
+            .select(
+                "user_id",
+                F.date_format("_d", "yyyy-MM-dd").alias(day_alias),
+                lo,
+                hi,
+            )
+        )
+
+    ci = spans("click", "click_day", "c_lo", "c_hi")
+    vi = spans("view", "view_day", "v_lo", "v_hi")
+    return (
+        ci.join(vi, "user_id")
+        .filter(
+            (F.col("c_lo") <= F.col("v_hi")) & (F.col("v_lo") <= F.col("c_hi"))
+        )
+        .select("user_id", "click_day", "view_day")
+    )

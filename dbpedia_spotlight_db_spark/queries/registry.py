@@ -11,11 +11,11 @@ green since round 1 and can safely absorb any window truncation.
 
 from __future__ import annotations
 
-from . import qcorpus, qdata, qembed, qlake, qpipe, qrel, qstats
+from . import qcorpus, qdata, qembed, qio, qlake, qpipe, qrel, qstats
 
 _QUERIES = {}
 _ORACLES = {}
-for mod in (qrel, qpipe, qdata, qcorpus, qembed, qstats, qlake):
+for mod in (qrel, qpipe, qdata, qcorpus, qembed, qstats, qlake, qio):
     _dups = set(_QUERIES) & set(mod.Q)
     assert not _dups, (
         f"query key(s) {_dups} registered in more than one module — "
@@ -50,6 +50,10 @@ _FRONT = [
     "events_rolling_dau",   # new in r3 wave 11 (rolling distinct actives)
     "graph_degree_dist",    # new in r3 wave 11 (degree histogram)
     "kg_assortativity",     # new in r3 wave 11 (endpoint-degree Pearson)
+    "orc_roundtrip",        # new in r3 wave 12 (lossless ORC sink+source)
+    "csv_roundtrip",        # new in r3 wave 12 (quoted CSV, explicit schema)
+    "json_roundtrip",       # new in r3 wave 12 (JSONL with nested struct)
+    "join_interval",        # new in r3 wave 12 (overlap join, equi+residual)
     "multimodal_features",  # r1's only hard failure; fixed, never driver-run
     "multimodal_meta",
     "multimodal_frames",
