@@ -215,6 +215,51 @@ def dedup_jaccard(spark, sf):
 
 
 @q(
+    "lsh_bucket_stats",
+    f"""
+    WITH {_SH_SQL},
+    sigs AS (
+      SELECT id,
+             MIN(substring(md5(shingle), 1, 8)) AS mh0,
+             MIN(substring(md5(shingle), 9, 8)) AS mh1,
+             MIN(substring(md5(shingle), 17, 8)) AS mh2,
+             MIN(substring(md5(shingle), 25, 8)) AS mh3
+      FROM sh GROUP BY id),
+    banded AS (
+      SELECT 0 AS band, mh0 AS bucket FROM sigs
+      UNION ALL SELECT 1, mh1 FROM sigs
+      UNION ALL SELECT 2, mh2 FROM sigs
+      UNION ALL SELECT 3, mh3 FROM sigs),
+    sizes AS (SELECT band, bucket, COUNT(*) AS sz
+              FROM banded GROUP BY band, bucket)
+    SELECT band, CAST(sz AS BIGINT) AS bucket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM sizes GROUP BY band, sz
+    """,
+)
+def lsh_bucket_stats(spark, sf):
+    """LSH bucket-size histogram per band — the sizing diagnostic
+    behind every banded self-join in this repo: candidate-pair volume
+    is sum(sz^2)/2 per band, so this O(bands x distinct-sizes) report
+    is what you read BEFORE picking lsh_pairs' max_bucket cap (the
+    same probe-before-the-expensive-op pattern as graph_degree_dist).
+    Two chained map-side-combinable aggs over the banded melt; the
+    corpus-scale text scan happens once (signatures relation)."""
+    sigs = dd.minhash_signatures(
+        t(spark, sf, "documents"), "doc_id", "text", n_hashes=4, shingle_n=3
+    )
+    banded = sigs.selectExpr(
+        "stack(4, 0, mh0, 1, mh1, 2, mh2, 3, mh3) AS (band, bucket)"
+    )
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return sizes.groupBy(
+        "band", F.col("sz").cast("long").alias("bucket_size")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+
+
+@q(
     "dedup_containment",
     f"""
     WITH {_SH_SQL},
@@ -288,6 +333,54 @@ def dedup_components(spark, sf):
     )
     pairs = dd.lsh_pairs(sigs, n_hashes=4, bands=4)
     return dd.connected_components(pairs)
+
+
+@q(
+    "dup_cluster_stats",
+    f"""
+    WITH RECURSIVE {_SH_SQL},
+    sigs AS (
+      SELECT id,
+             MIN(substring(md5(shingle), 1, 8)) AS mh0,
+             MIN(substring(md5(shingle), 9, 8)) AS mh1,
+             MIN(substring(md5(shingle), 17, 8)) AS mh2,
+             MIN(substring(md5(shingle), 25, 8)) AS mh3
+      FROM sh GROUP BY id),
+    prs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.id < b.id
+       AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)),
+    edges AS (SELECT id_a AS s, id_b AS d FROM prs
+              UNION SELECT id_b, id_a FROM prs),
+    nodes AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, l) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.v),
+    comp AS (SELECT v AS id, MIN(l) AS component FROM reach GROUP BY v),
+    szs AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM szs GROUP BY sz
+    """,
+)
+def dup_cluster_stats(spark, sf):
+    """Dup-cluster size histogram over the LSH candidate graph's
+    connected components — the report a dedup run publishes (how much
+    of the corpus sits in 2-clusters vs one boilerplate mega-cluster)
+    and the early-warning probe for CC skew (a cluster spanning >x%
+    of nodes says switch survivor selection to the large-star path).
+    Two map-side-combinable aggs downstream of the pointer-jump CC;
+    output is O(max cluster size)."""
+    sigs = dd.minhash_signatures(
+        t(spark, sf, "documents"), "doc_id", "text", n_hashes=4, shingle_n=3
+    )
+    comps = dd.connected_components(dd.lsh_pairs(sigs, n_hashes=4, bands=4))
+    szs = comps.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return szs.groupBy(
+        F.col("sz").cast("long").alias("cluster_size")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
 
 
 @q(

@@ -1174,3 +1174,80 @@ def kg_assortativity(spark, sf_dir):
             6,
         ).alias("assortativity"),
     )
+
+
+@q(
+    "kg_entity_card",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    w AS (SELECT a.uri AS uri_a, b.uri AS uri_b, COUNT(*) AS n_ab
+          FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.uri < b.uri
+          GROUP BY 1, 2),
+    e AS (SELECT uri_a AS uri, uri_b AS nbr, n_ab FROM w
+          UNION ALL SELECT uri_b, uri_a, n_ab FROM w),
+    deg AS (SELECT uri, CAST(COUNT(*) AS BIGINT) AS degree,
+                   CAST(SUM(n_ab) AS BIGINT) AS strength
+            FROM e GROUP BY uri),
+    rk AS (SELECT uri, nbr,
+                  ROW_NUMBER() OVER (PARTITION BY uri
+                                     ORDER BY n_ab DESC, nbr) AS r
+           FROM e),
+    top AS (SELECT uri, string_agg(nbr, ',' ORDER BY r) AS top_related
+            FROM rk WHERE r <= 3 GROUP BY uri)
+    SELECT deg.uri, deg.degree, deg.strength, top.top_related
+    FROM deg JOIN top ON top.uri = deg.uri
+    """,
+)
+def kg_entity_card(spark, sf_dir):
+    """The SERVING view: one row per entity carrying degree, total
+    co-occurrence strength, and its top-3 related entities as a
+    comma-joined, deterministically ordered string — the
+    related-entity panel a knowledge-panel API reads precomputed
+    (never at request time). Top-k per entity is the WindowGroupLimit
+    shape (rank partitioned by the entity, pushed-down r <= 3 — the
+    same plan the audit pins for win_topk); the ranked survivors are
+    re-assembled with array_sort over (rank, nbr) structs before
+    joining, because collect_list order is NOT deterministic in a
+    distributed agg — sorting by the carried rank is what makes the
+    card reproducible. Strings instead of arrays on the gate (engine
+    list formatting differs; CSV-joined cells hash identically)."""
+    de = _doc_entities(spark, sf_dir)
+    w = (
+        de.alias("a")
+        .join(de.alias("b"), "doc_id")
+        .filter(F.col("a.uri") < F.col("b.uri"))
+        .groupBy(
+            F.col("a.uri").alias("uri_a"), F.col("b.uri").alias("uri_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    e = w.select(
+        F.col("uri_a").alias("uri"), F.col("uri_b").alias("nbr"), "n_ab"
+    ).unionByName(
+        w.select(
+            F.col("uri_b").alias("uri"), F.col("uri_a").alias("nbr"), "n_ab"
+        )
+    )
+    deg = e.groupBy("uri").agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+        F.sum("n_ab").cast("long").alias("strength"),
+    )
+    rw = Window.partitionBy("uri").orderBy(F.desc("n_ab"), "nbr")
+    top = (
+        e.withColumn("r", F.row_number().over(rw))
+        .filter(F.col("r") <= 3)
+        .groupBy("uri")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("r"), F.col("nbr")))
+                    ),
+                    lambda x: x["nbr"],
+                ),
+                ",",
+            ).alias("top_related")
+        )
+    )
+    return deg.join(top, "uri")

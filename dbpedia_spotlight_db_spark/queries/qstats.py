@@ -724,3 +724,222 @@ def events_rolling_dau(spark, sf):
     return dau.join(wau, dau["day"] == wau["rday"]).select(
         F.date_format(dau["day"], "yyyy-MM-dd").alias("day"), "dau", "wau7"
     )
+
+
+# ---------------------------------------------------------------------------
+# inter-event time profile (lag gaps + exact percentiles)
+# ---------------------------------------------------------------------------
+@q(
+    "events_intervals",
+    """
+    WITH g AS (
+      SELECT event_type,
+             date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id),
+                       ts) AS gap
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           round(CAST(SUM(gap) AS DOUBLE) / COUNT(gap), 6) AS mean_gap_s,
+           round(quantile_cont(gap, 0.5), 6) AS p50_gap_s,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_s
+    FROM g WHERE gap IS NOT NULL GROUP BY event_type
+    """,
+)
+def events_intervals(spark, sf):
+    """Inter-arrival-time profile per event type: the LAG gap between
+    a user's consecutive events of the same type, rolled up to count
+    / mean / exact median / max. This is the telemetry face behind
+    session-timeout calibration (events_sessionize's gap threshold)
+    and crawler politeness tuning. The window partitions by
+    (user_id, event_type) — high cardinality, bounded groups — with
+    event_id as the deterministic tiebreak; gap seconds are exact
+    BIGINTs, so mean is an exact-int ratio and the median is the same
+    type-7 quantile on both engines (agg_percentiles precedent)."""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.round(
+            F.sum("gap").cast("double") / F.count("gap"), 6
+        ).alias("mean_gap_s"),
+        F.round(F.expr("percentile(gap, 0.5)"), 6).alias("p50_gap_s"),
+        F.max("gap").cast("long").alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-sourced running balance (open-order backlog)
+# ---------------------------------------------------------------------------
+@q(
+    "orders_backlog",
+    """
+    WITH op AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+                FROM orders GROUP BY 1),
+    cp AS (SELECT day, COUNT(*) AS n FROM (
+             SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS day
+             FROM lineitem GROUP BY 1) q
+           GROUP BY 1),
+    days AS (SELECT day FROM op UNION SELECT day FROM cp),
+    j AS (SELECT d.day, COALESCE(op.n, 0) AS opened,
+                 COALESCE(cp.n, 0) AS completed
+          FROM days d
+          LEFT JOIN op ON op.day = d.day
+          LEFT JOIN cp ON cp.day = d.day)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(opened AS BIGINT) AS n_opened,
+           CAST(completed AS BIGINT) AS n_completed,
+           CAST(SUM(opened - completed) OVER (
+                  ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS backlog
+    FROM j
+    """,
+)
+def orders_backlog(spark, sf):
+    """Event-sourced running balance: orders opened minus orders
+    fully shipped (last lineitem's ship date), cumulated into the
+    daily open-order backlog — the materialized-state-from-changelog
+    pattern (same math as a crawl frontier depth or queue lag chart).
+    The corpus-sized work is the two grouped counts (map-side
+    combinable) and the per-order MAX; the cumulative window runs on
+    the ~|days| POST-aggregate relation (thousands of rows at any
+    corpus size) where a single ordered partition is the right plan,
+    not a bottleneck. Days exit as ISO strings (CLAUDE.md)."""
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    op = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("opened")
+    )
+    cp = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("mx"))
+        .groupBy(F.to_date("mx").alias("day"))
+        .agg(F.count(F.lit(1)).alias("completed"))
+    )
+    days = op.select("day").union(cp.select("day")).distinct()
+    j = (
+        days.join(op, "day", "left")
+        .join(cp, "day", "left")
+        .select(
+            "day",
+            F.coalesce("opened", F.lit(0)).alias("opened"),
+            F.coalesce("completed", F.lit(0)).alias("completed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("opened").cast("long").alias("n_opened"),
+        F.col("completed").cast("long").alias("n_completed"),
+        F.sum(F.col("opened") - F.col("completed"))
+        .over(w)
+        .cast("long")
+        .alias("backlog"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation via broadcast quantile cutoffs (no global NTILE)
+# ---------------------------------------------------------------------------
+@q(
+    "customer_rfm",
+    """
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                  (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+               AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(round(SUM(o_totalprice) * 100) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey),
+    cuts AS (
+      SELECT round(quantile_cont(recency_days, 0.2), 6) AS r20,
+             round(quantile_cont(recency_days, 0.4), 6) AS r40,
+             round(quantile_cont(recency_days, 0.6), 6) AS r60,
+             round(quantile_cont(recency_days, 0.8), 6) AS r80,
+             round(quantile_cont(frequency, 0.2), 6) AS f20,
+             round(quantile_cont(frequency, 0.4), 6) AS f40,
+             round(quantile_cont(frequency, 0.6), 6) AS f60,
+             round(quantile_cont(frequency, 0.8), 6) AS f80,
+             round(quantile_cont(monetary_cents, 0.2), 6) AS m20,
+             round(quantile_cont(monetary_cents, 0.4), 6) AS m40,
+             round(quantile_cont(monetary_cents, 0.6), 6) AS m60,
+             round(quantile_cont(monetary_cents, 0.8), 6) AS m80
+      FROM m)
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(5 - (CAST(recency_days > r20 AS INT)
+                     + CAST(recency_days > r40 AS INT)
+                     + CAST(recency_days > r60 AS INT)
+                     + CAST(recency_days > r80 AS INT)) AS INT) AS r_score,
+           CAST(1 + CAST(frequency > f20 AS INT)
+                  + CAST(frequency > f40 AS INT)
+                  + CAST(frequency > f60 AS INT)
+                  + CAST(frequency > f80 AS INT) AS INT) AS f_score,
+           CAST(1 + CAST(monetary_cents > m20 AS INT)
+                  + CAST(monetary_cents > m40 AS INT)
+                  + CAST(monetary_cents > m60 AS INT)
+                  + CAST(monetary_cents > m80 AS INT) AS INT) AS m_score
+    FROM m CROSS JOIN cuts
+    """,
+)
+def customer_rfm(spark, sf):
+    """RFM (recency / frequency / monetary) segmentation — the
+    canonical behavioral-scoring rollup. The deliberate scale choice:
+    scores come from QUANTILE CUTOFFS broadcast to a map-side CASE
+    ladder, NOT a global NTILE window (ntile needs one totally-
+    ordered partition of every customer — the single-partition
+    anti-pattern the audit bans; cutoff assignment is embarrassingly
+    parallel and what production scoring does). Cutoffs are rounded
+    to 6 on BOTH engines before comparison; metrics are exact
+    integers, and interpolated .2/.4/.6/.8 cutoffs never land within
+    1e-6 of an integer, so boundary membership can't flip."""
+    o = t(spark, sf, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    m = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("cmax"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            cents(F.sum("o_totalprice")).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("gmax", "cmax").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    cuts = m.agg(
+        *[
+            F.round(F.expr(f"percentile({c}, {p})"), 6).alias(
+                f"{c[0]}{int(p * 100)}"
+            )
+            for c in ("recency_days", "frequency", "monetary_cents")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def ladder(col, prefix, invert):
+        s = sum(
+            (F.col(col) > F.col(f"{prefix}{k}")).cast("int")
+            for k in (20, 40, 60, 80)
+        )
+        return (F.lit(5) - s if invert else F.lit(1) + s).cast("int")
+
+    return m.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        ladder("recency_days", "r", True).alias("r_score"),
+        ladder("frequency", "f", False).alias("f_score"),
+        ladder("monetary_cents", "m", False).alias("m_score"),
+    )

@@ -54,6 +54,12 @@ _FRONT = [
     "csv_roundtrip",        # new in r3 wave 12 (quoted CSV, explicit schema)
     "json_roundtrip",       # new in r3 wave 12 (JSONL with nested struct)
     "join_interval",        # new in r3 wave 12 (overlap join, equi+residual)
+    "events_intervals",     # new in r3 wave 13 (inter-arrival profile)
+    "orders_backlog",       # new in r3 wave 13 (running open balance)
+    "customer_rfm",         # new in r3 wave 13 (broadcast-cutoff scoring)
+    "lsh_bucket_stats",     # new in r3 wave 13 (band bucket histogram)
+    "kg_entity_card",       # new in r3 wave 14 (serving view, top-3 card)
+    "dup_cluster_stats",    # new in r3 wave 14 (CC size histogram)
     "multimodal_features",  # r1's only hard failure; fixed, never driver-run
     "multimodal_meta",
     "multimodal_frames",
