@@ -58,6 +58,46 @@ def udf_scalar(spark, sf):
 
 
 @q(
+    "udf_map_iter",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+             AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+             AS INT) AS n_types
+    FROM documents
+    """,
+)
+def udf_map_iter(spark, sf):
+    """``mapInPandas`` API face — the batch-ITERATOR UDF family
+    (vs udf_scalar's one-batch-in/one-batch-out pandas_udf): the
+    function receives a stream of Arrow batches and yields output
+    batches, which is the shape used when per-batch setup is
+    expensive (model handles, decoders — operators/multimodal.py
+    uses it for frame extraction) or when output cardinality differs
+    from input. Here: token and distinct-token (type) counts per
+    document, so the twin is plain SQL and the gate checks the whole
+    iterator plumbing end-to-end."""
+
+    def count_tokens(batches):
+        for pdf in batches:
+            toks = pdf["text"].str.strip().str.split(r"\s+")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": toks.map(len).astype("int32"),
+                    "n_types": toks.map(lambda xs: len(set(xs))).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    return t(spark, sf, "documents").mapInPandas(
+        count_tokens, "doc_id long, n_tokens int, n_types int"
+    )
+
+
+@q(
     "udf_grouped",
     """
     SELECT lang, COUNT(*) AS n_docs,

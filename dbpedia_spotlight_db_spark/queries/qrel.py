@@ -1230,3 +1230,90 @@ def join_interval(spark, sf):
         )
         .select("user_id", "click_day", "view_day")
     )
+
+
+@q(
+    "win_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE ts IS NOT NULL),
+    f AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) > 3600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def win_session_window(spark, sf):
+    """Sessionization via Spark's NATIVE ``session_window`` aggregate
+    (the built-in dynamic-gap session operator, one hash-agg pass
+    that merges overlapping [t, t+gap) windows — the same primitive
+    the streaming engine uses for stateful session aggregation, here
+    on a batch frame). The oracle is the classic gaps-and-islands
+    formulation, with the boundary matched EXACTLY: session_window
+    MERGES an event that lands at precisely last + gap (closed gap
+    end — pinned by tests/test_wave15.py), so the twin's new-session
+    test is STRICT ``diff > gap`` in MICROSECONDS (epoch_us on both
+    sides — date_diff('second') truncates and would disagree on
+    fractional boundaries). Events carry microsecond timestamps;
+    equality of the two formulations is therefore exact, and a green
+    hash proves the native operator == the window-algebra
+    definition."""
+    e = t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "3600 seconds").alias("w")
+        )
+        .agg(F.min("ts").alias("session_start"),
+             F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+    )
+
+
+@q(
+    "agg_first_last",
+    """
+    SELECT user_id,
+           min_by(event_type,
+                  (epoch_us(ts) // 1000000) * 10000000 + event_id)
+             AS first_type,
+           max_by(event_type,
+                  (epoch_us(ts) // 1000000) * 10000000 + event_id)
+             AS last_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(epoch_us(ts) // 1000000)
+                - MIN(epoch_us(ts) // 1000000) AS BIGINT) AS span_s
+    FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    """,
+)
+def agg_first_last(spark, sf):
+    """First/last event type per user in ONE aggregation pass via
+    min_by/max_by over a composite integer key (whole seconds *
+    10^7 + event_id: time-ordered, event_id tiebreak, overflow-safe
+    to year ~31k) — the entry/exit-page profile computed WITHOUT a
+    row_number window (the agg is map-side combinable; a window
+    would sort every user partition just to keep two rows). Same
+    truncation on both engines (unix_timestamp == epoch_us // 1e6),
+    so the key — and therefore the argmin/argmax winner — is
+    bit-identical."""
+    e = t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    key = "unix_timestamp(ts) * 10000000 + event_id"
+    return e.groupBy("user_id").agg(
+        F.expr(f"min_by(event_type, {key})").alias("first_type"),
+        F.expr(f"max_by(event_type, {key})").alias("last_type"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")))
+        .cast("long")
+        .alias("span_s"),
+    )

@@ -60,6 +60,9 @@ _FRONT = [
     "lsh_bucket_stats",     # new in r3 wave 13 (band bucket histogram)
     "kg_entity_card",       # new in r3 wave 14 (serving view, top-3 card)
     "dup_cluster_stats",    # new in r3 wave 14 (CC size histogram)
+    "win_session_window",   # new in r3 wave 15 (native session_window)
+    "agg_first_last",       # new in r3 wave 15 (min_by/max_by profile)
+    "udf_map_iter",         # new in r3 wave 15 (mapInPandas iterator)
     "multimodal_features",  # r1's only hard failure; fixed, never driver-run
     "multimodal_meta",
     "multimodal_frames",
