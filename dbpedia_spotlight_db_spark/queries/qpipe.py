@@ -1251,3 +1251,48 @@ def kg_entity_card(spark, sf_dir):
         )
     )
     return deg.join(top, "uri")
+
+
+@q(
+    "pyds_nt_source",
+    f"""
+    WITH {_GRAMS_SQL},
+    cand AS (
+      SELECT g.doc_id, g.pos, g.sf AS surface_form, d.uri, d.w
+      FROM grams g JOIN {_DICT_SQL} ON g.sf = d.sf),
+    best AS (
+      SELECT doc_id, pos, surface_form, uri,
+             row_number() OVER (PARTITION BY doc_id, pos, surface_form
+                                ORDER BY w DESC, uri) AS rn
+      FROM cand),
+    ann AS (SELECT DISTINCT doc_id, uri FROM best WHERE rn = 1)
+    SELECT 'http://dbpedia.org/ontology/mentions' AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT uri) AS BIGINT) AS n_entities
+    FROM ann
+    """,
+)
+def pyds_nt_source(spark, sf_dir):
+    """Spark 4 PYTHON DATA SOURCE API on the gate: the annotation set
+    is serialized to an N-Triples dump (the kg_export_nt sink), then
+    read back through the from-scratch `format("ntriples")` data
+    source (`sources/nt_datasource.py`) — a file-per-InputPartition
+    reader whose parse loop runs on the executors — and rolled up.
+    The oracle computes the same rollup relationally, so a green hash
+    proves the custom source parses the sink's output losslessly.
+    This is the extension path for the one crawl feed that never has
+    a JVM connector; the JVM-regex read_nt_triples (S3) stays the
+    hot path for formats Spark can scan natively."""
+    from ..sources import nt_datasource
+    from .qio import _sink_dir
+
+    d = _sink_dir(spark, "nt")
+    Q["kg_export_nt"](spark, sf_dir).write.mode("overwrite").text(d)
+    nt_datasource.register(spark)
+    tri = spark.read.format("ntriples").load(d)
+    return tri.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_docs"),
+        F.countDistinct("obj").cast("long").alias("n_entities"),
+    )

@@ -63,6 +63,8 @@ _FRONT = [
     "win_session_window",   # new in r3 wave 15 (native session_window)
     "agg_first_last",       # new in r3 wave 15 (min_by/max_by profile)
     "udf_map_iter",         # new in r3 wave 15 (mapInPandas iterator)
+    "pyds_nt_source",       # new in r3 wave 16 (Python DataSource API)
+    "json_variant",         # new in r3 wave 16 (VariantType shredding)
     "multimodal_features",  # r1's only hard failure; fixed, never driver-run
     "multimodal_meta",
     "multimodal_frames",

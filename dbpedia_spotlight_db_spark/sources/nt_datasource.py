@@ -1,0 +1,79 @@
+"""S3 alternate path: an N-Triples reader built on Spark 4's PYTHON
+DATA SOURCE API (`pyspark.sql.datasource`) — the extension point for
+formats Spark has no built-in reader for. The JVM-regex
+`catalog.read_nt_triples` remains the production path (no Python in
+the hot loop); this source exists because a real crawl lake always
+has one feed nobody wrote a JVM connector for, and the API's
+contract — schema(), file-grained InputPartitions, a per-partition
+record iterator running ON THE EXECUTORS — is exactly how such feeds
+scale: one task per file, no driver-side parsing, no collect.
+
+`queries/qlake.pyds_nt_source` proves the two paths agree on the
+hash gate; `tests/test_pyds.py` pins partition granularity.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+_NT_PAT = re.compile(r"^<([^>]+)>\s+<([^>]+)>\s+<?([^>\s]+)>?\s*\.?\s*$")
+
+
+class NTriplesDataSource(DataSource):
+    """spark.read.format("ntriples").load(dir_or_file)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ntriples"
+
+    def schema(self) -> str:
+        return "subj string, pred string, obj string"
+
+    def reader(self, schema):
+        return NTriplesReader(self.options)
+
+
+class NTriplesReader(DataSourceReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("ntriples source requires a path")
+
+    def partitions(self):
+        # one InputPartition per data file: the scan parallelizes at
+        # file granularity exactly like a text/parquet scan; only the
+        # (tiny) file LIST is driver-side, never the content
+        p = self._path
+        if os.path.isdir(p):
+            files = sorted(
+                f
+                for f in glob.glob(os.path.join(p, "*"))
+                if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_"))
+            )
+        else:
+            files = [p]
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        # runs on the executor; yields parsed triples for ONE file
+        with open(partition.value, "r", encoding="utf-8") as fh:
+            for line in fh:
+                m = _NT_PAT.match(line.strip())
+                if m:
+                    yield (m.group(1), m.group(2), m.group(3))
+
+
+def register(spark) -> None:
+    """Idempotent registration of the format name."""
+    try:
+        spark.dataSource.register(NTriplesDataSource)
+    except Exception:
+        pass  # already registered in this session
