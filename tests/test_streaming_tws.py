@@ -1,0 +1,148 @@
+"""transformWithStateInPandas (Spark 4 stateful API).
+
+The processor LOGIC is unit-tested against a fake ValueState —
+multi-batch accumulation, exact-cents arithmetic, batch-split
+independence. The end-to-end streaming query requires
+`google.protobuf` (the TWS state-server protocol), which is not
+installed in this sandbox (no pip) — that leg skips here and
+activates automatically on a real cluster image.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+try:
+    HAVE_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no `google` namespace package at all
+    HAVE_PROTOBUF = False
+
+
+class FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, FakeValueState())
+
+
+def _batches(rows, split):
+    """Split [(value,), ...] rows into pandas batches at `split`."""
+    return [
+        pd.DataFrame({"value": [v for v in part]})
+        for part in (rows[:split], rows[split:])
+        if part
+    ]
+
+
+def test_processor_accumulates_across_calls_and_is_split_independent():
+    from dbpedia_spotlight_db_spark.streaming.annotate_stream import (
+        make_running_counter,
+    )
+
+    values = [1.005, 2.115, 0.994, 10.0, 3.333]
+    expect_cents = sum(int(round(v * 100)) for v in values)
+
+    for split in (1, 3):
+        proc = make_running_counter()
+        proc.init(FakeHandle())
+        outs = []
+        for call_rows in (values[:2], values[2:]):
+            outs.extend(
+                proc.handleInputRows(
+                    (7,), iter(_batches(call_rows, split=1)), None
+                )
+            )
+        final = outs[-1]
+        assert final["user_id"].iloc[0] == 7
+        assert final["n_events"].iloc[0] == len(values)
+        # exact integer cents regardless of how rows split into batches
+        assert final["value_cents"].iloc[0] == expect_cents
+        # intermediate emission carried the running (not per-batch) total
+        assert outs[0]["n_events"].iloc[0] == 2
+
+
+@pytest.mark.skipif(
+    not HAVE_PROTOBUF,
+    reason="google.protobuf absent in sandbox — TWS state server "
+    "cannot start (documented seam in running_counts_tws)",
+)
+def test_tws_running_counts_match_batch(spark, tmp_path):
+    from dbpedia_spotlight_db_spark.streaming.annotate_stream import (
+        running_counts_tws,
+    )
+
+    src = str(tmp_path / "events_src")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        F.col("ts").isNotNull()
+    )
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            running_counts_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_counts")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    out = spark.sql("SELECT * FROM tws_counts").toPandas()
+    final = out.groupby("user_id").agg(
+        n_events=("n_events", "max"), value_cents=("value_cents", "max")
+    )
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    joined = final.join(batch, lsuffix="_s", rsuffix="_b")
+    assert (joined["n_events_s"] == joined["n_events_b"]).all()
+    assert (joined["value_cents_s"] == joined["value_cents_b"]).all()
