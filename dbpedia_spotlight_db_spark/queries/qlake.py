@@ -158,8 +158,10 @@ def shard_plan(spark, sf):
              CAST(n_a + n_b AS DOUBLE) * tb / (ta + tb) AS e_b
       FROM ct CROSS JOIN tot)
     SELECT lang, n_a, n_b,
-           round((n_a - e_a) * (n_a - e_a) / e_a
-                 + (n_b - e_b) * (n_b - e_b) / e_b, 6) AS contrib
+           CASE WHEN e_a = 0 OR e_b = 0 THEN NULL
+                ELSE round((n_a - e_a) * (n_a - e_a) / e_a
+                           + (n_b - e_b) * (n_b - e_b) / e_b, 6)
+           END AS contrib
     FROM ex
     """,
 )
@@ -208,15 +210,25 @@ def drift_chi2(spark, sf):
         "lang",
         "n_a",
         "n_b",
-        F.round(
-            (F.col("n_a") - F.col("e_a"))
-            * (F.col("n_a") - F.col("e_a"))
-            / F.col("e_a")
-            + (F.col("n_b") - F.col("e_b"))
-            * (F.col("n_b") - F.col("e_b"))
-            / F.col("e_b"),
-            6,
-        ).alias("contrib"),
+        # a degenerate split (one empty half) makes chi-square
+        # undefined: expected counts of 0 would divide-by-zero —
+        # an ERROR under Spark's ANSI mode but inf in DuckDB, so
+        # BOTH engines must short-circuit to NULL explicitly
+        F.when(
+            (F.col("e_a") == 0) | (F.col("e_b") == 0), F.lit(None)
+        )
+        .otherwise(
+            F.round(
+                (F.col("n_a") - F.col("e_a"))
+                * (F.col("n_a") - F.col("e_a"))
+                / F.col("e_a")
+                + (F.col("n_b") - F.col("e_b"))
+                * (F.col("n_b") - F.col("e_b"))
+                / F.col("e_b"),
+                6,
+            )
+        )
+        .alias("contrib"),
     )
 
 

@@ -1120,11 +1120,15 @@ def graph_degree_dist(spark, sf_dir):
                  CAST(SUM(x * y) AS BIGINT) AS sxy
           FROM ed)
     SELECT n AS n_directed_edges,
-           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                        * (CAST(n AS DOUBLE) * syy
-                           - CAST(sy AS DOUBLE) * sy)), 6)
-             AS assortativity
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE round((CAST(n AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / sqrt((CAST(n AS DOUBLE) * sxx
+                                   - CAST(sx AS DOUBLE) * sx)
+                                  * (CAST(n AS DOUBLE) * syy
+                                     - CAST(sy AS DOUBLE) * sy)), 6)
+           END AS assortativity
     FROM s
     """,
 )
@@ -1163,16 +1167,30 @@ def kg_assortativity(spark, sf_dir):
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
     )
     nd = F.col("n").cast("double")
+    # a REGULAR graph (every degree equal) has zero variance on both
+    # endpoint-degree columns: Pearson is undefined and the division
+    # would ERROR under ANSI mode (inf in DuckDB) — short-circuit to
+    # NULL on the exact-integer variance test, same as drift_chi2
+    degen = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0
+    ) | (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") == 0)
     return s.select(
         F.col("n").alias("n_directed_edges"),
-        F.round(
-            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
-            / F.sqrt(
-                (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-                * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
-            ),
-            6,
-        ).alias("assortativity"),
+        F.when(degen, F.lit(None))
+        .otherwise(
+            F.round(
+                (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+                / F.sqrt(
+                    (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                    * (
+                        nd * F.col("syy")
+                        - F.col("sy").cast("double") * F.col("sy")
+                    )
+                ),
+                6,
+            )
+        )
+        .alias("assortativity"),
     )
 
 

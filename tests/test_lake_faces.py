@@ -110,3 +110,44 @@ def test_clustering_coeff_range_and_triangle_consistency(spark):
     assert int(got["n_tri"].sum()) == 3 * n_tri
     # degree-1 nodes have coeff 0 by definition
     assert (got[got["degree"] < 2]["coeff"] == 0).all()
+
+
+def test_drift_chi2_degenerate_half_is_null_not_error(spark, tmp_path):
+    """One empty hash-half -> expected counts of 0 -> chi-square
+    undefined. Spark's ANSI mode would raise DIVIDE_BY_ZERO without
+    the explicit guard; both engines must emit NULL instead."""
+    import hashlib
+
+    ids = [
+        i
+        for i in range(200)
+        if hashlib.md5(str(i).encode()).hexdigest()[0] >= "8"
+    ][:6]
+    spark.createDataFrame(
+        [(i, "x", "en", "s", 1) for i in ids],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = qlake.Q["drift_chi2"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0].n_a == 0 and got[0].n_b == 6
+    assert got[0].contrib is None
+
+
+def test_assortativity_regular_graph_is_null_not_error(spark, tmp_path):
+    """A single doc mentioning three dictionary entities makes a
+    triangle: every degree equal -> zero variance -> Pearson
+    undefined -> NULL (not an ANSI division error)."""
+    text = "spark merge window"
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = qpipe.Q["kg_assortativity"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    # one doc -> its candidate URIs form a clique (de keeps ALL
+    # candidates per surface form), so the graph is regular: k nodes,
+    # k*(k-1) directed edges
+    n = got[0].n_directed_edges
+    k = round((1 + (1 + 4 * n) ** 0.5) / 2)
+    assert n == k * (k - 1) and k >= 3
+    assert got[0].assortativity is None
