@@ -943,3 +943,43 @@ def customer_rfm(spark, sf):
         ladder("frequency", "f", False).alias("f_score"),
         ladder("monetary_cents", "m", False).alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# built-in linear regression aggregates (REGR_* family)
+# ---------------------------------------------------------------------------
+@q(
+    "stat_regression",
+    """
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 6) + 0 AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) + 0
+             AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) + 0 AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stat_regression(spark, sf):
+    """Grouped ordinary-least-squares fit with the SQL-standard
+    REGR_* aggregate family — price-vs-quantity slope, intercept and
+    R² per return flag, the one-pass regression a feature-drift or
+    pricing-sanity check runs without ever leaving the aggregation
+    layer. Like stat_corr, each aggregate is a single streaming
+    moment buffer: one map-side-combinable hash agg, a
+    |groups|-sized exchange, no second scan and no window. Both
+    engines implement the same moment formulas; results are rounded
+    to 6 with the `+ 0` IEEE −0.0 normalization (CLAUDE.md)."""
+    li = t(spark, sf, "lineitem")
+    z = F.lit(0.0)
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity")
+        .cast("long")
+        .alias("n"),
+        (F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6) + z)
+        .alias("slope"),
+        (F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6) + z)
+        .alias("intercept"),
+        (F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6) + z)
+        .alias("r2"),
+    )

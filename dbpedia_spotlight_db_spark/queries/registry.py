@@ -65,6 +65,7 @@ _FRONT = [
     "udf_map_iter",         # new in r3 wave 15 (mapInPandas iterator)
     "pyds_nt_source",       # new in r3 wave 16 (Python DataSource API)
     "json_variant",         # new in r3 wave 16 (VariantType shredding)
+    "stat_regression",      # new in r3 wave 17 (REGR_* OLS aggregates)
     "multimodal_features",  # r1's only hard failure; fixed, never driver-run
     "multimodal_meta",
     "multimodal_frames",
