@@ -234,6 +234,52 @@ def lsh_pairs(
     )
 
 
+def _capped_pair_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    max_df: int,
+    tag: str,
+) -> DataFrame:
+    """Shared core of the shingle-overlap family: distinct shingle
+    sets (checkpointed — consumed by counts and both join sides),
+    hot shingles with df > ``max_df`` removed from the UNIVERSE by a
+    broadcast anti-join BEFORE the quadratic step, then the
+    inverted-index self-join. Returns one row per UNORDERED
+    co-shingled pair: (id_a, id_b, inter, n_a, n_b) with id_a < id_b.
+    Jaccard and containment are just different ratios over these five
+    columns — any change to the cap or intersection semantics lands
+    in both operators by construction."""
+    sh = parquet_checkpoint(
+        shingle_df(df, id_col, text_col, shingle_n).dropDuplicates(
+            ["id", "shingle"]
+        ),
+        tag,
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -259,35 +305,10 @@ def ngram_jaccard_pairs(
     same pattern as lsh_pairs' hot-bucket cap, dedup.py lsh_pairs).
     Pairs sharing no hot shingle are bit-identical to the uncapped
     result (tests/test_dedup_cap.py property)."""
-    sh = parquet_checkpoint(
-        shingle_df(df, id_col, text_col, shingle_n).dropDuplicates(
-            ["id", "shingle"]
-        ),
-        "jaccard_shingles",
-    )
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > max_df)
-        .select("shingle")
-    )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
-    sb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        _capped_pair_intersections(
+            df, id_col, text_col, shingle_n, max_df, "jaccard_shingles"
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -324,34 +345,13 @@ def ngram_containment_pairs(
     broadcast anti-join BEFORE the quadratic step. The join itself is
     computed once per UNORDERED pair (id_a < id_b) and unpivoted into
     the two directions afterwards — half the join fan-out of a
-    directed a.id != b.id condition for the same result."""
-    sh = parquet_checkpoint(
-        shingle_df(df, id_col, text_col, shingle_n).dropDuplicates(
-            ["id", "shingle"]
-        ),
-        "containment_shingles",
+    directed a.id != b.id condition for the same result. The capped
+    intersection core is SHARED with ngram_jaccard_pairs
+    (_capped_pair_intersections), so the two faces can never drift
+    on cap or intersection semantics."""
+    both = _capped_pair_intersections(
+        df, id_col, text_col, shingle_n, max_df, "containment_shingles"
     )
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > max_df)
-        .select("shingle")
-    )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
-    sb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
-    both = inter.join(sa, "id_a").join(sb, "id_b")
     directed = both.select(
         F.col("id_a").alias("src_id"),
         F.col("id_b").alias("dst_id"),

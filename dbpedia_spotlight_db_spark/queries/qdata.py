@@ -50,7 +50,12 @@ def udf_scalar(spark, sf):
 
     @pandas_udf(T.IntegerType())
     def _ntok(text: pd.Series) -> pd.Series:
-        return text.str.strip().str.split(r"\s+").map(len).astype("int32")
+        # strip SPACES only — pandas .strip() takes all whitespace but
+        # the twin's SQL trim() strips only ' ', and a leading tab
+        # would then yield an extra '' token on the oracle side only
+        return (
+            text.str.strip(" ").str.split(r"\s+").map(len).astype("int32")
+        )
 
     return t(spark, sf, "documents").select(
         "doc_id", _ntok(F.col("text")).alias("n_tokens")
@@ -81,7 +86,8 @@ def udf_map_iter(spark, sf):
 
     def count_tokens(batches):
         for pdf in batches:
-            toks = pdf["text"].str.strip().str.split(r"\s+")
+            # spaces only, matching SQL trim() — see udf_scalar
+            toks = pdf["text"].str.strip(" ").str.split(r"\s+")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -211,14 +217,28 @@ def dedup_minhash(spark, sf):
              MIN(substring(md5(shingle), 9, 8)) AS mh1,
              MIN(substring(md5(shingle), 17, 8)) AS mh2,
              MIN(substring(md5(shingle), 25, 8)) AS mh3
-      FROM sh GROUP BY id)
+      FROM sh GROUP BY id),
+    banded AS (
+      SELECT id, 0 AS band, mh0 AS bucket FROM sigs
+      UNION ALL SELECT id, 1, mh1 FROM sigs
+      UNION ALL SELECT id, 2, mh2 FROM sigs
+      UNION ALL SELECT id, 3, mh3 FROM sigs),
+    okb AS (SELECT band, bucket FROM banded
+            GROUP BY band, bucket HAVING COUNT(*) <= 1000),
+    bk AS (SELECT b.id, b.band, b.bucket
+           FROM banded b JOIN okb USING (band, bucket))
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM sigs a JOIN sigs b
-      ON a.id < b.id
-     AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)
+    FROM bk a JOIN bk b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
     """,
 )
 def dedup_lsh_pairs(spark, sf):
+    """The twin mirrors lsh_pairs' max_bucket=1000 hot-bucket cap
+    (band-bucket melt -> drop overfull buckets -> bucket-equality
+    join) — a no-op at fixture scale but the exact semantics the
+    operator keeps when a boilerplate mega-bucket appears, so the
+    twins can never diverge on capped corpora (same rule as the
+    jaccard df-cap)."""
     sigs = dd.minhash_signatures(
         t(spark, sf, "documents"), "doc_id", "text", n_hashes=4, shingle_n=3
     )
@@ -347,11 +367,19 @@ def dedup_containment(spark, sf):
              MIN(substring(md5(shingle), 17, 8)) AS mh2,
              MIN(substring(md5(shingle), 25, 8)) AS mh3
       FROM sh GROUP BY id),
+    banded AS (
+      SELECT id, 0 AS band, mh0 AS bucket FROM sigs
+      UNION ALL SELECT id, 1, mh1 FROM sigs
+      UNION ALL SELECT id, 2, mh2 FROM sigs
+      UNION ALL SELECT id, 3, mh3 FROM sigs),
+    okb AS (SELECT band, bucket FROM banded
+            GROUP BY band, bucket HAVING COUNT(*) <= 1000),
+    bk AS (SELECT b.id, b.band, b.bucket
+           FROM banded b JOIN okb USING (band, bucket)),
     prs AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM sigs a JOIN sigs b
-        ON a.id < b.id
-       AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)),
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
     edges AS (SELECT id_a AS s, id_b AS d FROM prs
               UNION SELECT id_b, id_a FROM prs),
     nodes AS (SELECT DISTINCT s AS v FROM edges),
@@ -386,11 +414,19 @@ def dedup_components(spark, sf):
              MIN(substring(md5(shingle), 17, 8)) AS mh2,
              MIN(substring(md5(shingle), 25, 8)) AS mh3
       FROM sh GROUP BY id),
+    banded AS (
+      SELECT id, 0 AS band, mh0 AS bucket FROM sigs
+      UNION ALL SELECT id, 1, mh1 FROM sigs
+      UNION ALL SELECT id, 2, mh2 FROM sigs
+      UNION ALL SELECT id, 3, mh3 FROM sigs),
+    okb AS (SELECT band, bucket FROM banded
+            GROUP BY band, bucket HAVING COUNT(*) <= 1000),
+    bk AS (SELECT b.id, b.band, b.bucket
+           FROM banded b JOIN okb USING (band, bucket)),
     prs AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM sigs a JOIN sigs b
-        ON a.id < b.id
-       AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)),
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
     edges AS (SELECT id_a AS s, id_b AS d FROM prs
               UNION SELECT id_b, id_a FROM prs),
     nodes AS (SELECT DISTINCT s AS v FROM edges),
@@ -434,11 +470,19 @@ def dup_cluster_stats(spark, sf):
              MIN(substring(md5(shingle), 17, 8)) AS mh2,
              MIN(substring(md5(shingle), 25, 8)) AS mh3
       FROM sh GROUP BY id),
+    banded AS (
+      SELECT id, 0 AS band, mh0 AS bucket FROM sigs
+      UNION ALL SELECT id, 1, mh1 FROM sigs
+      UNION ALL SELECT id, 2, mh2 FROM sigs
+      UNION ALL SELECT id, 3, mh3 FROM sigs),
+    okb AS (SELECT band, bucket FROM banded
+            GROUP BY band, bucket HAVING COUNT(*) <= 1000),
+    bk AS (SELECT b.id, b.band, b.bucket
+           FROM banded b JOIN okb USING (band, bucket)),
     prs AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM sigs a JOIN sigs b
-        ON a.id < b.id
-       AND (a.mh0 = b.mh0 OR a.mh1 = b.mh1 OR a.mh2 = b.mh2 OR a.mh3 = b.mh3)),
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
     edges AS (SELECT id_a AS s, id_b AS d FROM prs
               UNION SELECT id_b, id_a FROM prs),
     nodes AS (SELECT DISTINCT s AS v FROM edges),

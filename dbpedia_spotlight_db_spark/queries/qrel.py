@@ -1286,10 +1286,10 @@ def win_session_window(spark, sf):
     """
     SELECT user_id,
            min_by(event_type,
-                  (epoch_us(ts) // 1000000) * 10000000 + event_id)
+                  (epoch_us(ts) // 1000000) * 1000000000 + event_id)
              AS first_type,
            max_by(event_type,
-                  (epoch_us(ts) // 1000000) * 10000000 + event_id)
+                  (epoch_us(ts) // 1000000) * 1000000000 + event_id)
              AS last_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(MAX(epoch_us(ts) // 1000000)
@@ -1300,15 +1300,21 @@ def win_session_window(spark, sf):
 def agg_first_last(spark, sf):
     """First/last event type per user in ONE aggregation pass via
     min_by/max_by over a composite integer key (whole seconds *
-    10^7 + event_id: time-ordered, event_id tiebreak, overflow-safe
-    to year ~31k) — the entry/exit-page profile computed WITHOUT a
-    row_number window (the agg is map-side combinable; a window
-    would sort every user partition just to keep two rows). Same
-    truncation on both engines (unix_timestamp == epoch_us // 1e6),
-    so the key — and therefore the argmin/argmax winner — is
-    bit-identical."""
+    10^9 + event_id) — the entry/exit-page profile computed WITHOUT
+    a row_number window (the agg is map-side combinable; a window
+    would sort every user partition just to keep two rows). Key
+    bounds: the multiplier must EXCEED every event_id or the id
+    component bleeds into the time component (an id of 2x10^9 under
+    a 10^9 multiplier would masquerade as +2 seconds); 10^9 holds
+    for per-partition/log-segment ids and keeps epoch*10^9 inside
+    int64 until year ~2262 (the int64-nanosecond horizon). Corpora
+    with wider ids should key on struct(ts, event_id) instead —
+    kept integer here because DuckDB min_by on a struct has no
+    documented cross-engine ordering guarantee. Same truncation on
+    both engines (unix_timestamp == epoch_us // 1e6), so the key —
+    and therefore the argmin/argmax winner — is bit-identical."""
     e = t(spark, sf, "events").filter(F.col("ts").isNotNull())
-    key = "unix_timestamp(ts) * 10000000 + event_id"
+    key = "unix_timestamp(ts) * 1000000000 + event_id"
     return e.groupBy("user_id").agg(
         F.expr(f"min_by(event_type, {key})").alias("first_type"),
         F.expr(f"max_by(event_type, {key})").alias("last_type"),

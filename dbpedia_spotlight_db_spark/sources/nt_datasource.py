@@ -72,8 +72,14 @@ class NTriplesReader(DataSourceReader):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the format name."""
+    """Idempotent registration of the format name. Only the
+    duplicate-registration case is swallowed — a genuine failure
+    (API missing, serialization error) must surface here, not as an
+    unrelated DATA_SOURCE_NOT_FOUND at read time."""
     try:
         spark.dataSource.register(NTriplesDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as e:
+        msg = str(e).lower()
+        if "already" in msg or "exists" in msg or "duplicate" in msg:
+            return
+        raise

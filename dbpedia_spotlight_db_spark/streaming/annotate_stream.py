@@ -234,12 +234,22 @@ def make_running_counter():
         def handleInputRows(self, key, rows, timerValues):
             n = 0
             cents = 0
+            import numpy as np
+
             for pdf in rows:
                 n += len(pdf)
                 # round PER EVENT, then sum ints: batch-split
                 # independent (rounding a per-batch float sum would
-                # make the running total depend on trigger boundaries)
-                cents += int(pdf["value"].mul(100).round().sum())
+                # make the running total depend on trigger boundaries).
+                # HALF-UP (away from zero), NOT pandas' .round():
+                # numpy/pandas round half-to-even, so value=0.125
+                # would give 12 cents here but 13 in the Spark/DuckDB
+                # batch twin (both round half away from zero) — the
+                # running==batch equality must hold on .5 boundaries
+                x = pdf["value"].to_numpy() * 100.0
+                cents += int(
+                    (np.sign(x) * np.floor(np.abs(x) + 0.5)).sum()
+                )
             if self._tot.exists():
                 prev_n, prev_c = self._tot.get()
                 n += int(prev_n)

@@ -81,6 +81,14 @@ def main(argv: list[str] | None = None) -> None:
     n_in = spark.read.parquet(args.table).count()
     out_files = glob.glob(os.path.join(args.out, "data", "bin=*", "*.parquet"))
     n_out = spark.read.parquet(os.path.join(args.out, "data")).count()
+    # gate BEFORE the manifest: downstream readers trust manifests
+    # instead of re-counting (catalog.manifest contract), so a
+    # row-losing run must never leave a valid-looking manifest
+    # beside its corrupted output
+    if n_in != n_out:
+        raise SystemExit(
+            f"row count changed: {n_in} in vs {n_out} out — aborting"
+        )
     catalog._write_manifest(
         args.out,
         "compact",
@@ -90,10 +98,6 @@ def main(argv: list[str] | None = None) -> None:
         bins=n_bins,
         target_bytes=args.target_bytes,
     )
-    if n_in != n_out:
-        raise SystemExit(
-            f"row count changed: {n_in} in vs {n_out} out — aborting"
-        )
     print(
         f"compact: {len(files)} files -> {len(out_files)} files "
         f"({n_bins} bins, {n_out} rows conserved) -> {args.out}"

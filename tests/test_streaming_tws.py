@@ -62,8 +62,19 @@ def test_processor_accumulates_across_calls_and_is_split_independent():
         make_running_counter,
     )
 
-    values = [1.005, 2.115, 0.994, 10.0, 3.333]
-    expect_cents = sum(int(round(v * 100)) for v in values)
+    # 0.045 and 0.125 sit on exact .5 cent boundaries: pandas .round()
+    # (half-to-even) would give 4/12 cents where Spark/DuckDB give 5/13
+    values = [1.005, 2.115, 0.994, 10.0, 3.333, 0.045, 0.125]
+    import decimal
+
+    expect_cents = sum(
+        int(
+            decimal.Decimal(v * 100).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        for v in values
+    )
 
     for split in (1, 3):
         proc = make_running_counter()
@@ -72,7 +83,7 @@ def test_processor_accumulates_across_calls_and_is_split_independent():
         for call_rows in (values[:2], values[2:]):
             outs.extend(
                 proc.handleInputRows(
-                    (7,), iter(_batches(call_rows, split=1)), None
+                    (7,), iter(_batches(call_rows, split=split)), None
                 )
             )
         final = outs[-1]
