@@ -234,3 +234,39 @@ def test_simhash_geometry_guard_refuses_narrow_buckets(spark):
     # wide default comfortably passes the same corpus size
     simhash_pairs(df.withColumn("simhash", df.simhash.substr(1, 16)),
                   bits=16, bands=4, expected_docs=500)
+
+
+def test_lsh_hot_bucket_cap_parity_with_oracle(spark, tmp_path):
+    """1100 identical docs put every signature in one (band, bucket)
+    — over the max_bucket=1000 cap, so BOTH the operator and the
+    rewritten DuckDB twin must emit ZERO pairs (before the twin
+    mirrored the cap, it would have emitted ~600k). A smaller cap-off
+    control proves the bucket genuinely collides."""
+    import duckdb
+
+    from dbpedia_spotlight_db_spark.operators import dedup as dd
+    from dbpedia_spotlight_db_spark.queries import qdata
+
+    text = "alpha beta gamma delta epsilon"
+    rows = [(i, text, "en", "s", len(text)) for i in range(1100)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    # operator path: capped -> no pairs
+    assert qdata.Q["dedup_lsh_pairs"](spark, str(tmp_path)).count() == 0
+
+    # oracle path: the rewritten twin must agree
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    assert len(con.execute(qdata.O["dedup_lsh_pairs"]).fetchall()) == 0
+
+    # control: with the cap lifted the bucket really does collide
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet").limit(60)
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", n_hashes=4)
+    n = dd.lsh_pairs(sigs, n_hashes=4, bands=4, max_bucket=10**6).count()
+    assert n == 60 * 59 // 2
