@@ -540,6 +540,27 @@ def main() -> None:
         pct,
     )
 
+    # 29. customer_rfm's whole point is scoring WITHOUT a global
+    # NTILE (a totally-ordered single partition of every customer):
+    # the plan must contain 0 Window operators — cutoffs attach by
+    # broadcast. events_rolling_dau must reach rolling-distinct via
+    # the bounded explode, never a fact-table self-join.
+    prfm = plan_of(QUERIES["customer_rfm"](spark, SF))
+    rfm_win = len(re.findall(r"\bWindow\b", prfm))
+    rfm_bcast = "Broadcast" in prfm
+    pdau = plan_of(QUERIES["events_rolling_dau"](spark, SF))
+    dau_smj = len(re.findall(r"SortMergeJoin", pdau))
+    # the explode lands as a Generate node with explode(...) args
+    dau_expl = "explode(" in pdau and "Generate" in pdau
+    check(
+        "rfm scores by broadcast cutoffs (no window); dau by bounded explode",
+        rfm_win == 0 and rfm_bcast and dau_expl and dau_smj <= 1,
+        f"customer_rfm: {rfm_win} Window (want 0), Broadcast={rfm_bcast}; "
+        f"events_rolling_dau: explode={dau_expl}, {dau_smj} SortMergeJoin "
+        f"(want <=1 — only the final day-key join may shuffle)",
+        prfm,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
