@@ -103,6 +103,15 @@ def _assign_cells(
     previous join+window form shuffled corpus × n_centroids rows
     through a per-vector sort. Deterministic tie-break on lowest cid
     (lexicographic struct max: cos desc, then -cid max = cid asc)."""
+    if not cent_rows:
+        # empty corpus -> empty quantizer: F.array() with no elements
+        # is VOID-typed and the HOF lambda fails at ANALYSIS time even
+        # though zero rows would flow. No cells exist, so no vector
+        # can be assigned — null cid keeps the schema and totality
+        # (tests/test_empty_corpus.py)
+        return df.select(F.col(id_col), F.col(vec_col)).withColumn(
+            "cid", F.lit(None).cast("long")
+        )
     cents = F.array(
         *[
             F.struct(
