@@ -52,10 +52,13 @@ def udf_scalar(spark, sf):
     def _ntok(text: pd.Series) -> pd.Series:
         # strip SPACES only — pandas .strip() takes all whitespace but
         # the twin's SQL trim() strips only ' ', and a leading tab
-        # would then yield an extra '' token on the oracle side only
-        return (
-            text.str.strip(" ").str.split(r"\s+").map(len).astype("int32")
-        )
+        # would then yield an extra '' token on the oracle side only.
+        # NULL text propagates as NULL (the SQL twin's len(NULL)) —
+        # bare .map(len) raises TypeError on the NaN a null becomes
+        toks = text.str.strip(" ").str.split(r"\s+")
+        return toks.map(
+            lambda xs: len(xs) if isinstance(xs, list) else None
+        ).astype("Int32")
 
     return t(spark, sf, "documents").select(
         "doc_id", _ntok(F.col("text")).alias("n_tokens")
@@ -86,15 +89,20 @@ def udf_map_iter(spark, sf):
 
     def count_tokens(batches):
         for pdf in batches:
-            # spaces only, matching SQL trim() — see udf_scalar
+            # spaces only + NULL-propagating, matching SQL trim()/len
+            # semantics — see udf_scalar
             toks = pdf["text"].str.strip(" ").str.split(r"\s+")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_tokens": toks.map(len).astype("int32"),
-                    "n_types": toks.map(lambda xs: len(set(xs))).astype(
-                        "int32"
-                    ),
+                    "n_tokens": toks.map(
+                        lambda xs: len(xs) if isinstance(xs, list) else None
+                    ).astype("Int32"),
+                    "n_types": toks.map(
+                        lambda xs: len(set(xs))
+                        if isinstance(xs, list)
+                        else None
+                    ).astype("Int32"),
                 }
             )
 

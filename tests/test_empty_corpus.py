@@ -57,3 +57,33 @@ def test_face_is_total_on_empty_corpus(spark, empty_sf, key, fn):
         pytest.skip(KNOWN_PARTIAL[key])
     rows = fn(spark, empty_sf).collect()
     assert isinstance(rows, list)
+
+
+def test_pandas_udf_faces_propagate_null_text(spark, tmp_path):
+    """NULL text must flow through the Arrow UDF faces as NULL (the
+    SQL twins' len(NULL) semantics), not crash pandas .map(len) on
+    the NaN a null becomes. The synthetic fixture has no null texts,
+    which is exactly why this needs its own fixture."""
+    from dbpedia_spotlight_db_spark.queries import QUERIES
+
+    rows = [
+        (1, "hello world foo", "en", "s", 15),
+        (2, None, "en", "s", 0),
+        (3, "a b a", "de", "s", 5),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.doc_id: r.n_tokens
+        for r in QUERIES["udf_scalar"](spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 3, 2: None, 3: 3}
+
+    got2 = {
+        r.doc_id: (r.n_tokens, r.n_types)
+        for r in QUERIES["udf_map_iter"](spark, str(tmp_path)).collect()
+    }
+    assert got2 == {1: (3, 3), 2: (None, None), 3: (3, 2)}
