@@ -87,3 +87,44 @@ def test_pandas_udf_faces_propagate_null_text(spark, tmp_path):
         for r in QUERIES["udf_map_iter"](spark, str(tmp_path)).collect()
     }
     assert got2 == {1: (3, 3), 2: (None, None), 3: (3, 2)}
+
+
+def test_events_faces_total_under_null_ts_value_props(spark, tmp_path):
+    """A null ts / value / props row must not crash any events face
+    (most filter nulls explicitly; the rest group them). Totality
+    only — cross-engine parity under nulls is governed by the
+    fixture contract, which has none."""
+    import datetime
+
+    from dbpedia_spotlight_db_spark.queries import QUERIES
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 8), 1, "click", 1.0, '{"k": 5}'),
+        (2, None, 1, "view", 2.0, None),
+        (3, datetime.datetime(2024, 1, 3, 9), 2, "purchase", None, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    import os
+
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    ):
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", f"{tmp_path}/{t}.parquet"
+        )
+    keys = [
+        "events_gapfill", "win_trailing_range", "events_outliers",
+        "events_transitions", "events_sessionize", "events_funnel",
+        "retention_cohorts", "events_rolling_dau", "events_intervals",
+        "win_streaks", "win_rank_fns", "win_session_window",
+        "agg_first_last", "pivot_events", "join_range", "join_interval",
+        "join_asof", "json_fns", "json_variant", "unpivot_events",
+        "udf_cogrouped", "win_moving_avg", "agg_histogram", "stat_corr",
+    ]
+    for k in keys:
+        QUERIES[k](spark, str(tmp_path)).collect()
