@@ -66,6 +66,7 @@ _FRONT = [
     "pyds_nt_source",       # new in r3 wave 16 (Python DataSource API)
     "json_variant",         # new in r3 wave 16 (VariantType shredding)
     "stat_regression",      # new in r3 wave 17 (REGR_* OLS aggregates)
+    "kg_ppr",               # new in r3 wave 17 (personalized PageRank)
     "multimodal_features",  # r1's only hard failure; fixed, never driver-run
     "multimodal_meta",
     "multimodal_frames",

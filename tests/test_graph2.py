@@ -58,3 +58,19 @@ def test_node_sim_is_neighborhood_jaccard(spark):
         expect = common / len(na | nb)
         assert math.isclose(r.jaccard, round(expect, 6), abs_tol=1e-6)
         assert r.uri_a < r.uri_b
+
+
+def test_ppr_mass_conservation_and_seed_dominance(spark):
+    """2-round PPR from a single seed: total rank mass stays 1
+    (teleport + spread conserve probability on a graph with no
+    dangling nodes — every node in e has degree >= 1), and the seed
+    keeps the largest rank at this damping."""
+    from dbpedia_spotlight_db_spark.queries import qpipe
+
+    got = qpipe.Q["kg_ppr"](spark, "/root/testdata/sf0.001").toPandas()
+    assert abs(got["ppr"].sum() - 1.0) < 1e-4
+    seed = qpipe._undirected_edges(spark, "/root/testdata/sf0.001").agg(
+        {"src": "min"}
+    ).collect()[0][0]
+    top = got.sort_values("ppr", ascending=False).iloc[0]
+    assert top["uri"] == seed
