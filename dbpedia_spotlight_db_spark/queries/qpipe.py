@@ -1326,24 +1326,24 @@ def pyds_nt_source(spark, sf_dir):
     deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
     seed AS (SELECT MIN(src) AS s FROM e),
     r0 AS (SELECT s AS uri, CAST(1.0 AS DOUBLE) AS r FROM seed),
-    c1 AS (SELECT e.dst AS uri, SUM(0.85 * r0.r / deg.d) AS cr
+    c1 AS (SELECT e.dst AS uri, SUM(0.85 * r0.r / deg.d) AS r
            FROM r0
            JOIN deg ON deg.src = r0.uri
            JOIN e ON e.src = r0.uri
            GROUP BY e.dst),
-    b1 AS (SELECT s AS uri, CAST(0.15 AS DOUBLE) AS tp FROM seed),
-    r1 AS (SELECT COALESCE(c1.uri, b1.uri) AS uri,
-                  COALESCE(cr, 0) + COALESCE(tp, 0) AS r
-           FROM c1 FULL JOIN b1 ON b1.uri = c1.uri),
-    c2 AS (SELECT e.dst AS uri, SUM(0.85 * r1.r / deg.d) AS cr
+    r1 AS (SELECT uri, SUM(r) AS r FROM (
+             SELECT uri, r FROM c1
+             UNION ALL SELECT s, CAST(0.15 AS DOUBLE) FROM seed) u
+           GROUP BY uri),
+    c2 AS (SELECT e.dst AS uri, SUM(0.85 * r1.r / deg.d) AS r
            FROM r1
            JOIN deg ON deg.src = r1.uri
            JOIN e ON e.src = r1.uri
            GROUP BY e.dst),
-    b2 AS (SELECT s AS uri, CAST(0.15 AS DOUBLE) AS tp FROM seed),
-    r2 AS (SELECT COALESCE(c2.uri, b2.uri) AS uri,
-                  COALESCE(cr, 0) + COALESCE(tp, 0) AS r
-           FROM c2 FULL JOIN b2 ON b2.uri = c2.uri)
+    r2 AS (SELECT uri, SUM(r) AS r FROM (
+             SELECT uri, r FROM c2
+             UNION ALL SELECT s, CAST(0.15 AS DOUBLE) FROM seed) u
+           GROUP BY uri)
     SELECT uri, round(r, 6) AS ppr FROM r2
     """,
 )
@@ -1357,10 +1357,14 @@ def kg_ppr(spark, sf_dir):
     scale that is the whole point: a PPR query touches a
     neighborhood, not the graph); each round is a broadcast of the
     |frontier|-sized rank relation joined to the edge list plus a
-    map-side-combinable sum, with the teleport row attached by a
-    1-row full-outer join. Float parity follows the kg_pagerank
-    precedent: identical expression shapes on both engines, one
-    round-6 at the end."""
+    map-side-combinable sum, with the teleport row folded in by
+    UNION ALL + re-aggregate — NOT a full-outer join, which Spark
+    cannot broadcast (it planned a SortMergeJoin of a 1-row
+    relation); the union'd sum has at most two operands per key, and
+    two-operand fp addition is commutative, so engine parity holds.
+    Float parity otherwise follows the kg_pagerank precedent:
+    identical expression shapes on both engines, one round-6 at the
+    end."""
     e = _undirected_edges(spark, sf_dir)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     seed = e.agg(F.min("src").alias("s"))
@@ -1371,24 +1375,13 @@ def kg_ppr(spark, sf_dir):
             .join(deg, r["uri"] == deg["src"])
             .drop("src")
             .join(e, r["uri"] == e["src"])
-            .groupBy(F.col("dst").alias("curi"))
-            .agg(F.sum(F.lit(0.85) * F.col("r") / F.col("d")).alias("cr"))
+            .groupBy(F.col("dst").alias("uri"))
+            .agg(F.sum(F.lit(0.85) * F.col("r") / F.col("d")).alias("r"))
         )
-        tele = seed.select(
-            F.col("s").alias("turi"), F.lit(0.15).alias("tp")
-        )
+        tele = seed.select(F.col("s").alias("uri"), F.lit(0.15).alias("r"))
         return (
-            contrib.join(
-                F.broadcast(tele),
-                contrib["curi"] == tele["turi"],
-                "full_outer",
-            )
-            .select(
-                F.coalesce("curi", "turi").alias("uri"),
-                (
-                    F.coalesce("cr", F.lit(0.0))
-                    + F.coalesce("tp", F.lit(0.0))
-                ).alias("r"),
+            contrib.unionByName(tele).groupBy("uri").agg(
+                F.sum("r").alias("r")
             )
         )
 

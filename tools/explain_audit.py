@@ -561,6 +561,30 @@ def main() -> None:
         prfm,
     )
 
+    # 30. kg_ppr's frontier must attach by BROADCAST (the sparse rank
+    # relation is the small side each round — a shuffled join would
+    # move the edge list per iteration); kg_entity_card's top-3 must
+    # plan as a grouped window limit (rank pushdown), not a global
+    # sort.
+    # (the doc-keyed SELF-join building the co-occurrence pairs
+    # legitimately sort-merges — it's big-big — and is replicated per
+    # unrolled round; the PPR-specific property is that the rank
+    # frontier attaches by broadcast and nothing degenerates to a
+    # cartesian product)
+    pppr = plan_of(QUERIES["kg_ppr"](spark, SF))
+    ppr_bcast = len(re.findall(r"BroadcastHashJoin", pppr))
+    ppr_cart = "CartesianProduct" in pppr or "BroadcastNestedLoop" in pppr
+    pcard = plan_of(QUERIES["kg_entity_card"](spark, SF))
+    card_wgl = "WindowGroupLimit" in pcard
+    check(
+        "ppr frontier broadcast per round; entity-card grouped top-k",
+        ppr_bcast >= 2 and not ppr_cart and card_wgl,
+        f"kg_ppr: {ppr_bcast} BroadcastHashJoin (want >=2), "
+        f"cartesian/BNLJ={ppr_cart} (want False); kg_entity_card: "
+        f"WindowGroupLimit={card_wgl}",
+        pppr,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
