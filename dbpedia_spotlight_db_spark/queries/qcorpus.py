@@ -375,18 +375,23 @@ def doc_tfidf_topterms(spark, sf):
     cheap topic signal used for corpus clustering and faceting.
     Ranking happens on the ROUNDED score (both engines), so row
     selection can never hinge on a last-ulp ln() difference; ties
-    break on token text. Scale shape: tf/df as in bm25_search (df is
-    vocab-sized, broadcasts); the per-doc top-3 is a row_number
-    window partitioned by doc_id — Spark's WindowGroupLimit pushes
-    the limit before the full sort materializes, and the partition
-    key is the doc, so there is no skew (docs have bounded vocab)."""
+    break on token text. Scale shape: df is vocab-sized so it is NOT
+    hint-broadcast (contrast bm25_search, whose df is filtered to the
+    query's handful of terms BEFORE its hint) — billions of distinct
+    web tokens make a forced broadcast an executor-OOM, while
+    unhinted, AQE broadcasts when df actually fits and otherwise
+    sort-merge-joins on tk. The 1-row doc count stays hinted. The
+    per-doc top-3 is a row_number window partitioned by doc_id —
+    Spark's WindowGroupLimit pushes the limit before the full sort
+    materializes, and the partition key is the doc, so there is no
+    skew (docs have bounded vocab)."""
     d = t(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
     tf = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
     n = d.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "tk")
+        tf.join(df, "tk")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

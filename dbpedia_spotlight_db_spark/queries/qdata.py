@@ -1201,10 +1201,15 @@ def text_unigram_lm(spark, sf):
     training-data filtering (gibberish and boilerplate-stuffed docs
     sit in the tails). Scale shape: the vocabulary count is a
     map-side-combinable agg; the per-token log-prob dimension is
-    vocabulary-sized and BROADCASTS back onto the exploded corpus
-    (never a corpus-vs-corpus shuffle); the per-doc mean partial-aggs
-    before its shuffle. Token definition = whitespace split, matching
-    text_stopword_ratio's twin exactly."""
+    vocabulary-sized so it is NOT hint-broadcast — on 100 TB of web
+    text distinct whitespace tokens (URLs, hashes, typos) run to
+    billions, and a forced broadcast of a corpus-cardinality relation
+    OOMs executors instead of spilling (r2's survivors lesson). AQE
+    broadcasts the join at runtime when the table actually fits; at
+    web scale it degrades to a sort-merge join on tk, which is the
+    correct plan there. Only the 1-row total stays hinted. The per-doc
+    mean partial-aggs before its shuffle. Token definition =
+    whitespace split, matching text_stopword_ratio's twin exactly."""
     d = t(spark, sf, "documents")
     tok = d.select(
         "doc_id",
@@ -1218,7 +1223,7 @@ def text_unigram_lm(spark, sf):
         "tk", (-F.log(F.col("c") / F.col("n"))).alias("nll_tk")
     )
     return (
-        tok.join(F.broadcast(logp), "tk")
+        tok.join(logp, "tk")
         .groupBy("doc_id")
         .agg(F.round(F.avg("nll_tk"), 6).alias("nll"))
     )

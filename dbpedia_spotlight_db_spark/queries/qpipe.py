@@ -1316,6 +1316,16 @@ def pyds_nt_source(spark, sf_dir):
     )
 
 
+# per-round frontier cap for kg_ppr: sparse PPR's bound on how many
+# (uri, rank) rows survive each power-iteration round. Without it, a
+# hub seed whose 1-hop ball is graph-sized makes the broadcast frontier
+# unbounded (r3 VERDICT "What's wrong" #3). Selection ranks on the
+# ROUNDED rank (round-6 — the cross-engine float-parity unit) with a
+# uri tie-break, so the kept set is a total order both engines agree
+# on; the rank values that flow into the next round stay full-precision
+# per the kg_pagerank parity precedent.
+PPR_FRONTIER_K = 1000
+
 @q(
     "kg_ppr",
     f"""
@@ -1331,19 +1341,23 @@ def pyds_nt_source(spark, sf_dir):
            JOIN deg ON deg.src = r0.uri
            JOIN e ON e.src = r0.uri
            GROUP BY e.dst),
-    r1 AS (SELECT uri, SUM(r) AS r FROM (
+    r1u AS (SELECT uri, SUM(r) AS r FROM (
              SELECT uri, r FROM c1
              UNION ALL SELECT s, CAST(0.15 AS DOUBLE) FROM seed) u
            GROUP BY uri),
+    r1 AS (SELECT uri, r FROM r1u
+           ORDER BY round(r, 6) DESC, uri LIMIT {PPR_FRONTIER_K}),
     c2 AS (SELECT e.dst AS uri, SUM(0.85 * r1.r / deg.d) AS r
            FROM r1
            JOIN deg ON deg.src = r1.uri
            JOIN e ON e.src = r1.uri
            GROUP BY e.dst),
-    r2 AS (SELECT uri, SUM(r) AS r FROM (
+    r2u AS (SELECT uri, SUM(r) AS r FROM (
              SELECT uri, r FROM c2
              UNION ALL SELECT s, CAST(0.15 AS DOUBLE) FROM seed) u
-           GROUP BY uri)
+           GROUP BY uri),
+    r2 AS (SELECT uri, r FROM r2u
+           ORDER BY round(r, 6) DESC, uri LIMIT {PPR_FRONTIER_K})
     SELECT uri, round(r, 6) AS ppr FROM r2
     """,
 )
@@ -1353,19 +1367,32 @@ def kg_ppr(spark, sf_dir):
     lexicographic minimum — deterministic) — the related-to-THIS-
     entity salience behind entity-centric recommendation panels,
     versus kg_pagerank's global salience. The rank vector stays
-    SPARSE (only the seed's 2-hop ball is ever materialized — at web
-    scale that is the whole point: a PPR query touches a
-    neighborhood, not the graph); each round is a broadcast of the
-    |frontier|-sized rank relation joined to the edge list plus a
+    SPARSE and BOUNDED: each round ends with a top-PPR_FRONTIER_K
+    truncation by contribution (standard sparse-PPR practice) so a
+    hub seed whose neighborhood is graph-sized can never grow the
+    broadcast frontier past K rows — Spark plans the cap as
+    TakeOrderedAndProject (per-partition partial top-k, no global
+    sort, no single-partition window). Each round is a broadcast of
+    the <=K-row rank relation joined to the edge list plus a
     map-side-combinable sum, with the teleport row folded in by
     UNION ALL + re-aggregate — NOT a full-outer join, which Spark
     cannot broadcast (it planned a SortMergeJoin of a 1-row
     relation); the union'd sum has at most two operands per key, and
     two-operand fp addition is commutative, so engine parity holds.
-    Float parity otherwise follows the kg_pagerank precedent:
-    identical expression shapes on both engines, one round-6 at the
-    end."""
+    The truncation ranks on round-6 values with a uri tie-break
+    (total order, engine-stable — the doc_tfidf_topterms trick);
+    full-precision ranks flow into the next round per the
+    kg_pagerank parity precedent."""
     e = _undirected_edges(spark, sf_dir)
+    r2 = _ppr_two_rounds(e, k=PPR_FRONTIER_K)
+    return r2.select("uri", F.round("r", 6).alias("ppr"))
+
+
+def _ppr_two_rounds(e, k):
+    """2 unrolled sparse-PPR rounds over an undirected edge list
+    (src, dst), teleporting to the lexicographic-min source, with the
+    frontier truncated to the top-k ranks after every round (see
+    kg_ppr's docstring for the parity and plan-shape contract)."""
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     seed = e.agg(F.min("src").alias("s"))
 
@@ -1379,12 +1406,12 @@ def kg_ppr(spark, sf_dir):
             .agg(F.sum(F.lit(0.85) * F.col("r") / F.col("d")).alias("r"))
         )
         tele = seed.select(F.col("s").alias("uri"), F.lit(0.15).alias("r"))
-        return (
-            contrib.unionByName(tele).groupBy("uri").agg(
-                F.sum("r").alias("r")
-            )
+        summed = contrib.unionByName(tele).groupBy("uri").agg(
+            F.sum("r").alias("r")
         )
+        return summed.orderBy(
+            F.round("r", 6).desc(), "uri"
+        ).limit(k)
 
     r0 = seed.select(F.col("s").alias("uri"), F.lit(1.0).alias("r"))
-    r2 = ppr_round(ppr_round(r0))
-    return r2.select("uri", F.round("r", 6).alias("ppr"))
+    return ppr_round(ppr_round(r0))

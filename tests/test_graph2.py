@@ -74,3 +74,38 @@ def test_ppr_mass_conservation_and_seed_dominance(spark):
     ).collect()[0][0]
     top = got.sort_values("ppr", ascending=False).iloc[0]
     assert top["uri"] == seed
+
+
+def test_ppr_frontier_cap_bounds_hub_seed(spark):
+    """A hub seed whose 1-hop ball exceeds the frontier cap: the rank
+    relation after each round (and thus the result) must hold at most
+    k rows, and truncation must keep the HIGHEST-contribution nodes —
+    the bounded-broadcast invariant that makes sparse PPR safe when
+    the seed is a celebrity entity at web scale."""
+    k = 5
+    hub = "a_hub"  # lexicographic min -> the seed
+    spokes = [f"s{i:02d}" for i in range(20)]
+    rows = [(hub, s) for s in spokes] + [(s, hub) for s in spokes]
+    # one spoke also gets a heavy clique so contributions differ
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    got = qpipe._ppr_two_rounds(e, k=k).toPandas()
+    assert len(got) <= k
+    # the seed re-enters via teleport + spoke back-edges and must
+    # dominate; spokes are symmetric so the tie-break picks the
+    # lexicographically smallest k-1 of them
+    top = got.sort_values("r", ascending=False).iloc[0]
+    assert top["uri"] == hub
+    kept_spokes = sorted(u for u in got["uri"] if u != hub)
+    assert kept_spokes == sorted(spokes)[: k - 1]
+
+
+def test_ppr_uncapped_fixture_unchanged_by_cap(spark):
+    """At fixture scale the frontier never reaches PPR_FRONTIER_K, so
+    the capped query must equal the uncapped computation exactly —
+    the cap is a bound, not a semantics change."""
+    e = qpipe._undirected_edges(spark, SF)
+    capped = qpipe._ppr_two_rounds(e, k=qpipe.PPR_FRONTIER_K).toPandas()
+    huge = qpipe._ppr_two_rounds(e, k=10**9).toPandas()
+    a = capped.sort_values("uri").reset_index(drop=True)
+    b = huge.sort_values("uri").reset_index(drop=True)
+    assert a.equals(b)

@@ -585,6 +585,36 @@ def main() -> None:
         pppr,
     )
 
+    # 31. the vocabulary joins in text_unigram_lm / doc_tfidf_topterms
+    # are UNHINTED (r3 VERDICT "What's wrong" #2): the per-token
+    # relation is corpus-cardinality on web text (billions of distinct
+    # tokens), so a forced F.broadcast there OOMs executors. Probe: with
+    # auto-broadcast disabled, an unhinted tk-join MUST plan as a
+    # shuffle equi-join — a leftover hint would still force
+    # BroadcastHashJoin at threshold -1 and fail this check. The 1-row
+    # scalar totals keep their hints (provably bounded; they surface as
+    # BroadcastNestedLoopJoin on the crossJoin, which we ignore).
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_lm = plan_of(QUERIES["text_unigram_lm"](spark, SF))
+        p_tf = plan_of(QUERIES["doc_tfidf_topterms"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    lm_bhj = len(re.findall(r"BroadcastHashJoin", p_lm))
+    lm_shuffle = ("SortMergeJoin" in p_lm) or ("ShuffledHashJoin" in p_lm)
+    tf_bhj = len(re.findall(r"BroadcastHashJoin", p_tf))
+    tf_shuffle = ("SortMergeJoin" in p_tf) or ("ShuffledHashJoin" in p_tf)
+    check(
+        "vocabulary joins are unhinted (unigram_lm, tfidf_topterms)",
+        lm_bhj == 0 and lm_shuffle and tf_bhj == 0 and tf_shuffle,
+        f"unigram_lm: {lm_bhj} BroadcastHashJoin (want 0), shuffle "
+        f"equi-join={lm_shuffle}; tfidf: {tf_bhj} BroadcastHashJoin "
+        f"(want 0), shuffle equi-join={tf_shuffle} — at threshold -1 "
+        "only a forced hint could broadcast the vocab side",
+        p_lm,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
