@@ -173,6 +173,53 @@ def udf_arrow(spark, sf):
     )
 
 
+@q(
+    "udtf_ngrams",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr
+                 FROM documents),
+    g AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
+          FROM tok)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           array_to_string(arr[i:i+2], ' ') AS ngram
+    FROM g
+    """,
+)
+def udtf_ngrams(spark, sf):
+    """Python UDTF face (Spark 4 ``F.udtf``) — the one Python
+    execution API the engine didn't exercise (scalar / grouped /
+    arrow / cogrouped / map_iter all have faces): a user-defined
+    TABLE function exploding each document into its word trigrams,
+    invoked through a correlated LATERAL join so every input row
+    fans out to a variable number of output rows inside the UDTF
+    runtime. The relational twin is the array-slice unnest, so a
+    green hash proves the UDTF's row-expansion contract end to end.
+    Token definition = split on single space, matching DuckDB's
+    string_split (consecutive spaces yield empty tokens on BOTH
+    sides). Scale shape: the UDTF is a map-side Generate — zero
+    shuffle, one pruned scan of (doc_id, text); n-gram work
+    distributes with the documents partitioning."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, ngram: string")
+    class NGrams:
+        def eval(self, text):
+            if text is None:
+                return
+            toks = text.split(" ")
+            for i in range(len(toks) - 2):
+                yield i, " ".join(toks[i : i + 3])
+
+    spark.udtf.register("ngrams3", NGrams)
+    t(spark, sf, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, g.pos, g.ngram "
+        "FROM udtf_docs d, LATERAL ngrams3(d.text) g"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
