@@ -338,3 +338,63 @@ def scan_prune_stats(spark, sf):
         F.date_format("mx", "yyyy-MM-dd").alias("max_ship"),
         (~((F.col("mx") < lo) | (F.col("mn") >= hi))).alias("scanned"),
     )
+
+
+@q(
+    "merge_scd2",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS us,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events),
+    chg AS (SELECT user_id, event_id, state, us FROM c
+            WHERE prev_state IS NULL OR state <> prev_state),
+    v AS (SELECT user_id, state, us AS valid_from_us,
+                 LEAD(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS valid_to_us
+          FROM chg)
+    SELECT user_id, state, valid_from_us, valid_to_us,
+           (valid_to_us IS NULL) AS is_current
+    FROM v
+    """,
+)
+def merge_scd2(spark, sf):
+    """Type-2 slowly-changing-dimension build from a changelog: the
+    per-user event stream collapses to state-CHANGE rows (LAG-based
+    change detection drops consecutive duplicates — the no-op-update
+    suppression real SCD-2 merges need), then each change opens a
+    validity interval closed by the next change (LEAD), with the open
+    interval flagged is_current — the standard dimension-table
+    maintenance op a lakehouse runs on every upstream snapshot. Plan
+    shape: both windows share the user_id partitioning, so Catalyst
+    plans ONE Exchange and two Window operators over it (the
+    change-detect filter sits between them); no join against the
+    previous dimension state — the full rebuild form is the
+    oracle-checkable face, while the incremental form is
+    stream_upsert's foreachBatch MERGE. Validity bounds exit as
+    exact epoch-microsecond integers (no timestamp-format parity
+    surface; the NTZ→TIMESTAMP cast under the UTC-pinned session
+    timezone is the identity, matching DuckDB's naive epoch_us);
+    ordering is the total (ts, event_id) so intervals are
+    engine-stable."""
+    e = t(spark, sf, "events")
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = e.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.lag("event_type").over(w1).alias("prev_state"),
+    )
+    chg = c.filter(
+        F.col("prev_state").isNull()
+        | (F.col("state") != F.col("prev_state"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return chg.select(
+        "user_id",
+        "state",
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w2).alias("valid_to_us"),
+    ).withColumn("is_current", F.col("valid_to_us").isNull())

@@ -751,13 +751,10 @@ def kg_shortest_path(spark, sf_dir):
     return lv.groupBy("uri").agg(F.min("dist").cast("int").alias("dist"))
 
 
-@q(
-    "kg_labelprop",
-    f"""
-    WITH {_GRAMS_SQL},
-    {_DOCENT_SQL},
-    {_PAIRS_SQL},
-    {_UEDGES_SQL},
+# Shared 2-round min-label-propagation CTE (over nodes `de` and
+# undirected edges `e`) — used by kg_labelprop and kg_modularity so
+# both faces see the identical community assignment.
+_LPA_SQL = """
     nodes AS (SELECT DISTINCT uri FROM de),
     l1 AS (SELECT n.uri,
                   LEAST(n.uri, COALESCE(MIN(e.dst), n.uri)) AS lbl
@@ -769,6 +766,41 @@ def kg_shortest_path(spark, sf_dir):
            LEFT JOIN e ON e.src = a.uri
            LEFT JOIN l1 m ON m.uri = e.dst
            GROUP BY a.uri, a.lbl)
+"""
+
+
+def _lpa_two_rounds(e, nodes):
+    """Synchronous min-label propagation, 2 unrolled rounds, over an
+    undirected edge list (src, dst) — the Spark twin of ``_LPA_SQL``.
+    Returns df(uri, community)."""
+    lbl = nodes.withColumn("lbl", F.col("uri"))
+    for _ in range(2):
+        nb = (
+            e.join(
+                lbl.select(F.col("uri").alias("dst"), F.col("lbl").alias("nlbl")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("uri"))
+            .agg(F.min("nlbl").alias("nmin"))
+        )
+        lbl = (
+            lbl.join(nb, "uri", "left")
+            .select(
+                "uri",
+                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
+            )
+        )
+    return lbl.select("uri", F.col("lbl").alias("community"))
+
+
+@q(
+    "kg_labelprop",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    {_LPA_SQL}
     SELECT uri, community FROM l2
     """,
 )
@@ -788,24 +820,7 @@ def kg_labelprop(spark, sf_dir):
     operator's remedy at fixpoint scale."""
     e = _undirected_edges(spark, sf_dir)
     nodes = _doc_entities(spark, sf_dir).select("uri").distinct()
-    lbl = nodes.withColumn("lbl", F.col("uri"))
-    for _ in range(2):
-        nb = (
-            e.join(
-                lbl.select(F.col("uri").alias("dst"), F.col("lbl").alias("nlbl")),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("uri"))
-            .agg(F.min("nlbl").alias("nmin"))
-        )
-        lbl = (
-            lbl.join(nb, "uri", "left")
-            .select(
-                "uri",
-                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
-            )
-        )
-    return lbl.select("uri", F.col("lbl").alias("community"))
+    return _lpa_two_rounds(e, nodes)
 
 
 _NT_PREFIX = "http://dbpedia.org/resource/"
@@ -1415,3 +1430,235 @@ def _ppr_two_rounds(e, k):
 
     r0 = seed.select(F.col("s").alias("uri"), F.lit(1.0).alias("r"))
     return ppr_round(ppr_round(r0))
+
+
+@q(
+    "kg_adamic_adar",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    w AS (SELECT e1.src AS ua, e2.src AS ub, e1.dst AS z
+          FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src),
+    nw AS (SELECT w.ua, w.ub, w.z FROM w
+           WHERE NOT EXISTS (SELECT 1 FROM p
+                             WHERE p.uri_a = w.ua AND p.uri_b = w.ub)),
+    s AS (SELECT nw.ua, nw.ub, COUNT(*) AS n_common,
+                 SUM(CAST(round(1000000.0 / ln(deg.d), 0) AS BIGINT)) AS aa_us
+          FROM nw JOIN deg ON deg.src = nw.z
+          GROUP BY nw.ua, nw.ub)
+    SELECT ua AS uri_a, ub AS uri_b, CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(aa_us AS DOUBLE) / 1000000.0, 6) AS aa_score
+    FROM s
+    """,
+)
+def kg_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the co-occurrence graph:
+    for every NON-adjacent entity pair with at least one common
+    neighbor, AA(a,b) = sum over common neighbors z of 1/ln(deg(z)) —
+    the classic missing-link score that weights rare shared neighbors
+    above hubs (the KG-completion counterpart to kg_node_sim, which
+    refines pairs that are already edges). The wedge self-join keyed
+    on the shared neighbor generates candidates; existing edges drop
+    out via an UNHINTED anti-join (the survivors precedent — the pair
+    relation is O(|E|) and must stay shuffle-joinable at web scale);
+    the degree relation attaches by broadcast (|V|-sized marginals).
+    A wedge center always has degree >= 2, so ln(d) > 0 — no
+    divide-by-zero surface even under ANSI. Engine parity: each term
+    is quantized to integer MICROS (round(1e6/ln d) as BIGINT) before
+    the SUM, so the aggregate is an order-independent exact integer
+    sum on both engines (the kg_assortativity exact-moments trick) —
+    no float-summation-order hazard. Scale shape: wedge fan-out is
+    quadratic in hub degree; at corpus scale the edge list is
+    degree-capped before the wedge join exactly like dedup_jaccard's
+    df-cap (operators/dedup.py:201) — dropping hub-mediated wedges is
+    the standard AA approximation since hub terms contribute least."""
+    e = _undirected_edges(spark, sf_dir)
+    p = _entity_pairs(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    w = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            (F.col("e1.dst") == F.col("e2.dst"))
+            & (F.col("e1.src") < F.col("e2.src")),
+        )
+        .select(
+            F.col("e1.src").alias("uri_a"),
+            F.col("e2.src").alias("uri_b"),
+            F.col("e1.dst").alias("z"),
+        )
+    )
+    nw = w.join(p, ["uri_a", "uri_b"], "left_anti")
+    term_us = F.round(F.lit(1000000.0) / F.log(F.col("d")), 0).cast("long")
+    return (
+        nw.join(F.broadcast(deg.withColumnRenamed("src", "z")), "z")
+        .groupBy("uri_a", "uri_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(term_us).alias("aa_us"),
+        )
+        .select(
+            "uri_a",
+            "uri_b",
+            "n_common",
+            F.round(F.col("aa_us").cast("double") / 1000000.0, 6).alias(
+                "aa_score"
+            ),
+        )
+    )
+
+
+@q(
+    "kg_kcore",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    d0 AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    k0 AS (SELECT src FROM d0 WHERE d >= 2),
+    e1 AS (SELECT e.src, e.dst FROM e
+           WHERE e.src IN (SELECT src FROM k0)
+             AND e.dst IN (SELECT src FROM k0)),
+    d1 AS (SELECT src, COUNT(*) AS d FROM e1 GROUP BY src),
+    k1 AS (SELECT src FROM d1 WHERE d >= 2),
+    e2 AS (SELECT e1.src, e1.dst FROM e1
+           WHERE e1.src IN (SELECT src FROM k1)
+             AND e1.dst IN (SELECT src FROM k1)),
+    d2 AS (SELECT src, COUNT(*) AS d FROM e2 GROUP BY src)
+    SELECT src AS uri, CAST(d AS BIGINT) AS core_deg FROM d2
+    """,
+)
+def kg_kcore(spark, sf_dir):
+    """2-core decomposition, 2 unrolled peeling rounds: repeatedly
+    drop nodes of degree < 2 and recompute degrees on the induced
+    subgraph — the graph-sparsification step that strips pendant
+    entities (one-document tails) off the co-occurrence graph before
+    expensive community/centrality passes, keeping only the cohesive
+    core. Each round is one map-side-combinable degree count plus two
+    LEFT SEMI joins of the edge list against the |V|-sized keep set
+    (unhinted — AQE broadcasts the keep set when it fits, shuffles
+    when a web-scale core doesn't); unrolling 2 rounds keeps the
+    DuckDB twin plain SQL per the kg_labelprop / embed_kmeans
+    iterative-algorithm precedent, and at fixpoint scale the loop
+    inherits the same convergence remedy as the CC operator. Output
+    is the surviving nodes with their residual degree — exact
+    integers, no parity hazard."""
+    e = _undirected_edges(spark, sf_dir)
+
+    def peel(edges):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= 2).select("src")
+        return edges.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+
+    e2 = peel(peel(e))
+    return e2.groupBy(F.col("src").alias("uri")).agg(
+        F.count(F.lit(1)).alias("core_deg")
+    )
+
+
+@q(
+    "kg_modularity",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    {_LPA_SQL},
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    m AS (SELECT COUNT(*) AS m FROM p),
+    ie AS (SELECT la.community AS community, COUNT(*) AS internal
+           FROM p
+           JOIN l2 la ON la.uri = p.uri_a
+           JOIN l2 lb ON lb.uri = p.uri_b AND lb.community = la.community
+           GROUP BY la.community),
+    ds AS (SELECT l2.community, COUNT(*) AS n_nodes,
+                  SUM(COALESCE(deg.d, 0)) AS degree_sum
+           FROM l2 LEFT JOIN deg ON deg.src = l2.uri
+           GROUP BY l2.community)
+    SELECT ds.community, CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+           CAST(COALESCE(ie.internal, 0) AS BIGINT) AS internal_edges,
+           CAST(ds.degree_sum AS BIGINT) AS degree_sum,
+           CASE WHEN m.m = 0 THEN NULL
+                ELSE round(CAST(COALESCE(ie.internal, 0) AS DOUBLE) / m.m
+                           - (CAST(ds.degree_sum AS DOUBLE) / (2 * m.m))
+                             * (CAST(ds.degree_sum AS DOUBLE) / (2 * m.m)),
+                           6)
+           END AS q_contrib
+    FROM ds LEFT JOIN ie ON ie.community = ds.community
+    CROSS JOIN m
+    """,
+)
+def kg_modularity(spark, sf_dir):
+    """Newman modularity report for the kg_labelprop communities:
+    per community c, Q_c = e_c/m - (d_c/2m)^2 where e_c = internal
+    edge count, d_c = degree sum, m = total undirected edges — the
+    quality gate on community detection (sum(Q_c) is the graph's
+    modularity; a partition worth keeping scores well above the
+    random-graph null this formula subtracts). Reuses the exact
+    2-round LPA assignment via the shared _LPA_SQL / _lpa_two_rounds
+    pair so the two faces can never drift. Plan shape: communities
+    and degrees are |V|-sized relations joined to the O(|E|) pair
+    list, then everything collapses to an O(#communities) report;
+    the one-row edge total attaches by broadcast cross join. Engine
+    parity: counts and degree sums are exact integers; the two
+    divisions and one multiply happen in the IDENTICAL order on both
+    engines (drift_chi2 precedent), round 6. The m = 0 guard
+    (all-singleton communities, zero edges) short-circuits to NULL —
+    Spark ANSI throws DIVIDE_BY_ZERO where DuckDB yields inf, the
+    kg_assortativity degenerate-input precedent."""
+    e = _undirected_edges(spark, sf_dir)
+    p = _entity_pairs(spark, sf_dir)
+    nodes = _doc_entities(spark, sf_dir).select("uri").distinct()
+    comm = _lpa_two_rounds(e, nodes)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    m = p.agg(F.count(F.lit(1)).alias("m"))
+    ie = (
+        p.join(
+            comm.select(F.col("uri").alias("uri_a"), "community"), "uri_a"
+        )
+        .join(
+            comm.select(
+                F.col("uri").alias("uri_b"),
+                F.col("community").alias("community_b"),
+            ),
+            "uri_b",
+        )
+        .filter(F.col("community") == F.col("community_b"))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("internal"))
+    )
+    ds = (
+        comm.join(deg, comm["uri"] == deg["src"], "left")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce("d", F.lit(0))).alias("degree_sum"),
+        )
+    )
+    internal = F.coalesce("internal", F.lit(0)).cast("double")
+    half_ratio = F.col("degree_sum").cast("double") / (2 * F.col("m"))
+    return (
+        ds.join(ie, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("internal", F.lit(0)).cast("long").alias(
+                "internal_edges"
+            ),
+            "degree_sum",
+            F.when(F.col("m") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    internal / F.col("m") - half_ratio * half_ratio, 6
+                )
+            )
+            .alias("q_contrib"),
+        )
+    )

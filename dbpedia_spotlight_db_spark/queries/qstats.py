@@ -983,3 +983,77 @@ def stat_regression(spark, sf):
         (F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6) + z)
         .alias("r2"),
     )
+
+
+@q(
+    "events_attribution",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_us
+      FROM events)
+    SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+           CASE WHEN last_click_us IS NOT NULL
+                     AND us - last_click_us <= 604800000000
+                THEN last_click_us END AS click_us,
+           COALESCE(last_click_us IS NOT NULL
+                    AND us - last_click_us <= 604800000000,
+                    FALSE) AS attributed,
+           CASE WHEN last_click_us IS NOT NULL
+                     AND us - last_click_us <= 604800000000
+                THEN CAST((us - last_click_us) // 1000000 AS BIGINT)
+           END AS lag_s
+    FROM o WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution(spark, sf):
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent PRIOR click within a 7-day lookback, the
+    join-free form of the conversion-attribution query every
+    behavioral warehouse runs. One window per user — MAX over a
+    CASE-gated click timestamp with a ROWS UNBOUNDED PRECEDING..1
+    PRECEDING frame — so the plan is a single Exchange on user_id
+    plus one running-max Window; no self-join of purchases against
+    clicks (which would shuffle the event log twice and skew on hot
+    users). Ordering is (ts, event_id) — a total order, so the frame
+    is engine-stable. All times exit as exact epoch MICROSECOND
+    integers (no timestamp-formatting parity surface); the lag uses
+    integer division (`DIV` ≡ DuckDB `//`, the retention_cohorts
+    lesson); unix_micros needs the NTZ column cast to TIMESTAMP,
+    which is the identity because the session timezone is pinned UTC
+    (session.py) — same instant DuckDB's naive epoch_us sees. Scale
+    shape: map-only after the one per-user exchange;
+    the 7-day gate keeps state bounded in the streaming analogue."""
+    e = t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    o = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("us"),
+        F.max(
+            F.when(F.col("event_type") == "click", us)
+        ).over(w).alias("last_click_us"),
+    )
+    in_win = F.col("last_click_us").isNotNull() & (
+        F.col("us") - F.col("last_click_us") <= F.lit(604800000000)
+    )
+    return o.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("us").alias("purchase_us"),
+        F.when(in_win, F.col("last_click_us")).alias("click_us"),
+        F.coalesce(in_win, F.lit(False)).alias("attributed"),
+        F.when(
+            in_win,
+            F.expr("(us - last_click_us) DIV 1000000"),
+        ).alias("lag_s"),
+    )
