@@ -1310,9 +1310,19 @@ def url_normalize(spark, sf):
     column expressions end-to-end: codegen'd, scan-pushed, zero
     shuffle."""
     d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id", _normalize_url(_messy_url_expr()).alias("url_norm")
+    )
+
+
+def _messy_url_expr():
+    """Spark twin of ``_MESSY_URL_SQL`` — the deterministic messy-URL
+    fixture keyed on doc_id (branches 2 and 3 are CONSTANT urls, so
+    they alias across documents — the duplicate signal dedup_url
+    exercises)."""
     m = F.col("doc_id") % 4
     sid = F.col("doc_id").cast("string")
-    url = (
+    return (
         F.when(
             m == 0,
             F.concat(
@@ -1334,7 +1344,38 @@ def url_normalize(spark, sf):
             F.lit("https://sub.example.com/c/d///?a=1&utm_campaign=x&ref=tw")
         )
     )
-    return d.select("doc_id", _normalize_url(url).alias("url_norm"))
+
+
+@q(
+    "dedup_url",
+    f"""
+    WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+    n AS (SELECT doc_id, {_normalize_url_sql('url')} AS url_norm FROM u)
+    SELECT url_norm, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper
+    FROM n GROUP BY url_norm
+    """,
+)
+def dedup_url(spark, sf):
+    """URL-canonical exact dedup — the FIRST dedup pass a crawl
+    corpus runs, before any content hashing: normalize each page's
+    URL (url_normalize's rewrite) and collapse to one row per
+    canonical URL with the deterministic min-doc_id keeper — recrawls
+    and tracking-param aliases of the same page (the fixture's
+    constant branches) fold together without touching page text.
+    Plan shape: map-only key rewrite + one map-side-combinable
+    min/count agg keyed on the canonical URL — cheaper than
+    dedup_exact by the full text-hash cost, which is why real
+    pipelines run it first. Exact integers and strings only."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select("doc_id", _normalize_url(_messy_url_expr()).alias("url_norm"))
+        .groupBy("url_norm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1437,4 +1478,69 @@ def text_token_bpe(spark, sf):
         "doc_id",
         F.regexp_count("text", F.lit(_BPE_RE)).cast("int").alias("n_bpe"),
         token_count_col(F.col("text")).cast("int").alias("n_ws"),
+    )
+
+
+@q(
+    "text_unigram_lm_pruned",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+      FROM documents),
+    cnt AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
+    tot AS (SELECT SUM(c) AS n FROM cnt),
+    kept AS (SELECT tk, c FROM cnt WHERE c >= 3),
+    oov AS (SELECT COALESCE(SUM(c), 0) AS oc FROM cnt WHERE c < 3)
+    SELECT tok.doc_id,
+           round(AVG(-ln(CAST(COALESCE(kept.c, oov.oc) AS DOUBLE)
+                         / tot.n)), 6) AS nll
+    FROM tok LEFT JOIN kept ON tok.tk = kept.tk
+    CROSS JOIN tot CROSS JOIN oov
+    GROUP BY tok.doc_id
+    """,
+)
+def text_unigram_lm_pruned(spark, sf):
+    """Unigram LM scoring with a document-frequency FLOOR and
+    OOV smoothing — the scale-safe variant of text_unigram_lm
+    (VERDICT r3 #2's suggested completion): tokens seen fewer than
+    3 times collapse into one shared UNK bucket carrying their
+    aggregate probability mass, so the log-prob dimension is the
+    PRUNED vocabulary (heavy-tail URLs/hashes/typos — the billions
+    of web-scale singletons — never materialize as join keys), while
+    every document still scores every token (unseen -> p_unk, never
+    ln(0): a token below the floor always contributes positive mass
+    to the UNK bucket). Same whitespace tokenization, same unhinted
+    vocabulary join (AQE broadcasts iff it fits — audit #31's
+    no-forced-broadcast rule), same AVG(-ln p) parity surface as the
+    unpruned face; the UNK mass and token total attach as hinted
+    1-row broadcasts."""
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tk"),
+    )
+    cnt = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("double").alias("n"))
+    kept = cnt.filter(F.col("c") >= 3)
+    oov = cnt.filter(F.col("c") < 3).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("oc")
+    )
+    return (
+        tok.join(kept, "tk", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(oov))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log(
+                        F.coalesce("c", "oc").cast("double") / F.col("n")
+                    )
+                ),
+                6,
+            ).alias("nll")
+        )
     )

@@ -398,3 +398,70 @@ def merge_scd2(spark, sf):
         F.col("us").alias("valid_from_us"),
         F.lead("us").over(w2).alias("valid_to_us"),
     ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+def _z_interleave(x: str, y: str, bits: int, spark_dialect: bool) -> str:
+    """Bit-interleave expression text for a 2-column z-order key —
+    x's bit i lands at position 2i, y's at 2i+1. The disjoint shifted
+    bits are combined with +, which equals OR here. Emitted in both
+    dialects (Spark SQL spells shifts as shiftleft/shiftright
+    functions; DuckDB as << / >>); all ops are exact integer bitwise
+    math, so the twins agree bit-for-bit."""
+    terms = []
+    for i in range(bits):
+        if spark_dialect:
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@q(
+    "zorder_plan",
+    f"""
+    WITH b AS (
+      SELECT l_partkey & 255 AS px, l_suppkey & 255 AS py
+      FROM lineitem),
+    z AS (SELECT px, py,
+                 {_z_interleave('px', 'py', 8, False)} AS zval
+          FROM b)
+    SELECT CAST(zval >> 10 AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(px) AS BIGINT) AS min_px,
+           CAST(MAX(px) AS BIGINT) AS max_px,
+           CAST(MIN(py) AS BIGINT) AS min_py,
+           CAST(MAX(py) AS BIGINT) AS max_py
+    FROM z GROUP BY zval >> 10
+    """,
+)
+def zorder_plan(spark, sf):
+    """Z-order clustering plan: interleave the low 8 bits of two
+    scan dimensions into one 16-bit Morton key and report, per
+    64-row-group bucket (zval >> 10), the min/max RANGE OF BOTH
+    dimensions — the report that justifies a lakehouse OPTIMIZE
+    ZORDER BY (l_partkey, l_suppkey): every bucket bounds BOTH
+    columns (each covers a 32x64 tile of the key space), so zone-map
+    skipping prunes on either predicate, which single-column sort
+    order cannot do. The key computation is map-only exact integer
+    bit math (shared expression generator emits both dialects); the
+    report is one map-side-combinable agg over ~64 groups. Scale
+    shape: at 100 TB the same key feeds a repartitionByRange write —
+    this face is the planning/verification report, and it touches
+    only the two key columns (column-pruned scan)."""
+    li = t(spark, sf, "lineitem").selectExpr(
+        "l_partkey & 255 AS px", "l_suppkey & 255 AS py"
+    )
+    z = li.selectExpr(
+        "px", "py", _z_interleave("px", "py", 8, True) + " AS zval"
+    )
+    return z.groupBy(
+        F.expr("shiftright(zval, 10)").cast("long").alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("px").cast("long").alias("min_px"),
+        F.max("px").cast("long").alias("max_px"),
+        F.min("py").cast("long").alias("min_py"),
+        F.max("py").cast("long").alias("max_py"),
+    )

@@ -1662,3 +1662,78 @@ def kg_modularity(spark, sf_dir):
             .alias("q_contrib"),
         )
     )
+
+
+@q(
+    "kg_truss",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    sup1 AS (SELECT pp.uri_a, pp.uri_b, COUNT(*) AS s
+             FROM p pp
+             JOIN e e1 ON e1.src = pp.uri_a
+             JOIN e e2 ON e2.src = pp.uri_b AND e2.dst = e1.dst
+             GROUP BY pp.uri_a, pp.uri_b),
+    p1 AS (SELECT uri_a, uri_b FROM sup1 WHERE s >= 1),
+    e1s AS (SELECT uri_a AS src, uri_b AS dst FROM p1
+            UNION ALL SELECT uri_b, uri_a FROM p1),
+    sup2 AS (SELECT pp.uri_a, pp.uri_b, COUNT(*) AS s
+             FROM p1 pp
+             JOIN e1s e1 ON e1.src = pp.uri_a
+             JOIN e1s e2 ON e2.src = pp.uri_b AND e2.dst = e1.dst
+             GROUP BY pp.uri_a, pp.uri_b)
+    SELECT uri_a, uri_b, CAST(s AS BIGINT) AS support
+    FROM sup2 WHERE s >= 1
+    """,
+)
+def kg_truss(spark, sf_dir):
+    """3-truss edge filter, 2 unrolled peeling rounds: keep only
+    edges supported by at least one triangle, recompute support on
+    the induced subgraph, filter again — the EDGE-level counterpart
+    of kg_kcore's node peeling, and the standard cohesion filter
+    that strips coincidental co-occurrence edges (two entities that
+    shared one document but no third witness) before community or
+    relatedness passes. Per round, edge support = common-neighbor
+    count via the same wedge join as kg_node_sim, keyed on the
+    shared endpoint; support and filter are map-side-combinable agg
+    + filter, and the subgraph induction is a projection of the
+    surviving pair list (no node-side state at all). Unrolling keeps
+    the DuckDB twin plain SQL (kg_labelprop precedent); exact
+    integer supports, no parity surface. Scale shape: wedge fan-out
+    is hub-degree-quadratic and inherits dedup_jaccard's df-cap
+    remedy at corpus scale; each round's joins are unhinted
+    shuffle joins on node keys."""
+    p = _entity_pairs(spark, sf_dir)
+
+    def edges_of(pairs):
+        return pairs.select(
+            F.col("uri_a").alias("src"), F.col("uri_b").alias("dst")
+        ).unionByName(
+            pairs.select(
+                F.col("uri_b").alias("src"), F.col("uri_a").alias("dst")
+            )
+        )
+
+    def support(pairs):
+        e = edges_of(pairs)
+        return (
+            pairs.join(
+                e.alias("e1"), pairs["uri_a"] == F.col("e1.src")
+            )
+            .join(
+                e.alias("e2"),
+                (pairs["uri_b"] == F.col("e2.src"))
+                & (F.col("e2.dst") == F.col("e1.dst")),
+            )
+            .groupBy("uri_a", "uri_b")
+            .agg(F.count(F.lit(1)).alias("s"))
+        )
+
+    p1 = support(p).filter(F.col("s") >= 1).select("uri_a", "uri_b")
+    return (
+        support(p1)
+        .filter(F.col("s") >= 1)
+        .select("uri_a", "uri_b", F.col("s").alias("support"))
+    )

@@ -615,6 +615,88 @@ def main() -> None:
         p_lm,
     )
 
+    # 32. kg_adamic_adar (r4): the existing-edge anti-join must be
+    # UNHINTED — the pair relation is O(|E|) on a web KG, the same
+    # footgun class as survivors (#9). The lineage legitimately
+    # carries many hints (the bounded spotting-dictionary broadcast
+    # appears in every subtree), so a whole-plan hint count proves
+    # nothing; probe like #31 instead: at autoBroadcast threshold -1
+    # the anti-join must plan as a SHUFFLE LeftAnti — only a forced
+    # hint could still make it a BroadcastHashJoin LeftAnti.
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_aa = plan_of(QUERIES["kg_adamic_adar"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    aa_anti_shuffle = bool(
+        re.search(r"(SortMergeJoin|ShuffledHashJoin)[^\n]*LeftAnti", p_aa)
+    )
+    aa_anti_bcast = bool(
+        re.search(r"Broadcast\w*Join[^\n]*LeftAnti", p_aa)
+    )
+    aa_cart = "CartesianProduct" in p_aa
+    check(
+        "adamic-adar: anti-join unhinted (shuffle LeftAnti at thr -1)",
+        aa_anti_shuffle and not aa_anti_bcast and not aa_cart,
+        f"shuffle LeftAnti={aa_anti_shuffle} (want True), broadcast "
+        f"LeftAnti={aa_anti_bcast} (want False), cartesian={aa_cart} "
+        "(want False)",
+        p_aa,
+    )
+
+    # 33. merge_scd2 (r4): both windows (LAG change-detect, LEAD
+    # validity close) must share ONE user_id Exchange — a second
+    # shuffle would double the corpus movement for no reason; and
+    # events_attribution must be join-free (one Exchange, one Window,
+    # zero joins — the running-max window replaces a
+    # purchases-x-clicks self-join).
+    p_scd = plan_of(QUERIES["merge_scd2"](spark, SF))
+    scd_exch = len(re.findall(r"\(\d+\) Exchange", p_scd))
+    scd_win = len(re.findall(r"\(\d+\) Window", p_scd))
+    p_att = plan_of(QUERIES["events_attribution"](spark, SF))
+    att_exch = len(re.findall(r"\(\d+\) Exchange", p_att))
+    att_join = ("Join" in p_att) or ("CartesianProduct" in p_att)
+    check(
+        "scd2 shares one exchange across both windows; attribution join-free",
+        scd_exch == 1 and scd_win == 2 and att_exch == 1 and not att_join,
+        f"merge_scd2: {scd_exch} Exchange (want 1), {scd_win} Window "
+        f"(want 2); events_attribution: {att_exch} Exchange (want 1), "
+        f"join={att_join} (want False)",
+        p_scd,
+    )
+
+    # 34. zorder_plan (r4): the Morton-key computation is map-only
+    # bit math — the plan must be scan -> project -> two-phase agg
+    # (partial HashAggregate BEFORE the single Exchange), and the
+    # scan must prune to exactly the two key columns.
+    p_z = plan_of(QUERIES["zorder_plan"](spark, SF))
+    z_exch = len(re.findall(r"\(\d+\) Exchange", p_z))
+    m = re.search(r"ReadSchema: ([^\n]*)", p_z)
+    z_schema = m.group(1) if m else ""
+    z_cols_ok = (
+        "l_partkey" in z_schema
+        and "l_suppkey" in z_schema
+        and "l_orderkey" not in z_schema
+        and "l_extendedprice" not in z_schema
+    )
+    # node ids grow input->output, so a partial agg BEFORE the shuffle
+    # means min(HashAggregate id) < Exchange id (the printed tree is
+    # output-first, so text order proves nothing — CLAUDE.md lesson)
+    agg_ids = [int(i) for i in re.findall(r"\((\d+)\) HashAggregate", p_z)]
+    exch_ids = [int(i) for i in re.findall(r"\((\d+)\) Exchange", p_z)]
+    z_partial_first = bool(agg_ids and exch_ids) and min(agg_ids) < min(
+        exch_ids
+    )
+    check(
+        "zorder key is map-only; agg two-phase; scan pruned to key cols",
+        z_exch == 1 and z_cols_ok and z_partial_first,
+        f"{z_exch} Exchange (want 1), ReadSchema={z_schema[:80]} "
+        f"(want only the two key columns), partial-agg-before-shuffle="
+        f"{z_partial_first}",
+        p_z,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
