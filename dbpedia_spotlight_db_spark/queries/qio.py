@@ -155,3 +155,95 @@ def json_roundtrip(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+@q(
+    "xml_roundtrip",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(len(text)) AS BIGINT) AS sum_len
+    FROM documents GROUP BY lang
+    """,
+)
+def xml_roundtrip(spark, sf):
+    """documents -> native XML sink (Spark 4's built-in xml data
+    source, one <doc> element per row) -> explicit-schema XML read ->
+    aggregate; the twin aggregates the parquet original. XML is the
+    interchange format where FREE TEXT breaks naive writers — &, <,
+    >, quotes and newlines inside the text column must entity-escape
+    out and decode back — which is exactly what hash equality over
+    sum(len(text)) proves. Same discipline as the other roundtrips:
+    explicit schema on the read (inference is a second corpus scan),
+    splittable multi-file layout, per-call unique tmpfs sink."""
+    d = _sink_dir(spark, "xml")
+    (
+        t(spark, sf, "documents")
+        .write.mode("overwrite")
+        .option("rowTag", "doc")
+        .format("xml")
+        .save(d)
+    )
+    back = (
+        spark.read.option("rowTag", "doc")
+        # the XML reader TRIMS text nodes by default — lossy for
+        # free text with leading/trailing whitespace; disable it
+        .option("ignoreSurroundingSpaces", "false")
+        .schema(_DOCS_DDL)
+        .format("xml")
+        .load(d)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.length("text")).cast("long").alias("sum_len"),
+    )
+
+
+@q(
+    "text_roundtrip",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS sum_len
+    FROM documents GROUP BY lang
+    """,
+)
+def text_roundtrip(spark, sf):
+    """documents -> line-oriented text sink -> spark.read.text ->
+    parse -> aggregate: the lowest-common-denominator interchange
+    (log shippers, queue dumps) where the ONLY row delimiter is the
+    newline, so free text must be ARMORED before it rides a line —
+    each row serializes as `lang \\t hex(text)`. Hex, NOT base64:
+    Spark's base64 is RFC 2045 (MIME) and inserts a CRLF every 76
+    chars, which shatters long documents into extra lines (measured:
+    5 langs exploded into 2275 "langs" on this fixture); hex never
+    emits a delimiter byte. The read side is the plain
+    text source (one string column), split + unhex'd back; the
+    twin aggregates the parquet original, so hash equality proves
+    the armor is lossless, embedded newlines included. Map-only both
+    directions; the text source splits on HDFS block boundaries
+    exactly like any line format, so the path scales as parquet
+    does (minus columnar pruning — which is why this is the
+    interchange face, not the storage format)."""
+    d = _sink_dir(spark, "txt")
+    (
+        t(spark, sf, "documents")
+        .select(
+            F.concat_ws(
+                "\t", F.col("lang"), F.hex(F.encode("text", "UTF-8"))
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(d)
+    )
+    back = spark.read.text(d).select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1)).alias("lang"),
+        F.decode(
+            F.unhex(F.split_part(F.col("value"), F.lit("\t"), F.lit(2))),
+            "UTF-8",
+        ).alias("text"),
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_len"),
+    )

@@ -1057,3 +1057,50 @@ def events_attribution(spark, sf):
             F.expr("(us - last_click_us) DIV 1000000"),
         ).alias("lag_s"),
     )
+
+
+@q(
+    "events_paths",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events),
+    p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
+          FROM s WHERE e3 IS NOT NULL),
+    c AS (SELECT path, COUNT(*) AS n FROM p GROUP BY path)
+    SELECT path, CAST(n AS BIGINT) AS n
+    FROM c ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def events_paths(spark, sf):
+    """Path analysis: the 20 most common 3-step behavioral sequences
+    across all users — the navigation-mining query behind funnel
+    DISCOVERY (events_funnel checks a known sequence; this one finds
+    which sequences exist). Per-user LEAD windows build the sliding
+    trigram of consecutive event types (one Exchange on user_id, two
+    LEADs over the same window spec -> a single Window operator),
+    then a map-side-combinable count over the tiny path vocabulary
+    (|event_types|^3 keys) and a deterministic top-20
+    (TakeOrderedAndProject — per-partition partial top-k, no global
+    sort; ties broken by path for engine-stable output). Ordering is
+    the total (ts, event_id), so every trigram is engine-identical."""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    c = (
+        s.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return c.orderBy(F.col("n").desc(), "path").limit(20)
