@@ -348,8 +348,123 @@ def leg_mode(cores: int, replicate: int) -> None:
     )
 
 
+def leg_stores_mode(cores: int, replicate: int) -> None:
+    """Shuffle-path scaling leg: P0 store build (A1-A6 salted
+    aggregations + dense-id windows + vector assembly) over a
+    replicated annotated corpus — the exchange-heavy complement of
+    leg_mode's map-only annotate pass, so the N->4N evidence covers
+    BOTH plan families the north rule cares about. Same protocol:
+    input prep, corpus derivation, and JIT warm-up untimed; the timed
+    section is build_stores + forcing all seven store tables."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_db_spark.entrypoint import (
+        derive_corpus,
+        replicate_docs,
+    )
+    from dbpedia_spotlight_db_spark.plans.build_stores import build_stores
+    from dbpedia_spotlight_db_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        f"bench-stores-{cores}",
+        cores=cores,
+        shuffle_partitions=max(128, cores * 4),
+        extra_conf={
+            "spark.executor.memory": "5g",
+            "spark.executorEnv.PYTHONPATH": str(REPO),
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            # a broadcast's CHILD is the corpus-scale salted agg here:
+            # on the N-core leg at large replicates it legitimately
+            # exceeds the 300 s default build timeout (the relation
+            # itself stays vocab-sized — it's the upstream that is slow)
+            "spark.sql.broadcastTimeout": "3600",
+        },
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # INPUT PREP (untimed): derive the annotated corpus ONCE at base
+    # scale (spotting/candidate assignment is leg_mode's pipeline —
+    # already measured), replicate it with unique doc_ids (the count
+    # distributions replicate exactly, preserving the Zipf skew the
+    # salted aggs exist for), and land it in columnar storage — the
+    # store-build job reads a corpus table, it does not synthesize it.
+    scratch = tempfile.mkdtemp(prefix="bench_stores_", dir="/dev/shm")
+    corpus_path = os.path.join(scratch, "corpus")
+    corpus0 = derive_corpus(spark, docs)  # persisted inside
+    replicate_docs(corpus0, replicate).write.mode("overwrite").parquet(
+        corpus_path
+    )
+    spark.catalog.clearCache()
+    corpus = spark.read.parquet(corpus_path)
+    n_docs = corpus.count()
+
+    def _force_stores(c) -> int:
+        # force the store tables in DEPENDENCY WAVES, concurrent within
+        # a wave: stores in the same wave share only eagerly
+        # checkpointed FILES (occ / tokenized), so concurrent actions
+        # read, never recompute; a later wave's stores join the
+        # previous wave's now-cached tables. Forcing all seven at once
+        # instead races Spark's persist machinery — a not-yet-cached
+        # shared subtree gets recomputed by every concurrent job that
+        # needs it, and the duplication grows with the slot count
+        # (measured: the 32-core leg burned ~5x the 8-core leg's
+        # core-seconds, inverting the scaling curve).
+        stores = build_stores(spark, c, checkpoint=True)
+        from concurrent.futures import ThreadPoolExecutor
+
+        waves = [
+            ["entities", "surface_forms", "tokens"],
+            ["candidate_map", "context_counts"],
+            ["icf", "entity_vectors"],
+        ]
+        total = 0
+        for wave in waves:
+            dfs = [stores[k] for k in wave]
+            with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
+                total += sum(ex.map(lambda d: d.count(), dfs))
+        return total
+
+    # WARM (untimed): spawn workers + JIT the full store-build plan on
+    # a 1/16 hash slice, then drop its caches
+    _force_stores(corpus.filter(F.col("doc_id") % 16 == 0))
+    spark.catalog.clearCache()
+
+    sampler = _CpuSampler()
+    gc0 = _jvm_gc_ms(spark)
+    sampler.start()
+    t0 = time.perf_counter()
+    n_rows = _force_stores(corpus)
+    sec = time.perf_counter() - t0
+    busy = sampler.stop()
+    gc_ms = _jvm_gc_ms(spark) - gc0 if gc0 >= 0 else -1
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "job": "build_stores",
+                "cores": cores,
+                "replicate": replicate,
+                "docs": n_docs,
+                "triples": n_rows,  # total store rows (schema-shared key)
+                "sec": round(sec, 3),
+                "docs_per_sec": round(n_docs / sec, 2),
+                "triples_per_sec": round(n_rows / sec, 2),
+                "cpu_busy_frac": busy,
+                "jvm_gc_ms": gc_ms,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--leg":
         leg_mode(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--leg-stores":
+        leg_stores_mode(int(sys.argv[2]), int(sys.argv[3]))
     else:
         headline_mode()

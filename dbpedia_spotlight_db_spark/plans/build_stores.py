@@ -52,13 +52,26 @@ def build_stores(
     instance_types: DataFrame | None = None,
     salt_n: int = 32,
     max_sf_tokens: int | None = None,
+    checkpoint: bool = False,
 ) -> dict[str, DataFrame]:
     """wiki_corpus(doc_id, text, links[, tokens]) -> the six store
     tables. Cache ownership: the returned store tables (and their
     intermediates) stay persisted for the session — P0 runs once per
     model build and everything downstream reuses them; a
     memory-constrained caller building several store sets should
-    spark.catalog.clearCache() between builds."""
+    spark.catalog.clearCache() between builds.
+
+    ``checkpoint=True`` is the CORPUS-SCALE regime (jobs/build_stores
+    and the stores scaling leg pass it): the two corpus-proportional
+    intermediates — the exploded occurrence relation and a
+    freshly-tokenized corpus — go through parquet_checkpoint instead
+    of .persist(). At multi-M rows the deserialized cache is a GC
+    storm (CLAUDE.md lesson; measured on the 1.2M-doc stores leg:
+    21 s GC, 32-core busy 0.78, superlinear wall), while the tmpfs
+    parquet round trip stays linear. The default keeps .persist():
+    the fixture-scale model build is latency-bound and benefits from
+    lazy plans overlapping its thread-pooled collects (a checkpoint
+    is an EAGER action and would serialize them)."""
     occ = wiki_corpus.select(
         "doc_id", F.explode("links").alias("l")
     ).select(
@@ -71,7 +84,12 @@ def build_stores(
         F.lower("l.surface_form").alias("surface_form"),
         F.col("l.uri"),
     )
-    occ = occ.persist()
+    if checkpoint:
+        from ..operators.dedup import parquet_checkpoint
+
+        occ = parquet_checkpoint(occ, "p0_occ")
+    else:
+        occ = occ.persist()
 
     # --- A1: uri counts -> entities -------------------------------------
     uri_counts = salted_count(occ, ["uri"], out="support", salt_n=salt_n)
@@ -120,12 +138,23 @@ def build_stores(
         from pyspark import StorageLevel
 
         if wiki_corpus.storageLevel == StorageLevel.NONE:
-            tokenized = tokenized.persist()
+            if checkpoint:
+                from ..operators.dedup import parquet_checkpoint
+
+                tokenized = parquet_checkpoint(tokenized, "p0_tokenized")
+            else:
+                tokenized = tokenized.persist()
     else:
         tokenized = wiki_corpus.select(
             F.col("doc_id").cast("string").alias("url"),
             tokenize(F.col("text")).alias("tokens"),
-        ).persist()
+        )
+        if checkpoint:
+            from ..operators.dedup import parquet_checkpoint
+
+            tokenized = parquet_checkpoint(tokenized, "p0_tokenized")
+        else:
+            tokenized = tokenized.persist()
     all_spots = spot_ngram_join(
         tokenized, annotated.select("surface_form"), max_len
     )

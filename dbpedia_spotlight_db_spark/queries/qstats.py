@@ -1104,3 +1104,86 @@ def events_paths(spark, sf):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     return c.orderBy(F.col("n").desc(), "path").limit(20)
+
+
+@q(
+    "stat_ttest",
+    """
+    WITH lab AS (
+      SELECT event_type, value,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'a' ELSE 'b' END AS half
+      FROM events),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (WHERE half = 'a') AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE half = 'b') AS BIGINT) AS n_b,
+             AVG(value) FILTER (WHERE half = 'a') AS m_a,
+             AVG(value) FILTER (WHERE half = 'b') AS m_b,
+             var_samp(value) FILTER (WHERE half = 'a') AS v_a,
+             var_samp(value) FILTER (WHERE half = 'b') AS v_b
+      FROM lab GROUP BY event_type)
+    SELECT event_type, n_a, n_b,
+           round(m_a, 6) + 0 AS mean_a, round(m_b, 6) + 0 AS mean_b,
+           CASE WHEN n_a < 2 OR n_b < 2
+                     OR v_a / n_a + v_b / n_b <= 0 THEN NULL
+                ELSE round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) + 0
+           END AS t_welch
+    FROM m
+    """,
+)
+def stat_ttest(spark, sf):
+    """Numeric-drift detector: Welch's two-sample t statistic for the
+    `value` column between two deterministic hash halves of the event
+    log, per event type — the NUMERIC complement of drift_chi2's
+    categorical test (the same machinery compares yesterday's feed to
+    today's; on an A/A split the statistic should be near 0). One
+    map-side-combinable conditional-moment agg over the corpus (six
+    FILTERed aggregates share one buffer pass), |types|-sized output,
+    no second scan. Engine parity: the t expression is written in the
+    IDENTICAL operation order on both engines (drift_chi2 precedent);
+    degenerate inputs short-circuit to NULL — n<2 (Spark var_samp
+    yields NaN where DuckDB yields NULL) and zero pooled variance
+    (ANSI DIVIDE_BY_ZERO vs DuckDB inf), the kg_assortativity
+    degenerate-guard precedent. Round-6 with the +0 IEEE -0.0
+    normalization on means and t."""
+    e = t(spark, sf, "events")
+    half = F.when(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8",
+        "a",
+    ).otherwise("b")
+    is_a, is_b = F.col("half") == "a", F.col("half") == "b"
+    va = F.var_samp(F.when(is_a, F.col("value")))
+    vb = F.var_samp(F.when(is_b, F.col("value")))
+    m = (
+        e.select("event_type", "value", half.alias("half"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
+            F.count(F.when(is_b, 1)).cast("long").alias("n_b"),
+            F.avg(F.when(is_a, F.col("value"))).alias("m_a"),
+            F.avg(F.when(is_b, F.col("value"))).alias("m_b"),
+            va.alias("v_a"),
+            vb.alias("v_b"),
+        )
+    )
+    z = F.lit(0.0)
+    pooled = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    return m.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.round("m_a", 6) + z).alias("mean_a"),
+        (F.round("m_b", 6) + z).alias("mean_b"),
+        F.when(
+            (F.col("n_a") < 2) | (F.col("n_b") < 2) | (pooled <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (F.col("m_a") - F.col("m_b")) / F.sqrt(pooled), 6
+            )
+            + z
+        )
+        .alias("t_welch"),
+    )

@@ -49,7 +49,10 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark("kg-build-stores")
     corpus = spark.read.parquet(args.corpus)
-    stores = build_stores(spark, corpus, salt_n=args.salt_n)
+    # corpus-scale regime: corpus-proportional intermediates go
+    # through parquet_checkpoint, not deserialized cache (GC storm
+    # at multi-M rows — plans/build_stores.py docstring)
+    stores = build_stores(spark, corpus, salt_n=args.salt_n, checkpoint=True)
     for name, key in STORE_BUCKET_KEYS.items():
         catalog.save_bucketed(
             stores[name], name, args.out, key, n_buckets=args.n_buckets

@@ -151,6 +151,42 @@ def test_dedup_url_folds_constant_branches(spark):
     assert set(folded["keeper"]) == {k2, k3}
 
 
+def test_events_paths_counts_match_window_arithmetic(spark):
+    paths = qstats.Q["events_paths"](spark, SF).toPandas()
+    assert 1 <= len(paths) <= 20
+    # every path is exactly three known event types
+    types = {
+        r.event_type
+        for r in t(spark, SF, "events").select("event_type").distinct().collect()
+    }
+    for p in paths["path"]:
+        steps = p.split(">")
+        assert len(steps) == 3 and set(steps) <= types
+    # total trigrams across ALL paths = sum over users of max(n_i-2, 0)
+    from pyspark.sql import Window
+
+    ev = t(spark, SF, "events")
+    per_user = ev.groupBy("user_id").count().toPandas()
+    want_total = int((per_user["count"] - 2).clip(lower=0).sum())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.lead("event_type", 2).over(w).alias("e3")
+    ).filter(F.col("e3").isNotNull())
+    assert s.count() == want_total
+    # top-20 is sorted desc with path tie-break
+    ns = list(paths["n"])
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_ttest_aa_split_is_centered(spark):
+    tt = qstats.Q["stat_ttest"](spark, SF).toPandas()
+    assert (tt["n_a"] + tt["n_b"] > 0).all()
+    # A/A split of the same distribution: |t| should be small
+    finite = tt["t_welch"].dropna()
+    assert len(finite) > 0
+    assert (finite.abs() < 5).all()
+
+
 def test_udtf_ngrams_row_count_matches_token_arithmetic(spark):
     got = qdata.Q["udtf_ngrams"](spark, SF).count()
     docs = t(spark, SF, "documents").select(

@@ -23,7 +23,12 @@ record.
 Writes BENCH_SCALING.json (all rounds + per-level aggregates) —
 bench.py embeds it in its JSON line — and prints the record.
 
-Usage: python tools/bench_scaling.py [replicates=480,1920] [rounds=3]
+Usage: python tools/bench_scaling.py [replicates=480,1920] [rounds=3] [job=annotate|stores]
+
+The `stores` job runs the shuffle-heavy P0 store build (bench.py
+--leg-stores) instead of the map-only annotate pass, and writes
+BENCH_SCALING_STORES.json — evidence that N->4N efficiency holds for
+the exchange path, not just the embarrassingly-parallel one.
 """
 
 from __future__ import annotations
@@ -38,7 +43,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run_leg(cores: int, replicate: int) -> dict:
+def run_leg(cores: int, replicate: int, flag: str = "--leg") -> dict:
     env = dict(os.environ)
     env.pop("SPARK_GRAFT_MASTER", None)
     # pin the whole process tree (driver + executor JVMs + Python
@@ -48,7 +53,7 @@ def run_leg(cores: int, replicate: int) -> dict:
         [
             "taskset", "-c", f"0-{cores - 1}",
             sys.executable, str(REPO / "bench.py"),
-            "--leg", str(cores), str(replicate),
+            flag, str(cores), str(replicate),
         ],
         capture_output=True,
         text=True,
@@ -63,11 +68,11 @@ def run_leg(cores: int, replicate: int) -> dict:
     return json.loads(line)
 
 
-def run_level(replicate: int, rounds: int) -> dict:
+def run_level(replicate: int, rounds: int, flag: str = "--leg") -> dict:
     runs: dict[int, list[dict]] = {8: [], 32: []}
     for i in range(rounds):
         for cores in (8, 32):
-            leg = run_leg(cores, replicate)
+            leg = run_leg(cores, replicate, flag)
             runs[cores].append(leg)
             print(f"replicate {replicate} round {i} local[{cores}]: "
                   f"{leg['sec']}s ({leg['docs_per_sec']} docs/s, "
@@ -105,12 +110,15 @@ def main() -> None:
     arg = sys.argv[1] if len(sys.argv) > 1 else "480,1920"
     replicates = sorted(int(x) for x in arg.split(","))
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    levels = {r: run_level(r, rounds) for r in replicates}
+    job = sys.argv[3] if len(sys.argv) > 3 else "annotate"
+    flag = {"annotate": "--leg", "stores": "--leg-stores"}[job]
+    levels = {r: run_level(r, rounds, flag) for r in replicates}
 
     canonical = levels[replicates[-1]]
     record = {
+        "job": job,
         "protocol": (
-            "same job at local[8] vs local[32], interleaved x"
+            f"{job} job at local[8] vs local[32], interleaved x"
             f"{rounds} per input size, per-level minimum + per-round "
             "median (driver-sanctioned N->4N proxy); canonical "
             "efficiency = LARGEST input (wave-tail quantization at "
@@ -129,7 +137,8 @@ def main() -> None:
         "target": 0.8,
         "pass": canonical["scaling_efficiency"] >= 0.8,
     }
-    (REPO / "BENCH_SCALING.json").write_text(json.dumps(record, indent=2) + "\n")
+    out = "BENCH_SCALING.json" if job == "annotate" else "BENCH_SCALING_STORES.json"
+    (REPO / out).write_text(json.dumps(record, indent=2) + "\n")
     print(json.dumps(record, indent=2))
 
 
