@@ -1,0 +1,983 @@
+"""Wave-21 faces: the remaining engine-API surfaces (correlated
+LATERAL subqueries, bitmap-index aggregation) and the statistics /
+featurization operators a training-data pipeline still lacked —
+two-sample Kolmogorov-Smirnov drift, running distinct-user counts,
+dyadic-decay trailing EWMA, Pareto-frontier (skyline) selection,
+PMI collocation mining, and the hashing-trick featurizer.
+
+Same contract as the sibling query modules: every key is a Spark
+callable plus a DuckDB twin with IDENTICAL column names and values.
+Engine-parity rules inherited from the earlier waves: monetary
+doubles become exact integer cents before any aggregation
+(common.cents); log-scores quantize each term to integer micros
+before comparison (the kg_adamic_adar precedent); any division whose
+denominator can be 0 on a degenerate input is CASE-guarded to NULL
+on BOTH engines (Spark ANSI throws DIVIDE_BY_ZERO where DuckDB
+yields inf — the drift_chi2 precedent); md5 hex is lowercase on both
+engines so hex-prefix arithmetic is portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import t
+
+Q = {}
+O = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        assert name not in Q, f"duplicate query key {name!r}"
+        Q[name] = fn
+        if sql is not None:
+            O[name] = sql
+        return fn
+
+    return deco
+
+
+_EPOCH = "2024-01-01"
+
+
+# ---------------------------------------------------------------------------
+# correlated LATERAL subquery (top-k-per-row via the engine's lateral join)
+# ---------------------------------------------------------------------------
+@q(
+    "join_lateral",
+    """
+    SELECT c.c_custkey, l.o_orderkey, l.price_cents
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+      LIMIT 2
+    ) l
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_lateral(spark, sf):
+    """Correlated LATERAL subquery face (Spark >= 3.2 lateral join):
+    the two most recent orders per BUILDING-segment customer, where
+    the per-customer LIMIT lives INSIDE the lateral subquery instead
+    of a window + filter — the SQL-standard top-k-per-row idiom that
+    ports directly from Postgres/DuckDB. Catalyst decorrelates the
+    lateral into a window-ranked join (same physical family as
+    win_topk), so the declarative form costs nothing over the
+    hand-written window. Determinism: the ORDER BY carries the unique
+    o_orderkey as a tiebreak, so the LIMIT-2 cut is engine-stable;
+    customers with no orders drop out on both engines (inner lateral).
+    Scale shape: one shuffle on the correlation key (o_custkey) and a
+    per-key WindowGroupLimit — never a global sort."""
+    t(spark, sf, "customer").createOrReplaceTempView("lat_cust")
+    t(spark, sf, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.price_cents
+        FROM lat_cust c,
+        LATERAL (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+          LIMIT 2
+        ) l
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# bitmap-index distinct aggregation (exact COUNT DISTINCT without a
+# two-level shuffle of the raw keys)
+# ---------------------------------------------------------------------------
+@q(
+    "agg_bitmap_distinct",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf):
+    """Exact distinct-user counts per event type computed through
+    Spark 3.5's bitmap aggregate family instead of COUNT(DISTINCT):
+    each user_id maps to (bitmap_bucket_number, bitmap_bit_position),
+    a per-(type, bucket) bitmap_construct_agg ORs the positions into
+    a 32768-bit bitmap, and the per-type SUM of bitmap_counts is the
+    exact distinct count. Why it matters at 100 TB: COUNT(DISTINCT)
+    shuffles every raw (type, user_id) pair; the bitmap form
+    map-side-combines into at most |types| x |id-range|/32768 fixed
+    4 KB buffers — the classic bitmap-index rollup, and the partial
+    bitmaps are mergeable across days/partitions for incremental
+    rollups (the same reason warehouses store them). The DuckDB twin
+    is the semantic definition (exact COUNT DISTINCT), so a green
+    hash proves the bitmap path end to end."""
+    e = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    bm = (
+        e.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bk"),
+            F.expr("bitmap_bit_position(user_id)").alias("bp"),
+        )
+        .groupBy("event_type", "bk")
+        .agg(F.expr("bitmap_construct_agg(bp)").alias("bm"))
+    )
+    return bm.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov drift statistic, exact integer ECDFs
+# ---------------------------------------------------------------------------
+@q(
+    "stat_ks",
+    """
+    WITH lab AS (
+      SELECT event_type, value,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS ina
+      FROM events WHERE value IS NOT NULL),
+    n AS (
+      SELECT event_type,
+             CAST(SUM(ina) AS BIGINT) AS n_a,
+             CAST(SUM(1 - ina) AS BIGINT) AS n_b
+      FROM lab GROUP BY event_type),
+    pv AS (
+      SELECT event_type, value,
+             CAST(SUM(ina) AS BIGINT) AS ca,
+             CAST(SUM(1 - ina) AS BIGINT) AS cb
+      FROM lab GROUP BY event_type, value),
+    cum AS (
+      SELECT event_type, value,
+             SUM(ca) OVER (PARTITION BY event_type ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cca,
+             SUM(cb) OVER (PARTITION BY event_type ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS ccb
+      FROM pv),
+    d AS (
+      SELECT c.event_type, MAX(n.n_a) AS n_a, MAX(n.n_b) AS n_b,
+             MAX(ABS(c.cca * n.n_b - c.ccb * n.n_a)) AS d_num
+      FROM cum c JOIN n ON n.event_type = c.event_type
+      GROUP BY c.event_type)
+    SELECT event_type, n_a, n_b, CAST(d_num AS BIGINT) AS d_num,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE round(CAST(d_num AS DOUBLE) / (n_a * n_b), 6) + 0
+           END AS ks_d
+    FROM d
+    """,
+)
+def stat_ks(spark, sf):
+    """Two-sample Kolmogorov-Smirnov drift statistic for `value`
+    between the same deterministic md5 halves stat_ttest uses — the
+    DISTRIBUTION-shape complement of Welch's t (t sees mean shifts;
+    KS sees any ECDF divergence, the standard feed-drift alarm).
+    Exactness: D = max|F_a - F_b| is computed entirely in integers by
+    cross-multiplying the cumulative counts (|cca*n_b - ccb*n_a| over
+    the merged support), so the argmax can never depend on float
+    rounding; only the final normalization divides, rounded to 6 with
+    the +0 -0.0 guard. Degenerate halves (all rows hash to one side)
+    short-circuit to NULL instead of ANSI DIVIDE_BY_ZERO. Scale
+    shape: one corpus agg to the per-(type, value) support, then a
+    window over the support relation — corpus-cardinality rows never
+    enter the window; at web scale the support is first quantized to
+    fixed-width bins (standard KS-on-histogram), which changes
+    resolution, not the machinery."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    ina = F.when(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8", 1
+    ).otherwise(0)
+    lab = e.select("event_type", "value", ina.alias("ina"))
+    n = lab.groupBy("event_type").agg(
+        F.sum("ina").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("ina")).cast("long").alias("n_b"),
+    )
+    pv = lab.groupBy("event_type", "value").agg(
+        F.sum("ina").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("ina")).cast("long").alias("cb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pv.select(
+        "event_type",
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+    )
+    d = (
+        cum.join(n, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("cca") * F.col("n_b") - F.col("ccb") * F.col("n_a"))
+            ).alias("d_num"),
+        )
+    )
+    return d.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.col("d_num").cast("long").alias("d_num"),
+        F.when(
+            (F.col("n_a") == 0) | (F.col("n_b") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("ks_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# running COUNT(DISTINCT) over a window — via the first-occurrence flag
+# ---------------------------------------------------------------------------
+@q(
+    "win_distinct_count",
+    f"""
+    WITH ev AS (
+      SELECT event_type, user_id,
+             CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE)) AS INT)
+               AS day_num
+      FROM events WHERE user_id IS NOT NULL),
+    fd AS (SELECT event_type, user_id, MIN(day_num) AS fday
+           FROM ev GROUP BY 1, 2),
+    nu AS (SELECT event_type, fday AS day_num, COUNT(*) AS n_new
+           FROM fd GROUP BY 1, 2),
+    days AS (SELECT DISTINCT event_type, day_num FROM ev),
+    j AS (SELECT d.event_type, d.day_num,
+                 COALESCE(n.n_new, 0) AS n_new
+          FROM days d LEFT JOIN nu n
+            ON n.event_type = d.event_type AND n.day_num = d.day_num)
+    SELECT event_type, day_num, CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day_num
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_users
+    FROM j
+    """,
+)
+def win_distinct_count(spark, sf):
+    """Running distinct-user count per event type by day — the
+    cumulative-audience curve. Neither engine supports
+    COUNT(DISTINCT) OVER a running frame, and the naive emulation
+    (per-day distinct over an ever-growing frame) is O(n^2); the
+    standard reduction is the FIRST-OCCURRENCE flag: a user
+    contributes to the running distinct count exactly once, on their
+    first active day, so cum_distinct(day) = running SUM of per-day
+    first-appearance counts. One agg collapses (type, user) to the
+    first day, one agg counts arrivals per day, and a rows-frame
+    running sum over the |types x days| relation finishes — the
+    corpus is scanned once and the window input is calendar-sized,
+    never corpus-sized. Days with activity but no new users appear
+    with n_new = 0 so the curve is dense on active days."""
+    e = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    ev = e.select(
+        "event_type",
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit(_EPOCH)).cast("int").alias(
+            "day_num"
+        ),
+    )
+    fd = ev.groupBy("event_type", "user_id").agg(
+        F.min("day_num").alias("fday")
+    )
+    nu = fd.groupBy("event_type", F.col("fday").alias("day_num")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    days = ev.select("event_type", "day_num").distinct()
+    j = days.join(nu, ["event_type", "day_num"], "left").select(
+        "event_type",
+        "day_num",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "day_num",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# trailing dyadic-decay EWMA — exact because the weights are powers of 2
+# ---------------------------------------------------------------------------
+@q(
+    "events_ewma",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE)) AS INT)
+               AS day_num,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS v_cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    w AS (
+      SELECT a.event_type, a.day_num,
+             SUM(b.v_cents *
+                 CAST(pow(2, 13 - (a.day_num - b.day_num)) AS BIGINT))
+               AS ewma_w
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type
+       AND b.day_num BETWEEN a.day_num - 13 AND a.day_num
+      GROUP BY 1, 2)
+    SELECT event_type, day_num, CAST(ewma_w AS BIGINT) AS ewma_w,
+           round(CAST(ewma_w AS DOUBLE) / 819200.0, 6) + 0 AS ewma
+    FROM w
+    """,
+)
+def events_ewma(spark, sf):
+    """Trailing exponentially-decaying moving average of daily
+    revenue per event type (half-life = 1 day, 14-day horizon) — the
+    recency-weighted health metric behind alerting and trend lines.
+    Exactness trick: with decay 1/2 the weight of the day `lag` steps
+    back is 2^(13-lag) / 2^13, so the weighted sum over the trailing
+    frame is an exact BIGINT (integer cents x power-of-two weights) —
+    no float accumulation order can differ between engines; the
+    single final division by 819200 (2^13 weight scale x 100 cents)
+    is one exact-integer-to-double op, rounded to 6. A weighted
+    window frame doesn't exist in either engine, so the frame is a
+    self-join of the DAILY aggregate against a 14-day band — the
+    corpus collapses to |types x days| first, and the banded
+    self-join fans each row out at most 14x (a calendar-sized
+    relation, broadcast-joinable at any corpus scale). True
+    infinite-horizon EWMA at scale runs as the sessionize-style
+    stateful streaming fold; the bounded-horizon batch form here is
+    the backfill/repair path."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit(_EPOCH)).cast("int").alias(
+            "day_num"
+        ),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_cents"))
+    a, b = daily.alias("a"), daily.alias("b")
+    wgt = F.pow(
+        F.lit(2.0), F.lit(13) - (F.col("a.day_num") - F.col("b.day_num"))
+    ).cast("long")
+    w = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day_num") >= F.col("a.day_num") - 13)
+            & (F.col("b.day_num") <= F.col("a.day_num")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), F.col("a.day_num").alias("day_num"))
+        .agg(F.sum(F.col("b.v_cents") * wgt).alias("ewma_w"))
+    )
+    return w.select(
+        "event_type",
+        "day_num",
+        F.col("ewma_w").cast("long").alias("ewma_w"),
+        (F.round(F.col("ewma_w").cast("double") / 819200.0, 6) + F.lit(0.0)).alias(
+            "ewma"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) — maximize size, minimize price
+# ---------------------------------------------------------------------------
+@q(
+    "pareto_front",
+    """
+    WITH pp AS (
+      SELECT p_partkey, p_size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part),
+    ps AS (SELECT p_size, MIN(price_cents) AS mp FROM pp GROUP BY p_size),
+    fr AS (
+      SELECT p_size, mp,
+             MIN(mp) OVER (ORDER BY p_size DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS mlt
+      FROM ps)
+    SELECT pp.p_partkey, pp.p_size, pp.price_cents
+    FROM pp JOIN fr ON fr.p_size = pp.p_size
+    WHERE pp.price_cents = fr.mp
+      AND (fr.mlt IS NULL OR pp.price_cents < fr.mlt)
+    """,
+)
+def pareto_front(spark, sf):
+    """Pareto frontier (skyline) over parts — maximize p_size,
+    minimize retail price: the multi-objective selection primitive
+    (in an LLM-data pipeline the same query picks quality-vs-cost
+    non-dominated corpus slices; here it runs on the catalog table
+    the fixture provides). A part survives iff no other part has
+    size >= AND price <= with one strict. Instead of the O(n^2)
+    dominance self-join, the frontier reduces to per-size marginals:
+    a part is non-dominated iff it has the MIN price at its own size
+    AND beats the best (MIN) price among all strictly larger sizes —
+    computed with one group-by to the |distinct sizes| relation and
+    one running-MIN window over it (sizes ordered DESC, frame ends at
+    1 PRECEDING = strictly larger). Scale shape: the corpus is
+    scanned once into a size-cardinality aggregate; the window runs
+    on dozens of rows; the verdict joins back by size (broadcastable
+    at any scale). Ties: equally-priced parts at the same frontier
+    size don't dominate each other and are all kept — both engines
+    agree because membership tests exact integer cents."""
+    pp = t(spark, sf, "part").select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    ps = pp.groupBy("p_size").agg(F.min("price_cents").alias("mp"))
+    w = (
+        Window.orderBy(F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fr = ps.select("p_size", "mp", F.min("mp").over(w).alias("mlt"))
+    return (
+        pp.join(fr, "p_size")
+        .filter(
+            (F.col("price_cents") == F.col("mp"))
+            & (F.col("mlt").isNull() | (F.col("price_cents") < F.col("mlt")))
+        )
+        .select("p_partkey", "p_size", "price_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining over the corpus bigrams
+# ---------------------------------------------------------------------------
+@q(
+    "text_collocations",
+    """
+    WITH tok AS (
+      SELECT string_split(text, ' ') AS arr FROM documents),
+    g AS (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
+          FROM tok WHERE len(arr) >= 2),
+    bg AS (SELECT arr[i] AS w1, arr[i + 1] AS w2 FROM g
+           WHERE arr[i] <> '' AND arr[i + 1] <> ''),
+    cb AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+    u AS (SELECT tk, COUNT(*) AS cu
+          FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents)
+          WHERE tk <> '' GROUP BY tk),
+    n AS (SELECT COUNT(*) AS nb FROM bg),
+    sc AS (
+      SELECT cb.w1, cb.w2, cb.c_xy,
+             CAST(round(1000000.0 * ln(
+                    (CAST(cb.c_xy AS DOUBLE) * n.nb) /
+                    (CAST(u1.cu AS DOUBLE) * u2.cu)), 0) AS BIGINT) AS pmi_us
+      FROM cb
+      JOIN u u1 ON u1.tk = cb.w1
+      JOIN u u2 ON u2.tk = cb.w2
+      CROSS JOIN n
+      WHERE cb.c_xy >= 3)
+    SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+           round(CAST(pmi_us AS DOUBLE) / 1000000.0, 6) AS pmi
+    FROM sc
+    ORDER BY pmi_us DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_collocations(spark, sf):
+    """PMI collocation mining: the 20 strongest word bigrams by
+    pointwise mutual information, PMI = ln(c_xy * N / (c_x * c_y)),
+    with a count floor of 3 — the classic phrase detector used to
+    build tokenizer merge lists and multi-word dictionary entries
+    (the spotting dictionary's surface forms are exactly such
+    collocations). Engine parity: PMI's argument is an exact rational
+    of BIGINT counts evaluated in the identical operation order, and
+    the single ln is quantized to integer MICROS before ranking (the
+    kg_adamic_adar precedent), so the top-20 cut and tiebreak
+    (pmi_us, then bigram text) are engine-stable. Scale shape:
+    bigrams explode map-side from the token array (zero shuffle until
+    the count agg); both count relations are vocab-cardinality
+    aggregates; the marginal attach joins the bigram counts to the
+    unigram relation twice by token (shuffle-joinable; AQE broadcasts
+    the head when a df floor keeps it small); TakeOrderedAndProject
+    computes the global top-20 without a full sort."""
+    d = t(spark, sf, "documents")
+    arr = d.select(F.split("text", " ").alias("arr")).filter(
+        F.size("arr") >= 2
+    )
+    bg = arr.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(arr) - 2),"
+                " i -> struct(arr[i] AS w1, arr[i + 1] AS w2))"
+            )
+        ).alias("s")
+    ).select("s.w1", "s.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    u = (
+        d.select(F.explode(F.split("text", " ")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    n = bg.agg(F.count(F.lit(1)).alias("nb"))
+    pmi_us = F.round(
+        F.lit(1000000.0)
+        * F.log(
+            (F.col("c_xy").cast("double") * F.col("nb"))
+            / (F.col("cu1").cast("double") * F.col("cu2"))
+        ),
+        0,
+    ).cast("long")
+    sc = (
+        cb.filter(F.col("c_xy") >= 3)
+        .join(u.select(F.col("tk").alias("w1"), F.col("cu").alias("cu1")), "w1")
+        .join(u.select(F.col("tk").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .crossJoin(n)
+        .select("w1", "w2", "c_xy", pmi_us.alias("pmi_us"))
+    )
+    return (
+        sc.orderBy(F.desc("pmi_us"), "w1", "w2")
+        .limit(20)
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.round(F.col("pmi_us").cast("double") / 1000000.0, 6).alias(
+                "pmi"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick featurizer: token -> md5-prefix bucket, counted per doc
+# ---------------------------------------------------------------------------
+_HASH_DIM = 64
+
+
+@q(
+    "feat_hashing",
+    f"""
+    WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM s),
+    f AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(tk), 1, 8))::UBIGINT % {_HASH_DIM}
+                      AS INT) AS bucket
+          FROM tok WHERE tk <> '')
+    SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM f GROUP BY doc_id, bucket
+    """,
+)
+def feat_hashing(spark, sf):
+    """Hashing-trick featurizer (Weinberger et al.): each token maps
+    to one of 64 feature buckets via its md5-hex prefix, and
+    per-(doc, bucket) counts form the fixed-width sparse feature
+    vector — the memory-bounded vectorizer used when the vocabulary
+    is unbounded (exactly the 100-TB web-text case: no vocab build,
+    no dictionary broadcast, any executor can featurize any shard
+    statelessly). The bucket function is md5-based, not the engines'
+    native hash(), because md5 is the one hash both engines (and any
+    future engine) compute identically — the sample_hash/mix_domains
+    portability precedent; Spark turns the 8-hex-digit prefix into an
+    integer with conv(,16,10), DuckDB with the 0x-prefix cast, both
+    exact at 32 bits. Map-only until the (doc, bucket) count agg —
+    zero joins, zero windows. The doc_id % 101 sample keeps the
+    oracle-compared output fixture-sized; the transform itself is
+    per-row and sample-free at scale."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") % 101 == 0)
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tk")
+    ).filter(F.col("tk") != "")
+    bucket = (
+        F.pmod(
+            F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("long"),
+            F.lit(_HASH_DIM),
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    return (
+        tok.select("doc_id", bucket)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U — rank-sum with tie-averaged ranks, exact integers
+# ---------------------------------------------------------------------------
+@q(
+    "stat_mannwhitney",
+    """
+    WITH lab AS (
+      SELECT event_type, value,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS ina
+      FROM events WHERE value IS NOT NULL),
+    pv AS (
+      SELECT event_type, value,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(ina) AS BIGINT) AS ca
+      FROM lab GROUP BY event_type, value),
+    rk AS (
+      SELECT event_type, value, cnt, ca,
+             COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cprev
+      FROM pv),
+    s AS (
+      SELECT event_type,
+             SUM(ca) AS n_a, SUM(cnt - ca) AS n_b,
+             SUM(ca * (2 * cprev + cnt + 1)) AS r2a
+      FROM rk GROUP BY event_type)
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                ELSE round(CAST(r2a - n_a * (n_a + 1) AS DOUBLE) /
+                           (2.0 * n_a * n_b), 6) + 0
+           END AS auc
+    FROM s
+    """,
+)
+def stat_mannwhitney(spark, sf):
+    """Mann-Whitney U (rank-sum) between the stat_ttest hash halves,
+    per event type — the nonparametric location test that completes
+    the drift family (t = mean shift, KS = any shape change, U =
+    stochastic dominance; U/(n_a*n_b) is also exactly the AUC of
+    'value separates the halves'). Exactness: tie-averaged ranks are
+    half-integers, so everything is carried as DOUBLED ranks — for a
+    tie group of size cnt starting after cprev items, the doubled
+    average rank is the exact integer 2*cprev + cnt + 1 — making
+    R2a (doubled rank sum of half A) and u2 = 2*U order-independent
+    BIGINT aggregates on both engines; only the final AUC
+    normalization divides, NULL-guarded against a degenerate
+    single-sided split (ANSI DIVIDE_BY_ZERO). Scale shape: identical
+    to stat_ks — one corpus agg to the per-(type, value) support,
+    one window over the support relation, one vocab-sized agg."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    ina = F.when(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8", 1
+    ).otherwise(0)
+    lab = e.select("event_type", "value", ina.alias("ina"))
+    pv = lab.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("ina").cast("long").alias("ca"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = pv.select(
+        "event_type",
+        "cnt",
+        "ca",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cprev"),
+    )
+    s = rk.groupBy("event_type").agg(
+        F.sum("ca").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("ca")).alias("n_b"),
+        F.sum(
+            F.col("ca") * (F.lit(2) * F.col("cprev") + F.col("cnt") + 1)
+        ).alias("r2a"),
+    )
+    u2 = F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)
+    return s.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        u2.cast("long").alias("u2"),
+        F.when(
+            (F.col("n_a") == 0) | (F.col("n_b") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                u2.cast("double") / (F.lit(2.0) * F.col("n_a") * F.col("n_b")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — digits taken from the exact integer cents
+# ---------------------------------------------------------------------------
+@q(
+    "stat_benford",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL AND value > 0),
+    d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM v WHERE cents > 0),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    tot AS (SELECT SUM(n) AS total FROM c)
+    SELECT c.digit, c.n,
+           round(CAST(c.n AS DOUBLE) / tot.total, 6) + 0 AS share,
+           round(CAST(CAST(round(1000000 * log10(1.0 + 1.0 / c.digit), 0)
+                           AS BIGINT) AS DOUBLE) / 1000000.0, 6)
+             AS benford_share
+    FROM c CROSS JOIN tot
+    """,
+)
+def stat_benford(spark, sf):
+    """Benford first-digit audit of the monetary column — the
+    fraud/data-fabrication screen (organically generated amounts
+    follow P(d) = log10(1 + 1/d); synthetic or truncated feeds
+    don't). The first significant digit comes from the EXACT integer
+    cents rendered as a decimal string — never from float log10 of
+    the raw double, whose ulp error near decade boundaries could
+    classify 999.999... differently per engine. Expected shares are
+    the 9 Benford constants quantized to integer micros (the
+    kg_adamic_adar log precedent) so both engines emit bit-identical
+    doubles. Observed share divides two exact BIGINTs (total > 0
+    whenever any row exists — no division guard needed; zero rows in,
+    zero rows out). Scale shape: map-only digit extraction, 9-row
+    agg, one broadcastable total."""
+    e = t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    v = e.select(F.round(F.col("value") * 100).cast("long").alias("cents"))
+    d = v.filter(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias(
+            "digit"
+        )
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    benford_us = F.round(
+        F.lit(1000000) * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 0
+    ).cast("long")
+    return c.crossJoin(tot).select(
+        "digit",
+        "n",
+        (F.round(F.col("n").cast("double") / F.col("total"), 6) + F.lit(0.0)).alias(
+            "share"
+        ),
+        F.round(benford_us.cast("double") / 1000000.0, 6).alias(
+            "benford_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM document scoring — per-term micros quantization, exact sum
+# ---------------------------------------------------------------------------
+@q(
+    "text_bigram_lm",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    g AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+          FROM tok WHERE len(arr) >= 2),
+    bg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2 FROM g
+           WHERE arr[i] <> '' AND arr[i + 1] <> ''),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM bg GROUP BY 1, 2),
+    cu AS (SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS c1
+           FROM bg GROUP BY 1),
+    sc AS (
+      SELECT b.doc_id,
+             CAST(round(1000000.0 *
+                        ln(CAST(cb.c12 AS DOUBLE) / cu.c1), 0) AS BIGINT)
+               AS ll_us
+      FROM bg b
+      JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+      JOIN cu ON cu.w = b.w1
+      WHERE b.doc_id % 101 = 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(ll_us) AS BIGINT) AS ll_us,
+           round(CAST(SUM(ll_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6) + 0
+             AS avg_ll
+    FROM sc GROUP BY doc_id
+    """,
+)
+def text_bigram_lm(spark, sf):
+    """Bigram-LM document scoring: per (sampled) document, the mean
+    log P(w2|w1) under the corpus MLE bigram model — the
+    sequence-aware quality signal one rung above text_unigram_lm
+    (boilerplate repeats high-probability transitions; shuffled or
+    machine-garbled text hits rare ones). P(w2|w1) = c12/c1 where c1
+    is the count of w1 AS A BIGRAM HEAD (so probabilities sum to 1
+    per head and every scored bigram has c12 >= 1 — no smoothing
+    surface, ln argument always in (0, 1]). Each term quantizes to
+    integer micros before the per-doc SUM (kg_adamic_adar precedent)
+    — exact order-independent BIGINT agg; one division at the end.
+    Scale shape: both count relations are vocab-sized aggs; the
+    per-doc bigram stream joins them UNHINTED (the
+    text_unigram_lm_pruned lesson: a forced broadcast of a
+    corpus-cardinality vocabulary OOMs executors — AQE broadcasts
+    only if it fits); the doc_id sample bounds the oracle-compared
+    output, not the model."""
+    d = t(spark, sf, "documents")
+    arr = d.select("doc_id", F.split("text", " ").alias("arr")).filter(
+        F.size("arr") >= 2
+    )
+    bg = (
+        arr.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(arr) - 2),"
+                    " i -> struct(arr[i] AS w1, arr[i + 1] AS w2))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.w1", "s.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    cb = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    cu = bg.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    )
+    ll_us = F.round(
+        F.lit(1000000.0)
+        * F.log(F.col("c12").cast("double") / F.col("c1")),
+        0,
+    ).cast("long")
+    sc = (
+        bg.filter(F.col("doc_id") % 101 == 0)
+        .join(cb, ["w1", "w2"])
+        .join(cu, F.col("w1") == F.col("w"))
+        .select("doc_id", ll_us.alias("ll_us"))
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("ll_us").cast("long").alias("ll_us"),
+        (
+            F.round(
+                F.sum("ll_us").cast("double")
+                / F.count(F.lit(1))
+                / 1000000.0,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("avg_ll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity report over the release quasi-identifiers
+# ---------------------------------------------------------------------------
+_KANON_K = 10
+
+
+@q(
+    "privacy_kanon",
+    f"""
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) < {_KANON_K} AS at_risk
+    FROM documents GROUP BY lang, source
+    """,
+)
+def privacy_kanon(spark, sf):
+    """k-anonymity audit of the corpus release: group sizes over the
+    quasi-identifier tuple (lang, source) with an at-risk flag for
+    equivalence classes smaller than k=10 — the report a privacy
+    review runs before publishing a corpus slice (a document that is
+    one of three Basque pages from one host is re-identifiable even
+    with no direct identifier; the downstream action is suppressing
+    or generalizing those classes, cf. pii_redact for the in-text
+    scrub). One map-side-combinable agg to a |QI-combinations|-sized
+    relation; the boolean derives from the exact count so both
+    engines agree by construction."""
+    d = t(spark, sf, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) < _KANON_K).alias("at_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outlier screen — the median-based twin of events_outliers
+# ---------------------------------------------------------------------------
+@q(
+    "events_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS ad, m.med
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      WHERE e.value IS NOT NULL),
+    mad AS (
+      SELECT event_type, MAX(med) AS med, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY event_type),
+    j AS (
+      SELECT d.event_type, d.med, m.mad,
+             CASE WHEN m.mad > 0
+                  THEN round(d.ad / m.mad, 6) END AS rscore
+      FROM dev d JOIN mad m ON m.event_type = d.event_type)
+    SELECT event_type, round(MAX(med), 6) + 0 AS med,
+           round(MAX(mad), 6) + 0 AS mad,
+           CAST(COUNT(*) FILTER (WHERE rscore > 3.0) AS BIGINT)
+             AS n_outliers
+    FROM j GROUP BY event_type
+    """,
+)
+def events_mad(spark, sf):
+    """Robust (median/MAD) outlier screen per event type — the
+    breakdown-resistant twin of events_outliers' mean/stddev z-score
+    (one fat-fingered 10^9 amount drags a mean-based threshold past
+    every real anomaly; the median absolute deviation barely moves).
+    Both medians are the exact type-7 interpolated quantile (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, the agg_percentiles
+    precedent); outlier membership tests the ROUNDED robust score on
+    both engines (the events_outliers rule: row membership must
+    never hinge on sub-ulp differences) and a zero-MAD type (over
+    half the values identical) yields NULL scores, counting zero
+    outliers instead of ANSI-dividing by zero. Scale shape: exact
+    medians need a per-type sort of the value column — at corpus
+    scale the approx-percentile sketch replaces them (bounded-memory
+    mergeable buffers); the screen's join side is the tiny per-type
+    stats relation, broadcast to the corpus scan."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(med, "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.expr("percentile(ad, 0.5)").alias("mad"),
+    )
+    j = dev.select("event_type", "ad").join(
+        mad.select("event_type", "mad"), "event_type"
+    ).select(
+        "event_type",
+        F.when(F.col("mad") > 0, F.round(F.col("ad") / F.col("mad"), 6)).alias(
+            "rscore"
+        ),
+    )
+    stats = mad.select(
+        "event_type",
+        (F.round("med", 6) + F.lit(0.0)).alias("med"),
+        (F.round("mad", 6) + F.lit(0.0)).alias("mad"),
+    )
+    cnt = j.groupBy("event_type").agg(
+        F.count(F.when(F.col("rscore") > 3.0, 1)).cast("long").alias(
+            "n_outliers"
+        )
+    )
+    return stats.join(cnt, "event_type").select(
+        "event_type", "med", "mad", "n_outliers"
+    )

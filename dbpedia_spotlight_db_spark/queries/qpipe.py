@@ -1737,3 +1737,60 @@ def kg_truss(spark, sf_dir):
         .filter(F.col("s") >= 1)
         .select("uri_a", "uri_b", F.col("s").alias("support"))
     )
+
+
+# ---------------------------------------------------------------------------
+# recursive-CTE reachability (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+@q(
+    "kg_reach_recursive",
+    f"""
+    WITH RECURSIVE {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    s AS (SELECT MIN(uri) AS uri FROM de),
+    r(uri, dist) AS (
+      SELECT uri, 0 AS dist FROM s
+      UNION ALL
+      SELECT e.dst, r.dist + 1
+      FROM r JOIN e ON e.src = r.uri
+      WHERE r.dist < 3
+    )
+    SELECT uri, CAST(MIN(dist) AS INT) AS dist FROM r GROUP BY uri
+    """,
+)
+def kg_reach_recursive(spark, sf_dir):
+    """Bounded reachability from the lexicographically-first entity
+    expressed as a RECURSIVE CTE (Spark 4's WITH RECURSIVE /
+    UnionLoop operator) instead of kg_shortest_path's hand-unrolled
+    hop joins — the declarative iterative-graph face, and the one
+    engine execution surface (recursion) no other key exercised. The
+    two faces compute the SAME (uri, min dist) relation over the same
+    edge list, so together they pin that the engine's recursion
+    semantics (re-feed the previous iteration's rows, depth-guard in
+    the recursive term, UNION ALL accumulation) match the explicit
+    frontier algebra; the DuckDB twin is the identical recursive SQL.
+    Scale shape: each iteration is one frontier-keyed equi-join
+    against the edge list — exactly the unrolled plan's shape, with
+    the engine owning loop control. UNION ALL recursion enumerates
+    WALKS, not nodes (the min-agg collapses them), so production runs
+    at depth bounds like this one, or dedups the frontier per round
+    as operators/closure.py's pointer jumping does; the declarative
+    form's value is resumable loop control inside one query."""
+    e = _undirected_edges(spark, sf_dir)
+    de = _doc_entities(spark, sf_dir)
+    e.createOrReplaceTempView("rec_edges")
+    de.agg(F.min("uri").alias("uri")).createOrReplaceTempView("rec_seed")
+    return spark.sql(
+        """
+        WITH RECURSIVE r(uri, dist) AS (
+          SELECT uri, 0 AS dist FROM rec_seed
+          UNION ALL
+          SELECT e.dst, r.dist + 1
+          FROM r JOIN rec_edges e ON e.src = r.uri
+          WHERE r.dist < 3
+        )
+        SELECT uri, CAST(MIN(dist) AS INT) AS dist FROM r GROUP BY uri
+        """
+    )

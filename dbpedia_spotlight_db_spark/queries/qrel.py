@@ -1012,6 +1012,66 @@ def stream_enrich(spark, sf):
 
 
 @q(
+    "stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3 DAY
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND c.ts IS NOT NULL AND p.ts IS NOT NULL
+    """,
+)
+def stream_join(spark, sf):
+    """STREAM-STREAM JOIN on the oracle gate: join_streams
+    (streaming/annotate_stream.py) joins the click file-stream to the
+    purchase file-stream on user within a 3-day event-time horizon —
+    watermarks on BOTH inputs plus the time-range predicate give the
+    state store a provable eviction bound (a click can leave state
+    once the purchase watermark passes click_ts + horizon), the shape
+    that keeps a double-unbounded join finite. Inner join under
+    trigger(availableNow) emits exactly the batch-join row set, so
+    the DuckDB twin is the equivalent bounded self-join. Completes
+    the streaming join family: stream-static (stream_enrich) and now
+    stream-stream."""
+    import os
+    import tempfile
+
+    from ..streaming.annotate_stream import join_streams
+
+    name = f"stream_join_{next(_STREAM_Q_COUNTER)}"
+    schema = t(spark, sf, "events").schema
+    with tempfile.TemporaryDirectory(prefix="stream_join_") as tmp:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        clicks = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .filter(F.col("event_type") == "click")
+        )
+        purchases = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .filter(F.col("event_type") == "purchase")
+        )
+        q_ = (
+            join_streams(clicks, purchases)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)
+
+
+@q(
     "agg_cube",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -11,11 +11,11 @@ green since round 1 and can safely absorb any window truncation.
 
 from __future__ import annotations
 
-from . import qcorpus, qdata, qembed, qio, qlake, qpipe, qrel, qstats
+from . import qadv, qcorpus, qdata, qembed, qio, qlake, qpipe, qrel, qstats
 
 _QUERIES = {}
 _ORACLES = {}
-for mod in (qrel, qpipe, qdata, qcorpus, qembed, qstats, qlake, qio):
+for mod in (qrel, qpipe, qdata, qcorpus, qembed, qstats, qlake, qio, qadv):
     _dups = set(_QUERIES) & set(mod.Q)
     assert not _dups, (
         f"query key(s) {_dups} registered in more than one module — "

@@ -299,3 +299,50 @@ def running_counts_tws(events_stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def join_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_days: int = 3,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """STREAM-STREAM inner join — the last Structured Streaming join
+    shape the engine exercises (enrich_stream covers stream-static):
+    click events joined to the purchase events that follow them
+    within a bounded horizon, both sides unbounded. The event-time
+    RANGE condition is what makes the state finite: with watermarks
+    on both inputs and `p_ts BETWEEN c_ts AND c_ts + horizon`, Spark
+    derives a state-eviction bound for each side (a click older than
+    watermark + horizon can never match a future purchase and is
+    dropped from the state store) — without the range predicate the
+    join would have to buffer both streams forever. Inner join +
+    trigger(availableNow) emits exactly the batch-join row set, so
+    the DuckDB twin is the equivalent self-join with the same bounds.
+    ``ts`` cast as in the other faces (watermarks reject the
+    fixture's TIMESTAMP_NTZ)."""
+    c = (
+        clicks.filter(F.col("ts").isNotNull())
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    p = (
+        purchases.filter(F.col("ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return c.join(
+        p,
+        F.expr(
+            "p_user = c_user AND p_ts >= c_ts "
+            f"AND p_ts <= c_ts + INTERVAL {horizon_days} DAYS"
+        ),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))

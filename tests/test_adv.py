@@ -1,0 +1,288 @@
+"""Invariant tests for the wave-21 faces (qadv.py + the recursive-CTE
+graph face). Spark-vs-DuckDB value equality is the oracle gate's job
+(tools/check_oracle.py); these pin the semantics the hash compare
+can't articulate: skyline non-dominance, KS bounds and hand-computed
+agreement, exact dyadic EWMA weights, cumulative-distinct
+conservation, bitmap-vs-exact distinct equality, lateral top-k
+cardinality, PMI arithmetic, hashing-trick conservation, and
+recursive-CTE == unrolled-BFS equivalence.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_db_spark.queries import qadv, qpipe
+from dbpedia_spotlight_db_spark.queries.common import t
+
+SF = "/root/testdata/sf0.001"
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def test_pareto_front_is_exactly_the_nondominated_set(spark):
+    got = {
+        (r.p_partkey, r.p_size, r.price_cents)
+        for r in qadv.Q["pareto_front"](spark, SF).collect()
+    }
+    pts = [
+        (r.p_partkey, r.p_size, int(round(r.p_retailprice * 100)))
+        for r in t(spark, SF, "part").collect()
+    ]
+    # brute-force strict-dominance oracle over the full catalog
+    frontier = {
+        (k, s, p)
+        for (k, s, p) in pts
+        if not any(
+            s2 >= s and p2 <= p and (s2 > s or p2 < p)
+            for (_, s2, p2) in pts
+        )
+    }
+    assert got == frontier and got
+
+
+def test_stat_ks_matches_hand_computed_ecdf_distance(spark):
+    import hashlib
+
+    rows = qadv.Q["stat_ks"](spark, SF).collect()
+    assert rows
+    by_type = {r.event_type: r for r in rows}
+    ev = t(spark, SF, "events").collect()
+    some_type = rows[0].event_type
+    a, b = [], []
+    for r in ev:
+        if r.event_type != some_type or r.value is None:
+            continue
+        h = hashlib.md5(str(r.event_id).encode()).hexdigest()[0]
+        (a if h < "8" else b).append(r.value)
+    support = sorted(set(a) | set(b))
+    d_num = max(
+        abs(
+            sum(1 for v in a if v <= x) * len(b)
+            - sum(1 for v in b if v <= x) * len(a)
+        )
+        for x in support
+    )
+    r = by_type[some_type]
+    assert (r.n_a, r.n_b, r.d_num) == (len(a), len(b), d_num)
+    assert 0.0 <= r.ks_d <= 1.0
+    assert r.ks_d == round(d_num / (len(a) * len(b)), 6)
+
+
+def test_events_ewma_weights_are_exact_powers_of_two(spark, tmp_path):
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 12), 1, "click", 1.00, "{}"),
+        (2, datetime.datetime(2024, 1, 2, 12), 1, "click", 2.00, "{}"),
+        # a gap day, then a third observation
+        (3, datetime.datetime(2024, 1, 4, 12), 1, "click", 4.00, "{}"),
+    ]
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        r.day_num: r.ewma_w
+        for r in qadv.Q["events_ewma"](spark, str(tmp_path)).collect()
+    }
+    # cents: 100, 200, 400 on day_nums 0, 1, 3; weight = 2^(13-lag)
+    assert got[0] == 100 * 2**13
+    assert got[1] == 200 * 2**13 + 100 * 2**12
+    assert got[3] == 400 * 2**13 + 200 * 2**11 + 100 * 2**10
+
+
+def test_win_distinct_count_terminal_value_is_exact_distinct(spark):
+    got = qadv.Q["win_distinct_count"](spark, SF).toPandas()
+    e = t(spark, SF, "events").filter(F.col("user_id").isNotNull())
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, grp in got.groupby("event_type"):
+        grp = grp.sort_values("day_num")
+        # running sum is monotone, conserves arrivals, ends at the truth
+        assert (grp["cum_users"].diff().dropna() >= 0).all()
+        assert int(grp["n_new"].sum()) == exact[et]
+        assert int(grp["cum_users"].iloc[-1]) == exact[et]
+
+
+def test_agg_bitmap_distinct_equals_exact_count_distinct(spark):
+    got = {
+        r.event_type: r.n_users
+        for r in qadv.Q["agg_bitmap_distinct"](spark, SF).collect()
+    }
+    e = t(spark, SF, "events").filter(F.col("user_id").isNotNull())
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact and got
+
+
+def test_join_lateral_is_the_window_top2(spark):
+    from pyspark.sql import Window
+
+    got = qadv.Q["join_lateral"](spark, SF)
+    c = t(spark, SF, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, SF, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    twin = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, twin.collect())
+    )
+    per_cust = got.groupBy("c_custkey").count().agg(F.max("count")).first()[0]
+    assert per_cust <= 2
+
+
+def test_text_collocations_pmi_arithmetic(spark, tmp_path):
+    # 'x y' always adjacent (4 times); filler tokens are all distinct
+    docs = [
+        (1, "x y a b", "en", "s", 7),
+        (2, "x y c d", "en", "s", 7),
+        (3, "x y e f", "en", "s", 7),
+        (4, "x y g h", "en", "s", 7),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = qadv.Q["text_collocations"](spark, str(tmp_path)).collect()
+    # only (x, y) reaches the count floor of 3
+    assert [(r.w1, r.w2, r.c_xy) for r in got] == [("x", "y", 4)]
+    # PMI = ln(c_xy * N / (cx * cy)) with N = 12 bigrams, cx = cy = 4
+    expect = round(
+        int(round(1e6 * math.log((4.0 * 12) / (4.0 * 4)))) / 1e6, 6
+    )
+    assert got[0].pmi == expect
+
+
+def test_feat_hashing_conserves_tokens_and_bounds_buckets(spark):
+    got = qadv.Q["feat_hashing"](spark, SF).toPandas()
+    d = t(spark, SF, "documents").filter(F.col("doc_id") % 101 == 0)
+    n_tokens = (
+        d.select(F.explode(F.split("text", " ")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .count()
+    )
+    assert int(got["n"].sum()) == n_tokens
+    assert got["bucket"].between(0, 63).all()
+    # the sample is non-trivial and features actually spread
+    assert got["doc_id"].nunique() >= 2
+    assert got["bucket"].nunique() >= 16
+
+
+def test_recursive_cte_equals_unrolled_bfs(spark):
+    rec = sorted(
+        map(tuple, qpipe.Q["kg_reach_recursive"](spark, SF).collect())
+    )
+    unrolled = sorted(
+        map(tuple, qpipe.Q["kg_shortest_path"](spark, SF).collect())
+    )
+    assert rec == unrolled and rec
+
+
+def test_stat_mannwhitney_matches_hand_computed_ranksum(spark):
+    import hashlib
+
+    rows = qadv.Q["stat_mannwhitney"](spark, SF).collect()
+    assert rows
+    r = rows[0]
+    ev = t(spark, SF, "events").collect()
+    a, b = [], []
+    for e in ev:
+        if e.event_type != r.event_type or e.value is None:
+            continue
+        h = hashlib.md5(str(e.event_id).encode()).hexdigest()[0]
+        (a if h < "8" else b).append(e.value)
+    # tie-averaged rank sum of sample A over the pooled values
+    pooled = sorted(a + b)
+    first = {}
+    for i, v in enumerate(pooled):
+        first.setdefault(v, i)
+    r2 = {v: 2 * first[v] + pooled.count(v) + 1 for v in set(pooled)}
+    r2a = sum(r2[v] for v in a)
+    u2 = r2a - 2 * len(a) * (len(a) + 1) // 2
+    assert (r.n_a, r.n_b, r.u2) == (len(a), len(b), u2)
+    # AUC identity and bounds
+    assert 0.0 <= r.auc <= 1.0
+    assert r.auc == round(u2 / (2.0 * len(a) * len(b)), 6)
+
+
+def test_stat_benford_shares_and_constants(spark):
+    got = qadv.Q["stat_benford"](spark, SF).toPandas()
+    assert set(got["digit"]).issubset(set(range(1, 10)))
+    assert abs(got["share"].sum() - 1.0) < 1e-5
+    for _, row in got.iterrows():
+        expect = round(
+            int(round(1e6 * math.log10(1 + 1 / row["digit"]))) / 1e6, 6
+        )
+        assert row["benford_share"] == expect
+    e = t(spark, SF, "events")
+    n_pos = e.filter(F.col("value") > 0).count()
+    assert int(got["n"].sum()) == n_pos
+
+
+def test_text_bigram_lm_deterministic_transitions_score_zero(spark, tmp_path):
+    # doc 0 (sampled: 0 % 101 == 0): every bigram has P(w2|w1) = 1
+    docs = [
+        (0, "a b c", "en", "s", 5),
+        (101, "a b c", "en", "s", 5),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = qadv.Q["text_bigram_lm"](spark, str(tmp_path)).collect()
+    assert {(r.doc_id, r.n_bigrams, r.ll_us, r.avg_ll) for r in got} == {
+        (0, 2, 0, 0.0),
+        (101, 2, 0, 0.0),
+    }
+
+
+def test_privacy_kanon_flags_exactly_the_small_classes(spark):
+    got = qadv.Q["privacy_kanon"](spark, SF).toPandas()
+    assert (got["at_risk"] == (got["n"] < 10)).all()
+    n_docs = t(spark, SF, "documents").count()
+    assert int(got["n"].sum()) == n_docs
+
+
+def test_events_mad_known_median_and_outlier(spark, tmp_path):
+    base = datetime.datetime(2024, 1, 1, 12)
+    vals = [10.0, 10.0, 11.0, 12.0, 13.0, 1000.0]
+    rows = [
+        (i, base + datetime.timedelta(hours=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = qadv.Q["events_mad"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    # type-7 median of the 6 values is 11.5; MAD = median(|v - 11.5|)
+    devs = sorted(abs(v - 11.5) for v in vals)
+    mad = (devs[2] + devs[3]) / 2
+    assert r.med == 11.5 and r.mad == round(mad, 6)
+    # only the fat-finger value exceeds 3 * MAD
+    assert r.n_outliers == sum(
+        1 for v in vals if round(abs(v - 11.5) / mad, 6) > 3.0
+    ) == 1

@@ -142,3 +142,60 @@ def test_upsert_stream_on_zero_file_dir(spark, tmp_path):
     # unfiltered)
     assert merged.count() == base.count()
     assert merged.exceptAll(base).count() == 0
+
+
+def test_join_streams_on_zero_file_dirs(spark, tmp_path):
+    from dbpedia_spotlight_db_spark.streaming.annotate_stream import (
+        join_streams,
+    )
+
+    schema = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).schema
+    for d in ("c_in", "p_in"):
+        (tmp_path / d).mkdir()
+    name = f"empty_sjoin_{next(_ids)}"
+    c = spark.readStream.schema(schema).parquet(str(tmp_path / "c_in"))
+    p = spark.readStream.schema(schema).parquet(str(tmp_path / "p_in"))
+    _run_available_now(join_streams(c, p), str(tmp_path), name)
+    assert spark.table(name).count() == 0
+
+
+def test_join_streams_horizon_bounds_matches(spark, tmp_path):
+    """A purchase 3 days after the click joins; 3 days + 1 second (or
+    before the click) does not — the eviction-bound predicate is also
+    the business rule."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_db_spark.streaming.annotate_stream import (
+        join_streams,
+    )
+
+    t0 = datetime.datetime(2024, 1, 10, 0, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 1.0, "{}"),
+        (2, t0 + datetime.timedelta(days=3), 7, "purchase", 1.0, "{}"),
+        (3, t0 + datetime.timedelta(days=3, seconds=1), 7, "purchase", 1.0, "{}"),
+        (4, t0 - datetime.timedelta(seconds=1), 7, "purchase", 1.0, "{}"),
+        (5, t0 + datetime.timedelta(days=1), 8, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.filter(F.col("event_type") == "click").write.parquet(
+        str(tmp_path / "c_in")
+    )
+    df.filter(F.col("event_type") == "purchase").write.parquet(
+        str(tmp_path / "p_in")
+    )
+    schema = df.schema
+    name = f"sjoin_horizon_{next(_ids)}"
+    c = spark.readStream.schema(schema).parquet(str(tmp_path / "c_in"))
+    p = spark.readStream.schema(schema).parquet(str(tmp_path / "p_in"))
+    _run_available_now(join_streams(c, p), str(tmp_path), name)
+    got = {(r.click_id, r.purchase_id) for r in spark.table(name).collect()}
+    assert got == {(1, 2)}
