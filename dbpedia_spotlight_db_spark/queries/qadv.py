@@ -981,3 +981,411 @@ def events_mad(spark, sf):
     return stats.join(cnt, "event_type").select(
         "event_type", "med", "mad", "n_outliers"
     )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding statistics — exact integer-micros moments
+# ---------------------------------------------------------------------------
+@q(
+    "embed_dim_stats",
+    """
+    WITH e0 AS (
+      SELECT unnest(range(0, len(embedding))) AS j, embedding
+      FROM embeddings),
+    qv AS (
+      SELECT CAST(j AS INT) AS dim_idx,
+             CAST(round(1000000.0 * CAST(embedding[j + 1] AS DOUBLE), 0)
+                  AS BIGINT) AS q,
+             CAST(embedding[j + 1] AS DOUBLE) AS x
+      FROM e0),
+    s AS (
+      SELECT dim_idx, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(q) AS sq, SUM(q * q) AS sq2,
+             MIN(x) AS minx, MAX(x) AS maxx
+      FROM qv GROUP BY dim_idx)
+    SELECT dim_idx, n,
+           round(CAST(sq AS DOUBLE) / n / 1000000.0, 6) + 0 AS mean,
+           round(CAST(sq2 AS DOUBLE) / n / 1000000000000.0
+                 - (CAST(sq AS DOUBLE) / n / 1000000.0)
+                   * (CAST(sq AS DOUBLE) / n / 1000000.0), 6) + 0 AS var,
+           round(minx, 6) + 0 AS minv, round(maxx, 6) + 0 AS maxv
+    FROM s
+    """,
+)
+def embed_dim_stats(spark, sf):
+    """Per-dimension profile of the embedding column (mean / variance
+    / range per coordinate) — the drift-and-sanity report for a
+    vector feed (a collapsed dimension, a renormalization change, or
+    a truncated export all show up here before any ANN quality
+    metric moves; the vector-column complement of profile_columns).
+    Engine parity: components quantize to integer micros, so the
+    count/sum/sum-of-squares moments are exact order-independent
+    BIGINT aggregates; mean and variance then derive in the IDENTICAL
+    float operation order on both engines (drift_chi2 precedent) and
+    round to 6 with the -0.0 guard. Scale shape: posexplode is
+    map-side (rows x 64, no shuffle), the moment agg map-side-
+    combines to a |dims|-sized relation — one corpus scan, one tiny
+    shuffle, bounded memory at any row count."""
+    emb = t(spark, sf, "embeddings")
+    qv = emb.select(
+        F.posexplode("embedding").alias("dim_idx", "xf")
+    ).select(
+        "dim_idx",
+        F.round(F.lit(1000000.0) * F.col("xf").cast("double"), 0)
+        .cast("long")
+        .alias("q"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    s = qv.groupBy("dim_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+    )
+    mean_raw = F.col("sq").cast("double") / F.col("n") / 1000000.0
+    return s.select(
+        "dim_idx",
+        "n",
+        (F.round(mean_raw, 6) + F.lit(0.0)).alias("mean"),
+        (
+            F.round(
+                F.col("sq2").cast("double") / F.col("n") / 1e12
+                - mean_raw * mean_raw,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("var"),
+        (F.round("minx", 6) + F.lit(0.0)).alias("minv"),
+        (F.round("maxx", 6) + F.lit(0.0)).alias("maxv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top principal direction by 2 power-iteration rounds over a
+# quantized second-moment matrix — all cross-engine math in BIGINTs
+# ---------------------------------------------------------------------------
+@q(
+    "embed_pca_top",
+    """
+    WITH e0 AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS j, embedding
+      FROM embeddings),
+    qv AS (
+      SELECT vec_id, CAST(j AS INT) AS j,
+             CAST(round(1000000.0 * CAST(embedding[j + 1] AS DOUBLE), 0)
+                  AS BIGINT) AS q
+      FROM e0),
+    nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM qv),
+    cm AS (
+      SELECT a.j AS j, b.j AS k,
+             CAST(round(CAST(SUM(a.q * b.q) AS DOUBLE) / nn.n, 0)
+                  AS BIGINT) AS c
+      FROM qv a JOIN qv b ON b.vec_id = a.vec_id CROSS JOIN nn
+      GROUP BY a.j, b.j, nn.n),
+    y1 AS (SELECT j, SUM(c) AS y FROM cm GROUP BY j),
+    m1 AS (SELECT MAX(ABS(y)) AS ma FROM y1),
+    v1 AS (
+      SELECT j, CASE WHEN m1.ma = 0 THEN 0
+                     ELSE CAST(round(1000.0 * CAST(y AS DOUBLE) / m1.ma, 0)
+                               AS BIGINT) END AS v
+      FROM y1 CROSS JOIN m1),
+    y2 AS (
+      SELECT cm.j, SUM(cm.c * v1.v) AS y
+      FROM cm JOIN v1 ON v1.j = cm.k GROUP BY cm.j),
+    m2 AS (SELECT MAX(ABS(y)) AS ma FROM y2),
+    j0 AS (SELECT MIN(y2.j) AS j0 FROM y2 CROSS JOIN m2
+           WHERE ABS(y2.y) = m2.ma),
+    sg AS (SELECT CASE WHEN y2.y >= 0 THEN 1 ELSE -1 END AS s
+           FROM y2 JOIN j0 ON y2.j = j0.j0)
+    SELECT y2.j AS dim_idx,
+           CASE WHEN m2.ma = 0 THEN 0.0 + 0
+                ELSE round(CAST(sg.s * y2.y AS DOUBLE) / m2.ma, 6) + 0
+           END AS v
+    FROM y2 CROSS JOIN m2 CROSS JOIN sg
+    """,
+)
+def embed_pca_top(spark, sf):
+    """Top principal direction of the embedding cloud via TWO power-
+    iteration rounds — the corpus-level structure probe behind
+    whitening, anisotropy checks ("is the feed collapsing to one
+    direction?") and PCA-based dimensionality reduction. Distributed
+    shape: the second-moment matrix is the classic outer-product
+    aggregate — posexplode to (vec, j, q), per-vector self-join fans
+    each row x64, and one map-side-combinable SUM collapses to the
+    |d^2| = 4096-cell relation; every later step runs on d- or
+    d^2-sized relations (broadcastable at any corpus size), and the
+    iteration count is fixed so the lineage stays flat. Engine
+    parity: components quantize to integer micros, the moment matrix
+    to per-row-average units (ONE identically-ordered double division
+    — scale-invariant, so the BIGINT headroom math is independent of
+    corpus size), the round-1 vector to millis; both matrix-vector
+    products are then exact order-independent integer aggregates (the
+    kg_adamic_adar discipline applied to linear algebra). Sign is
+    fixed by making the largest-|component| coordinate (lowest index
+    on ties) positive; zero-matrix degenerates to 0 instead of
+    dividing by zero. Uncentered (second moment, not covariance) —
+    standard for ~zero-mean embedding feeds; centering would subtract
+    the embed_dim_stats means map-side."""
+    emb = t(spark, sf, "embeddings")
+    qv = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "xf")
+    ).select(
+        "vec_id",
+        "j",
+        F.round(F.lit(1000000.0) * F.col("xf").cast("double"), 0)
+        .cast("long")
+        .alias("q"),
+    )
+    n = qv.agg(F.countDistinct("vec_id").cast("long").alias("n"))
+    a = qv.alias("a")
+    b = qv.select(
+        F.col("vec_id").alias("bvid"),
+        F.col("j").alias("k"),
+        F.col("q").alias("bq"),
+    )
+    cm = (
+        a.join(b, F.col("a.vec_id") == F.col("bvid"))
+        .crossJoin(n)
+        .groupBy("j", "k", "n")
+        .agg(F.sum(F.col("a.q") * F.col("bq")).alias("sqq"))
+        .select(
+            "j",
+            "k",
+            F.round(F.col("sqq").cast("double") / F.col("n"), 0)
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    cm = parquet_checkpoint(cm, "pca_cm")
+    y1 = cm.groupBy("j").agg(F.sum("c").alias("y"))
+    m1 = y1.agg(F.max(F.abs("y")).alias("ma"))
+    v1 = y1.crossJoin(m1).select(
+        "j",
+        F.when(F.col("ma") == 0, F.lit(0))
+        .otherwise(
+            F.round(
+                F.lit(1000.0) * F.col("y").cast("double") / F.col("ma"), 0
+            ).cast("long")
+        )
+        .alias("v"),
+    )
+    y2 = (
+        cm.join(v1.select(F.col("j").alias("k"), "v"), "k")
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("v")).alias("y"))
+    )
+    y2 = parquet_checkpoint(y2, "pca_y2")
+    m2 = y2.agg(F.max(F.abs("y")).alias("ma"))
+    j0 = (
+        y2.crossJoin(m2)
+        .filter(F.abs("y") == F.col("ma"))
+        .agg(F.min("j").alias("j0"))
+    )
+    sg = y2.join(j0, y2.j == j0.j0).select(
+        F.when(F.col("y") >= 0, F.lit(1)).otherwise(F.lit(-1)).alias("s")
+    )
+    return (
+        y2.crossJoin(m2)
+        .crossJoin(sg)
+        .select(
+            F.col("j").alias("dim_idx"),
+            F.when(F.col("ma") == 0, F.lit(0.0) + F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.col("s") * F.col("y")).cast("double") / F.col("ma"),
+                    6,
+                )
+                + F.lit(0.0)
+            )
+            .alias("v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance: merge(base agg, delta agg) == full agg
+# ---------------------------------------------------------------------------
+@q(
+    "agg_incremental",
+    f"""
+    SELECT event_type,
+           CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE)) AS INT)
+             AS day_num,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def agg_incremental(spark, sf):
+    """Incremental view maintenance: the daily rollup is computed as
+    MERGE(agg(base), agg(delta)) — base and delta are a deterministic
+    split of the log — and the DuckDB twin is the full recompute, so
+    a green hash PROVES the rollup is self-mergeable (count and
+    integer-cents sum are algebraic aggregates: partial states merge
+    by re-aggregation). This is the contract every continuous
+    pipeline leans on at 100 TB: yesterday's materialized rollup plus
+    today's delta agg, never a full re-scan — the batch-side proof of
+    what stream_upsert's foreachBatch compaction does continuously
+    (and the same associativity argument as its chunk-split test).
+    Scale shape: each leg is one map-side-combinable agg; the merge
+    re-aggregates two |days x types|-sized relations — calendar-
+    sized, a no-op shuffle."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+
+    def leg(df):
+        return df.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit(_EPOCH)).cast("int").alias(
+                "day_num"
+            ),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "v_cents"
+            ),
+        )
+
+    base = leg(e.filter(F.col("event_id") % 10 < 8))
+    delta = leg(e.filter(F.col("event_id") % 10 >= 8))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "day_num")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("v_cents").cast("long").alias("v_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-fit of the vocabulary head — OLS on integer-milli log-log points
+# ---------------------------------------------------------------------------
+@q(
+    "text_zipf_fit",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+    cnt AS (SELECT tk, COUNT(*) AS c FROM tok WHERE tk <> '' GROUP BY tk),
+    top AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tk) AS rnk
+      FROM cnt QUALIFY rnk <= 100),
+    pts AS (
+      SELECT CAST(round(1000.0 * ln(CAST(rnk AS DOUBLE)), 0) AS BIGINT) AS x,
+             CAST(round(1000.0 * ln(CAST(c AS DOUBLE)), 0) AS BIGINT) AS y
+      FROM top),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts)
+    SELECT n,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (n * sxx - sx * sx), 6) + 0
+           END AS slope,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+                ELSE round((CAST(sy AS DOUBLE)
+                            - CAST(n * sxy - sx * sy AS DOUBLE)
+                              / (n * sxx - sx * sx) * sx)
+                           / n / 1000.0, 6) + 0
+           END AS intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark, sf):
+    """Zipf-law fit of the vocabulary head: OLS slope of ln(count) on
+    ln(rank) over the top-100 tokens — the one-number corpus-health
+    probe (natural language sits near slope -1; boilerplate floods
+    flatten it, deduplicated spam steepens it; track it per snapshot
+    and alert on drift). Engine parity: the log-log points quantize
+    to integer MILLIS, so all five regression moments are exact
+    BIGINT sums and the slope/intercept are single identically-
+    ordered divisions of exact integers, rounded to 6 (the
+    kg_assortativity exact-moments construction); a degenerate
+    support (< 2 distinct ranks) yields NULL instead of ANSI
+    DIVIDE_BY_ZERO. Scale shape: token counting is the token_topk
+    vocab-sized agg + TakeOrderedAndProject top-100; the regression
+    itself runs on 100 rows."""
+    d = t(spark, sf, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), "tk").limit(100)
+    w = Window.orderBy(F.desc("c"), "tk")
+    pts = top.select(
+        F.round(F.lit(1000.0) * F.log(F.row_number().over(w).cast("double")), 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.lit(1000.0) * F.log(F.col("c").cast("double")), 0)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope_raw = num.cast("double") / den
+    bad = (F.col("n") < 2) | (den == 0)
+    return s.select(
+        "n",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(slope_raw, 6) + F.lit(0.0))
+        .alias("slope"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("sy").cast("double") - slope_raw * F.col("sx"))
+                / F.col("n")
+                / 1000.0,
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hour-of-week load heatmap — day-of-week from pure epoch arithmetic
+# ---------------------------------------------------------------------------
+@q(
+    "events_heatmap",
+    f"""
+    SELECT CAST(((CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE))
+                       AS BIGINT) % 7) + 7) % 7 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_heatmap(spark, sf):
+    """Hour-of-week load heatmap (day-of-week x hour-of-day counts) —
+    the capacity-planning / crawl-politeness matrix. Day-of-week is
+    PURE INTEGER arithmetic on days since the fixed Monday epoch
+    (((day_num % 7) + 7) % 7, so 0 = Monday), NEVER the engines'
+    dayofweek() — Spark counts 1 = Sunday while DuckDB counts
+    0 = Sunday, and both shift with session locale settings; epoch
+    arithmetic is engine- and locale-invariant (the retention_cohorts
+    week-bucket lesson). hour() agrees on both engines under the
+    UTC-pinned naive-timestamp session. One map-side-combinable agg
+    to a 168-cell relation."""
+    e = t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    day_num = F.datediff(F.to_date("ts"), F.lit(_EPOCH)).cast("long")
+    return e.groupBy(
+        (((day_num % 7) + 7) % 7).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -286,3 +286,139 @@ def test_events_mad_known_median_and_outlier(spark, tmp_path):
     assert r.n_outliers == sum(
         1 for v in vals if round(abs(v - 11.5) / mad, 6) > 3.0
     ) == 1
+
+
+def test_embed_dim_stats_matches_numpy_moments(spark):
+    import numpy as np
+
+    got = (
+        qadv.Q["embed_dim_stats"](spark, SF)
+        .toPandas()
+        .set_index("dim_idx")
+        .sort_index()
+    )
+    mat = np.array(
+        [r.embedding for r in t(spark, SF, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    q = np.round(mat * 1e6)
+    assert (got["n"] == mat.shape[0]).all()
+    for j in (0, 7, 63):
+        mean = q[:, j].sum() / len(q) / 1e6
+        var = (q[:, j] ** 2).sum() / len(q) / 1e12 - mean * mean
+        assert got.loc[j, "mean"] == round(mean, 6) + 0
+        assert got.loc[j, "var"] == round(var, 6) + 0
+        assert got.loc[j, "minv"] == round(mat[:, j].min(), 6) + 0
+        assert got.loc[j, "maxv"] == round(mat[:, j].max(), 6) + 0
+
+
+def test_embed_pca_top_is_a_rayleigh_improving_unit_direction(spark):
+    import numpy as np
+
+    got = (
+        qadv.Q["embed_pca_top"](spark, SF)
+        .toPandas()
+        .set_index("dim_idx")
+        .sort_index()
+    )
+    v = got["v"].to_numpy()
+    # infinity-normalized with the convention sign: max |component| is
+    # exactly +1.0 (lowest index on ties made positive)
+    assert np.max(np.abs(v)) == 1.0
+    assert v[int(np.argmax(np.abs(v)))] == 1.0
+    mat = np.array(
+        [r.embedding for r in t(spark, SF, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    q = np.round(mat * 1e6)
+    cm = np.round(q.T @ q / len(q))
+    ones = np.ones(cm.shape[0])
+
+    def rayleigh(x):
+        return (x @ cm @ x) / (x @ x)
+
+    # exact replication of the quantized two-round algorithm: the
+    # face is deterministic integer math end to end, so numpy can
+    # reproduce it bit-for-bit
+    y1 = cm @ ones
+    v1 = np.round(1000.0 * y1 / np.max(np.abs(y1)))
+    y2 = cm @ v1
+    ma = np.max(np.abs(y2))
+    sgn = 1.0 if y2[int(np.argmax(np.abs(y2)))] >= 0 else -1.0
+    expect = np.round(sgn * y2 / ma, 6) + 0.0
+    assert np.array_equal(v, expect)
+    # each round improves the Rayleigh quotient toward the top
+    # eigenvalue (monotone for a PSD second-moment matrix)
+    assert rayleigh(v1) >= rayleigh(ones) - 1e-6
+    assert rayleigh(v) >= rayleigh(v1) - 1e-6
+    assert rayleigh(v) <= np.linalg.eigvalsh(cm)[-1] + 1e-6
+
+
+def test_agg_incremental_merge_equals_full_recompute(spark):
+    got = qadv.Q["agg_incremental"](spark, SF)
+    e = t(spark, SF, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    full = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("int").alias(
+            "day_num"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_cents"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_text_zipf_fit_matches_hand_ols_and_is_decreasing(spark):
+    r = qadv.Q["text_zipf_fit"](spark, SF).collect()[0]
+    cnt = {}
+    for row in t(spark, SF, "documents").collect():
+        if row.text:
+            for tk in row.text.split(" "):
+                if tk:
+                    cnt[tk] = cnt.get(tk, 0) + 1
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    pts = [
+        (
+            int(round(1000 * math.log(i + 1))),
+            int(round(1000 * math.log(c))),
+        )
+        for i, (_, c) in enumerate(top)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # the sf0.001 fixture vocabulary is smaller than the top-100 cap
+    assert r.n == n == min(100, len(cnt))
+    assert r.slope == round(slope, 6) + 0
+    assert r.slope < 0  # frequency falls with rank
+    intercept = (sy - slope * sx) / n / 1000.0
+    assert r.intercept == round(intercept, 6) + 0
+
+
+def test_events_heatmap_epoch_dow_and_conservation(spark, tmp_path):
+    rows = [
+        # 2024-01-01 is a Monday -> dow 0; 2024-01-07 a Sunday -> dow 6
+        (1, datetime.datetime(2024, 1, 1, 5), 1, "click", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 7, 23), 1, "click", 1.0, "{}"),
+        (3, datetime.datetime(2023, 12, 31, 9), 1, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        (r.dow, r.hod): r.n
+        for r in qadv.Q["events_heatmap"](spark, str(tmp_path)).collect()
+    }
+    # pre-epoch dates still land on the right weekday (Sunday = 6)
+    assert got == {(0, 5): 1, (6, 23): 1, (6, 9): 1}
+    full = qadv.Q["events_heatmap"](spark, SF).toPandas()
+    n_ts = t(spark, SF, "events").filter(F.col("ts").isNotNull()).count()
+    assert int(full["n"].sum()) == n_ts

@@ -697,6 +697,106 @@ def main() -> None:
         p_z,
     )
 
+    # 35. join_lateral (r4 wave 21): Catalyst must DECORRELATE the
+    # lateral subquery into a window-ranked join — if decorrelation
+    # failed the plan degenerates to a nested-loop/cartesian
+    # re-execution of the subquery per outer row, which is quadratic
+    # at corpus scale. WindowGroupLimit (or at minimum a Window) with
+    # no CartesianProduct proves the win_topk physical family.
+    p_lat = plan_of(QUERIES["join_lateral"](spark, SF))
+    lat_win = ("WindowGroupLimit" in p_lat) or bool(
+        re.search(r"\(\d+\) Window", p_lat)
+    )
+    lat_nested = ("CartesianProduct" in p_lat) or (
+        "BroadcastNestedLoopJoin" in p_lat
+    )
+    check(
+        "lateral subquery decorrelates to a windowed join",
+        lat_win and not lat_nested,
+        f"window/group-limit={lat_win} (want True), nested-loop/"
+        f"cartesian={lat_nested} (want False)",
+        p_lat,
+    )
+
+    # 36. bigram-LM vocab joins unhinted (the #31 probe applied to
+    # wave 22's LM face: bigram/head-count relations are
+    # vocab-cardinality — a forced broadcast OOMs at web scale); and
+    # feat_hashing is map-only to ONE two-phase agg with the scan
+    # pruned to (doc_id, text) — the hashing trick's whole point is
+    # no vocabulary state, so any join or second exchange is a bug.
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_blm = plan_of(QUERIES["text_bigram_lm"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    blm_bhj = len(re.findall(r"BroadcastHashJoin", p_blm))
+    blm_shuffle = ("SortMergeJoin" in p_blm) or ("ShuffledHashJoin" in p_blm)
+    p_fh = plan_of(QUERIES["feat_hashing"](spark, SF))
+    fh_exch = len(re.findall(r"\(\d+\) Exchange", p_fh))
+    fh_join = "Join" in p_fh
+    m = re.search(r"ReadSchema: ([^\n]*)", p_fh)
+    fh_schema = m.group(1) if m else ""
+    fh_pruned = (
+        "doc_id" in fh_schema
+        and "text" in fh_schema
+        and "lang" not in fh_schema
+        and "source" not in fh_schema
+    )
+    check(
+        "bigram-LM vocab joins unhinted; feat_hashing map-only + pruned",
+        blm_bhj == 0 and blm_shuffle and fh_exch == 1 and not fh_join
+        and fh_pruned,
+        f"text_bigram_lm: {blm_bhj} BroadcastHashJoin (want 0), shuffle "
+        f"equi-join={blm_shuffle}; feat_hashing: {fh_exch} Exchange "
+        f"(want 1), join={fh_join} (want False), "
+        f"ReadSchema={fh_schema[:60]}",
+        p_blm,
+    )
+
+    # 37. agg_bitmap_distinct (r4 wave 22): the bitmap rollup must be
+    # TWO-PHASE — partial bitmap_construct_agg BEFORE the (type,
+    # bucket) exchange (node ids grow input->output, so partial-first
+    # means min agg id < min exchange id); otherwise the raw
+    # (type, user) pairs shuffle and the face is just a worse
+    # COUNT(DISTINCT). And pareto_front's window input must be the
+    # per-size AGGREGATE, not the part scan: the single-partition
+    # window Exchange is safe only because the per-size relation is
+    # dozens of rows — assert an agg sits below the window.
+    p_bm = plan_of(QUERIES["agg_bitmap_distinct"](spark, SF))
+    # bitmap_construct_agg has a var-width buffer, so the partial
+    # phase plans as SortAggregate, not HashAggregate (the max_by
+    # compaction precedent) — match all three aggregate flavors
+    bm_agg_ids = [
+        int(i)
+        for i in re.findall(
+            r"\((\d+)\) (?:ObjectHashAggregate|HashAggregate|SortAggregate)",
+            p_bm,
+        )
+    ]
+    bm_exch_ids = [int(i) for i in re.findall(r"\((\d+)\) Exchange", p_bm)]
+    bm_partial_first = bool(bm_agg_ids and bm_exch_ids) and min(
+        bm_agg_ids
+    ) < min(bm_exch_ids)
+    p_par = plan_of(QUERIES["pareto_front"](spark, SF))
+    par_agg_ids = [
+        int(i)
+        for i in re.findall(r"\((\d+)\) (?:Object)?HashAggregate", p_par)
+    ]
+    par_win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", p_par)]
+    par_agg_below_win = bool(par_agg_ids and par_win_ids) and min(
+        par_agg_ids
+    ) < min(par_win_ids)
+    check(
+        "bitmap rollup two-phase; pareto window runs on the per-size agg",
+        bm_partial_first and par_agg_below_win,
+        f"bitmap: partial-agg-before-shuffle={bm_partial_first} "
+        f"(agg ids {bm_agg_ids}, exchange ids {bm_exch_ids}); pareto: "
+        f"agg-below-window={par_agg_below_win} (agg ids {par_agg_ids}, "
+        f"window ids {par_win_ids})",
+        p_bm,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
