@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import t
+from .common import SQL_CENTS, cents, t
 
 Q = {}
 O = {}
@@ -1389,3 +1389,479 @@ def events_heatmap(spark, sf):
         (((day_num % 7) + 7) % 7).cast("int").alias("dow"),
         F.hour("ts").cast("int").alias("hod"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint over the daily series — all scoring in exact BIGINTs
+# ---------------------------------------------------------------------------
+@q(
+    "events_changepoint",
+    f"""
+    WITH day_sums AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             SUM({SQL_CENTS.format(x='value')}) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    sc AS (
+      SELECT event_type, day_num,
+             ABS(COUNT(*) OVER (PARTITION BY event_type)
+                 * SUM(v) OVER (PARTITION BY event_type ORDER BY day_num
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+                 - ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY day_num)
+                   * SUM(v) OVER (PARTITION BY event_type)) AS score,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_days,
+             SUM(v) OVER (PARTITION BY event_type) AS total_cents
+      FROM day_sums)
+    SELECT event_type, CAST(day_num AS INT) AS cp_day,
+           CAST(score AS BIGINT) AS score, n_days,
+           CASE WHEN n_days * ABS(total_cents) = 0 THEN NULL
+                ELSE round(CAST(score AS DOUBLE) / n_days
+                           / ABS(total_cents), 6) + 0
+           END AS rel
+    FROM sc
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY score DESC, day_num) = 1
+    """,
+)
+def events_changepoint(spark, sf):
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation of the daily revenue series from its own
+    mean peaks — the standard single-changepoint screen for "did this
+    event's level shift, and when?" (a crawl source going dark, a
+    price change, a bot burst). Exactness: with D days, total T and
+    prefix sums P_d, the CUSUM statistic |P_d - d*T/D| is scaled by D
+    to |D*P_d - d*T| — a pure-BIGINT score with NO division, so the
+    argmax (ties -> earliest day) is engine-exact; the normalized
+    `rel` derives from the exact integers afterward (NULL-guarded:
+    a zero-total series has no scale). Scale shape: one map-side-
+    combinable agg to the calendar-sized day relation, windows
+    partitioned BY TYPE (no single-partition window), argmax via a
+    rank-1 filter on the same partitioning — one exchange reused by
+    all four window functions."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    ds = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit(_EPOCH)).cast("long").alias(
+            "day_num"
+        ),
+    ).agg(F.sum(cents(F.col("value"))).alias("v"))
+    wp = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day_num")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sc = ds.select(
+        "event_type",
+        "day_num",
+        F.abs(
+            F.count(F.lit(1)).over(wp) * F.sum("v").over(wcum)
+            - F.row_number().over(wo).cast("long") * F.sum("v").over(wp)
+        ).alias("score"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n_days"),
+        F.sum("v").over(wp).alias("total_cents"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("score"), "day_num")
+    )
+    return (
+        sc.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day_num").cast("int").alias("cp_day"),
+            "score",
+            "n_days",
+            F.when(
+                F.col("n_days") * F.abs("total_cents") == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    F.col("score").cast("double")
+                    / F.col("n_days")
+                    / F.abs("total_cents"),
+                    6,
+                )
+                + F.lit(0.0)
+            )
+            .alias("rel"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA across event types — per-group terms quantized to BIGINT
+# ---------------------------------------------------------------------------
+@q(
+    "stat_anova",
+    f"""
+    WITH qv AS (
+      SELECT event_type, {SQL_CENTS.format(x='value')} AS q
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g, SUM(q) AS s_g,
+             SUM(q * q) AS s2_g
+      FROM qv GROUP BY event_type),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(n_g) AS n, SUM(s_g) AS s
+      FROM g),
+    terms AS (
+      SELECT CAST(round(n_g
+                        * (CAST(s_g AS DOUBLE) / n_g
+                           - CAST(tot.s AS DOUBLE) / tot.n)
+                        * (CAST(s_g AS DOUBLE) / n_g
+                           - CAST(tot.s AS DOUBLE) / tot.n)) AS BIGINT)
+               AS ssb_t,
+             CAST(round(CAST(s2_g AS DOUBLE)
+                        - CAST(s_g AS DOUBLE) * s_g / n_g) AS BIGINT)
+               AS ssw_t
+      FROM g CROSS JOIN tot),
+    ag AS (SELECT SUM(ssb_t) AS ssb, SUM(ssw_t) AS ssw FROM terms)
+    SELECT tot.k, tot.n, ag.ssb, ag.ssw,
+           CASE WHEN tot.k < 2 OR tot.n <= tot.k OR ag.ssw = 0 THEN NULL
+                ELSE round((CAST(ag.ssb AS DOUBLE) / (tot.k - 1))
+                           / (CAST(ag.ssw AS DOUBLE) / (tot.n - tot.k)),
+                           6) + 0
+           END AS f_stat
+    FROM tot CROSS JOIN ag
+    """,
+)
+def stat_anova(spark, sf):
+    """One-way ANOVA F-test: does mean event value differ across
+    event types? — the multi-group generalization of stat_ttest (the
+    canonical "is this segmentation real" screen before acting on a
+    per-type difference). Exactness: per-group count/sum/sum-of-
+    squares are exact BIGINT cents moments; each group's
+    between/within sum-of-squares term is computed in ONE identical
+    float op order from those integers and rounded to an integer
+    cents^2 unit (the kg_adamic_adar per-term quantization, applied
+    to squares instead of logs), so the cross-group sums are exact
+    order-independent BIGINT aggs and F derives in one identical
+    division chain, rounded to 6. Degenerate inputs (k < 2 groups,
+    no residual df, zero within-variance) yield NULL instead of ANSI
+    DIVIDE_BY_ZERO. Scale shape: one map-side-combinable agg to a
+    |types|-sized relation; everything after runs on <= k rows."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(cents(F.col("value"))).alias("s_g"),
+        F.sum(cents(F.col("value")) * cents(F.col("value"))).alias("s2_g"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+    )
+    dev = F.col("s_g").cast("double") / F.col("n_g") - F.col("s").cast(
+        "double"
+    ) / F.col("n")
+    terms = g.crossJoin(tot).select(
+        F.round(F.col("n_g") * dev * dev)
+        .cast("long")
+        .alias("ssb_t"),
+        F.round(
+            F.col("s2_g").cast("double")
+            - F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+        )
+        .cast("long")
+        .alias("ssw_t"),
+    )
+    ag = terms.agg(F.sum("ssb_t").alias("ssb"), F.sum("ssw_t").alias("ssw"))
+    bad = (
+        (F.col("k") < 2)
+        | (F.col("n") <= F.col("k"))
+        | (F.col("ssw") == 0)
+    )
+    return tot.crossJoin(ag).select(
+        "k",
+        "n",
+        "ssb",
+        "ssw",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("ssb").cast("double") / (F.col("k") - 1))
+                / (F.col("ssw").cast("double") / (F.col("n") - F.col("k"))),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of the vocabulary — rank-sum via count-of-counts
+# ---------------------------------------------------------------------------
+@q(
+    "stat_gini",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+    cnt AS (
+      SELECT tk, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE tk <> '' GROUP BY tk),
+    cc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM cnt GROUP BY c),
+    blk AS (
+      SELECT c, m,
+             COALESCE(SUM(m) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND 1 PRECEDING), 0) + 1
+               AS start
+      FROM cc),
+    s AS (
+      SELECT SUM(m) AS n_vocab, SUM(c * m) AS total_tokens,
+             SUM(c * ((m * (2 * start + m - 1)) // 2)) AS sic
+      FROM blk)
+    SELECT n_vocab, total_tokens,
+           CASE WHEN n_vocab IS NULL OR n_vocab * total_tokens = 0 THEN NULL
+                ELSE round(CAST(2 * sic - (n_vocab + 1) * total_tokens
+                                AS DOUBLE)
+                           / (n_vocab * total_tokens), 6) + 0
+           END AS gini
+    FROM s
+    """,
+)
+def stat_gini(spark, sf):
+    """Gini coefficient of the token-frequency distribution — the
+    one-number vocabulary-concentration probe (a deduplicated natural
+    corpus sits high ~0.9+; template floods push it toward 1, heavy
+    synthetic uniqueness pulls it down; track per snapshot alongside
+    text_zipf_fit's slope). Exactness: Gini needs the rank-weighted
+    sum over counts sorted ascending, which is tie-invariant — so
+    instead of globally ranking the vocab-sized relation (a single-
+    partition window at web scale), aggregate to COUNT-OF-COUNTS
+    first: each distinct frequency c with multiplicity m occupies a
+    consecutive rank block whose rank-sum m*(2*start+m-1)/2 is closed
+    -form (exactly even, integer `div`), so the window runs over the
+    |distinct frequencies| relation — thousands of rows at any corpus
+    size. All moments are BIGINTs; one guarded division at the end.
+    Scale shape: vocab agg (map-side combine) -> count-of-counts agg
+    -> tiny-relation window; no vocab-sized sort anywhere."""
+    d = t(spark, sf, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cc = cnt.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    w = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    blk = cc.select(
+        "c",
+        "m",
+        (F.coalesce(F.sum("m").over(w), F.lit(0)) + 1).alias("start"),
+    )
+    s = blk.agg(
+        F.sum("m").alias("n_vocab"),
+        F.sum(F.col("c") * F.col("m")).alias("total_tokens"),
+        F.sum(
+            F.col("c")
+            * F.expr("(m * (2 * start + m - 1)) div 2")
+        ).alias("sic"),
+    )
+    bad = F.col("n_vocab").isNull() | (
+        F.col("n_vocab") * F.col("total_tokens") == 0
+    )
+    return s.select(
+        "n_vocab",
+        "total_tokens",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (
+                    2 * F.col("sic")
+                    - (F.col("n_vocab") + 1) * F.col("total_tokens")
+                ).cast("double")
+                / (F.col("n_vocab") * F.col("total_tokens")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag-1..7 autocorrelation of the daily series — bounded explode equi-join
+# ---------------------------------------------------------------------------
+@q(
+    "events_autocorr",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             SUM({SQL_CENTS.format(x='value')}) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    px AS (
+      SELECT CAST(t.l AS BIGINT) AS lag, day_num + t.l AS tgt, v AS x
+      FROM daily, unnest([1, 2, 3, 4, 5, 6, 7]) AS t(l)),
+    pairs AS (
+      SELECT px.lag, px.x, b.v AS y
+      FROM px JOIN daily b ON b.day_num = px.tgt),
+    m AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+             SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+             SUM(y * y) AS syy
+      FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS INT) AS lag, n,
+           CASE WHEN n < 2
+                     OR (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0
+                THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)),
+                           6) + 0
+           END AS r
+    FROM m
+    """,
+)
+def events_autocorr(spark, sf):
+    """Lag-1..7 autocorrelation of the daily revenue series — the
+    seasonality probe behind events_heatmap (a strong lag-7 spike
+    means weekly periodicity; lag-1 near 1 means the series is a
+    random walk and day-over-day deltas, not levels, should drive
+    alerts). Shape: the lagged pairing is the events_rolling_dau
+    bounded-explode pattern — each day fans out x7 to (lag, day+lag)
+    and EQUI-joins back to the calendar-sized daily relation (no
+    range join, no self-cross-join); Pearson per lag then runs on
+    exact BIGINT moments (daily totals floored to whole dollars via
+    integer `div` to keep the five moment sums in BIGINT headroom at
+    any corpus scale), one identically-ordered division chain,
+    round-6, zero-variance and n<2 guarded to NULL."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = (
+        e.groupBy(
+            F.datediff(F.to_date("ts"), F.lit(_EPOCH)).cast("long").alias(
+                "day_num"
+            )
+        )
+        .agg(F.sum(cents(F.col("value"))).alias("vc"))
+        .select("day_num", F.expr("vc div 100").alias("v"))
+    )
+    px = daily.select(
+        "day_num",
+        "v",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    ).select(
+        F.col("lag").cast("long").alias("lag"),
+        (F.col("day_num") + F.col("lag")).alias("tgt"),
+        F.col("v").alias("x"),
+    )
+    b = daily.select(F.col("day_num").alias("tgt"), F.col("v").alias("y"))
+    m = (
+        px.join(b, "tgt")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    bad = (F.col("n") < 2) | (vx * vy <= 0)
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (
+                    F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flesch-style readability — map-only, JVM regex counting, zero UDF
+# ---------------------------------------------------------------------------
+@q(
+    "text_readability",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(COALESCE(text, ''), ' '),
+                                  x -> x <> '')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(COALESCE(text, ''), '[.!?]+'))
+                  AS BIGINT) AS sentences,
+             CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '[aeiouy]+')) AS BIGINT)
+               AS syllables
+      FROM documents)
+    SELECT doc_id, words, sentences, syllables,
+           CASE WHEN words = 0 OR sentences = 0 THEN NULL
+                ELSE round(206.835
+                           - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                           - 84.6 * (CAST(syllables AS DOUBLE) / words),
+                           6) + 0
+           END AS flesch
+    FROM m
+    """,
+)
+def text_readability(spark, sf):
+    """Flesch-reading-ease per document with a deterministic
+    vowel-group syllable proxy — the grade-level quality signal that
+    complements the Gopher-style surface stats in text_quality
+    (training-mix recipes bucket web text by readability; the proxy
+    is the standard cheap stand-in where a dictionary syllabifier is
+    unavailable, and it only needs to be CONSISTENT to rank/bucket).
+    Engine parity: all three counts are regex/structural counts with
+    identical semantics in Java regex and RE2 (plain character
+    classes, no lookaround — the text_token_bpe constraint); NULL
+    text coalesces to '' (Spark size(split(NULL)) is -1 where DuckDB
+    len(NULL) is NULL — coalescing removes the hazard); the score is
+    one identically-ordered float chain, round-6, NULL-guarded on
+    wordless/sentenceless docs. Scale shape: map-only, zero Exchange,
+    scan pruned to (doc_id, text); regexes compile once per task via
+    JVM codegen (the pii_redact precedent) — no Python in the path."""
+    d = t(spark, sf, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    m = d.select(
+        "doc_id",
+        F.size(F.filter(F.split(txt, " "), lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("words"),
+        F.regexp_count(txt, F.lit("[.!?]+")).cast("long").alias("sentences"),
+        F.regexp_count(F.lower(txt), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("syllables"),
+    )
+    bad = (F.col("words") == 0) | (F.col("sentences") == 0)
+    return m.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(206.835)
+                - 1.015
+                * (F.col("words").cast("double") / F.col("sentences"))
+                - 84.6
+                * (F.col("syllables").cast("double") / F.col("words")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("flesch"),
+    )

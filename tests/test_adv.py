@@ -422,3 +422,137 @@ def test_events_heatmap_epoch_dow_and_conservation(spark, tmp_path):
     full = qadv.Q["events_heatmap"](spark, SF).toPandas()
     n_ts = t(spark, SF, "events").filter(F.col("ts").isNotNull()).count()
     assert int(full["n"].sum()) == n_ts
+
+
+def test_events_changepoint_finds_the_level_shift_boundary(spark, tmp_path):
+    rows = []
+    eid = 0
+    for day in range(10):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                datetime.datetime(2024, 1, 1 + day, 12),
+                1,
+                "click",
+                1.0 if day < 5 else 100.0,
+                "{}",
+            )
+        )
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    [r] = qadv.Q["events_changepoint"](spark, str(tmp_path)).collect()
+    # low regime days 0-4 (100 cents), high 5-9 (10000): the CUSUM
+    # |D*P_d - rnk*T| peaks on the LAST day of the old regime
+    assert r.event_type == "click" and r.cp_day == 4
+    total = 5 * 100 + 5 * 10000
+    assert r.score == abs(10 * 500 - 5 * total)
+    assert r.n_days == 10
+    assert r.rel == round(r.score / 10 / total, 6)
+    assert 0.0 <= r.rel <= 1.0
+
+
+def test_stat_anova_matches_hand_computed_f(spark):
+    got = qadv.Q["stat_anova"](spark, SF).collect()[0]
+    groups = {}
+    for row in t(spark, SF, "events").collect():
+        if row.value is not None:
+            groups.setdefault(row.event_type, []).append(
+                int(round(row.value * 100))
+            )
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    ssb = sum(
+        int(
+            round(
+                len(v) * (sum(v) / len(v) - s / n) * (sum(v) / len(v) - s / n)
+            )
+        )
+        for v in groups.values()
+    )
+    ssw = sum(
+        int(
+            round(
+                float(sum(x * x for x in v)) - float(sum(v)) * sum(v) / len(v)
+            )
+        )
+        for v in groups.values()
+    )
+    assert (got.k, got.n, got.ssb, got.ssw) == (k, n, ssb, ssw)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got.f_stat == round(f, 6) + 0
+    assert got.f_stat >= 0
+
+
+def test_stat_gini_equals_bruteforce_rank_sum(spark):
+    got = qadv.Q["stat_gini"](spark, SF).collect()[0]
+    cnt = {}
+    for row in t(spark, SF, "documents").collect():
+        if row.text:
+            for tk in row.text.split(" "):
+                if tk:
+                    cnt[tk] = cnt.get(tk, 0) + 1
+    cs = sorted(cnt.values())  # ascending; ties in any order
+    n, s = len(cs), sum(cs)
+    sic = sum((i + 1) * c for i, c in enumerate(cs))
+    assert (got.n_vocab, got.total_tokens) == (n, s)
+    assert got.gini == round((2 * sic - (n + 1) * s) / (n * s), 6) + 0
+    assert 0.0 <= got.gini < 1.0
+
+
+def test_events_autocorr_matches_exact_moment_pearson(spark):
+    got = {
+        r.lag: (r.n, r.r)
+        for r in qadv.Q["events_autocorr"](spark, SF).collect()
+    }
+    daily = {}
+    for row in t(spark, SF, "events").collect():
+        if row.ts is not None and row.value is not None:
+            d = (row.ts.date() - datetime.date(2024, 1, 1)).days
+            daily[d] = daily.get(d, 0) + int(round(row.value * 100))
+    # SQL div truncates toward zero
+    dollars = {
+        d: (v // 100 if v >= 0 else -((-v) // 100)) for d, v in daily.items()
+    }
+    assert set(got) == set(range(1, 8))
+    for lag in (1, 7):
+        pairs = [
+            (dollars[d], dollars[d + lag])
+            for d in dollars
+            if d + lag in dollars
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        r = (n * sxy - sx * sy) / math.sqrt(
+            float((n * sxx - sx * sx)) * (n * syy - sy * sy)
+        )
+        assert got[lag] == (n, round(r, 6) + 0)
+
+
+def test_text_readability_known_doc_and_null_guards(spark, tmp_path):
+    docs = [
+        (1, "Hello world. This is a test!", "en", "w", 28),
+        (2, None, "en", "w", 0),
+        (3, "no sentence enders here", "en", "w", 23),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in qadv.Q["text_readability"](spark, str(tmp_path)).collect()
+    }
+    r1 = got[1]
+    assert (r1.words, r1.sentences, r1.syllables) == (6, 2, 7)
+    assert r1.flesch == round(206.835 - 1.015 * (6 / 2) - 84.6 * (7 / 6), 6)
+    # NULL text coalesces to '' -> zero counts -> NULL score (not -1/crash)
+    assert (got[2].words, got[2].sentences, got[2].flesch) == (0, 0, None)
+    # words but no sentence enders -> NULL score
+    assert got[3].words == 4 and got[3].sentences == 0
+    assert got[3].flesch is None

@@ -797,6 +797,57 @@ def main() -> None:
         p_bm,
     )
 
+    # 38. wave-24 shapes: events_changepoint's four window functions
+    # must all run under the per-TYPE partitioning (a SinglePartition
+    # window Exchange would serialize the calendar relation of every
+    # type through one task); text_readability is the map-only
+    # zero-UDF contract (0 Exchange, scan pruned to doc_id+text);
+    # stat_gini's window must sit ABOVE the count-of-counts aggregate
+    # (the whole point of the closed-form rank-sum is never sorting
+    # the vocab-sized relation); events_autocorr's lagged pairing is
+    # an EQUI-join (bounded explode), never a range/nested-loop join.
+    p_cp = plan_of(QUERIES["events_changepoint"](spark, SF))
+    cp_single = "Exchange SinglePartition" in p_cp
+    p_rd = plan_of(QUERIES["text_readability"](spark, SF))
+    rd_exch = len(re.findall(r"\(\d+\) Exchange", p_rd))
+    m = re.search(r"ReadSchema: ([^\n]*)", p_rd)
+    rd_schema = m.group(1) if m else ""
+    rd_pruned = (
+        "doc_id" in rd_schema
+        and "text" in rd_schema
+        and "lang" not in rd_schema
+    )
+    p_gn = plan_of(QUERIES["stat_gini"](spark, SF))
+    gn_agg_ids = [
+        int(i)
+        for i in re.findall(
+            r"\((\d+)\) (?:Object)?HashAggregate", p_gn
+        )
+    ]
+    gn_win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", p_gn)]
+    gn_agg_below_win = bool(gn_agg_ids and gn_win_ids) and min(
+        gn_agg_ids
+    ) < min(gn_win_ids)
+    p_ac = plan_of(QUERIES["events_autocorr"](spark, SF))
+    ac_nested = ("CartesianProduct" in p_ac) or (
+        "BroadcastNestedLoopJoin" in p_ac
+    )
+    check(
+        "changepoint windows per-type; readability map-only; gini "
+        "window over count-of-counts; autocorr equi-join",
+        (not cp_single)
+        and rd_exch == 0
+        and rd_pruned
+        and gn_agg_below_win
+        and not ac_nested,
+        f"changepoint single-partition window={cp_single} (want False); "
+        f"readability: {rd_exch} Exchange (want 0), "
+        f"ReadSchema={rd_schema[:50]}; gini agg-below-window="
+        f"{gn_agg_below_win} (agg ids {gn_agg_ids}, window ids "
+        f"{gn_win_ids}); autocorr nested-loop={ac_nested} (want False)",
+        p_cp,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
