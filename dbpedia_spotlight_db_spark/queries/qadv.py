@@ -1865,3 +1865,138 @@ def text_readability(spark, sf):
         )
         .alias("flesch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate spans — 8-token shingle doc-frequency mining
+# ---------------------------------------------------------------------------
+@q(
+    "text_boilerplate",
+    """
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '),
+                                 x -> x <> '') AS ts
+      FROM documents),
+    sh AS (
+      SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS shingle
+      FROM tk, unnest(range(1, len(ts) - 6)) AS t(i)
+      WHERE len(ts) >= 8),
+    df AS (
+      SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(COUNT(*) AS BIGINT) AS occurrences,
+             MIN(doc_id) AS example_doc
+      FROM sh GROUP BY shingle
+      HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT shingle, df, occurrences, example_doc
+    FROM df
+    QUALIFY ROW_NUMBER() OVER (ORDER BY df DESC, occurrences DESC,
+                               shingle) <= 20
+    """,
+)
+def text_boilerplate(spark, sf):
+    """Cross-document boilerplate-span miner: the top 8-token
+    shingles by document frequency — the SPAN-level complement of
+    dedup_lines (which needs duplicated text to share line breaks)
+    and the discovery step before scrubbing navigation chrome /
+    cookie banners / license footers that near-dedup won't catch
+    (the spans repeat across otherwise-distinct pages). This is the
+    n-gram-frequency technique behind C4/Gopher boilerplate analysis.
+    Scale shape: shingling is map-side (transform over the token
+    array — one corpus scan, rows fan out by ~|tokens|); the
+    doc-frequency agg is the single shuffle (count-distinct plans as
+    the standard two-phase Expand agg); df >= 2 prunes the vast
+    unique-shingle tail BEFORE the top-k, which is
+    TakeOrderedAndProject (no global sort materialized). Ties break
+    by occurrence count then shingle text, so top-20 is fully
+    deterministic."""
+    d = t(spark, sf, "documents")
+    tk = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            lambda x: x != F.lit(""),
+        ).alias("ts"),
+    ).filter(F.size("ts") >= 8)
+    sh = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 7),"
+                " i -> concat_ws(' ', slice(ts, i, 8)))"
+            )
+        ).alias("shingle"),
+    )
+    df = (
+        sh.groupBy("shingle")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("occurrences"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+    return df.orderBy(
+        F.desc("df"), F.desc("occurrences"), "shingle"
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out target encoding — exact rational per row, unhinted join
+# ---------------------------------------------------------------------------
+@q(
+    "feat_target_encode",
+    f"""
+    WITH qv AS (
+      SELECT event_id, event_type, {SQL_CENTS.format(x='value')} AS q
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g, SUM(q) AS s_g
+      FROM qv GROUP BY event_type)
+    SELECT qv.event_id, qv.event_type,
+           CASE WHEN g.n_g < 2 THEN NULL
+                ELSE round(CAST(g.s_g - qv.q AS DOUBLE) / (g.n_g - 1)
+                           / 100.0, 6) + 0
+           END AS loo_mean
+    FROM qv JOIN g ON g.event_type = qv.event_type
+    """,
+)
+def feat_target_encode(spark, sf):
+    """Leave-one-out target encoding of a categorical feature: each
+    row's category is replaced by the mean target over the OTHER
+    rows of its category, (sum_g - own)/(n_g - 1) — the standard
+    high-cardinality-categorical featurizer, in its leakage-free
+    form (including the row's own target in its encoding is the
+    classic train-time leak; LOO is the fix, and it needs exactly
+    this join shape). Exactness: group sums are BIGINT cents, each
+    row's encoding is ONE identically-ordered division of exact
+    integers, round-6; singleton categories (n_g = 1) are NULL (no
+    peers to encode from) instead of DIVIDE_BY_ZERO. Scale shape:
+    one map-side-combinable agg to the |categories| relation, then
+    an UNHINTED equi-join back to the fact rows — AQE broadcasts the
+    category side when it fits and falls back to shuffle when a web-
+    scale cardinality doesn't (the text_unigram_lm lesson: never
+    force-broadcast a data-dependent relation)."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    qv = e.select(
+        "event_id", "event_type", cents(F.col("value")).alias("q")
+    )
+    g = qv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("q").alias("s_g"),
+    )
+    j = qv.join(g, "event_type")
+    return j.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("n_g") < 2, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("s_g") - F.col("q")).cast("double")
+                / (F.col("n_g") - 1)
+                / 100.0,
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("loo_mean"),
+    )

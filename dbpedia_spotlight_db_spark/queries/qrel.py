@@ -1072,6 +1072,85 @@ def stream_join(spark, sf):
 
 
 @q(
+    "stream_outer_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c LEFT JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase'
+     AND p.ts IS NOT NULL
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3 DAY
+    WHERE c.event_type = 'click' AND c.ts IS NOT NULL
+    """,
+)
+def stream_outer_join(spark, sf):
+    """STREAM-STREAM LEFT OUTER join on the oracle gate — the
+    non-converting-clicks feed (outer_join_streams in
+    streaming/annotate_stream.py). The outer side adds the one
+    discipline the inner join doesn't have: an unmatched click is
+    emitted only when the purchase watermark PROVES no future match
+    (wm > c_ts + horizon), so a bounded replay would terminate with
+    the last horizon of clicks still buffered in state. The face
+    pushes the final watermark past the data with far-future
+    SENTINEL rows (negative user ids, filtered out post-join) fed as
+    separate micro-batches via maxFilesPerTrigger=1 — two push
+    rounds, because outer emission uses the watermark computed at
+    the END of the PREVIOUS batch; this is the standard end-of-
+    stream flush for replaying a bounded log through a streaming
+    topology. With the flush, availableNow output == the exact batch
+    left-join row set, so the DuckDB twin is a plain LEFT JOIN."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.annotate_stream import outer_join_streams
+
+    name = f"stream_ojoin_{next(_STREAM_Q_COUNTER)}"
+    schema = t(spark, sf, "events").schema
+    with tempfile.TemporaryDirectory(prefix="stream_ojoin_") as tmp:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "00_events.parquet"),
+        )
+        import datetime as _dt
+
+        for i, (yr, et) in enumerate(
+            [(2030, "click"), (2030, "purchase"),
+             (2035, "click"), (2035, "purchase")]
+        ):
+            sdir = os.path.join(tmp, f"s{i}")
+            spark.createDataFrame(
+                [(-(100 + i), _dt.datetime(yr, 1, 1), -(100 + i), et,
+                  0.0, "{}")],
+                schema,
+            ).coalesce(1).write.mode("overwrite").parquet(sdir)
+            part = glob.glob(os.path.join(sdir, "part-*.parquet"))[0]
+            shutil.copy(part, os.path.join(src_dir, f"{10 + i:02d}_s.parquet"))
+
+        def side(et):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+                .filter(F.col("event_type") == et)
+            )
+
+        q_ = (
+            outer_join_streams(side("click"), side("purchase"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@q(
     "agg_cube",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -346,3 +346,52 @@ def join_streams(
             f"AND p_ts <= c_ts + INTERVAL {horizon_days} DAYS"
         ),
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+
+
+def outer_join_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_days: int = 3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join — the join shape that reports
+    the NON-converting clicks too (the funnel-drop feed: every click
+    row, with purchase columns NULL when nothing followed within the
+    horizon). Same bounded-state geometry as join_streams — both
+    sides watermarked, event-time range predicate — plus the outer
+    join's extra discipline: a click can only be emitted as UNMATCHED
+    once the purchase-side watermark proves no future match is
+    possible (p_watermark > c_ts + horizon), so outer rows trail the
+    inner rows by up to horizon + watermark delay. Under
+    trigger(availableNow) that means the LAST horizon of clicks would
+    terminate still buffered — the stream_outer_join face pushes the
+    final watermark past the data with sentinel rows (the standard
+    end-of-stream flush for bounded replays) to make the output the
+    exact batch left-join row set. ``ts`` cast as in the other faces
+    (watermarks reject the fixture's TIMESTAMP_NTZ)."""
+    c = (
+        clicks.filter(F.col("ts").isNotNull())
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    p = (
+        purchases.filter(F.col("ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return c.join(
+        p,
+        F.expr(
+            "p_user = c_user AND p_ts >= c_ts "
+            f"AND p_ts <= c_ts + INTERVAL {horizon_days} DAYS"
+        ),
+        "leftOuter",
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))

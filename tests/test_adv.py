@@ -556,3 +556,98 @@ def test_text_readability_known_doc_and_null_guards(spark, tmp_path):
     # words but no sentence enders -> NULL score
     assert got[3].words == 4 and got[3].sentences == 0
     assert got[3].flesch is None
+
+
+def test_stream_outer_join_equals_batch_left_join(spark):
+    from dbpedia_spotlight_db_spark.queries import qrel
+
+    got = sorted(
+        map(tuple, qrel.Q["stream_outer_join"](spark, SF).collect())
+    )
+    ev = (
+        t(spark, SF, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("puser"),
+        F.col("ts").alias("pts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("puser") == F.col("user_id"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 3 DAYS")),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "user_id")
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+    # the outer rows are the point of the face — assert they exist
+    assert any(r[1] is None for r in got)
+
+
+def test_text_boilerplate_spans_are_real_and_top_ranked(spark):
+    rows = qadv.Q["text_boilerplate"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    docs = [
+        (r.doc_id, (r.text or "").split())
+        for r in t(spark, SF, "documents").collect()
+    ]
+    df_by_shingle = {}
+    for doc_id, ts in docs:
+        seen = set()
+        for i in range(len(ts) - 7):
+            seen.add(" ".join(ts[i : i + 8]))
+        for s in seen:
+            df_by_shingle[s] = df_by_shingle.get(s, 0) + 1
+    for r in rows:
+        assert len(r.shingle.split(" ")) == 8
+        assert df_by_shingle[r.shingle] == r.df >= 2
+        assert r.occurrences >= r.df
+    # descending (df, occurrences) and the top df is the global max
+    ranks = [(r.df, r.occurrences) for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert rows[0].df == max(df_by_shingle.values())
+
+
+def test_feat_target_encode_loo_identity_and_singleton_null(
+    spark, tmp_path
+):
+    got = {
+        r.event_id: r
+        for r in qadv.Q["feat_target_encode"](spark, SF).collect()
+    }
+    groups = {}
+    for row in t(spark, SF, "events").collect():
+        if row.value is not None:
+            groups.setdefault(row.event_type, []).append(
+                (row.event_id, int(round(row.value * 100)))
+            )
+    for et, rows in groups.items():
+        s = sum(q for _, q in rows)
+        n = len(rows)
+        eid, q0 = rows[0]
+        if n < 2:
+            assert got[eid].loo_mean is None
+        else:
+            assert got[eid].loo_mean == round((s - q0) / (n - 1) / 100.0, 6) + 0
+    # singleton category -> NULL, two-row category -> each other's value
+    ev = [
+        (1, datetime.datetime(2024, 1, 1), 1, "solo", 5.0, "{}"),
+        (2, datetime.datetime(2024, 1, 2), 1, "pair", 2.0, "{}"),
+        (3, datetime.datetime(2024, 1, 3), 1, "pair", 4.0, "{}"),
+    ]
+    spark.createDataFrame(ev, _EVENTS_SCHEMA).write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    g2 = {
+        r.event_id: r.loo_mean
+        for r in qadv.Q["feat_target_encode"](spark, str(tmp_path)).collect()
+    }
+    assert g2 == {1: None, 2: 4.0, 3: 2.0}
