@@ -2000,3 +2000,92 @@ def feat_target_encode(spark, sf):
         )
         .alias("loo_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast backtest — exact integer error aggregation
+# ---------------------------------------------------------------------------
+@q(
+    "events_forecast",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             SUM({SQL_CENTS.format(x='value')}) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    j AS (
+      SELECT a.event_type, a.v AS actual, b.v AS pred
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day_num = a.day_num - 7)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ABS(actual - pred)) AS BIGINT) AS abs_err_cents,
+           round(CAST(SUM(ABS(actual - pred)) AS DOUBLE) / COUNT(*)
+                 / 100.0, 6) + 0 AS mae_dollars,
+           CASE WHEN SUM(ABS(actual)) = 0 THEN NULL
+                ELSE round(CAST(SUM(ABS(actual - pred)) AS DOUBLE)
+                           / SUM(ABS(actual)), 6) + 0
+           END AS wape
+    FROM j GROUP BY event_type
+    """,
+)
+def events_forecast(spark, sf):
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    total with the value 7 days earlier and report MAE / WAPE — the
+    baseline every forecasting pipeline must beat before any model
+    ships (if a learned forecaster can't beat "same day last week",
+    it's noise), and the standing data-quality alarm when WAPE jumps.
+    Exactness: the error aggregation is pure BIGINT (abs diffs of
+    cents sums); MAE/WAPE are single identically-ordered divisions
+    at the end, round-6, WAPE NULL-guarded on an all-zero
+    denominator. Only days with a lag-7 partner score (gaps excluded
+    from the backtest window — the join, not a gap-fill, defines the
+    overlap). Scale shape: one map-side-combinable agg to the
+    calendar-sized daily relation; the lag pairing is a self-equi-
+    join on (type, day-7) — calendar-sized, trivially shuffled."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit(_EPOCH)).cast("long").alias(
+            "day_num"
+        ),
+    ).agg(F.sum(cents(F.col("value"))).alias("v"))
+    a = daily.select(
+        "event_type", (F.col("day_num") - 7).alias("lag_day"),
+        F.col("v").alias("actual"),
+    )
+    b = daily.select(
+        "event_type", F.col("day_num").alias("lag_day"),
+        F.col("v").alias("pred"),
+    )
+    j = a.join(b, ["event_type", "lag_day"])
+    err = F.abs(F.col("actual") - F.col("pred"))
+    g = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(err).alias("abs_err_cents"),
+        F.sum(F.abs("actual")).alias("sum_abs_actual"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "abs_err_cents",
+        (
+            F.round(
+                F.col("abs_err_cents").cast("double") / F.col("n") / 100.0, 6
+            )
+            + F.lit(0.0)
+        ).alias("mae_dollars"),
+        F.when(F.col("sum_abs_actual") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("abs_err_cents").cast("double")
+                / F.col("sum_abs_actual"),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("wape"),
+    )

@@ -247,3 +247,83 @@ def text_roundtrip(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("sum_len"),
     )
+
+
+@q(
+    "hive_partition_prune",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang = 'en' GROUP BY source
+    """,
+)
+def hive_partition_prune(spark, sf):
+    """Hive-style partitioned layout + partition PRUNING — the table
+    layout primitive every 100-TB lake leans on: documents written
+    `partitionBy(lang)` (one directory per language), read back with
+    a `lang = 'en'` filter that must resolve at the DIRECTORY level
+    (PartitionFilters in the scan, zero non-English files opened) —
+    at web scale this is the difference between scanning one
+    language's share and scanning everything. The twin aggregates
+    the unpartitioned original, so hash equality proves the
+    partition round trip loses nothing and prunes to exactly the
+    right slice; audit check #39 asserts the filter lands in
+    PartitionFilters (not a post-scan Filter). Read with the
+    explicit DDL rather than inference: it pins the partition
+    column's type (directory names would otherwise be type-GUESSED
+    per Spark's partition-inference rules) and keeps the read total
+    on an empty source (zero data files = nothing to infer from)."""
+    d = _sink_dir(spark, "hivepart")
+    t(spark, sf, "documents").write.mode("overwrite").partitionBy(
+        "lang"
+    ).parquet(d)
+    back = spark.read.schema(_DOCS_DDL).parquet(d).filter(
+        F.col("lang") == "en"
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@q(
+    "parquet_merge_schema",
+    """
+    SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_text,
+           CAST(COUNT(*) AS BIGINT) AS n_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_source,
+           CAST(COUNT(*) AS BIGINT) AS n_nchars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_nchars
+    FROM documents
+    """,
+)
+def parquet_merge_schema(spark, sf):
+    """Schema EVOLUTION at the source: two parquet file generations
+    with different column sets ((doc_id, text, lang) vs (doc_id,
+    source, n_chars) — the add-a-column / drop-a-column drift every
+    long-lived feed accumulates) land in one directory and are read
+    with mergeSchema=true, which unions the schemas and null-fills
+    the gaps per file. The probe aggregates COUNT(col) per column —
+    each generation's columns are non-null exactly on its own rows,
+    so the counts PROVE the per-file null-fill (and SUM over the
+    evolved column proves values survive). mergeSchema is a
+    footer-union at planning time, not a data pass — cheap at any
+    file count; the default (schema from one file) would silently
+    DROP the evolved columns, which is why the option is the
+    contract here."""
+    d = _sink_dir(spark, "mergeschema")
+    docs = t(spark, sf, "documents")
+    docs.select("doc_id", "text", "lang").write.mode("append").parquet(d)
+    docs.select("doc_id", "source", "n_chars").write.mode("append").parquet(
+        d
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("text").cast("long").alias("n_text"),
+        F.count("lang").cast("long").alias("n_lang"),
+        F.count("source").cast("long").alias("n_source"),
+        F.count("n_chars").cast("long").alias("n_nchars"),
+        F.sum("n_chars").cast("long").alias("sum_nchars"),
+    )

@@ -651,3 +651,82 @@ def test_feat_target_encode_loo_identity_and_singleton_null(
         for r in qadv.Q["feat_target_encode"](spark, str(tmp_path)).collect()
     }
     assert g2 == {1: None, 2: 4.0, 3: 2.0}
+
+
+def test_hive_partition_prune_matches_direct_filter(spark):
+    from dbpedia_spotlight_db_spark.queries import qio
+
+    got = sorted(
+        map(tuple, qio.Q["hive_partition_prune"](spark, SF).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            t(spark, SF, "documents")
+            .filter(F.col("lang") == "en")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_parquet_merge_schema_null_fill_counts(spark):
+    from dbpedia_spotlight_db_spark.queries import qio
+
+    [r] = qio.Q["parquet_merge_schema"](spark, SF).collect()
+    c = t(spark, SF, "documents").count()
+    s = (
+        t(spark, SF, "documents")
+        .agg(F.sum("n_chars"))
+        .collect()[0][0]
+    )
+    assert (
+        r.n_rows,
+        r.n_text,
+        r.n_lang,
+        r.n_source,
+        r.n_nchars,
+        r.sum_nchars,
+    ) == (2 * c, c, c, c, c, s)
+
+
+def test_events_forecast_zero_error_on_perfect_weekly_pattern(
+    spark, tmp_path
+):
+    rows = []
+    eid = 0
+    # 4 identical weeks -> seasonal-naive is perfect; then day 28
+    # breaks the pattern by +10.00
+    for day in range(28):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day),
+                1,
+                "click",
+                float(1 + day % 7),
+                "{}",
+            )
+        )
+    rows.append(
+        (99, datetime.datetime(2024, 1, 29), 1, "click", 11.0, "{}")
+    )
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    from dbpedia_spotlight_db_spark.queries import qadv as _qadv
+
+    [r] = _qadv.Q["events_forecast"](spark, str(tmp_path)).collect()
+    # 22 scored days (days 7..28 present): 21 perfect + day 28 off by
+    # 11.00 - 1.00 = 10.00
+    assert r.n == 22
+    assert r.abs_err_cents == 1000
+    assert r.mae_dollars == round(1000 / 22 / 100.0, 6)
+    total_abs = sum(100 * (1 + d % 7) for d in range(7, 28)) + 1100
+    assert r.wape == round(1000 / total_abs, 6)

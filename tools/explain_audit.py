@@ -848,6 +848,33 @@ def main() -> None:
         p_cp,
     )
 
+    # 39. hive_partition_prune: the lang filter must resolve at the
+    # DIRECTORY level — PartitionFilters on the scan, not a post-scan
+    # data Filter (at 100 TB this is scan-one-language vs
+    # scan-everything); and the scan's ReadSchema must NOT carry the
+    # partition column (it comes from the path). events_forecast's
+    # lag pairing must be an equi-join, never a nested loop.
+    p_hp = plan_of(QUERIES["hive_partition_prune"](spark, SF))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p_hp)
+    hp_pf = m.group(1) if m else ""
+    hp_pruned = "lang" in hp_pf and "= en" in hp_pf
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p_hp)
+    hp_pushed = m.group(1) if m else ""
+    hp_no_data_filter = "lang" not in hp_pushed
+    p_fc = plan_of(QUERIES["events_forecast"](spark, SF))
+    fc_nested = ("CartesianProduct" in p_fc) or (
+        "BroadcastNestedLoopJoin" in p_fc
+    )
+    check(
+        "partition pruning at the directory level; forecast equi-join",
+        hp_pruned and hp_no_data_filter and not fc_nested,
+        f"hive_partition_prune: PartitionFilters=[{hp_pf[:60]}] (want "
+        f"lang = en), lang in PushedFilters={not hp_no_data_filter} "
+        f"(want False); events_forecast nested-loop={fc_nested} "
+        f"(want False)",
+        p_hp,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
