@@ -2089,3 +2089,177 @@ def events_forecast(spark, sf):
         )
         .alias("wape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# first-occurrence shingle novelty — per-doc contribution scoring
+# ---------------------------------------------------------------------------
+@q(
+    "text_novelty",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr
+                 FROM documents),
+    g AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
+          FROM tok WHERE len(arr) >= 3),
+    shp AS (SELECT DISTINCT doc_id,
+                   arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS sh
+            FROM g),
+    fst AS (SELECT sh, MIN(doc_id) AS first_doc FROM shp GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0
+                          END) AS DOUBLE) / COUNT(*), 6) + 0 AS novelty
+    FROM shp s JOIN fst f USING (sh)
+    GROUP BY s.doc_id
+    """,
+)
+def text_novelty(spark, sf):
+    """Per-document NOVELTY: the fraction of a doc's distinct 3-token
+    shingles that first appear in that doc, attributing each shingle
+    to MIN(doc_id) — the contribution score used to rank crawl
+    snapshots for training value (a doc whose shingles all appeared
+    earlier adds nothing; dedup_lines / text_boilerplate remove the
+    repeats, this face SCORES the remainder). Exactness: counts are
+    BIGINT; novelty is one exact-rational division rounded to 6.
+    Docs with < 3 tokens have no shingles and are (deterministically)
+    absent. Scale shape: shingles explode map-side and dedup per doc
+    into a corpus-scale relation; MIN(doc_id) per shingle is a
+    map-side-combinable agg; the attribution attach is an UNHINTED
+    shuffle equi-join on the shingle (the survivors-anti-join lesson
+    — never force a corpus-cardinality relation into a broadcast);
+    the final per-doc agg is document-cardinality. Audit check #40
+    asserts the attach stays a shuffle join."""
+    d = t(spark, sf, "documents")
+    arr = d.select("doc_id", F.split("text", " ").alias("arr")).filter(
+        F.size("arr") >= 3
+    )
+    sh = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(arr) - 3), i -> "
+                "concat_ws(' ', arr[i], arr[i + 1], arr[i + 2]))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(first, "sh")
+    agg = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_novel"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            )
+            + F.lit(0.0)
+        ).alias("novelty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto 80/95) classification — distributed exclusive prefix sum
+# ---------------------------------------------------------------------------
+@q(
+    "abc_classification",
+    f"""
+    WITH rev AS (
+      SELECT l_partkey, SUM({SQL_CENTS.format(x='l_extendedprice')}) AS rev
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT SUM(rev) AS t FROM rev),
+    c AS (SELECT rev,
+                 SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum
+          FROM rev)
+    SELECT CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                WHEN cum * 100 <= t * 95 THEN 'B'
+                ELSE 'C' END AS cls,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+           round(CAST(SUM(rev) AS DOUBLE) / MAX(t), 6) + 0 AS share
+    FROM c CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def abc_classification(spark, sf):
+    """ABC (Pareto) inventory classification: parts covering the first
+    80% of cumulative revenue are class A, the next 15% B, the tail C
+    — the classic warehouse stratification, and the shape every
+    'cumulative share of a totally ordered fact' report takes. The
+    interesting part at scale is the GLOBAL running sum: a
+    single-partition window over the part dimension would serialize
+    billions of rows through one task, so this face implements the
+    distributed exclusive-prefix-sum (scan) idiom instead —
+    repartitionByRange on the total order (rev DESC, partkey ASC),
+    freeze the partition ids with a parquet checkpoint, collect the
+    16 per-partition sums (driver-sized by construction), and add
+    each partition's exclusive offset literal to a WITHIN-partition
+    running sum. Audit check #40 asserts the final plan has NO
+    Exchange SinglePartition. Exactness: revenue is exact integer
+    cents; class thresholds are integer cross-multiplications
+    (cum*100 <= t*80) with a total tie-free order, so the cut is
+    engine-stable; shares are one final round-6 division."""
+    rev = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("rev"))
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    ranged = parquet_checkpoint(
+        rev.repartitionByRange(16, F.desc("rev"), F.asc("l_partkey"))
+        .withColumn("pid", F.spark_partition_id()),
+        "abc_ranged",
+    )
+    sums = {
+        int(r["pid"]): int(r["s"])
+        for r in ranged.groupBy("pid")
+        .agg(F.sum("rev").alias("s"))
+        .collect()
+    }
+    total = sum(sums.values())
+    off, acc = {}, 0
+    for pid in sorted(sums):
+        off[pid] = acc
+        acc += sums[pid]
+    if off:
+        off_expr = F.create_map(
+            *[F.lit(x) for kv in off.items() for x in kv]
+        )[F.col("pid")].cast("long")
+    else:
+        off_expr = F.lit(0).cast("long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(F.desc("rev"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (off_expr + F.sum("rev").over(w)).alias("cum")
+    cls = (
+        F.when(F.col("cum") * 100 <= F.lit(total * 80), "A")
+        .when(F.col("cum") * 100 <= F.lit(total * 95), "B")
+        .otherwise("C")
+    )
+    return (
+        ranged.select("rev", cum)
+        .select("rev", cls.alias("cls"))
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+            (
+                F.round(
+                    F.sum("rev").cast("double") / F.lit(float(total)), 6
+                )
+                + F.lit(0.0)
+            ).alias("share"),
+        )
+    )

@@ -327,3 +327,59 @@ def parquet_merge_schema(spark, sf):
         F.count("n_chars").cast("long").alias("n_nchars"),
         F.sum("n_chars").cast("long").alias("sum_nchars"),
     )
+
+
+@q(
+    "scan_row_index",
+    """
+    SELECT CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE 4 END AS BIGINT)
+             AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CASE WHEN COUNT(*) = 0 THEN NULL ELSE 1 END AS contiguous,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    """,
+)
+def scan_row_index(spark, sf):
+    """Hidden `_metadata` file-source columns (file_path + row_index)
+    — the provenance primitive behind row-level lineage, CDC file
+    attribution, and stable row ids at 100 TB (join a quality verdict
+    back to the exact file+offset that produced it without writing a
+    surrogate key). The layout is pinned (repartition(4, doc_id), so
+    n_files = 4 whenever the corpus is non-empty and 0 otherwise);
+    the probe then PROVES row_index semantics per file from inside
+    the engine: min = 0, max = cnt-1, and 2*sum = cnt*(cnt-1) — an
+    exact integer certificate that each file's indexes are the
+    contiguous prefix 0..cnt-1 (any dropped/duplicated/shifted index
+    breaks at least one equation). The oracle carries the row-count /
+    content parity; `contiguous` is the in-engine certificate.
+    _metadata is constant-folded per file split at scan time — zero
+    data-pass cost — and the scan reads only (doc_id is pruned too:
+    audit #40 asserts the sink scan's ReadSchema is n_chars-only)."""
+    d = _sink_dir(spark, "rowindex")
+    t(spark, sf, "documents").repartition(4, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(d)
+    back = spark.read.schema(_DOCS_DDL).parquet(d).select(
+        "n_chars",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    per = back.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("ri").alias("mn"),
+        F.max("ri").alias("mx"),
+        F.sum("ri").alias("s"),
+        F.sum("n_chars").alias("sc"),
+    )
+    ok = (
+        (F.col("mn") == 0)
+        & (F.col("mx") == F.col("cnt") - 1)
+        & (F.lit(2) * F.col("s") == F.col("cnt") * (F.col("cnt") - 1))
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_rows"),
+        F.min(ok).cast("int").alias("contiguous"),
+        F.sum("sc").cast("long").alias("sum_chars"),
+    )

@@ -730,3 +730,96 @@ def test_events_forecast_zero_error_on_perfect_weekly_pattern(
     assert r.mae_dollars == round(1000 / 22 / 100.0, 6)
     total_abs = sum(100 * (1 + d % 7) for d in range(7, 28)) + 1100
     assert r.wape == round(1000 / total_abs, 6)
+
+
+def test_text_novelty_first_occurrence_attribution(spark, tmp_path):
+    rows = [
+        (1, "a b c d", "en", "s", 7),   # shingles {a b c, b c d} both new
+        (2, "a b c x", "en", "s", 7),   # {a b c} seen in doc 1, {b c x} new
+        (3, "a b", "en", "s", 3),       # < 3 tokens -> absent
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_novel, r.novelty)
+        for r in qadv.Q["text_novelty"](spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 2, 1.0), 2: (2, 1, 0.5)}
+
+
+def test_abc_classification_thresholds_and_prefix_sum(spark, tmp_path):
+    # revenues 80 / 15 / 5 across 3 parts: cum shares 80% / 95% / 100%
+    rows = [
+        (1, 1, 1, 1, 1.0, 80.0, 0.0, 0.0, "N", "O",
+         datetime.datetime(2024, 1, 1)),
+        (2, 2, 1, 1, 1.0, 15.0, 0.0, 0.0, "N", "O",
+         datetime.datetime(2024, 1, 1)),
+        (3, 3, 1, 1, 1.0, 5.0, 0.0, 0.0, "N", "O",
+         datetime.datetime(2024, 1, 1)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r.cls: (r.n_parts, r.revenue_cents, r.share)
+        for r in qadv.Q["abc_classification"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "A": (1, 8000, 0.8),
+        "B": (1, 1500, 0.15),
+        "C": (1, 500, 0.05),
+    }
+
+
+def test_abc_classification_matches_single_window_oracle(spark):
+    from pyspark.sql import Window
+    from dbpedia_spotlight_db_spark.queries.common import cents
+
+    got = {
+        r.cls: (r.n_parts, r.revenue_cents)
+        for r in qadv.Q["abc_classification"](spark, SF).collect()
+    }
+    rev = (
+        t(spark, SF, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("rev"))
+    )
+    tot = rev.agg(F.sum("rev")).collect()[0][0]
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.select("rev", F.sum("rev").over(w).alias("cum"))
+    want = {
+        r.cls: (r.n_parts, r.revenue_cents)
+        for r in cum.select(
+            "rev",
+            F.when(F.col("cum") * 100 <= tot * 80, "A")
+            .when(F.col("cum") * 100 <= tot * 95, "B")
+            .otherwise("C")
+            .alias("cls"),
+        )
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_scan_row_index_contiguity_certificate(spark):
+    from dbpedia_spotlight_db_spark.queries import qio
+
+    [r] = qio.Q["scan_row_index"](spark, SF).collect()
+    docs = t(spark, SF, "documents")
+    assert r.n_files == 4
+    assert r.contiguous == 1
+    assert r.n_rows == docs.count()
+    assert r.sum_chars == docs.agg(F.sum("n_chars")).collect()[0][0]

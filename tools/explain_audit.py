@@ -875,6 +875,52 @@ def main() -> None:
         p_hp,
     )
 
+    # 40. wave-27 shapes: text_novelty's first-occurrence attach must
+    # be an UNHINTED equi-join (the shingle relation is
+    # corpus-cardinality — a forced broadcast is the survivors-class
+    # footgun; AQE may still pick broadcast at fixture scale, same
+    # discipline as dedup_lines); abc_classification's running sum
+    # must be the
+    # distributed prefix-sum form — a Window in the plan but NO
+    # Exchange SinglePartition (a global-order window would serialize
+    # the part dimension through one task); scan_row_index's sink
+    # scan must prune to n_chars only (the _metadata struct is
+    # synthesized from the split, not read from data pages).
+    nv_df = QUERIES["text_novelty"](spark, SF)
+    nv_logical = nv_df._jdf.queryExecution().optimizedPlan().toString()
+    nv_forced = "ResolvedHint" in nv_logical or bool(
+        re.search(r"(?i)hints=\[broadcast", nv_logical)
+    )
+    p_nv = plan_of(nv_df)
+    nv_equi_join = ("Join" in p_nv) and not (
+        "CartesianProduct" in p_nv or "BroadcastNestedLoopJoin" in p_nv
+    )
+    p_abc = plan_of(QUERIES["abc_classification"](spark, SF))
+    abc_single = "Exchange SinglePartition" in p_abc
+    abc_window = "Window" in p_abc
+    p_ri = plan_of(QUERIES["scan_row_index"](spark, SF))
+    m = re.search(r"ReadSchema: ([^\n]*)", p_ri)
+    ri_schema = m.group(1) if m else ""
+    ri_pruned = (
+        "n_chars" in ri_schema
+        and "text" not in ri_schema
+        and "doc_id" not in ri_schema
+    )
+    check(
+        "novelty attach unhinted equi-join; abc prefix-sum window "
+        "partitioned; row-index scan pruned",
+        (not nv_forced)
+        and nv_equi_join
+        and abc_window
+        and (not abc_single)
+        and ri_pruned,
+        f"text_novelty: forced-broadcast-hint={nv_forced} (want "
+        f"False), equi-join={nv_equi_join}; abc: window={abc_window}, "
+        f"single-partition={abc_single} (want False); scan_row_index "
+        f"ReadSchema={ri_schema[:50]}",
+        p_nv,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
