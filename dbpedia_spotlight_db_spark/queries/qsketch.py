@@ -1,0 +1,540 @@
+"""Sketch- and selection-algorithm faces (round-4 wave 28): the
+bounded-memory summary structures and multi-pass selection algorithms
+a 100-TB engine runs INSTEAD of exact global sorts and unbounded
+hash tables — a count-min sketch whose cells are deterministic enough
+to carry an exact SQL twin, a bloom-bitmap runtime pre-filter in
+front of an exact semi-join, the classic two-pass histogram selection
+for exact grouped medians without a global sort, bounded-degree
+4-cycle counting on the co-occurrence graph, and a Heaps'-law
+vocabulary-growth fit built from first-occurrence reductions instead
+of running distincts.
+
+Conventions are the sibling modules': md5-based hashing wherever both
+engines must agree bit-for-bit (the feat_hashing / sample_hash
+portability precedent — Spark ``conv(hex,16,10)``, DuckDB
+``('0x'||hex)::UBIGINT``), float math in the SAME operation order on
+both sides, final floats rounded to 6 with the ``+ 0`` IEEE -0.0
+guard, integer division spelled ``DIV`` / ``//``, and every unbounded
+relation aggregated map-side before it ever reaches a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import cents, t
+
+Q = {}
+O = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        assert name not in Q, f"duplicate query key {name!r}"
+        Q[name] = fn
+        if sql is not None:
+            O[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch — deterministic md5 rows, exact SQL twin
+# ---------------------------------------------------------------------------
+_CM_D = 4  # hash rows
+_CM_W = 1024  # counters per row
+
+
+def _cm_bucket_spark(tk_col, j_col):
+    """Row-j counter index for a token: md5 32-bit prefix of
+    ``tk#j`` mod the row width — the one hash family both engines
+    (and any future engine) evaluate identically."""
+    return (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", tk_col, j_col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_CM_W),
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+
+
+_CM_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5({tk} || '#' || CAST({j} AS VARCHAR)), 1, 8))"
+    f"::UBIGINT % {_CM_W} AS BIGINT)"
+)
+
+
+@q(
+    "agg_countmin",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+    cnt AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok WHERE tk <> '' GROUP BY tk),
+    js AS (SELECT unnest(generate_series(0, {_CM_D - 1})) AS j),
+    cells AS (
+      SELECT js.j, {_CM_BUCKET_SQL.format(tk='cnt.tk', j='js.j')} AS bucket,
+             CAST(SUM(cnt.c) AS BIGINT) AS cell
+      FROM cnt CROSS JOIN js
+      GROUP BY 1, 2),
+    tp AS (
+      SELECT tk, c, ROW_NUMBER() OVER (ORDER BY c DESC, tk) AS rnk
+      FROM cnt QUALIFY rnk <= 20),
+    est AS (
+      SELECT tp.tk, tp.c, MIN(cells.cell) AS est
+      FROM tp CROSS JOIN js
+      JOIN cells
+        ON cells.j = js.j
+       AND cells.bucket = {_CM_BUCKET_SQL.format(tk='tp.tk', j='js.j')}
+      GROUP BY tp.tk, tp.c)
+    SELECT tk, c AS true_cnt, CAST(est AS BIGINT) AS cm_est,
+           CAST(est - c AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def agg_countmin(spark, sf):
+    """Count-min sketch (Cormode & Muthukrishnan) over the corpus
+    vocabulary, validated against true counts for the top-20 heavy
+    hitters: each token hashes into one counter per row (d=4 rows,
+    w=1024 counters) and the estimate is the MIN over its cells — an
+    overestimate by construction, so ``overcount >= 0`` always. This
+    is THE bounded-memory frequency structure at 100 TB: the sketch
+    is d*w = 4096 cells regardless of vocabulary size, cell merges
+    are associative sums (map-side combinable, stream-mergeable
+    across executors), and point queries never touch the corpus.
+    Engine parity: the hash family is md5-prefix mod w (deterministic
+    in both engines — the feat_hashing precedent), so the sketch
+    cells — and therefore the estimates — are EXACTLY reproducible in
+    SQL; no other engine pair could gate a sketch this way. Scale
+    shape: cells are built from the per-token count relation (vocab-
+    sized, already map-side combined), fanned out x4 — never from the
+    corpus-sized token stream — and the estimate join touches only
+    20 x 4 cells."""
+    d = t(spark, sf, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    js = F.array(*[F.lit(j) for j in range(_CM_D)])
+    cells = (
+        cnt.select("tk", "c", F.explode(js).alias("j"))
+        .select("j", _cm_bucket_spark(F.col("tk"), F.col("j")), "c")
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").cast("long").alias("cell"))
+    )
+    top = cnt.orderBy(F.desc("c"), "tk").limit(20)
+    probes = top.select("tk", "c", F.explode(js).alias("j")).select(
+        "tk", "c", "j", _cm_bucket_spark(F.col("tk"), F.col("j"))
+    )
+    return (
+        probes.join(cells, ["j", "bucket"])
+        .groupBy("tk", "c")
+        .agg(F.min("cell").alias("est"))
+        .select(
+            "tk",
+            F.col("c").alias("true_cnt"),
+            F.col("est").cast("long").alias("cm_est"),
+            (F.col("est") - F.col("c")).cast("long").alias("overcount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bloom-bitmap runtime pre-filter in front of an exact semi-join
+# ---------------------------------------------------------------------------
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 2  # hash functions
+
+
+def _bloom_pos_sql(key_sql: str, i: int) -> str:
+    """Bit position i for a key — Spark-SQL expression string."""
+    return (
+        f"pmod(cast(conv(substring(md5(concat_ws('#', "
+        f"cast({key_sql} as string), '{i}')), 1, 8), 16, 10) as bigint), "
+        f"{_BLOOM_M})"
+    )
+
+
+@q(
+    "join_bloom",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(round(SUM(o_totalprice) * 100) AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom(spark, sf):
+    """Runtime bloom-filter join: the dimension side (BUILDING-segment
+    customers) is compressed into a 4096-bit bloom bitmap (k=2 md5
+    hashes), the bitmap ships to every fact task as a 64-word array
+    LITERAL, and a map-side bit-test pre-filter drops the vast
+    majority of non-matching fact rows BEFORE the exact left-semi
+    join removes the residual false positives — so the final answer
+    is exactly the plain semi-join (the oracle), bloom-transparent.
+    This is the runtime-filter pattern every warehouse engine applies
+    at scale: at 10^12 fact rows the pre-filter cuts shuffle/probe
+    volume by the dim selectivity at the cost of 64 longs per task,
+    and because FPs are removed by the exact join the bitmap can stay
+    tiny. The bitmap build collects at most 64 (word, mask) rows to
+    the driver — bounded by m, never by data (the kmeans
+    centroid-literal precedent). Scale shape: Filter sits directly on
+    the fact scan (below the join), the semi-join side is the
+    filtered dim, and the final agg is map-side combinable."""
+    c = t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    dim = c.select("c_custkey")
+    pos_cols = [
+        F.expr(_bloom_pos_sql("c_custkey", i)) for i in range(_BLOOM_K)
+    ]
+    words = (
+        dim.select(F.explode(F.array(*pos_cols)).alias("p"))
+        .select(
+            F.expr("cast(p div 64 as int)").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("m"))
+        .collect()
+    )
+    mask = [0] * (_BLOOM_M // 64)
+    for r in words:
+        mask[r["w"]] = r["m"]
+    mask_sql = "array(" + ",".join(f"{v}L" for v in mask) + ")"
+
+    def hit(i: int):
+        p = _bloom_pos_sql("o_custkey", i)
+        return F.expr(
+            f"(shiftrightunsigned(element_at({mask_sql}, "
+            f"cast(({p}) div 64 as int) + 1), "
+            f"cast(({p}) % 64 as int)) & 1) = 1"
+        )
+
+    o = t(spark, sf, "orders")
+    pref = o
+    for i in range(_BLOOM_K):
+        pref = pref.filter(hit(i))
+    exact = pref.join(
+        dim, pref["o_custkey"] == dim["c_custkey"], "left_semi"
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        cents(F.sum("o_totalprice")).alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact grouped median via two-pass histogram selection — no global sort
+# ---------------------------------------------------------------------------
+_Q2_BUCKET = 100_000  # cents per histogram bucket (~$1000)
+
+
+@q(
+    "quantile_2pass",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem),
+    r AS (
+      SELECT g, c, ROW_NUMBER() OVER (PARTITION BY g ORDER BY c) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM v)
+    SELECT g AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN c ELSE 0 END)
+              + SUM(CASE WHEN rn = n // 2 + 1 THEN c ELSE 0 END)
+              AS BIGINT) AS median_cents_x2
+    FROM r GROUP BY g
+    """,
+)
+def quantile_2pass(spark, sf):
+    """Exact grouped median WITHOUT a global sort — the classic
+    two-pass histogram selection every distributed engine uses when
+    an exact quantile is required at scale. Pass 1 histograms the
+    cents values into ~$1000 buckets (a bounded, map-side-combinable
+    agg; the cumulative window runs over <=~120 bucket rows per
+    group, never over data). The bucket containing each target rank
+    (lower and upper middle) is located arithmetically; pass 2
+    re-scans ONLY the rows of those target buckets (a broadcast
+    semi-filter on (group, bucket)) and ranks within them — each
+    bucket holds ~1/B of a group, and production recurses if a
+    bucket is still large. Because buckets partition the VALUE
+    domain, the r-th smallest within the target bucket IS the global
+    k-th order statistic, and ties cannot straddle a bucket edge.
+    The oracle is the naive full-sort ROW_NUMBER form — same multiset
+    order statistic, so tie order is irrelevant. Output is the exact
+    integer ``lower_middle + upper_middle`` (x2 median) so even-n
+    groups stay in BIGINT — no float averaging to drift."""
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        cents(F.col("l_extendedprice")).alias("c"),
+    )
+    b = li.withColumn(
+        "bkt", F.expr(f"c div {_Q2_BUCKET}").cast("long")
+    )
+    h = b.groupBy("g", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = h.groupBy("g").agg(F.sum("cnt").alias("n"))
+    h2 = h.withColumn(
+        "cb", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+    ).join(n, "g")
+    k_lo = F.expr("(n + 1) div 2")
+    k_hi = F.expr("n div 2 + 1")
+    targets = None
+    for k in (k_lo, k_hi):
+        part = h2.filter((F.col("cb") < k) & (F.col("cb") + F.col("cnt") >= k)).select(
+            "g", "bkt", (k - F.col("cb")).alias("r")
+        )
+        targets = part if targets is None else targets.unionAll(part)
+    # odd-n groups emit the SAME (g, bkt, r) twice — the duplicate is
+    # deliberate: the matched row sums twice, giving 2 * median.
+    wanted = targets.select("g", "bkt").distinct()
+    pass2 = b.join(F.broadcast(wanted), ["g", "bkt"])
+    wrn = Window.partitionBy("g", "bkt").orderBy("c")
+    ranked = pass2.withColumn("rn", F.row_number().over(wrn))
+    picked = ranked.join(
+        F.broadcast(targets),
+        ["g", "bkt"],
+    ).filter(F.col("rn") == F.col("r"))
+    med = picked.groupBy("g").agg(
+        F.sum("c").cast("long").alias("median_cents_x2")
+    )
+    return (
+        n.join(med, "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n").cast("long").alias("n_rows"),
+            "median_cents_x2",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4-cycle (square) counting on the bounded-degree co-occurrence subgraph
+# ---------------------------------------------------------------------------
+_SQ_DEG_CAP = 64
+
+
+def _kg_squares_sql() -> str:
+    from .qpipe import _DOCENT_SQL, _GRAMS_SQL, _PAIRS_SQL
+
+    return f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    e AS (SELECT uri_a AS src, uri_b AS dst FROM p
+          UNION ALL SELECT uri_b, uri_a FROM p),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    e2 AS (SELECT e.src, e.dst FROM e
+           JOIN deg d1 ON d1.src = e.src
+           JOIN deg d2 ON d2.src = e.dst
+           WHERE d1.d <= {_SQ_DEG_CAP} AND d2.d <= {_SQ_DEG_CAP}),
+    w AS (SELECT a.dst AS u, b.dst AS v, COUNT(*) AS c
+          FROM e2 a JOIN e2 b ON b.src = a.src AND a.dst < b.dst
+          GROUP BY a.dst, b.dst)
+    SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) // 4 AS BIGINT) AS n_squares,
+           CAST(COALESCE(SUM(c * (c - 1)), 0) // 2 AS BIGINT)
+             AS n_wedge_pairs
+    FROM w
+    """
+
+
+@q("kg_squares", _kg_squares_sql())
+def kg_squares(spark, sf_dir):
+    """Global 4-cycle (square) count on the co-occurrence graph — the
+    bipartite-cohesion signal complementing kg_triangles (squares
+    dominate triangle-free near-bipartite link structure, e.g.
+    page<->template graphs in web corpora). Counted via the wedge-
+    endpoint identity: for endpoints u < v with c common neighbors,
+    C(c,2) unordered middle pairs each close a distinct 4-cycle, and
+    every 4-cycle is seen from exactly its 2 diagonals — so
+    n_squares = sum(c*(c-1))/4, all exact integers. Scale guard: the
+    wedge fan-out is deg(middle)^2, so the count is restricted to the
+    subgraph induced on nodes of degree <= 64 — BOTH engines apply
+    the identical cap (the lsh max_bucket / jaccard df-cap
+    precedent), keeping the face exact while pinning the hub-safe
+    semantics (the fixture graph is hub-free, so the cap does not
+    bind at test scale); per-square counting stays well-defined under
+    the induced-subgraph cap because both diagonals survive or the
+    square is excluded entirely."""
+    from .qpipe import _entity_pairs
+
+    p = _entity_pairs(spark, sf_dir)
+    e = p.select(
+        F.col("uri_a").alias("src"), F.col("uri_b").alias("dst")
+    ).unionByName(
+        p.select(F.col("uri_b").alias("src"), F.col("uri_a").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ok = deg.filter(F.col("d") <= _SQ_DEG_CAP).select("src")
+    e2 = (
+        e.join(ok, "src")
+        .join(ok.select(F.col("src").alias("dst")), "dst")
+        .select("src", "dst")
+    )
+    a, bb = e2.alias("a"), e2.alias("b")
+    wedges = (
+        a.join(
+            bb,
+            (F.col("b.src") == F.col("a.src"))
+            & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return wedges.agg(
+        F.expr("cast(coalesce(sum(c * (c - 1)), 0) div 4 as bigint)").alias(
+            "n_squares"
+        ),
+        F.expr("cast(coalesce(sum(c * (c - 1)), 0) div 2 as bigint)").alias(
+            "n_wedge_pairs"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth — first-occurrence reduction, no running
+# distinct
+# ---------------------------------------------------------------------------
+@q(
+    "text_heaps",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      FROM documents),
+    firsts AS (SELECT tk, MIN(doc_id) AS first_doc
+               FROM tok WHERE tk <> '' GROUP BY tk),
+    nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
+           FROM tok WHERE tk <> '' GROUP BY doc_id),
+    m AS (SELECT MAX(doc_id) AS maxid FROM documents),
+    th AS (SELECT g.i, (m.maxid * g.i) // 10 AS thr
+           FROM m CROSS JOIN (
+             SELECT unnest(generate_series(1, 10)) AS i) g),
+    xs AS (SELECT th.i, CAST(SUM(nd.ntok) AS BIGINT) AS x
+           FROM th JOIN nd ON nd.doc_id <= th.thr GROUP BY th.i),
+    ys AS (SELECT th.i, CAST(COUNT(*) AS BIGINT) AS y
+           FROM th JOIN firsts ON firsts.first_doc <= th.thr
+           GROUP BY th.i),
+    pts AS (
+      SELECT CAST(round(1000.0 * ln(CAST(x AS DOUBLE)), 0) AS BIGINT) AS x,
+             CAST(round(1000.0 * ln(CAST(y AS DOUBLE)), 0) AS BIGINT) AS y
+      FROM xs JOIN ys USING (i) WHERE x > 0 AND y > 0),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts)
+    SELECT n,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (n * sxx - sx * sx), 6) + 0
+           END AS beta,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+                ELSE round((CAST(sy AS DOUBLE)
+                            - CAST(n * sxy - sx * sy AS DOUBLE)
+                              / (n * sxx - sx * sx) * sx)
+                           / n / 1000.0, 6) + 0
+           END AS ln_k
+    FROM s
+    """,
+)
+def text_heaps(spark, sf):
+    """Heaps'-law fit of vocabulary growth, V(N) ~ K * N^beta: vocab
+    size vs cumulative token count sampled at 10 corpus prefixes
+    (doc_id thresholds at i/10 of max), OLS on the milli-quantized
+    log-log points (the text_zipf_fit exact-moments construction) —
+    the sub-linear-vocabulary sanity check for a growing crawl
+    (natural text sits near beta ~ 0.5; duplicate floods push beta
+    toward 0, spam/hash floods toward 1). The scale trick is the
+    FIRST-OCCURRENCE REDUCTION: vocab-at-threshold is a count over
+    per-token MIN(doc_id) — one vocab-sized agg reused by all 10
+    checkpoints — never a running COUNT(DISTINCT) over doc prefixes
+    (which would be a corpus-sized window). Cumulative token counts
+    come from the per-doc token-count relation joined to the 10-row
+    threshold table (a broadcast nested-loop on a 10-row side, 10x
+    fan-out of an ALREADY-AGGREGATED relation, never of the corpus).
+    Degenerate supports (empty corpus, < 2 usable points) yield NULL
+    instead of ANSI errors."""
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tk")
+    ).filter(F.col("tk") != "")
+    firsts = tok.groupBy("tk").agg(F.min("doc_id").alias("first_doc"))
+    nd = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ntok")
+    )
+    th = (
+        d.agg(F.max("doc_id").alias("maxid"))
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("i"), "maxid"
+        )
+        .select("i", F.expr("(maxid * i) div 10").alias("thr"))
+    )
+    xs = (
+        nd.join(F.broadcast(th), nd["doc_id"] <= th["thr"])
+        .groupBy("i")
+        .agg(F.sum("ntok").cast("long").alias("x"))
+    )
+    ys = (
+        firsts.join(F.broadcast(th), firsts["first_doc"] <= th["thr"])
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    pts = (
+        xs.join(ys, "i")
+        .filter((F.col("x") > 0) & (F.col("y") > 0))
+        .select(
+            F.round(F.lit(1000.0) * F.log(F.col("x").cast("double")), 0)
+            .cast("long")
+            .alias("x"),
+            F.round(F.lit(1000.0) * F.log(F.col("y").cast("double")), 0)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope_raw = num.cast("double") / den
+    bad = (F.col("n") < 2) | (den == 0)
+    return s.select(
+        "n",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(slope_raw, 6) + F.lit(0.0))
+        .alias("beta"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("sy").cast("double") - slope_raw * F.col("sx"))
+                / F.col("n")
+                / 1000.0,
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("ln_k"),
+    )

@@ -11,11 +11,33 @@ green since round 1 and can safely absorb any window truncation.
 
 from __future__ import annotations
 
-from . import qadv, qcorpus, qdata, qembed, qio, qlake, qpipe, qrel, qstats
+from . import (
+    qadv,
+    qcorpus,
+    qdata,
+    qembed,
+    qio,
+    qlake,
+    qpipe,
+    qrel,
+    qsketch,
+    qstats,
+)
 
 _QUERIES = {}
 _ORACLES = {}
-for mod in (qrel, qpipe, qdata, qcorpus, qembed, qstats, qlake, qio, qadv):
+for mod in (
+    qrel,
+    qpipe,
+    qdata,
+    qcorpus,
+    qembed,
+    qstats,
+    qlake,
+    qio,
+    qadv,
+    qsketch,
+):
     _dups = set(_QUERIES) & set(mod.Q)
     assert not _dups, (
         f"query key(s) {_dups} registered in more than one module — "
