@@ -1,0 +1,385 @@
+"""Feature-engineering and data-governance faces (round-4 wave 29):
+the dataset-shaping operators between raw curation and model
+training — exact deterministic class-balanced downsampling (the
+two-pass rank selection, never a per-class global sort),
+weight-of-evidence categorical encoding with information-value
+terms, an l-diversity privacy audit that goes beyond k-anonymity,
+and a dictionary-encoding size plan computed entirely from
+count-of-counts arithmetic (the columnar-layout decision at corpus
+scale without ever ranking the vocabulary).
+
+Conventions are the sibling modules': md5-based hashing wherever both
+engines must agree bit-for-bit (lowercase hex on both — the
+mix_domains precedent), ln() on exact-integer ratios quantized to
+micros (the text_collocations construction), float chains in the
+SAME operation order on both sides, final floats rounded to 6 with
+the ``+ 0`` IEEE -0.0 guard, integer division spelled ``DIV`` /
+``//``, and ANSI DIVIDE_BY_ZERO / ln(0) hazards short-circuited to
+NULL on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import t
+
+Q = {}
+O = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        assert name not in Q, f"duplicate query key {name!r}"
+        Q[name] = fn
+        if sql is not None:
+            O[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# exact class-balanced downsample — two-pass md5-rank selection
+# ---------------------------------------------------------------------------
+@q(
+    "sample_balanced",
+    """
+    WITH k AS (
+      SELECT MIN(cnt) AS k FROM (
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang) c),
+    r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+      FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM r CROSS JOIN k WHERE r.rn <= k.k
+    GROUP BY lang
+    """,
+)
+def sample_balanced(spark, sf):
+    """Exact class-balanced downsample: every language keeps exactly
+    k = min(class size) documents, chosen as the k smallest
+    md5(doc_id) per class — deterministic across engines, runs, and
+    cluster sizes (no RNG, no partition-order dependence). The Spark
+    path is the TWO-PASS RANK SELECTION, never a per-class global
+    sort: pass 1 histograms each class over 256 md5-prefix buckets (a
+    map-side-combinable agg; the cumulative window runs over <=256
+    bucket rows per class), the bucket containing rank k is located
+    arithmetically, and only THAT bucket's rows (~1/256 of a class)
+    are ranked in pass 2 — everything in lower buckets is kept
+    outright, the quantile_2pass idiom applied to selection. Because
+    buckets partition the md5-string domain lexicographically, keep =
+    (bucket < target) OR (bucket = target AND within-bucket rank <=
+    k - below), exactly the global top-k. The oracle is the naive
+    full-sort ROW_NUMBER form. Output pins the exact selected SET per
+    class via the doc_id checksum, not just the count."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    d = d.withColumn(
+        "bkt",
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int"),
+    )
+    h = d.groupBy("lang", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = h.groupBy("lang").agg(F.sum("cnt").alias("class_n"))
+    k = totals.agg(F.min("class_n").alias("k"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    h2 = h.withColumn(
+        "cb", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+    ).crossJoin(F.broadcast(k))
+    target = h2.filter(
+        (F.col("cb") < F.col("k")) & (F.col("cb") + F.col("cnt") >= F.col("k"))
+    ).select("lang", "bkt", (F.col("k") - F.col("cb")).alias("r"))
+    # strictly below the boundary bucket: a bucket ending EXACTLY at
+    # rank k is the target (kept whole via r = cnt), not a below-row —
+    # <= here would double-count it
+    below = h2.filter(F.col("cb") + F.col("cnt") < F.col("k")).select(
+        "lang", "bkt"
+    )
+    keep_low = d.join(F.broadcast(below), ["lang", "bkt"]).select(
+        "doc_id", "lang"
+    )
+    wrn = Window.partitionBy("lang", "bkt").orderBy("h")
+    keep_edge = (
+        d.join(F.broadcast(target), ["lang", "bkt"])
+        .withColumn("rn", F.row_number().over(wrn))
+        .filter(F.col("rn") <= F.col("r"))
+        .select("doc_id", "lang")
+    )
+    return (
+        keep_low.unionByName(keep_edge)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# weight-of-evidence categorical encoding + information value
+# ---------------------------------------------------------------------------
+@q(
+    "feat_woe",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    g AS (SELECT cat, CAST(SUM(y) AS BIGINT) AS pos,
+                 CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+          FROM s GROUP BY cat),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS pt,
+                   CAST(SUM(neg) AS BIGINT) AS nt FROM g)
+    SELECT cat, pos, neg,
+           CASE WHEN pos = 0 OR neg = 0 OR pt = 0 OR nt = 0 THEN NULL
+                ELSE round(round(1000000.0 * ln(
+                       CAST(pos * nt AS DOUBLE) / CAST(neg * pt AS DOUBLE)))
+                     / 1000000.0, 6) + 0
+           END AS woe,
+           CASE WHEN pos = 0 OR neg = 0 OR pt = 0 OR nt = 0 THEN NULL
+                ELSE round((CAST(pos AS DOUBLE) / pt
+                            - CAST(neg AS DOUBLE) / nt)
+                     * (round(1000000.0 * ln(
+                          CAST(pos * nt AS DOUBLE) / CAST(neg * pt AS DOUBLE)))
+                        / 1000000.0), 6) + 0
+           END AS iv_term
+    FROM g CROSS JOIN tot
+    """,
+)
+def feat_woe(spark, sf):
+    """Weight-of-evidence encoding of a categorical feature against a
+    binary target (order priority vs 'F' status) with per-category
+    information-value terms — the standard supervised categorical
+    encoder for scorecard-style models, and the IV sum is the
+    feature-selection screen. WOE = ln((pos_c/pos_t)/(neg_c/neg_t)),
+    computed as ln of ONE exact-integer cross-ratio (pos_c*neg_t)/
+    (neg_c*pos_t) and quantized to integer micros before any further
+    float math (the text_collocations construction), so both engines
+    agree bit-for-bit; the IV term then multiplies the micros-rounded
+    WOE by an identically-ordered rate difference and rounds to 6.
+    Zero cells (a category with no positives or no negatives) yield
+    NULL instead of ANSI ln/division errors — the standard smoothing
+    seam. Scale shape: one map-side-combinable agg to a
+    category-sized relation, one 1-row cross join; the fact table is
+    scanned once, nothing corpus-sized is ever broadcast."""
+    s = t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("cat").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    tot = g.agg(
+        F.sum("pos").cast("long").alias("pt"),
+        F.sum("neg").cast("long").alias("nt"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    bad = (
+        (F.col("pos") == 0)
+        | (F.col("neg") == 0)
+        | (F.col("pt") == 0)
+        | (F.col("nt") == 0)
+    )
+    ratio = (F.col("pos") * F.col("nt")).cast("double") / (
+        F.col("neg") * F.col("pt")
+    ).cast("double")
+    woe_us = F.round(F.lit(1000000.0) * F.log(ratio))
+    woe = woe_us / F.lit(1000000.0)
+    rate_diff = F.col("pos").cast("double") / F.col("pt") - F.col(
+        "neg"
+    ).cast("double") / F.col("nt")
+    return j.select(
+        "cat",
+        "pos",
+        "neg",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(woe, 6) + F.lit(0.0))
+        .alias("woe"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(rate_diff * woe, 6) + F.lit(0.0))
+        .alias("iv_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — distinct-sensitive-value floor per QI group
+# ---------------------------------------------------------------------------
+_LDIV_K = 5
+_LDIV_L = 2
+
+
+@q(
+    "privacy_ldiversity",
+    f"""
+    SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS l,
+           COUNT(*) >= {_LDIV_K} AS k_anonymous,
+           COUNT(DISTINCT o_orderstatus) >= {_LDIV_L} AS l_diverse
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def privacy_ldiversity(spark, sf):
+    """l-diversity audit over the quasi-identifier grouping
+    (priority, order year) with order status as the sensitive
+    attribute: per QI group, the group size k AND the number of
+    DISTINCT sensitive values l — the release gate that k-anonymity
+    alone misses (a k=50 group whose members all share one status
+    still leaks the attribute; privacy_kanon checks only k). Groups
+    failing k >= 5 or l >= 2 are flagged in-row so the release job
+    can suppress or generalize exactly those cells. Scale shape: one
+    partial-aggregating distinct-count per QI cell (Spark plans the
+    two-phase distinct expansion with map-side partials); the QI
+    lattice is bounded (priorities x years), so the report relation
+    is tiny no matter the fact-table size. year() agrees on both
+    engines under the UTC-pinned session."""
+    o = t(spark, sf, "orders")
+    return o.groupBy(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.countDistinct("o_orderstatus").cast("long").alias("l"),
+        (F.count(F.lit(1)) >= _LDIV_K).alias("k_anonymous"),
+        (F.countDistinct("o_orderstatus") >= _LDIV_L).alias("l_diverse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dictionary-encoding size plan — pure count-of-counts arithmetic
+# ---------------------------------------------------------------------------
+_DICT_B1 = 128  # ranks encodable in 1 byte (varint)
+_DICT_B2 = 16384  # ranks encodable in 2 bytes
+
+
+@q(
+    "encode_dict",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+    cnt AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok WHERE tk <> '' GROUP BY tk),
+    raw AS (SELECT CAST(SUM(c * (len(tk) + 1)) AS BIGINT) AS bytes_raw,
+                   CAST(SUM(len(tk) + 1) AS BIGINT) AS dict_strings,
+                   CAST(SUM(c) AS BIGINT) AS n_occ,
+                   CAST(COUNT(*) AS BIGINT) AS vocab
+            FROM cnt),
+    cc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM cnt GROUP BY c),
+    cum AS (
+      SELECT c, n,
+             COALESCE(SUM(n) OVER (
+               ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+      FROM cc),
+    bands AS (
+      SELECT c, n, tb,
+             LEAST(GREATEST({_DICT_B1} - tb, 0), n) AS n1,
+             LEAST(GREATEST({_DICT_B2} - tb
+                            - LEAST(GREATEST({_DICT_B1} - tb, 0), n), 0),
+                   n - LEAST(GREATEST({_DICT_B1} - tb, 0), n)) AS n2
+      FROM cum),
+    enc AS (
+      SELECT CAST(SUM(c * (n1 * 1 + n2 * 2 + (n - n1 - n2) * 3))
+                  AS BIGINT) AS stream_bytes,
+             CAST(SUM(n1 * 1 + n2 * 2 + (n - n1 - n2) * 3)
+                  AS BIGINT) AS id_bytes
+      FROM bands)
+    SELECT raw.n_occ, raw.vocab, raw.bytes_raw,
+           CAST(COALESCE(enc.stream_bytes, 0) + COALESCE(raw.dict_strings, 0)
+                + COALESCE(enc.id_bytes, 0) AS BIGINT) AS bytes_encoded,
+           CASE WHEN raw.bytes_raw IS NULL OR raw.bytes_raw = 0 THEN NULL
+                ELSE round(CAST(COALESCE(enc.stream_bytes, 0)
+                                + COALESCE(raw.dict_strings, 0)
+                                + COALESCE(enc.id_bytes, 0) AS DOUBLE)
+                           / raw.bytes_raw, 6) + 0
+           END AS ratio
+    FROM raw CROSS JOIN enc
+    """,
+)
+def encode_dict(spark, sf):
+    """Dictionary-encoding size plan for the token column — the
+    columnar-layout decision (would a rank-ordered varint dictionary
+    beat raw strings?) computed WITHOUT ever ranking the vocabulary.
+    Ids are assigned by frequency rank with varint widths (ranks
+    1-128 -> 1 byte, 129-16384 -> 2, rest -> 3); the trick is that
+    tokens inside one frequency tie-run are interchangeable for
+    sizing (same count, same per-occurrence cost), so band membership
+    needs only the COUNT-OF-COUNTS relation: tokens_before(c) =
+    cumulative n over higher counts, and each run splits into bands
+    by pure LEAST/GREATEST arithmetic — the stat_gini closed-form
+    precedent. The only window runs over DISTINCT FREQUENCIES
+    (O(sqrt(occurrences)) rows, e.g. a 10^12-token corpus has ~10^6
+    distinct counts), never over the vocabulary, never over the
+    corpus. Encoded size = varint stream + dictionary strings +
+    dictionary ids; ratio < 1 means encode. Empty corpus yields the
+    single all-NULL/0 planning row on both engines."""
+    d = t(spark, sf, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    raw = cnt.agg(
+        F.sum(F.col("c") * (F.length("tk") + 1)).cast("long").alias(
+            "bytes_raw"
+        ),
+        F.sum(F.length("tk") + 1).cast("long").alias("dict_strings"),
+        F.sum("c").cast("long").alias("n_occ"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    cc = cnt.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wcum = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = cc.withColumn(
+        "tb", F.coalesce(F.sum("n").over(wcum), F.lit(0))
+    )
+    n1 = F.least(F.greatest(F.lit(_DICT_B1) - F.col("tb"), F.lit(0)), F.col("n"))
+    cum = cum.withColumn("n1", n1)
+    n2 = F.least(
+        F.greatest(
+            F.lit(_DICT_B2) - F.col("tb") - F.col("n1"), F.lit(0)
+        ),
+        F.col("n") - F.col("n1"),
+    )
+    bands = cum.withColumn("n2", n2)
+    per_tok = (
+        F.col("n1") * 1 + F.col("n2") * 2 + (F.col("n") - F.col("n1") - F.col("n2")) * 3
+    )
+    enc = bands.agg(
+        F.sum(F.col("c") * per_tok).cast("long").alias("stream_bytes"),
+        F.sum(per_tok).cast("long").alias("id_bytes"),
+    )
+    j = raw.crossJoin(enc)
+    total = (
+        F.coalesce(F.col("stream_bytes"), F.lit(0))
+        + F.coalesce(F.col("dict_strings"), F.lit(0))
+        + F.coalesce(F.col("id_bytes"), F.lit(0))
+    )
+    bad = F.col("bytes_raw").isNull() | (F.col("bytes_raw") == 0)
+    return j.select(
+        "n_occ",
+        "vocab",
+        "bytes_raw",
+        total.cast("long").alias("bytes_encoded"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(total.cast("double") / F.col("bytes_raw"), 6)
+            + F.lit(0.0)
+        )
+        .alias("ratio"),
+    )

@@ -16,6 +16,7 @@ from . import (
     qcorpus,
     qdata,
     qembed,
+    qfeat,
     qio,
     qlake,
     qpipe,
@@ -37,6 +38,7 @@ for mod in (
     qio,
     qadv,
     qsketch,
+    qfeat,
 ):
     _dups = set(_QUERIES) & set(mod.Q)
     assert not _dups, (
