@@ -921,6 +921,77 @@ def main() -> None:
         p_nv,
     )
 
+    # 41. wave-28 shapes: join_bloom's bit-test pre-filter must exist
+    # in the plan BELOW an exact LeftSemi join (the runtime-filter
+    # pattern — FP removal is the join's job, volume reduction the
+    # filter's); quantile_2pass must never range-partition the corpus
+    # (no global sort — the whole point of 2-pass selection) and its
+    # pass-2 bucket restriction must be a broadcast join;
+    # agg_countmin's sketch cells must aggregate below the probe join
+    # (sketch from the vocab-sized relation, probes join 80 cells).
+    p_bl = plan_of(QUERIES["join_bloom"](spark, SF))
+    bl_semi = "LeftSemi" in p_bl
+    bl_prefilter = "shiftrightunsigned" in p_bl
+    p_q2 = plan_of(QUERIES["quantile_2pass"](spark, SF))
+    q2_no_range = "rangepartitioning" not in p_q2
+    q2_bcast = "BroadcastHashJoin" in p_q2
+    p_cm = plan_of(QUERIES["agg_countmin"](spark, SF))
+    cm_agg_ids = [
+        int(i)
+        for i in re.findall(r"\((\d+)\) (?:Object)?HashAggregate", p_cm)
+    ]
+    cm_join_ids = [
+        int(i) for i in re.findall(r"\((\d+)\) \w*HashJoin", p_cm)
+    ]
+    cm_agg_below_join = bool(cm_agg_ids and cm_join_ids) and min(
+        cm_agg_ids
+    ) < min(cm_join_ids)
+    check(
+        "bloom prefilter below exact semi-join; 2-pass median never "
+        "range-partitions; count-min cells aggregated below probe join",
+        bl_semi
+        and bl_prefilter
+        and q2_no_range
+        and q2_bcast
+        and cm_agg_below_join,
+        f"join_bloom: LeftSemi={bl_semi}, bit-test-filter={bl_prefilter}; "
+        f"quantile_2pass: no-rangepartitioning={q2_no_range}, "
+        f"broadcast-pass2={q2_bcast}; agg_countmin agg-below-join="
+        f"{cm_agg_below_join} (agg ids {cm_agg_ids}, join ids "
+        f"{cm_join_ids})",
+        p_bl,
+    )
+
+    # 42. wave-29 shapes: sample_balanced must not sort a class
+    # globally — no SinglePartition window Exchange and no range
+    # partitioning of the corpus (both pass-1 histogram windows and
+    # the pass-2 boundary-bucket window are hash-partitioned);
+    # encode_dict's one global-order window must sit ABOVE the
+    # count-of-counts aggregate (the stat_gini discipline: the sorted
+    # relation is distinct FREQUENCIES, never the vocabulary).
+    p_sb = plan_of(QUERIES["sample_balanced"](spark, SF))
+    sb_single = "Exchange SinglePartition" in p_sb
+    sb_no_range = "rangepartitioning" not in p_sb
+    p_ed = plan_of(QUERIES["encode_dict"](spark, SF))
+    ed_agg_ids = [
+        int(i)
+        for i in re.findall(r"\((\d+)\) (?:Object)?HashAggregate", p_ed)
+    ]
+    ed_win_ids = [int(i) for i in re.findall(r"\((\d+)\) Window", p_ed)]
+    ed_agg_below_win = bool(ed_agg_ids and ed_win_ids) and min(
+        ed_agg_ids
+    ) < min(ed_win_ids)
+    check(
+        "balanced sample never sorts a class globally; dict-encode "
+        "window runs on the count-of-counts agg",
+        (not sb_single) and sb_no_range and ed_agg_below_win,
+        f"sample_balanced: single-partition-window={sb_single} (want "
+        f"False), no-rangepartitioning={sb_no_range}; encode_dict "
+        f"agg-below-window={ed_agg_below_win} (agg ids {ed_agg_ids}, "
+        f"window ids {ed_win_ids})",
+        p_sb,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
