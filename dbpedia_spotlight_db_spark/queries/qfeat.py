@@ -127,6 +127,73 @@ def sample_balanced(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# deterministic weighted sampling — Efraimidis–Spirakis top-k
+# ---------------------------------------------------------------------------
+@q(
+    "sample_weighted",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               AS h
+      FROM documents WHERE n_chars > 0),
+    k AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(round((1000000000000.0
+                         * ln((CAST(h AS DOUBLE) + 1) / 4294967296.0))
+                        / CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_ps
+      FROM w)
+    SELECT doc_id, lang, n_chars, key_ps,
+           CAST(ROW_NUMBER() OVER (ORDER BY key_ps DESC, doc_id) AS INT)
+             AS rnk
+    FROM k QUALIFY rnk <= 20
+    """,
+)
+def sample_weighted(spark, sf):
+    """Weighted sampling WITHOUT replacement, 20 documents with
+    probability proportional to length — the Efraimidis–Spirakis
+    one-pass scheme (rank by u^(1/w), equivalently ln(u)/w, take the
+    top-k), with the uniform u derived from md5(doc_id) instead of an
+    RNG so the drawn set is identical across engines, runs,
+    partitionings, and cluster sizes — the property a reproducible
+    training-data pipeline needs from its sampler (the sample_hash /
+    mix_domains determinism discipline, upgraded from Bernoulli to
+    weighted-without-replacement). The key ln(u)/w is quantized to
+    integer PICOS before ranking (ln(u) in [-22, 0] over weights up
+    to ~10^4 needs the finer unit than the usual micros; exact-BIGINT
+    comparisons, doc_id tie-break) so the cutoff row is engine-
+    stable. Scale shape: map-only scoring then top-20 via
+    TakeOrderedAndProject — per-partition heaps, a 20-row driver
+    merge, NO global sort; the row_number window then ranks 20
+    rows."""
+    d = (
+        t(spark, sf, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        + 1
+    ).cast("double") / F.lit(4294967296.0)
+    key = F.round(
+        (F.lit(1000000000000.0) * F.log(u))
+        / F.col("n_chars").cast("double")
+    ).cast("long")
+    scored = d.withColumn("key_ps", key)
+    top = scored.orderBy(F.desc("key_ps"), "doc_id").limit(20)
+    win = Window.orderBy(F.desc("key_ps"), "doc_id")
+    return top.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "key_ps",
+        F.row_number().over(win).cast("int").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # weight-of-evidence categorical encoding + information value
 # ---------------------------------------------------------------------------
 @q(

@@ -11,6 +11,8 @@ materialization (SURVEY.md §2).
 
 from __future__ import annotations
 
+import itertools as _itertools
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1324,6 +1326,76 @@ def pyds_nt_source(spark, sf_dir):
     Q["kg_export_nt"](spark, sf_dir).write.mode("overwrite").text(d)
     nt_datasource.register(spark)
     tri = spark.read.format("ntriples").load(d)
+    return tri.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_docs"),
+        F.countDistinct("obj").cast("long").alias("n_entities"),
+    )
+
+
+# memory-sink query names are session-global: a fresh name per call
+# (the qrel._STREAM_Q_COUNTER convention)
+_PYDS_STREAM_COUNTER = _itertools.count()
+
+
+@q(
+    "stream_pyds_nt",
+    f"""
+    WITH {_GRAMS_SQL},
+    cand AS (
+      SELECT g.doc_id, g.pos, g.sf AS surface_form, d.uri, d.w
+      FROM grams g JOIN {_DICT_SQL} ON g.sf = d.sf),
+    best AS (
+      SELECT doc_id, pos, surface_form, uri,
+             row_number() OVER (PARTITION BY doc_id, pos, surface_form
+                                ORDER BY w DESC, uri) AS rn
+      FROM cand),
+    ann AS (SELECT DISTINCT doc_id, uri FROM best WHERE rn = 1)
+    SELECT 'http://dbpedia.org/ontology/mentions' AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT uri) AS BIGINT) AS n_entities
+    FROM ann
+    """,
+)
+def stream_pyds_nt(spark, sf_dir):
+    """Spark 4 Python Data Source API, STREAMING flavor, on the full
+    gate: the same NT dump as pyds_nt_source is consumed through the
+    from-scratch source's ``DataSourceStreamReader``
+    (`sources/nt_datasource.py::NTriplesStreamReader`) — offsets are
+    positions in the sorted file listing, each micro-batch fans out
+    one InputPartition per new file, and the shared parse loop runs
+    on the executors (NOT the driver-side Simple reader variant —
+    at feed scale the driver must only ever see the file LIST). A
+    bounded replay drains the whole directory, so the memory-sink
+    row set equals the batch read and the oracle is the identical
+    relational rollup — a green hash proves the streaming offset
+    path loses and duplicates nothing. This completes the custom-
+    source family: batch (pyds_nt_source) and incremental feed
+    (this face) through ONE registered format."""
+    import os
+    import tempfile
+
+    from ..sources import nt_datasource
+    from .qio import _sink_dir
+
+    d = _sink_dir(spark, "ntstream")
+    Q["kg_export_nt"](spark, sf_dir).write.mode("overwrite").text(d)
+    nt_datasource.register(spark)
+    name = f"stream_pyds_nt_{next(_PYDS_STREAM_COUNTER)}"
+    with tempfile.TemporaryDirectory(prefix="ntstream_ckpt_") as tmp:
+        q_ = (
+            spark.readStream.format("ntriples")
+            .load(d)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    tri = spark.table(name)
     return tri.groupBy("pred").agg(
         F.count(F.lit(1)).cast("long").alias("n_triples"),
         F.countDistinct("subj").cast("long").alias("n_docs"),

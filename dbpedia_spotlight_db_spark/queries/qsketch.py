@@ -152,6 +152,91 @@ def agg_countmin(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# linear counting — deterministic cardinality sketch with an exact twin
+# ---------------------------------------------------------------------------
+_LC_M = 1024
+
+
+@q(
+    "agg_lincount",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+    s AS (
+      SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS true_distinct,
+             CAST(COUNT(DISTINCT
+               ('0x' || substr(md5(tk), 1, 8))::UBIGINT % {_LC_M})
+               AS BIGINT) AS occupied
+      FROM tok WHERE tk <> '')
+    SELECT true_distinct, occupied,
+           CASE WHEN occupied >= {_LC_M} THEN NULL
+                ELSE round(-{_LC_M}.0
+                           * ln(({_LC_M}.0 - occupied) / {_LC_M}.0), 6) + 0
+           END AS lc_est,
+           CASE WHEN occupied >= {_LC_M} OR true_distinct = 0 THEN NULL
+                ELSE round((round(-{_LC_M}.0
+                             * ln(({_LC_M}.0 - occupied) / {_LC_M}.0), 6)
+                            - true_distinct)
+                           / true_distinct, 6) + 0
+           END AS rel_err
+    FROM s
+    """,
+)
+def agg_lincount(spark, sf):
+    """Linear-counting cardinality sketch (Whang et al.) over the
+    corpus vocabulary, reported NEXT TO the exact distinct count so
+    the estimate's error is part of the gated answer: every token
+    hashes into one of m=1024 bits, the estimate is
+    -m * ln(empty/m), and occupancy is ONE map-side-combinable
+    distinct-agg over a <=1024-value domain — the bounded-memory
+    distinct counter for the billions-of-distinct-tokens regime
+    where an exact COUNT(DISTINCT) shuffles the vocabulary. Unlike
+    agg_approx_cd (Spark's HLL, rows-only gate by design), the hash
+    here is md5 — deterministic in BOTH engines — so the sketch AND
+    its estimate carry a full exact DuckDB twin. A saturated sketch
+    (0 empty bits) yields NULL rather than ln(0); the IEEE -0.0 of
+    an empty corpus (ln(1)) is normalized by the round+0 guard."""
+    d = t(spark, sf, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("tk")).filter(
+        F.col("tk") != ""
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("long"),
+        F.lit(_LC_M),
+    )
+    s = tok.agg(
+        F.countDistinct("tk").cast("long").alias("true_distinct"),
+        F.countDistinct(bucket).cast("long").alias("occupied"),
+    )
+    m = float(_LC_M)
+    est_raw = -F.lit(m) * F.log(
+        (F.lit(m) - F.col("occupied")) / F.lit(m)
+    )
+    est_r = F.round(est_raw, 6)
+    sat = F.col("occupied") >= _LC_M
+    return s.select(
+        "true_distinct",
+        "occupied",
+        F.when(sat, F.lit(None).cast("double"))
+        .otherwise(est_r + F.lit(0.0))
+        .alias("lc_est"),
+        F.when(
+            sat | (F.col("true_distinct") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (est_r - F.col("true_distinct"))
+                / F.col("true_distinct"),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # bloom-bitmap runtime pre-filter in front of an exact semi-join
 # ---------------------------------------------------------------------------
 _BLOOM_M = 4096  # bits

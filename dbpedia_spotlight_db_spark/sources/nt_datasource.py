@@ -21,6 +21,7 @@ import re
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -40,6 +41,9 @@ class NTriplesDataSource(DataSource):
     def reader(self, schema):
         return NTriplesReader(self.options)
 
+    def streamReader(self, schema):
+        return NTriplesStreamReader(self.options)
+
 
 class NTriplesReader(DataSourceReader):
     def __init__(self, options):
@@ -51,24 +55,68 @@ class NTriplesReader(DataSourceReader):
         # one InputPartition per data file: the scan parallelizes at
         # file granularity exactly like a text/parquet scan; only the
         # (tiny) file LIST is driver-side, never the content
-        p = self._path
-        if os.path.isdir(p):
-            files = sorted(
-                f
-                for f in glob.glob(os.path.join(p, "*"))
-                if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_"))
-            )
-        else:
-            files = [p]
-        return [InputPartition(f) for f in files]
+        return [InputPartition(f) for f in _list_files(self._path)]
 
     def read(self, partition):
         # runs on the executor; yields parsed triples for ONE file
-        with open(partition.value, "r", encoding="utf-8") as fh:
-            for line in fh:
-                m = _NT_PAT.match(line.strip())
-                if m:
-                    yield (m.group(1), m.group(2), m.group(3))
+        yield from _parse_file(partition.value)
+
+
+def _parse_file(path):
+    """Executor-side parse loop for ONE file — shared by the batch and
+    streaming readers so both paths have byte-identical semantics."""
+    with open(path, "r", encoding="utf-8") as fh:
+        for line in fh:
+            m = _NT_PAT.match(line.strip())
+            if m:
+                yield (m.group(1), m.group(2), m.group(3))
+
+
+def _list_files(path):
+    if os.path.isdir(path):
+        return sorted(
+            f
+            for f in glob.glob(os.path.join(path, "*"))
+            if os.path.isfile(f)
+            and not os.path.basename(f).startswith((".", "_"))
+        )
+    return [path]
+
+
+class NTriplesStreamReader(DataSourceStreamReader):
+    """STREAMING flavor of the same source — the full
+    ``DataSourceStreamReader`` contract (NOT the driver-side
+    SimpleDataSourceStreamReader): offsets are positions in the
+    sorted file listing, each micro-batch's ``partitions(start, end)``
+    is one InputPartition PER NEW FILE, and ``read`` runs the shared
+    parse loop ON THE EXECUTORS — so an NT feed directory that grows
+    over time is consumed incrementally with the same per-file
+    parallelism as the batch scan, and only the (tiny) file LIST ever
+    touches the driver. Exactly-once comes from Spark's offset log:
+    a replayed batch re-lists the same [start, end) file slice
+    (the sink directory is append-only by convention, like any file
+    stream source)."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("ntriples stream source requires a path")
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def latestOffset(self):
+        return {"idx": len(_list_files(self._path))}
+
+    def partitions(self, start, end):
+        files = _list_files(self._path)
+        return [InputPartition(f) for f in files[start["idx"] : end["idx"]]]
+
+    def commit(self, end):
+        pass  # offsets live in Spark's checkpoint log; nothing to ack
+
+    def read(self, partition):
+        yield from _parse_file(partition.value)
 
 
 def register(spark) -> None:
