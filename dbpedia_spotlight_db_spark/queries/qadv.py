@@ -2263,3 +2263,113 @@ def abc_classification(spark, sf):
             ).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V — chi-square effect size from micros-quantized cell terms
+# ---------------------------------------------------------------------------
+@q(
+    "stat_cramers_v",
+    """
+    WITH obs AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2),
+    rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS nr FROM obs GROUP BY r),
+    ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS nc FROM obs GROUP BY c),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT r) AS BIGINT) AS nrows,
+                 CAST(COUNT(DISTINCT c) AS BIGINT) AS ncols
+          FROM obs),
+    grid AS (
+      SELECT rt.r, ct.c, rt.nr, ct.nc, COALESCE(obs.o, 0) AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c),
+    cell AS (
+      SELECT CAST(round(1000000.0
+               * (o - CAST(nr AS DOUBLE) * nc / n.n)
+               * (o - CAST(nr AS DOUBLE) * nc / n.n)
+               / (CAST(nr AS DOUBLE) * nc / n.n)) AS BIGINT) AS chi_us
+      FROM grid CROSS JOIN n),
+    s AS (SELECT SUM(chi_us) AS schi FROM cell)
+    SELECT n.n, (n.nrows - 1) * (n.ncols - 1) AS df,
+           CASE WHEN n.n = 0 THEN NULL
+                ELSE round(CAST(schi AS DOUBLE) / 1000000.0, 6) + 0
+           END AS chi2,
+           CASE WHEN n.n = 0 OR LEAST(n.nrows, n.ncols) < 2 THEN NULL
+                ELSE round(sqrt(CAST(schi AS DOUBLE) / 1000000.0
+                                / (n.n * (LEAST(n.nrows, n.ncols) - 1))),
+                           6) + 0
+           END AS v
+    FROM s CROSS JOIN n
+    """,
+)
+def stat_cramers_v(spark, sf):
+    """Cramér's V — the normalized effect size of association between
+    two categoricals (order priority x status), the number that makes
+    chi-square comparable across tables of different size (V in
+    [0, 1]; drift monitors alert on V, not on the raw statistic whose
+    scale grows with n). The contingency grid is the FULL cross of
+    observed row/column categories with zero cells COALESCEd in
+    (chi-square needs the empty cells' expected mass); each cell term
+    (O-E)^2/E is computed in identical operation order on both
+    engines and quantized to integer MICROS before the sum, so the
+    global chi2 is an exact order-independent BIGINT agg (the
+    float-accumulation trap a naive SUM of doubles would hit under
+    Spark's partial aggregation). V then derives from the one exact
+    integer; degenerate tables (empty, or a single row/column
+    category) yield NULL instead of ANSI errors. Scale shape: one
+    map-side-combinable count agg to the bounded category lattice;
+    everything after runs on grid-sized relations."""
+    obs = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("r"),
+            F.col("o_orderstatus").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rt = obs.groupBy("r").agg(F.sum("o").cast("long").alias("nr"))
+    ct = obs.groupBy("c").agg(F.sum("o").cast("long").alias("nc"))
+    n = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("r").cast("long").alias("nrows"),
+        F.countDistinct("c").cast("long").alias("ncols"),
+    )
+    grid = (
+        rt.crossJoin(ct)
+        .join(obs, ["r", "c"], "left")
+        .select("r", "c", "nr", "nc", F.coalesce("o", F.lit(0)).alias("o"))
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("nr").cast("double") * F.col("nc") / F.col("n")
+    cell = grid.select(
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("o") - e)
+            * (F.col("o") - e)
+            / e
+        )
+        .cast("long")
+        .alias("chi_us")
+    )
+    s = cell.agg(F.sum("chi_us").alias("schi")).crossJoin(F.broadcast(n))
+    mindim = F.least(F.col("nrows"), F.col("ncols"))
+    chi2 = F.col("schi").cast("double") / F.lit(1000000.0)
+    return s.select(
+        "n",
+        ((F.col("nrows") - 1) * (F.col("ncols") - 1)).alias("df"),
+        F.when(F.col("n") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(chi2, 6) + F.lit(0.0))
+        .alias("chi2"),
+        F.when(
+            (F.col("n") == 0) | (mindim < 2), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.sqrt(chi2 / (F.col("n") * (mindim - 1))), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("v"),
+    )

@@ -1544,3 +1544,189 @@ def text_unigram_lm_pruned(spark, sf):
             ).alias("nll")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# polymorphic UDTF — output schema computed by analyze() from a literal
+# ---------------------------------------------------------------------------
+_SPLIT_FIXED_N = 3
+
+
+@q(
+    "udtf_analyze",
+    f"""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS arr
+               FROM documents WHERE doc_id % 101 = 0)
+    SELECT doc_id, arr[1] AS w1, arr[2] AS w2, arr[3] AS w3
+    FROM s
+    """,
+)
+def udtf_analyze(spark, sf):
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()`` contract): the
+    output schema is not declared statically — Catalyst calls the
+    UDTF's ``analyze()`` at PLAN time with the literal argument
+    (n = 3) and the function computes its own result schema (w1..wn),
+    the API that lets one table function serve any arity (fixed-width
+    splitters, pivots, configurable feature extractors) without a
+    registration per shape. Complements udtf_ngrams, which exercises
+    the static-returnType path. The twin is DuckDB's 1-based array
+    indexing (out-of-range -> NULL, matching the eval's padding;
+    NULL text -> all-NULL row on both). Scale shape: map-side
+    Generate over the pruned (doc_id, text) scan, zero shuffle; the
+    doc_id % 101 sample keeps the gated output fixture-sized."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class SplitFixed:
+        @staticmethod
+        def analyze(text_arg, n_arg):
+            n = int(n_arg.value)
+            schema = StructType()
+            for i in range(n):
+                schema = schema.add(f"w{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            toks = [] if text is None else text.split(" ")
+            yield tuple(
+                (toks[i] if i < len(toks) else None) for i in range(n)
+            )
+
+    spark.udtf.register("split_fixed", udtf(SplitFixed))
+    d = t(spark, sf, "documents").filter(F.col("doc_id") % 101 == 0)
+    d.select("doc_id", "text").createOrReplaceTempView("udtf_analyze_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.* FROM udtf_analyze_docs d, "
+        f"LATERAL split_fixed(d.text, {_SPLIT_FIXED_N}) s"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator quality — sketch estimate vs exact Jaccard, gated
+# ---------------------------------------------------------------------------
+@q(
+    "dedup_minhash_eval",
+    f"""
+    WITH {_SH_SQL},
+    okd AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+    shc AS (SELECT sh.id, sh.shingle FROM sh JOIN okd USING (shingle)),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM shc GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT id_a, id_b,
+             round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jac
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.2),
+    sigs AS (
+      SELECT id,
+             MIN(substring(md5(shingle), 1, 8)) AS mh0,
+             MIN(substring(md5(shingle), 9, 8)) AS mh1,
+             MIN(substring(md5(shingle), 17, 8)) AS mh2,
+             MIN(substring(md5(shingle), 25, 8)) AS mh3
+      FROM sh GROUP BY id),
+    ev AS (
+      SELECT p.jac,
+             (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END
+              + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+              + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
+              + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) / 4.0 AS est
+      FROM pairs p
+      JOIN sigs a ON a.id = p.id_a
+      JOIN sigs b ON b.id = p.id_b),
+    er AS (
+      SELECT CAST(round(1000000.0 * abs(est - jac)) AS BIGINT) AS err_us,
+             CAST(round(1000000.0 * (est - jac)) AS BIGINT) AS bias_us
+      FROM ev),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 SUM(err_us) AS se, SUM(bias_us) AS sb FROM er)
+    SELECT n_pairs,
+           CASE WHEN n_pairs = 0 THEN NULL
+                ELSE round(CAST(se AS DOUBLE) / n_pairs / 1000000.0, 6) + 0
+           END AS mae,
+           CASE WHEN n_pairs = 0 THEN NULL
+                ELSE round(CAST(sb AS DOUBLE) / n_pairs / 1000000.0, 6) + 0
+           END AS bias
+    FROM s
+    """,
+)
+def dedup_minhash_eval(spark, sf):
+    """Measure, don't guess — the estimator-quality report for the
+    dedup stack's own sketch: over every exact-Jaccard pair (the
+    df-capped dedup_jaccard construction, threshold 0.2), the
+    MinHash-estimated similarity (fraction of the 4 signature slots
+    that agree — exact multiples of 0.25) is compared to the exact
+    value, and the face reports pair count, mean absolute error, and
+    signed bias. This is the number that justifies the band/row
+    configuration of dedup_lsh_pairs at 100 TB: if MAE drifts on a
+    new corpus, the sketch width is wrong BEFORE the dedup job runs.
+    Float discipline: per-pair errors quantize to integer MICROS
+    before the sum (exact, order-independent BIGINT agg — the
+    kg_adamic_adar lesson), so the means are single divisions of
+    exact integers. Scale shape: both inputs are already-proven
+    bounded relations (capped pair join + vocab-sized signature agg);
+    the estimate attach is two signature equi-joins."""
+    docs = t(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.2, max_df=1000
+    ).select("id_a", "id_b", F.col("jaccard").alias("jac"))
+    sigs = dd.minhash_signatures(
+        docs, "doc_id", "text", n_hashes=4, shingle_n=3
+    )
+    a = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(4)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(4)
+    )
+    ev = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select((matches / F.lit(4.0)).alias("est"), "jac")
+    )
+    er = ev.select(
+        F.round(F.lit(1000000.0) * F.abs(F.col("est") - F.col("jac")))
+        .cast("long")
+        .alias("err_us"),
+        F.round(F.lit(1000000.0) * (F.col("est") - F.col("jac")))
+        .cast("long")
+        .alias("bias_us"),
+    )
+    s = er.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("err_us").alias("se"),
+        F.sum("bias_us").alias("sb"),
+    )
+    none = F.lit(None).cast("double")
+    return s.select(
+        "n_pairs",
+        F.when(F.col("n_pairs") == 0, none)
+        .otherwise(
+            F.round(
+                F.col("se").cast("double") / F.col("n_pairs") / 1000000.0,
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("mae"),
+        F.when(F.col("n_pairs") == 0, none)
+        .otherwise(
+            F.round(
+                F.col("sb").cast("double") / F.col("n_pairs") / 1000000.0,
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("bias"),
+    )
