@@ -2373,3 +2373,212 @@ def stat_cramers_v(spark, sf):
         )
         .alias("v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mutual information between two categorical columns — micros-exact
+# ---------------------------------------------------------------------------
+@q(
+    "stat_mutual_info",
+    """
+    WITH cell AS (
+      SELECT l_returnflag AS x, l_linestatus AS y,
+             CAST(COUNT(*) AS BIGINT) AS nxy
+      FROM lineitem GROUP BY 1, 2),
+    mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cell GROUP BY x),
+    my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cell GROUP BY y),
+    n AS (SELECT CAST(COALESCE(SUM(nxy), 0) AS BIGINT) AS n FROM cell),
+    term AS (
+      SELECT cell.nxy,
+             CAST(round(1000000.0 * ln(
+               (CAST(cell.nxy AS DOUBLE) * n.n)
+               / (CAST(mx.nx AS DOUBLE) * my.ny)), 0) AS BIGINT) AS t_us
+      FROM cell JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n),
+    s AS (SELECT CAST(COALESCE(SUM(nxy * t_us), 0) AS BIGINT) AS smi
+          FROM term)
+    SELECT n.n, (SELECT CAST(COUNT(*) AS BIGINT) FROM cell) AS n_cells,
+           CASE WHEN n.n = 0 THEN NULL
+                ELSE round(CAST(s.smi AS DOUBLE) / n.n / 1000000.0, 6) + 0
+           END AS mi_nats
+    FROM s CROSS JOIN n
+    """,
+)
+def stat_mutual_info(spark, sf):
+    """Mutual information I(X;Y) between two categorical columns
+    (returnflag x linestatus) — the effect-size companion to
+    stat_cramers_v that measures dependence in nats: I = sum over
+    cells of p_xy * ln(p_xy / (p_x p_y)). The dependence test every
+    feature-selection pass runs over candidate training features.
+    Exactness: each cell's log-ratio argument is an exact rational of
+    BIGINT counts evaluated in one operation order, the single ln is
+    quantized to integer MICROS per cell, and the sum is then the
+    exact integer agg sum(n_xy * t_us) — order-independent across
+    engines and cluster sizes (the kg_adamic_adar sum-of-logs
+    precedent) — divided by n only at the end. Scale shape: ONE
+    map-side-combinable corpus agg produces the contingency cells
+    (bounded by |X|x|Y|, never corpus-sized); marginals and total are
+    WINDOWS over that cells relation — not separate re-aggregations,
+    which would re-scan the corpus once per marginal — so the corpus
+    is scanned exactly once. Empty input yields NULL, not a
+    DIVIDE_BY_ZERO."""
+    li = t(spark, sf, "lineitem")
+    cell = (
+        li.groupBy(
+            F.col("l_returnflag").alias("x"),
+            F.col("l_linestatus").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    )
+    # marginals/total as WINDOWS over the cells relation (<= |X|*|Y|
+    # rows) — per-branch column pruning would otherwise defeat
+    # exchange reuse and re-scan the corpus once per marginal (the
+    # events_gapfill lesson); this keeps the plan at ONE corpus scan.
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy()
+    g = cell.select(
+        "nxy",
+        F.sum("nxy").over(wx).cast("long").alias("nx"),
+        F.sum("nxy").over(wy).cast("long").alias("ny"),
+        F.sum("nxy").over(wall).cast("long").alias("n"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_cells"),
+    )
+    t_us = F.round(
+        F.lit(1000000.0)
+        * F.log(
+            (F.col("nxy").cast("double") * F.col("n"))
+            / (F.col("nx").cast("double") * F.col("ny"))
+        ),
+        0,
+    ).cast("long")
+    s = g.select(
+        (F.col("nxy") * t_us).alias("prod"), "n", "n_cells"
+    ).agg(
+        F.coalesce(F.sum("prod"), F.lit(0)).cast("long").alias("smi"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.max("n_cells"), F.lit(0))
+        .cast("long")
+        .alias("n_cells"),
+    )
+    return s.select(
+        "n",
+        "n_cells",
+        F.when(F.col("n") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("smi").cast("double")
+                / F.col("n")
+                / F.lit(1000000.0),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("mi_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# correlated EXISTS / NOT EXISTS — Catalyst decorrelation to semi/anti join
+# ---------------------------------------------------------------------------
+@q(
+    "join_exists_subq",
+    """
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(round(SUM(c.c_acctbal) * 100) AS BIGINT) AS acctbal_cents
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_exists_subq(spark, sf):
+    """Correlated EXISTS + NOT EXISTS subqueries — customers with at
+    least one finished order and no urgent one — written as literal
+    SQL subqueries and left to Catalyst to DECORRELATE: the EXISTS
+    becomes a LeftSemi hash join and the NOT EXISTS a LeftAnti, both
+    shuffle-joinable on o_custkey with the status filters pushed
+    below the join (audited: no per-row re-execution of the subquery,
+    no nested-loop). This is the API face for the subquery surface of
+    the engine — the plan-shape guarantee is what makes correlated
+    predicates safe at 10^12 fact rows, where a naive correlated
+    evaluation would be O(n^2). The oracle is the identical ANSI
+    text, so the face also pins that Spark's EXISTS semantics
+    (including NULL-key behavior) match the reference SQL engine's."""
+    t(spark, sf, "customer").createOrReplaceTempView("exsq_cust")
+    t(spark, sf, "orders").createOrReplaceTempView("exsq_orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(round(SUM(c.c_acctbal) * 100) AS BIGINT)
+                 AS acctbal_cents
+        FROM exsq_cust c
+        WHERE EXISTS (SELECT 1 FROM exsq_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+          AND NOT EXISTS (SELECT 1 FROM exsq_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderpriority = '1-URGENT')
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# star-schema join — one fact scan, every dimension broadcast
+# ---------------------------------------------------------------------------
+@q(
+    "join_star",
+    """
+    SELECT r.r_name, p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(round(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100)
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 25
+    GROUP BY r.r_name, p.p_brand
+    """,
+)
+def join_star(spark, sf):
+    """Star-schema rollup: revenue by supplier region x part brand —
+    the canonical warehouse shape (one huge fact, a snowflake of
+    small dimensions). The plan contract, asserted by the explain
+    audit, is what survives 10^12 fact rows: ALL four dimension joins
+    plan as BroadcastHashJoin (part/supplier/nation/region are
+    executor-memory-sized at any realistic scale), so the fact table
+    is scanned ONCE, never shuffled for a join, with the p_size
+    filter pushed into the part scan BEFORE its broadcast and the
+    revenue agg map-side combined — the only Exchange in the plan is
+    the final (region, brand)-sized agg shuffle. No join hints: AQE
+    picks broadcast from the dimension sizes, so the same query
+    degrades gracefully to a shuffle join if a 'dimension' ever grows
+    fact-sized. Revenue is summed as double then rounded once to
+    cents (the SQL_CENTS convention — sub-cent accumulation error is
+    orders of magnitude below the half-cent rounding guard)."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(F.col("p_size") <= 25)
+    s = t(spark, sf, "supplier")
+    na = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(na, s["s_nationkey"] == na["n_nationkey"])
+        .join(r, na["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            cents(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+            ).alias("revenue_cents"),
+        )
+    )

@@ -623,3 +623,107 @@ def text_heaps(spark, sf):
         )
         .alias("ln_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact phi-heavy hitters via a Misra-Gries candidate pass + exact verify
+# ---------------------------------------------------------------------------
+_HH_K = 32  # phi = 1/32: report tokens with share > n/32
+_HH_CAP = 64  # Misra-Gries counters per partition (>= _HH_K)
+
+
+def _mg_candidates(batches):
+    """Per-partition Misra-Gries summary over Arrow batches: at most
+    ``_HH_CAP`` counters, batched decrement (subtract the (cap+1)-th
+    largest count from all, keep positives — the standard batch MG
+    reduction, undercount <= n_p / cap). Emits the surviving
+    candidate tokens plus one tk=NULL row carrying the partition's
+    total token count, so the exact pass needs no extra corpus scan
+    for n."""
+    import pandas as pd
+
+    counts: dict[str, int] = {}
+    n_p = 0
+    for pdf in batches:
+        s = pdf["text"].str.split(" ").explode()
+        s = s[s.notna() & (s != "")]
+        vc = s.value_counts()
+        n_p += int(vc.sum())
+        for tk, v in vc.items():
+            counts[tk] = counts.get(tk, 0) + int(v)
+        if len(counts) > _HH_CAP:
+            dec = sorted(counts.values(), reverse=True)[_HH_CAP]
+            counts = {k: v - dec for k, v in counts.items() if v > dec}
+    out = {"tk": list(counts) + [None], "c": list(counts.values()) + [n_p]}
+    yield pd.DataFrame(out)
+
+
+@q(
+    "agg_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+    cnt AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok WHERE tk <> '' GROUP BY tk),
+    n AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM cnt)
+    SELECT cnt.tk, cnt.c, n.n,
+           CAST((cnt.c * 1000000) // n.n AS BIGINT) AS share_ppm
+    FROM cnt CROSS JOIN n
+    WHERE cnt.c * {_HH_K} > n.n
+    """,
+)
+def agg_heavy_hitters(spark, sf):
+    """Exact phi-heavy hitters (phi = 1/{k}) over the corpus token
+    stream via the classic two-pass scheme every streaming engine
+    uses when the vocabulary doesn't fit anywhere: pass 1 runs a
+    bounded Misra-Gries summary PER PARTITION inside ``mapInPandas``
+    (<= {cap} counters, zero shuffle — only the <= {cap} surviving
+    candidates plus one total-count row leave each partition), pass 2
+    exactly counts ONLY the candidate tokens (semi-join on the tiny
+    candidate set — AQE broadcasts it unhinted) and filters by the
+    true threshold c * {k} > n. Correctness is partitioning-
+    independent: if c(x) > n/{k} then by pigeonhole some partition
+    has c_p(x) > n_p/{k} >= n_p/{cap}, and MG with {cap} counters
+    undercounts by at most n_p/{cap}, so every true heavy hitter
+    survives pass 1 — the exact pass then removes false candidates,
+    making the summary transparent (the join_bloom pattern: a lossy
+    prefilter in front of an exact verify). The pass-1 summary is
+    collect()ed to the driver and re-shipped as literals: it is
+    bounded by the ALGORITHM (<= cap+1 rows per partition), never by
+    data — the join_bloom 64-word / kmeans centroid-literal
+    precedent — and collecting it once keeps the plan at exactly two
+    corpus scans (a second DataFrame branch over the pass-1 relation
+    would re-run the whole MG pass per branch). The oracle is the
+    naive full-vocabulary GROUP BY ... HAVING — infeasible at 10^12
+    docs, identical in answer. Share is exact ppm (c*10^6 div n)."""
+    d = t(spark, sf, "documents")
+    p1 = d.select("text").mapInPandas(
+        _mg_candidates, schema="tk string, c long"
+    ).collect()
+    n = sum(r["c"] for r in p1 if r["tk"] is None)
+    cands = sorted({r["tk"] for r in p1 if r["tk"] is not None})
+    tok = d.select(F.explode(F.split("text", " ")).alias("tk")).filter(
+        F.col("tk") != ""
+    )
+    if not cands:
+        tok = tok.filter(F.lit(False))  # empty corpus: stay total
+    else:
+        tok = tok.filter(F.col("tk").isin(cands))
+    return (
+        tok.groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") * _HH_K > F.lit(n))
+        .select(
+            "tk",
+            "c",
+            F.lit(n).cast("long").alias("n"),
+            F.expr(f"cast((c * 1000000) div {max(n, 1)}L as bigint)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+agg_heavy_hitters.__doc__ = agg_heavy_hitters.__doc__.format(
+    k=_HH_K, cap=_HH_CAP
+)

@@ -992,6 +992,51 @@ def main() -> None:
         p_sb,
     )
 
+    # 43. wave-32 shapes: join_star must broadcast EVERY dimension
+    # (zero SortMergeJoin — the fact table is scanned once and never
+    # shuffled for a join) with the p_size filter pushed into the
+    # part scan; join_exists_subq must decorrelate to LeftSemi +
+    # LeftAnti hash joins (no nested-loop re-execution of the
+    # subquery); agg_heavy_hitters' exact pass is ONE corpus scan +
+    # ONE exchange (the candidate set is a collected literal, the MG
+    # pass ran at plan-build); stat_mutual_info scans the corpus
+    # exactly once (marginals are windows over the cells relation,
+    # not re-aggregations).
+    p_st = plan_of(QUERIES["join_star"](spark, SF))
+    st_bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", p_st))
+    st_smj = len(re.findall(r"\(\d+\) SortMergeJoin", p_st))
+    st_pushed = "LessThanOrEqual(p_size,25)" in p_st
+    p_ex = plan_of(QUERIES["join_exists_subq"](spark, SF))
+    ex_semi = "LeftSemi" in p_ex
+    ex_anti = "LeftAnti" in p_ex
+    ex_nlj = "NestedLoop" in p_ex or "Cartesian" in p_ex
+    p_hh = plan_of(QUERIES["agg_heavy_hitters"](spark, SF))
+    hh_scans = len(re.findall(r"\(\d+\) Scan parquet", p_hh))
+    hh_exch = len(re.findall(r"\(\d+\) Exchange", p_hh))
+    p_mi = plan_of(QUERIES["stat_mutual_info"](spark, SF))
+    mi_scans = len(re.findall(r"\(\d+\) Scan parquet", p_mi))
+    check(
+        "star join broadcasts all dims; EXISTS decorrelates to "
+        "semi/anti; heavy hitters and mutual info scan the corpus "
+        "once",
+        st_bhj >= 4
+        and st_smj == 0
+        and st_pushed
+        and ex_semi
+        and ex_anti
+        and not ex_nlj
+        and hh_scans == 1
+        and hh_exch == 1
+        and mi_scans == 1,
+        f"join_star: {st_bhj} BroadcastHashJoin / {st_smj} "
+        f"SortMergeJoin, p_size pushed={st_pushed}; exists_subq: "
+        f"LeftSemi={ex_semi}, LeftAnti={ex_anti}, nested-loop="
+        f"{ex_nlj} (want False); heavy_hitters scans={hh_scans} "
+        f"(want 1) exchanges={hh_exch} (want 1); mutual_info "
+        f"scans={mi_scans} (want 1)",
+        p_st,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
