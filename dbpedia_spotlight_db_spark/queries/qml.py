@@ -1,0 +1,632 @@
+"""Model-evaluation and training-diagnostics faces (round-4 wave 33):
+the measurement half of a training-data pipeline — once a corpus is
+curated and a quality classifier (or ranking score) exists, the
+pipeline must EVALUATE it at corpus scale: precision/recall across
+score thresholds, decile lift/gains, the best single-feature split
+(a decision stump — the unit step of tree training and a feature-
+importance probe), rank correlation between two signals (Spearman),
+and resampled uncertainty on an aggregate (a deterministic bootstrap).
+
+Everything rides the count-of-counts discipline the stat_* family
+established: the corpus collapses ONCE to a per-distinct-value
+support relation (map-side-combinable agg), and — the wave-32
+stat_mutual_info lesson — every total and marginal is a WINDOW over
+that support (``SUM() OVER ()``, RANGE-frame cumulatives), never a
+second aggregation branch: a relation consumed by 2+ branches
+re-runs its whole subtree per branch (column pruning defeats
+ReuseExchange), so the branchy spelling scans the corpus per
+marginal. Each face here scans its input exactly once (audit check
+#44). Rank arithmetic uses the stat_mannwhitney DOUBLED-rank trick
+(tie-averaged ranks are half-integers; 2*rank is the exact integer
+2*cprev + cnt + 1). Randomness is md5-derived (the sample_hash /
+mix_domains determinism discipline) so every "random" draw is
+identical across engines, runs, partitionings, and cluster sizes.
+ANSI DIVIDE_BY_ZERO hazards (empty class, zero variance, degenerate
+split) short-circuit to NULL on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .common import t
+
+Q = {}
+O = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        assert name not in Q, f"duplicate query key {name!r}"
+        Q[name] = fn
+        if sql is not None:
+            O[name] = sql
+        return fn
+
+    return deco
+
+
+def _score_support(spark, sf):
+    """Shared support relation for the score-vs-purchase faces: one
+    corpus agg to per-distinct-cents (cnt, positives)."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    lab = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    return lab.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+
+
+_SCORE_SQL = """
+    lab AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL),
+    pv AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM lab GROUP BY cents),
+    rk AS (
+      SELECT cents, cnt, p,
+             COALESCE(SUM(cnt) OVER (ORDER BY cents DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cprev,
+             COALESCE(SUM(p) OVER (ORDER BY cents DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS pprev,
+             SUM(cnt) OVER () AS n,
+             SUM(p) OVER () AS pos_tot
+      FROM pv)
+"""
+
+
+def _score_ranked(spark, sf):
+    """Support + inclusive-prefix machinery shared by ml_pr_curve and
+    ml_lift: cumulative (count, positives) above each distinct score
+    plus the corpus totals — totals as OVER () windows on the SAME
+    relation, so the plan keeps one corpus scan (no tot branch)."""
+    pv = _score_support(spark, sf)
+    w = Window.orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return pv.select(
+        "cents",
+        "cnt",
+        "p",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cprev"),
+        F.coalesce(F.sum("p").over(w), F.lit(0)).alias("pprev"),
+        F.sum("cnt").over(wall).alias("n"),
+        F.sum("p").over(wall).alias("pos_tot"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# precision/recall curve at quantile thresholds — count-of-counts form
+# ---------------------------------------------------------------------------
+@q(
+    "ml_pr_curve",
+    f"""
+    WITH {_SCORE_SQL},
+    fan AS (
+      SELECT k, rk.cents, rk.cprev + rk.cnt AS n_above,
+             rk.pprev + rk.p AS pos_above, rk.pos_tot
+      FROM rk
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 19)) AS k)
+      WHERE rk.cprev < (k * rk.n + 19) // 20
+        AND rk.cprev + rk.cnt >= (k * rk.n + 19) // 20)
+    SELECT CAST(k AS INT) AS k, cents AS threshold_cents,
+           CAST(n_above AS BIGINT) AS n_above,
+           CAST(pos_above AS BIGINT) AS pos_above,
+           round(CAST(pos_above AS DOUBLE) / n_above, 6) + 0 AS precision,
+           CASE WHEN pos_tot = 0 THEN NULL
+                ELSE round(CAST(pos_above AS DOUBLE) / pos_tot, 6) + 0
+           END AS recall
+    FROM fan
+    """,
+)
+def ml_pr_curve(spark, sf):
+    """Precision/recall curve for 'score predicts the positive class'
+    (score = event value, positive = purchase) at the 19 vigintile
+    cutoffs — the operating-curve report behind choosing a quality-
+    classifier threshold for corpus filtering. Scale shape: ONE
+    corpus agg to the per-distinct-score support (map-side
+    combinable), inclusive prefix counts via a window over that
+    bounded support ordered score-DESC (predict positive ⇔ score ≥
+    threshold) with the corpus totals as OVER () windows on the same
+    relation — never a second aggregation branch — then the
+    threshold rows are located ARITHMETICALLY: row k is the tie-run
+    containing global rank ⌈k·n/20⌉, i.e. cprev < ⌈kn/20⌉ ≤
+    cprev+cnt, via a bounded ×19 fan-out (the events_rolling_dau
+    idiom), never a per-row quantile sort. Precision =
+    pos_above/n_above and recall = pos_above/pos_total are
+    exact-integer ratios; the only floats are the two final round-6
+    divisions (+0 kills IEEE -0.0). Recall NULL-guards the
+    zero-positives corpus (ANSI DIVIDE_BY_ZERO)."""
+    rk = _score_ranked(spark, sf)
+    tgt = F.floor((F.col("k") * F.col("n") + 19) / F.lit(20)).cast("long")
+    fan = rk.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(19))).alias("k")
+    ).filter(
+        (F.col("cprev") < tgt) & (F.col("cprev") + F.col("cnt") >= tgt)
+    )
+    n_above = F.col("cprev") + F.col("cnt")
+    pos_above = F.col("pprev") + F.col("p")
+    return fan.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("cents").alias("threshold_cents"),
+        n_above.cast("long").alias("n_above"),
+        pos_above.cast("long").alias("pos_above"),
+        (F.round(pos_above.cast("double") / n_above, 6) + F.lit(0.0)).alias(
+            "precision"
+        ),
+        F.when(F.col("pos_tot") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(pos_above.cast("double") / F.col("pos_tot"), 6)
+            + F.lit(0.0)
+        )
+        .alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decile lift/gains — tie-runs never split across bins
+# ---------------------------------------------------------------------------
+@q(
+    "ml_lift",
+    f"""
+    WITH {_SCORE_SQL},
+    dec AS (
+      SELECT CAST(1 + (cprev * 10) // n AS INT) AS decile,
+             SUM(cnt) AS n_d, SUM(p) AS pos_d,
+             MAX(n) AS n, MAX(pos_tot) AS pos_tot
+      FROM rk GROUP BY 1),
+    cum AS (
+      SELECT decile, n_d, pos_d, n, pos_tot,
+             SUM(n_d) OVER (ORDER BY decile) AS cn,
+             SUM(pos_d) OVER (ORDER BY decile) AS cp
+      FROM dec)
+    SELECT decile, CAST(n_d AS BIGINT) AS n_d,
+           CAST(pos_d AS BIGINT) AS pos_d,
+           round(CAST(pos_d AS DOUBLE) / n_d, 6) + 0 AS rate,
+           CASE WHEN pos_tot = 0 THEN NULL
+                ELSE round((CAST(pos_d AS DOUBLE) * n)
+                           / (CAST(n_d AS DOUBLE) * pos_tot), 6) + 0
+           END AS lift,
+           CASE WHEN pos_tot = 0 THEN NULL
+                ELSE round((CAST(cp AS DOUBLE) * n)
+                           / (CAST(cn AS DOUBLE) * pos_tot), 6) + 0
+           END AS cum_lift
+    FROM cum
+    """,
+)
+def ml_lift(spark, sf):
+    """Decile lift/gains table for the same score-vs-purchase signal:
+    rank the corpus by score descending, cut into 10 bins, and report
+    per-bin response rate, lift over the base rate, and cumulative
+    lift — the campaign-targeting / classifier-triage report. Tie
+    semantics: a tie-run of equal scores is assigned WHOLE to the
+    bin containing its first row (decile = 1 + ⌊10·cprev/n⌋), the
+    grouped-lift convention — splitting a tie-run would need a
+    global per-row ntile (a single-partition sort at corpus scale)
+    and would make bin membership partition-order-dependent. Scale
+    shape: corpus → per-distinct-score support → windows over the
+    support (totals as OVER (), carried through the decile agg as
+    MAX — no second corpus branch) → a ≤10-row report; lift =
+    (pos_d·n)/(n_d·pos_tot) is a cross-multiplied exact-integer
+    ratio evaluated in identical float order on both engines,
+    NULL-guarded for a zero-positive corpus."""
+    rk = _score_ranked(spark, sf)
+    dec = rk.groupBy(
+        (F.lit(1) + F.floor(F.col("cprev") * 10 / F.col("n")))
+        .cast("int")
+        .alias("decile")
+    ).agg(
+        F.sum("cnt").alias("n_d"),
+        F.sum("p").alias("pos_d"),
+        F.max("n").alias("n"),
+        F.max("pos_tot").alias("pos_tot"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dec.select(
+        "decile",
+        "n_d",
+        "pos_d",
+        "n",
+        "pos_tot",
+        F.sum("n_d").over(wc).alias("cn"),
+        F.sum("pos_d").over(wc).alias("cp"),
+    )
+    lift = (
+        F.round(
+            (F.col("pos_d").cast("double") * F.col("n"))
+            / (F.col("n_d").cast("double") * F.col("pos_tot")),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    cum_lift = (
+        F.round(
+            (F.col("cp").cast("double") * F.col("n"))
+            / (F.col("cn").cast("double") * F.col("pos_tot")),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    null_d = F.lit(None).cast("double")
+    return cum.select(
+        "decile",
+        F.col("n_d").cast("long").alias("n_d"),
+        F.col("pos_d").cast("long").alias("pos_d"),
+        (F.round(F.col("pos_d").cast("double") / F.col("n_d"), 6) + F.lit(0.0))
+        .alias("rate"),
+        F.when(F.col("pos_tot") == 0, null_d).otherwise(lift).alias("lift"),
+        F.when(F.col("pos_tot") == 0, null_d)
+        .otherwise(cum_lift)
+        .alias("cum_lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decision stump — best single split by weighted Gini impurity
+# ---------------------------------------------------------------------------
+@q(
+    "ml_stump",
+    """
+    WITH lab AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders),
+    dv AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM lab GROUP BY day),
+    rk AS (
+      SELECT day,
+             SUM(cnt) OVER (ORDER BY day) AS n_l,
+             SUM(p) OVER (ORDER BY day) AS pos_l,
+             SUM(cnt) OVER () AS n,
+             SUM(p) OVER () AS pos
+      FROM dv),
+    cand AS (
+      SELECT day, n_l, pos_l, n - n_l AS n_r, pos - pos_l AS pos_r, n, pos
+      FROM rk WHERE n_l < n),
+    sc AS (
+      SELECT day, n_l, pos_l, n_r, pos_r, n, pos,
+             CAST(round(1000000.0 * (
+               (CAST(n_l AS DOUBLE)
+                - (CAST(pos_l AS DOUBLE) * pos_l
+                   + CAST(n_l - pos_l AS DOUBLE) * (n_l - pos_l)) / n_l
+                + CAST(n_r AS DOUBLE)
+                - (CAST(pos_r AS DOUBLE) * pos_r
+                   + CAST(n_r - pos_r AS DOUBLE) * (n_r - pos_r)) / n_r)
+               / n)) AS BIGINT) AS gini_micros
+      FROM cand)
+    SELECT CAST(day AS BIGINT) AS split_day, gini_micros,
+           CAST(n_l AS BIGINT) AS n_left, CAST(pos_l AS BIGINT) AS pos_left,
+           CAST(n_r AS BIGINT) AS n_right, CAST(pos_r AS BIGINT) AS pos_right,
+           CAST(round(1000000.0 * (
+             CAST(n AS DOUBLE)
+             - (CAST(pos AS DOUBLE) * pos
+                + CAST(n - pos AS DOUBLE) * (n - pos)) / n) / n)
+             AS BIGINT) AS base_gini_micros
+    FROM sc
+    QUALIFY ROW_NUMBER() OVER (ORDER BY gini_micros, day) = 1
+    """,
+)
+def ml_stump(spark, sf):
+    """Decision stump: the best single threshold split of order date
+    predicting fulfilled status, by weighted Gini impurity — the unit
+    step of tree training, and the standard 'is this feature worth
+    anything' probe a training pipeline runs per candidate feature.
+    Scale shape: the corpus collapses ONCE to the per-distinct-day
+    support (algorithm-bounded: days, not rows); inclusive prefix
+    counts give every candidate split's left side from one window
+    over that support, the totals ride the SAME relation as OVER ()
+    windows (no second corpus branch), and the right side is
+    subtraction. Each candidate's weighted Gini
+    Σ_side n_s·(1 − (pos_s/n_s)² − (neg_s/n_s)²) / n is evaluated as
+    DOUBLE in the IDENTICAL operation order on both engines and
+    quantized to integer MICROS before the argmin (the kg_adamic_adar
+    discipline), so the winning row is engine-stable; ties break on
+    the smaller threshold. The n_l < n guard drops the degenerate
+    all-left split (its n_r = 0 division is an ANSI hazard); a corpus
+    with a single distinct day therefore yields zero candidate rows
+    — total, not a crash. The final argmin window runs over the
+    bounded day support only."""
+    # floor-division parity: epoch_us is positive here, but spell the
+    # Spark side as floor() so negative epochs would still match //
+    lab = t(spark, sf, "orders").select(
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+        .cast("long")
+        .alias("day"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    dv = lab.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    wi = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = dv.select(
+        "day",
+        F.sum("cnt").over(wi).alias("n_l"),
+        F.sum("p").over(wi).alias("pos_l"),
+        F.sum("cnt").over(wall).alias("n"),
+        F.sum("p").over(wall).alias("pos"),
+    )
+    cand = rk.filter(F.col("n_l") < F.col("n")).select(
+        "day",
+        "n_l",
+        "pos_l",
+        (F.col("n") - F.col("n_l")).alias("n_r"),
+        (F.col("pos") - F.col("pos_l")).alias("pos_r"),
+        "n",
+        "pos",
+    )
+
+    def _side(nc, pc):
+        neg = F.col(nc) - F.col(pc)
+        return F.col(nc).cast("double") - (
+            F.col(pc).cast("double") * F.col(pc) + neg.cast("double") * neg
+        ) / F.col(nc)
+
+    gini = F.round(
+        F.lit(1000000.0)
+        * ((_side("n_l", "pos_l") + _side("n_r", "pos_r")) / F.col("n"))
+    ).cast("long")
+    base_neg = F.col("n") - F.col("pos")
+    base = F.round(
+        F.lit(1000000.0)
+        * (
+            F.col("n").cast("double")
+            - (
+                F.col("pos").cast("double") * F.col("pos")
+                + base_neg.cast("double") * base_neg
+            )
+            / F.col("n")
+        )
+        / F.col("n")
+    ).cast("long")
+    sc = cand.withColumn("gini_micros", gini)
+    wmin = Window.orderBy("gini_micros", "day")
+    return (
+        sc.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("day").cast("long").alias("split_day"),
+            "gini_micros",
+            F.col("n_l").cast("long").alias("n_left"),
+            F.col("pos_l").cast("long").alias("pos_left"),
+            F.col("n_r").cast("long").alias("n_right"),
+            F.col("pos_r").cast("long").alias("pos_right"),
+            base.alias("base_gini_micros"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — contingency-cell form, doubled ranks
+# ---------------------------------------------------------------------------
+@q(
+    "stat_spearman",
+    """
+    WITH v AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qx,
+             CAST(round(l_discount * 100) AS BIGINT) AS qy
+      FROM lineitem),
+    cells AS (
+      SELECT qx, qy, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY qx, qy),
+    rk AS (
+      SELECT c,
+             2 * SUM(c) OVER (ORDER BY qx
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+               - SUM(c) OVER (PARTITION BY qx) + 1 AS rx2,
+             2 * SUM(c) OVER (ORDER BY qy
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+               - SUM(c) OVER (PARTITION BY qy) + 1 AS ry2
+      FROM cells),
+    m AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * rx2) AS BIGINT) AS sx,
+             CAST(SUM(c * ry2) AS BIGINT) AS sy,
+             CAST(SUM(c * rx2 * rx2) AS BIGINT) AS sxx,
+             CAST(SUM(c * ry2 * ry2) AS BIGINT) AS syy,
+             CAST(SUM(c * rx2 * ry2) AS BIGINT) AS sxy
+      FROM rk)
+    SELECT COALESCE(n, 0) AS n,
+           CASE WHEN n IS NULL OR n = 0
+                     OR CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <= 0
+                     OR CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy <= 0
+                THEN NULL
+                ELSE round((CAST(n AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / sqrt((CAST(n AS DOUBLE) * sxx
+                                   - CAST(sx AS DOUBLE) * sx)
+                                  * (CAST(n AS DOUBLE) * syy
+                                     - CAST(sy AS DOUBLE) * sy)), 6) + 0
+           END AS rho
+    FROM m
+    """,
+)
+def stat_spearman(spark, sf):
+    """Spearman rank correlation between quantity and discount — the
+    distribution-free association measure a feature-selection pass
+    computes between every candidate signal pair (Pearson answers
+    'linear', Spearman answers 'monotone'). Exactness: tie-averaged
+    ranks arrive as the stat_mannwhitney DOUBLED-rank integers — for
+    the tie group of x-value v, 2·rank = 2·cum(≤v) − cnt(v) + 1,
+    computed per CELL as a RANGE-frame cumulative (peers included)
+    minus a PARTITION BY total, so BOTH marginal rank columns are
+    windows over the one contingency-cell relation (the wave-32
+    stat_mutual_info lesson: marginals as re-aggregations would
+    re-scan the corpus per branch; this plan scans it exactly once —
+    audit #44). All five moment sums are exact order-independent
+    BIGINT aggregates; only the final normalization runs in DOUBLE —
+    identical operation order both engines, round 6, +0 guard.
+    BIGINT headroom: rx2 ≤ 2n so Σc·rx2² ≤ 4n³ — exact through
+    n ≈ 1.3e6 rows; beyond that, center the moments first
+    (documented upgrade path; exact at this repo's bench scales).
+    Degenerate inputs (empty relation, zero rank variance on either
+    axis) short-circuit rho to NULL — the kg_assortativity ANSI
+    guard."""
+    v = t(spark, sf, "lineitem").select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qx"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("qy"),
+    )
+    cells = v.groupBy("qx", "qy").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wx = Window.orderBy("qx").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wxp = Window.partitionBy("qx")
+    wy = Window.orderBy("qy").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wyp = Window.partitionBy("qy")
+    rk = cells.select(
+        "c",
+        (
+            F.lit(2) * F.sum("c").over(wx) - F.sum("c").over(wxp) + 1
+        ).alias("rx2"),
+        (
+            F.lit(2) * F.sum("c").over(wy) - F.sum("c").over(wyp) + 1
+        ).alias("ry2"),
+    )
+    m = rk.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("rx2")).cast("long").alias("sx"),
+        F.sum(F.col("c") * F.col("ry2")).cast("long").alias("sy"),
+        F.sum(F.col("c") * F.col("rx2") * F.col("rx2"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.col("c") * F.col("ry2") * F.col("ry2"))
+        .cast("long")
+        .alias("syy"),
+        F.sum(F.col("c") * F.col("rx2") * F.col("ry2"))
+        .cast("long")
+        .alias("sxy"),
+    )
+    vx = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    vy = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    return m.select(
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.when(
+            F.col("n").isNull() | (F.col("n") == 0) | (vx <= 0) | (vy <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(num / F.sqrt(vx * vy), 6) + F.lit(0.0))
+        .alias("rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic bootstrap — md5-derived {0,1,2} multiplier weights
+# ---------------------------------------------------------------------------
+@q(
+    "stat_bootstrap",
+    """
+    WITH fan AS (
+      SELECT b, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                 || CAST(b AS VARCHAR)), 1, 2))::UBIGINT % 3
+               AS w
+      FROM orders
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS b)),
+    agg AS (
+      SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+             CAST(SUM(w * cents) AS BIGINT) AS wcents
+      FROM fan GROUP BY b)
+    SELECT CAST(b AS INT) AS b, n_eff,
+           CASE WHEN n_eff = 0 THEN NULL
+                ELSE round(CAST(wcents AS DOUBLE) / n_eff / 100.0, 6) + 0
+           END AS mean_price
+    FROM agg
+    """,
+)
+def stat_bootstrap(spark, sf):
+    """Deterministic multiplier bootstrap of mean order value: 16
+    resamples, each row entering resample b with weight
+    md5(key:b) mod 3 ∈ {0,1,2} (mean 1 — the integer-weight analogue
+    of a Poisson bootstrap), so the spread of the 16 means is a
+    resampling uncertainty estimate on the aggregate — the error bar
+    a pipeline attaches to any corpus statistic before acting on a
+    shift. Hash-derived weights make every resample identical across
+    engines, runs, partitionings, and cluster sizes (the sample_hash
+    discipline — an RNG bootstrap is irreproducible exactly where
+    reproducibility matters most, in a drift investigation). Scale
+    shape: a bounded ×16 map-side fan-out (the events_rolling_dau
+    idiom) into ONE map-side-combinable agg keyed by the 16 resample
+    ids; weighted sums are exact integer cents; the one division is
+    NULL-guarded (an all-zero-weight resample is possible only for a
+    ≲handful-row corpus, but ANSI would crash there). Parity: DuckDB
+    hex→int is ('0x'||h)::UBIGINT, Spark is conv(h,16,10) — the
+    feat_hashing precedent — and md5 hex is lowercase on both."""
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    fan = o.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+        "o_orderkey",
+    ).select(
+        "b",
+        "cents",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 3
+        ).alias("w"),
+    )
+    agg = fan.groupBy("b").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("wcents"),
+    )
+    return agg.select(
+        F.col("b").cast("int").alias("b"),
+        "n_eff",
+        F.when(F.col("n_eff") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("wcents").cast("double") / F.col("n_eff") / F.lit(100.0),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("mean_price"),
+    )

@@ -19,6 +19,7 @@ from . import (
     qfeat,
     qio,
     qlake,
+    qml,
     qpipe,
     qrel,
     qsketch,
@@ -39,6 +40,7 @@ for mod in (
     qadv,
     qsketch,
     qfeat,
+    qml,
 ):
     _dups = set(_QUERIES) & set(mod.Q)
     assert not _dups, (

@@ -1037,6 +1037,34 @@ def main() -> None:
         p_st,
     )
 
+    # 44. wave-33 shapes: every model-evaluation face must scan its
+    # input exactly ONCE — totals and marginals are windows over the
+    # count-of-counts support relation (SUM() OVER (), RANGE-frame
+    # cumulatives), never a second aggregation branch (a relation
+    # consumed by 2+ branches re-runs its subtree per branch — the
+    # wave-32 stat_mutual_info lesson). stat_bootstrap additionally
+    # must fan out map-side: exactly one Exchange (the 16-key agg).
+    ml_scan_counts = {}
+    for key in (
+        "ml_pr_curve",
+        "ml_lift",
+        "ml_stump",
+        "stat_spearman",
+        "stat_bootstrap",
+    ):
+        p_k = plan_of(QUERIES[key](spark, SF))
+        ml_scan_counts[key] = len(re.findall(r"\(\d+\) Scan parquet", p_k))
+    p_bs = plan_of(QUERIES["stat_bootstrap"](spark, SF))
+    bs_exch = len(re.findall(r"\(\d+\) Exchange", p_bs))
+    check(
+        "model-eval faces scan the corpus once; bootstrap is "
+        "map-side fan-out + one exchange",
+        all(v == 1 for v in ml_scan_counts.values()) and bs_exch == 1,
+        f"scan counts {ml_scan_counts} (want all 1); stat_bootstrap "
+        f"exchanges={bs_exch} (want 1)",
+        p_bs,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
