@@ -1,0 +1,311 @@
+"""Graph-construction training-data faces (round-4 wave 34): the
+operators that turn the co-occurrence KG into MODEL INPUTS — a
+deterministic random-walk corpus (the DeepWalk/node2vec data-prep
+step: walks are the "sentences" a graph-embedding model trains on),
+hash-corrupted negative edge samples (the contrastive pairs a
+link-prediction model needs alongside the positive edges), and a
+per-community conductance report (the cut-quality gate on the LPA
+communities, complementing kg_modularity's null-model gate).
+
+All three reuse qpipe's shared graph machinery (_doc_entities /
+_entity_pairs / _undirected_edges / _lpa_two_rounds and their SQL CTE
+twins) so the graph definition can never drift between faces.
+"Randomness" is md5-derived everywhere (the sample_hash discipline):
+walk steps and corruption targets are identical across engines, runs,
+partitionings, and cluster sizes — the property a reproducible
+embedding-training pipeline needs from its samplers. Windows run only
+over entity-vocabulary-bounded relations (the node list, per-node
+neighbor groups), never corpus rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .qpipe import (
+    _DOCENT_SQL,
+    _GRAMS_SQL,
+    _LPA_SQL,
+    _PAIRS_SQL,
+    _UEDGES_SQL,
+    _doc_entities,
+    _entity_pairs,
+    _lpa_two_rounds,
+    _undirected_edges,
+)
+
+Q = {}
+O = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        assert name not in Q, f"duplicate query key {name!r}"
+        Q[name] = fn
+        if sql is not None:
+            O[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# deterministic random-walk corpus — hash-coin next-step selection
+# ---------------------------------------------------------------------------
+def _step_sql(step: int, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY md5(src || '|{step}|' || dst),
+                                           dst) AS rn
+        FROM e) w WHERE rn = 1)
+"""
+
+
+@q(
+    "kg_walks",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    {_step_sql(1, "s1")},
+    {_step_sql(2, "s2")},
+    {_step_sql(3, "s3")}
+    SELECT s1.src AS start_uri, s1.dst AS v1, s2.dst AS v2, s3.dst AS v3
+    FROM s1
+    JOIN s2 ON s2.src = s1.dst
+    JOIN s3 ON s3.src = s2.dst
+    """,
+)
+def kg_walks(spark, sf_dir):
+    """Random-walk corpus generation (3-step walk from every node)
+    — the data-prep step for DeepWalk-style graph embeddings: the
+    emitted (start, v1, v2, v3) paths are the "sentences" the
+    embedding model trains on. The coin is md5(cur|step|neighbor):
+    each step moves to the neighbor with the smallest hash (ties on
+    neighbor id — md5 collisions aside, unreachable), so the walk is
+    fully deterministic across engines, runs, partitionings, and
+    cluster sizes, yet uniform-ish over neighbors like an RNG walk;
+    keying the hash on (cur, step) decorrelates consecutive steps.
+    Scale shape: each step is ONE row_number window over the
+    per-node neighbor groups (partitioned by src — never a global
+    sort) producing a |V|-sized successor map, then the walk table
+    chains 3 unhinted equi-joins on those maps; nothing ever fans
+    out beyond |V| rows per step, and longer walks are the same
+    plan unrolled."""
+    e = _undirected_edges(spark, sf_dir)
+
+    def _step(step: int):
+        h = F.md5(
+            F.concat(F.col("src"), F.lit(f"|{step}|"), F.col("dst"))
+        )
+        w = Window.partitionBy("src").orderBy("h", "dst")
+        return (
+            e.select("src", "dst", h.alias("h"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("src", "dst")
+        )
+
+    s1, s2, s3 = _step(1).alias("s1"), _step(2).alias("s2"), _step(3).alias("s3")
+    return (
+        s1.join(s2, F.col("s2.src") == F.col("s1.dst"))
+        .join(s3, F.col("s3.src") == F.col("s2.dst"))
+        .select(
+            F.col("s1.src").alias("start_uri"),
+            F.col("s1.dst").alias("v1"),
+            F.col("s2.dst").alias("v2"),
+            F.col("s3.dst").alias("v3"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# negative edge sampling — hash-corrupted tails for link prediction
+# ---------------------------------------------------------------------------
+@q(
+    "kg_negative_sample",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    nodes AS (SELECT DISTINCT uri FROM de),
+    nvr AS (SELECT COUNT(*) AS nv FROM nodes),
+    nn AS (SELECT uri, ROW_NUMBER() OVER (ORDER BY uri) AS rn FROM nodes),
+    cand AS (
+      SELECT p.uri_a, p.uri_b,
+             1 + CAST(('0x' || substr(md5(p.uri_a || '>' || p.uri_b), 1, 8))
+                      ::UBIGINT AS BIGINT) % nvr.nv AS idx
+      FROM p CROSS JOIN nvr),
+    neg0 AS (
+      SELECT LEAST(c.uri_a, nn.uri) AS uri_a,
+             GREATEST(c.uri_a, nn.uri) AS uri_b
+      FROM cand c JOIN nn ON nn.rn = c.idx
+      WHERE nn.uri <> c.uri_a AND nn.uri <> c.uri_b),
+    neg AS (
+      SELECT DISTINCT n.uri_a, n.uri_b FROM neg0 n
+      WHERE NOT EXISTS (SELECT 1 FROM p
+                        WHERE p.uri_a = n.uri_a AND p.uri_b = n.uri_b))
+    SELECT uri_a, uri_b, CAST(1 AS INT) AS label FROM p
+    UNION ALL
+    SELECT uri_a, uri_b, CAST(0 AS INT) AS label FROM neg
+    """,
+)
+def kg_negative_sample(spark, sf_dir):
+    """Contrastive training pairs for link prediction: every positive
+    co-occurrence edge, plus one hash-corrupted negative per positive
+    — the standard corrupt-the-tail scheme (replace dst with the node
+    at index md5(edge) mod |V| in the sorted vocabulary), with the
+    corruption verified against the true edge set (anti-join) so no
+    "negative" is secretly positive, and self-pairs/identity
+    corruptions dropped. md5-derived indices make the negative set
+    identical across engines, runs, partitionings, and cluster sizes
+    (an RNG sampler would make every training run see different
+    negatives — irreproducible evals). Scale shape: the node index is
+    ONE row_number window over the entity vocabulary (vocab-bounded,
+    the kg_entity_card precedent — never corpus rows); the corrupt
+    step is an unhinted equi-join of the edge list against that
+    |V|-sized index on the computed idx; the no-false-negative check
+    is an unhinted LeftAnti on the normalized pair key. The NOT
+    EXISTS spelling lets Catalyst decorrelate to the same LeftAnti
+    (the join_exists_subq precedent, audit #43)."""
+    p = _entity_pairs(spark, sf_dir)
+    nodes = _doc_entities(spark, sf_dir).select("uri").distinct()
+    nvr = nodes.agg(F.count(F.lit(1)).alias("nv"))
+    nn = nodes.select(
+        "uri", F.row_number().over(Window.orderBy("uri")).alias("rn")
+    )
+    idx = 1 + F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("uri_a"), F.lit(">"), F.col("uri_b"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % F.col("nv")
+    cand = p.crossJoin(F.broadcast(nvr)).select(
+        "uri_a", "uri_b", idx.alias("idx")
+    )
+    neg0 = (
+        cand.join(
+            nn.select(F.col("uri").alias("nb"), F.col("rn").alias("idx")),
+            "idx",
+        )
+        .filter((F.col("nb") != F.col("uri_a")) & (F.col("nb") != F.col("uri_b")))
+        .select(
+            F.least("uri_a", "nb").alias("uri_a"),
+            F.greatest("uri_a", "nb").alias("uri_b"),
+        )
+    )
+    neg = neg0.distinct().join(p, ["uri_a", "uri_b"], "left_anti")
+    pos = p.select("uri_a", "uri_b", F.lit(1).cast("int").alias("label"))
+    return pos.unionByName(
+        neg.select("uri_a", "uri_b", F.lit(0).cast("int").alias("label"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# community conductance — cut quality of the LPA partition
+# ---------------------------------------------------------------------------
+@q(
+    "kg_conductance",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    {_LPA_SQL},
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    vols AS (
+      SELECT community, n_nodes, vol, SUM(vol) OVER () AS vol_all
+      FROM (SELECT l2.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS vol
+            FROM l2 LEFT JOIN deg ON deg.src = l2.uri
+            GROUP BY l2.community) v),
+    lab AS (
+      SELECT la.community AS ca, lb.community AS cb
+      FROM p
+      JOIN l2 la ON la.uri = p.uri_a
+      JOIN l2 lb ON lb.uri = p.uri_b),
+    cut AS (
+      SELECT community, CAST(COUNT(*) AS BIGINT) AS cut FROM (
+        SELECT ca AS community FROM lab WHERE ca <> cb
+        UNION ALL
+        SELECT cb FROM lab WHERE ca <> cb) u
+      GROUP BY community)
+    SELECT vols.community, vols.n_nodes, vols.vol,
+           CAST(COALESCE(cut.cut, 0) AS BIGINT) AS cut,
+           CASE WHEN LEAST(vols.vol, vols.vol_all - vols.vol) = 0 THEN NULL
+                ELSE round(CAST(COALESCE(cut.cut, 0) AS DOUBLE)
+                           / LEAST(vols.vol, vols.vol_all - vols.vol), 6) + 0
+           END AS conductance
+    FROM vols LEFT JOIN cut ON cut.community = vols.community
+    """,
+)
+def kg_conductance(spark, sf_dir):
+    """Per-community conductance for the kg_labelprop partition:
+    φ(c) = cut(c) / min(vol(c), vol(G) − vol(c)) — the cut-quality
+    gate on community detection (low φ = a real community; pairs
+    with kg_modularity, which judges against the random-graph null
+    while conductance judges the boundary directly). Reuses the
+    exact 2-round LPA assignment via the shared _LPA_SQL /
+    _lpa_two_rounds pair so the three community faces can never
+    drift. Counting: each cross-community edge credits the cut of
+    BOTH its endpoint communities (the 3-corner unpivot credit
+    discipline from kg_clustering); vol is the degree sum; vol(G)
+    = 2m rides the vols relation as a SUM() OVER () window — never
+    a second aggregation branch over the corpus-scale subtree (the
+    wave-32 lesson). Exactness: cut/vol/2m are exact integers; the
+    single division is round-6 with the LEAST(...) = 0 ANSI
+    DIVIDE_BY_ZERO guard (an isolated-community partition) — NULL
+    on both engines."""
+    e = _undirected_edges(spark, sf_dir)
+    p = _entity_pairs(spark, sf_dir)
+    nodes = _doc_entities(spark, sf_dir).select("uri").distinct()
+    comm = _lpa_two_rounds(e, nodes)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    vols = (
+        comm.join(deg, comm["uri"] == deg["src"], "left")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.coalesce("d", F.lit(0))).cast("long").alias("vol"),
+        )
+        .withColumn("vol_all", F.sum("vol").over(wall))
+    )
+    lab = p.join(
+        comm.select(F.col("uri").alias("uri_a"), F.col("community").alias("ca")),
+        "uri_a",
+    ).join(
+        comm.select(F.col("uri").alias("uri_b"), F.col("community").alias("cb")),
+        "uri_b",
+    )
+    crossed = lab.filter(F.col("ca") != F.col("cb"))
+    cut = (
+        crossed.select(F.col("ca").alias("community"))
+        .unionByName(crossed.select(F.col("cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut"))
+    )
+    denom = F.least(F.col("vol"), F.col("vol_all") - F.col("vol"))
+    return vols.join(cut, "community", "left").select(
+        "community",
+        "n_nodes",
+        "vol",
+        F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+        F.when(denom == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.coalesce("cut", F.lit(0)).cast("double") / denom, 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("conductance"),
+    )

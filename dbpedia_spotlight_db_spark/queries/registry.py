@@ -17,6 +17,7 @@ from . import (
     qdata,
     qembed,
     qfeat,
+    qgraph,
     qio,
     qlake,
     qml,
@@ -41,6 +42,7 @@ for mod in (
     qsketch,
     qfeat,
     qml,
+    qgraph,
 ):
     _dups = set(_QUERIES) & set(mod.Q)
     assert not _dups, (

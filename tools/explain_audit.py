@@ -1065,6 +1065,33 @@ def main() -> None:
         p_bs,
     )
 
+    # 45. wave-34 shapes: kg_walks' per-step successor selection must
+    # be a per-node window (partitioned by src — never a global
+    # single-partition sort) chained by equi-joins (no nested loop);
+    # kg_negative_sample must verify negatives via LeftAnti, and its
+    # only nested-loop join is the 1-row |V|-count broadcast.
+    p_wk = plan_of(QUERIES["kg_walks"](spark, SF))
+    wk_single = "Exchange SinglePartition" in p_wk
+    wk_nlj = "NestedLoop" in p_wk or "CartesianProduct" in p_wk
+    p_ns = plan_of(QUERIES["kg_negative_sample"](spark, SF))
+    ns_anti = "LeftAnti" in p_ns
+    ns_nlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p_ns))
+    ns_cart = "CartesianProduct" in p_ns
+    check(
+        "walk steps are per-node windows + equi-joins; negative "
+        "sampler anti-joins true edges",
+        (not wk_single)
+        and (not wk_nlj)
+        and ns_anti
+        and ns_nlj <= 1
+        and not ns_cart,
+        f"kg_walks: single-partition={wk_single} nested-loop={wk_nlj} "
+        f"(want False); kg_negative_sample: LeftAnti={ns_anti}, "
+        f"nested-loop joins={ns_nlj} (want <=1, the 1-row count "
+        f"broadcast), cartesian={ns_cart} (want False)",
+        p_wk,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
