@@ -1071,3 +1071,223 @@ def stream_upsert(spark, sf):
             os.path.join(tmp, "ckpt"),
         )
         return parquet_checkpoint(state.merged(base), "stream_upsert_final")
+
+
+# ---------------------------------------------------------------------------
+# first BPE merge candidates — tokenizer training, step one
+# ---------------------------------------------------------------------------
+@q(
+    "text_bpe_merge",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+    w AS (SELECT tk FROM tok WHERE length(tk) >= 2),
+    pairs AS (
+      SELECT substr(tk, CAST(i AS INT), 2) AS pair
+      FROM w, unnest(generate_series(1, length(tk) - 1)) AS t(i)),
+    cnt AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c
+            FROM pairs GROUP BY pair)
+    SELECT pair, c,
+           CAST(ROW_NUMBER() OVER (ORDER BY c DESC, pair) AS INT) AS rnk
+    FROM cnt QUALIFY rnk <= 20
+    """,
+)
+def text_bpe_merge(spark, sf):
+    """First BPE-merge candidates: the top-20 most frequent ADJACENT
+    character pairs within whitespace tokens, weighted by occurrence
+    — exactly the statistic byte-pair-encoding tokenizer training
+    computes (and re-computes per merge round) over the full corpus;
+    at 100 TB this one map-side agg IS the tokenizer-training inner
+    loop, so its shape matters: a bounded per-token fan-out
+    (length-1 positions via explode(sequence), never a self-join),
+    one map-side-combinable pair count (pair-vocab-sized shuffle,
+    never corpus-sized), then TakeOrderedAndProject top-20 — the
+    token_topk discipline. The length >= 2 pre-filter both drops
+    pairless tokens AND keeps Spark's sequence() total (sequence(1,0)
+    would generate a DESCENDING [1,0], not an empty array — a
+    silent-wrong-rows hazard, not just waste). Ties break on pair
+    text; both engines compare strings by UTF-8 binary order and
+    substr/length count CHARACTERS, so multibyte corpora agree."""
+    d = t(spark, sf, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("tk")).filter(
+        F.length("tk") >= 2
+    )
+    pairs = tok.select(
+        "tk",
+        F.explode(
+            F.sequence(F.lit(1), F.length("tk") - 1)
+        ).alias("i"),
+    ).select(F.col("tk").substr(F.col("i"), F.lit(2)).alias("pair"))
+    cnt = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    top = cnt.orderBy(F.desc("c"), "pair").limit(20)
+    win = Window.orderBy(F.desc("c"), "pair")
+    return top.select(
+        "pair", "c", F.row_number().over(win).cast("int").alias("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source Jensen-Shannon divergence vs the rest of the corpus
+# ---------------------------------------------------------------------------
+@q(
+    "text_jsd",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tk
+      FROM documents WHERE text IS NOT NULL),
+    st AS (
+      SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, tk),
+    ctw AS (
+      SELECT source, tk, c, SUM(c) OVER (PARTITION BY tk) AS ct
+      FROM st),
+    srct AS (
+      SELECT source, ns, SUM(ns) OVER () AS nt FROM (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+        FROM st GROUP BY source) s),
+    terms AS (
+      SELECT w.source, w.c, w.ct - w.c AS cr, s.ns, s.nt - s.ns AS nr,
+             CAST(w.c AS DOUBLE) / s.ns AS pd,
+             CASE WHEN s.nt - s.ns = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(w.ct - w.c AS DOUBLE) / (s.nt - s.ns) END AS qd
+      FROM ctw w JOIN srct s ON s.source = w.source),
+    quant AS (
+      SELECT source, ns, nr, cr,
+             CAST(round(1000000.0
+                        * (pd * ln(2.0 * pd / (pd + qd)))) AS BIGINT)
+               AS tp_micros,
+             CASE WHEN cr = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(round(1000000.0
+                            * (qd * ln(2.0 * qd / (pd + qd)))) AS BIGINT)
+             END AS tq_micros
+      FROM terms),
+    agg AS (
+      SELECT source, MAX(ns) AS ns, MAX(nr) AS nr,
+             CAST(SUM(cr) AS BIGINT) AS s_cr,
+             CAST(SUM(tp_micros) AS BIGINT) AS sum_tp,
+             CAST(SUM(tq_micros) AS BIGINT) AS sum_tq
+      FROM quant GROUP BY source)
+    SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+           CASE WHEN nr = 0 THEN NULL
+                ELSE round((sum_tp + sum_tq
+                            + CAST(round(1000000.0 * ln(2.0)
+                                   * (CAST(nr - s_cr AS DOUBLE) / nr))
+                              AS BIGINT))
+                           / 2000000.0, 6) + 0
+           END AS jsd
+    FROM agg
+    """,
+)
+def text_jsd(spark, sf):
+    """Domain divergence for corpus mixing: per source s, the
+    Jensen-Shannon divergence between s's unigram distribution P and
+    the REST-of-corpus distribution Q — the signal behind mixture
+    reweighting (DoReMi-style) and 'is this crawl slice
+    distributionally novel' triage; JSD over KL because it is finite
+    even where supports differ (new-domain vocabulary). Decomposition
+    that avoids the |S|x|V| cross join: rows exist only for tokens
+    PRESENT in s; for the Q-half, every token absent from s
+    contributes qd*ln2 (pd = 0 in the limit), which sums in CLOSED
+    FORM to ln2 * (nr - SUM(ct - c)) / nr — one correction term per
+    source, no fan-out. Per-term values are quantized to integer
+    MICROS before summing (the kg_adamic_adar order-independence
+    discipline; pd/qd/arg evaluated in identical float order both
+    engines), so the per-source sums are exact BIGINT aggs. Scale
+    shape: corpus → ONE (source, token) count (map-side combinable),
+    parquet-checkpointed because two downstream branches consume it
+    (the events_gapfill lesson — re-aggregation would re-tokenize
+    the corpus per branch); corpus token totals ride a
+    PARTITION-BY-token window (vocab-HASH-partitioned, never a
+    single-partition sort); source totals collapse to the |S|-sized
+    relation where the one OVER () window is over #sources rows,
+    then attach by broadcast (sources are registry-bounded — the
+    mix_domains precedent). The single-source corpus (nr = 0) is an
+    ANSI DIVIDE_BY_ZERO hazard → NULL on both engines."""
+    from ..operators.dedup import parquet_checkpoint
+
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("tk"))
+    st = parquet_checkpoint(
+        tok.groupBy("source", "tk").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+        "jsd_st",
+    )
+    ctw = st.select(
+        "source",
+        "c",
+        F.sum("c").over(Window.partitionBy("tk")).alias("ct"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    srct = (
+        st.groupBy("source")
+        .agg(F.sum("c").cast("long").alias("ns"))
+        .withColumn("nt", F.sum("ns").over(wall))
+    )
+    terms = ctw.join(F.broadcast(srct), "source").select(
+        "source",
+        "c",
+        (F.col("ct") - F.col("c")).alias("cr"),
+        "ns",
+        (F.col("nt") - F.col("ns")).alias("nr"),
+        (F.col("c").cast("double") / F.col("ns")).alias("pd"),
+        F.when((F.col("nt") - F.col("ns")) == 0, F.lit(0.0))
+        .otherwise(
+            (F.col("ct") - F.col("c")).cast("double")
+            / (F.col("nt") - F.col("ns"))
+        )
+        .alias("qd"),
+    )
+    tp = F.round(
+        F.lit(1000000.0)
+        * (
+            F.col("pd")
+            * F.log(F.lit(2.0) * F.col("pd") / (F.col("pd") + F.col("qd")))
+        )
+    ).cast("long")
+    tq = F.when(F.col("cr") == 0, F.lit(0).cast("long")).otherwise(
+        F.round(
+            F.lit(1000000.0)
+            * (
+                F.col("qd")
+                * F.log(
+                    F.lit(2.0) * F.col("qd") / (F.col("pd") + F.col("qd"))
+                )
+            )
+        ).cast("long")
+    )
+    quant = terms.select(
+        "source",
+        "ns",
+        "nr",
+        "cr",
+        tp.alias("tp_micros"),
+        tq.alias("tq_micros"),
+    )
+    agg = quant.groupBy("source").agg(
+        F.max("ns").alias("ns"),
+        F.max("nr").alias("nr"),
+        F.sum("cr").cast("long").alias("s_cr"),
+        F.sum("tp_micros").cast("long").alias("sum_tp"),
+        F.sum("tq_micros").cast("long").alias("sum_tq"),
+    )
+    corr = F.round(
+        F.lit(1000000.0)
+        * F.log(F.lit(2.0))
+        * ((F.col("nr") - F.col("s_cr")).cast("double") / F.col("nr"))
+    ).cast("long")
+    return agg.select(
+        "source",
+        F.col("ns").cast("long").alias("n_tokens"),
+        F.when(F.col("nr") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("sum_tp") + F.col("sum_tq") + corr) / F.lit(2000000.0),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("jsd"),
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from .common import t
 from .qpipe import (
     _DOCENT_SQL,
     _GRAMS_SQL,
@@ -308,4 +309,92 @@ def kg_conductance(spark, sf_dir):
             + F.lit(0.0)
         )
         .alias("conductance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# VoID-style predicate statistics over the heterogeneous KG
+# ---------------------------------------------------------------------------
+_VOID_TRIPLES_SQL = f"""
+    trip AS (
+      SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS subj,
+             'dbo:mentions' AS pred, uri AS obj
+      FROM de
+      UNION ALL
+      SELECT uri_a, 'dbo:cooccursWith', uri_b FROM p
+      UNION ALL
+      SELECT 'doc://' || CAST(doc_id AS VARCHAR), 'dbo:inLanguage',
+             'lang:' || lang
+      FROM documents
+      UNION ALL
+      SELECT 'doc://' || CAST(doc_id AS VARCHAR), 'dbo:fromSource',
+             'src:' || source
+      FROM documents)
+"""
+
+
+@q(
+    "kg_void_stats",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_VOID_TRIPLES_SQL}
+    SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subjects,
+           CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_objects
+    FROM trip GROUP BY pred
+    """,
+)
+def kg_void_stats(spark, sf_dir):
+    """VoID-style dataset statistics for the constructed KG: per
+    predicate, triple count and distinct subject/object cardinality
+    — the partition report a SPARQL engine's query planner (and any
+    downstream KG consumer deciding what to join first) reads before
+    touching the data; publishing it next to the dump is standard
+    Linked-Data practice. The graph here is the heterogeneous union
+    the pipeline actually produces: doc-mentions-entity containment,
+    entity-cooccursWith-entity relatedness, plus the doc-metadata
+    predicates (inLanguage, fromSource). Scale shape: the union is
+    scanned once per distinct-cardinality expansion (Spark plans the
+    two COUNT DISTINCTs via a single Expand — no self-join), every
+    agg is keyed by the handful of predicates, and nothing sorts;
+    the output is #predicates rows. Counts are exact integers —
+    nothing to round, so engine parity is structural."""
+    de = _doc_entities(spark, sf_dir)
+    p = _entity_pairs(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    doc_subj = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    trip = (
+        de.select(
+            doc_subj.alias("subj"),
+            F.lit("dbo:mentions").alias("pred"),
+            F.col("uri").alias("obj"),
+        )
+        .unionByName(
+            p.select(
+                F.col("uri_a").alias("subj"),
+                F.lit("dbo:cooccursWith").alias("pred"),
+                F.col("uri_b").alias("obj"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                doc_subj.alias("subj"),
+                F.lit("dbo:inLanguage").alias("pred"),
+                F.concat(F.lit("lang:"), F.col("lang")).alias("obj"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                doc_subj.alias("subj"),
+                F.lit("dbo:fromSource").alias("pred"),
+                F.concat(F.lit("src:"), F.col("source")).alias("obj"),
+            )
+        )
+    )
+    return trip.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_subjects"),
+        F.countDistinct("obj").cast("long").alias("n_objects"),
     )

@@ -1187,3 +1187,124 @@ def stat_ttest(spark, sf):
         )
         .alias("t_welch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition (STL-lite): trend + day-of-week + residual
+# ---------------------------------------------------------------------------
+@q(
+    "events_seasonal",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    win AS (
+      SELECT day, cents, (day + 3) % 7 AS dow,
+             SUM(cents) OVER (ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS sum7,
+             COUNT(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS cnt7
+      FROM daily),
+    detr AS (
+      SELECT day, cents, dow, sum7, cnt7,
+             CASE WHEN cnt7 = 7 THEN 7 * cents - sum7 END AS d7
+      FROM win),
+    seas AS (
+      SELECT day, cents, dow, sum7, cnt7, d7,
+             SUM(CASE WHEN cnt7 = 7 THEN d7 END)
+               OVER (PARTITION BY dow) AS sd7,
+             SUM(CASE WHEN cnt7 = 7 THEN 1 END)
+               OVER (PARTITION BY dow) AS sn
+      FROM detr)
+    SELECT CAST(day AS BIGINT) AS day, CAST(dow AS INT) AS dow,
+           round(cents / 100.0, 6) AS total,
+           CASE WHEN cnt7 = 7 THEN round(sum7 / 700.0, 6) + 0 END AS trend,
+           CASE WHEN sn IS NULL THEN NULL
+                ELSE round(CAST(sd7 AS DOUBLE) / (700.0 * sn), 6) + 0
+           END AS seasonal,
+           CASE WHEN cnt7 = 7 AND sn IS NOT NULL
+                THEN round(d7 / 700.0
+                           - CAST(sd7 AS DOUBLE) / (700.0 * sn), 6) + 0
+           END AS residual
+    FROM seas
+    """,
+)
+def events_seasonal(spark, sf):
+    """Seasonal decomposition of daily revenue (STL-lite): trend = a
+    centered 7-day moving average (full windows only), seasonal = the
+    day-of-week mean of the detrended series, residual = the rest —
+    the decomposition behind 'is this drop a weekend or an incident',
+    feeding the forecast/changepoint faces with a deseasonalized
+    series. Exactness discipline: the detrended value is carried as
+    the exact BIGINT d7 = 7*cents − sum7 (multiplying through by 7
+    instead of dividing keeps every intermediate integral — the
+    events_ewma dyadic-weights idea), so the per-dow means are
+    exact-integer ratios; the three emitted floats divide those
+    integers in identical order, round 6, +0 guard. dow is pure
+    epoch-day arithmetic ((day+3) % 7, 0 = Monday) — NEVER
+    dayofweek(): Spark counts 1 = Sunday, DuckDB 0 = Sunday, both
+    locale-shifting (the events_heatmap hazard). Scale shape: corpus
+    → per-day agg (map-side combinable, support = #days), then ONE
+    ordered window and ONE dow-partitioned window over that bounded
+    support — the seasonal means are windows on the SAME relation,
+    never a second aggregation branch re-scanning the corpus (the
+    wave-32 lesson); partial windows and empty dow classes
+    short-circuit to NULL instead of silently averaging 6 days."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000)
+        )
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "cents",
+        ((F.col("day") + 3) % 7).alias("dow"),
+        F.sum("cents").over(w7).alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("cnt7"),
+    )
+    detr = win.withColumn(
+        "d7",
+        F.when(F.col("cnt7") == 7, 7 * F.col("cents") - F.col("sum7")),
+    )
+    wd = Window.partitionBy("dow")
+    seas = detr.select(
+        "*",
+        F.sum(F.when(F.col("cnt7") == 7, F.col("d7"))).over(wd).alias("sd7"),
+        F.sum(F.when(F.col("cnt7") == 7, F.lit(1))).over(wd).alias("sn"),
+    )
+    seasonal = (
+        F.round(F.col("sd7").cast("double") / (F.lit(700.0) * F.col("sn")), 6)
+        + F.lit(0.0)
+    )
+    return seas.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("dow").cast("int").alias("dow"),
+        F.round(F.col("cents") / F.lit(100.0), 6).alias("total"),
+        F.when(
+            F.col("cnt7") == 7,
+            F.round(F.col("sum7") / F.lit(700.0), 6) + F.lit(0.0),
+        ).alias("trend"),
+        F.when(F.col("sn").isNull(), F.lit(None).cast("double"))
+        .otherwise(seasonal)
+        .alias("seasonal"),
+        F.when(
+            (F.col("cnt7") == 7) & F.col("sn").isNotNull(),
+            F.round(
+                F.col("d7") / F.lit(700.0)
+                - F.col("sd7").cast("double") / (F.lit(700.0) * F.col("sn")),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("residual"),
+    )

@@ -1092,6 +1092,39 @@ def main() -> None:
         p_wk,
     )
 
+    # 46. wave-35 shapes: text_bpe_merge's top-20 must be
+    # TakeOrderedAndProject over the pair-count agg (per-partition
+    # heaps, never a global sort) on ONE corpus scan; events_seasonal
+    # scans the corpus once (trend and dow-seasonal are windows over
+    # the per-day support, not re-aggregations); text_jsd's branches
+    # must consume the parquet checkpoint, never re-tokenize the
+    # corpus (no documents scan in the post-checkpoint plan);
+    # kg_void_stats' two COUNT DISTINCTs must plan as a single-pass
+    # Expand, not a self-join.
+    p_bpe = plan_of(QUERIES["text_bpe_merge"](spark, SF))
+    bpe_top = "TakeOrderedAndProject" in p_bpe
+    bpe_scans = len(re.findall(r"\(\d+\) Scan parquet", p_bpe))
+    p_sea = plan_of(QUERIES["events_seasonal"](spark, SF))
+    sea_scans = len(re.findall(r"\(\d+\) Scan parquet", p_sea))
+    p_jsd = plan_of(QUERIES["text_jsd"](spark, SF))
+    jsd_no_docs = "documents.parquet" not in p_jsd
+    p_void = plan_of(QUERIES["kg_void_stats"](spark, SF))
+    void_expand = "Expand" in p_void
+    check(
+        "bpe top-k via per-partition heaps; seasonal one scan; jsd "
+        "branches read the checkpoint; void stats single-pass expand",
+        bpe_top
+        and bpe_scans == 1
+        and sea_scans == 1
+        and jsd_no_docs
+        and void_expand,
+        f"text_bpe_merge: TakeOrderedAndProject={bpe_top}, scans="
+        f"{bpe_scans} (want 1); events_seasonal scans={sea_scans} "
+        f"(want 1); text_jsd reads-no-documents={jsd_no_docs}; "
+        f"kg_void_stats Expand={void_expand}",
+        p_bpe,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
