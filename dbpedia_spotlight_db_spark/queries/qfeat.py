@@ -450,3 +450,75 @@ def encode_dict(spark, sf):
         )
         .alias("ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile binning — fit-a-binner report, tie-runs unsplit
+# ---------------------------------------------------------------------------
+@q(
+    "feat_quantile_bins",
+    """
+    WITH v AS (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+    pv AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM v GROUP BY cents),
+    rk AS (
+      SELECT cents, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY cents
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cprev,
+             SUM(cnt) OVER () AS n
+      FROM pv)
+    SELECT CAST(1 + (cprev * 4) // n AS INT) AS bin,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+           round(CAST(SUM(cents * cnt) AS DOUBLE) / SUM(cnt) / 100.0, 6) + 0
+             AS mean_bal
+    FROM rk GROUP BY 1
+    """,
+)
+def feat_quantile_bins(spark, sf):
+    """Quartile binning of account balance — the fit-the-binner step
+    of feature engineering (the emitted lo/hi boundaries ARE the
+    binning model a serving path applies). Bin assignment is
+    1 + ⌊4·cprev/n⌋ over the per-distinct-value support, so a tie-run
+    of equal values lands WHOLE in one bin (the ml_lift convention —
+    splitting a run needs a global per-row sort and makes membership
+    partition-order-dependent; equal feature values mapping to
+    different bins would also be a serving-skew bug). Scale shape:
+    corpus → distinct-value support (map-side combinable), one
+    cumulative window with the total as OVER () on the same relation
+    (one corpus scan — the wave-33 discipline), then a ≤4-row
+    rollup. The weighted mean divides exact integers, round 6."""
+    v = t(spark, sf, "customer").select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents")
+    )
+    pv = v.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = pv.select(
+        "cents",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cprev"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    return rk.groupBy(
+        (F.lit(1) + F.floor(F.col("cprev") * 4 / F.col("n")))
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+        (
+            F.round(
+                F.sum(F.col("cents") * F.col("cnt")).cast("double")
+                / F.sum("cnt")
+                / F.lit(100.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_bal"),
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import Window, functions as F
 
 from .common import t
 from .qpipe import (
+    _DICT_SQL,
     _DOCENT_SQL,
     _GRAMS_SQL,
     _LPA_SQL,
@@ -398,3 +399,181 @@ def kg_void_stats(spark, sf_dir):
         F.countDistinct("subj").cast("long").alias("n_subjects"),
         F.countDistinct("obj").cast("long").alias("n_objects"),
     )
+
+
+# ---------------------------------------------------------------------------
+# surface-form ambiguity report — disambiguation difficulty
+# ---------------------------------------------------------------------------
+@q(
+    "kg_ambiguity",
+    f"""
+    WITH {_GRAMS_SQL},
+    m AS (
+      SELECT g.sf, CAST(COUNT(*) AS BIGINT) AS n_mentions
+      FROM grams g
+      JOIN (SELECT DISTINCT sf FROM {_DICT_SQL}) dd ON g.sf = dd.sf
+      GROUP BY g.sf),
+    ent AS (
+      SELECT sf, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(w) AS BIGINT) AS wt,
+             CAST(SUM(CAST(round(1000000.0 * (CAST(w AS DOUBLE)
+                                  * ln(CAST(w AS DOUBLE)))) AS BIGINT))
+               AS BIGINT) AS swlw_micros
+      FROM {_DICT_SQL} GROUP BY sf)
+    SELECT e.sf AS surface_form, e.n_candidates,
+           CAST(COALESCE(m.n_mentions, 0) AS BIGINT) AS n_mentions,
+           round(ln(CAST(e.wt AS DOUBLE))
+                 - (CAST(e.swlw_micros AS DOUBLE) / 1000000.0) / e.wt,
+                 6) + 0 AS prior_entropy
+    FROM ent e LEFT JOIN m ON m.sf = e.sf
+    """,
+)
+def kg_ambiguity(spark, sf_dir):
+    """Disambiguation-difficulty report per surface form: candidate
+    count, corpus mention frequency, and the Shannon entropy of the
+    prior P(e|s) — the triage signal a KG-construction pipeline uses
+    to decide where context scoring matters (entropy ≈ 0: the prior
+    decides; high entropy + high mentions: route through the full
+    disambiguator, and a human-review budget goes here first).
+    Entropy via the ln-sum identity H = ln(W) − Σw·ln(w)/W (the
+    source_lang_stats precedent) with the per-candidate w·ln(w)
+    terms quantized to integer micros before summing, so the
+    aggregate is order-independent and engine-exact; the final
+    expression divides in identical order, round 6, +0 (a
+    single-candidate form has H = exactly 0 — the -0.0 hazard).
+    Scale shape: mention counts are ONE corpus-scan map-side agg
+    restricted to dictionary keys (the spot_mentions join); the
+    entropy side aggregates the dictionary relation itself
+    (model-sized, never corpus); the two meet in an sf-keyed join
+    with no window over anything unbounded."""
+    from .qpipe import _dict_df, _grams_spark
+
+    grams = _grams_spark(spark, sf_dir)
+    d = _dict_df(spark)
+    m = (
+        grams.join(F.broadcast(d.select("sf").distinct()), "sf")
+        .groupBy("sf")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"))
+    )
+    ent = d.groupBy("sf").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum("w").cast("long").alias("wt"),
+        F.sum(
+            F.round(
+                F.lit(1000000.0)
+                * (
+                    F.col("w").cast("double")
+                    * F.log(F.col("w").cast("double"))
+                )
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("swlw_micros"),
+    )
+    return ent.join(m, "sf", "left").select(
+        F.col("sf").alias("surface_form"),
+        "n_candidates",
+        F.coalesce("n_mentions", F.lit(0)).cast("long").alias("n_mentions"),
+        (
+            F.round(
+                F.log(F.col("wt").cast("double"))
+                - (F.col("swlw_micros").cast("double") / F.lit(1000000.0))
+                / F.col("wt"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("prior_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG evolution between crawl epochs — added/removed/kept report
+# ---------------------------------------------------------------------------
+@q(
+    "kg_delta",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    de2 AS (SELECT DISTINCT doc_id % 2 AS epoch, doc_id, uri FROM de),
+    pe AS (
+      SELECT DISTINCT a.epoch, a.uri AS uri_a, b.uri AS uri_b
+      FROM de2 a JOIN de2 b
+        ON a.doc_id = b.doc_id AND a.uri < b.uri),
+    es AS (
+      SELECT uri_a, uri_b,
+             MAX(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS in0,
+             MAX(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS in1
+      FROM pe GROUP BY uri_a, uri_b),
+    ns AS (
+      SELECT uri,
+             MAX(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS in0,
+             MAX(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS in1
+      FROM de2 GROUP BY uri)
+    SELECT 'edge' AS kind,
+           CASE WHEN in0 = 0 THEN 'added'
+                WHEN in1 = 0 THEN 'removed' ELSE 'kept' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM es GROUP BY 2
+    UNION ALL
+    SELECT 'node',
+           CASE WHEN in0 = 0 THEN 'added'
+                WHEN in1 = 0 THEN 'removed' ELSE 'kept' END,
+           CAST(COUNT(*) AS BIGINT)
+    FROM ns GROUP BY 2
+    """,
+)
+def kg_delta(spark, sf_dir):
+    """KG evolution report between two crawl epochs (here the
+    deterministic doc_id parity split stands in for snapshot t vs
+    t+1): how many entities and co-occurrence edges were added,
+    removed, or kept — the freshness/stability dashboard behind
+    incremental KG construction (a rebuild that churns 40% of edges
+    between crawls signals extraction drift, not the web changing).
+    Presence flags come from ONE grouped MAX-CASE pass per kind —
+    never a full-outer join of per-epoch subqueries, which would
+    re-run the corpus subtree per epoch branch (the wave-32 lesson
+    applied to set reconciliation; the snapshot_diff face makes the
+    same choice). Counts are exact integers; output is ≤6 rows."""
+    de = _doc_entities(spark, sf_dir)
+    de2 = de.select(
+        (F.col("doc_id") % 2).alias("epoch"), "doc_id", "uri"
+    ).distinct()
+    pe = (
+        de2.alias("a")
+        .join(
+            de2.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.uri") < F.col("b.uri")),
+        )
+        .select(
+            F.col("a.epoch").alias("epoch"),
+            F.col("a.uri").alias("uri_a"),
+            F.col("b.uri").alias("uri_b"),
+        )
+        .distinct()
+    )
+
+    def _flags(rel, keys):
+        return rel.groupBy(*keys).agg(
+            F.max(F.when(F.col("epoch") == 0, 1).otherwise(0)).alias("in0"),
+            F.max(F.when(F.col("epoch") == 1, 1).otherwise(0)).alias("in1"),
+        )
+
+    status = (
+        F.when(F.col("in0") == 0, "added")
+        .when(F.col("in1") == 0, "removed")
+        .otherwise("kept")
+    )
+    es = (
+        _flags(pe, ["uri_a", "uri_b"])
+        .groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("edge").alias("kind"), "status", "n")
+    )
+    ns = (
+        _flags(de2.select("epoch", "uri"), ["uri"])
+        .groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("node").alias("kind"), "status", "n")
+    )
+    return es.unionByName(ns)

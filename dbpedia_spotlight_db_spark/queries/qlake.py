@@ -465,3 +465,59 @@ def zorder_plan(spark, sf):
         F.min("py").cast("long").alias("min_py"),
         F.max("py").cast("long").alias("max_py"),
     )
+
+
+# ---------------------------------------------------------------------------
+# version-retention vacuum planner — keep last K versions per key
+# ---------------------------------------------------------------------------
+@q(
+    "vacuum_plan",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rn <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(SUM(CASE WHEN rn > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_expired,
+           CAST(SUM(CASE WHEN rn > 2 THEN cents ELSE 0 END) AS BIGINT)
+             AS bytes_expired
+    FROM v GROUP BY event_type
+    """,
+)
+def vacuum_plan(spark, sf):
+    """Version-retention VACUUM planner — the expiry half of lakehouse
+    maintenance (Delta VACUUM / Iceberg expire_snapshots): per key
+    (user), every version beyond the newest K=2 is expirable; the
+    report aggregates what a sweep would reclaim per table partition
+    (event_type), with the value column standing in for file bytes.
+    This is the PLAN face — it marks and measures, the destructive
+    half belongs to a job with a gate (the compact.py discipline:
+    gate BEFORE writing the manifest). Scale shape: ONE corpus scan,
+    ONE window partitioned by the version key (hash-partitioned —
+    per-key version chains are short, and the plan never sorts
+    globally), ONE map-side-combinable rollup; ties on the version
+    timestamp break on event_id so the retained set is deterministic
+    across engines and runs. All outputs are exact integers."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    v = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    keep = F.col("rn") <= 2
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_retained"),
+        F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_expired"),
+        F.sum(F.when(~keep, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("bytes_expired"),
+    )

@@ -1125,6 +1125,42 @@ def main() -> None:
         p_bpe,
     )
 
+    # 47. wave-36 shapes: vacuum_plan is one corpus scan + one
+    # key-partitioned window (never single-partition);
+    # feat_quantile_bins scans the corpus once (total as OVER () on
+    # the support); kg_delta reconciles epochs via grouped MAX-CASE
+    # flags, never a full-outer join of per-epoch branches;
+    # kg_ambiguity's mention count joins the dictionary by broadcast.
+    p_vac = plan_of(QUERIES["vacuum_plan"](spark, SF))
+    vac_scans = len(re.findall(r"\(\d+\) Scan parquet", p_vac))
+    vac_single = "Exchange SinglePartition" in p_vac
+    p_qb = plan_of(QUERIES["feat_quantile_bins"](spark, SF))
+    qb_scans = len(re.findall(r"\(\d+\) Scan parquet", p_qb))
+    p_kd = plan_of(QUERIES["kg_delta"](spark, SF))
+    kd_fullouter = "FullOuter" in p_kd
+    p_amb = plan_of(QUERIES["kg_ambiguity"](spark, SF))
+    amb_bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", p_amb))
+    amb_scans = len(re.findall(r"\(\d+\) Scan parquet", p_amb))
+    check(
+        "vacuum one partitioned window; quantile bins one scan; "
+        "delta has no full-outer; ambiguity broadcasts the dict",
+        vac_scans == 1
+        and not vac_single
+        and qb_scans == 1
+        and not kd_fullouter
+        and amb_bhj >= 1
+        # the shared grams builder unions a unigram and a bigram
+        # branch (each scans documents) — 2 scans is its floor for
+        # every grams-based face, not a regression of this one
+        and amb_scans <= 2,
+        f"vacuum_plan scans={vac_scans} (want 1) single-partition="
+        f"{vac_single} (want False); feat_quantile_bins scans="
+        f"{qb_scans} (want 1); kg_delta FullOuter={kd_fullouter} "
+        f"(want False); kg_ambiguity BroadcastHashJoin={amb_bhj} "
+        f"(want >=1) scans={amb_scans} (want <=2, the grams uni+bi union)",
+        p_vac,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
