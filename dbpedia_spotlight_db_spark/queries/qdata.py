@@ -9,6 +9,7 @@ bit-for-bit (see operators/dedup.py docstring).
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
@@ -1729,4 +1730,130 @@ def dedup_minhash_eval(spark, sf):
             + F.lit(0.0)
         )
         .alias("bias"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPED_AGG pandas UDF — the one pandas-UDF flavor without a face
+# ---------------------------------------------------------------------------
+@q(
+    "udf_grouped_agg",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CASE WHEN SUM(n_chars) = 0 THEN NULL
+                ELSE round(CAST(MAX(n_chars) AS DOUBLE) / SUM(n_chars), 6) + 0
+           END AS max_share
+    FROM documents GROUP BY lang
+    """,
+)
+def udf_grouped_agg(spark, sf):
+    """GROUPED_AGG pandas UDF — the last pandas-UDF flavor without a
+    face (scalar / grouped-map / arrow / cogrouped / map-iter /
+    UDTF all have one), exercised through BOTH call sites the API
+    supports: as an aggregate expression in groupBy().agg() and as a
+    window function over an unbounded partition frame (the per-doc
+    share divides each document's length by its language's UDF-summed
+    total, then a plain max collapses it). Exactness: the UDF sums
+    int64 in pandas (exact, order-independent); max(chars_i/total)
+    picks the same document as MAX(chars)/total because division by
+    a positive constant is monotone, so the emitted double is
+    bit-identical to the oracle's spelling; the zero-total group
+    NULL-guards the ANSI divide. Scale shape: Arrow-batched
+    per-group aggregation — group state is one scalar per language,
+    and the window partition is language-hashed, never global."""
+    @pandas_udf("long")
+    def psum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @pandas_udf("long")
+    def pcount(v: pd.Series) -> int:
+        return len(v)
+
+    @pandas_udf("double")
+    def pmax(v: pd.Series) -> float:
+        m = v.max()
+        return None if pd.isna(m) else float(m)
+
+    d = t(spark, sf, "documents")
+    w = Window.partitionBy("lang")
+    shared = d.select(
+        "lang",
+        "n_chars",
+        psum(F.col("n_chars")).over(w).alias("lang_total"),
+    )
+    share = F.when(
+        F.col("lang_total") == 0, F.lit(None).cast("double")
+    ).otherwise(F.col("n_chars").cast("double") / F.col("lang_total"))
+    # a GROUPED_AGG pandas UDF may not mix with built-in aggregates in
+    # one agg() [INVALID_PANDAS_UDF_PLACEMENT] — so every aggregate
+    # here is a pandas UDF, which is the point of the face anyway
+    return (
+        shared.withColumn("share", share)
+        .groupBy("lang")
+        .agg(
+            pcount(F.col("n_chars")).alias("n_docs"),
+            psum(F.col("n_chars")).alias("sum_chars"),
+            pmax(F.col("share")).alias("raw_share"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "sum_chars",
+            (F.round(F.col("raw_share"), 6) + F.lit(0.0)).alias("max_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# observe(): pipeline metrics without a second scan
+# ---------------------------------------------------------------------------
+@q(
+    "scan_observe",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_text
+    FROM documents
+    """,
+)
+def scan_observe(spark, sf):
+    """Dataset metrics via ``DataFrame.observe`` — the data-quality
+    instrumentation API: metrics accumulate ON the existing scan
+    (one Observe node in the plan, aggregated executor-side as the
+    rows stream past) instead of a second aggregation pass, which is
+    how a production pipeline watches row counts / null rates on a
+    10^12-row write it is already performing. The face drives the
+    real machinery — attach the observation, run the action, read
+    the metrics back on the driver — and returns them as a 1-row
+    relation; the oracle recomputes the same aggregates relationally,
+    so a green hash proves the observed metrics equal a full
+    aggregation. All three metrics are exact integers (count, int
+    sum, conditional count) — observe supports any aggregate, but
+    non-commutative float metrics would be partition-order-dependent
+    there, the same reason the repo quantizes before summing."""
+    from pyspark.sql import Observation
+
+    d = t(spark, sf, "documents")
+    obs = Observation("doc_metrics")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_text"),
+    )
+    observed.count()  # the action whose scan carries the Observe node
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_chars"], m["n_null_text"])],
+        T.StructType(
+            [
+                T.StructField("n_rows", T.LongType()),
+                T.StructField("sum_chars", T.LongType()),
+                T.StructField("n_null_text", T.LongType()),
+            ]
+        ),
     )

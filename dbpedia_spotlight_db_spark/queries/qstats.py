@@ -1308,3 +1308,98 @@ def events_seasonal(spark, sf):
             + F.lit(0.0),
         ).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LOCF imputation over the date spine — last observation carried forward
+# ---------------------------------------------------------------------------
+@q(
+    "events_locf",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    grid AS (
+      SELECT t.event_type, s.day, d.cents
+      FROM types t CROSS JOIN spine s
+      LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day),
+    f AS (
+      SELECT event_type, day, cents,
+             last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_cents
+      FROM grid)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN cents IS NULL THEN NULL
+                ELSE round(cents / 100.0, 6) END AS observed,
+           CASE WHEN filled_cents IS NULL THEN NULL
+                ELSE round(filled_cents / 100.0, 6) END AS filled
+    FROM f
+    """,
+)
+def events_locf(spark, sf):
+    """Last-observation-carried-forward imputation over the gap-free
+    date spine: per (type, day), the observed daily revenue and the
+    LOCF-filled series — the imputation a forecasting or feature
+    pipeline applies where a missing day means 'no new reading, carry
+    the level' (sensor/price semantics) rather than gapfill's 'zero
+    activity' (count semantics); the two faces are deliberate
+    complements and share the spine construction. The fill is
+    last_value(... IGNORE NULLS) over a per-type cumulative ROWS
+    frame — the window feature this face exercises — and leading
+    gaps before a type's first observation stay NULL (LOCF has
+    nothing to carry; inventing 0 would be silently wrong). Scale
+    shape: the events_gapfill discipline verbatim — the corpus
+    collapses ONCE to the checkpointed per-(type, day) relation
+    (three consumers: bounds, types, the grid join — per-branch
+    column pruning defeats ReuseExchange without the checkpoint),
+    the spine is a 2-value aggregate exploded to kilobytes and
+    broadcast, and the LOCF window is hash-partitioned by type over
+    the bounded grid. Cents are exact integers end to end; the two
+    emitted doubles divide by 100.0 at the edge, round 6."""
+    from ..operators.dedup import parquet_checkpoint
+
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = parquet_checkpoint(
+        e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        ),
+        "locf_daily",
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = daily.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine)).join(
+        daily, ["event_type", "day"], "left"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = grid.select(
+        "event_type",
+        "day",
+        "cents",
+        F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+    )
+    return f.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("cents").isNull(), F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("cents") / F.lit(100.0), 6))
+        .alias("observed"),
+        F.when(F.col("filled_cents").isNull(), F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("filled_cents") / F.lit(100.0), 6))
+        .alias("filled"),
+    )

@@ -1161,6 +1161,30 @@ def main() -> None:
         p_vac,
     )
 
+    # 48. wave-37 shapes: events_locf mirrors the gapfill discipline —
+    # the query plan must contain NO raw events scan (corpus folded
+    # once at checkpoint build) and no SortMergeJoin (the spine
+    # attaches by broadcast); udf_grouped_agg's GROUPED_AGG pandas
+    # UDF must plan as Arrow aggregation nodes (window + final agg),
+    # never a grouped-map fallback.
+    p_lf = plan_of(QUERIES["events_locf"](spark, SF))
+    lf_event_scans = len(
+        [s for s in re.findall(r"Scan parquet[^\n]*", p_lf) if "events" in s]
+    )
+    lf_smj = len(re.findall(r"SortMergeJoin", p_lf))
+    p_ga = plan_of(QUERIES["udf_grouped_agg"](spark, SF))
+    ga_arrow_agg = "ArrowAggregatePython" in p_ga
+    ga_win = "ArrowWindowPython" in p_ga
+    check(
+        "locf single corpus scan + broadcast spine; grouped-agg UDF "
+        "plans as Arrow aggregation",
+        lf_event_scans == 0 and lf_smj == 0 and ga_arrow_agg and ga_win,
+        f"events_locf raw events scans={lf_event_scans} (want 0), "
+        f"SortMergeJoin={lf_smj} (want 0); udf_grouped_agg "
+        f"ArrowAggregatePython={ga_arrow_agg}, ArrowWindowPython={ga_win}",
+        p_lf,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
