@@ -1291,3 +1291,63 @@ def text_jsd(spark, sf):
         )
         .alias("jsd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility report — chars per token, per language
+# ---------------------------------------------------------------------------
+@q(
+    "text_fertility",
+    """
+    WITH d AS (
+      SELECT lang, COALESCE(n_chars, 0) AS n_chars,
+             len(string_split(COALESCE(text, ''), ' ')) AS n_tokens
+      FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CASE WHEN SUM(n_tokens) = 0 THEN NULL
+                ELSE round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6)
+                     + 0
+           END AS chars_per_token,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) + 0
+             AS tokens_per_doc
+    FROM d GROUP BY lang
+    """,
+)
+def text_fertility(spark, sf):
+    """Tokenizer fertility report per language: documents, characters,
+    whitespace tokens, chars/token and tokens/doc — the first number
+    a tokenizer evaluation reads (a language whose chars-per-token
+    ratio is far from the corpus mean is being over- or
+    under-segmented, which skews both the token budget and the
+    effective mixing weights of mix_domains). Map-only derivation +
+    one map-side-combinable agg; exact integer sums, two round-6
+    ratios in identical order, zero-token NULL guard. text is
+    COALESCEd to '' before splitting — Spark's size(split(NULL)) is
+    -1 where DuckDB's len is NULL (the text_readability hazard), and
+    '' splits to [''] (one token) identically on both engines."""
+    d = t(spark, sf, "documents").select(
+        "lang",
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("n_tokens"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.when(F.sum("n_tokens") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("chars_per_token"),
+        (
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+            )
+            + F.lit(0.0)
+        ).alias("tokens_per_doc"),
+    )

@@ -1866,3 +1866,59 @@ def kg_reach_recursive(spark, sf_dir):
         SELECT uri, CAST(MIN(dist) AS INT) AS dist FROM r GROUP BY uri
         """
     )
+
+
+@q(
+    "pyds_nt_sink",
+    f"""
+    WITH {_GRAMS_SQL},
+    cand AS (
+      SELECT g.doc_id, g.pos, g.sf AS surface_form, d.uri, d.w
+      FROM grams g JOIN {_DICT_SQL} ON g.sf = d.sf),
+    best AS (
+      SELECT doc_id, pos, surface_form, uri,
+             row_number() OVER (PARTITION BY doc_id, pos, surface_form
+                                ORDER BY w DESC, uri) AS rn
+      FROM cand),
+    ann AS (SELECT DISTINCT doc_id, uri FROM best WHERE rn = 1)
+    SELECT 'http://dbpedia.org/ontology/mentions' AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT uri) AS BIGINT) AS n_entities
+    FROM ann
+    """,
+)
+def pyds_nt_sink(spark, sf_dir):
+    """The WRITE half of the Python Data Source API (Spark 4
+    ``DataSourceWriter``) on the gate: the annotation triples are
+    written through ``format("ntriples")`` — each task streams its
+    partition straight to one part file on the executors (lazy file
+    open, so empty partitions write nothing; per-task commit
+    messages; driver-side commit writes the _SUCCESS manifest; abort
+    removes orphans) — then read back through the SAME source's
+    reader and rolled up against the relational oracle. A green hash
+    proves the full Python write→read round trip is lossless, which
+    is the contract a custom export feed (the one format nobody has
+    a JVM sink for) must satisfy before a 10^12-triple dump job
+    trusts it. pyds_nt_source covers the reader over a JVM-written
+    dump; this face is its inverse."""
+    from ..sources import nt_datasource
+    from .qio import _sink_dir
+
+    ann = kg_annotate_prior(spark, sf_dir).select("doc_id", "uri").distinct()
+    tri = ann.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("http://dbpedia.org/ontology/mentions").alias("pred"),
+        F.col("uri").alias("obj"),
+    )
+    d = _sink_dir(spark, "pyds_nt_sink")
+    nt_datasource.register(spark)
+    tri.write.format("ntriples").mode("overwrite").save(d)
+    back = spark.read.format("ntriples").load(d)
+    return back.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_docs"),
+        F.countDistinct("obj").cast("long").alias("n_entities"),
+    )

@@ -1192,10 +1192,11 @@ def stat_ttest(spark, sf):
 # ---------------------------------------------------------------------------
 # seasonal decomposition (STL-lite): trend + day-of-week + residual
 # ---------------------------------------------------------------------------
-@q(
-    "events_seasonal",
-    """
-    WITH daily AS (
+# Shared CTE chain: the full STL-lite relation (events_seasonal's
+# output as CTE `stl`) — events_anomaly_stl builds on it, and sharing
+# the text means the two faces can never drift.
+_STL_SQL = """
+    daily AS (
       SELECT epoch_us(ts) // 86400000000 AS day,
              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events WHERE value IS NOT NULL GROUP BY 1),
@@ -1218,18 +1219,27 @@ def stat_ttest(spark, sf):
                OVER (PARTITION BY dow) AS sd7,
              SUM(CASE WHEN cnt7 = 7 THEN 1 END)
                OVER (PARTITION BY dow) AS sn
-      FROM detr)
-    SELECT CAST(day AS BIGINT) AS day, CAST(dow AS INT) AS dow,
-           round(cents / 100.0, 6) AS total,
-           CASE WHEN cnt7 = 7 THEN round(sum7 / 700.0, 6) + 0 END AS trend,
-           CASE WHEN sn IS NULL THEN NULL
-                ELSE round(CAST(sd7 AS DOUBLE) / (700.0 * sn), 6) + 0
-           END AS seasonal,
-           CASE WHEN cnt7 = 7 AND sn IS NOT NULL
-                THEN round(d7 / 700.0
-                           - CAST(sd7 AS DOUBLE) / (700.0 * sn), 6) + 0
-           END AS residual
-    FROM seas
+      FROM detr),
+    stl AS (
+      SELECT CAST(day AS BIGINT) AS day, CAST(dow AS INT) AS dow,
+             round(cents / 100.0, 6) AS total,
+             CASE WHEN cnt7 = 7 THEN round(sum7 / 700.0, 6) + 0 END AS trend,
+             CASE WHEN sn IS NULL THEN NULL
+                  ELSE round(CAST(sd7 AS DOUBLE) / (700.0 * sn), 6) + 0
+             END AS seasonal,
+             CASE WHEN cnt7 = 7 AND sn IS NOT NULL
+                  THEN round(d7 / 700.0
+                             - CAST(sd7 AS DOUBLE) / (700.0 * sn), 6) + 0
+             END AS residual
+      FROM seas)
+"""
+
+
+@q(
+    "events_seasonal",
+    f"""
+    WITH {_STL_SQL}
+    SELECT day, dow, total, trend, seasonal, residual FROM stl
     """,
 )
 def events_seasonal(spark, sf):
@@ -1402,4 +1412,72 @@ def events_locf(spark, sf):
         F.when(F.col("filled_cents").isNull(), F.lit(None).cast("double"))
         .otherwise(F.round(F.col("filled_cents") / F.lit(100.0), 6))
         .alias("filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# anomaly screen on the deseasonalized series — residual MAD score
+# ---------------------------------------------------------------------------
+@q(
+    "events_anomaly_stl",
+    f"""
+    WITH {_STL_SQL},
+    res AS (SELECT day, total, residual FROM stl
+            WHERE residual IS NOT NULL),
+    med AS (SELECT quantile_cont(residual, 0.5) AS med FROM res),
+    dev AS (SELECT r.day, r.total, r.residual,
+                   ABS(r.residual - m.med) AS ad
+            FROM res r CROSS JOIN med m),
+    mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev),
+    fl AS (SELECT d.day, d.total, d.residual,
+                  CASE WHEN m.mad > 0
+                       THEN round(d.ad / m.mad, 6) + 0 END AS rscore
+           FROM dev d CROSS JOIN mad m)
+    SELECT day, total, residual, rscore FROM fl WHERE rscore > 3.0
+    """,
+)
+def events_anomaly_stl(spark, sf):
+    """Incident detection on the DESEASONALIZED series: a day is
+    anomalous when its STL residual sits more than 3 robust
+    deviations (|residual − median| / MAD) from the residual median —
+    the screen that catches a Tuesday incident a raw-total threshold
+    would excuse as 'Tuesdays are always low' and vice versa; it
+    composes wave-35's decomposition with the events_mad robustness
+    discipline (medians are the exact type-7 quantile, Spark
+    percentile == DuckDB quantile_cont; membership tests the ROUNDED
+    score so a row never flips on sub-ulp noise; zero MAD → NULL
+    scores → zero flags, not an ANSI divide). The Spark path CALLS
+    events_seasonal's operator and post-processes — one definition of
+    the decomposition, shared by both faces. Scale shape: residuals
+    live on the per-day support (#days rows), parquet-checkpointed
+    before the median/deviation branches fan out (each would re-run
+    the corpus-scale daily agg otherwise); both stats attach as
+    broadcast one-row relations."""
+    from ..operators.dedup import parquet_checkpoint
+
+    stl = events_seasonal(spark, sf)
+    res = parquet_checkpoint(
+        stl.filter(F.col("residual").isNotNull()).select(
+            "day", "total", "residual"
+        ),
+        "stl_res",
+    )
+    med = res.agg(F.expr("percentile(residual, 0.5)").alias("med"))
+    dev = res.crossJoin(F.broadcast(med)).select(
+        "day",
+        "total",
+        "residual",
+        F.abs(F.col("residual") - F.col("med")).alias("ad"),
+    )
+    mad = dev.agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    fl = dev.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "total",
+        "residual",
+        F.when(
+            F.col("mad") > 0, F.round(F.col("ad") / F.col("mad"), 6) + F.lit(0.0)
+        ).alias("rscore"),
+    )
+    return fl.filter(F.col("rscore") > 3.0).select(
+        "day", "total", "residual", "rscore"
     )

@@ -22,7 +22,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _NT_PAT = re.compile(r"^<([^>]+)>\s+<([^>]+)>\s+<?([^>\s]+)>?\s*\.?\s*$")
@@ -43,6 +45,9 @@ class NTriplesDataSource(DataSource):
 
     def streamReader(self, schema):
         return NTriplesStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return NTriplesWriter(self.options, overwrite)
 
 
 class NTriplesReader(DataSourceReader):
@@ -131,3 +136,65 @@ def register(spark) -> None:
         if "already" in msg or "exists" in msg or "duplicate" in msg:
             return
         raise
+
+
+class _NTCommit(WriterCommitMessage):
+    """Per-task commit message: the file the task wrote (or None for
+    an empty partition) and its triple count — picklable, collected
+    on the driver, summed into the _SUCCESS manifest at commit."""
+
+    def __init__(self, path, n):
+        self.path = path
+        self.n = n
+
+
+class NTriplesWriter(DataSourceWriter):
+    """Executor-side NT serializer: each task streams ITS partition's
+    rows straight to one part file (no driver funnel, no collect —
+    the write parallelizes exactly like the reader's one-task-per-
+    file scan). Empty partitions write nothing. commit() runs on the
+    driver only after every task succeeded and records the manifest;
+    abort() removes the orphan part files so a failed job leaves no
+    half-written dump behind (best-effort, like the JVM file sinks'
+    temp-dir cleanup)."""
+
+    def __init__(self, options, overwrite):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("ntriples sink requires a path")
+        # overwrite semantics resolved at job START on the driver
+        # (clearing at commit would race the tasks already writing)
+        if overwrite and os.path.isdir(self._path):
+            for f in _list_files(self._path):
+                os.remove(f)
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self._path, exist_ok=True)
+        fh, fname, n = None, None, 0
+        try:
+            for row in iterator:
+                if fh is None:  # lazy: empty partitions write no file
+                    fname = os.path.join(
+                        self._path, f"part-{uuid.uuid4().hex}.nt"
+                    )
+                    fh = open(fname, "w", encoding="utf-8")
+                fh.write(f"<{row.subj}> <{row.pred}> <{row.obj}> .\n")
+                n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        return _NTCommit(fname, n)
+
+    def commit(self, messages):
+        total = sum(m.n for m in messages if m is not None)
+        with open(
+            os.path.join(self._path, "_SUCCESS"), "w", encoding="utf-8"
+        ) as fh:
+            fh.write(f"{total}\n")
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and m.path and os.path.exists(m.path):
+                os.remove(m.path)

@@ -1185,6 +1185,28 @@ def main() -> None:
         p_lf,
     )
 
+    # 49. wave-38 shapes: events_anomaly_stl's median/deviation fan-out
+    # must consume the checkpointed residual relation, never re-run
+    # the corpus-scale daily agg (no raw events scan in the query
+    # plan); text_fertility is one corpus scan + one exchange
+    # (map-only derivation, map-side-combinable agg).
+    p_an = plan_of(QUERIES["events_anomaly_stl"](spark, SF))
+    an_event_scans = len(
+        [s for s in re.findall(r"Scan parquet[^\n]*", p_an) if "events" in s]
+    )
+    p_fe = plan_of(QUERIES["text_fertility"](spark, SF))
+    fe_scans = len(re.findall(r"\(\d+\) Scan parquet", p_fe))
+    fe_exch = len(re.findall(r"\(\d+\) Exchange", p_fe))
+    check(
+        "anomaly screen reads the residual checkpoint; fertility is "
+        "one scan + one exchange",
+        an_event_scans == 0 and fe_scans == 1 and fe_exch == 1,
+        f"events_anomaly_stl raw events scans={an_event_scans} (want "
+        f"0 — residuals checkpointed); text_fertility scans="
+        f"{fe_scans} (want 1), exchanges={fe_exch} (want 1)",
+        p_an,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
