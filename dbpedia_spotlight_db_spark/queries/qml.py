@@ -630,3 +630,214 @@ def stat_bootstrap(spark, sf):
         )
         .alias("mean_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact ROC AUC — the rank-sum (Mann-Whitney) identity, doubled ranks
+# ---------------------------------------------------------------------------
+@q(
+    "ml_auc",
+    f"""
+    WITH {_SCORE_SQL},
+    ark AS (
+      SELECT cnt, p,
+             2 * SUM(cnt) OVER (ORDER BY cents
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - cnt + 1 AS rx2
+      FROM pv),
+    m AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(p) AS BIGINT) AS np,
+             CAST(SUM(cnt - p) AS BIGINT) AS nn,
+             CAST(SUM(p * rx2) AS BIGINT) AS s2
+      FROM ark)
+    SELECT COALESCE(n, 0) AS n, COALESCE(np, 0) AS n_pos,
+           COALESCE(nn, 0) AS n_neg,
+           CASE WHEN np IS NULL OR np = 0 OR nn = 0 THEN NULL
+                ELSE CAST(s2 - np * (np + 1) AS BIGINT) END AS u2,
+           CASE WHEN np IS NULL OR np = 0 OR nn = 0 THEN NULL
+                ELSE round(CAST(s2 - np * (np + 1) AS DOUBLE)
+                           / (2.0 * np * nn), 6) + 0 END AS auc
+    FROM m
+    """,
+)
+def ml_auc(spark, sf):
+    """Exact ROC AUC for the score-vs-purchase signal via the
+    rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) — the
+    threshold-free summary of ml_pr_curve's operating curve and the
+    headline number a quality-classifier gate reports. The naive
+    spelling pairs every positive with every negative (n⁺·n⁻
+    comparisons — quadratic in the corpus); the rank identity needs
+    only tie-averaged ranks, which arrive as the stat_mannwhitney
+    DOUBLED-rank integers over the per-distinct-score support
+    (2·rank = 2·cumprev + cnt + 1, an inclusive ROWS cumulative since
+    each support row IS one tie group), so Σ 2·rank⁺ = Σ p·rx2 is an
+    exact order-independent BIGINT aggregate and u2 = 2U is exact —
+    ties between a positive and a negative contribute the standard
+    half credit. Scale shape: ONE corpus scan to the support (shared
+    `_score_support`, audit #44's family), one window over the
+    bounded support, one final agg; headroom rx2 ≤ 2n so s2 ≤ 2n² —
+    exact far past bench scales. The only float is the final round-6
+    division; n⁺ = 0 or n⁻ = 0 (single-class corpus) NULL-guards
+    both outputs (ANSI DIVIDE_BY_ZERO)."""
+    pv = _score_support(spark, sf)
+    wi = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ark = pv.select(
+        "cnt",
+        "p",
+        (F.lit(2) * F.sum("cnt").over(wi) - F.col("cnt") + 1).alias("rx2"),
+    )
+    m = ark.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("np"),
+        F.sum(F.col("cnt") - F.col("p")).cast("long").alias("nn"),
+        F.sum(F.col("p") * F.col("rx2")).cast("long").alias("s2"),
+    )
+    bad = (
+        F.col("np").isNull() | (F.col("np") == 0) | (F.col("nn") == 0)
+    )
+    u2 = F.col("s2") - F.col("np") * (F.col("np") + 1)
+    return m.select(
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("np"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.col("nn"), F.lit(0)).alias("n_neg"),
+        F.when(bad, F.lit(None).cast("long"))
+        .otherwise(u2.cast("long"))
+        .alias("u2"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                u2.cast("double")
+                / (F.lit(2.0) * F.col("np") * F.col("nn")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b — concordance counting on the bounded cell support
+# ---------------------------------------------------------------------------
+@q(
+    "stat_kendall",
+    """
+    WITH v AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qx,
+             CAST(round(l_discount * 100) AS BIGINT) AS qy
+      FROM lineitem),
+    cells AS (
+      SELECT qx, qy, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY qx, qy),
+    tt AS (
+      SELECT c, SUM(c) OVER (PARTITION BY qx) AS tx,
+             SUM(c) OVER (PARTITION BY qy) AS ty,
+             SUM(c) OVER () AS n
+      FROM cells),
+    tm AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(c * (tx - 1)) AS BIGINT) AS tx2,
+             CAST(SUM(c * (ty - 1)) AS BIGINT) AS ty2
+      FROM tt),
+    cd AS (
+      SELECT CAST(SUM(CASE WHEN a.qy < b.qy THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN a.qy > b.qy THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS disc
+      FROM cells a JOIN cells b ON a.qx < b.qx)
+    SELECT COALESCE(tm.n, 0) AS n, COALESCE(conc, 0) AS conc,
+           COALESCE(disc, 0) AS disc,
+           CASE WHEN tm.n IS NULL OR tm.n < 2
+                     OR tm.n * (tm.n - 1) - tx2 <= 0
+                     OR tm.n * (tm.n - 1) - ty2 <= 0 THEN NULL
+                ELSE round(2.0 * (conc - disc)
+                           / sqrt(CAST(tm.n * (tm.n - 1) - tx2 AS DOUBLE)
+                                  * CAST(tm.n * (tm.n - 1) - ty2
+                                         AS DOUBLE)), 6) + 0
+           END AS tau_b
+    FROM tm CROSS JOIN cd
+    """,
+)
+def stat_kendall(spark, sf):
+    """Kendall tau-b between quantity and discount — the pair-
+    concordance complement to stat_spearman (Spearman correlates the
+    RANKS, tau counts pairwise order agreements; robustness folklore
+    prefers tau under heavy ties, exactly the quantized-signal
+    regime). The naive spelling compares all n(n−1)/2 row pairs; over
+    quantized/categorical signals the corpus collapses ONCE to the
+    contingency-cell support (|domX|·|domY| cells — value-domain-
+    bounded, NOT corpus-bounded) and every term is exact integer
+    arithmetic on cells: concordant/discordant pairs from the
+    |cells|² ordered cell join (a.qx < b.qx, tiny × tiny — NEVER a
+    corpus self-join), tie corrections as windows over the SAME cell
+    relation (2n1 = Σ c·(tx−1) with tx a PARTITION BY qx window —
+    the per-x-group spelling would be a second branch). The cell
+    relation feeds 2 consumers, so it is parquet-checkpointed (the
+    text_jsd / events_locf discipline: per-branch column pruning
+    defeats ReuseExchange and each branch would re-scan the corpus).
+    tau_b = 2(C−D)/√(d1·d2) with d1 = n(n−1) − Σtx(tx−1) exact
+    BIGINTs; headroom C ≤ n²/2 (exact past 10⁹ rows). Degenerate
+    inputs — empty, n<2, all-tied on either axis (d ≤ 0) —
+    short-circuit to NULL (the kg_assortativity ANSI guard)."""
+    from ..operators.dedup import parquet_checkpoint
+
+    v = t(spark, sf, "lineitem").select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qx"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("qy"),
+    )
+    cells = parquet_checkpoint(
+        v.groupBy("qx", "qy").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+        "kendall_cells",
+    )
+    wx = Window.partitionBy("qx")
+    wy = Window.partitionBy("qy")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tt = cells.select(
+        "c",
+        F.sum("c").over(wx).alias("tx"),
+        F.sum("c").over(wy).alias("ty"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    tm = tt.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.col("c") * (F.col("tx") - 1)).cast("long").alias("tx2"),
+        F.sum(F.col("c") * (F.col("ty") - 1)).cast("long").alias("ty2"),
+    )
+    a = cells.select(
+        F.col("qx").alias("ax"), F.col("qy").alias("ay"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("qx").alias("bx"), F.col("qy").alias("by"), F.col("c").alias("cb")
+    )
+    pair = F.col("ca") * F.col("cb")
+    cd = a.join(b, F.col("ax") < F.col("bx")).agg(
+        F.sum(F.when(F.col("ay") < F.col("by"), pair).otherwise(0))
+        .cast("long")
+        .alias("conc"),
+        F.sum(F.when(F.col("ay") > F.col("by"), pair).otherwise(0))
+        .cast("long")
+        .alias("disc"),
+    )
+    d1 = F.col("n") * (F.col("n") - 1) - F.col("tx2")
+    d2 = F.col("n") * (F.col("n") - 1) - F.col("ty2")
+    bad = F.col("n").isNull() | (F.col("n") < 2) | (d1 <= 0) | (d2 <= 0)
+    return tm.crossJoin(cd).select(
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("conc"), F.lit(0)).alias("conc"),
+        F.coalesce(F.col("disc"), F.lit(0)).alias("disc"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(2.0) * (F.col("conc") - F.col("disc"))
+                / F.sqrt(d1.cast("double") * d2.cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("tau_b"),
+    )

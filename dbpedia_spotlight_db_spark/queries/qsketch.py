@@ -727,3 +727,109 @@ def agg_heavy_hitters(spark, sf):
 agg_heavy_hitters.__doc__ = agg_heavy_hitters.__doc__.format(
     k=_HH_K, cap=_HH_CAP
 )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) cardinality sketch — deterministic, exact twin
+# ---------------------------------------------------------------------------
+_KMV_K = 256
+_KMV_SPACE = float(1 << 40)  # 40-bit hash domain — exact in DOUBLE
+
+
+@q(
+    "agg_kmv",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+    hs AS (
+      SELECT DISTINCT ('0x' || substr(md5(tk), 1, 10))::UBIGINT AS h
+      FROM tok WHERE tk <> ''),
+    km AS (SELECT h FROM hs ORDER BY h LIMIT {_KMV_K}),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct FROM hs),
+    kk AS (SELECT CAST(MAX(h) AS BIGINT) AS hk FROM km),
+    est AS (
+      SELECT n_distinct, hk,
+             CASE WHEN n_distinct = 0 THEN 0
+                  WHEN n_distinct < {_KMV_K} THEN n_distinct
+                  WHEN hk <= 0 THEN NULL
+                  ELSE CAST(round({_KMV_K - 1}.0 * {_KMV_SPACE!r} / hk)
+                            AS BIGINT) END AS kmv_est
+      FROM s CROSS JOIN kk)
+    SELECT CAST({_KMV_K} AS INT) AS k, n_distinct,
+           CASE WHEN n_distinct >= {_KMV_K} THEN hk END AS h_k, kmv_est,
+           CASE WHEN n_distinct < {_KMV_K} OR kmv_est IS NULL THEN NULL
+                ELSE round((kmv_est - n_distinct)
+                           / CAST(n_distinct AS DOUBLE), 6) + 0
+           END AS rel_err
+    FROM est
+    """,
+)
+def agg_kmv(spark, sf):
+    """KMV (k-minimum-values / bottom-k) cardinality sketch over the
+    corpus vocabulary, reported NEXT TO the exact distinct count so
+    the estimator's error is part of the gated answer (the
+    agg_lincount convention): hash every token into a 40-bit md5
+    prefix, keep the k=256 smallest DISTINCT hash values, and
+    estimate |V| ≈ (k−1)·2⁴⁰ / h₍ₖ₎ — the order-statistics estimator
+    (Bar-Yossef et al.) that, unlike linear counting's fixed 1024-bit
+    table, scales its range with the data and is MERGEABLE by
+    unioning bottom-k sets (the distributed-sketch property that
+    matters at 1000 executors). Scale shape: the k smallest values
+    are TakeOrderedAndProject — per-partition heaps of size k merged
+    on the driver, never a global sort of the vocabulary; the hash
+    relation feeds 2 consumers (bottom-k, exact count) so it is
+    parquet-checkpointed (text_jsd discipline). Engine parity: md5 is
+    identical in both engines (feat_hashing precedent), the hash
+    domain is 40 bits so every value is EXACTLY representable in
+    DOUBLE and the one estimate division runs in the same operation
+    order both sides; sub-k vocabularies return the exact count (the
+    bottom-k set IS the value set), an empty corpus returns 0 — the
+    sketch is total."""
+    from ..operators.dedup import parquet_checkpoint
+
+    d = t(spark, sf, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("tk")).filter(
+        F.col("tk") != ""
+    )
+    hs = parquet_checkpoint(
+        tok.select(
+            F.conv(F.substring(F.md5("tk"), 1, 10), 16, 10)
+            .cast("long")
+            .alias("h")
+        ).distinct(),
+        "kmv_hs",
+    )
+    km = hs.orderBy("h").limit(_KMV_K)
+    s = hs.agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    kk = km.agg(F.max("h").cast("long").alias("hk"))
+    est_val = F.round(
+        F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SPACE) / F.col("hk")
+    ).cast("long")
+    est = s.crossJoin(kk).select(
+        "n_distinct",
+        "hk",
+        F.when(F.col("n_distinct") == 0, F.lit(0).cast("long"))
+        .when(F.col("n_distinct") < _KMV_K, F.col("n_distinct"))
+        .when(F.col("hk") <= 0, F.lit(None).cast("long"))
+        .otherwise(est_val)
+        .alias("kmv_est"),
+    )
+    return est.select(
+        F.lit(_KMV_K).cast("int").alias("k"),
+        "n_distinct",
+        F.when(F.col("n_distinct") >= _KMV_K, F.col("hk")).alias("h_k"),
+        "kmv_est",
+        F.when(
+            (F.col("n_distinct") < _KMV_K) | F.col("kmv_est").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (F.col("kmv_est") - F.col("n_distinct"))
+                / F.col("n_distinct").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("rel_err"),
+    )

@@ -1481,3 +1481,146 @@ def events_anomaly_stl(spark, sf):
     return fl.filter(F.col("rscore") > 3.0).select(
         "day", "total", "residual", "rscore"
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival — user-lifetime product-limit estimator
+# ---------------------------------------------------------------------------
+@q(
+    "events_survival",
+    """
+    WITH u AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS fus, MAX(epoch_us(ts)) AS lus
+      FROM events GROUP BY user_id),
+    ud AS (
+      SELECT (lus - fus) // 86400000000 AS dur,
+             CASE WHEN MAX(lus) OVER () - lus < 604800000000
+                  THEN 1 ELSE 0 END AS cen
+      FROM u),
+    sup AS (
+      SELECT dur, CAST(SUM(1 - cen) AS BIGINT) AS d,
+             CAST(SUM(cen) AS BIGINT) AS c
+      FROM ud GROUP BY dur),
+    rk AS (
+      SELECT dur, d, c,
+             SUM(d + c) OVER (ORDER BY dur DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS n_risk
+      FROM sup),
+    ev AS (
+      SELECT dur, d, c, n_risk,
+             CASE WHEN d < n_risk
+                  THEN CAST(round(1000000.0
+                         * ln(CAST(n_risk - d AS DOUBLE) / n_risk))
+                       AS BIGINT) END AS term_micros
+      FROM rk WHERE d > 0),
+    km AS (
+      SELECT dur, d, c, n_risk,
+             SUM(term_micros) OVER (ORDER BY dur
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS msum,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS dead
+      FROM ev)
+    SELECT CAST(dur AS BIGINT) AS dur_day, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events, c AS n_censored,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE round(exp(msum / 1000000.0), 6) + 0 END AS surv
+    FROM km
+    """,
+)
+def events_survival(spark, sf):
+    """Kaplan-Meier product-limit estimator of user lifetime (days
+    from first to last event), right-censoring users still active in
+    the final 7 observed days — churn/survival analysis, and the
+    pattern for any duration-with-censoring question (job runtimes,
+    session lengths, document freshness). At each distinct lifetime t
+    with d_t churn events, S(t) multiplies by (1 − d_t/n_t) where the
+    risk set n_t counts users whose lifetime ≥ t — a SUFFIX cumulative
+    (ORDER BY dur DESC window) over the per-duration support, never a
+    per-user comparison join. The running PRODUCT is the sum-of-logs
+    identity under the kg_adamic_adar discipline: each factor's
+    ln((n−d)/n) is quantized to integer MICROS per term, the
+    cumulative window then sums exact order-independent BIGINTs, and
+    one final exp()/round(6) emits the float — bit-equal across
+    engines, runs, and partitionings where a naive float product
+    would drift with evaluation order. The absorbing zero (a duration
+    where everyone at risk churns, ln 0 = −∞) rides a parallel
+    cumulative MAX flag: later rows emit exactly 0.0 instead of a
+    NULL-poisoned sum. Scale shape: ONE corpus scan → per-user agg
+    (map-side combinable) → the global observation horizon as an
+    OVER () window on the user relation (never a second corpus
+    branch) → per-duration support (#distinct-days rows) → windows
+    over that bounded support. All-censored and empty corpora yield
+    zero rows — total, not a crash."""
+    e = t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = e.groupBy("user_id").agg(
+        F.min(us).alias("fus"), F.max(us).alias("lus")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ud = u.select(
+        F.floor((F.col("lus") - F.col("fus")) / F.lit(86400000000))
+        .cast("long")
+        .alias("dur"),
+        F.when(
+            F.max("lus").over(wall) - F.col("lus") < 604800000000, 1
+        )
+        .otherwise(0)
+        .alias("cen"),
+    )
+    sup = ud.groupBy("dur").agg(
+        F.sum(F.lit(1) - F.col("cen")).cast("long").alias("d"),
+        F.sum("cen").cast("long").alias("c"),
+    )
+    wdesc = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rk = sup.select(
+        "dur",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(wdesc).alias("n_risk"),
+    )
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.lit(1000000.0)
+            * F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk")
+            )
+        ).cast("long"),
+    )
+    ev = rk.filter(F.col("d") > 0).select(
+        "dur", "d", "c", "n_risk", term.alias("term_micros")
+    )
+    wasc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    km = ev.select(
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("term_micros").over(wasc).alias("msum"),
+        F.max(
+            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(wasc)
+        .alias("dead"),
+    )
+    return km.select(
+        F.col("dur").cast("long").alias("dur_day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("msum") / F.lit(1000000.0)), 6)
+            + F.lit(0.0)
+        )
+        .alias("surv"),
+    )
