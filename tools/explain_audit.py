@@ -1207,6 +1207,49 @@ def main() -> None:
         p_an,
     )
 
+    # 50. wave-39 shapes: ml_auc derives AUC from ONE corpus scan to
+    # the shared score support (rank-sum identity — never the n+*n-
+    # pair join); stat_kendall's concordance join and tie windows
+    # consume the checkpointed cell support, never re-scanning
+    # lineitem; agg_kmv's bottom-k is TakeOrderedAndProject (per-
+    # partition heaps) over the checkpointed hash relation (no
+    # documents re-scan); events_survival is one events scan with
+    # all risk-set/product math as windows over the duration support
+    # (no corpus self-join).
+    p_auc = plan_of(QUERIES["ml_auc"](spark, SF))
+    auc_scans = len(re.findall(r"\(\d+\) Scan parquet", p_auc))
+    p_kt = plan_of(QUERIES["stat_kendall"](spark, SF))
+    kt_li_scans = len(
+        [s for s in re.findall(r"Scan parquet[^\n]*", p_kt)
+         if "lineitem" in s]
+    )
+    p_kmv = plan_of(QUERIES["agg_kmv"](spark, SF))
+    kmv_doc_scans = len(
+        [s for s in re.findall(r"Scan parquet[^\n]*", p_kmv)
+         if "documents" in s]
+    )
+    kmv_top = "TakeOrderedAndProject" in p_kmv
+    p_sv = plan_of(QUERIES["events_survival"](spark, SF))
+    sv_scans = len(re.findall(r"\(\d+\) Scan parquet", p_sv))
+    sv_smj = len(re.findall(r"SortMergeJoin", p_sv))
+    check(
+        "auc one scan via rank identity; kendall reads the cell "
+        "checkpoint; kmv bottom-k is a per-partition heap; survival "
+        "one scan no self-join",
+        auc_scans == 1
+        and kt_li_scans == 0
+        and kmv_doc_scans == 0
+        and kmv_top
+        and sv_scans == 1
+        and sv_smj == 0,
+        f"ml_auc scans={auc_scans} (want 1); stat_kendall lineitem "
+        f"scans={kt_li_scans} (want 0 — cells checkpointed); agg_kmv "
+        f"documents scans={kmv_doc_scans} (want 0) "
+        f"TakeOrderedAndProject={kmv_top}; events_survival scans="
+        f"{sv_scans} (want 1) SortMergeJoin={sv_smj} (want 0)",
+        p_auc,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
