@@ -841,3 +841,453 @@ def stat_kendall(spark, sf):
         )
         .alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# confusion matrix + derived metrics at a fixed operating threshold
+# ---------------------------------------------------------------------------
+_CONF_T = 3500  # predict positive when cents >= 3500 (value >= 35)
+
+
+@q(
+    "ml_confusion",
+    f"""
+    WITH {_SCORE_SQL},
+    m AS (
+      SELECT CAST(SUM(CASE WHEN cents >= {_CONF_T} THEN p ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN cents >= {_CONF_T} THEN cnt - p ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN cents < {_CONF_T} THEN p ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN cents < {_CONF_T} THEN cnt - p ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM pv)
+    SELECT COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp,
+           COALESCE(fn, 0) AS fn, COALESCE(tn, 0) AS tn,
+           CASE WHEN tp IS NULL OR tp + fp + fn + tn = 0 THEN NULL
+                ELSE round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE),
+                           6) + 0 END AS accuracy,
+           CASE WHEN tp IS NULL OR tp + fp = 0 THEN NULL
+                ELSE round(tp / CAST(tp + fp AS DOUBLE), 6) + 0
+           END AS precision_,
+           CASE WHEN tp IS NULL OR tp + fn = 0 THEN NULL
+                ELSE round(tp / CAST(tp + fn AS DOUBLE), 6) + 0
+           END AS recall_,
+           CASE WHEN tp IS NULL OR 2 * tp + fp + fn = 0 THEN NULL
+                ELSE round(2 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6)
+                     + 0 END AS f1
+    FROM m
+    """,
+)
+def ml_confusion(spark, sf):
+    """Confusion matrix and the derived operating-point metrics
+    (accuracy / precision / recall / F1) for the score-vs-purchase
+    signal at a FIXED deployment threshold — ml_pr_curve sweeps the
+    curve and ml_auc integrates it; this face is the number a
+    shipped gate actually runs at. All four cells are conditional
+    integer sums over the shared one-scan `_score_support` relation
+    (never four filtered corpus branches); F1 uses the closed form
+    2tp/(2tp+fp+fn) so each metric is ONE guarded division over
+    exact BIGINTs (ANSI DIVIDE_BY_ZERO short-circuits each metric
+    independently: an all-negative corpus still reports accuracy).
+    Empty corpus emits the zero matrix with NULL metrics — total."""
+    pv = _score_support(spark, sf)
+    hit = F.col("cents") >= _CONF_T
+    m = pv.agg(
+        F.sum(F.when(hit, F.col("p")).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(hit, F.col("cnt") - F.col("p")).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~hit, F.col("p")).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~hit, F.col("cnt") - F.col("p")).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+
+    def _ratio(num, den):
+        return F.when(
+            tp.isNull() | (den == 0), F.lit(None).cast("double")
+        ).otherwise(F.round(num / den.cast("double"), 6) + F.lit(0.0))
+
+    return m.select(
+        F.coalesce(tp, F.lit(0)).alias("tp"),
+        F.coalesce(fp, F.lit(0)).alias("fp"),
+        F.coalesce(fn, F.lit(0)).alias("fn"),
+        F.coalesce(tn, F.lit(0)).alias("tn"),
+        _ratio(tp + tn, tp + fp + fn + tn).alias("accuracy"),
+        _ratio(tp, tp + fp).alias("precision_"),
+        _ratio(tp, tp + fn).alias("recall_"),
+        _ratio(F.lit(2) * tp, F.lit(2) * tp + fp + fn).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H — k-group rank test on the doubled-rank support
+# ---------------------------------------------------------------------------
+@q(
+    "stat_kruskal",
+    """
+    WITH lab AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    pv AS (
+      SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lab GROUP BY g, cents),
+    rk AS (
+      SELECT g, cents, cnt,
+             SUM(cnt) OVER (PARTITION BY cents) AS tc,
+             SUM(cnt) OVER (ORDER BY cents
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM pv),
+    cell AS (
+      SELECT g, cnt, cnt * (2 * (cum - tc) + tc + 1) AS r2c,
+             cnt * (tc * tc - 1) AS tie
+      FROM rk),
+    grp AS (
+      SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_g,
+             CAST(SUM(r2c) AS BIGINT) AS r2g,
+             CAST(SUM(tie) AS BIGINT) AS tie_g
+      FROM cell GROUP BY g),
+    hs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(3.0 * r2g * r2g / n_g) AS BIGINT))
+                  AS BIGINT) AS hsum,
+             CAST(SUM(tie_g) AS BIGINT) AS tsum
+      FROM grp)
+    SELECT COALESCE(k, 0) AS k, COALESCE(n, 0) AS n,
+           CASE WHEN n IS NULL OR n < 2 OR k < 2
+                     OR 1.0 * n * n * n - n <= tsum THEN NULL
+                ELSE round((hsum / (1.0 * n * (n + 1)) - 3.0 * (n + 1))
+                           / (1.0 - tsum / (1.0 * n * n * n - n)), 6)
+                     + 0 END AS h_adj
+    FROM hs
+    """,
+)
+def stat_kruskal(spark, sf):
+    """Kruskal-Wallis H across the k event types — the k-group
+    generalization of stat_mannwhitney (does ANY group's value
+    distribution dominate?) and the nonparametric twin of
+    stat_anova. Rides the doubled-rank support: one corpus agg to
+    (group, cents, cnt) cells; the GLOBAL tie-rank arrives as the
+    audit-#44 window pair (per-cents PARTITION total tc + RANGE
+    cumulative, doubled rank = 2*(cum - tc) + tc + 1) so every
+    per-cell rank mass r2c and tie term cnt*(tc^2 - 1) (which sums
+    to exactly t^3 - t per tied value) is an order-independent
+    BIGINT. Per-group H contributions 3*r2g^2/n_g are quantized
+    round-to-integer (r2g^2 exceeds BIGINT past ~2^31 rows, so the
+    square runs in DOUBLE — identical multiply/divide/round op
+    order on both engines; sub-unit quantization noise is 1e-15 of
+    H's magnitude); the k-term sum is then again an exact integer
+    agg. NULL guards: n < 2, a single group, or all values tied
+    (the tie-corrected denominator hits zero — ANSI
+    DIVIDE_BY_ZERO). One scan, windows over the support, one tiny
+    final agg."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    lab = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    pv = lab.groupBy("g", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wtc = Window.partitionBy("cents")
+    wcum = Window.orderBy("cents").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    rk = pv.select(
+        "g",
+        "cnt",
+        F.sum("cnt").over(wtc).alias("tc"),
+        F.sum("cnt").over(wcum).alias("cum"),
+    )
+    cell = rk.select(
+        "g",
+        "cnt",
+        (
+            F.col("cnt")
+            * (
+                F.lit(2) * (F.col("cum") - F.col("tc"))
+                + F.col("tc")
+                + 1
+            )
+        ).alias("r2c"),
+        (F.col("cnt") * (F.col("tc") * F.col("tc") - 1)).alias("tie"),
+    )
+    grp = cell.groupBy("g").agg(
+        F.sum("cnt").cast("long").alias("n_g"),
+        F.sum("r2c").cast("long").alias("r2g"),
+        F.sum("tie").cast("long").alias("tie_g"),
+    )
+    hs = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(
+            F.round(
+                F.lit(3.0) * F.col("r2g") * F.col("r2g") / F.col("n_g")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("hsum"),
+        F.sum("tie_g").cast("long").alias("tsum"),
+    )
+    n, k = F.col("n"), F.col("k")
+    bad = (
+        n.isNull()
+        | (n < 2)
+        | (k < 2)
+        | (F.lit(1.0) * n * n * n - n <= F.col("tsum"))
+    )
+    h = F.col("hsum") / (F.lit(1.0) * n * (n + 1)) - F.lit(3.0) * (n + 1)
+    c = F.lit(1.0) - F.col("tsum") / (F.lit(1.0) * n * n * n - n)
+    return hs.select(
+        F.coalesce(k, F.lit(0)).alias("k"),
+        F.coalesce(n, F.lit(0)).alias("n"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(h / c, 6) + F.lit(0.0))
+        .alias("h_adj"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# calibration / reliability bins + Brier score — milli-quantized probs
+# ---------------------------------------------------------------------------
+@q(
+    "ml_calibration",
+    f"""
+    WITH {_SCORE_SQL},
+    w AS (
+      SELECT cents, cnt, p,
+             MIN(cents) OVER () AS mn, MAX(cents) OVER () AS mx
+      FROM pv),
+    ph AS (
+      SELECT cnt, p,
+             CASE WHEN mx = mn THEN 500
+                  ELSE CAST(round(1000.0 * (cents - mn) / (mx - mn))
+                       AS BIGINT) END AS ph
+      FROM w),
+    b AS (
+      SELECT LEAST(ph // 100, 9) AS bin,
+             CAST(SUM(cnt) AS BIGINT) AS n_b,
+             CAST(SUM(p) AS BIGINT) AS pos_b,
+             CAST(SUM(cnt * ph) AS BIGINT) AS sph,
+             CAST(SUM(cnt * ph * ph - 2000 * ph * p + 1000000 * p)
+                  AS BIGINT) AS bterm
+      FROM ph GROUP BY 1)
+    SELECT CAST(bin AS BIGINT) AS bin, n_b, pos_b,
+           round(sph / (1000.0 * n_b), 6) + 0 AS mean_pred,
+           round(pos_b / CAST(n_b AS DOUBLE), 6) + 0 AS frac_pos,
+           round(SUM(bterm) OVER ()
+                 / (1000000.0 * SUM(n_b) OVER ()), 6) + 0 AS brier
+    FROM b
+    """,
+)
+def ml_calibration(spark, sf):
+    """Reliability diagram + Brier score for the score-vs-purchase
+    signal: min-max-map the score to a pseudo-probability, bucket
+    into 10 equal-width bins, and report per-bin (count, mean
+    predicted, empirical positive rate) with the overall Brier score
+    in every gated row — the calibration complement to ml_auc
+    (discrimination) and ml_confusion (one operating point). The
+    pseudo-probability is quantized to integer MILLI units (one
+    round() of one division whose operands are exact integers —
+    identical op order both engines), after which EVERYTHING is
+    exact BIGINT arithmetic: the per-cell Brier mass expands
+    (ph−1000y)² over binary y to cnt·ph² − 2000·ph·p + 10⁶·p, so the
+    corpus Brier is an order-independent integer sum divided once at
+    the end. Corpus min/max arrive as OVER () windows on the
+    one-scan `_score_support` relation (never a stats branch); the
+    bin totals for Brier are OVER () windows on the ≤10-row bin
+    relation. Degenerate single-score corpus pins ph=500; empty
+    corpus emits zero rows — total."""
+    pv = _score_support(spark, sf)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = pv.select(
+        "cents",
+        "cnt",
+        "p",
+        F.min("cents").over(wall).alias("mn"),
+        F.max("cents").over(wall).alias("mx"),
+    )
+    ph = w.select(
+        "cnt",
+        "p",
+        F.when(F.col("mx") == F.col("mn"), F.lit(500).cast("long"))
+        .otherwise(
+            F.round(
+                F.lit(1000.0)
+                * (F.col("cents") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+            ).cast("long")
+        )
+        .alias("ph"),
+    )
+    b = ph.groupBy(
+        F.least(F.floor(F.col("ph") / 100), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.sum("cnt").cast("long").alias("n_b"),
+        F.sum("p").cast("long").alias("pos_b"),
+        F.sum(F.col("cnt") * F.col("ph")).cast("long").alias("sph"),
+        F.sum(
+            F.col("cnt") * F.col("ph") * F.col("ph")
+            - F.lit(2000) * F.col("ph") * F.col("p")
+            + F.lit(1000000) * F.col("p")
+        )
+        .cast("long")
+        .alias("bterm"),
+    )
+    return b.select(
+        "bin",
+        "n_b",
+        "pos_b",
+        (
+            F.round(F.col("sph") / (F.lit(1000.0) * F.col("n_b")), 6)
+            + F.lit(0.0)
+        ).alias("mean_pred"),
+        (
+            F.round(F.col("pos_b") / F.col("n_b").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("frac_pos"),
+        (
+            F.round(
+                F.sum("bterm").over(wall)
+                / (F.lit(1000000.0) * F.sum("n_b").over(wall)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("brier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 — per-user ranking quality with literal micro-discounts
+# ---------------------------------------------------------------------------
+import math as _math
+
+_NDCG_K = 10
+# 1/log2(i+1) discounts quantized to integer micros ONCE at import —
+# embedded as literals in BOTH engines' plans, so no runtime ln/log2
+# (whose libm bits could differ) ever executes.
+_NDCG_D = [
+    round(1_000_000 / _math.log2(i + 1)) for i in range(1, _NDCG_K + 1)
+]
+_NDCG_C = [0]
+for _d in _NDCG_D:
+    _NDCG_C.append(_NDCG_C[-1] + _d)
+del _d
+
+
+@q(
+    "ml_ndcg",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT user_id, rel,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cents DESC, event_id) AS rn,
+             SUM(rel) OVER (PARTITION BY user_id) AS rtot
+      FROM e),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(rel * list_extract({_NDCG_D!r}, rn)) AS BIGINT)
+               AS dcg,
+             CAST(MAX(list_extract({_NDCG_C!r},
+                      CAST(LEAST(rtot, {_NDCG_K}) AS INT) + 1))
+                  AS BIGINT) AS idcg
+      FROM r WHERE rn <= {_NDCG_K} GROUP BY user_id),
+    v AS (
+      SELECT CASE WHEN idcg > 0
+                  THEN CAST(round(1000000.0 * dcg / idcg) AS BIGINT)
+             END AS nd
+      FROM u)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(nd) AS BIGINT) AS n_eval,
+           CASE WHEN COUNT(nd) = 0 THEN NULL
+                ELSE round(SUM(nd) / (1000000.0 * COUNT(nd)), 6) + 0
+           END AS mean_ndcg
+    FROM v
+    """,
+)
+def ml_ndcg(spark, sf):
+    """Mean NDCG@{k} treating each user as a retrieval query: their
+    events ranked by score (cents DESC, event_id tiebreak — total
+    order, so the ranking is deterministic across engines and
+    partitionings), relevance = purchase. The position discounts
+    1/log2(i+1) and their ideal prefix sums are quantized to integer
+    MICROS once at Python import and embedded as ARRAY LITERALS in
+    both plans (element_at / list_extract by rank) — no runtime
+    logarithm, no 10-row join: the discount attach is map-side
+    expression work. Per-user DCG and IDCG (ideal = first
+    min(R,{k}) discounts, R the user's total relevant count,
+    arriving as a window over the SAME user partition as the
+    row_number — one Exchange total) are exact integers; per-user
+    NDCG is one division quantized to micros; the corpus mean is an
+    exact integer sum divided once. Users with zero relevant events
+    have IDCG 0 and are excluded from the mean (reported via
+    n_users vs n_eval), the standard convention — and the ANSI
+    divide guard. Empty corpus: (0, 0, NULL)."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    lab = e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("rel"),
+    )
+    wu = Window.partitionBy("user_id")
+    wrn = wu.orderBy(F.desc("cents"), "event_id")
+    r = lab.select(
+        "user_id",
+        "rel",
+        F.row_number().over(wrn).alias("rn"),
+        F.sum("rel").over(wu).alias("rtot"),
+    ).filter(F.col("rn") <= _NDCG_K)
+    d_arr = F.array(*[F.lit(x) for x in _NDCG_D])
+    c_arr = F.array(*[F.lit(x) for x in _NDCG_C])
+    u = r.groupBy("user_id").agg(
+        F.sum(F.col("rel") * F.element_at(d_arr, F.col("rn")))
+        .cast("long")
+        .alias("dcg"),
+        F.max(
+            F.element_at(
+                c_arr,
+                (F.least(F.col("rtot"), F.lit(_NDCG_K)) + 1).cast("int"),
+            )
+        )
+        .cast("long")
+        .alias("idcg"),
+    )
+    v = u.select(
+        F.when(
+            F.col("idcg") > 0,
+            F.round(
+                F.lit(1000000.0) * F.col("dcg") / F.col("idcg")
+            ).cast("long"),
+        ).alias("nd")
+    )
+    return v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("nd").cast("long").alias("n_eval"),
+        F.when(F.count("nd") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sum("nd") / (F.lit(1000000.0) * F.count("nd")), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("mean_ndcg"),
+    )
+
+
+ml_ndcg.__doc__ = ml_ndcg.__doc__.format(k=_NDCG_K)

@@ -1250,6 +1250,28 @@ def main() -> None:
         p_auc,
     )
 
+    # 51. wave-40 shapes: the model-eval quartet each scans its
+    # corpus exactly once (confusion cells are conditional sums over
+    # the shared support, calibration's min/max are OVER () windows,
+    # kruskal's global tie-rank is the window pair, ndcg's discount
+    # attach is an array-literal expression — NO join for the
+    # 10-row discount table).
+    scans40 = {}
+    for k40 in ("ml_confusion", "stat_kruskal", "ml_calibration",
+                "ml_ndcg"):
+        p40 = plan_of(QUERIES[k40](spark, SF))
+        scans40[k40] = len(re.findall(r"\(\d+\) Scan parquet", p40))
+    p_ndcg = plan_of(QUERIES["ml_ndcg"](spark, SF))
+    ndcg_joins = len(re.findall(r"Join", p_ndcg))
+    check(
+        "model-eval quartet one scan each; ndcg discounts are "
+        "literals not a join",
+        all(v == 1 for v in scans40.values()) and ndcg_joins == 0,
+        f"scan counts {scans40} (want all 1); ml_ndcg Join nodes="
+        f"{ndcg_joins} (want 0 — element_at over array literals)",
+        p_ndcg,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
