@@ -1,0 +1,244 @@
+"""Spark-4 SQL-surface faces (round-4 wave 41): the declarative entry
+points a SQL-first user of the engine reaches for — pipe-syntax
+queries, SQL scalar UDFs (CREATE FUNCTION ... RETURN, inlined by
+Catalyst — the fast path the Python-UDF family deliberately
+contrasts), parameterized queries with IDENTIFIER() table binding
+(injection-safe dynamic SQL), and collation-aware comparison
+(UTF8_LCASE). Each face is pure syntax/semantics surface over plans
+the audit already pins elsewhere — the point is that the SAME engine
+answers the SAME question through every public API face, gated by
+the SAME DuckDB oracle.
+
+Every face here goes through ``spark.sql`` (the others are DataFrame
+API) — parquet inputs are referenced via ``parquet.`path``` scans or
+an explicitly created temp view, both of which keep predicate
+pushdown and column pruning (the scan is the same
+FileSourceScanExec)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import t
+
+Q = {}
+O = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        assert name not in Q, f"duplicate query key {name!r}"
+        Q[name] = fn
+        if sql is not None:
+            O[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax — Spark 4.0 `|>` operator chain
+# ---------------------------------------------------------------------------
+@q(
+    "sql_pipe",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pipe(spark, sf):
+    """The finished-orders revenue rollup written in Spark 4's SQL
+    PIPE syntax (`FROM ... |> WHERE ... |> EXTEND ... |> AGGREGATE
+    ... GROUP BY`) — the linear query dialect for interactive
+    exploration. Pipe syntax is PURE SYNTAX: Catalyst lowers it to
+    the identical logical plan as the nested spelling, so the filter
+    still pushes into the parquet scan and the aggregate is still
+    two-phase (audit #52 asserts both against this face's plan —
+    using the API must not cost anything). Money rides the exact
+    integer-cents discipline; the oracle is the plain-SQL spelling
+    of the same query."""
+    return spark.sql(
+        f"""
+        FROM parquet.`{sf}/orders.parquet`
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS total_cents
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n, total_cents
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL scalar UDF — CREATE FUNCTION ... RETURN, Catalyst-inlined
+# ---------------------------------------------------------------------------
+@q(
+    "sql_udf",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount)
+                               * (1.0 + l_tax) * 100) AS BIGINT))
+                AS BIGINT) AS net_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_udf(spark, sf):
+    """Net revenue per return flag computed through a SQL scalar UDF
+    (`CREATE OR REPLACE TEMPORARY FUNCTION net_cents(...) RETURNS
+    BIGINT RETURN ...`, Spark 4) — the engine's answer to "let
+    analysts package business logic" WITHOUT the Python-UDF tax:
+    a SQL UDF is expanded by Catalyst at analysis time into the
+    plan, so the hot path stays whole-stage-codegen JVM expression
+    work (audit #52: no ArrowEvalPython / BatchEvalPython node may
+    appear — contrast udf_scalar, which deliberately measures the
+    slow path). The UDF body uses the same single-round
+    exact-cents quantization as every money face; the oracle
+    inlines the identical expression."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_cents(
+            price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(round(price * (1.0 - disc) * (1.0 + tax) * 100)
+                    AS BIGINT)
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(net_cents(l_extendedprice, l_discount, l_tax))
+                    AS BIGINT) AS net_cents
+        FROM parquet.`{sf}/lineitem.parquet`
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# parameterized SQL + IDENTIFIER() — injection-safe dynamic queries
+# ---------------------------------------------------------------------------
+_PARAM_MIN_VALUE = 50.0
+
+
+@q(
+    "sql_params",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE value IS NOT NULL AND value >= {_PARAM_MIN_VALUE!r}
+    GROUP BY event_type
+    """,
+)
+def sql_params(spark, sf):
+    """High-value event rollup through a PARAMETERIZED query: the
+    table arrives as `IDENTIFIER(:tbl)` (name-binding that cannot
+    splice SQL — the injection-safe dynamic-table idiom) and the
+    threshold as a named scalar `:minv`. Parameter binding happens
+    at parse time, so the bound literal behaves exactly like an
+    inline one: the `value >= :minv` predicate still lands in the
+    parquet scan's PushedFilters (audit #52 asserts it). The temp
+    view is CREATE OR REPLACE — re-running the face (the oracle
+    harness does) is idempotent. Oracle: the same query with the
+    parameters spliced as literals."""
+    t(spark, sf, "events").createOrReplaceTempView("sql_params_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE value IS NOT NULL AND value >= :minv
+        GROUP BY event_type
+        """,
+        args={"tbl": "sql_params_events", "minv": _PARAM_MIN_VALUE},
+    )
+
+
+# ---------------------------------------------------------------------------
+# collation-aware distinct — UTF8_LCASE vs binary vocabulary
+# ---------------------------------------------------------------------------
+@q(
+    "text_collation",
+    """
+    WITH tok AS (
+      SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tk
+      FROM documents),
+    cased AS (
+      SELECT lang,
+             CASE WHEN substr(md5(tk || '|' || CAST(doc_id AS VARCHAR)),
+                              1, 1) < '8'
+                  THEN upper(tk) ELSE tk END AS tk
+      FROM tok WHERE tk <> ''),
+    agg AS (
+      SELECT lang,
+             CAST(COUNT(DISTINCT tk) AS BIGINT) AS vocab_cs,
+             CAST(COUNT(DISTINCT lower(tk)) AS BIGINT) AS vocab_ci
+      FROM cased GROUP BY lang)
+    SELECT lang, vocab_cs, vocab_ci,
+           CASE WHEN vocab_ci = 0 THEN NULL
+                ELSE round(vocab_cs / CAST(vocab_ci AS DOUBLE), 6) + 0
+           END AS case_blowup
+    FROM agg
+    """,
+)
+def text_collation(spark, sf):
+    """Per-language vocabulary size under binary (UTF8_BINARY) vs
+    case-insensitive (`COLLATE UTF8_LCASE`) comparison — the Spark 4
+    collation surface, and the measurement behind "should this
+    corpus be case-folded before tokenizer training?" (vocab_cs /
+    vocab_ci is the case-variant blowup a cased BPE vocabulary
+    pays). Case variants are derived IN-FLIGHT by the md5-coin
+    discipline (upper() half the (token, doc) occurrences —
+    deterministic across engines, runs, and partitionings; the
+    fixture corpus is monocase so the raw column would make the
+    face vacuous). The two DISTINCT counts land in ONE aggregate —
+    Spark plans them as a single-pass Expand (the kg_void_stats
+    shape, audit #52), not two corpus branches. DuckDB has no
+    collation clause, so the oracle spells case-insensitivity as
+    COUNT(DISTINCT lower(tk)) — equivalent on this ASCII corpus
+    (UTF8_LCASE and lower() agree on ASCII; non-ASCII case folding
+    is where they'd diverge, documented limit)."""
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "lang",
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("tk"),
+    ).filter(F.col("tk") != "")
+    coin = F.substring(
+        F.md5(F.concat_ws("|", F.col("tk"), F.col("doc_id"))), 1, 1
+    )
+    cased = tok.select(
+        "lang",
+        F.when(coin < "8", F.upper("tk")).otherwise(F.col("tk")).alias("tk"),
+    )
+    agg = cased.groupBy("lang").agg(
+        F.count_distinct(F.col("tk")).cast("long").alias("vocab_cs"),
+        F.count_distinct(F.expr("tk COLLATE UTF8_LCASE"))
+        .cast("long")
+        .alias("vocab_ci"),
+    )
+    return agg.select(
+        "lang",
+        "vocab_cs",
+        "vocab_ci",
+        F.when(F.col("vocab_ci") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("vocab_cs") / F.col("vocab_ci").cast("double"), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("case_blowup"),
+    )

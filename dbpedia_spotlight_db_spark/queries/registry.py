@@ -24,6 +24,7 @@ from . import (
     qpipe,
     qrel,
     qsketch,
+    qsql,
     qstats,
 )
 
@@ -43,6 +44,7 @@ for mod in (
     qfeat,
     qml,
     qgraph,
+    qsql,
 ):
     _dups = set(_QUERIES) & set(mod.Q)
     assert not _dups, (

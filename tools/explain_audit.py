@@ -1272,6 +1272,39 @@ def main() -> None:
         p_ndcg,
     )
 
+    # 52. wave-41 SQL-surface faces cost nothing over the DataFrame
+    # spelling: pipe syntax still pushes its WHERE into the scan;
+    # the SQL UDF is Catalyst-inlined (no Python eval node); the
+    # bound :minv parameter still lands in PushedFilters; the dual
+    # collated/binary DISTINCT plans as one Expand pass.
+    p_pipe = plan_of(QUERIES["sql_pipe"](spark, SF))
+    pipe_pushed = bool(
+        re.search(r"PushedFilters: \[[^\]]*o_orderstatus", p_pipe)
+    )
+    p_sudf = plan_of(QUERIES["sql_udf"](spark, SF))
+    sudf_nopython = "EvalPython" not in p_sudf
+    p_prm = plan_of(QUERIES["sql_params"](spark, SF))
+    prm_pushed = bool(
+        re.search(r"PushedFilters: \[[^\]]*value", p_prm)
+    )
+    p_coll = plan_of(QUERIES["text_collation"](spark, SF))
+    coll_expand = "Expand" in p_coll
+    coll_scans = len(re.findall(r"\(\d+\) Scan parquet", p_coll))
+    check(
+        "pipe pushes filters; SQL UDF inlines; bound params push; "
+        "collated dual-distinct is one Expand",
+        pipe_pushed
+        and sudf_nopython
+        and prm_pushed
+        and coll_expand
+        and coll_scans == 1,
+        f"sql_pipe pushed o_orderstatus={pipe_pushed}; sql_udf "
+        f"python-free={sudf_nopython}; sql_params pushed value="
+        f"{prm_pushed}; text_collation Expand={coll_expand} scans="
+        f"{coll_scans} (want 1)",
+        p_sudf,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
