@@ -1351,3 +1351,84 @@ def text_fertility(spark, sf):
             + F.lit(0.0)
         ).alias("tokens_per_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity — count-of-counts closed form, never ranks the vocab
+# ---------------------------------------------------------------------------
+@q(
+    "text_simpson",
+    """
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tk
+      FROM documents),
+    tc AS (
+      SELECT lang, tk, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE tk <> '' GROUP BY lang, tk),
+    agg AS (
+      SELECT lang,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS rep2
+      FROM tc GROUP BY lang)
+    SELECT lang, n_tokens, vocab,
+           CASE WHEN n_tokens < 2 THEN NULL
+                ELSE round(rep2 / (1.0 * n_tokens * (n_tokens - 1)), 6)
+                     + 0 END AS simpson,
+           CASE WHEN n_tokens < 2 OR rep2 = 0 THEN NULL
+                ELSE round(1.0 * n_tokens * (n_tokens - 1) / rep2, 6)
+                     + 0 END AS eff_vocab
+    FROM agg
+    """,
+)
+def text_simpson(spark, sf):
+    """Per-language Simpson concentration λ = Σ c(c−1) / (N(N−1))
+    (the probability two tokens drawn without replacement coincide)
+    and its inverse — the "effective vocabulary size" that a
+    repetition-heavy crawl shrinks long before the raw vocab count
+    moves. Completes the lexical-diversity triptych: source_lang_
+    stats measures entropy (log scale), text_heaps measures vocab
+    GROWTH, Simpson measures concentration — the three disagree on
+    exactly the skewed corpora a data mixer needs to catch. Pure
+    count-of-counts arithmetic (the stat_gini discipline): one
+    corpus scan to (lang, token, c), per-language Σ c(c−1) is an
+    exact map-side-combinable BIGINT — the vocabulary is NEVER
+    ranked or sorted, and there is no second corpus branch. Both
+    outputs are one guarded round-6 division (N < 2 and the
+    all-distinct rep2 = 0 corpus short-circuit to NULL — ANSI
+    DIVIDE_BY_ZERO on the inverse). Headroom: Σ c(c−1) < N² — exact
+    past 10⁹ tokens per language."""
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tk")
+    ).filter(F.col("tk") != "")
+    tc = tok.groupBy("lang", "tk").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = tc.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("rep2"),
+    )
+    nt = F.col("n_tokens")
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        F.when(nt < 2, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("rep2") / (F.lit(1.0) * nt * (nt - 1)), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("simpson"),
+        F.when((nt < 2) | (F.col("rep2") == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(1.0) * nt * (nt - 1) / F.col("rep2"), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("eff_vocab"),
+    )

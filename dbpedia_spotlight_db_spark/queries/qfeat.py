@@ -522,3 +522,247 @@ def feat_quantile_bins(spark, sf):
             + F.lit(0.0)
         ).alias("mean_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit — cross-multiplied TVD with the absent-cell fold
+# ---------------------------------------------------------------------------
+_TCLOSE_T_PCT = 20  # release gate: TVD <= 0.20
+
+
+@q(
+    "privacy_tcloseness",
+    f"""
+    WITH cells AS (
+      SELECT o_orderpriority AS qi1, CAST(year(o_orderdate) AS INT) AS yr,
+             o_orderstatus AS s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2, 3),
+    w AS (
+      SELECT qi1, yr, c,
+             SUM(c) OVER (PARTITION BY qi1, yr) AS n_g,
+             SUM(c) OVER (PARTITION BY s) AS c_s,
+             SUM(c) OVER () AS n
+      FROM cells),
+    g AS (
+      SELECT qi1, yr,
+             CAST(MAX(n_g) AS BIGINT) AS k,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(abs(c * n - c_s * n_g) - c_s * n_g)
+                  + MAX(n_g) * MAX(n) AS BIGINT) AS tvd_num
+      FROM w GROUP BY qi1, yr)
+    SELECT qi1 AS o_orderpriority, yr, k,
+           CASE WHEN k = 0 OR n = 0 THEN NULL
+                ELSE round(tvd_num / (2.0 * k * n), 6) + 0
+           END AS t_dist,
+           CASE WHEN k = 0 OR n = 0 THEN NULL
+                ELSE tvd_num * 100 <= {_TCLOSE_T_PCT} * 2 * k * n
+           END AS t_close
+    FROM g
+    """,
+)
+def privacy_tcloseness(spark, sf):
+    """t-closeness audit (Li et al.) over the privacy_kanon /
+    privacy_ldiversity QI lattice (priority, order year) with order
+    status as the sensitive attribute: per QI group, the variational
+    distance between the group's sensitive distribution and the
+    GLOBAL one must not exceed t — the release gate l-diversity
+    misses (a group can be diverse yet skewed far from the corpus,
+    leaking membership). Exactness is the host_blocklist
+    cross-multiplication: TVD = ½ Σ_s |c_gs/n_g − c_s/n| clears both
+    denominators to ½ Σ_s |c_gs·n − c_s·n_g| / (n_g·n), all BIGINT.
+    Statuses ABSENT from a group contribute c_s·n_g each; since
+    Σ_all c_s·n_g = n·n_g, the absent mass folds to the closed form
+    Σ_present (|c·n − c_s·n_g| − c_s·n_g) + n·n_g — the text_jsd
+    absent-cell discipline, no dense (group × status) cross join
+    ever materializes. Every marginal (n_g, per-status c_s, n) is a
+    WINDOW over the one bounded cells relation (stat_mutual_info
+    lesson: a second aggregation branch re-scans the corpus). The
+    gate itself compares integers (tvd_num·100 ≤ t%·2·k·n) — no
+    float in the pass/fail decision. Headroom: c·n ≤ n² caps the
+    exact path at ~3·10⁹ rows per the BIGINT budget; past that the
+    same plan runs in DECIMAL(38,0). One corpus scan; the QI×status
+    lattice is value-domain-bounded."""
+    o = t(spark, sf, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("qi1"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderstatus").alias("s"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = cells.select(
+        "qi1",
+        "yr",
+        "c",
+        F.sum("c").over(Window.partitionBy("qi1", "yr")).alias("n_g"),
+        F.sum("c").over(Window.partitionBy("s")).alias("c_s"),
+        F.sum("c")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    g = w.groupBy("qi1", "yr").agg(
+        F.max("n_g").cast("long").alias("k"),
+        F.max("n").cast("long").alias("n"),
+        (
+            F.sum(
+                F.abs(F.col("c") * F.col("n") - F.col("c_s") * F.col("n_g"))
+                - F.col("c_s") * F.col("n_g")
+            )
+            + F.max("n_g") * F.max("n")
+        )
+        .cast("long")
+        .alias("tvd_num"),
+    )
+    bad = (F.col("k") == 0) | (F.col("n") == 0)
+    return g.select(
+        F.col("qi1").alias("o_orderpriority"),
+        "yr",
+        "k",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("tvd_num") / (F.lit(2.0) * F.col("k") * F.col("n")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("t_dist"),
+        F.when(bad, F.lit(None).cast("boolean"))
+        .otherwise(
+            F.col("tvd_num") * 100
+            <= F.lit(_TCLOSE_T_PCT) * 2 * F.col("k") * F.col("n")
+        )
+        .alias("t_close"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RLE sizing plan — distributed run counting, no single-partition window
+# ---------------------------------------------------------------------------
+@q(
+    "encode_rle",
+    """
+    WITH o AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             row_number() OVER (ORDER BY l_shipdate, l_orderkey,
+                                l_linenumber) AS rn
+      FROM lineitem),
+    b AS (
+      SELECT CASE WHEN lag(rf) OVER (ORDER BY rn) IS DISTINCT FROM rf
+                  THEN 1 ELSE 0 END AS brf,
+             CASE WHEN lag(ls) OVER (ORDER BY rn) IS DISTINCT FROM ls
+                  THEN 1 ELSE 0 END AS bls
+      FROM o),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(brf), 0) AS BIGINT) AS r_rf,
+             CAST(COALESCE(SUM(bls), 0) AS BIGINT) AS r_ls
+      FROM b)
+    SELECT col, n_rows, n_runs,
+           CASE WHEN n_runs = 0 THEN NULL
+                ELSE round(n_rows / CAST(n_runs AS DOUBLE), 6) + 0
+           END AS rle_ratio
+    FROM (
+      SELECT 'l_returnflag' AS col, n_rows, r_rf AS n_runs FROM s
+      UNION ALL
+      SELECT 'l_linestatus' AS col, n_rows, r_ls AS n_runs FROM s)
+    """,
+)
+def encode_rle(spark, sf):
+    """Run-length-encoding sizing for the low-cardinality lineitem
+    columns under the table's natural (shipdate, orderkey,
+    linenumber) sort order — the layout question behind "should the
+    writer sort before encoding?" (runs ≈ pages after RLE; pairs
+    with encode_dict and zorder_plan as the third layout planner).
+    Run counting needs adjacent-row comparison in a GLOBAL total
+    order, which a naive window serializes through one task — so
+    this face uses the abc_classification distributed-scan idiom:
+    repartitionByRange on the total order, freeze partition ids
+    with a parquet checkpoint, count run boundaries WITHIN each
+    partition (per-pid LAG windows, parallel), and repair the ≤16
+    cross-partition seams from the collected per-partition edge
+    rows (driver-sized by construction: 2 rows per partition). The
+    run total is partitioning-INVARIANT: every seam where the
+    neighbor values match subtracts exactly one boundary, so local
+    counts + seam repair equals the serial count — the oracle runs
+    the serial spelling. Empty corpus: both report rows with
+    n_runs=0 and NULL ratio (totality)."""
+    from ..operators.dedup import parquet_checkpoint
+
+    li = t(spark, sf, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_linenumber",
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+    )
+    ranged = parquet_checkpoint(
+        li.repartitionByRange(
+            16, "l_shipdate", "l_orderkey", "l_linenumber"
+        ).withColumn("pid", F.spark_partition_id()),
+        "rle_ranged",
+    )
+    wp = Window.partitionBy("pid").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    flg = ranged.select(
+        "pid",
+        F.when(
+            F.lag("rf").over(wp).isNull()
+            | (F.lag("rf").over(wp) != F.col("rf")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brf"),
+        F.when(
+            F.lag("ls").over(wp).isNull()
+            | (F.lag("ls").over(wp) != F.col("ls")),
+            1,
+        )
+        .otherwise(0)
+        .alias("bls"),
+    )
+    # seam repair: per-partition first/last edge values (2 rows per
+    # pid — driver-sized), matched across adjacent non-empty pids
+    key = F.struct("l_shipdate", "l_orderkey", "l_linenumber")
+    edges = (
+        ranged.groupBy("pid")
+        .agg(
+            F.min_by(F.struct("rf", "ls"), key).alias("first"),
+            F.max_by(F.struct("rf", "ls"), key).alias("last"),
+        )
+        .collect()
+    )
+    edges.sort(key=lambda r: r["pid"])
+    fix_rf = fix_ls = 0
+    for prev, cur in zip(edges, edges[1:]):
+        if prev["last"]["rf"] == cur["first"]["rf"]:
+            fix_rf += 1
+        if prev["last"]["ls"] == cur["first"]["ls"]:
+            fix_ls += 1
+    s = flg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.coalesce(F.sum("brf"), F.lit(0)) - F.lit(fix_rf))
+        .cast("long")
+        .alias("r_rf"),
+        (F.coalesce(F.sum("bls"), F.lit(0)) - F.lit(fix_ls))
+        .cast("long")
+        .alias("r_ls"),
+    )
+    out = s.selectExpr(
+        "stack(2, 'l_returnflag', n_rows, r_rf, "
+        "'l_linestatus', n_rows, r_ls) AS (col, n_rows, n_runs)"
+    )
+    return out.select(
+        "col",
+        "n_rows",
+        "n_runs",
+        F.when(F.col("n_runs") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("n_rows") / F.col("n_runs").cast("double"), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("rle_ratio"),
+    )

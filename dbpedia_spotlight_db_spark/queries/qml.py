@@ -1291,3 +1291,97 @@ def ml_ndcg(spark, sf):
 
 
 ml_ndcg.__doc__ = ml_ndcg.__doc__.format(k=_NDCG_K)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa — chance-corrected agreement, exact integer form
+# ---------------------------------------------------------------------------
+@q(
+    "ml_cohen_kappa",
+    f"""
+    WITH {_SCORE_SQL},
+    m AS (
+      SELECT CAST(SUM(CASE WHEN cents >= {_CONF_T} THEN p ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN cents >= {_CONF_T} THEN cnt - p ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN cents < {_CONF_T} THEN p ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN cents < {_CONF_T} THEN cnt - p ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM pv),
+    x AS (
+      SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n,
+             (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS pe_num
+      FROM m)
+    SELECT COALESCE(n, 0) AS n,
+           CASE WHEN tp IS NULL OR n = 0 THEN NULL
+                ELSE round((tp + tn) / CAST(n AS DOUBLE), 6) + 0
+           END AS po,
+           CASE WHEN tp IS NULL OR n = 0 THEN NULL
+                ELSE round(pe_num / (1.0 * n * n), 6) + 0 END AS pe,
+           CASE WHEN tp IS NULL OR n = 0 OR n * n = pe_num THEN NULL
+                ELSE round(CAST(n * (tp + tn) - pe_num AS DOUBLE)
+                           / (n * n - pe_num), 6) + 0 END AS kappa
+    FROM x
+    """,
+)
+def ml_cohen_kappa(spark, sf):
+    """Cohen's kappa between the thresholded score (ml_confusion's
+    operating point) and the purchase label — chance-corrected
+    agreement, the number that deflates ml_confusion's accuracy when
+    the classes are imbalanced (a constant predictor on a 95/5 split
+    scores 0.95 accuracy but kappa 0). Clearing denominators turns
+    kappa = (po − pe)/(1 − pe) into the all-integer form
+    (n·(tp+tn) − pe_num)/(n² − pe_num) with pe_num =
+    (tp+fp)(tp+fn) + (fn+tn)(fp+tn) — one guarded division over
+    exact BIGINTs from the same one-scan `_score_support`
+    conditional sums. NULL guards: empty corpus, and the degenerate
+    pe = 1 corpus (all four cells in one margin pair — ANSI
+    DIVIDE_BY_ZERO). Headroom: pe_num ≤ n², exact to ~3·10⁹ rows."""
+    pv = _score_support(spark, sf)
+    hit = F.col("cents") >= _CONF_T
+    m = pv.agg(
+        F.sum(F.when(hit, F.col("p")).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(hit, F.col("cnt") - F.col("p")).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~hit, F.col("p")).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~hit, F.col("cnt") - F.col("p")).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    x = m.select(
+        tp,
+        fp,
+        fn,
+        tn,
+        (tp + fp + fn + tn).alias("n"),
+        ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)).alias("pe_num"),
+    )
+    n, pe_num = F.col("n"), F.col("pe_num")
+    return x.select(
+        F.coalesce(n, F.lit(0)).alias("n"),
+        F.when(tp.isNull() | (n == 0), F.lit(None).cast("double"))
+        .otherwise(F.round((tp + tn) / n.cast("double"), 6) + F.lit(0.0))
+        .alias("po"),
+        F.when(tp.isNull() | (n == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(pe_num / (F.lit(1.0) * n * n), 6) + F.lit(0.0)
+        )
+        .alias("pe"),
+        F.when(
+            tp.isNull() | (n == 0) | (n * n == pe_num),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (n * (tp + tn) - pe_num).cast("double")
+                / (n * n - pe_num),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("kappa"),
+    )

@@ -1305,6 +1305,45 @@ def main() -> None:
         p_sudf,
     )
 
+    # 53. wave-42 shapes: t-closeness marginals are windows over the
+    # one cells relation (one scan, no group-by-status cross join);
+    # encode_rle's run count reads the range-partitioned checkpoint
+    # with per-pid windows (no raw lineitem scan; the only
+    # SinglePartition exchange is the final 1-row agg); kappa rides
+    # the shared support (one scan); simpson is one scan of
+    # count-of-counts with no sort of the vocabulary.
+    p_tc = plan_of(QUERIES["privacy_tcloseness"](spark, SF))
+    tc_scans = len(re.findall(r"\(\d+\) Scan parquet", p_tc))
+    tc_cart = ("CartesianProduct" in p_tc) or (
+        "BroadcastNestedLoopJoin" in p_tc
+    )
+    p_rle = plan_of(QUERIES["encode_rle"](spark, SF))
+    rle_li = len(
+        [s for s in re.findall(r"Scan parquet[^\n]*", p_rle)
+         if "lineitem" in s]
+    )
+    rle_sp = len(re.findall(r"Exchange SinglePartition", p_rle))
+    p_kap = plan_of(QUERIES["ml_cohen_kappa"](spark, SF))
+    kap_scans = len(re.findall(r"\(\d+\) Scan parquet", p_kap))
+    p_simp = plan_of(QUERIES["text_simpson"](spark, SF))
+    simp_scans = len(re.findall(r"\(\d+\) Scan parquet", p_simp))
+    check(
+        "tcloseness windows over one cells scan; rle reads the "
+        "ranged checkpoint; kappa and simpson one scan",
+        tc_scans == 1
+        and not tc_cart
+        and rle_li == 0
+        and rle_sp <= 1
+        and kap_scans == 1
+        and simp_scans == 1,
+        f"privacy_tcloseness scans={tc_scans} (want 1) cross-join="
+        f"{tc_cart} (want False); encode_rle lineitem scans={rle_li} "
+        f"(want 0 — checkpointed) SinglePartition exchanges={rle_sp} "
+        f"(want <=1, the 1-row agg); ml_cohen_kappa scans={kap_scans} "
+        f"(want 1); text_simpson scans={simp_scans} (want 1)",
+        p_tc,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
