@@ -766,3 +766,89 @@ def encode_rle(spark, sf):
         )
         .alias("rle_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robust scaling parameters — median/IQR fit with integer Tukey fences
+# ---------------------------------------------------------------------------
+@q(
+    "feat_robust_scale",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(round(4 * quantile_cont(cents, 0.25)) AS BIGINT) AS q14,
+             CAST(round(4 * quantile_cont(cents, 0.5)) AS BIGINT) AS med4,
+             CAST(round(4 * quantile_cont(cents, 0.75)) AS BIGINT) AS q34
+      FROM v GROUP BY event_type),
+    j AS (
+      SELECT v.event_type, v.cents, s.n, s.q14, s.med4, s.q34,
+             s.q34 - s.q14 AS iqr4
+      FROM v JOIN s USING (event_type))
+    SELECT event_type, MAX(n) AS n,
+           round(MAX(med4) / 400.0, 6) + 0 AS median_val,
+           round(MAX(q14) / 400.0, 6) + 0 AS q1,
+           round(MAX(q34) / 400.0, 6) + 0 AS q3,
+           round(MAX(iqr4) / 400.0, 6) + 0 AS iqr,
+           CAST(COUNT(*) FILTER (WHERE 8 * cents < 2 * q14 - 3 * iqr4
+                                    OR 8 * cents > 2 * q34 + 3 * iqr4)
+                AS BIGINT) AS n_outliers
+    FROM j GROUP BY event_type
+    """,
+)
+def feat_robust_scale(spark, sf):
+    """The fitted ROBUST-SCALER parameter table per event type —
+    median and IQR (the sklearn RobustScaler contract: subtract the
+    median, divide by IQR, so one fat-fingered amount can't crush
+    the scale the way mean/std scaling does) plus the Tukey-fence
+    outlier census 1.5·IQR beyond the quartiles. Exactness: type-7
+    quantiles of integer cents interpolate on quarter fractions
+    only (h = (n−1)p + 1 with p ∈ {.25,.5,.75}), so 4·quantile is
+    an exact integer on both engines (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, the agg_percentiles precedent) and
+    the fence test clears all denominators: x < q1 − 1.5·IQR ⟺
+    8·cents < 2·q14 − 3·iqr4 — pure BIGINT membership, no float in
+    the row decision (the events_outliers rule). Scale shape:
+    per-type stats agg, then the tiny stats relation joins back by
+    broadcast for the census — the standard fit-then-apply layout
+    where the "apply" side never shuffles the corpus."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    v = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.lit(4) * F.expr("percentile(cents, 0.25)"))
+        .cast("long")
+        .alias("q14"),
+        F.round(F.lit(4) * F.expr("percentile(cents, 0.5)"))
+        .cast("long")
+        .alias("med4"),
+        F.round(F.lit(4) * F.expr("percentile(cents, 0.75)"))
+        .cast("long")
+        .alias("q34"),
+    )
+    j = v.join(s, "event_type").select(
+        "event_type",
+        "cents",
+        "n",
+        "q14",
+        "med4",
+        "q34",
+        (F.col("q34") - F.col("q14")).alias("iqr4"),
+    )
+    out = (
+        (F.lit(8) * F.col("cents") < 2 * F.col("q14") - 3 * F.col("iqr4"))
+        | (F.lit(8) * F.col("cents") > 2 * F.col("q34") + 3 * F.col("iqr4"))
+    ).cast("long")
+    return j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (F.round(F.max("med4") / 400.0, 6) + F.lit(0.0)).alias("median_val"),
+        (F.round(F.max("q14") / 400.0, 6) + F.lit(0.0)).alias("q1"),
+        (F.round(F.max("q34") / 400.0, 6) + F.lit(0.0)).alias("q3"),
+        (F.round(F.max("iqr4") / 400.0, 6) + F.lit(0.0)).alias("iqr"),
+        F.sum(out).cast("long").alias("n_outliers"),
+    )

@@ -19,7 +19,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from .common import t
 
@@ -382,4 +382,101 @@ def scan_row_index(spark, sf):
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_rows"),
         F.min(ok).cast("int").alias("contiguous"),
         F.sum("sc").cast("long").alias("sum_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source — opaque-bytes ingestion with in-engine decode
+# ---------------------------------------------------------------------------
+@q(
+    "scan_binaryfile",
+    """
+    WITH agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang)
+    SELECT lang, n_docs, sum_chars,
+           md5(lang || '|' || CAST(n_docs AS VARCHAR) || '|'
+               || CAST(sum_chars AS VARCHAR)) AS payload_md5,
+           TRUE AS bytes_ok
+    FROM agg
+    """,
+)
+def scan_binaryfile(spark, sf):
+    """The `binaryFile` source — Spark's opaque-bytes ingestion path
+    (each file one row: path, modificationTime, length, content) and
+    the front door of every multimodal pipeline (images, audio,
+    model shards arrive as whole files, not records). The face
+    writes a per-language digest line (`lang|n_docs|sum_chars`)
+    through the text sink, reads the part files back as RAW BINARY,
+    and does everything downstream in-engine: decode(content,
+    'UTF-8') + split + explode recovers the records regardless of
+    how the writer packed rows into files, and the source's
+    `length` metadata column is reconciled byte-for-byte against
+    the decoded payload (Σ octet_length(line)+1 per file == length
+    — proving content arrived untruncated), AND-reduced into the
+    gated bytes_ok column. The oracle rebuilds the digest from the
+    views and md5s the same payload string — hash equality proves
+    the bytes that rode the binary path are exactly the bytes the
+    relational path predicts. Scale shape: binaryFile is one row
+    per file (never splits a file), so partition parallelism =
+    file count and per-row memory = file size — right for media
+    blobs, documented wrong for huge single files."""
+    d = _sink_dir(spark, "binf")
+    (
+        t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.concat_ws(
+                "|", F.col("lang"), F.col("n_docs"), F.col("sum_chars")
+            ).alias("value")
+        )
+        .repartition(2)
+        .write.mode("overwrite")
+        .text(d)
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(d)
+    )
+    lines = bf.select(
+        "path",
+        "length",
+        F.explode(
+            F.split(F.decode(F.col("content"), "UTF-8"), "\n")
+        ).alias("line"),
+    ).filter(F.col("line") != "")
+    wfile = Window.partitionBy("path")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per = lines.select(
+        "line",
+        (
+            F.sum(F.octet_length("line") + 1).over(wfile)
+            == F.max("length").over(wfile)
+        ).alias("file_ok"),
+    )
+    parsed = per.select(
+        F.split_part(F.col("line"), F.lit("|"), F.lit(1)).alias("lang"),
+        F.split_part(F.col("line"), F.lit("|"), F.lit(2))
+        .cast("long")
+        .alias("n_docs"),
+        F.split_part(F.col("line"), F.lit("|"), F.lit(3))
+        .cast("long")
+        .alias("sum_chars"),
+        F.md5(F.col("line")).alias("payload_md5"),
+        F.min(F.col("file_ok").cast("int")).over(wall).alias("min_ok"),
+    )
+    return parsed.select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "payload_md5",
+        (F.col("min_ok") == 1).alias("bytes_ok"),
     )

@@ -1624,3 +1624,122 @@ def events_survival(spark, sf):
         )
         .alias("surv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary screen — 2 power rounds over the transition cells
+# ---------------------------------------------------------------------------
+@q(
+    "events_markov",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    cells AS (
+      SELECT prev AS i, event_type AS j, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+    st AS (
+      SELECT DISTINCT s FROM (
+        SELECT i AS s FROM cells UNION ALL SELECT j AS s FROM cells)),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM st),
+    od AS (
+      SELECT i, j, c, SUM(c) OVER (PARTITION BY i) AS ci FROM cells),
+    v1 AS (
+      SELECT j,
+             CAST(SUM(CAST(round(1000000.0 * c / (ci * mm.m)) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM od CROSS JOIN mm GROUP BY j),
+    v2 AS (
+      SELECT od.j,
+             CAST(SUM(CAST(round(1.0 * v1.v * od.c / od.ci) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM od JOIN v1 ON v1.j = od.i GROUP BY od.j)
+    SELECT st.s AS state,
+           CAST(COALESCE(v2.v, 0) AS BIGINT) AS p2_micros,
+           round(COALESCE(v2.v, 0) / 1000000.0, 6) + 0 AS p2
+    FROM st LEFT JOIN v2 ON v2.j = st.s
+    """,
+)
+def events_markov(spark, sf):
+    """Two power-iteration rounds toward the stationary distribution
+    of the per-user event-type Markov chain — "where does a user's
+    session settle?" — the global summary on top of
+    events_transitions' raw transition matrix (same LAG-per-user
+    derivation, so the chain is deterministic: ts then event_id
+    orders each user's history totally). The corpus collapses ONCE
+    to the |types|² transition cells (parquet-checkpointed — three
+    downstream consumers would each re-run the corpus scan
+    otherwise); both rounds are joins/aggregates over that bounded
+    relation. Float discipline is kg_adamic_adar's: every
+    v·c/c_i term is quantized to integer MICROS individually (one
+    deterministic division per term), so each round's mass vector
+    is an exact order-independent BIGINT sum — bit-equal across
+    engines and partitionings, where naive float accumulation
+    would drift with join order. v0 is uniform over observed
+    states; states with no outgoing edges leak their mass
+    (documented — the dangling-node convention of kg_pagerank's
+    bounded-round screens). The one nested-loop join is the 1-row
+    state-count broadcast (the kg_negative_sample allowance)."""
+    from ..operators.dedup import parquet_checkpoint
+
+    e = t(spark, sf, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(wseq).alias("prev")
+    )
+    cells = parquet_checkpoint(
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("i"), F.col("event_type").alias("j"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c")),
+        "markov_cells",
+    )
+    st = (
+        cells.select(F.col("i").alias("s"))
+        .unionAll(cells.select(F.col("j").alias("s")))
+        .distinct()
+    )
+    mm = st.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    od = cells.select(
+        "i",
+        "j",
+        "c",
+        F.sum("c").over(Window.partitionBy("i")).alias("ci"),
+    )
+    v1 = (
+        od.crossJoin(mm)
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1000000.0)
+                    * F.col("c")
+                    / (F.col("ci") * F.col("m"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    v2 = (
+        od.join(v1.withColumnRenamed("j", "i"), "i")
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1.0) * F.col("v") * F.col("c") / F.col("ci")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    return st.join(v2, st["s"] == v2["j"], "left").select(
+        F.col("s").alias("state"),
+        F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("p2_micros"),
+        (
+            F.round(F.coalesce(F.col("v"), F.lit(0)) / F.lit(1000000.0), 6)
+            + F.lit(0.0)
+        ).alias("p2"),
+    )

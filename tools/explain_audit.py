@@ -1344,6 +1344,41 @@ def main() -> None:
         p_tc,
     )
 
+    # 54. wave-43 shapes: events_markov's power rounds consume the
+    # checkpointed transition cells (no raw events scan; the only
+    # nested-loop join is the 1-row state-count broadcast);
+    # feat_robust_scale's fit-then-apply joins the tiny stats
+    # relation by broadcast (no SortMergeJoin); scan_binaryfile's
+    # returned plan reads the binaryFile source, not parquet.
+    p_mk = plan_of(QUERIES["events_markov"](spark, SF))
+    mk_ev = len(
+        [s for s in re.findall(r"Scan parquet[^\n]*", p_mk)
+         if "events" in s]
+    )
+    mk_nl = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p_mk))
+    p_rs = plan_of(QUERIES["feat_robust_scale"](spark, SF))
+    rs_bhj = len(re.findall(r"BroadcastHashJoin", p_rs))
+    rs_smj = len(re.findall(r"SortMergeJoin", p_rs))
+    p_bf = plan_of(QUERIES["scan_binaryfile"](spark, SF))
+    bf_bin = "binaryFile" in p_bf
+    bf_parquet = len(re.findall(r"Scan parquet", p_bf))
+    check(
+        "markov reads the cell checkpoint; robust-scale broadcasts "
+        "the fit; binaryfile plan reads binary not parquet",
+        mk_ev == 0
+        and mk_nl <= 1
+        and rs_bhj >= 1
+        and rs_smj == 0
+        and bf_bin
+        and bf_parquet == 0,
+        f"events_markov events scans={mk_ev} (want 0) nested-loop="
+        f"{mk_nl} (want <=1, the 1-row m); feat_robust_scale "
+        f"BroadcastHashJoin={rs_bhj} (want >=1) SortMergeJoin="
+        f"{rs_smj} (want 0); scan_binaryfile binary-source={bf_bin} "
+        f"parquet scans={bf_parquet} (want 0)",
+        p_mk,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
