@@ -1432,3 +1432,128 @@ def text_simpson(spark, sf):
         )
         .alias("eff_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords — 2 damped PageRank rounds on the adjacency graph
+# ---------------------------------------------------------------------------
+@q(
+    "text_textrank",
+    """
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    idx AS (
+      SELECT doc_id, arr, generate_subscripts(arr, 1) AS pos FROM arrs),
+    tok AS (
+      SELECT doc_id, arr[pos] AS tk, pos FROM idx WHERE arr[pos] <> ''),
+    adj AS (
+      SELECT lag(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS a,
+             tk AS b
+      FROM tok),
+    pairs AS (
+      SELECT a, b FROM adj WHERE a IS NOT NULL AND a <> b),
+    ed AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs)
+      GROUP BY u, v),
+    od AS (
+      SELECT u, v, w, SUM(w) OVER (PARTITION BY u) AS wd FROM ed),
+    p1 AS (
+      SELECT v,
+             150000 + CAST(SUM(CAST(round(850000.0 * w / wd) AS BIGINT))
+                           AS BIGINT) AS pr
+      FROM od GROUP BY v),
+    p2 AS (
+      SELECT od.v,
+             150000 + CAST(SUM(CAST(round(0.85 * p1.pr * od.w / od.wd)
+                                    AS BIGINT)) AS BIGINT) AS pr
+      FROM od JOIN p1 ON p1.v = od.u GROUP BY od.v)
+    SELECT v AS word, CAST(pr AS BIGINT) AS pr_micros,
+           round(pr / 1000000.0, 6) + 0 AS textrank
+    FROM p2 ORDER BY pr DESC, v LIMIT 20
+    """,
+)
+def text_textrank(spark, sf):
+    """TextRank keyword extraction (Mihalcea & Tarau): two damped
+    PageRank rounds (d = 0.85, pr₀ = 1) over the token-adjacency
+    graph — the graph-centrality complement to doc_tfidf_topterms'
+    frequency keywords (TextRank promotes tokens that GLUE contexts
+    together, not merely frequent ones). The graph is built ONCE
+    from a per-doc LAG over token positions (adjacent non-empty
+    tokens, self-loops dropped), symmetrized by a two-way unpivot,
+    and parquet-checkpointed WITH its weighted-degree window —
+    round 1, round 2, and the final ranking all consume that
+    bounded edge relation, never re-tokenizing the corpus. Float
+    discipline is events_markov's: every damped contribution
+    0.85·pr(u)·w/wd_u is quantized to integer MICROS per term, so
+    both rounds are exact order-independent BIGINT sums and the
+    top-20 cut (pr DESC, word tie-break) is engine-stable.
+    TakeOrderedAndProject keeps the ranking a per-partition heap
+    merge — the vocabulary-sized rank relation is never globally
+    sorted."""
+    from ..operators.dedup import parquet_checkpoint
+
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tk"),
+    ).filter(F.col("tk") != "")
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    adj = tok.select(F.lag("tk").over(wseq).alias("a"), F.col("tk").alias("b"))
+    pairs = adj.filter(
+        F.col("a").isNotNull() & (F.col("a") != F.col("b"))
+    )
+    ed = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    od = parquet_checkpoint(
+        ed.select(
+            "u", "v", "w",
+            F.sum("w").over(Window.partitionBy("u")).alias("wd"),
+        ),
+        "textrank_od",
+    )
+    p1 = od.groupBy("v").agg(
+        (
+            F.lit(150000)
+            + F.sum(
+                F.round(F.lit(850000.0) * F.col("w") / F.col("wd")).cast(
+                    "long"
+                )
+            )
+        )
+        .cast("long")
+        .alias("pr")
+    )
+    p2 = (
+        od.join(p1.withColumnRenamed("v", "u"), "u")
+        .groupBy("v")
+        .agg(
+            (
+                F.lit(150000)
+                + F.sum(
+                    F.round(
+                        F.lit(0.85) * F.col("pr") * F.col("w") / F.col("wd")
+                    ).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("pr")
+        )
+    )
+    return (
+        p2.orderBy(F.desc("pr"), "v")
+        .limit(20)
+        .select(
+            F.col("v").alias("word"),
+            F.col("pr").cast("long").alias("pr_micros"),
+            (F.round(F.col("pr") / F.lit(1000000.0), 6) + F.lit(0.0)).alias(
+                "textrank"
+            ),
+        )
+    )

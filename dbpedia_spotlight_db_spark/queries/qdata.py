@@ -1857,3 +1857,121 @@ def scan_observe(spark, sf):
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow — the zero-copy RecordBatch-iterator UDF face
+# ---------------------------------------------------------------------------
+@q(
+    "udf_map_arrow",
+    """
+    SELECT event_type,
+           CAST(round(value * 100) AS BIGINT) // 1000 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL AND value >= 0
+    GROUP BY 1, 2
+    """,
+)
+def udf_map_arrow(spark, sf):
+    """``mapInArrow`` API face — the last rung of the Python
+    execution ladder (scalar pandas_udf → mapInPandas → mapInArrow):
+    the function receives raw ``pyarrow.RecordBatch``es with NO
+    pandas conversion, the shape for code that wants Arrow's
+    zero-copy buffers directly (tokenizers and decoders with Arrow
+    bindings, FlatBuffer parsers). Here each batch maps exact
+    integer cents to 10-unit price buckets with ``pyarrow.compute``
+    INTEGER kernels only (pc.divide on int64 truncates; inputs are
+    filtered non-negative so trunc == floor == the twin's ``//``) —
+    no float ever enters the Python side, so the gate is exact. The
+    quantization itself (round-half-away cents) runs JVM-side
+    BEFORE the Arrow hop, keeping the engine-parity-sensitive op
+    out of Python. Aggregation after the hop is plain JVM
+    hash-agg."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    src = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+
+    def bucketize(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("event_type")),
+                    pc.divide(
+                        b.column(b.schema.get_field_index("cents")),
+                        pa.scalar(1000, pa.int64()),
+                    ),
+                ],
+                ["event_type", "bucket"],
+            )
+
+    mapped = src.mapInArrow(bucketize, "event_type string, bucket long")
+    return mapped.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# applyInArrow — grouped-map over raw Arrow tables
+# ---------------------------------------------------------------------------
+@q(
+    "udf_apply_arrow",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM v GROUP BY event_type
+    """,
+)
+def udf_apply_arrow(spark, sf):
+    """``applyInArrow`` API face — grouped-map where each group
+    arrives as ONE ``pyarrow.Table`` (vs applyInPandas' DataFrame):
+    the API for per-group Python logic that stays in Arrow memory.
+    Per event type the function emits (n, sum, min, max) of exact
+    integer cents using pyarrow.compute aggregation kernels —
+    integer in, integer out, so the relational twin gates it
+    exactly. Scale shape: one Exchange on the group key, then
+    embarrassingly parallel per-group Python; the per-group Table
+    must fit one task's memory — the documented applyInPandas
+    constraint, unchanged by the Arrow variant (a skewed group
+    needs the salting faces, not this one)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    src = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        c = table.column("cents")
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": pa.array([table.num_rows], pa.int64()),
+                "sum_cents": pa.array([pc.sum(c).as_py()], pa.int64()),
+                "min_cents": pa.array([pc.min(c).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(c).as_py()], pa.int64()),
+            }
+        )
+
+    return src.groupBy("event_type").applyInArrow(
+        stats,
+        "event_type string, n long, sum_cents long, "
+        "min_cents long, max_cents long",
+    )

@@ -1379,6 +1379,49 @@ def main() -> None:
         p_mk,
     )
 
+    # 55. wave-44 shapes: the Arrow UDF faces plan as Arrow eval
+    # nodes (mapInArrow one scan + one exchange for the final agg;
+    # applyInArrow exactly one exchange on the group key);
+    # text_textrank's rounds and ranking consume the checkpointed
+    # edge relation (no documents re-scan) and the top-20 is
+    # TakeOrderedAndProject; ml_perplexity's vocabulary join is
+    # UNHINTED (no forced broadcast of a corpus-cardinality
+    # relation — the r3 text_unigram_lm lesson).
+    p_ma = plan_of(QUERIES["udf_map_arrow"](spark, SF))
+    ma_arrow = ("ArrowEvalPython" in p_ma) or ("MapInArrow" in p_ma)
+    ma_scans = len(re.findall(r"\(\d+\) Scan parquet", p_ma))
+    p_aa = plan_of(QUERIES["udf_apply_arrow"](spark, SF))
+    aa_arrow = "Arrow" in p_aa
+    aa_exch = len(re.findall(r"\(\d+\) Exchange", p_aa))
+    p_tr = plan_of(QUERIES["text_textrank"](spark, SF))
+    tr_docs = len(
+        [s for s in re.findall(r"Scan parquet[^\n]*", p_tr)
+         if "documents" in s]
+    )
+    tr_top = "TakeOrderedAndProject" in p_tr
+    import inspect as _inspect
+
+    from dbpedia_spotlight_db_spark.queries import qml as _qml
+    ppl_src = _inspect.getsource(_qml.ml_perplexity)
+    ppl_unhinted = "broadcast(" not in ppl_src
+    check(
+        "arrow UDFs plan as Arrow nodes; textrank reads the edge "
+        "checkpoint with heap top-k; perplexity vocab join unhinted",
+        ma_arrow
+        and ma_scans == 1
+        and aa_arrow
+        and aa_exch == 1
+        and tr_docs == 0
+        and tr_top
+        and ppl_unhinted,
+        f"udf_map_arrow arrow-node={ma_arrow} scans={ma_scans} (want "
+        f"1); udf_apply_arrow arrow-node={aa_arrow} exchanges="
+        f"{aa_exch} (want 1); text_textrank documents scans={tr_docs} "
+        f"(want 0) TakeOrderedAndProject={tr_top}; ml_perplexity "
+        f"source has no F.broadcast hint={ppl_unhinted}",
+        p_tr,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
