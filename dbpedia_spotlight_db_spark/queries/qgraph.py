@@ -577,3 +577,95 @@ def kg_delta(spark, sf_dir):
         .select(F.lit("node").alias("kind"), "status", "n")
     )
     return es.unionByName(ns)
+
+
+# ---------------------------------------------------------------------------
+# local bridges — edges in no triangle (the weak-tie census)
+# ---------------------------------------------------------------------------
+@q(
+    "kg_local_bridges",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    tri AS (
+      SELECT e1.uri_a AS a1, e1.uri_b AS b1, e2.uri_b AS c1
+      FROM p e1
+      JOIN p e2 ON e2.uri_a = e1.uri_b
+      JOIN p e3 ON e3.uri_a = e1.uri_a AND e3.uri_b = e2.uri_b),
+    te AS (
+      SELECT a1 AS u, b1 AS v FROM tri
+      UNION SELECT b1, c1 FROM tri
+      UNION SELECT a1, c1 FROM tri),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM p),
+    nb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_bridges
+      FROM p LEFT JOIN te ON te.u = p.uri_a AND te.v = p.uri_b
+      WHERE te.u IS NULL)
+    SELECT n_edges, n_bridges,
+           CASE WHEN n_edges = 0 THEN NULL
+                ELSE round(n_bridges / CAST(n_edges AS DOUBLE), 6) + 0
+           END AS bridge_ratio
+    FROM ne CROSS JOIN nb
+    """,
+)
+def kg_local_bridges(spark, sf_dir):
+    """Local-bridge census: the fraction of co-occurrence edges that
+    sit in NO triangle — Granovetter's weak ties, the links whose
+    removal lengthens paths (an edge inside a triangle has a 2-hop
+    detour; a local bridge does not). High bridge ratio = a sparse,
+    chain-like KG; low = redundantly clustered. Triangle-member
+    edges come from the SAME oriented a<b<c enumeration as
+    kg_triangles (each triangle found once, wedge fan-out bounded by
+    the lexicographic orientation's out-degree — the degree-skew
+    guard), unpivoted to the three member edges and set-deduped;
+    bridges are the anti-join remainder, left UNHINTED (the
+    dedup_survivors lesson: the triangle-edge relation is
+    graph-sized, AQE decides). The pairs relation is
+    parquet-checkpointed — the enumeration touches it three times
+    and the counts twice, and each alias would otherwise re-run the
+    corpus containment join (the stat_mutual_info branch lesson)."""
+    from ..operators.dedup import parquet_checkpoint
+
+    p = parquet_checkpoint(_entity_pairs(spark, sf_dir), "bridges_p")
+    e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.uri_a") == F.col("e1.uri_b"))
+        .join(
+            e3,
+            (F.col("e3.uri_a") == F.col("e1.uri_a"))
+            & (F.col("e3.uri_b") == F.col("e2.uri_b")),
+        )
+        .select(
+            F.col("e1.uri_a").alias("a1"),
+            F.col("e1.uri_b").alias("b1"),
+            F.col("e2.uri_b").alias("c1"),
+        )
+    )
+    te = (
+        tri.select(F.col("a1").alias("u"), F.col("b1").alias("v"))
+        .union(tri.select(F.col("b1").alias("u"), F.col("c1").alias("v")))
+        .union(tri.select(F.col("a1").alias("u"), F.col("c1").alias("v")))
+        .distinct()
+    )
+    nb = (
+        p.join(
+            te,
+            (F.col("u") == F.col("uri_a")) & (F.col("v") == F.col("uri_b")),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bridges"))
+    )
+    ne = p.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return ne.crossJoin(nb).select(
+        "n_edges",
+        "n_bridges",
+        F.when(F.col("n_edges") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("n_bridges") / F.col("n_edges").cast("double"), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("bridge_ratio"),
+    )

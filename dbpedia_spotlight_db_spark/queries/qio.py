@@ -480,3 +480,82 @@ def scan_binaryfile(spark, sf):
         "payload_md5",
         (F.col("min_ok") == 1).alias("bytes_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PERMISSIVE CSV with corrupt-record routing — the dirty-feed face
+# ---------------------------------------------------------------------------
+@q(
+    "csv_permissive",
+    """
+    WITH lab AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority,
+             substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '2' AS bad
+      FROM orders)
+    SELECT CAST(COUNT(*) FILTER (WHERE NOT bad) AS BIGINT) AS n_clean,
+           CAST(COUNT(*) FILTER (WHERE bad) AS BIGINT) AS n_corrupt,
+           CAST(SUM(cents) FILTER (WHERE NOT bad) AS BIGINT)
+             AS clean_cents
+    FROM lab
+    """,
+)
+def csv_permissive(spark, sf):
+    """PERMISSIVE-mode CSV ingestion with corrupt-record routing —
+    the posture every real feed needs (a 100-TB crawl drop ALWAYS
+    contains broken lines; FAILFAST kills the job on the first one,
+    DROPMALFORMED silently eats data — PERMISSIVE quarantines them
+    into `_corrupt_record` so the pipeline can both proceed AND
+    account). The face writes one CSV line per order, deliberately
+    corrupting a deterministic 1/16 slice (md5(o_orderkey) first
+    hex < '2' — the sample_hash coin) by smashing a non-numeric
+    into the BIGINT column; the read declares the schema PLUS the
+    corrupt column, and the gated row reconciles clean count,
+    corrupt count, and the clean-side money total against the
+    relational replay of the same coin. Spark restriction honored:
+    a query may not reference ONLY the corrupt column off a CSV
+    scan — the aggregate touches the data columns too. Exact: money
+    rides integer cents through the CSV as text."""
+    d = _sink_dir(spark, "csvperm")
+    bad = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < "2"
+    (
+        t(spark, sf, "orders")
+        .select(
+            F.when(bad, F.lit("junk"))
+            .otherwise(F.col("o_orderkey").cast("string"))
+            .alias("k"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .cast("string")
+            .alias("c"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .select(F.concat_ws(",", "k", "c", "p").alias("value"))
+        .write.mode("overwrite")
+        .text(d)
+    )
+    back = (
+        spark.read.schema(
+            "o_orderkey LONG, cents LONG, prio STRING, _bad_rec STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad_rec")
+        .csv(d)
+    )
+    # the CSV parser only parses REFERENCED columns (column pruning
+    # reaches into the parser) — a corrupt value in an unreferenced
+    # column is then never detected. The aggregate must touch every
+    # data column or the quarantine silently under-counts (measured:
+    # 0 corrupt rows out of 1948 until o_orderkey was referenced).
+    clean = (
+        F.col("_bad_rec").isNull()
+        & F.col("o_orderkey").isNotNull()
+        & F.col("prio").isNotNull()
+    )
+    return back.agg(
+        F.count(F.when(clean, 1)).cast("long").alias("n_clean"),
+        F.count(F.when(~clean, 1)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(clean, F.col("cents"))).cast("long").alias(
+            "clean_cents"
+        ),
+    )

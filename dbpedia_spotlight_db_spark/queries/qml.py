@@ -1560,3 +1560,110 @@ def ml_perplexity(spark, sf):
         )
         .alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (Levene) variance-homogeneity test — quarter-cent units
+# ---------------------------------------------------------------------------
+@q(
+    "stat_levene",
+    """
+    WITH v AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    med AS (
+      SELECT g, CAST(round(4 * quantile_cont(cents, 0.5)) AS BIGINT)
+               AS med4
+      FROM v GROUP BY g),
+    z AS (
+      SELECT v.g, abs(4 * v.cents - med.med4) AS z
+      FROM v JOIN med ON med.g = v.g),
+    grp AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(z) AS BIGINT) AS s_g,
+             CAST(SUM(z * z) AS BIGINT) AS q_g
+      FROM z GROUP BY g),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(SUM(q_g) AS BIGINT) AS q,
+             CAST(SUM(CAST(round(1.0 * s_g * s_g / n_g) AS BIGINT))
+                  AS BIGINT) AS bsum
+      FROM grp)
+    SELECT k, n,
+           CASE WHEN k < 2 OR n <= k
+                     OR q - bsum <= 0 THEN NULL
+                ELSE round(((n - k) * (bsum - round(1.0 * s * s / n)))
+                           / ((k - 1.0) * (q - bsum)), 6) + 0
+           END AS w_stat
+    FROM agg
+    """,
+)
+def stat_levene(spark, sf):
+    """Brown–Forsythe W (Levene's test with the median center) for
+    variance homogeneity across event types — the gate in front of
+    stat_anova (ANOVA assumes equal variances; when W is large,
+    stat_ttest's Welch form is the honest comparison). The statistic
+    is a one-way ANOVA on the absolute deviations z = |x − med_g|,
+    carried here in exact QUARTER-CENT integers: the group medians
+    are type-7 quantiles of integer cents (4·median is an exact
+    BIGINT — the feat_robust_scale construction), so every z, Σz,
+    and Σz² is exact; the per-group between-term s_g²/n_g is
+    quantized round-to-integer (stat_anova's discipline — the
+    square runs in DOUBLE with identical op order both engines) and
+    the k-term sums are again exact BIGINTs. One guarded division
+    at the end; NULL when k < 2, n ≤ k, or the within-variance is
+    zero (ANSI DIVIDE_BY_ZERO). Scale shape: fit-then-apply — the
+    per-group median relation broadcasts back onto the corpus scan
+    (the events_mad layout); both aggregations are map-side
+    combinable."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    v = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = v.groupBy("g").agg(
+        F.round(F.lit(4) * F.expr("percentile(cents, 0.5)"))
+        .cast("long")
+        .alias("med4")
+    )
+    z = v.join(med, "g").select(
+        "g", F.abs(F.lit(4) * F.col("cents") - F.col("med4")).alias("z")
+    )
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("z").cast("long").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("q_g"),
+    )
+    agg = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").cast("long").alias("q"),
+        F.sum(
+            F.round(
+                F.lit(1.0) * F.col("s_g") * F.col("s_g") / F.col("n_g")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("bsum"),
+    )
+    k, n, s, qq, bsum = (
+        F.col("k"),
+        F.col("n"),
+        F.col("s"),
+        F.col("q"),
+        F.col("bsum"),
+    )
+    bad = (k < 2) | (n <= k) | (qq - bsum <= 0)
+    w = ((n - k) * (bsum - F.round(F.lit(1.0) * s * s / n))) / (
+        (k - F.lit(1.0)) * (qq - bsum)
+    )
+    return agg.select(
+        "k",
+        "n",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(w, 6) + F.lit(0.0))
+        .alias("w_stat"),
+    )

@@ -1743,3 +1743,64 @@ def events_markov(spark, sf):
             + F.lit(0.0)
         ).alias("p2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact grouped mode — windowed argmax with a total tie order
+# ---------------------------------------------------------------------------
+@q(
+    "agg_mode",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) // 1000 AS bucket
+      FROM events WHERE value IS NOT NULL),
+    c AS (
+      SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY event_type, bucket),
+    r AS (
+      SELECT event_type, bucket, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, bucket) AS rn
+      FROM c)
+    SELECT event_type, bucket AS mode_bucket, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark, sf):
+    """Exact statistical MODE of the 10-unit price bucket per event
+    type — the categorical central tendency the mean/median faces
+    can't express, with the tie broken DETERMINISTICALLY (highest
+    count, then smallest bucket: a total order, so the winning row
+    is engine- and partitioning-stable — an un-tie-broken argmax is
+    exactly the kind of "correct on one engine, flaky on two" trap
+    the entity_card face documents for collect_list). Shape: one
+    corpus scan to the (type, bucket) support (map-side
+    combinable), then a row_number window over the bounded support
+    partitioned by type — never a global sort, never a second
+    corpus branch. Spark 4's native `mode()` aggregate is
+    deliberately NOT used: its tie choice is
+    implementation-defined, which can never pass a value-hash
+    gate."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    v = e.select(
+        "event_type",
+        F.floor(F.round(F.col("value") * 100).cast("long") / 1000)
+        .cast("long")
+        .alias("bucket"),
+    )
+    c = v.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("bucket")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("bucket").alias("mode_bucket"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

@@ -1422,6 +1422,47 @@ def main() -> None:
         p_tr,
     )
 
+    # 56. wave-45 shapes: kg_local_bridges enumerates triangles off
+    # the checkpointed pairs relation (no documents re-scan) and its
+    # bridge anti-join is a real LeftAnti; stat_levene's median fit
+    # broadcasts back (no SortMergeJoin); agg_mode is one scan with
+    # a partitioned window (never single-partition); csv_permissive's
+    # returned plan reads the csv scan (not parquet).
+    p_lb = plan_of(QUERIES["kg_local_bridges"](spark, SF))
+    lb_docs = len(
+        [s for s in re.findall(r"Scan parquet[^\n]*", p_lb)
+         if "documents" in s]
+    )
+    lb_anti = "LeftAnti" in p_lb
+    p_lv = plan_of(QUERIES["stat_levene"](spark, SF))
+    lv_smj = len(re.findall(r"\(\d+\) SortMergeJoin", p_lv))
+    lv_bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", p_lv))
+    p_md = plan_of(QUERIES["agg_mode"](spark, SF))
+    md_scans = len(re.findall(r"\(\d+\) Scan parquet", p_md))
+    md_single = "Exchange SinglePartition" in p_md
+    p_cp = plan_of(QUERIES["csv_permissive"](spark, SF))
+    cp_csv = "Scan csv" in p_cp
+    cp_parquet = len(re.findall(r"Scan parquet", p_cp))
+    check(
+        "bridges read the pairs checkpoint with a real anti-join; "
+        "levene broadcasts the fit; mode is one scan partitioned; "
+        "permissive reads csv",
+        lb_docs == 0
+        and lb_anti
+        and lv_smj == 0
+        and lv_bhj >= 1
+        and md_scans == 1
+        and not md_single
+        and cp_csv
+        and cp_parquet == 0,
+        f"kg_local_bridges documents scans={lb_docs} (want 0) "
+        f"LeftAnti={lb_anti}; stat_levene SMJ={lv_smj} (want 0) "
+        f"BHJ={lv_bhj} (want >=1); agg_mode scans={md_scans} (want 1) "
+        f"single-partition={md_single} (want False); csv_permissive "
+        f"csv-scan={cp_csv} parquet scans={cp_parquet} (want 0)",
+        p_lb,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
