@@ -1667,3 +1667,212 @@ def stat_levene(spark, sf):
         .otherwise(F.round(w, 6) + F.lit(0.0))
         .alias("w_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank — paired first-vs-last, doubled tie ranks
+# ---------------------------------------------------------------------------
+@q(
+    "stat_wilcoxon",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             (epoch_us(ts) // 1000000) * 1000000000 + event_id AS k
+      FROM events WHERE value IS NOT NULL),
+    fl AS (
+      SELECT user_id,
+             CAST(max_by(cents, k) - min_by(cents, k) AS BIGINT) AS d
+      FROM e GROUP BY user_id),
+    dnz AS (
+      SELECT abs(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+      FROM fl WHERE d <> 0),
+    sup AS (
+      SELECT ad, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS cp
+      FROM dnz GROUP BY ad),
+    rk AS (
+      SELECT cnt, cp,
+             2 * COALESCE(SUM(cnt) OVER (ORDER BY ad
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) + cnt + 1 AS rx2
+      FROM sup),
+    s AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cp * rx2) AS BIGINT) AS w2p
+      FROM rk)
+    SELECT COALESCE(n, 0) AS n,
+           CASE WHEN n IS NULL THEN NULL ELSE w2p END AS w2_plus,
+           CASE WHEN n IS NULL OR n = 0 THEN NULL
+                ELSE round(w2p / (1.0 * n * (n + 1)), 6) + 0
+           END AS r_plus
+    FROM s
+    """,
+)
+def stat_wilcoxon(spark, sf):
+    """Wilcoxon signed-rank on the PAIRED question "did a user's
+    value grow between their first and last event?" — the paired
+    complement to stat_mannwhitney (independent halves) and
+    stat_ttest (mean shift): rank the nonzero |last − first|
+    differences, W⁺ = rank mass of the positive ones; r⁺ =
+    W⁺ / (n(n+1)/2) is the effect size in [0,1] (0.5 = symmetric).
+    Pairing uses agg_first_last's composite integer key
+    (whole-second epoch · 10⁹ + event_id — min_by/max_by, ONE
+    map-side-combinable agg, never a per-user sort window);
+    zero differences drop per the standard Wilcoxon convention.
+    Ranks are the stat_mannwhitney DOUBLED tie-averaged integers
+    over the per-|d| support (2·cumprev + cnt + 1), so W2⁺ = 2W⁺
+    is an exact order-independent BIGINT and the only float is the
+    final round-6 normalization (n = 0 — every user flat —
+    NULL-guards it). One corpus scan → per-user agg → bounded
+    support → one window."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    key = "unix_timestamp(ts) * 1000000000 + event_id"
+    fl = e.selectExpr(
+        "user_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        f"{key} AS k",
+    ).groupBy("user_id").agg(
+        (F.expr("max_by(cents, k)") - F.expr("min_by(cents, k)"))
+        .cast("long")
+        .alias("d")
+    )
+    dnz = fl.filter(F.col("d") != 0).select(
+        F.abs("d").alias("ad"),
+        F.when(F.col("d") > 0, 1).otherwise(0).alias("pos"),
+    )
+    sup = dnz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("cp"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    rk = sup.select(
+        "cnt",
+        "cp",
+        (
+            F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("rx2"),
+    )
+    s = rk.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cp") * F.col("rx2")).cast("long").alias("w2p"),
+    )
+    n = F.col("n")
+    return s.select(
+        F.coalesce(n, F.lit(0)).alias("n"),
+        F.when(n.isNull(), F.lit(None).cast("long"))
+        .otherwise(F.col("w2p"))
+        .alias("w2_plus"),
+        F.when(n.isNull() | (n == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("w2p") / (F.lit(1.0) * n * (n + 1)), 6)
+            + F.lit(0.0)
+        )
+        .alias("r_plus"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# log loss (cross-entropy) — clipped milli-probs, micros-quantized logs
+# ---------------------------------------------------------------------------
+@q(
+    "ml_log_loss",
+    f"""
+    WITH {_SCORE_SQL},
+    w AS (
+      SELECT cents, cnt, p,
+             MIN(cents) OVER () AS mn, MAX(cents) OVER () AS mx
+      FROM pv),
+    ph AS (
+      SELECT cnt, p,
+             LEAST(GREATEST(CASE WHEN mx = mn THEN 500
+                   ELSE CAST(round(1000.0 * (cents - mn) / (mx - mn))
+                        AS BIGINT) END, 1), 999) AS ph
+      FROM w),
+    lt AS (
+      SELECT cnt, p,
+             p * CAST(round(1000000.0 * ln(ph / 1000.0)) AS BIGINT)
+             + (cnt - p)
+               * CAST(round(1000000.0 * ln((1000 - ph) / 1000.0))
+                      AS BIGINT) AS term
+      FROM ph),
+    s AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(term) AS BIGINT) AS ll
+      FROM lt)
+    SELECT COALESCE(n, 0) AS n,
+           CASE WHEN n IS NULL OR n = 0 THEN NULL
+                ELSE round(-(ll / 1000000.0) / n, 6) + 0
+           END AS log_loss
+    FROM s
+    """,
+)
+def ml_log_loss(spark, sf):
+    """Cross-entropy (log loss) of the min-max pseudo-probability
+    against the purchase label — completes the proper-scoring-rule
+    pair with ml_calibration's Brier (Brier is the quadratic rule,
+    log loss the logarithmic one; log loss punishes CONFIDENT
+    wrong predictions unboundedly, which is why it needs the
+    clip). Probabilities are the ml_calibration milli-quantized
+    min-max map, clipped to [0.001, 0.999] (the sklearn log_loss
+    eps convention — an exact 0/1 prob with a wrong label is
+    −ln 0); each distinct prob's two logs are micros-quantized
+    individually and weighted by the EXACT (positive, negative)
+    counts from the one-scan support, so the corpus log-likelihood
+    is an order-independent BIGINT sum with one final division.
+    Empty corpus → (0, NULL)."""
+    pv = _score_support(spark, sf)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = pv.select(
+        "cents",
+        "cnt",
+        "p",
+        F.min("cents").over(wall).alias("mn"),
+        F.max("cents").over(wall).alias("mx"),
+    )
+    ph_raw = F.when(
+        F.col("mx") == F.col("mn"), F.lit(500).cast("long")
+    ).otherwise(
+        F.round(
+            F.lit(1000.0)
+            * (F.col("cents") - F.col("mn"))
+            / (F.col("mx") - F.col("mn"))
+        ).cast("long")
+    )
+    ph = w.select(
+        "cnt",
+        "p",
+        F.least(F.greatest(ph_raw, F.lit(1)), F.lit(999)).alias("ph"),
+    )
+    lt = ph.select(
+        "cnt",
+        "p",
+        (
+            F.col("p")
+            * F.round(
+                F.lit(1000000.0) * F.log(F.col("ph") / F.lit(1000.0))
+            ).cast("long")
+            + (F.col("cnt") - F.col("p"))
+            * F.round(
+                F.lit(1000000.0)
+                * F.log((F.lit(1000) - F.col("ph")) / F.lit(1000.0))
+            ).cast("long")
+        ).alias("term"),
+    )
+    s = lt.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("term").cast("long").alias("ll"),
+    )
+    n = F.col("n")
+    return s.select(
+        F.coalesce(n, F.lit(0)).alias("n"),
+        F.when(n.isNull() | (n == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(-(F.col("ll") / F.lit(1000000.0)) / n, 6)
+            + F.lit(0.0)
+        )
+        .alias("log_loss"),
+    )

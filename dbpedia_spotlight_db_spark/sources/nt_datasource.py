@@ -22,6 +22,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -49,6 +50,9 @@ class NTriplesDataSource(DataSource):
     def writer(self, schema, overwrite):
         return NTriplesWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite):
+        return NTriplesStreamWriter(self.options)
+
 
 class NTriplesReader(DataSourceReader):
     def __init__(self, options):
@@ -63,7 +67,12 @@ class NTriplesReader(DataSourceReader):
         return [InputPartition(f) for f in _list_files(self._path)]
 
     def read(self, partition):
-        # runs on the executor; yields parsed triples for ONE file
+        # runs on the executor; yields parsed triples for ONE file.
+        # With ZERO files, partitions() returns [] and Spark still
+        # schedules one task with partition=None — an empty feed
+        # directory must scan as zero rows, not AttributeError.
+        if partition is None:
+            return
         yield from _parse_file(partition.value)
 
 
@@ -121,6 +130,8 @@ class NTriplesStreamReader(DataSourceStreamReader):
         pass  # offsets live in Spark's checkpoint log; nothing to ack
 
     def read(self, partition):
+        if partition is None:  # zero-file batch (see batch reader)
+            return
         yield from _parse_file(partition.value)
 
 
@@ -195,6 +206,64 @@ class NTriplesWriter(DataSourceWriter):
             fh.write(f"{total}\n")
 
     def abort(self, messages):
+        for m in messages:
+            if m is not None and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class NTriplesStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the NT sink (``writeStream.format(
+    "ntriples")``): each micro-batch's tasks stream their partitions
+    straight to batch-tagged part files (same executor-side lazy
+    file discipline as the batch NTriplesWriter — empty partitions
+    write nothing, no driver funnel), and commit(batchId) runs on
+    the driver only after every task of THAT batch succeeded,
+    appending one `batchId<TAB>count` manifest line. abort(batchId)
+    removes the batch's orphan part files, so a failed micro-batch
+    leaves no partial output for the next trigger to double-read.
+    Idempotence on restart comes from the batch tag: a replayed
+    batchId overwrites its own manifest line semantics (count is
+    recomputed), and readers that require exactly-once filter on
+    manifest-committed batch ids."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("ntriples sink requires a path")
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        bid = TaskContext.get().getLocalProperty("streaming.sql.batchId")
+        tag = f"b{bid}" if bid is not None else "b0"
+        os.makedirs(self._path, exist_ok=True)
+        fh, fname, n = None, None, 0
+        try:
+            for row in iterator:
+                if fh is None:
+                    fname = os.path.join(
+                        self._path, f"part-{tag}-{uuid.uuid4().hex}.nt"
+                    )
+                    fh = open(fname, "w", encoding="utf-8")
+                fh.write(f"<{row.subj}> <{row.pred}> <{row.obj}> .\n")
+                n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        return _NTCommit(fname, n)
+
+    def commit(self, messages, batchId):
+        total = sum(m.n for m in messages if m is not None)
+        with open(
+            os.path.join(self._path, "_SUCCESS_STREAM"),
+            "a",
+            encoding="utf-8",
+        ) as fh:
+            fh.write(f"{batchId}\t{total}\n")
+
+    def abort(self, messages, batchId):
         for m in messages:
             if m is not None and m.path and os.path.exists(m.path):
                 os.remove(m.path)

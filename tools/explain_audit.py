@@ -1463,6 +1463,24 @@ def main() -> None:
         p_lb,
     )
 
+    # 57. wave-46 shapes: stat_wilcoxon is one corpus scan (pairing
+    # via min_by/max_by aggregation, never a per-user sort window);
+    # ml_log_loss rides the shared one-scan support with min/max as
+    # OVER () windows (no stats branch).
+    p_wx = plan_of(QUERIES["stat_wilcoxon"](spark, SF))
+    wx_scans = len(re.findall(r"\(\d+\) Scan parquet", p_wx))
+    wx_win_sort = len(re.findall(r"\(\d+\) Window", p_wx))
+    p_llz = plan_of(QUERIES["ml_log_loss"](spark, SF))
+    ll_scans = len(re.findall(r"\(\d+\) Scan parquet", p_llz))
+    check(
+        "wilcoxon one scan with agg pairing; log loss one scan",
+        wx_scans == 1 and wx_win_sort <= 1 and ll_scans == 1,
+        f"stat_wilcoxon scans={wx_scans} (want 1) Window nodes="
+        f"{wx_win_sort} (want <=1 — only the support-rank window, "
+        f"no per-user window); ml_log_loss scans={ll_scans} (want 1)",
+        p_wx,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
