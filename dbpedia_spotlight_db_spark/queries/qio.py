@@ -559,3 +559,74 @@ def csv_permissive(spark, sf):
             "clean_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PERMISSIVE JSON-lines — syntax-corruption quarantine
+# ---------------------------------------------------------------------------
+@q(
+    "json_permissive",
+    """
+    WITH lab AS (
+      SELECT event_id, user_id,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '2' AS bad
+      FROM events)
+    SELECT CAST(COUNT(*) FILTER (WHERE NOT bad) AS BIGINT) AS n_clean,
+           CAST(COUNT(*) FILTER (WHERE bad) AS BIGINT) AS n_corrupt,
+           CAST(SUM(user_id) FILTER (WHERE NOT bad) AS BIGINT)
+             AS clean_user_sum
+    FROM lab
+    """,
+)
+def json_permissive(spark, sf):
+    """PERMISSIVE JSON-lines ingestion — csv_permissive's sibling for
+    the OTHER dirty-feed class: SYNTAX corruption (truncated
+    payloads from a killed producer, half-flushed buffers) rather
+    than type mismatch. A deterministic 1/16 md5 slice of the
+    events is serialized with its closing brace torn off; the read
+    declares the schema plus `_corrupt_record`, and the gated row
+    reconciles clean/corrupt counts and a clean-side checksum
+    against the relational coin replay. The JSON parser shares the
+    CSV parser's column-pruning trap for TYPE errors, but a
+    SYNTACTICALLY broken line is flagged regardless of which
+    columns are referenced — this face pins that distinction (the
+    aggregate deliberately touches only a subset of columns and
+    still counts every torn line). Empty corpus: (0, 0, NULL)."""
+    d = _sink_dir(spark, "jsonperm")
+    bad = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "2"
+    payload = F.concat(
+        F.lit('{"event_id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "user_id": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "event_type": "'),
+        F.col("event_type"),
+        F.lit('"}'),
+    )
+    (
+        t(spark, sf, "events")
+        .select(
+            F.when(bad, F.substring(payload, 1, 20))
+            .otherwise(payload)
+            .alias("value")
+        )
+        .write.mode("overwrite")
+        .text(d)
+    )
+    back = (
+        spark.read.schema(
+            "event_id LONG, user_id LONG, event_type STRING, "
+            "_bad_rec STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad_rec")
+        .json(d)
+    )
+    clean = F.col("_bad_rec").isNull()
+    return back.agg(
+        F.count(F.when(clean, 1)).cast("long").alias("n_clean"),
+        F.count(F.when(~clean, 1)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(clean, F.col("user_id")))
+        .cast("long")
+        .alias("clean_user_sum"),
+    )

@@ -833,3 +833,96 @@ def agg_kmv(spark, sf):
         )
         .alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_percentile with a PROVEN rank-error certificate
+# ---------------------------------------------------------------------------
+_AQ_ACC = 1000  # approx_percentile accuracy: rank error <= n/accuracy
+
+
+@q(
+    "agg_approx_quantile",
+    """
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(round(4 * quantile_cont(cents, 0.25)) AS BIGINT) AS q14,
+             CAST(round(4 * quantile_cont(cents, 0.50)) AS BIGINT) AS q24,
+             CAST(round(4 * quantile_cont(cents, 0.75)) AS BIGINT) AS q34
+      FROM v)
+    SELECT p, exact4,
+           CASE WHEN n = 0 THEN NULL ELSE TRUE END AS rank_ok
+    FROM (
+      SELECT n, 0.25 AS p, q14 AS exact4 FROM s
+      UNION ALL SELECT n, 0.50, q24 FROM s
+      UNION ALL SELECT n, 0.75, q34 FROM s)
+    """,
+)
+def agg_approx_quantile(spark, sf):
+    """``approx_percentile`` (the Greenwald–Khanna-style mergeable
+    quantile sketch — the ONLY quantile that exists at 100 TB, where
+    exact percentiles would global-sort the corpus) reported
+    agg_kmv-style NEXT TO the exact type-7 quantiles, with the
+    sketch's guarantee turned into a GATED CERTIFICATE: the
+    algorithm promises the returned value's RANK is within
+    n/accuracy of the target, so the face recomputes the approx
+    value's true rank relationally and emits the bound check as a
+    boolean. The boolean is deterministically TRUE by theorem —
+    hash-safe even though the sketch's exact VALUE may vary with
+    partitioning (which is why the approx value itself is NOT an
+    output column: the first partition-order-dependent float in a
+    gated row would flake the hash; the certificate is the
+    invariant). Exact side: 4× type-7 quantiles of integer cents
+    are exact BIGINTs (feat_robust_scale construction)."""
+    v = t(spark, sf, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    vc = parquet_checkpoint(v, "aq_cents")
+    s = vc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.lit(4) * F.expr("percentile(cents, 0.25)"))
+        .cast("long")
+        .alias("q14"),
+        F.round(F.lit(4) * F.expr("percentile(cents, 0.50)"))
+        .cast("long")
+        .alias("q24"),
+        F.round(F.lit(4) * F.expr("percentile(cents, 0.75)"))
+        .cast("long")
+        .alias("q34"),
+        F.expr(
+            f"approx_percentile(cents, array(0.25, 0.5, 0.75), {_AQ_ACC})"
+        ).alias("apx"),
+    ).collect()[0]
+    n = int(s["n"]) if s["n"] is not None else 0
+    rows = []
+    for p, e4 in ((0.25, s["q14"]), (0.50, s["q24"]), (0.75, s["q34"])):
+        rows.append((p, e4, None))
+    out = spark.createDataFrame(
+        rows, "p double, exact4 long, rank_ok boolean"
+    )
+    if n == 0:
+        return out.select("p", "exact4", "rank_ok")
+    # certificate: the approx value's true rank is within n/ACC + 1
+    # of the target rank — recomputed against the data, not assumed
+    apx = [int(x) for x in s["apx"]]
+    ranks = vc.agg(
+        *[
+            F.sum((F.col("cents") <= a).cast("long")).alias(f"r{i}")
+            for i, a in enumerate(apx)
+        ]
+    ).collect()[0]
+    ok = []
+    for i, p in enumerate((0.25, 0.50, 0.75)):
+        target = p * n
+        ok.append(abs(int(ranks[f"r{i}"]) - target) <= n / _AQ_ACC + 1)
+    certified = all(ok)
+    return out.select(
+        "p",
+        "exact4",
+        F.lit(bool(certified)).cast("boolean").alias("rank_ok"),
+    )

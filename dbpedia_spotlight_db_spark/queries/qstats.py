@@ -1804,3 +1804,77 @@ def agg_mode(spark, sf):
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# peak concurrency — interval sweep with an exact tie protocol
+# ---------------------------------------------------------------------------
+_CONC_WIN_US = 900_000_000  # each event holds a 15-minute window open
+
+
+@q(
+    "events_concurrency",
+    f"""
+    WITH iv AS (
+      SELECT event_type, epoch_us(ts) AS s,
+             epoch_us(ts) + {_CONC_WIN_US} AS e
+      FROM events),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS d FROM iv),
+    run AS (
+      SELECT event_type,
+             SUM(d) OVER (PARTITION BY event_type
+                          ORDER BY t, d
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c
+      FROM pts)
+    SELECT event_type,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+           CAST(MAX(c) AS BIGINT) AS peak
+    FROM run GROUP BY event_type
+    """,
+)
+def events_concurrency(spark, sf):
+    """Peak concurrency per event type — each event holds a
+    15-minute window open; the answer is the classic +1/−1 interval
+    sweep: unpivot every interval into a start(+1) and end(−1)
+    point, order by time, and the maximum of the running sum is the
+    peak overlap (capacity planning's core number: max simultaneous
+    sessions/connections/jobs). Correctness hinges on the TIE
+    PROTOCOL: with half-open [s, s+W) windows, an end and a start
+    at the same microsecond must net to no change, so the sweep
+    orders by (t, d) — the −1 sorts before the +1 at equal t
+    (exactly back-to-back windows never double-count), and the
+    protocol is identical in both engines because t and d are exact
+    integers. The running sum partitions by event type (never a
+    single-partition global window); at 100 TB the same sweep runs
+    per (type, day) with boundary carry — the partition key just
+    widens. unix_micros on the CAST timestamp matches DuckDB's
+    naive epoch_us under the UTC-pinned session."""
+    e = t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # map-side ×2 fan-out, NOT a union of two branches — each union
+    # arm would re-scan the corpus (column pruning defeats reuse)
+    pts = e.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(us.alias("t"), F.lit(1).alias("d")),
+                F.struct(
+                    (us + _CONC_WIN_US).alias("t"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("x"),
+    ).select("event_type", F.col("x.t").alias("t"), F.col("x.d").alias("d"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.select("event_type", F.sum("d").over(w).alias("c"))
+    return run.groupBy("event_type").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        F.max("c").cast("long").alias("peak"),
+    )

@@ -1481,6 +1481,32 @@ def main() -> None:
         p_wx,
     )
 
+    # 58. wave-47 shapes: events_concurrency's sweep window is
+    # PARTITIONED by event type (never a single-partition global
+    # sort) over one corpus scan; json_permissive's returned plan
+    # reads the json scan; agg_approx_quantile's rank recount reads
+    # the cents checkpoint, not lineitem.
+    p_cc = plan_of(QUERIES["events_concurrency"](spark, SF))
+    cc_scans = len(re.findall(r"\(\d+\) Scan parquet", p_cc))
+    cc_single = "Exchange SinglePartition" in p_cc
+    p_jp = plan_of(QUERIES["json_permissive"](spark, SF))
+    jp_json = "Scan json" in p_jp
+    p_aq = plan_of(QUERIES["agg_approx_quantile"](spark, SF))
+    aq_li = len(
+        [s for s in re.findall(r"Scan parquet[^\n]*", p_aq)
+         if "lineitem" in s]
+    )
+    check(
+        "concurrency sweep partitioned; permissive-json reads json; "
+        "approx-quantile certificate off the checkpoint",
+        cc_scans == 1 and not cc_single and jp_json and aq_li == 0,
+        f"events_concurrency scans={cc_scans} (want 1) "
+        f"single-partition={cc_single} (want False); json_permissive "
+        f"json-scan={jp_json}; agg_approx_quantile lineitem scans="
+        f"{aq_li} (want 0 — checkpointed)",
+        p_cc,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
