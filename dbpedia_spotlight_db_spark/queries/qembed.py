@@ -127,3 +127,115 @@ def embed_kmeans(spark, sf):
     return counts.join(F.broadcast(cent_df), "cid").select(
         "cid", "n_members", "cnorm"
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-norm profile — the curation fence on vector magnitude
+# ---------------------------------------------------------------------------
+@q(
+    "embed_norms",
+    """
+    WITH e0 AS (
+      SELECT vec_id, label,
+             unnest(range(0, len(embedding))) AS j, embedding
+      FROM embeddings),
+    q0 AS (
+      SELECT vec_id, label,
+             CAST(round(1000000.0 * (CAST(embedding[j + 1] AS DOUBLE)
+                  * CAST(embedding[j + 1] AS DOUBLE))) AS BIGINT) AS q
+      FROM e0),
+    nv AS (
+      SELECT vec_id, label, CAST(SUM(q) AS BIGINT) AS n2
+      FROM q0 GROUP BY vec_id, label),
+    s AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n2) AS BIGINT) AS sn2,
+             CAST(round(4 * quantile_cont(n2, 0.25)) AS BIGINT) AS q14,
+             CAST(round(4 * quantile_cont(n2, 0.75)) AS BIGINT) AS q34
+      FROM nv GROUP BY label),
+    j AS (
+      SELECT nv.label, nv.n2, s.n, s.sn2, s.q14, s.q34,
+             s.q34 - s.q14 AS iqr4
+      FROM nv JOIN s USING (label))
+    SELECT label, MAX(n) AS n,
+           round(MAX(sn2) / (1000000.0 * MAX(n)), 6) + 0 AS mean_norm2,
+           CAST(COUNT(*) FILTER (WHERE 8 * n2 < 2 * q14 - 3 * iqr4
+                                    OR 8 * n2 > 2 * q34 + 3 * iqr4)
+                AS BIGINT) AS n_outliers
+    FROM j GROUP BY label
+    """,
+)
+def embed_norms(spark, sf):
+    """Per-label profile of embedding L2 norm² with a Tukey-fence
+    outlier census — the vector-curation gate embed_dim_stats can't
+    express (a per-DIM profile misses whole-vector anomalies: a
+    zero vector, an un-normalized batch, a fp16 overflow all move
+    the NORM first; SemDeDup-style pipelines drop or renormalize
+    exactly these before cosine math). Exactness: each squared
+    component quantizes to integer micros individually, so every
+    vector's norm² is an exact BIGINT (order-independent over
+    dims), the per-label 4× type-7 quartiles of those integers are
+    exact BIGINTs (feat_robust_scale construction), and fence
+    membership is the all-integer 8·n2 vs 2·q14±3·iqr4 test — no
+    float row decisions. Shape: posexplode map-side, per-vector agg
+    (map-side combinable), per-label stats, broadcast fit-then-
+    apply census on the VECTOR-count-sized relation (never the
+    dims-exploded one)."""
+    emb = t(spark, sf, "embeddings")
+    q0 = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("j", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("xf").cast("double") * F.col("xf").cast("double"))
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    # 2 consumers (stats fit + census apply) — without the checkpoint
+    # each branch re-runs the dims-exploded corpus scan
+    nv = parquet_checkpoint(
+        q0.groupBy("vec_id", "label").agg(
+            F.sum("q").cast("long").alias("n2")
+        ),
+        "embed_norms_nv",
+    )
+    s = nv.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n2").cast("long").alias("sn2"),
+        F.round(F.lit(4) * F.expr("percentile(n2, 0.25)"))
+        .cast("long")
+        .alias("q14"),
+        F.round(F.lit(4) * F.expr("percentile(n2, 0.75)"))
+        .cast("long")
+        .alias("q34"),
+    )
+    j = nv.join(s, "label").select(
+        "label",
+        "n2",
+        "n",
+        "sn2",
+        "q14",
+        "q34",
+        (F.col("q34") - F.col("q14")).alias("iqr4"),
+    )
+    out = (
+        (F.lit(8) * F.col("n2") < 2 * F.col("q14") - 3 * F.col("iqr4"))
+        | (F.lit(8) * F.col("n2") > 2 * F.col("q34") + 3 * F.col("iqr4"))
+    ).cast("long")
+    return j.groupBy("label").agg(
+        F.max("n").alias("n"),
+        (
+            F.round(
+                F.max("sn2") / (F.lit(1000000.0) * F.max("n")), 6
+            )
+            + F.lit(0.0)
+        ).alias("mean_norm2"),
+        F.sum(out).cast("long").alias("n_outliers"),
+    )

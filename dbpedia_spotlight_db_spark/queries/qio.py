@@ -630,3 +630,57 @@ def json_permissive(spark, sf):
         .cast("long")
         .alias("clean_user_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition overwrite — surgical partition replacement
+# ---------------------------------------------------------------------------
+@q(
+    "hive_dynamic_overwrite",
+    """
+    WITH kept AS (
+      SELECT lang, doc_id FROM documents
+      WHERE lang <> 'en'
+         OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8')
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM kept GROUP BY lang
+    """,
+)
+def hive_dynamic_overwrite(spark, sf):
+    """DYNAMIC partition overwrite (partitionOverwriteMode=dynamic)
+    — the surgical lake maintenance primitive: rewrite exactly the
+    partitions present in the incoming frame and leave every other
+    partition untouched. In STATIC mode (the default) the same
+    mode("overwrite") write would TRUNCATE THE WHOLE TABLE first —
+    the classic footgun that deletes every other language's data
+    during a single-language backfill; this face is the regression
+    pin that the engine's layout path gets it right. Sequence:
+    write the full lang-partitioned table, then overwrite ONLY the
+    'en' partition with its deterministic md5 half; the gated
+    rollup proves 'en' shrank to the half while every other
+    partition survived byte-for-byte (the id checksum pins the
+    surviving SETS, not just counts). The mode rides the writer
+    option, not a session config — per-job semantics, no global
+    state leaked into sibling faces."""
+    d = _sink_dir(spark, "dynover")
+    docs = t(spark, sf, "documents").select("doc_id", "lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(d)
+    half_en = docs.filter(
+        (F.col("lang") == "en")
+        & (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            < "8"
+        )
+    )
+    (
+        half_en.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(d)
+    )
+    back = spark.read.schema("doc_id long, lang string").parquet(d)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

@@ -1876,3 +1876,140 @@ def ml_log_loss(spark, sf):
         )
         .alias("log_loss"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test — randomness of the daily revenue series
+# ---------------------------------------------------------------------------
+@q(
+    "stat_runs",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    med AS (
+      SELECT CAST(round(4 * quantile_cont(cents, 0.5)) AS BIGINT) AS med4
+      FROM daily),
+    sgn AS (
+      SELECT day, CASE WHEN 4 * cents > med4 THEN 1 ELSE 0 END AS up
+      FROM daily CROSS JOIN med WHERE 4 * cents <> med4),
+    fl AS (
+      SELECT up,
+             CASE WHEN lag(up) OVER (ORDER BY day) IS DISTINCT FROM up
+                  THEN 1 ELSE 0 END AS brk
+      FROM sgn),
+    s AS (
+      SELECT CAST(SUM(up) AS BIGINT) AS n1,
+             CAST(SUM(1 - up) AS BIGINT) AS n2,
+             CAST(COALESCE(SUM(brk), 0) AS BIGINT) AS r
+      FROM fl)
+    SELECT COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2,
+           CASE WHEN n1 IS NULL THEN NULL ELSE r END AS n_runs,
+           CASE WHEN n1 IS NULL OR n1 = 0 OR n2 = 0
+                     OR (n1 + n2 - 1.0)
+                       * ((n1 + n2) * (n1 + n2))
+                       * (2.0 * n1 * n2)
+                       * (2.0 * n1 * n2 - n1 - n2) <= 0 THEN NULL
+                ELSE round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                           / sqrt(2.0 * n1 * n2
+                                  * (2.0 * n1 * n2 - n1 - n2)
+                                  / (((n1 + n2) * 1.0) * (n1 + n2)
+                                     * (n1 + n2 - 1))), 6) + 0
+           END AS z
+    FROM s
+    """,
+)
+def stat_runs(spark, sf):
+    """Wald–Wolfowitz runs test on the daily-revenue series: is the
+    above/below-median pattern RANDOM, or does it streak
+    (autocorrelation, regime shifts) / alternate (over-dispersion)?
+    The day-level sequencing complement to events_autocorr's lag
+    correlation — a distribution-free yes/no on serial dependence.
+    Exactness: daily cents are exact BIGINT sums, the series median
+    is the ×4 type-7 integer (feat_robust_scale construction),
+    membership (above/below, exact-median days dropped per the
+    standard convention) compares integers, and the run count is a
+    LAG break-flag sum over the DAY-BOUNDED series (the
+    events_gapfill date-spine precedent: an unpartitioned window is
+    acceptable only on a |days|-sized relation, never corpus rows).
+    The normal-approximation z runs in identical float op order on
+    both engines with round-6; one-sided classes (all days above,
+    all below) NULL-guard it."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    from ..operators.dedup import parquet_checkpoint
+
+    # 2 consumers (median fit + sign pass) — checkpoint the bounded
+    # daily relation or each branch re-scans the corpus
+    daily = parquet_checkpoint(
+        e.groupBy(
+            F.floor(us / F.lit(86400000000)).cast("long").alias("day")
+        ).agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        ),
+        "runs_daily",
+    )
+    med = daily.agg(
+        F.round(F.lit(4) * F.expr("percentile(cents, 0.5)"))
+        .cast("long")
+        .alias("med4")
+    )
+    sgn = (
+        daily.crossJoin(med)
+        .filter(F.lit(4) * F.col("cents") != F.col("med4"))
+        .select(
+            "day",
+            F.when(F.lit(4) * F.col("cents") > F.col("med4"), 1)
+            .otherwise(0)
+            .alias("up"),
+        )
+    )
+    w = Window.orderBy("day")
+    fl = sgn.select(
+        "up",
+        F.when(
+            F.lag("up").over(w).isNull()
+            | (F.lag("up").over(w) != F.col("up")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    s = fl.agg(
+        F.sum("up").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("up")).cast("long").alias("n2"),
+        F.coalesce(F.sum("brk"), F.lit(0)).cast("long").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    nt = n1 + n2
+    var_num = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+    )
+    var_den = (nt * F.lit(1.0)) * nt * (nt - 1)
+    bad = (
+        n1.isNull()
+        | (n1 == 0)
+        | (n2 == 0)
+        | (
+            (nt - F.lit(1.0))
+            * (nt * nt)
+            * (F.lit(2.0) * n1 * n2)
+            * (F.lit(2.0) * n1 * n2 - n1 - n2)
+            <= 0
+        )
+    )
+    z = (r - (F.lit(2.0) * n1 * n2 / nt + 1)) / F.sqrt(var_num / var_den)
+    return s.select(
+        F.coalesce(n1, F.lit(0)).alias("n1"),
+        F.coalesce(n2, F.lit(0)).alias("n2"),
+        F.when(n1.isNull(), F.lit(None).cast("long"))
+        .otherwise(r)
+        .alias("n_runs"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6) + F.lit(0.0))
+        .alias("z"),
+    )

@@ -1507,6 +1507,31 @@ def main() -> None:
         p_cc,
     )
 
+    # 59. wave-48 shapes: embed_norms' census joins the tiny
+    # per-label stats by broadcast (no SMJ) and the dims-exploded
+    # relation is scanned once; stat_runs' LAG window runs over the
+    # day-bounded series off one corpus scan.
+    p_en = plan_of(QUERIES["embed_norms"](spark, SF))
+    en_raw = len(
+        [x for x in re.findall(r"Scan parquet[^\n]*", p_en)
+         if "embeddings" in x]
+    )
+    en_smj = len(re.findall(r"\(\d+\) SortMergeJoin", p_en))
+    p_rn = plan_of(QUERIES["stat_runs"](spark, SF))
+    rn_raw = len(
+        [x for x in re.findall(r"Scan parquet[^\n]*", p_rn)
+         if "events" in x]
+    )
+    check(
+        "embed-norms and runs test read their checkpoints, not the "
+        "corpus twice",
+        en_raw == 0 and en_smj == 0 and rn_raw == 0,
+        f"embed_norms raw embeddings scans={en_raw} (want 0 — nv "
+        f"checkpointed) SortMergeJoin={en_smj} (want 0); stat_runs "
+        f"raw events scans={rn_raw} (want 0 — daily checkpointed)",
+        p_en,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
