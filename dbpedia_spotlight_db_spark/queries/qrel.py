@@ -1491,3 +1491,148 @@ def json_variant(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("k").cast("long").alias("k_sum"),
     )
+
+
+@q(
+    "stream_dedup_within_wm",
+    """
+    SELECT DISTINCT user_id, event_type FROM events WHERE ts IS NOT NULL
+    """,
+)
+def stream_dedup_within_wm(spark, sf):
+    """``dropDuplicatesWithinWatermark`` on the oracle gate — the
+    Spark 3.5+ BOUNDED-STATE cousin of stream_dedup's plain
+    dropDuplicates: state for a key is evicted once the watermark
+    passes its first arrival + delay, so the store size is bounded
+    by the duplicate-arrival horizon instead of the full key
+    cardinality — the version that survives an unbounded-key feed
+    (exactly the crawl-dedup regime: duplicates cluster in time).
+    Semantics differ from exact dedup ONLY for duplicates farther
+    apart than the delay; the bounded availableNow replay keeps
+    every duplicate inside one batch, so the emitted key set equals
+    plain DISTINCT and the face rides the full DuckDB gate while
+    still executing the within-watermark state path."""
+    import os
+    import tempfile
+
+    name = f"stream_dedup_wm_{next(_STREAM_Q_COUNTER)}"
+    schema = t(spark, sf, "events").schema
+    with tempfile.TemporaryDirectory(prefix="stream_dedup_wm_") as tmp:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        src = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .filter(F.col("ts").isNotNull())
+            # parquet ts is TIMESTAMP_NTZ; watermarks demand TIMESTAMP
+            # (identity under the UTC-pinned session — CLAUDE.md rule)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "3650 days")
+        )
+        q_ = (
+            src.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)
+
+
+@q(
+    "join_null_safe",
+    """
+    WITH a AS (
+      SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                       < '4'
+                  THEN NULL ELSE o_orderkey % 100 END AS k,
+             CAST(COUNT(*) AS BIGINT) AS ca
+      FROM orders GROUP BY 1),
+    b AS (
+      SELECT CASE WHEN substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)
+                       < '4'
+                  THEN NULL ELSE l_orderkey % 100 END AS k,
+             CAST(COUNT(*) AS BIGINT) AS cb
+      FROM lineitem GROUP BY 1)
+    SELECT a.k, CAST(a.ca * b.cb AS BIGINT) AS n_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark, sf):
+    """NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM) — the join
+    semantics every entity-resolution pipeline eventually needs
+    (NULL keys are "unknown", and two unknowns DO match in a
+    blocking pass, where plain `=` silently drops every NULL row
+    from both sides). A deterministic md5 quarter of each side's
+    keys is nulled in-flight; both sides pre-aggregate to (key,
+    count) BEFORE the join, so the NULL×NULL group joins as one
+    row-pair with an exact product count instead of materializing
+    the quadratic NULL-block blowup — the blocking-key discipline
+    at any scale. Spark plans `<=>` as a HASH join key (null-safe
+    equality is still hashable) — asserted by audit #60, because
+    the naive rewrite `(a = b) OR (a IS NULL AND b IS NULL)` would
+    degenerate to a nested-loop join."""
+    bad_a = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < "4"
+    a = (
+        t(spark, sf, "orders")
+        .select(
+            F.when(bad_a, F.lit(None).cast("long"))
+            .otherwise(F.col("o_orderkey") % 100)
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    )
+    bad_b = F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1) < "4"
+    b = (
+        t(spark, sf, "lineitem")
+        .select(
+            F.when(bad_b, F.lit(None).cast("long"))
+            .otherwise(F.col("l_orderkey") % 100)
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"),
+        (F.col("ca") * F.col("cb")).cast("long").alias("n_pairs"),
+    )
+
+
+@q(
+    "agg_bool",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT)
+             AS n_high,
+           bool_and(value IS NOT NULL) AS all_valued,
+           bool_or(value > 400) AS any_extreme
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bool(spark, sf):
+    """Boolean aggregate surface — count_if / bool_and (every) /
+    bool_or (any), the grouped assertion primitives a data-quality
+    layer compiles its rules into (check_constraints builds violation
+    REPORTS; these are the underlying engine aggregates, gated
+    directly). All three are map-side-combinable JVM aggregates with
+    exact semantics — NULL handling follows three-valued logic on
+    both engines (bool_and over a group with NULLs ignores them; the
+    predicate count_if never counts NULL-valued comparisons as
+    true), which is precisely the class of corner every hand-rolled
+    CASE-WHEN spelling gets subtly wrong."""
+    e = t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("count_if(value > 100)").cast("long").alias("n_high"),
+        F.expr("bool_and(value IS NOT NULL)").alias("all_valued"),
+        F.expr("bool_or(value > 400)").alias("any_extreme"),
+    )

@@ -1878,3 +1878,116 @@ def events_concurrency(spark, sf):
         (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
         F.max("c").cast("long").alias("peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lead-lag cross-correlation — view vs purchase daily revenue
+# ---------------------------------------------------------------------------
+@q(
+    "events_crosscorr",
+    """
+    WITH cells AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) // 100
+                  AS BIGINT) AS dollars
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+      GROUP BY 1, 2),
+    a AS (SELECT day, dollars AS x FROM cells
+          WHERE event_type = 'view'),
+    b AS (SELECT day, dollars AS y FROM cells
+          WHERE event_type = 'purchase'),
+    f AS (SELECT a.day, a.x, l.lg
+          FROM a CROSS JOIN unnest([-3, -2, -1, 0, 1, 2, 3]) AS l(lg)),
+    j AS (SELECT f.lg, f.x, b.y FROM f JOIN b ON b.day = f.day + f.lg),
+    m AS (
+      SELECT lg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM j GROUP BY lg)
+    SELECT CAST(lg AS INT) AS lag_days, n,
+           CASE WHEN n < 2 OR n * sxx - sx * sx <= 0
+                     OR n * syy - sy * sy <= 0 THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)),
+                           6) + 0 END AS r
+    FROM m
+    """,
+)
+def events_crosscorr(spark, sf):
+    """Lead-lag cross-correlation between the 'view' and 'purchase'
+    daily-revenue series at lags −3..+3 days — does purchase volume
+    FOLLOW view volume, and by how many days? (events_autocorr
+    answers the self-lag question; the cross version is the
+    attribution/forecasting probe.) One corpus scan collapses to the
+    (type, day) cells (parquet-checkpointed — the two series
+    branches would each re-scan); the 7 lags fan map-side out of
+    the view series by explode, align by an equi-join on day+lag,
+    and each lag's Pearson derives from EXACT integer moments
+    (daily DOLLARS via integer division — the events_autocorr
+    BIGINT-headroom rule, since Σx²·Σy² products overflow cents²).
+    The two variance factors convert to DOUBLE before their product
+    (their BIGINT product overflows past ~10⁹-dollar days) in the
+    identical op order both engines; degenerate lags (n < 2, zero
+    variance) NULL-guard (ANSI DIVIDE_BY_ZERO)."""
+    from ..operators.dedup import parquet_checkpoint
+
+    e = t(spark, sf, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("view", "purchase")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cells = parquet_checkpoint(
+        e.groupBy(
+            "event_type",
+            F.floor(us / F.lit(86400000000)).cast("long").alias("day"),
+        ).agg(
+            F.floor(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100
+            )
+            .cast("long")
+            .alias("dollars")
+        ),
+        "xcorr_cells",
+    )
+    a = cells.filter(F.col("event_type") == "view").select(
+        "day", F.col("dollars").alias("x")
+    )
+    b = cells.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("bday"), F.col("dollars").alias("y")
+    )
+    f = a.select(
+        "day",
+        "x",
+        F.explode(F.array(*[F.lit(i) for i in range(-3, 4)])).alias("lg"),
+    )
+    j = f.join(b, F.col("bday") == F.col("day") + F.col("lg"))
+    m = j.groupBy("lg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    dx = n * F.col("sxx") - sx * sx
+    dy = n * F.col("syy") - sy * sy
+    bad = (n < 2) | (dx <= 0) | (dy <= 0)
+    return m.select(
+        F.col("lg").cast("int").alias("lag_days"),
+        "n",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (n * F.col("sxy") - sx * sy).cast("double")
+                / F.sqrt(dx.cast("double") * dy.cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("r"),
+    )

@@ -1532,6 +1532,40 @@ def main() -> None:
         p_en,
     )
 
+    # 60. wave-49 shapes: join_null_safe's <=> must plan as a HASH
+    # join (null-safe equality is hashable; the naive OR-rewrite
+    # degenerates to nested-loop); agg_bool is one scan; crosscorr's
+    # lag fan-out reads the checkpointed cells (no raw events scan)
+    # and the day+lag align is an equi-join.
+    p_ns = plan_of(QUERIES["join_null_safe"](spark, SF))
+    ns_hash = (
+        "BroadcastHashJoin" in p_ns or "ShuffledHashJoin" in p_ns
+        or "SortMergeJoin" in p_ns
+    )
+    ns_nl = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p_ns))
+    p_ab = plan_of(QUERIES["agg_bool"](spark, SF))
+    ab_scans = len(re.findall(r"\(\d+\) Scan parquet", p_ab))
+    p_xc = plan_of(QUERIES["events_crosscorr"](spark, SF))
+    xc_raw = len(
+        [x for x in re.findall(r"Scan parquet[^\n]*", p_xc)
+         if "events" in x]
+    )
+    xc_nl = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p_xc))
+    check(
+        "null-safe join hashes; bool aggs one scan; crosscorr reads "
+        "the cell checkpoint with equi-join alignment",
+        ns_hash
+        and ns_nl == 0
+        and ab_scans == 1
+        and xc_raw == 0
+        and xc_nl == 0,
+        f"join_null_safe hash-join={ns_hash} nested-loop={ns_nl} "
+        f"(want 0); agg_bool scans={ab_scans} (want 1); "
+        f"events_crosscorr raw events scans={xc_raw} (want 0) "
+        f"nested-loop={xc_nl} (want 0)",
+        p_ns,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
