@@ -2013,3 +2013,149 @@ def stat_runs(spark, sf):
         .otherwise(F.round(z, 6) + F.lit(0.0))
         .alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# population stability index — the deployed-model drift monitor
+# ---------------------------------------------------------------------------
+@q(
+    "ml_psi",
+    """
+    WITH lab AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS ina
+      FROM events WHERE value IS NOT NULL),
+    cuts AS (
+      SELECT [CAST(round(10 * quantile_cont(cents, 0.1)) AS BIGINT),
+              CAST(round(10 * quantile_cont(cents, 0.2)) AS BIGINT),
+              CAST(round(10 * quantile_cont(cents, 0.3)) AS BIGINT),
+              CAST(round(10 * quantile_cont(cents, 0.4)) AS BIGINT),
+              CAST(round(10 * quantile_cont(cents, 0.5)) AS BIGINT),
+              CAST(round(10 * quantile_cont(cents, 0.6)) AS BIGINT),
+              CAST(round(10 * quantile_cont(cents, 0.7)) AS BIGINT),
+              CAST(round(10 * quantile_cont(cents, 0.8)) AS BIGINT),
+              CAST(round(10 * quantile_cont(cents, 0.9)) AS BIGINT)] AS c10
+      FROM lab WHERE ina = 1),
+    binned AS (
+      SELECT ina,
+             (SELECT COUNT(*) FROM unnest(cuts.c10) AS u(cv)
+              WHERE 10 * lab.cents > cv) AS bin
+      FROM lab CROSS JOIN cuts),
+    cells AS (
+      SELECT bin, CAST(SUM(ina) AS BIGINT) AS ca,
+             CAST(SUM(1 - ina) AS BIGINT) AS cb
+      FROM binned GROUP BY bin),
+    w AS (
+      SELECT bin, GREATEST(ca, 1) AS ca1, GREATEST(cb, 1) AS cb1,
+             SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+      FROM cells),
+    terms AS (
+      SELECT CAST(round(1000000.0
+               * ((CAST(ca1 AS DOUBLE) / na - CAST(cb1 AS DOUBLE) / nb)
+                  * ln(1.0 * ca1 * nb / (1.0 * cb1 * na))))
+               AS BIGINT) AS tm,
+             na, nb
+      FROM w)
+    SELECT CAST(MAX(na) AS BIGINT) AS n_ref,
+           CAST(MAX(nb) AS BIGINT) AS n_cur,
+           CASE WHEN MAX(na) IS NULL OR MAX(na) = 0 OR MAX(nb) = 0
+                THEN NULL
+                ELSE round(SUM(tm) / 1000000.0, 6) + 0 END AS psi
+    FROM terms
+    """,
+)
+def ml_psi(spark, sf):
+    """Population Stability Index between the md5 halves of the
+    score distribution — THE deployed-model drift monitor (PSI < 0.1
+    stable, > 0.25 retrain; the binned complement to drift_chi2's
+    significance test: PSI measures MAGNITUDE of shift, chi² its
+    detectability). Bins are the REFERENCE half's deciles — type-7
+    cut points of integer cents, ×10-quantized to exact BIGINTs
+    (decile fractions are tenths, the feat_robust_scale
+    construction) and attached as a 1-row cross join (the allowed
+    scalar broadcast); membership compares integers. Per-bin terms
+    (pa−pb)·ln(pa/pb) use Laplace-clipped counts (GREATEST(c,1),
+    the standard empty-bin convention), each quantized to micros in
+    ONE identical float expression per bin — the 10-term sum is then
+    an exact integer. Fit-then-apply: one pass fits the cuts on the
+    reference half, one pass bins the corpus; marginals are OVER ()
+    windows on the 10-row cell relation."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    lab = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+            < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("ina"),
+    )
+    cuts = lab.filter(F.col("ina") == 1).agg(
+        F.array(
+            *[
+                F.round(
+                    F.lit(10) * F.expr(f"percentile(cents, {0.1 * k})")
+                ).cast("long")
+                for k in range(1, 10)
+            ]
+        ).alias("c10")
+    )
+    binned = lab.crossJoin(cuts).select(
+        "ina",
+        F.aggregate(
+            "c10",
+            F.lit(0),
+            lambda acc, cv: acc
+            + F.when(F.lit(10) * F.col("cents") > cv, 1).otherwise(0),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("ina").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("ina")).cast("long").alias("cb"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = cells.select(
+        F.greatest(F.col("ca"), F.lit(1)).alias("ca1"),
+        F.greatest(F.col("cb"), F.lit(1)).alias("cb1"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    terms = w.select(
+        F.round(
+            F.lit(1000000.0)
+            * (
+                (
+                    F.col("ca1").cast("double") / F.col("na")
+                    - F.col("cb1").cast("double") / F.col("nb")
+                )
+                * F.log(
+                    F.lit(1.0)
+                    * F.col("ca1")
+                    * F.col("nb")
+                    / (F.lit(1.0) * F.col("cb1") * F.col("na"))
+                )
+            )
+        )
+        .cast("long")
+        .alias("tm"),
+        "na",
+        "nb",
+    )
+    return terms.agg(
+        F.max("na").cast("long").alias("n_ref"),
+        F.max("nb").cast("long").alias("n_cur"),
+        F.when(
+            F.max("na").isNull()
+            | (F.max("na") == 0)
+            | (F.max("nb") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(F.sum("tm") / F.lit(1000000.0), 6) + F.lit(0.0)
+        )
+        .alias("psi"),
+    )

@@ -242,3 +242,101 @@ def text_collation(spark, sf):
         )
         .alias("case_blowup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL — the analyst-ergonomics grouping surface
+# ---------------------------------------------------------------------------
+@q(
+    "sql_group_by_all",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def sql_group_by_all(spark, sf):
+    """`GROUP BY ALL` (Spark 3.4+/DuckDB dialect convergence): the
+    grouping set is INFERRED as every non-aggregate select item —
+    the ergonomics feature that kills the classic copy-paste bug
+    where a new select column silently falls out of the GROUP BY
+    (plain SQL would error or, with ordinals, group by the wrong
+    thing). Pure resolver sugar: the analyzed plan is the identical
+    two-phase hash aggregate, filters still push, nothing changes
+    physically — which is exactly what gating it against the
+    explicit-ordinal oracle proves. Completes qsql's dialect
+    surface alongside pipe syntax and parameterized queries."""
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM parquet.`{sf}/orders.parquet`
+        GROUP BY ALL
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# MapType surface — create_map / map_filter / explode
+# ---------------------------------------------------------------------------
+@q(
+    "map_fns",
+    """
+    WITH v AS (
+      SELECT event_type, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    kv AS (
+      SELECT event_type, 'user' AS mkey, CAST(user_id AS BIGINT) AS mval
+      FROM v WHERE user_id > 0
+      UNION ALL
+      SELECT event_type, 'cents', cents FROM v WHERE cents > 0)
+    SELECT event_type, mkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(mval) AS BIGINT) AS total
+    FROM kv GROUP BY event_type, mkey
+    """,
+)
+def map_fns(spark, sf):
+    """MapType surface — the one complex-type family without a
+    dedicated face (arrays: arr_fns/HOFs; structs: json_roundtrip;
+    variant: json_variant): each event builds an in-row
+    `create_map('user', …, 'cents', …)`, `map_filter` drops the
+    non-positive entries (the higher-order-function path over map
+    entries — JVM codegen, no UDF), and `explode` unpivots the map
+    to (key, value) rows for a relational rollup. The oracle
+    computes the same answer from a plain UNION-ALL unpivot, so
+    hash equality proves construction, per-entry lambda filtering,
+    and map explosion are lossless. Maps stay in-ROW (bounded
+    entries) — the schema pattern for sparse per-row attributes at
+    scale, vs. columns (fixed) or melted tables (join-heavy)."""
+    v = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.col("user_id").cast("long").alias("user_id"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    m = v.select(
+        "event_type",
+        F.create_map(
+            F.lit("user"), F.col("user_id"), F.lit("cents"), F.col("cents")
+        ).alias("m"),
+    )
+    filt = m.select(
+        "event_type",
+        F.map_filter("m", lambda k, x: x > 0).alias("m"),
+    )
+    kv = filt.select(
+        "event_type", F.explode("m").alias("mkey", "mval")
+    )
+    return kv.groupBy("event_type", "mkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mval").cast("long").alias("total"),
+    )
