@@ -852,3 +852,71 @@ def feat_robust_scale(spark, sf):
         (F.round(F.max("iqr4") / 400.0, 6) + F.lit(0.0)).alias("iqr"),
         F.sum(out).cast("long").alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# differentially-private count release — deterministic Laplace mechanism
+# ---------------------------------------------------------------------------
+@q(
+    "privacy_dp_count",
+    """
+    WITH cnt AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type),
+    u AS (
+      SELECT event_type, n,
+             ('0x' || substr(md5(event_type), 1, 8))::UBIGINT
+               / 4294967296.0 - 0.5 AS v
+      FROM cnt),
+    nz AS (
+      SELECT event_type, n,
+             CAST(round(-10.0 * sign(v)
+                        * ln(GREATEST(1.0 - 2.0 * abs(v), 1e-12)))
+                  AS BIGINT) AS noise
+      FROM u)
+    SELECT event_type, n, noise,
+           GREATEST(n + noise, 0) AS noisy_n
+    FROM nz
+    """,
+)
+def privacy_dp_count(spark, sf):
+    """Laplace-mechanism count release — the DIFFERENTIAL-privacy
+    face completing the privacy ladder (privacy_kanon / ldiversity /
+    tcloseness are syntactic group-privacy models; DP perturbs the
+    release itself). Per event_type the true count gets Laplace noise
+    with scale b = 1/eps = 10 via the inverse CDF
+    -b*sign(v)*ln(1-2|v|) of a uniform draw — the draw is md5-derived
+    from the GROUP KEY (the sample_hash determinism discipline), so
+    the release is identical across engines, runs, partitionings,
+    and cluster sizes, which is what makes it hash-gateable; a
+    production release would use a real CSPRNG seed and project the
+    true n away (kept here so the gate pins the mechanism
+    arithmetic). The ln argument is clamped at 1e-12 in the SAME
+    expression order on both engines (a u of exactly 0 or 1 would hit
+    ln(0)); the noisy count clips at 0 (counts are non-negative —
+    standard post-processing, DP survives it). Map-side-combinable
+    group-by -> per-group scalar arithmetic: one exchange, no
+    windows, no second scan."""
+    cnt = t(spark, sf, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    v = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+        - F.lit(0.5)
+    )
+    noise = F.round(
+        F.lit(-10.0)
+        * F.signum(v)
+        * F.log(
+            F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(v), F.lit(1e-12))
+        )
+    ).cast("long")
+    nz = cnt.select("event_type", "n", noise.alias("noise"))
+    return nz.select(
+        "event_type",
+        "n",
+        "noise",
+        F.greatest(F.col("n") + F.col("noise"), F.lit(0)).alias("noisy_n"),
+    )

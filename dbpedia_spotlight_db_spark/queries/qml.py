@@ -2159,3 +2159,176 @@ def ml_psi(spark, sf):
         )
         .alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matthews correlation coefficient — the skew-robust operating metric
+# ---------------------------------------------------------------------------
+@q(
+    "ml_mcc",
+    f"""
+    WITH {_SCORE_SQL},
+    m AS (
+      SELECT CAST(SUM(CASE WHEN cents >= {_CONF_T} THEN p ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN cents >= {_CONF_T} THEN cnt - p ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN cents < {_CONF_T} THEN p ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN cents < {_CONF_T} THEN cnt - p ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM pv)
+    SELECT CAST(COALESCE(tp + fp + fn + tn, 0) AS BIGINT) AS n,
+           CASE WHEN tp IS NULL
+                     OR tp + fp = 0 OR tp + fn = 0
+                     OR tn + fp = 0 OR tn + fn = 0 THEN NULL
+                ELSE round((tp * tn - fp * fn)
+                           / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                                  * (tn + fp) * (tn + fn)), 6) + 0
+           END AS mcc
+    FROM m
+    """,
+)
+def ml_mcc(spark, sf):
+    """Matthews correlation coefficient at the ml_confusion operating
+    threshold — the single-number metric that stays honest under
+    class skew (accuracy and F1 both saturate when negatives dominate,
+    the normal regime for a quality classifier over web text; MCC is
+    the Pearson phi of the 2x2 table and needs all four cells to be
+    good). Same one-scan count-of-counts support as ml_confusion;
+    the numerator tp*tn - fp*fn is an exact BIGINT product of counts,
+    the denominator multiplies the four marginals in ONE fixed
+    left-to-right DOUBLE expression under sqrt (identical op order on
+    both engines), and any zero marginal — a degenerate all-one-class
+    corpus, where MCC is undefined — short-circuits to NULL before
+    ANSI division can throw."""
+    pv = _score_support(spark, sf)
+    hit = F.col("cents") >= _CONF_T
+    m = pv.agg(
+        F.sum(F.when(hit, F.col("p")).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(hit, F.col("cnt") - F.col("p")).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~hit, F.col("p")).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~hit, F.col("cnt") - F.col("p")).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    bad = (
+        tp.isNull()
+        | (tp + fp == 0)
+        | (tp + fn == 0)
+        | (tn + fp == 0)
+        | (tn + fn == 0)
+    )
+    return m.select(
+        F.coalesce(tp + fp + fn + tn, F.lit(0)).cast("long").alias("n"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (tp * tn - fp * fn)
+                / F.sqrt(
+                    (tp + fp).cast("double")
+                    * (tp + fn)
+                    * (tn + fp)
+                    * (tn + fn)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("mcc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mean reciprocal rank — first-relevant ranking metric
+# ---------------------------------------------------------------------------
+@q(
+    "ml_mrr",
+    """
+    WITH lab AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    rk AS (
+      SELECT user_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cents DESC, event_id) AS rn
+      FROM lab),
+    per_u AS (
+      SELECT user_id,
+             MIN(CASE WHEN pos = 1 THEN rn END) AS r
+      FROM rk GROUP BY user_id),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COUNT(r) AS BIGINT) AS n_hit,
+             CAST(SUM(CASE WHEN r IS NOT NULL
+                           THEN CAST(round(1000000.0 / r) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS rr_micros
+      FROM per_u)
+    SELECT n_users, n_hit,
+           CASE WHEN n_users = 0 THEN NULL
+                ELSE round(rr_micros / 1000000.0 / n_users, 6) + 0
+           END AS mrr
+    FROM tot
+    """,
+)
+def ml_mrr(spark, sf):
+    """Mean reciprocal rank of the first purchase in each user's
+    score-ranked event list — the ranking-eval complement to ml_ndcg
+    (nDCG grades the whole list; MRR grades time-to-first-hit, the
+    retrieval/suggestion metric). Per-user ranking is a ROW_NUMBER
+    window ordered by (cents DESC, event_id) — the unique tiebreak
+    makes the permutation deterministic across engines and
+    partitionings — and the groupBy that follows keys on the SAME
+    user_id the window partitioned by, so the hash partitioning is
+    reused: corpus scan -> ONE exchange -> window + per-user agg ->
+    singleton rollup. Users with no purchase contribute 0 (the
+    standard MRR convention for unanswered queries) but stay in the
+    denominator. Each reciprocal 1/r is micros-quantized in the same
+    float expression on both engines, so the sum is an exact BIGINT
+    and MRR one guarded division."""
+    e = t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    lab = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cents").desc(), F.col("event_id")
+    )
+    rk = lab.select("user_id", "pos", F.row_number().over(w).alias("rn"))
+    per_u = rk.groupBy("user_id").agg(
+        F.min(F.when(F.col("pos") == 1, F.col("rn"))).alias("r")
+    )
+    tot = per_u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("r").cast("long").alias("n_hit"),
+        F.sum(
+            F.when(
+                F.col("r").isNotNull(),
+                F.round(F.lit(1000000.0) / F.col("r")).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("rr_micros"),
+    )
+    return tot.select(
+        "n_users",
+        "n_hit",
+        F.when(F.col("n_users") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("rr_micros") / F.lit(1000000.0) / F.col("n_users"), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("mrr"),
+    )

@@ -340,3 +340,43 @@ def map_fns(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("mval").cast("long").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXECUTE IMMEDIATE — dynamic SQL with bound parameters, in-dialect
+# ---------------------------------------------------------------------------
+@q(
+    "sql_exec_immediate",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_exec_immediate(spark, sf):
+    """EXECUTE IMMEDIATE (Spark 4 SQL-scripting surface): the query
+    text is a STRING VALUE composed at runtime and executed from
+    within SQL, with values bound through named USING parameters —
+    the third dynamic-SQL binding path alongside sql_params
+    (spark.sql(args=) + IDENTIFIER) and plain f-strings, and the one
+    a SQL-only client (thriftserver, notebook cell) can use without
+    any Python. The bound marker keeps the untrusted value OUT of
+    the query text (injection hygiene — same motivation as
+    sql_params). The inner statement is parsed and planned by the
+    ordinary Catalyst path: the pushed-down priority filter and the
+    two-phase hash aggregate are identical to the static spelling,
+    which gating against the static oracle proves."""
+    inner = (
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS total_cents "
+        f"FROM parquet.`{sf}/orders.parquet` "
+        "WHERE o_orderpriority = :prio GROUP BY o_orderstatus"
+    )
+    return spark.sql(
+        f"EXECUTE IMMEDIATE '{inner}' USING '1-URGENT' AS prio"
+    )

@@ -1566,6 +1566,29 @@ def main() -> None:
         p_ns,
     )
 
+    # 61. wave-51 shapes: ml_mrr's per-user groupBy must REUSE the
+    # window's user_id hash partitioning (corpus scan -> ONE exchange
+    # -> window + agg), and privacy_dp_count is one scan / one
+    # exchange with the noise arithmetic applied post-agg (no second
+    # corpus branch, no window).
+    p_mrr = plan_of(QUERIES["ml_mrr"](spark, SF))
+    mrr_ex = len(re.findall(r"\(\d+\) Exchange", p_mrr))
+    mrr_scans = len(re.findall(r"\(\d+\) Scan parquet", p_mrr))
+    p_dp = plan_of(QUERIES["privacy_dp_count"](spark, SF))
+    dp_ex = len(re.findall(r"\(\d+\) Exchange", p_dp))
+    dp_scans = len(re.findall(r"\(\d+\) Scan parquet", p_dp))
+    dp_win = len(re.findall(r"\(\d+\) Window", p_dp))
+    check(
+        "ml_mrr window+agg share one user_id exchange; dp_count is "
+        "one scan/one exchange, no window",
+        mrr_ex <= 2 and mrr_scans == 1
+        and dp_ex == 1 and dp_scans == 1 and dp_win == 0,
+        f"ml_mrr exchanges={mrr_ex} (want <=2: user hash + final "
+        f"singleton) scans={mrr_scans} (want 1); privacy_dp_count "
+        f"exchanges={dp_ex} scans={dp_scans} windows={dp_win}",
+        p_mrr,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
