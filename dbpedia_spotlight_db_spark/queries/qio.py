@@ -684,3 +684,51 @@ def hive_dynamic_overwrite(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corrupt-file tolerance — ignoreCorruptFiles over a poisoned directory
+# ---------------------------------------------------------------------------
+@q(
+    "scan_ignore_corrupt",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_ignore_corrupt(spark, sf):
+    """ignoreCorruptFiles over a directory poisoned with a
+    truncated/garbage `.parquet` — the FILE-level dirty-lake face
+    completing the tolerance ladder (csv_permissive and
+    json_permissive quarantine bad ROWS; a half-uploaded or
+    bitrotted object kills the whole job without this option). The
+    face re-sinks the documents table, drops a garbage part file
+    beside it, and reads back with an EXPLICIT schema (planning
+    never touches the poisoned footer) + ignoreCorruptFiles, which
+    skips the file at execution when its footer read throws. The
+    per-lang id-sum gated against the original proves tolerance is
+    surgical: every good row survives, nothing is double-read. The
+    production caveat the docstring must carry: this option also
+    silently eats REAL corruption, so lakes pair it with a manifest
+    row-count reconciliation (jobs/compact.py's conservation gate)."""
+    import os
+
+    d = _sink_dir(spark, "poison")
+    (
+        t(spark, sf, "documents")
+        .select("doc_id", "lang")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    with open(os.path.join(d, "part-99999-garbage.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet file" * 8)
+    back = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema("doc_id long, lang string")
+        .parquet(d)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

@@ -521,3 +521,68 @@ def vacuum_plan(spark, sf):
         .cast("long")
         .alias("bytes_expired"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join — the zero-shuffle join layout, driver-visible
+# ---------------------------------------------------------------------------
+@q(
+    "join_bucketed",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey)
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(p.n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(p.cents) AS BIGINT) AS total_cents
+    FROM customer c JOIN per_cust p ON p.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_bucketed(spark, sf):
+    """Bucketed co-located join, driver-visible: both sides are
+    written through catalog.save_bucketed (bucketBy+sortBy on the
+    join key, 8 buckets — SURVEY §4.3's physical layout for stores
+    that outgrow the broadcast budget), and the MERGE-hinted join
+    then needs NO Exchange and NO Sort on either side — the bucket
+    layout IS the shuffle, paid once at write time and amortized
+    over every subsequent join (audit #62 pins 'Bucketed: true' on
+    both scans and at most the final agg exchange in the plan). At
+    100 TB this is the difference between re-shuffling the fact
+    table per query and reading it pre-clustered. The twin computes
+    the same rollup from the raw parquet, so hash equality also
+    proves the bucketed write/read round trip is lossless."""
+    import tempfile
+
+    from ..sources import catalog
+
+    base = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
+    root = tempfile.mkdtemp(prefix="qlake_bucketed_", dir=base)
+    cust = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    catalog.save_bucketed(cust, "jb_cust", root, "c_custkey", n_buckets=8)
+    catalog.save_bucketed(
+        per_cust, "jb_orders", root, "o_custkey", n_buckets=8
+    )
+    c = spark.table("jb_cust")
+    p = spark.table("jb_orders")
+    j = c.hint("merge").join(
+        p, p["o_custkey"] == c["c_custkey"], "inner"
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

@@ -2332,3 +2332,132 @@ def ml_mrr(spark, sf):
         )
         .alias("mrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test — skewness/kurtosis of the daily series
+# ---------------------------------------------------------------------------
+@q(
+    "stat_jarque_bera",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) // 10000 AS h
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(h) AS BIGINT) AS s1
+      FROM daily),
+    ctr AS (
+      SELECT n, s1,
+             CAST(round(1000000.0 * (h - CAST(s1 AS DOUBLE) / n)
+                                  * (h - CAST(s1 AS DOUBLE) / n))
+                  AS BIGINT) AS t2,
+             CAST(round(1000.0 * (h - CAST(s1 AS DOUBLE) / n)
+                                * (h - CAST(s1 AS DOUBLE) / n)
+                                * (h - CAST(s1 AS DOUBLE) / n))
+                  AS BIGINT) AS t3,
+             CAST(round((h - CAST(s1 AS DOUBLE) / n)
+                        * (h - CAST(s1 AS DOUBLE) / n)
+                        * (h - CAST(s1 AS DOUBLE) / n)
+                        * (h - CAST(s1 AS DOUBLE) / n))
+                  AS BIGINT) AS t4
+      FROM daily CROSS JOIN fit),
+    s AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(t2) AS BIGINT) AS s2q,
+             CAST(SUM(t3) AS BIGINT) AS s3q,
+             CAST(SUM(t4) AS BIGINT) AS s4q
+      FROM ctr)
+    SELECT COALESCE(n, 0) AS n_days,
+           CASE WHEN n IS NULL OR n < 2 OR s2q <= 0 THEN NULL
+                ELSE round((s3q / 1000.0 / n)
+                           / pow(s2q / 1000000.0 / n, 1.5), 6) + 0
+           END AS skewness,
+           CASE WHEN n IS NULL OR n < 2 OR s2q <= 0 THEN NULL
+                ELSE round((s4q * 1.0 / n)
+                           / ((s2q / 1000000.0 / n)
+                              * (s2q / 1000000.0 / n)) - 3.0, 6) + 0
+           END AS ex_kurtosis,
+           CASE WHEN n IS NULL OR n < 2 OR s2q <= 0 THEN NULL
+                ELSE round(n / 6.0
+                           * (pow((s3q / 1000.0 / n)
+                                  / pow(s2q / 1000000.0 / n, 1.5), 2)
+                              + pow((s4q * 1.0 / n)
+                                    / ((s2q / 1000000.0 / n)
+                                       * (s2q / 1000000.0 / n))
+                                    - 3.0, 2) / 4.0), 6) + 0
+           END AS jb
+    FROM s
+    """,
+)
+def stat_jarque_bera(spark, sf):
+    """Jarque-Bera normality test on the daily-revenue series — the
+    moment-based complement to stat_runs (runs asks "independent?",
+    JB asks "Gaussian?": skewness and excess kurtosis jointly chi2-
+    distributed under H0). Exactness discipline: daily revenue in
+    HUNDRED-DOLLAR units via integer division (the events_autocorr
+    BIGINT-headroom rule — at 100x data the deviations^4 must still
+    fit a BIGINT; h-units keep t4 < 1e12 per day at sf1), the mean
+    enters as the exact rational s1/n inside ONE identical float
+    expression per central power, each power quantized at its own
+    scale (micros for d^2, milli for d^3, unit for d^4 — matched to
+    its magnitude) so the three moment sums are exact
+    order-independent integer aggs. The daily relation is
+    parquet_checkpointed (two consumers: moment fit + central pass —
+    the audit-#59 discipline); fit attaches as a 1-row cross join.
+    Degenerate series (n<2, zero variance) NULL the statistics."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    from ..operators.dedup import parquet_checkpoint
+
+    # 2 consumers (moment fit + central pass) — checkpoint the bounded
+    # daily relation or each branch re-scans the corpus (audit #59)
+    daily = parquet_checkpoint(
+        e.groupBy(
+            F.floor(us / F.lit(86400000000)).cast("long").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select("day", F.expr("cents DIV 10000").cast("long").alias("h")),
+        "jb_daily",
+    )
+    fit = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("h").cast("long").alias("s1"),
+    )
+    d = F.col("h") - F.col("s1").cast("double") / F.col("n")
+    ctr = daily.crossJoin(fit).select(
+        "n",
+        F.round(F.lit(1000000.0) * d * d).cast("long").alias("t2"),
+        F.round(F.lit(1000.0) * d * d * d).cast("long").alias("t3"),
+        F.round(d * d * d * d).cast("long").alias("t4"),
+    )
+    s = ctr.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("t2").cast("long").alias("s2q"),
+        F.sum("t3").cast("long").alias("s3q"),
+        F.sum("t4").cast("long").alias("s4q"),
+    )
+    n, s2q, s3q, s4q = (F.col(c) for c in ("n", "s2q", "s3q", "s4q"))
+    bad = n.isNull() | (n < 2) | (s2q <= 0)
+    m2 = s2q / F.lit(1000000.0) / n
+    skew = (s3q / F.lit(1000.0) / n) / F.pow(m2, F.lit(1.5))
+    exk = (s4q * F.lit(1.0) / n) / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (
+        F.pow(skew, F.lit(2)) + F.pow(exk, F.lit(2)) / F.lit(4.0)
+    )
+
+    def _gated(expr):
+        return F.when(bad, F.lit(None).cast("double")).otherwise(
+            F.round(expr, 6) + F.lit(0.0)
+        )
+
+    return s.select(
+        F.coalesce(n, F.lit(0)).alias("n_days"),
+        _gated(skew).alias("skewness"),
+        _gated(exk).alias("ex_kurtosis"),
+        _gated(jb).alias("jb"),
+    )

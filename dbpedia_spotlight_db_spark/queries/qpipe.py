@@ -1989,3 +1989,56 @@ def stream_pyds_sink(spark, sf_dir):
         F.countDistinct("subj").cast("long").alias("n_docs"),
         F.countDistinct("obj").cast("long").alias("n_entities"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bounded harmonic centrality — distance-weighted 2-hop reach
+# ---------------------------------------------------------------------------
+@q(
+    "kg_harmonic",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    two AS (SELECT e1.src, e2.dst FROM e e1
+            JOIN e e2 ON e1.dst = e2.src WHERE e2.dst <> e1.src),
+    d AS (SELECT src, dst, 1 AS dd FROM e
+          UNION ALL SELECT src, dst, 2 FROM two),
+    md AS (SELECT src, dst, MIN(dd) AS dd FROM d GROUP BY src, dst)
+    SELECT src AS uri,
+           CAST(SUM(CASE WHEN dd = 1 THEN 2 ELSE 1 END) AS BIGINT) AS h2x
+    FROM md GROUP BY src
+    """,
+)
+def kg_harmonic(spark, sf_dir):
+    """Bounded harmonic centrality: per entity, sum of 1/d(u,v) over
+    the 2-hop ball — the centrality that stays finite on DISCONNECTED
+    graphs (closeness needs full reachability; harmonic just adds
+    nothing for unreachable nodes), which is the web-KG regime where
+    co-occurrence graphs are archipelagos. Distance classification is
+    a min-distance fold over the union of the 1-hop edges (d=1) and
+    the hop-join frontier (d=2) — kg_khop counts the SAME ball, this
+    face weights it; kg_shortest_path's min-level agg is the same
+    revisit-free discipline. Emitted DOUBLED (h2x = 2*n1 + n2) so the
+    half-integer harmonic sum is an exact BIGINT agg, per the
+    stat_mannwhitney doubled-rank trick. Scale shape: one frontier
+    equi-join + two map-side-combinable aggs; at web scale the
+    intermediate hop takes the jaccard-style degree cap (the fixture
+    graph is hub-free so the face stays exact)."""
+    e = _undirected_edges(spark, sf_dir)
+    two = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .filter(F.col("e2.dst") != F.col("e1.src"))
+        .select(F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst"))
+    )
+    d = e.select("src", "dst", F.lit(1).alias("dd")).unionByName(
+        two.select("src", "dst", F.lit(2).alias("dd"))
+    )
+    md = d.groupBy("src", "dst").agg(F.min("dd").alias("dd"))
+    return md.groupBy(F.col("src").alias("uri")).agg(
+        F.sum(F.when(F.col("dd") == 1, 2).otherwise(1))
+        .cast("long")
+        .alias("h2x")
+    )

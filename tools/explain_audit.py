@@ -1589,6 +1589,25 @@ def main() -> None:
         p_mrr,
     )
 
+    # 62. wave-52 shapes: join_bucketed's two save_bucketed sides
+    # join with NO exchange of their own (bucket layout = pre-paid
+    # shuffle; both scans report Bucketed: true, the only exchange
+    # is the final rollup), and kg_harmonic's min-distance fold adds
+    # no join beyond the single 2-hop frontier equi-join.
+    p_jb = plan_of(QUERIES["join_bucketed"](spark, SF))
+    jb_bucketed = p_jb.count("Bucketed: true")
+    jb_smj = "SortMergeJoin" in p_jb
+    jb_ex = len(re.findall(r"\(\d+\) Exchange", p_jb))
+    check(
+        "bucketed join: both scans bucketed, SMJ, only the rollup "
+        "exchange",
+        jb_bucketed >= 2 and jb_smj and jb_ex <= 1,
+        f"join_bucketed Bucketed:true={jb_bucketed} (want >=2) "
+        f"SortMergeJoin={jb_smj} exchanges={jb_ex} (want <=1 — the "
+        f"final agg only)",
+        p_jb,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
