@@ -2461,3 +2461,113 @@ def stat_jarque_bera(spark, sf):
         _gated(exk).alias("ex_kurtosis"),
         _gated(jb).alias("jb"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d — standardized effect size between the A/B halves
+# ---------------------------------------------------------------------------
+@q(
+    "stat_cohens_d",
+    """
+    WITH lab AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS ina
+      FROM events WHERE value IS NOT NULL),
+    h AS (
+      SELECT ina, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s1,
+             CAST(SUM(cents * cents) AS BIGINT) AS s2
+      FROM lab GROUP BY ina),
+    m AS (
+      SELECT CAST(MAX(CASE WHEN ina = 1 THEN n END) AS BIGINT) AS na,
+             CAST(MAX(CASE WHEN ina = 1 THEN s1 END) AS BIGINT) AS sa1,
+             CAST(MAX(CASE WHEN ina = 1 THEN s2 END) AS BIGINT) AS sa2,
+             CAST(MAX(CASE WHEN ina = 0 THEN n END) AS BIGINT) AS nb,
+             CAST(MAX(CASE WHEN ina = 0 THEN s1 END) AS BIGINT) AS sb1,
+             CAST(MAX(CASE WHEN ina = 0 THEN s2 END) AS BIGINT) AS sb2
+      FROM h)
+    SELECT COALESCE(na, 0) AS n_a, COALESCE(nb, 0) AS n_b,
+           CASE WHEN na IS NULL OR nb IS NULL OR na < 2 OR nb < 2
+                     OR (na * sa2 - sa1 * sa1) * 1.0 / (na * (na - 1.0))
+                          * (na - 1)
+                        + (nb * sb2 - sb1 * sb1) * 1.0 / (nb * (nb - 1.0))
+                          * (nb - 1) <= 0 THEN NULL
+                ELSE round(((CAST(sa1 AS DOUBLE) / na
+                             - CAST(sb1 AS DOUBLE) / nb) / 100.0)
+                           / sqrt(((na * sa2 - sa1 * sa1) * 1.0
+                                     / (na * (na - 1.0)) * (na - 1)
+                                   + (nb * sb2 - sb1 * sb1) * 1.0
+                                     / (nb * (nb - 1.0)) * (nb - 1))
+                                  / (na + nb - 2.0)) * 100.0, 6) + 0
+           END AS cohens_d
+    FROM m
+    """,
+)
+def stat_cohens_d(spark, sf):
+    """Cohen's d between the md5 halves of the value distribution —
+    the EFFECT-SIZE companion to stat_ttest (the t test answers "is
+    the difference detectable?", which any difference is at 100-TB n;
+    d answers "is it MEANINGFUL?" in pooled-SD units, the number an
+    experiment review actually reads). One corpus scan to per-half
+    exact integer moments (n, sum-cents, sum-cents^2); the two halves
+    pivot into one row via grouped MAX-CASE flags (the kg_delta
+    reconciliation idiom — never a self-join of two filtered
+    branches). The pooled variance and d run in ONE identical float
+    expression on both engines (per-half var_samp as the exact
+    integer ratio (n*s2 - s1^2)/(n(n-1)), recombined with (n-1)
+    weights; the /100 and *100 pair keeps the mean difference in
+    cents exact before the unit fold); n<2 on either side or a
+    zero pooled variance NULLs the statistic (the stat_ttest Spark
+    var_samp n=1 NaN hazard, guarded the same way)."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    lab = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("ina"),
+    )
+    h = lab.groupBy("ina").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+    )
+    m = h.agg(
+        *[
+            F.max(F.when(F.col("ina") == flag, F.col(c)))
+            .cast("long")
+            .alias(alias)
+            for flag, pre in ((1, "a"), (0, "b"))
+            for c, alias in (
+                ("n", f"n{pre}"),
+                ("s1", f"s{pre}1"),
+                ("s2", f"s{pre}2"),
+            )
+        ]
+    )
+    na, sa1, sa2 = F.col("na"), F.col("sa1"), F.col("sa2")
+    nb, sb1, sb2 = F.col("nb"), F.col("sb1"), F.col("sb2")
+    va_num = (na * sa2 - sa1 * sa1) * F.lit(1.0) / (na * (na - F.lit(1.0)))
+    vb_num = (nb * sb2 - sb1 * sb1) * F.lit(1.0) / (nb * (nb - F.lit(1.0)))
+    pooled_num = va_num * (na - 1) + vb_num * (nb - 1)
+    bad = (
+        na.isNull() | nb.isNull() | (na < 2) | (nb < 2) | (pooled_num <= 0)
+    )
+    d = (
+        (
+            (sa1.cast("double") / na - sb1.cast("double") / nb)
+            / F.lit(100.0)
+        )
+        / F.sqrt(pooled_num / (na + nb - F.lit(2.0)))
+        * F.lit(100.0)
+    )
+    return m.select(
+        F.coalesce(na, F.lit(0)).alias("n_a"),
+        F.coalesce(nb, F.lit(0)).alias("n_b"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(d, 6) + F.lit(0.0))
+        .alias("cohens_d"),
+    )

@@ -2042,3 +2042,77 @@ def kg_harmonic(spark, sf_dir):
         .cast("long")
         .alias("h2x")
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-hop betweenness — shortest-path middle credit, exactly
+# ---------------------------------------------------------------------------
+@q(
+    "kg_betweenness",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    wedge AS (
+      SELECT e1.src AS u, e1.dst AS m, e2.dst AS w
+      FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      WHERE e1.src < e2.dst),
+    far AS (
+      SELECT u, m, w FROM wedge
+      WHERE NOT EXISTS (SELECT 1 FROM e
+                        WHERE e.src = wedge.u AND e.dst = wedge.w)),
+    credit AS (
+      SELECT m, CAST(round(1000000.0
+                 / COUNT(*) OVER (PARTITION BY u, w)) AS BIGINT) AS cr
+      FROM far)
+    SELECT m AS uri,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(SUM(cr) AS BIGINT) AS bc_micros
+    FROM credit GROUP BY m
+    """,
+)
+def kg_betweenness(spark, sf_dir):
+    """Betweenness centrality restricted to length-2 shortest paths —
+    the broker signal (who CONNECTS otherwise-unlinked entities),
+    computed EXACTLY instead of by Brandes sampling: for every
+    endpoint pair (u, w) at distance exactly 2 (wedge endpoints with
+    NO direct edge — the anti-join makes the wedge a shortest path),
+    each middle m splits the pair's unit credit 1/sigma(u,w).
+    sigma is a COUNT window over the wedge relation itself (the
+    stat_mutual_info marginals-as-windows rule — never a second
+    aggregation branch re-scanning the wedges), each share is
+    micros-quantized in the same expression on both engines, so the
+    per-middle sum is an exact order-independent BIGINT agg
+    (the kg_adamic_adar trick). Scale shape: one wedge equi-join
+    (degree-capped at web scale like the jaccard df-cap), one
+    unhinted anti-join against the edge set, one window, one agg —
+    kg_local_bridges finds edges that BRIDGE, this face scores the
+    NODES doing the bridging."""
+    e = _undirected_edges(spark, sf_dir)
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .filter(F.col("e1.src") < F.col("e2.dst"))
+        .select(
+            F.col("e1.src").alias("u"),
+            F.col("e1.dst").alias("m"),
+            F.col("e2.dst").alias("w"),
+        )
+    )
+    far = wedge.join(
+        e.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    sig = Window.partitionBy("u", "w")
+    credit = far.select(
+        "m",
+        F.round(F.lit(1000000.0) / F.count(F.lit(1)).over(sig))
+        .cast("long")
+        .alias("cr"),
+    )
+    return credit.groupBy(F.col("m").alias("uri")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths"),
+        F.sum("cr").cast("long").alias("bc_micros"),
+    )

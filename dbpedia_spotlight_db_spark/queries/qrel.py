@@ -1636,3 +1636,94 @@ def agg_bool(spark, sf):
         F.expr("bool_and(value IS NOT NULL)").alias("all_valued"),
         F.expr("bool_or(value > 400)").alias("any_extreme"),
     )
+
+
+# ---------------------------------------------------------------------------
+# watermarked sliding-window streaming aggregate — on the full gate
+# ---------------------------------------------------------------------------
+@q(
+    "stream_window",
+    """
+    WITH src AS (
+      SELECT epoch_us(ts) AS us, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    wm AS (
+      SELECT (MAX(us) // 1000) * 1000 - 86400000000 AS w FROM src),
+    fan AS (
+      SELECT (us // 86400000000) * 86400000000 AS s, event_type, cents
+      FROM src
+      UNION ALL
+      SELECT (us // 86400000000) * 86400000000 - 86400000000,
+             event_type, cents
+      FROM src)
+    SELECT s AS win_start_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM fan CROSS JOIN wm
+    WHERE s + 172800000000 <= wm.w
+    GROUP BY s, event_type
+    """,
+)
+def stream_window(spark, sf):
+    """Watermarked SLIDING-window streaming aggregate on the full
+    oracle gate — the time-windowed state-store path the streaming
+    family was missing (sessionize = gap windows, dedup = key state,
+    join = buffered sides; this is the rate/rollup shape every
+    metrics pipeline runs): window(ts, 2 days, 1 day) fans each
+    event into its two overlapping windows, the 1-day watermark
+    bounds state, and append mode emits exactly the windows whose
+    END the final watermark passed. The twin reproduces the fan-out
+    relationally (each event's two candidate day-aligned starts)
+    and the emission rule (end <= max_event_time_ms - delay;
+    Spark's watermark is millisecond-floored, hence the //1000*1000
+    — with day-aligned window ends the 3-minute fixture margin makes
+    the <= vs < edge moot). Open windows never emit — state the
+    driver can't see is state the gate doesn't hash. Scale shape:
+    the x2 fan-out is map-side (the events_rolling_dau trick), state
+    is bounded by watermark horizon / slide, and the aggregation is
+    the ordinary partial/final pair per micro-batch."""
+    import os
+    import tempfile
+
+    name = f"stream_window_{next(_STREAM_Q_COUNTER)}"
+    schema = t(spark, sf, "events").schema
+    with tempfile.TemporaryDirectory(prefix="stream_window_") as tmp:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        src = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .select(
+                F.col("ts").cast("timestamp").alias("ets"),
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .withWatermark("ets", "1 day")
+        )
+        agg = src.groupBy(
+            F.window("ets", "2 days", "1 day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        out = agg.select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "cents",
+        )
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)

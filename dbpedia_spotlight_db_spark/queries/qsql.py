@@ -380,3 +380,108 @@ def sql_exec_immediate(spark, sf):
     return spark.sql(
         f"EXECUTE IMMEDIATE '{inner}' USING '1-URGENT' AS prio"
     )
+
+
+# ---------------------------------------------------------------------------
+# try_* family — ANSI-mode error tolerance as values, not crashes
+# ---------------------------------------------------------------------------
+@q(
+    "sql_try_cast",
+    """
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS coin
+      FROM orders),
+    dirty AS (
+      SELECT o_orderkey, cents,
+             CASE WHEN coin < '3' THEN CAST(o_orderkey AS VARCHAR)
+                  WHEN coin < '6' THEN '  ' || CAST(o_orderkey AS VARCHAR)
+                                       || ' '
+                  WHEN coin < '9' THEN CAST(o_orderkey AS VARCHAR) || '.75'
+                  WHEN coin < 'c' THEN 'N/A'
+                  ELSE '99999999999999999999999' END AS s
+      FROM d),
+    parsed AS (
+      SELECT o_orderkey, cents,
+             CASE WHEN regexp_matches(s, '^\\s*[+-]?\\d+\\s*$')
+                  THEN TRY_CAST(s AS BIGINT) END AS v,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE cents / (o_orderkey % 5) END AS dv,
+             CASE WHEN o_orderkey = 0 THEN 0
+                  WHEN o_orderkey = 1 THEN 9223372036854775807
+                  ELSE NULL END AS mv
+      FROM dirty)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(v) AS BIGINT) AS n_parsed,
+           CAST(SUM(v) AS BIGINT) AS parsed_sum,
+           CAST(SUM(CASE WHEN dv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_null,
+           round(SUM(CAST(round(dv * 1000000) AS BIGINT)) / 1000000.0, 6)
+             + 0 AS div_sum,
+           CAST(COUNT(mv) AS BIGINT) AS n_mul_ok
+    FROM parsed
+    """,
+)
+def sql_try_cast(spark, sf):
+    """The try_* tolerance family (try_cast / try_divide /
+    try_multiply) — under this engine's ANSI mode a bad cast, a zero
+    divisor, or a BIGINT overflow is a JOB-KILLING exception, and at
+    100 TB one poisoned row must become a NULL, not a dead pipeline
+    (the expression-level rung of the ladder: csv/json_permissive
+    quarantine rows, scan_ignore_corrupt skips files, try_* absorbs
+    cells). Dirty strings are minted deterministically per row (md5
+    coin: clean int / padded int / decimal / junk / overflow-digits).
+    Engine-parity lesson pinned by the twin: DuckDB's TRY_CAST is
+    LAXER than Spark's (it rounds '7.75' to 8 and parses '1e3');
+    the oracle regexp-gates to Spark's stricter integral grammar,
+    making the dialect divergence explicit instead of latent.
+    try_divide's NULL-on-zero folds to a CASE twin; try_multiply's
+    overflow-to-NULL has the closed-form twin (only |o_orderkey| <= 1
+    survives x LONG_MAX — and the fixture DOES contain a key 0, the
+    off-by-one the first gate run caught). Per-row division is
+    micros-quantized so the sum stays order-independent."""
+    d = t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).alias(
+            "coin"
+        ),
+    )
+    ok = F.col("o_orderkey").cast("string")
+    dirty = d.select(
+        "o_orderkey",
+        "cents",
+        F.when(F.col("coin") < "3", ok)
+        .when(F.col("coin") < "6", F.concat(F.lit("  "), ok, F.lit(" ")))
+        .when(F.col("coin") < "9", F.concat(ok, F.lit(".75")))
+        .when(F.col("coin") < "c", F.lit("N/A"))
+        .otherwise(F.lit("99999999999999999999999"))
+        .alias("s"),
+    )
+    parsed = dirty.select(
+        "o_orderkey",
+        "cents",
+        F.expr("try_cast(s AS BIGINT)").alias("v"),
+        F.expr("try_divide(cents, o_orderkey % 5)").alias("dv"),
+        F.expr(
+            "try_multiply(o_orderkey, 9223372036854775807L)"
+        ).alias("mv"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("v").cast("long").alias("n_parsed"),
+        F.sum("v").cast("long").alias("parsed_sum"),
+        F.sum(F.when(F.col("dv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_div_null"),
+        (
+            F.round(
+                F.sum(F.round(F.col("dv") * 1000000).cast("long"))
+                / F.lit(1000000.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("div_sum"),
+        F.count("mv").cast("long").alias("n_mul_ok"),
+    )
