@@ -2582,3 +2582,102 @@ def join_star(spark, sf):
             ).alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands — rolling mean +/- 2 sigma with an all-integer breach test
+# ---------------------------------------------------------------------------
+@q(
+    "events_bollinger",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             SUM({SQL_CENTS.format(x='value')}) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day_num, v,
+             COUNT(*) OVER win AS cnt,
+             SUM(v) OVER win AS s1,
+             SUM(v * v) OVER win AS s2
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day_num
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day_num, CAST(v AS BIGINT) AS dollars,
+           round(s1 / 7.0, 6) + 0 AS mid,
+           round(s1 / 7.0
+                 + 2 * sqrt((7 * s2 - s1 * s1) / 42.0), 6) + 0 AS hi_band,
+           round(s1 / 7.0
+                 - 2 * sqrt((7 * s2 - s1 * s1) / 42.0), 6) + 0 AS lo_band,
+           CAST(CASE WHEN 3 * (7 * v - s1) * (7 * v - s1)
+                          > 14 * (7 * s2 - s1 * s1)
+                     THEN CASE WHEN 7 * v > s1 THEN 1 ELSE -1 END
+                     ELSE 0 END AS INT) AS breach
+    FROM w WHERE cnt = 7
+    """,
+)
+def events_bollinger(spark, sf):
+    """Bollinger bands on the per-type daily revenue series: trailing
+    7-observation mean +/- 2 sample standard deviations, and a breach
+    flag (+1 above, -1 below) — the rolling-volatility alert the
+    static faces can't express (events_outliers z-scores against the
+    GLOBAL mean; events_mad against the per-type median; this face
+    adapts to the LOCAL regime, so a level shift stops alerting once
+    the window absorbs it). The breach decision never touches a
+    float: |x - s1/7| > 2*sqrt((7*s2 - s1^2)/42) cross-multiplies to
+    the all-integer test 3*(7x - s1)^2 > 14*(7*s2 - s1^2) over the
+    BIGINT rolling sums (daily totals floored to whole dollars via
+    integer div for BIGINT headroom at any corpus scale, the
+    events_autocorr discipline); the displayed band edges are one
+    identical float expression rounded to 6 on both engines. ROWS
+    frame over observed days (partial windows filtered by cnt = 7;
+    calendar gaps are events_gapfill's job). Scale shape: the corpus
+    collapses to calendar-sized daily cells in one map-side-
+    combinable agg; the window sorts many small per-type runs."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit(_EPOCH)).cast("long").alias(
+                "day_num"
+            ),
+        )
+        .agg(F.sum(cents(F.col("value"))).alias("vc"))
+        .select("event_type", "day_num", F.expr("vc div 100").alias("v"))
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    w = daily.select(
+        "event_type",
+        "day_num",
+        "v",
+        F.count(F.lit(1)).over(win).alias("cnt"),
+        F.sum("v").over(win).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(win).alias("s2"),
+    ).filter(F.col("cnt") == 7)
+    s1, s2, v = F.col("s1"), F.col("s2"), F.col("v")
+    var_num = 7 * s2 - s1 * s1
+    dev = 7 * v - s1
+    band = 2 * F.sqrt(var_num / F.lit(42.0))
+    return w.select(
+        "event_type",
+        "day_num",
+        v.cast("long").alias("dollars"),
+        (F.round(s1 / F.lit(7.0), 6) + F.lit(0.0)).alias("mid"),
+        (F.round(s1 / F.lit(7.0) + band, 6) + F.lit(0.0)).alias("hi_band"),
+        (F.round(s1 / F.lit(7.0) - band, 6) + F.lit(0.0)).alias("lo_band"),
+        F.when(
+            3 * dev * dev > 14 * var_num,
+            F.when(7 * v > s1, 1).otherwise(-1),
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("breach"),
+    )

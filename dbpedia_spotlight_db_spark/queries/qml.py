@@ -2571,3 +2571,241 @@ def stat_cohens_d(spark, sf):
         .otherwise(F.round(d, 6) + F.lit(0.0))
         .alias("cohens_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mean average precision — whole-list ranking quality per user
+# ---------------------------------------------------------------------------
+@q(
+    "ml_map",
+    """
+    WITH lab AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    rk AS (
+      SELECT user_id, pos,
+             ROW_NUMBER() OVER w AS rn,
+             SUM(pos) OVER (PARTITION BY user_id
+                            ORDER BY cents DESC, event_id
+                            ROWS UNBOUNDED PRECEDING) AS cp
+      FROM lab
+      WINDOW w AS (PARTITION BY user_id ORDER BY cents DESC, event_id)),
+    per_u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN pos = 1
+                           THEN CAST(round(1000000.0 * cp / rn) AS BIGINT)
+                      END) AS BIGINT) AS t_micros,
+             CAST(SUM(pos) AS BIGINT) AS np
+      FROM rk GROUP BY user_id),
+    ap AS (
+      SELECT CAST(round(CAST(t_micros AS DOUBLE) / np) AS BIGINT)
+               AS ap_micros
+      FROM per_u WHERE np > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CASE WHEN COUNT(*) = 0 THEN NULL
+                ELSE round(SUM(ap_micros) / 1000000.0 / COUNT(*), 6) + 0
+           END AS mean_ap
+    FROM ap
+    """,
+)
+def ml_map(spark, sf):
+    """Mean average precision of the purchase hits in each user's
+    score-ranked event list — the whole-list companion to ml_mrr
+    (MRR grades time-to-FIRST-hit; AP averages precision@k at EVERY
+    hit, so burying the second and third purchases costs rank
+    quality MRR never sees). Shape is the ml_mrr single-exchange
+    discipline: ROW_NUMBER and the running positive count ride ONE
+    window spec (same partition, same total (cents DESC, event_id)
+    order, explicit ROWS frame so RANGE-vs-ROWS defaults can't
+    diverge), and the per-user groupBy keys on the window's own
+    partition key, so the plan is corpus scan -> one exchange ->
+    window + agg -> singleton rollup. Each precision@k = cp/rn is
+    micros-quantized per row in the identical float expression on
+    both engines (exact BIGINT per-user sum), AP re-quantizes the
+    /np fold once per user, and users with zero purchases drop from
+    the mean per the standard AP convention (a query with no
+    relevant documents has no defined AP)."""
+    e = t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    lab = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cents").desc(), F.col("event_id")
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rk = lab.select(
+        "user_id",
+        "pos",
+        F.row_number().over(w).alias("rn"),
+        F.sum("pos").over(wsum).alias("cp"),
+    )
+    per_u = rk.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("pos") == 1,
+                F.round(
+                    F.lit(1000000.0) * F.col("cp") / F.col("rn")
+                ).cast("long"),
+            )
+        )
+        .cast("long")
+        .alias("t_micros"),
+        F.sum("pos").cast("long").alias("np"),
+    )
+    ap = per_u.filter(F.col("np") > 0).select(
+        F.round(F.col("t_micros").cast("double") / F.col("np"))
+        .cast("long")
+        .alias("ap_micros")
+    )
+    return ap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sum("ap_micros") / F.lit(1000000.0) / F.count(F.lit(1)), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("mean_ap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier score + Murphy decomposition — probability-forecast quality
+# ---------------------------------------------------------------------------
+@q(
+    "ml_brier",
+    """
+    WITH lab AS (
+      SELECT ((CAST(round(value * 100) AS BIGINT) % 1000) + 1000) % 1000
+               AS m,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL),
+    cells AS (
+      SELECT m // 100 AS b,
+             CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(m) AS BIGINT) AS sm,
+             CAST(SUM(y) AS BIGINT) AS pk,
+             CAST(SUM((m - 1000 * y) * (m - 1000 * y)) AS BIGINT) AS sek
+      FROM lab GROUP BY 1),
+    win AS (
+      SELECT b, nk, sm, pk, sek,
+             SUM(nk) OVER () AS n, SUM(pk) OVER () AS p,
+             SUM(sek) OVER () AS se
+      FROM cells),
+    terms AS (
+      SELECT n, p, se,
+             CAST(round(1000000.0 * nk
+                        * (sm / (1000.0 * nk) - pk * 1.0 / nk)
+                        * (sm / (1000.0 * nk) - pk * 1.0 / nk) / n)
+                  AS BIGINT) AS rel_t,
+             CAST(round(1000000.0 * nk
+                        * (pk * 1.0 / nk - p * 1.0 / n)
+                        * (pk * 1.0 / nk - p * 1.0 / n) / n)
+                  AS BIGINT) AS res_t
+      FROM win)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           round(CAST(MAX(se) AS DOUBLE) / 1000000.0 / MAX(n), 6) + 0
+             AS brier,
+           round(SUM(rel_t) / 1000000.0, 6) + 0 AS reliability,
+           round(SUM(res_t) / 1000000.0, 6) + 0 AS resolution,
+           round(MAX(p) * 1.0 / MAX(n)
+                 * (1 - MAX(p) * 1.0 / MAX(n)), 6) + 0 AS uncertainty
+    FROM terms
+    """,
+)
+def ml_brier(spark, sf):
+    """Brier score of the pseudo-probability forecast p = (cents mod
+    1000)/1000 against the purchase label, plus the Murphy
+    reliability / resolution / uncertainty decomposition over
+    probability deciles — the PROPER scoring rule the calibration
+    family needs (ml_calibration shows WHERE the forecast is off;
+    Brier says HOW MUCH it costs, and the decomposition says whether
+    the cure is recalibration (reliability) or a better model
+    (resolution)). The squared error is the exact integer
+    (m - 1000y)^2 with denominator 10^6 — the corpus-scale Brier sum
+    is an exact BIGINT agg with NO quantization step at all; the
+    corpus collapses once to 10 decile cells, the grand totals are
+    windows over that cell relation (the stat_mutual_info
+    marginals-as-windows rule), and the two decomposition terms are
+    micros-quantized per cell so their 10-term sums stay
+    order-independent. pmod (not %) keeps negative cents in [0,1000)
+    on both engines."""
+    lab = t(spark, sf, "events").filter(F.col("value").isNotNull()).select(
+        F.pmod(F.round(F.col("value") * 100).cast("long"), F.lit(1000)).alias(
+            "m"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    d = F.col("m") - 1000 * F.col("y")
+    cells = lab.groupBy(F.expr("m div 100").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("m").cast("long").alias("sm"),
+        F.sum("y").cast("long").alias("pk"),
+        F.sum(d * d).cast("long").alias("sek"),
+    )
+    w = Window.partitionBy()
+    win = cells.select(
+        "b",
+        "nk",
+        "sm",
+        "pk",
+        "sek",
+        F.sum("nk").over(w).alias("n"),
+        F.sum("pk").over(w).alias("p"),
+        F.sum("sek").over(w).alias("se"),
+    )
+    pbar_k = F.col("sm") / (F.lit(1000.0) * F.col("nk"))
+    ybar_k = F.col("pk") * F.lit(1.0) / F.col("nk")
+    ybar = F.col("p") * F.lit(1.0) / F.col("n")
+    terms = win.select(
+        "n",
+        "p",
+        "se",
+        F.round(
+            F.lit(1000000.0)
+            * F.col("nk")
+            * (pbar_k - ybar_k)
+            * (pbar_k - ybar_k)
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("rel_t"),
+        F.round(
+            F.lit(1000000.0)
+            * F.col("nk")
+            * (ybar_k - ybar)
+            * (ybar_k - ybar)
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("res_t"),
+    )
+    mp, mn = F.max("p"), F.max("n")
+    return terms.agg(
+        mn.cast("long").alias("n_rows"),
+        (
+            F.round(F.max("se").cast("double") / F.lit(1000000.0) / mn, 6)
+            + F.lit(0.0)
+        ).alias("brier"),
+        (F.round(F.sum("rel_t") / F.lit(1000000.0), 6) + F.lit(0.0)).alias(
+            "reliability"
+        ),
+        (F.round(F.sum("res_t") / F.lit(1000000.0), 6) + F.lit(0.0)).alias(
+            "resolution"
+        ),
+        (
+            F.round(
+                mp * F.lit(1.0) / mn * (1 - mp * F.lit(1.0) / mn), 6
+            )
+            + F.lit(0.0)
+        ).alias("uncertainty"),
+    )

@@ -2116,3 +2116,63 @@ def kg_betweenness(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_paths"),
         F.sum("cr").cast("long").alias("bc_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# eigenvector centrality — 2 exact power-iteration rounds
+# ---------------------------------------------------------------------------
+@q(
+    "kg_eigenvector",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    deg AS (SELECT src AS uri, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY src),
+    x2 AS (SELECT e.src AS uri, CAST(SUM(deg.d) AS BIGINT) AS s2
+           FROM e JOIN deg ON deg.uri = e.dst
+           GROUP BY e.src)
+    SELECT uri, s2 AS x2,
+           round(CAST(s2 AS DOUBLE) / MAX(s2) OVER (), 6) + 0 AS ev_norm
+    FROM x2
+    """,
+)
+def kg_eigenvector(spark, sf_dir):
+    """Eigenvector centrality after two exact power-iteration rounds
+    from the all-ones vector: x1 = A·1 is the degree, x2 = A·x1 is
+    each entity's SUM OF NEIGHBOR DEGREES — the "connected to
+    well-connected" signal that separates a hub's entourage from
+    nodes with the same degree in a backwater (degree says how many
+    friends; eigenvector says whether the friends matter — the
+    kg_hits authority idea on the undirected graph). Both rounds are
+    exact BIGINT aggs (integer matvec, nothing to quantize), so
+    unlike the float-iterate textbook spelling the partial order of
+    the sum can't leak into the hash. Per-round shape is one
+    edge-list equi-join against the previous vector — the vector
+    relation is vocab-sized and UNBOUNDED at web scale, so the join
+    is unhinted (the text_unigram_lm lesson); more rounds are the
+    same join repeated with the parquet_checkpoint discipline.
+    The max-normalization (||x||_inf, the power-method convention)
+    is a frameless window over the entity-sized result — never a
+    second aggregation branch re-running the matvec (the
+    stat_mutual_info rule) — and the s2/max ratio of two BIGINTs is
+    one float division, round-6 exact on both engines."""
+    e = _undirected_edges(spark, sf_dir)
+    deg = e.groupBy(F.col("src").alias("uri")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    x2 = (
+        e.join(deg, e.dst == deg.uri)
+        .groupBy(F.col("src").alias("u"))
+        .agg(F.sum("d").cast("long").alias("s2"))
+    )
+    w = Window.partitionBy()
+    return x2.select(
+        F.col("u").alias("uri"),
+        F.col("s2").alias("x2"),
+        (
+            F.round(F.col("s2").cast("double") / F.max("s2").over(w), 6)
+            + F.lit(0.0)
+        ).alias("ev_norm"),
+    )
