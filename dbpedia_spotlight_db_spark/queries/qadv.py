@@ -2681,3 +2681,106 @@ def events_bollinger(spark, sf):
         .cast("int")
         .alias("breach"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram probabilities — continuation counts
+# ---------------------------------------------------------------------------
+@q(
+    "text_kn_bigram",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    g AS (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+          FROM tok WHERE len(arr) >= 2),
+    bg AS (SELECT arr[i] AS w1, arr[i + 1] AS w2 FROM g
+           WHERE arr[i] <> '' AND arr[i + 1] <> ''),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM bg GROUP BY 1, 2),
+    w AS (
+      SELECT w1, w2, c12,
+             SUM(c12) OVER (PARTITION BY w1) AS c1,
+             COUNT(*) OVER (PARTITION BY w1) AS n1h,
+             COUNT(*) OVER (PARTITION BY w2) AS n1c,
+             COUNT(*) OVER () AS tt
+      FROM cb)
+    SELECT w1, w2, c12,
+           CAST(c1 AS BIGINT) AS c1,
+           CAST(n1h AS BIGINT) AS n1h,
+           CAST(n1c AS BIGINT) AS n1c,
+           round((c12 - 0.75) / c1
+                 + 0.75 * n1h / c1 * (n1c * 1.0 / tt), 6) + 0 AS p_kn
+    FROM w
+    ORDER BY c12 DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_kn_bigram(spark, sf):
+    """Kneser-Ney smoothed bigram probabilities (absolute discount
+    D = 0.75, the standard interpolated-KN form) for the corpus's
+    top-20 bigrams — the smoothing text_bigram_lm deliberately
+    avoids: MLE assigns boilerplate bigrams their raw frequency,
+    while KN discounts every observed count and backs off to the
+    CONTINUATION unigram N1+(.,w)/N1+(..) — "how many distinct
+    contexts does w follow?" — the quantity that demotes words that
+    are frequent only inside one frozen phrase (the famous
+    "Francisco" example). Everything derives from the bigram-type
+    support relation cb in one pass: head totals c1 and head
+    fan-outs N1+(w1,.) as windows partitioned by w1, continuation
+    counts N1+(.,w2) partitioned by w2, the type total as a
+    frameless window (the stat_mutual_info marginals-as-windows
+    rule — never a rescan of the corpus-sized bigram stream); all
+    four are exact BIGINTs, p_kn is ONE identical float expression
+    rounded to 6, and c12 >= 1 keeps the discounted term positive
+    so no max(.,0) branch can diverge. Top-20 by the total order
+    (c12 DESC, w1, w2) plans as TakeOrderedAndProject — the window
+    exchanges shuffle only the vocab^2-bounded type relation."""
+    d = t(spark, sf, "documents")
+    arr = d.select(F.split("text", " ").alias("arr")).filter(
+        F.size("arr") >= 2
+    )
+    bg = (
+        arr.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(arr) - 2),"
+                    " i -> struct(arr[i] AS w1, arr[i + 1] AS w2))"
+                )
+            ).alias("s")
+        )
+        .select("s.w1", "s.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    cb = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    wall = Window.partitionBy()
+    w = cb.select(
+        "w1",
+        "w2",
+        "c12",
+        F.sum("c12").over(w1w).alias("c1"),
+        F.count(F.lit(1)).over(w1w).alias("n1h"),
+        F.count(F.lit(1)).over(w2w).alias("n1c"),
+        F.count(F.lit(1)).over(wall).alias("tt"),
+    )
+    p_kn = (F.col("c12") - F.lit(0.75)) / F.col("c1") + F.lit(
+        0.75
+    ) * F.col("n1h") / F.col("c1") * (
+        F.col("n1c") * F.lit(1.0) / F.col("tt")
+    )
+    return (
+        w.select(
+            "w1",
+            "w2",
+            "c12",
+            F.col("c1").cast("long").alias("c1"),
+            F.col("n1h").cast("long").alias("n1h"),
+            F.col("n1c").cast("long").alias("n1c"),
+            (F.round(p_kn, 6) + F.lit(0.0)).alias("p_kn"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(20)
+    )

@@ -732,3 +732,53 @@ def scan_ignore_corrupt(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# directory-glob scan — path-level pruning with partition recovery
+# ---------------------------------------------------------------------------
+@q(
+    "scan_glob",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang LIKE 'e%' GROUP BY lang
+    """,
+)
+def scan_glob(spark, sf):
+    """Directory-GLOB scan over a Hive-partitioned layout: documents
+    written partitionBy(lang), read back with the glob path
+    `.../lang=e*` plus basePath — the path-level pruning idiom for
+    when the slice is a PATTERN of partitions rather than one value
+    (hive_partition_prune covers lang = 'en'; a LIKE filter can't
+    land in PartitionFilters as a single directory lookup, but the
+    glob resolves it at FILE-LISTING time, before any footer is
+    read — at 100 TB the listing is the whole cost difference).
+    basePath is the load-bearing option: reading `lang=e*` subdirs
+    directly would DROP the partition column (paths below the glob
+    no longer look partitioned); declaring the parent as basePath
+    re-attaches lang from the directory names, proven by the
+    per-lang grouping hashing against the unpartitioned original.
+    A glob that matches zero directories is a read-time error, not
+    an empty relation — the empty-corpus guard returns the typed
+    empty result instead (the new-tenant case)."""
+    import glob as _glob
+
+    d = _sink_dir(spark, "scanglob")
+    t(spark, sf, "documents").write.mode("overwrite").partitionBy(
+        "lang"
+    ).parquet(d)
+    out_ddl = "lang string, n_docs long, id_sum long, sum_chars long"
+    if not _glob.glob(os.path.join(d, "lang=e*")):
+        return spark.createDataFrame([], out_ddl)
+    back = (
+        spark.read.option("basePath", d)
+        .schema(_DOCS_DDL)
+        .parquet(os.path.join(d, "lang=e*"))
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -2809,3 +2809,127 @@ def ml_brier(spark, sf):
             + F.lit(0.0)
         ).alias("uncertainty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index — decomposable between/within event types
+# ---------------------------------------------------------------------------
+@q(
+    "stat_theil",
+    """
+    WITH lab AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL AND value > 0),
+    sup AS (
+      SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS k
+      FROM lab GROUP BY 1, 2),
+    g AS (
+      SELECT event_type,
+             CAST(SUM(k) AS BIGINT) AS ng,
+             CAST(SUM(k * c) AS BIGINT) AS sg,
+             CAST(SUM(CAST(round(1000.0 * k * c * ln(c)) AS BIGINT))
+                  AS BIGINT) AS lg_millis
+      FROM sup GROUP BY 1),
+    w AS (
+      SELECT ng, sg, lg_millis,
+             SUM(ng) OVER () AS n, SUM(sg) OVER () AS s,
+             SUM(lg_millis) OVER () AS l
+      FROM g),
+    terms AS (
+      SELECT n, s, l,
+             CAST(round(1000000.0 * (sg * 1.0 / s)
+                        * (lg_millis / 1000.0 / sg
+                           - ln(sg * 1.0 / ng))) AS BIGINT) AS within_t,
+             CAST(round(1000000.0 * (sg * 1.0 / s)
+                        * ln((sg * 1.0 / s) / (ng * 1.0 / n)))
+                  AS BIGINT) AS between_t
+      FROM w)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           round(MAX(l) / 1000.0 / MAX(s)
+                 - ln(MAX(s) * 1.0 / MAX(n)), 6) + 0 AS theil_total,
+           round(SUM(between_t) / 1000000.0, 6) + 0 AS theil_between,
+           round(SUM(within_t) / 1000000.0, 6) + 0 AS theil_within
+    FROM terms
+    """,
+)
+def stat_theil(spark, sf):
+    """Theil-T inequality index of the positive value distribution,
+    with the between/within decomposition over event types — the
+    inequality measure stat_gini CAN'T give you a decomposition for
+    (Gini's between/within split has a messy overlap term; Theil's
+    is exact: T = T_between + sum_g (S_g/S)*T_g), which is the
+    question a curation review actually asks: is revenue inequality
+    driven by differences BETWEEN event types or concentration
+    WITHIN one. Shape is the stat_gini count-of-counts discipline:
+    one corpus scan to the per-(type, cents) support, per-row terms
+    k*c*ln(c) quantized to integer MILLIS inside the group agg (the
+    kg_adamic_adar sum-of-logs trick; millis not micros for BIGINT
+    headroom — the term is corpus-proportional), grand totals as
+    frameless windows over the tiny per-group relation (the
+    stat_mutual_info rule), and the three indices as identical float
+    expressions rounded to 6. The ln-sum identity T = L/S - ln(S/n)
+    with L = sum k*c*ln(c) avoids ever materializing shares."""
+    lab = t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    sup = lab.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    g = sup.groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("ng"),
+        F.sum(F.col("k") * F.col("c")).cast("long").alias("sg"),
+        F.sum(
+            F.round(
+                F.lit(1000.0)
+                * F.col("k")
+                * F.col("c")
+                * F.log(F.col("c").cast("double"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("lg_millis"),
+    )
+    wall = Window.partitionBy()
+    w = g.select(
+        "ng",
+        "sg",
+        "lg_millis",
+        F.sum("ng").over(wall).alias("n"),
+        F.sum("sg").over(wall).alias("s"),
+        F.sum("lg_millis").over(wall).alias("l"),
+    )
+    ng, sg, lg = F.col("ng"), F.col("sg"), F.col("lg_millis")
+    n, s = F.col("n"), F.col("s")
+    share = sg * F.lit(1.0) / s
+    tg = lg / F.lit(1000.0) / sg - F.log(sg * F.lit(1.0) / ng)
+    terms = w.select(
+        "n",
+        "s",
+        "l",
+        F.round(F.lit(1000000.0) * share * tg).cast("long").alias("within_t"),
+        F.round(
+            F.lit(1000000.0) * share * F.log(share / (ng * F.lit(1.0) / n))
+        )
+        .cast("long")
+        .alias("between_t"),
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        (
+            F.round(
+                F.max("l") / F.lit(1000.0) / F.max("s")
+                - F.log(F.max("s") * F.lit(1.0) / F.max("n")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("theil_total"),
+        (F.round(F.sum("between_t") / F.lit(1000000.0), 6) + F.lit(0.0)).alias(
+            "theil_between"
+        ),
+        (F.round(F.sum("within_t") / F.lit(1000000.0), 6) + F.lit(0.0)).alias(
+            "theil_within"
+        ),
+    )

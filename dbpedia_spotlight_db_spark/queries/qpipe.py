@@ -2176,3 +2176,115 @@ def kg_eigenvector(spark, sf_dir):
             + F.lit(0.0)
         ).alias("ev_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rich-club coefficient — do the hubs talk to each other?
+# ---------------------------------------------------------------------------
+@q(
+    "kg_rich_club",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    deg AS (SELECT src AS uri, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY src),
+    em AS (SELECT LEAST(da.d, db.d) AS mm
+           FROM e JOIN deg da ON da.uri = e.src
+                  JOIN deg db ON db.uri = e.dst),
+    nv AS (SELECT d AS v, CAST(COUNT(*) AS BIGINT) AS nn,
+                  CAST(0 AS BIGINT) AS ee
+           FROM deg GROUP BY d
+           UNION ALL
+           SELECT mm, CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+           FROM em GROUP BY mm),
+    cc AS (SELECT v, CAST(SUM(nn) AS BIGINT) AS nn,
+                  CAST(SUM(ee) AS BIGINT) AS ee
+           FROM nv GROUP BY v),
+    w AS (
+      SELECT v,
+             SUM(nn) OVER ()
+               - SUM(nn) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS n_gt,
+             SUM(ee) OVER ()
+               - SUM(ee) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS e2_gt
+      FROM cc)
+    SELECT CAST(v AS BIGINT) AS k,
+           CAST(n_gt AS BIGINT) AS n_rich,
+           CAST(e2_gt AS BIGINT) AS e2_rich,
+           CASE WHEN n_gt < 2 THEN NULL
+                ELSE round(e2_gt * 1.0 / (n_gt * (n_gt - 1)), 6) + 0
+           END AS phi
+    FROM w
+    """,
+)
+def kg_rich_club(spark, sf_dir):
+    """Rich-club coefficient phi(k) at every distinct degree
+    threshold: among the nodes with degree > k, what fraction of
+    possible links exists — the hubs-talk-to-each-other probe that
+    separates a web-like core-periphery KG (phi rises with k) from a
+    hub-and-spoke star (hubs share no edges; kg_assortativity gives
+    one global correlation, this face gives the whole profile). An
+    edge belongs to club k iff min(deg_u, deg_v) > k, so the corpus
+    of edges collapses ONCE to a degree-keyed count-of-counts
+    relation (per degree value v: nodes AT v, directed edges whose
+    endpoint-min is AT v — union with zero-flags, the kg_delta
+    reconciliation idiom) and every threshold's cumulative is a
+    window over that degree-distribution-sized relation (the
+    stat_gini closed-form discipline: NEVER per-threshold rescans).
+    N_>k and the doubled edge count 2E_>k are exact BIGINTs; phi is
+    one float division rounded to 6, NULL-guarded for clubs smaller
+    than 2 (the ANSI DIVIDE_BY_ZERO hazard). The two endpoint-degree
+    joins are unhinted (vocab-sized relation, the text_unigram_lm
+    lesson)."""
+    e = _undirected_edges(spark, sf_dir)
+    deg = e.groupBy(F.col("src").alias("uri")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    da = deg.select(F.col("uri").alias("ua"), F.col("d").alias("dda"))
+    db = deg.select(F.col("uri").alias("ub"), F.col("d").alias("ddb"))
+    em = (
+        e.join(da, e.src == da.ua)
+        .join(db, e.dst == db.ub)
+        .select(F.least("dda", "ddb").alias("mm"))
+    )
+    nv = deg.groupBy(F.col("d").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.lit(0).cast("long").alias("ee"),
+    ).unionByName(
+        em.groupBy(F.col("mm").alias("v")).agg(
+            F.lit(0).cast("long").alias("nn"),
+            F.count(F.lit(1)).cast("long").alias("ee"),
+        )
+    )
+    cc = nv.groupBy("v").agg(
+        F.sum("nn").cast("long").alias("nn"),
+        F.sum("ee").cast("long").alias("ee"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w = cc.select(
+        "v",
+        (F.sum("nn").over(wall) - F.sum("nn").over(wcum)).alias("n_gt"),
+        (F.sum("ee").over(wall) - F.sum("ee").over(wcum)).alias("e2_gt"),
+    )
+    return w.select(
+        F.col("v").cast("long").alias("k"),
+        F.col("n_gt").cast("long").alias("n_rich"),
+        F.col("e2_gt").cast("long").alias("e2_rich"),
+        F.when(F.col("n_gt") < 2, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("e2_gt")
+                * F.lit(1.0)
+                / (F.col("n_gt") * (F.col("n_gt") - 1)),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("phi"),
+    )
