@@ -2784,3 +2784,58 @@ def text_kn_bigram(spark, sf):
         .orderBy(F.desc("c12"), "w1", "w2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# keyed pseudonymization — joins survive, identities don't
+# ---------------------------------------------------------------------------
+@q(
+    "privacy_pseudonymize",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, c.c_custkey AS k,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM j GROUP BY seg
+    """,
+)
+def privacy_pseudonymize(spark, sf):
+    """Keyed deterministic pseudonymization of the customer key on
+    BOTH sides of the customer-orders join — the release transform
+    between privacy_kanon's audit and pii_redact's in-text scrub: a
+    shared analytics corpus must drop raw identifiers but KEEP
+    referential integrity, so both tables map c_custkey through the
+    same salted digest (a stand-in for HMAC; the salt is the secret
+    that stops dictionary re-identification) and every downstream
+    join keys on the pseudonym. The oracle twin runs the SAME
+    analysis on the RAW keys — hash equality is the certificate
+    that pseudonymization changed nothing an analyst sees: order
+    counts, per-segment DISTINCT-customer counts (a digest
+    collision would merge two customers and shrink the count), and
+    revenue all survive. Map-only transform (one expression per
+    side, no extra exchange beyond the join's own shuffle); the
+    pseudonym occupies 16 hex chars, so at 100 TB the join key
+    stays fixed-width."""
+    salt = "pseud-salt-2026:"
+    pseud = lambda c: F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit(salt), F.col(c).cast("string"))), 1, 16
+    )
+    c = t(spark, sf, "customer").select(
+        pseud("c_custkey").alias("pk"), "c_mktsegment"
+    )
+    o = t(spark, sf, "orders").select(
+        pseud("o_custkey").alias("pk"),
+        cents(F.col("o_totalprice")).alias("cents"),
+    )
+    return (
+        c.join(o, "pk")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("pk").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

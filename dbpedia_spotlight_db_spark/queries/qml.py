@@ -2933,3 +2933,231 @@ def stat_theil(spark, sf):
             "theil_within"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# KS separation of the score distributions — classifier discriminancy
+# ---------------------------------------------------------------------------
+@q(
+    "ml_ks",
+    """
+    WITH lab AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL),
+    sup AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM lab GROUP BY cents),
+    w AS (
+      SELECT cents,
+             SUM(p) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cp,
+             SUM(cnt - p) OVER (ORDER BY cents
+                                ROWS UNBOUNDED PRECEDING) AS cn,
+             SUM(p) OVER () AS pt, SUM(cnt - p) OVER () AS nt
+      FROM sup)
+    SELECT CAST(cents AS BIGINT) AS ks_cents,
+           CAST(pt AS BIGINT) AS n_pos, CAST(nt AS BIGINT) AS n_neg,
+           CASE WHEN pt = 0 OR nt = 0 THEN NULL
+                ELSE round(ABS(cp * nt - cn * pt) * 1.0 / (pt * nt), 6) + 0
+           END AS ks
+    FROM w
+    ORDER BY ABS(cp * nt - cn * pt) DESC, cents
+    LIMIT 1
+    """,
+)
+def ml_ks(spark, sf):
+    """Kolmogorov-Smirnov separation between the score distributions
+    of positives and negatives, with the argmax threshold — the
+    credit-scoring discriminancy number (max vertical gap between
+    the two class ECDFs; ml_auc integrates the gap, KS reports its
+    peak AND the cutoff where it happens, which is what a threshold
+    review deploys). Same one-scan count-of-counts shape as ml_auc:
+    the corpus collapses to the per-distinct-cents support, both
+    class ECDFs are RANGE-free cumulative windows over that support
+    (totals as frameless windows — the stat_mutual_info rule), and
+    the gap is the exact cross-multiplied integer |cp*N - cn*P|
+    (the stat_ks discipline: no float until the final division),
+    so the argmax and its (gap DESC, cents) tiebreak are
+    integer-deterministic; LIMIT 1 plans as TakeOrderedAndProject.
+    One class empty guards to NULL (ANSI divide hazard)."""
+    sup = _score_support(spark, sf)
+    wc = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    w = sup.select(
+        "cents",
+        F.sum("p").over(wc).alias("cp"),
+        F.sum(F.col("cnt") - F.col("p")).over(wc).alias("cn"),
+        F.sum("p").over(wall).alias("pt"),
+        F.sum(F.col("cnt") - F.col("p")).over(wall).alias("nt"),
+    )
+    gap = F.abs(F.col("cp") * F.col("nt") - F.col("cn") * F.col("pt"))
+    return (
+        w.select(
+            F.col("cents").cast("long").alias("ks_cents"),
+            F.col("pt").cast("long").alias("n_pos"),
+            F.col("nt").cast("long").alias("n_neg"),
+            F.when(
+                (F.col("pt") == 0) | (F.col("nt") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    gap * F.lit(1.0) / (F.col("pt") * F.col("nt")), 6
+                )
+                + F.lit(0.0)
+            )
+            .alias("ks"),
+            gap.alias("_gap"),
+        )
+        .orderBy(F.desc("_gap"), "ks_cents")
+        .limit(1)
+        .drop("_gap")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test — repeated-measures rank ANOVA over complete day blocks
+# ---------------------------------------------------------------------------
+@q(
+    "stat_friedman",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             event_type,
+             SUM(CAST(round(value * 100) AS BIGINT)) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+           FROM daily),
+    fb AS (
+      SELECT day_num FROM daily GROUP BY day_num
+      HAVING COUNT(*) = (SELECT k FROM kk)),
+    r AS (
+      SELECT d.event_type, d.day_num, d.v,
+             2 * RANK() OVER (PARTITION BY d.day_num ORDER BY d.v)
+               + COUNT(*) OVER (PARTITION BY d.day_num, d.v) - 1 AS dr
+      FROM daily d JOIN fb USING (day_num)),
+    tr AS (
+      SELECT event_type, CAST(SUM(dr) AS BIGINT) AS rd
+      FROM r GROUP BY event_type),
+    tg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS tc
+      FROM r GROUP BY day_num, v),
+    fin AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fb) AS n,
+             (SELECT k FROM kk) AS k,
+             (SELECT CAST(SUM(rd * rd) AS BIGINT) FROM tr) AS sr2d,
+             (SELECT CAST(COALESCE(SUM(tc * tc * tc - tc), 0) AS BIGINT)
+              FROM tg) AS tsum)
+    SELECT n AS n_blocks, k AS n_treatments,
+           CASE WHEN n = 0 OR k < 2 THEN NULL
+                ELSE round(3.0 * sr2d / (n * k * (k + 1))
+                           - 3.0 * n * (k + 1), 6) + 0
+           END AS q,
+           CASE WHEN n = 0 OR k < 2
+                     OR 1 - tsum * 1.0 / (n * k * (k * k - 1)) <= 0
+                THEN NULL
+                ELSE round((3.0 * sr2d / (n * k * (k + 1))
+                            - 3.0 * n * (k + 1))
+                           / (1 - tsum * 1.0 / (n * k * (k * k - 1))),
+                           6) + 0
+           END AS q_tie_adj
+    FROM fin
+    """,
+)
+def stat_friedman(spark, sf):
+    """Friedman test on the daily-revenue-by-type panel: blocks are
+    COMPLETE days (every event type present), treatments are event
+    types, and the statistic ranks treatments WITHIN each block — the
+    repeated-measures companion to stat_kruskal (Kruskal-Wallis
+    pools all observations, so day-level level-shifts masquerade as
+    treatment effects; Friedman blocks them out, the right test for
+    "does type A consistently out-earn type B day after day").
+    Ranks are tie-averaged via the stat_mannwhitney doubled-rank
+    identity dr = 2*RANK() + ties - 1 (exact integers; rank sums and
+    their squares are exact BIGINTs), the tie-correction masses
+    t^3 - t come from the per-(day, value) tie groups, and Q plus
+    its tie-adjusted form are single identical float expressions
+    over five exact integers. Daily dollars via integer div (the
+    events_autocorr headroom rule). n = 0 (no complete block), a
+    single treatment, or an all-tied panel (zero correction
+    denominator) guard to NULL. Scale shape: corpus -> calendar x
+    types cells in one agg; every later relation is
+    calendar-bounded."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = (
+        e.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("day_num"),
+            "event_type",
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc"))
+        .select("day_num", "event_type", F.expr("vc div 100").alias("v"))
+    )
+    kk = daily.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    fb = (
+        daily.groupBy("day_num")
+        .agg(F.count(F.lit(1)).alias("ntypes"))
+        .crossJoin(kk)
+        .filter(F.col("ntypes") == F.col("k"))
+        .select("day_num")
+    )
+    wrk = Window.partitionBy("day_num").orderBy("v")
+    wtie = Window.partitionBy("day_num", "v")
+    r = daily.join(fb, "day_num").select(
+        "event_type",
+        "day_num",
+        "v",
+        (
+            2 * F.rank().over(wrk) + F.count(F.lit(1)).over(wtie) - 1
+        ).alias("dr"),
+    )
+    tr = r.groupBy("event_type").agg(F.sum("dr").cast("long").alias("rd"))
+    tg = r.groupBy("day_num", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("tc")
+    )
+    fin = (
+        fb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(kk)
+        .crossJoin(
+            tr.agg(F.sum(F.col("rd") * F.col("rd")).cast("long").alias("sr2d"))
+        )
+        .crossJoin(
+            tg.agg(
+                F.coalesce(
+                    F.sum(F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc")),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("tsum")
+            )
+        )
+    )
+    n, k, sr2d, tsum = (
+        F.col("n"),
+        F.col("k"),
+        F.col("sr2d"),
+        F.col("tsum"),
+    )
+    qv = F.lit(3.0) * sr2d / (n * k * (k + 1)) - F.lit(3.0) * n * (k + 1)
+    corr = 1 - tsum * F.lit(1.0) / (n * k * (k * k - 1))
+    bad = (n == 0) | (k < 2)
+    return fin.select(
+        n.alias("n_blocks"),
+        k.alias("n_treatments"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(qv, 6) + F.lit(0.0))
+        .alias("q"),
+        F.when(bad | (corr <= 0), F.lit(None).cast("double"))
+        .otherwise(F.round(qv / corr, 6) + F.lit(0.0))
+        .alias("q_tie_adj"),
+    )

@@ -485,3 +485,54 @@ def sql_try_cast(spark, sf):
         ).alias("div_sum"),
         F.count("mv").cast("long").alias("n_mul_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VALUES inline table — literal dims broadcast for free
+# ---------------------------------------------------------------------------
+@q(
+    "sql_inline_values",
+    """
+    WITH w(prio, weight) AS (VALUES
+      ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+      ('4-NOT SPECIFIED', 2), ('5-LOW', 1))
+    SELECT w.prio, CAST(w.weight AS INT) AS weight,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(SUM(w.weight * CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS weighted_cents
+    FROM orders o JOIN w ON w.prio = o.o_orderpriority
+    GROUP BY w.prio, w.weight
+    """,
+)
+def sql_inline_values(spark, sf):
+    """An inline VALUES table as the join dimension — the literal
+    lookup (priority -> SLA weight) every pipeline embeds somewhere,
+    expressed as first-class SQL instead of a CASE ladder or a
+    driver-side dict. The inline relation plans as a
+    LocalTableScan, so Catalyst broadcasts it for free (a
+    BroadcastHashJoin with zero scan cost on the build side — the
+    join_broadcast scale rule without even a file read) and the
+    probe side stays a single pass over orders with the aggregation
+    partial before the exchange. Weighted revenue stays in exact
+    integer cents (weight is an exact integer factor). The twin is
+    the identical VALUES spelling — both engines support the
+    standard CTE column-list form."""
+    return spark.sql(
+        f"""
+        WITH w(prio, weight) AS (VALUES
+          ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+          ('4-NOT SPECIFIED', 2), ('5-LOW', 1))
+        SELECT w.prio, CAST(w.weight AS INT) AS weight,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(SUM(w.weight * CAST(round(o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT)
+                 AS weighted_cents
+        FROM parquet.`{sf}/orders.parquet` o
+        JOIN w ON w.prio = o.o_orderpriority
+        GROUP BY w.prio, w.weight
+        """
+    )
