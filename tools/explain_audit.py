@@ -1608,6 +1608,48 @@ def main() -> None:
         p_jb,
     )
 
+    # 63. wave-53..56 shapes: ml_ks and text_kn_bigram compute all
+    # marginals as windows over their single-scan support and emit
+    # top-1/top-20 via TakeOrderedAndProject (never a global sort);
+    # sql_try_cast's try_* family stays JVM-side (no Python eval
+    # node); kg_betweenness reaches distance-2 via one LeftAnti
+    # against the edge set with no forced broadcast.
+    p_ks = plan_of(QUERIES["ml_ks"](spark, SF))
+    ks_scans = len(re.findall(r"\(\d+\) Scan parquet", p_ks))
+    ks_topk = "TakeOrderedAndProject" in p_ks
+    p_kn = plan_of(QUERIES["text_kn_bigram"](spark, SF))
+    kn_scans = len(re.findall(r"\(\d+\) Scan parquet", p_kn))
+    kn_topk = "TakeOrderedAndProject" in p_kn
+    p_tc = plan_of(QUERIES["sql_try_cast"](spark, SF))
+    tc_py = len(
+        re.findall(r"BatchEvalPython|ArrowEvalPython", p_tc)
+    )
+    tc_scans = len(re.findall(r"\(\d+\) Scan parquet", p_tc))
+    bw = QUERIES["kg_betweenness"](spark, SF)
+    bw_logical = bw._jdf.queryExecution().optimizedPlan().toString()
+    bw_forced = "ResolvedHint" in bw_logical or re.search(
+        r"(?i)hints=\[broadcast", bw_logical
+    )
+    p_bw = plan_of(bw)
+    bw_anti = "LeftAnti" in p_bw
+    check(
+        "ml_ks/kn_bigram single-scan + top-k; try_* JVM-side; "
+        "betweenness unhinted anti-join",
+        ks_scans == 1
+        and ks_topk
+        and kn_scans == 1
+        and kn_topk
+        and tc_py == 0
+        and tc_scans == 1
+        and bw_anti
+        and not bw_forced,
+        f"ml_ks scans={ks_scans} topk={ks_topk}; text_kn_bigram "
+        f"scans={kn_scans} topk={kn_topk}; sql_try_cast "
+        f"python-nodes={tc_py} scans={tc_scans}; kg_betweenness "
+        f"LeftAnti={bw_anti} forced-broadcast={bool(bw_forced)}",
+        p_ks,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
