@@ -920,3 +920,203 @@ def privacy_dp_count(spark, sf):
         "noise",
         F.greatest(F.col("n") + F.col("noise"), F.lit(0)).alias("noisy_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# differentially-private histogram release — parallel composition
+# ---------------------------------------------------------------------------
+@q(
+    "privacy_dp_histogram",
+    """
+    WITH lab AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(round(value * 100) AS BIGINT)
+                            // 10000, 0), 9) AS bucket
+      FROM events WHERE value IS NOT NULL),
+    cnt AS (
+      SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lab GROUP BY event_type, bucket),
+    u AS (
+      SELECT event_type, bucket, n,
+             ('0x' || substr(md5(event_type || ':'
+                                 || CAST(bucket AS VARCHAR)), 1, 8))::UBIGINT
+               / 4294967296.0 - 0.5 AS v
+      FROM cnt),
+    nz AS (
+      SELECT event_type, bucket, n,
+             CAST(round(-10.0 * sign(v)
+                        * ln(GREATEST(1.0 - 2.0 * abs(v), 1e-12)))
+                  AS BIGINT) AS noise
+      FROM u)
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket, n, noise,
+           GREATEST(n + noise, 0) AS noisy_n
+    FROM nz
+    """,
+)
+def privacy_dp_histogram(spark, sf):
+    """Laplace-mechanism HISTOGRAM release — value deciles ($0-100
+    bands, clamped) per event type, each cell's count perturbed
+    independently — the release shape privacy_dp_count's scalar
+    can't cover, and the one where DP's PARALLEL COMPOSITION
+    theorem earns its keep: the cells partition the rows, so every
+    cell can spend the full epsilon (b = 1/eps = 10) instead of
+    splitting it — the whole histogram costs the same privacy
+    budget as one count. The noise draw is md5-derived from the
+    CELL key (engine/run/partitioning-invariant, the dp_count
+    discipline), the inverse-CDF ln is clamped in identical
+    expression order, and the release clips at 0. The bucket edges
+    are data-independent literals — a data-dependent binning (e.g.
+    quantile edges) would itself leak and need its own budget.
+    One map-side-combinable agg; noise is per-group scalar
+    arithmetic behind it."""
+    lab = t(spark, sf, "events").filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.least(
+            F.greatest(
+                F.expr(
+                    "CAST(round(value * 100) AS BIGINT) div 10000"
+                ),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ).alias("bucket"),
+    )
+    cnt = lab.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    v = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_type"),
+                        F.lit(":"),
+                        F.col("bucket").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+        - F.lit(0.5)
+    )
+    noise = F.round(
+        F.lit(-10.0)
+        * F.signum(v)
+        * F.log(
+            F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(v), F.lit(1e-12))
+        )
+    ).cast("long")
+    return cnt.select(
+        "event_type",
+        F.col("bucket").cast("long").alias("bucket"),
+        "n",
+        noise.alias("noise"),
+    ).select(
+        "event_type",
+        "bucket",
+        "n",
+        "noise",
+        F.greatest(F.col("n") + F.col("noise"), F.lit(0)).alias("noisy_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# delta + zigzag varint encoding census — timeline compressibility
+# ---------------------------------------------------------------------------
+@q(
+    "encode_delta",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    d AS (
+      SELECT us - LAG(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS delta
+      FROM ev),
+    z AS (SELECT COALESCE(2 * delta, 0) AS zz,
+                 delta IS NULL AS is_first
+          FROM d),
+    b AS (
+      SELECT is_first,
+             CASE WHEN is_first THEN 9
+                  WHEN zz < 128 THEN 1
+                  WHEN zz < 16384 THEN 2
+                  WHEN zz < 2097152 THEN 3
+                  WHEN zz < 268435456 THEN 4
+                  WHEN zz < 34359738368 THEN 5
+                  WHEN zz < 4398046511104 THEN 6
+                  WHEN zz < 562949953421312 THEN 7
+                  WHEN zz < 72057594037927936 THEN 8
+                  ELSE 9 END AS nb
+      FROM z)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(8 * COUNT(*) AS BIGINT) AS raw_bytes,
+           CAST(SUM(nb) AS BIGINT) AS delta_bytes,
+           CASE WHEN COUNT(*) = 0 THEN NULL
+                ELSE round(SUM(nb) * 1.0 / (8 * COUNT(*)), 6) + 0
+           END AS ratio
+    FROM b
+    """,
+)
+def encode_delta(spark, sf):
+    """Delta + zigzag-varint encoding census of the per-user event
+    timelines — the sizing study behind every time-series columnar
+    layout (timestamps sorted within a stream delta down to
+    inter-arrival gaps; varint spends bytes proportional to
+    log(gap), so the census says what a stream-ordered rewrite of
+    the 100-TB event log would actually save — the encode_rle /
+    encode_dict companion for the TIME column). Per-user deltas via
+    one LAG window over the (us, event_id) total order; each
+    stream's first event is charged the full 9-byte varint of an
+    epoch-us; zigzag halves to 2*delta because within-stream deltas
+    are non-negative by construction. The byte cost is a pure
+    integer CASE ladder on 128^k literals — no float touches the
+    size accounting, so the census is an exact BIGINT agg; the
+    ratio is one guarded division. Scale shape: the window sorts
+    many small per-user runs (high-cardinality key), then ONE
+    map-side-combinable singleton rollup."""
+    ev = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    d = ev.select((F.col("us") - F.lag("us").over(w)).alias("delta"))
+    z = d.select(
+        F.coalesce(2 * F.col("delta"), F.lit(0)).alias("zz"),
+        F.col("delta").isNull().alias("is_first"),
+    )
+    zz = F.col("zz")
+    nb = (
+        F.when(F.col("is_first"), 9)
+        .when(zz < 128, 1)
+        .when(zz < 16384, 2)
+        .when(zz < 2097152, 3)
+        .when(zz < 268435456, 4)
+        .when(zz < 34359738368, 5)
+        .when(zz < 4398046511104, 6)
+        .when(zz < 562949953421312, 7)
+        .when(zz < 72057594037927936, 8)
+        .otherwise(9)
+    )
+    b = z.select(nb.alias("nb"))
+    return b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (8 * F.count(F.lit(1))).cast("long").alias("raw_bytes"),
+        F.sum("nb").cast("long").alias("delta_bytes"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sum("nb") * F.lit(1.0) / (8 * F.count(F.lit(1))), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("ratio"),
+    )

@@ -782,3 +782,113 @@ def scan_glob(spark, sf):
         F.sum("doc_id").cast("long").alias("id_sum"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning — runtime dim filter prunes fact partitions
+# ---------------------------------------------------------------------------
+@q(
+    "join_dpp",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS oyear,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE year(o_orderdate) % 2 = 0
+    GROUP BY 1
+    """,
+)
+def join_dpp(spark, sf):
+    """Dynamic partition pruning: the orders fact is laid out
+    partitionBy(order year) and joined to a year dimension whose
+    filter (even years) lives on a DIM attribute — static pruning
+    can't see it, so Catalyst injects the dim's join keys as a
+    runtime `dynamicpruning` subquery into the fact scan's
+    PartitionFilters and the fact side never lists, let alone
+    reads, the odd-year directories. This is THE star-schema scan
+    economizer at 100 TB (hive_partition_prune covers the literal
+    WHERE year = k; real dashboards filter on dim attributes —
+    fiscal flags, seasons, holiday tables — and without DPP every
+    such query scans the full fact). The dim is a real parquet scan
+    (an inline VALUES would constant-fold past the mechanism); with
+    the dim broadcast, Spark REUSES the broadcast as the pruning
+    subquery, so DPP costs nothing extra. The twin inlines the
+    dim predicate; hash equality proves pruning dropped no rows."""
+    fact_dir = _sink_dir(spark, "dppfact")
+    dim_dir = _sink_dir(spark, "dppdim")
+    orders = t(spark, sf, "orders").withColumn(
+        "oyear", F.year("o_orderdate").cast("int")
+    )
+    orders.write.mode("overwrite").partitionBy("oyear").parquet(fact_dir)
+    orders.select("oyear").distinct().select(
+        "oyear",
+        F.when(F.pmod(F.col("oyear"), F.lit(2)) == 0, "even")
+        .otherwise("odd")
+        .alias("season"),
+    ).write.mode("overwrite").parquet(dim_dir)
+    fact = spark.read.schema("o_totalprice double, oyear int").parquet(
+        fact_dir
+    )
+    # a literal equality on a dim attribute: the "likely selective"
+    # filter shape Spark's PartitionPruning rule requires (a bare
+    # boolean attribute does NOT qualify as a pruning filter)
+    dim = (
+        spark.read.parquet(dim_dir)
+        .filter(F.col("season") == "even")
+        .select("oyear")
+    )
+    return (
+        fact.join(dim, "oyear")
+        .groupBy("oyear")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# modifiedAfter scan — mtime-windowed incremental file ingest
+# ---------------------------------------------------------------------------
+@q(
+    "scan_modified_after",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents WHERE lang <> 'en' GROUP BY lang
+    """,
+)
+def scan_modified_after(spark, sf):
+    """mtime-windowed scan: two ingest batches land in ONE directory
+    (English docs first, the rest later), the first batch's files
+    are aged to an epoch-2000 mtime, and the reader uses
+    modifiedAfter to pick up ONLY the newer batch — the
+    zero-bookkeeping incremental-ingest idiom for feeds that drop
+    files into a shared prefix (the poor man's streaming source:
+    no checkpoint, no manifest, the filesystem's own mtime is the
+    cursor; Structured Streaming's file source is the stateful big
+    sibling). modifiedAfter applies at FILE-LISTING time like the
+    glob face — pruned files are never opened. The twin selects the
+    second batch by its defining predicate (lang <> 'en'); hash
+    equality proves the mtime window selected exactly the files it
+    should. The directory-listing mutation is driver-side test
+    plumbing; the read path is the production surface."""
+    d = _sink_dir(spark, "modafter")
+    docs = t(spark, sf, "documents")
+    docs.filter(F.col("lang") == "en").write.mode("append").parquet(d)
+    old = 946684800  # 2000-01-01T00:00:00Z
+    for fn in os.listdir(d):
+        os.utime(os.path.join(d, fn), (old, old))
+    docs.filter(F.col("lang") != "en").write.mode("append").parquet(d)
+    back = (
+        spark.read.schema(_DOCS_DDL)
+        .option("modifiedAfter", "2020-01-01T00:00:00")
+        .parquet(d)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
