@@ -2839,3 +2839,92 @@ def privacy_pseudonymize(spark, sf):
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson dispersion index — is the daily arrival process clumped?
+# ---------------------------------------------------------------------------
+@q(
+    "events_dispersion",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM daily GROUP BY event_type)
+    SELECT event_type, n AS n_days,
+           CASE WHEN n < 2 THEN NULL
+                ELSE round(CAST(s1 AS DOUBLE) / n, 6) + 0 END AS mean_c,
+           CASE WHEN n < 2 THEN NULL
+                ELSE round((n * s2 - s1 * s1) * 1.0 / (n * (n - 1.0)), 6)
+                     + 0 END AS var_c,
+           CASE WHEN n < 2 OR s1 = 0 THEN NULL
+                ELSE round((n * s2 - s1 * s1) * 1.0 / (n - 1.0) / s1, 6)
+                     + 0 END AS dispersion,
+           CASE WHEN n < 2 OR s1 = 0 THEN NULL
+                ELSE n * s2 - s1 * s1 > s1 * (n - 1) END AS overdispersed
+    FROM m
+    """,
+)
+def events_dispersion(spark, sf):
+    """Poisson dispersion index of the daily arrival counts per
+    event type: variance-to-mean ratio of events-per-observed-day,
+    with an overdispersion verdict — the process diagnostic BEFORE
+    any rate model (a Poisson arrival stream has D = 1; D >> 1 means
+    clumping — campaigns, retries, bot bursts — and every
+    Poisson-assuming alert threshold is then wrong; events_autocorr
+    asks WHEN the clumps repeat, this asks IF the process is even
+    memoryless). One corpus scan to calendar x type cells, exact
+    integer moments per type, and the verdict is the ALL-INTEGER
+    cross-multiplication var > mean <=> n*s2 - s1^2 > s1*(n-1) —
+    the boolean can't float-diverge; the displayed mean/var/D are
+    one identical float expression each, round-6, with n < 2 and
+    zero-count guards to NULL (ANSI divide hazard)."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit(_EPOCH)).cast("long").alias(
+                "day_num"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    vnum = n * s2 - s1 * s1
+    small = n < 2
+    return m.select(
+        "event_type",
+        n.alias("n_days"),
+        F.when(small, F.lit(None).cast("double"))
+        .otherwise(F.round(s1.cast("double") / n, 6) + F.lit(0.0))
+        .alias("mean_c"),
+        F.when(small, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(vnum * F.lit(1.0) / (n * (n - F.lit(1.0))), 6)
+            + F.lit(0.0)
+        )
+        .alias("var_c"),
+        F.when(small | (s1 == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(vnum * F.lit(1.0) / (n - F.lit(1.0)) / s1, 6)
+            + F.lit(0.0)
+        )
+        .alias("dispersion"),
+        F.when(small | (s1 == 0), F.lit(None).cast("boolean"))
+        .otherwise(vnum > s1 * (n - 1))
+        .alias("overdispersed"),
+    )

@@ -3161,3 +3161,78 @@ def stat_friedman(spark, sf):
         .otherwise(F.round(qv / corr, 6) + F.lit(0.0))
         .alias("q_tie_adj"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted median — quantity-weighted price, count-of-counts exact
+# ---------------------------------------------------------------------------
+@q(
+    "stat_weighted_median",
+    """
+    WITH sup AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wt
+      FROM lineitem GROUP BY 1, 2),
+    w AS (
+      SELECT flag, cents, wt,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY flag) AS tw
+      FROM sup)
+    SELECT flag,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+             AS wmedian_cents,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM w GROUP BY flag
+    """,
+)
+def stat_weighted_median(spark, sf):
+    """Quantity-WEIGHTED median price per return flag — the
+    percentile where each row counts proportionally to its weight
+    (the unweighted agg_percentiles answers "the median line item";
+    procurement wants "the median UNIT", and a 50-unit line must
+    pull 50x) — the estimator every weighted-survey and
+    inventory-valuation pipeline needs and no engine ships as a
+    one-call exact aggregate at scale. Count-of-counts discipline:
+    one corpus scan collapses to the per-(flag, distinct-cents)
+    weight support; the weighted CDF is a cumulative window over
+    that support with the flag total as its companion window (the
+    stat_gini closed-form shape — the corpus is never sorted, only
+    the support is); the lower weighted median is the first support
+    point where 2*cumweight >= total — an ALL-INTEGER test, so
+    there is no interpolation branch to diverge between engines.
+    The final min-fold keys on the window's own partition key, so
+    the hash partitioning is reused (one exchange end to end)."""
+    sup = (
+        t(spark, sf, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long"))
+            .cast("long")
+            .alias("wt")
+        )
+    )
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("flag")
+    w = sup.select(
+        "flag",
+        "cents",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wt).alias("tw"),
+    )
+    return w.groupBy("flag").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+        .cast("long")
+        .alias("wmedian_cents"),
+        F.max("tw").cast("long").alias("total_weight"),
+    )

@@ -1727,3 +1727,131 @@ def stream_window(spark, sf):
         )
         q_.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# nearest-in-time as-of join — bidirectional, tolerance-bounded
+# ---------------------------------------------------------------------------
+@q(
+    "join_asof_nearest",
+    """
+    WITH e AS (SELECT * FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    u AS (
+      SELECT user_id AS k,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             1 AS is_c, event_id AS click_id,
+             CAST(NULL AS BIGINT) AS p_us
+      FROM e WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)), 0,
+             CAST(NULL AS BIGINT), epoch_us(CAST(ts AS TIMESTAMP))
+      FROM e WHERE event_type = 'purchase'),
+    w AS (
+      SELECT *,
+             last_value(p_us IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY us, is_c, coalesce(click_id, -1)
+               ROWS UNBOUNDED PRECEDING) AS back_us,
+             first_value(p_us IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY us, is_c, coalesce(click_id, -1)
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us
+      FROM u),
+    pick AS (
+      SELECT click_id AS event_id, k AS user_id, us,
+             CASE WHEN back_us IS NULL AND fwd_us IS NULL THEN NULL
+                  WHEN fwd_us IS NULL THEN back_us
+                  WHEN back_us IS NULL THEN fwd_us
+                  WHEN us - back_us <= fwd_us - us THEN back_us
+                  ELSE fwd_us END AS m_us
+      FROM w WHERE is_c = 1)
+    SELECT event_id, user_id, us AS click_us,
+           CASE WHEN m_us IS NOT NULL AND abs(us - m_us) <= 86400000000
+                THEN m_us END AS purchase_us,
+           CASE WHEN m_us IS NOT NULL AND abs(us - m_us) <= 86400000000
+                THEN abs(us - m_us) END AS diff_us,
+           CASE WHEN m_us IS NULL
+                     OR abs(us - m_us) > 86400000000 THEN NULL
+                WHEN m_us <= us THEN 'b' ELSE 'f' END AS direction
+    FROM pick
+    """,
+)
+def join_asof_nearest(spark, sf):
+    """NEAREST-in-time as-of join: each click matched to the closest
+    purchase in EITHER direction within a 1-day tolerance — pandas'
+    merge_asof(direction='nearest') as a distributed operator, and
+    the attribution question join_asof's backward-only form can't
+    answer (a click 5 seconds AFTER the purchase is the same session;
+    backward-asof throws it away). Same scalable union-scan shape as
+    join_asof — tag both sides, ONE shuffle+sort per user, carry the
+    last purchase time forward (last_value IGNORE NULLS, UNBOUNDED
+    PRECEDING) and the next purchase time backward (first_value
+    IGNORE NULLS, CURRENT..UNBOUNDED FOLLOWING) in the SAME window
+    sort — never the key-join + fan-out + argmin, whose candidate
+    blow-up is quadratic per key. Equal timestamps sort purchases
+    first, so a same-instant purchase is the backward candidate at
+    diff 0; the backward side wins exact-tie distances (deterministic
+    on both engines). Out-of-tolerance or purchase-less clicks keep
+    NULL match columns (left-join totality)."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"),
+        us.alias("us"),
+        F.lit(1).alias("is_c"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("p_us"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        us.alias("us"),
+        F.lit(0).alias("is_c"),
+        F.lit(None).cast("long").alias("click_id"),
+        us.alias("p_us"),
+    )
+    u = clicks.unionByName(purch)
+    order = [F.col("us"), F.col("is_c"), F.coalesce("click_id", F.lit(-1))]
+    wb = (
+        Window.partitionBy("k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = u.select(
+        "*",
+        F.last("p_us", ignorenulls=True).over(wb).alias("back_us"),
+        F.first("p_us", ignorenulls=True).over(wf).alias("fwd_us"),
+    )
+    back, fwd = F.col("back_us"), F.col("fwd_us")
+    m_us = (
+        F.when(back.isNull() & fwd.isNull(), F.lit(None).cast("long"))
+        .when(fwd.isNull(), back)
+        .when(back.isNull(), fwd)
+        .when(F.col("us") - back <= fwd - F.col("us"), back)
+        .otherwise(fwd)
+    )
+    pick = w.filter(F.col("is_c") == 1).select(
+        F.col("click_id").alias("event_id"),
+        F.col("k").alias("user_id"),
+        "us",
+        m_us.alias("m_us"),
+    )
+    within = F.col("m_us").isNotNull() & (
+        F.abs(F.col("us") - F.col("m_us")) <= 86400000000
+    )
+    return pick.select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("click_us"),
+        F.when(within, F.col("m_us")).alias("purchase_us"),
+        F.when(within, F.abs(F.col("us") - F.col("m_us"))).alias("diff_us"),
+        F.when(~within, F.lit(None).cast("string"))
+        .when(F.col("m_us") <= F.col("us"), "b")
+        .otherwise("f")
+        .alias("direction"),
+    )

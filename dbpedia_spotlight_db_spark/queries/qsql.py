@@ -536,3 +536,42 @@ def sql_inline_values(spark, sf):
         GROUP BY w.prio, w.weight
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SELECT * EXCEPT + ORDER BY ALL — projection-subtraction dialects
+# ---------------------------------------------------------------------------
+@q(
+    "sql_select_except",
+    """
+    SELECT * EXCLUDE (o_orderdate, o_totalprice),
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    ORDER BY ALL
+    LIMIT 25
+    """,
+)
+def sql_select_except(spark, sf):
+    """Projection subtraction + ORDER BY ALL — the wide-table
+    ergonomics pair (Spark 4 spells it `SELECT * EXCEPT (...)`,
+    DuckDB `EXCLUDE (...)`; the twin pins the dialect divergence
+    explicitly instead of leaving it latent): on a 100-column
+    corpus table "everything but the payload blobs" is the daily
+    projection, and writing it as subtraction keeps the query
+    stable as columns are ADDED — exactly the schema-drift regime
+    parquet_merge_schema models. Catalyst expands the star at
+    analysis time, so column pruning still reaches the scan with
+    the subtracted columns absent from ReadSchema (o_totalprice
+    survives only because the cents expression references it).
+    ORDER BY ALL orders by every output column left-to-right —
+    o_orderkey leads, so the order is total and LIMIT 25 is
+    deterministic, planning as TakeOrderedAndProject."""
+    return spark.sql(
+        f"""
+        SELECT * EXCEPT (o_orderdate, o_totalprice),
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM parquet.`{sf}/orders.parquet`
+        ORDER BY ALL
+        LIMIT 25
+        """
+    )
