@@ -1557,3 +1557,73 @@ def text_textrank(spark, sf):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# unicode-script census — does the text match its language tag?
+# ---------------------------------------------------------------------------
+@q(
+    "text_script_mix",
+    r"""
+    WITH m AS (
+      SELECT lang,
+             len(text) AS n_chars,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS latin,
+             len(regexp_extract_all(text, '\p{Han}')) AS han,
+             len(regexp_extract_all(text, '\p{Cyrillic}')) AS cyr,
+             len(regexp_extract_all(text, '[0-9]')) AS digit
+      FROM documents WHERE text IS NOT NULL)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(latin) AS BIGINT) AS latin,
+           CAST(SUM(han) AS BIGINT) AS han,
+           CAST(SUM(cyr) AS BIGINT) AS cyr,
+           CAST(SUM(digit) AS BIGINT) AS digits,
+           CASE WHEN SUM(n_chars) = 0 THEN NULL
+                ELSE round(SUM(han + cyr) * 1.0 / SUM(n_chars), 6) + 0
+           END AS non_latin_share
+    FROM m GROUP BY lang
+    """,
+)
+def text_script_mix(spark, sf):
+    """Unicode-SCRIPT census per language tag: Latin / Han /
+    Cyrillic / digit character counts and the non-Latin share — the
+    mislabel detector one level below text_langid (langid guesses a
+    language from n-grams; the script census catches the grosser
+    and more common corpus rot: a `zh` shard full of Latin
+    boilerplate, mojibake, or HTML entities — script mismatch is
+    the cheapest high-precision signal and needs no model). Pure
+    map-only JVM regex counting (Java `\\p{IsHan}` == RE2
+    `\\p{Han}` — the dialect pair is pinned by the twin, the same
+    discipline as feat_hashing's hex casts), one
+    map-side-combinable agg to a |langs|-sized relation, zero UDFs;
+    at 100 TB this is a single corpus pass that rides whole-stage
+    codegen."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    m = d.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.expr("regexp_count(text, '[A-Za-z]')").alias("latin"),
+        F.expr(r"regexp_count(text, '\\p{IsHan}')").alias("han"),
+        F.expr(r"regexp_count(text, '\\p{IsCyrillic}')").alias("cyr"),
+        F.expr("regexp_count(text, '[0-9]')").alias("digit"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum("latin").cast("long").alias("latin"),
+        F.sum("han").cast("long").alias("han"),
+        F.sum("cyr").cast("long").alias("cyr"),
+        F.sum("digit").cast("long").alias("digits"),
+        F.when(F.sum("n_chars") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sum(F.col("han") + F.col("cyr"))
+                * F.lit(1.0)
+                / F.sum("n_chars"),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("non_latin_share"),
+    )

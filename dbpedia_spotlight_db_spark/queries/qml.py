@@ -3236,3 +3236,180 @@ def stat_weighted_median(spark, sf):
         .alias("wmedian_cents"),
         F.max("tw").cast("long").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled range — long-memory in the daily series
+# ---------------------------------------------------------------------------
+@q(
+    "stat_hurst",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             SUM(CAST(round(value * 100) AS BIGINT)) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    idx AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY day_num) AS rn FROM daily),
+    fan AS (
+      SELECT s.size, (rn - 1) // s.size AS wid,
+             (rn - 1) % s.size + 1 AS pos, v
+      FROM idx, (SELECT unnest([8, 16, 32]) AS size) s),
+    w AS (
+      SELECT size, wid, pos, v,
+             COUNT(*) OVER (PARTITION BY size, wid) AS cnt,
+             SUM(v) OVER (PARTITION BY size, wid) AS s1,
+             SUM(v * v) OVER (PARTITION BY size, wid) AS s2,
+             SUM(v) OVER (PARTITION BY size, wid ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM fan),
+    per_w AS (
+      SELECT size, wid,
+             MAX(size * cum - pos * s1) - MIN(size * cum - pos * s1)
+               AS rr,
+             MAX(size * s2 - s1 * s1) AS varn
+      FROM w WHERE cnt = size
+      GROUP BY size, wid),
+    ys AS (
+      SELECT size,
+             CAST(round(1000000.0
+                        * ln(rr / sqrt(CAST(varn AS DOUBLE))))
+                  AS BIGINT) AS y_us
+      FROM per_w WHERE varn > 0),
+    per_s AS (
+      SELECT size, CAST(COUNT(*) AS BIGINT) AS nw,
+             CAST(SUM(y_us) AS BIGINT) AS sy
+      FROM ys GROUP BY size),
+    p AS (
+      SELECT CAST(MAX(CASE WHEN size = 8 THEN nw END) AS BIGINT) AS n8,
+             CAST(MAX(CASE WHEN size = 16 THEN nw END) AS BIGINT) AS n16,
+             CAST(MAX(CASE WHEN size = 32 THEN nw END) AS BIGINT) AS n32,
+             MAX(CASE WHEN size = 8 THEN sy * 1.0 / nw END) AS y8,
+             MAX(CASE WHEN size = 32 THEN sy * 1.0 / nw END) AS y32
+      FROM per_s)
+    SELECT COALESCE(n8, 0) AS n8, COALESCE(n16, 0) AS n16,
+           COALESCE(n32, 0) AS n32,
+           CASE WHEN y8 IS NULL OR y32 IS NULL THEN NULL
+                ELSE round((y32 - y8) / 1000000.0 / (2 * ln(2.0)), 6) + 0
+           END AS hurst
+    FROM p
+    """,
+)
+def stat_hurst(spark, sf):
+    """Hurst exponent of the daily revenue series by rescaled-range
+    (R/S) analysis over window sizes 8/16/32 observed days — the
+    long-memory diagnostic (H ~ 0.5 memoryless, H > 0.5 trending/
+    persistent, H < 0.5 mean-reverting) that says whether
+    events_forecast's seasonal-naive horizon is even extendable, a
+    different question from events_autocorr's fixed-lag linear
+    correlation. Everything reduces to exact integers until the last
+    step: within each window the cumulative deviation is the exact
+    rational size*cum - pos*s1 (so R*size = max - min is a BIGINT),
+    the std denominator is sqrt(size*s2 - s1^2) (R/S = R_scaled /
+    sqrt(varn) after the size folds cancel), each window's ln(R/S)
+    is micros-quantized (exact per-size sums), and with the three
+    sizes geometrically spaced the OLS slope collapses to the
+    closed form (ybar32 - ybar8) / (2 ln 2). Zero-variance windows
+    and partial tail windows drop; a size with no surviving window
+    NULLs the estimate. Scale shape: one corpus scan to the
+    calendar-sized daily relation; the x3 fan-out and every window
+    ride that bounded relation."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = (
+        e.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("day_num")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc"))
+        .select("day_num", F.expr("vc div 100").alias("v"))
+    )
+    idx = daily.select(
+        "v", F.row_number().over(Window.orderBy("day_num")).alias("rn")
+    )
+    fan = idx.select(
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("size"),
+        "rn",
+        "v",
+    ).select(
+        "size",
+        F.expr("(rn - 1) div size").alias("wid"),
+        ((F.col("rn") - 1) % F.col("size") + 1).alias("pos"),
+        "v",
+    )
+    ww = Window.partitionBy("size", "wid")
+    wcum = ww.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w = fan.select(
+        "size",
+        "wid",
+        "pos",
+        "v",
+        F.count(F.lit(1)).over(ww).alias("cnt"),
+        F.sum("v").over(ww).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(ww).alias("s2"),
+        F.sum("v").over(wcum).alias("cum"),
+    )
+    ydev = F.col("size") * F.col("cum") - F.col("pos") * F.col("s1")
+    per_w = (
+        w.filter(F.col("cnt") == F.col("size"))
+        .groupBy("size", "wid")
+        .agg(
+            (F.max(ydev) - F.min(ydev)).alias("rr"),
+            F.max(
+                F.col("size") * F.col("s2") - F.col("s1") * F.col("s1")
+            ).alias("varn"),
+        )
+    )
+    ys = per_w.filter(F.col("varn") > 0).select(
+        "size",
+        F.round(
+            F.lit(1000000.0)
+            * F.log(F.col("rr") / F.sqrt(F.col("varn").cast("double")))
+        )
+        .cast("long")
+        .alias("y_us"),
+    )
+    per_s = ys.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("nw"),
+        F.sum("y_us").cast("long").alias("sy"),
+    )
+    p = per_s.agg(
+        *[
+            F.max(F.when(F.col("size") == s, F.col("nw")))
+            .cast("long")
+            .alias(f"n{s}")
+            for s in (8, 16, 32)
+        ],
+        F.max(
+            F.when(F.col("size") == 8, F.col("sy") * F.lit(1.0) / F.col("nw"))
+        ).alias("y8"),
+        F.max(
+            F.when(
+                F.col("size") == 32, F.col("sy") * F.lit(1.0) / F.col("nw")
+            )
+        ).alias("y32"),
+    )
+    return p.select(
+        F.coalesce(F.col("n8"), F.lit(0)).alias("n8"),
+        F.coalesce(F.col("n16"), F.lit(0)).alias("n16"),
+        F.coalesce(F.col("n32"), F.lit(0)).alias("n32"),
+        F.when(
+            F.col("y8").isNull() | F.col("y32").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (F.col("y32") - F.col("y8"))
+                / F.lit(1000000.0)
+                / (2 * F.log(F.lit(2.0))),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("hurst"),
+    )

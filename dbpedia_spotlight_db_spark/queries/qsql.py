@@ -575,3 +575,50 @@ def sql_select_except(spark, sf):
         LIMIT 25
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# named WINDOW clause — one spec, many functions
+# ---------------------------------------------------------------------------
+@q(
+    "sql_named_window",
+    """
+    SELECT event_id, user_id,
+           CAST(rank() OVER w AS INT) AS rnk,
+           lag(CAST(round(value * 100) AS BIGINT)) OVER w AS prev_cents,
+           SUM(CAST(round(value * 100) AS BIGINT)) OVER w2 AS run_cents
+    FROM events
+    WHERE user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def sql_named_window(spark, sf):
+    """The named WINDOW clause: one declared spec shared by rank(),
+    lag() and a framed running sum — the SQL-surface spelling of
+    what the DataFrame faces do with a reused WindowSpec object
+    (win_rank / win_moving_avg), and the form that matters for
+    PLAN quality: all three functions name the same (user_id;
+    ts, event_id) sort, so Catalyst computes them in a single
+    Window operator over ONE exchange+sort instead of re-sorting
+    per function — on a 100-TB event log the difference between
+    one shuffle and three. The running sum declares its ROWS frame
+    explicitly (the ml_map RANGE-vs-ROWS discipline); rank and lag
+    are frameless by definition. Total (ts, event_id) order makes
+    every output deterministic; money rides exact cents."""
+    return spark.sql(
+        f"""
+        SELECT event_id, user_id,
+               CAST(rank() OVER w AS INT) AS rnk,
+               lag(CAST(round(value * 100) AS BIGINT)) OVER w
+                 AS prev_cents,
+               SUM(CAST(round(value * 100) AS BIGINT)) OVER w2
+                 AS run_cents
+        FROM parquet.`{sf}/events.parquet`
+        WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)
+        """
+    )

@@ -1991,3 +1991,133 @@ def events_crosscorr(spark, sf):
         )
         .alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate — how predictable is the next event?
+# ---------------------------------------------------------------------------
+@q(
+    "events_entropy_rate",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    cells AS (
+      SELECT prev AS i, event_type AS j, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+    w AS (
+      SELECT i, j, c,
+             SUM(c) OVER (PARTITION BY i) AS ci,
+             SUM(c) OVER (PARTITION BY j) AS cj,
+             SUM(c) OVER () AS tt
+      FROM cells),
+    m AS (
+      SELECT CAST(MAX(tt) AS BIGINT) AS tt,
+             CAST(SUM(CAST(round(1000.0 * c * ln(ci * 1.0 / c)) AS BIGINT))
+                  AS BIGINT) AS h_millis
+      FROM w),
+    marg AS (
+      SELECT j, CAST(MAX(cj) AS BIGINT) AS cj FROM w GROUP BY j),
+    m0 AS (
+      SELECT CAST(SUM(CAST(round(1000.0 * cj * ln(cj)) AS BIGINT))
+                  AS BIGINT) AS l_millis
+      FROM marg)
+    SELECT m.tt AS n_transitions,
+           CASE WHEN m.tt IS NULL OR m.tt = 0 THEN NULL
+                ELSE round(m.h_millis / 1000.0 / m.tt, 6) + 0
+           END AS h_rate,
+           CASE WHEN m.tt IS NULL OR m.tt = 0 THEN NULL
+                ELSE round(ln(m.tt) - m0.l_millis / 1000.0 / m.tt, 6) + 0
+           END AS h_marginal,
+           CASE WHEN m.tt IS NULL OR m.tt = 0
+                     OR ln(m.tt) - m0.l_millis / 1000.0 / m.tt <= 0
+                THEN NULL
+                ELSE round(1 - (m.h_millis / 1000.0 / m.tt)
+                               / (ln(m.tt) - m0.l_millis / 1000.0 / m.tt),
+                           6) + 0
+           END AS predictability
+    FROM m, m0
+    """,
+)
+def events_entropy_rate(spark, sf):
+    """Empirical entropy rate of the per-user event-type Markov
+    chain, against the marginal entropy of the next-event
+    distribution, folded into a predictability score 1 - H|/H0 —
+    the single number that says whether knowing the CURRENT event
+    helps predict the next one at all (events_markov computes where
+    the chain settles; this face scores how deterministic its steps
+    are — the upstream go/no-go for any next-event model). Same
+    LAG-per-user derivation, corpus collapsed once to |types|^2
+    transition cells; row, column, and grand totals are all windows
+    over that cell relation (the stat_mutual_info rule), the
+    conditional entropy rides the ln-sum identity with per-cell
+    terms c*ln(ci/c) quantized to integer millis (exact
+    order-independent BIGINT sum), and the marginal entropy is the
+    same identity over the |types|-sized column-marginal fold.
+    Zero transitions or a zero marginal entropy (single event type)
+    guard to NULL."""
+    e = t(spark, sf, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(wseq).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    cells = seq.groupBy(
+        F.col("prev").alias("i"), F.col("event_type").alias("j")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wi = Window.partitionBy("i")
+    wj = Window.partitionBy("j")
+    wall = Window.partitionBy()
+    w = cells.select(
+        "i",
+        "j",
+        "c",
+        F.sum("c").over(wi).alias("ci"),
+        F.sum("c").over(wj).alias("cj"),
+        F.sum("c").over(wall).alias("tt"),
+    )
+    m = w.agg(
+        F.max("tt").cast("long").alias("tt"),
+        F.sum(
+            F.round(
+                F.lit(1000.0)
+                * F.col("c")
+                * F.log(F.col("ci") * F.lit(1.0) / F.col("c"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("h_millis"),
+    )
+    m0 = (
+        w.groupBy("j")
+        .agg(F.max("cj").cast("long").alias("cj"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1000.0)
+                    * F.col("cj")
+                    * F.log(F.col("cj").cast("double"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("l_millis")
+        )
+    )
+    f = m.crossJoin(m0)
+    tt, hm, lm = F.col("tt"), F.col("h_millis"), F.col("l_millis")
+    hrate = hm / F.lit(1000.0) / tt
+    hmarg = F.log(tt.cast("double")) - lm / F.lit(1000.0) / tt
+    bad = tt.isNull() | (tt == 0)
+    return f.select(
+        tt.alias("n_transitions"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(hrate, 6) + F.lit(0.0))
+        .alias("h_rate"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(hmarg, 6) + F.lit(0.0))
+        .alias("h_marginal"),
+        F.when(bad | (hmarg <= 0), F.lit(None).cast("double"))
+        .otherwise(F.round(1 - hrate / hmarg, 6) + F.lit(0.0))
+        .alias("predictability"),
+    )
