@@ -10,7 +10,7 @@ has the float-parity argument).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..operators import clustering
 from .common import t
@@ -238,4 +238,122 @@ def embed_norms(spark, sf):
             + F.lit(0.0)
         ).alias("mean_norm2"),
         F.sum(out).cast("long").alias("n_outliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fisher separability per embedding dimension — supervised scatter ratio
+# ---------------------------------------------------------------------------
+@q(
+    "embed_fisher",
+    """
+    WITH e AS (
+      SELECT label, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    x AS (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS v
+      FROM e),
+    qx AS (
+      SELECT label, dim,
+             CAST(round(1000.0 * CAST(v AS DOUBLE)) AS BIGINT) AS q
+      FROM x),
+    cells AS (
+      SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM qx GROUP BY 1, 2),
+    w AS (
+      SELECT dim, label, n, s1, s2,
+             SUM(n) OVER (PARTITION BY dim) AS nn,
+             SUM(s1) OVER (PARTITION BY dim) AS t1,
+             COUNT(*) OVER (PARTITION BY dim) AS k
+      FROM cells),
+    terms AS (
+      SELECT dim, nn, k, t1,
+             CAST(round(s1 * 1.0 * s1 / n) AS BIGINT) AS sb_t,
+             CAST(round(s2 - s1 * 1.0 * s1 / n) AS BIGINT) AS sw_t
+      FROM w)
+    SELECT CAST(dim AS INT) AS dim_idx,
+           CAST(MAX(k) AS BIGINT) AS n_labels,
+           CASE WHEN MAX(k) < 2 OR MAX(nn) <= MAX(k) OR SUM(sw_t) <= 0
+                THEN NULL
+                ELSE round(((SUM(sb_t)
+                             - MAX(t1) * 1.0 * MAX(t1) / MAX(nn))
+                            / (MAX(k) - 1.0))
+                           / (SUM(sw_t) * 1.0 / (MAX(nn) - MAX(k))),
+                           6) + 0
+           END AS f_ratio
+    FROM terms GROUP BY dim
+    """,
+)
+def embed_fisher(spark, sf):
+    """Per-dimension Fisher separability of the labeled embeddings:
+    the one-way-ANOVA F ratio (between-class scatter over
+    within-class scatter) computed for every embedding coordinate —
+    the SUPERVISED complement to embed_dim_stats (which dims carry
+    the label signal vs. which are noise — the feature-selection /
+    probe-quality question asked before training any classifier on
+    frozen embeddings; embed_kmeans asks the unsupervised version).
+    Components quantize to integer MILLIS at the row (exact
+    order-independent moment sums; millis not micros because
+    s1^2 must stay in BIGINT headroom at corpus scale — the
+    stat_theil rule), the corpus collapses once to |labels| x d
+    moment cells, per-dim totals are windows over that bounded
+    relation (the stat_mutual_info rule), each label's scatter
+    terms quantize before the cross-label sum, and F is one
+    identical float expression with k < 2 / degenerate-scatter
+    guards to NULL. DuckDB's generate_subscripts is 1-based — the
+    twin aligns to posexplode's 0-based dim (the qdata.py:241
+    ordinality idiom)."""
+    e = t(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    x = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    qx = x.select(
+        "label",
+        "dim",
+        F.round(F.lit(1000.0) * F.col("v").cast("double"))
+        .cast("long")
+        .alias("q"),
+    )
+    cells = qx.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("s2"),
+    )
+    wd = Window.partitionBy("dim")
+    w = cells.select(
+        "dim",
+        "label",
+        "n",
+        "s1",
+        "s2",
+        F.sum("n").over(wd).alias("nn"),
+        F.sum("s1").over(wd).alias("t1"),
+        F.count(F.lit(1)).over(wd).alias("k"),
+    )
+    s1, n = F.col("s1"), F.col("n")
+    terms = w.select(
+        "dim",
+        "nn",
+        "k",
+        "t1",
+        F.round(s1 * F.lit(1.0) * s1 / n).cast("long").alias("sb_t"),
+        F.round(F.col("s2") - s1 * F.lit(1.0) * s1 / n)
+        .cast("long")
+        .alias("sw_t"),
+    )
+    mk, mnn, mt1 = F.max("k"), F.max("nn"), F.max("t1")
+    bad = (mk < 2) | (mnn <= mk) | (F.sum("sw_t") <= 0)
+    fr = (
+        (F.sum("sb_t") - mt1 * F.lit(1.0) * mt1 / mnn) / (mk - F.lit(1.0))
+    ) / (F.sum("sw_t") * F.lit(1.0) / (mnn - mk))
+    return terms.groupBy("dim").agg(
+        mk.cast("long").alias("n_labels"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(fr, 6) + F.lit(0.0))
+        .alias("f_ratio"),
+    ).select(
+        F.col("dim").cast("int").alias("dim_idx"), "n_labels", "f_ratio"
     )

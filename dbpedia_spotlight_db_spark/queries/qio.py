@@ -892,3 +892,52 @@ def scan_modified_after(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# compression-codec round trips — zstd and gzip lose nothing
+# ---------------------------------------------------------------------------
+@q(
+    "parquet_codecs",
+    """
+    SELECT 'gzip' AS codec, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    UNION ALL
+    SELECT 'zstd', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents
+    """,
+)
+def parquet_codecs(spark, sf):
+    """Compression-codec round trips: the documents table written
+    with zstd and with gzip, each read back and aggregated — the
+    codec knob is the single biggest storage/scan-cost lever on a
+    100-TB lake (zstd is the modern default: gzip-class ratios at
+    several-fold faster decompression; snappy trades ratio for
+    speed), and the one thing a codec change must never touch is
+    the DATA, which is exactly what hashing both reads against the
+    raw original proves. The codec is a WRITER property — readers
+    dispatch per page from the file metadata, so mixed-codec
+    directories read fine and a lake can migrate codecs file by
+    file during routine compaction (compact_plan's moment) rather
+    than in one rewrite. Each leg is one write + one
+    map-side-combinable agg; codec choice changes bytes and CPU,
+    never the plan shape."""
+    out = []
+    for codec in ("gzip", "zstd"):
+        d = _sink_dir(spark, f"codec_{codec}")
+        t(spark, sf, "documents").write.mode("overwrite").option(
+            "compression", codec
+        ).parquet(d)
+        back = spark.read.schema(_DOCS_DDL).parquet(d)
+        out.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+        )
+    return out[0].unionByName(out[1])

@@ -622,3 +622,133 @@ def sql_named_window(spark, sf):
                       ROWS UNBOUNDED PRECEDING)
         """
     )
+
+
+import itertools as _itertools
+
+_DDL_COUNTER = _itertools.count()
+
+
+# ---------------------------------------------------------------------------
+# catalog-managed table — CREATE / INSERT / ANALYZE / stats-aware join
+# ---------------------------------------------------------------------------
+@q(
+    "sql_catalog_table",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sql_catalog_table(spark, sf):
+    """The catalog-managed-table lifecycle: CREATE TABLE ... USING
+    PARQUET, INSERT INTO ... SELECT from the raw feed, ANALYZE TABLE
+    COMPUTE STATISTICS, then query the TABLE — the DDL surface every
+    other face skips by reading parquet paths directly, and the one
+    that matters operationally at 100 TB because ANALYZE is what
+    feeds the cost-based optimizer real rowCount/sizeInBytes instead
+    of file-size guesses (join reordering and broadcast decisions
+    are only as good as these stats; the test pins that the catalog
+    actually RETURNS them). The table is dropped and recreated per
+    run (idempotent under re-invocation, unique name per session
+    counter); INSERT INTO SELECT is the same distributed write as
+    df.write, just spelled in SQL. Results hash against the raw
+    feed — the managed round trip loses nothing."""
+    # table names carry a per-session suffix: a managed table's
+    # LOCATION outlives the session's in-memory catalog, so a fixed
+    # name collides with the warehouse dir a previous session left
+    # behind (LOCATION_ALREADY_EXISTS); the stale dir is also swept
+    import re as _re
+    import shutil as _shutil
+
+    sid = _re.sub(
+        r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId
+    )[-12:]
+    name = f"spark_graft_orders_{sid}_{next(_DDL_COUNTER)}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    _shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE {name} (
+          o_orderstatus STRING, cents BIGINT
+        ) USING PARQUET
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {name}
+        SELECT o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM parquet.`{sf}/orders.parquet`
+        """
+    )
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM {name} GROUP BY o_orderstatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# CACHE TABLE — explicit SQL-surface caching, InMemoryRelation reuse
+# ---------------------------------------------------------------------------
+@q(
+    "sql_cached_view",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM v GROUP BY event_type
+    """,
+)
+def sql_cached_view(spark, sf):
+    """CACHE TABLE over a temp view — the explicit SQL caching
+    surface (the DataFrame faces cache via parquet_checkpoint for
+    corpus-scale reuse; a CACHED VIEW is the interactive-session
+    tool for a WORKING SET that several queries will hit, columnar
+    in executor memory with automatic spill). The face creates the
+    view, caches it EAGERLY (plain CACHE TABLE is lazy — the
+    eager form materializes now, so the query below is served from
+    the InMemoryRelation, which the test pins in the plan), reads
+    it, and uncaches in a finally (never leak executor memory into
+    the next face — cache lifecycle is part of the surface).
+    Caching changes WHERE bytes come from, never WHAT they are:
+    the twin aggregates the raw feed."""
+    name = f"spark_graft_cached_{next(_DDL_COUNTER)}"
+    t(spark, sf, "events").filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).createOrReplaceTempView(name)
+    spark.sql(f"CACHE TABLE {name}")
+    try:
+        out = spark.sql(
+            f"""
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS cents,
+                   CAST(MIN(cents) AS BIGINT) AS min_cents,
+                   CAST(MAX(cents) AS BIGINT) AS max_cents
+            FROM {name} GROUP BY event_type
+            """
+        )
+        # materialize while the cache is alive; result is tiny
+        rows = out.collect()
+    finally:
+        spark.sql(f"UNCACHE TABLE IF EXISTS {name}")
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n long, cents long, "
+        "min_cents long, max_cents long",
+    )
