@@ -1627,3 +1627,68 @@ def text_script_mix(spark, sf):
         )
         .alias("non_latin_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl politeness schedule — per-host rate budget and makespan
+# ---------------------------------------------------------------------------
+_CRAWL_RATE = 5  # fetches per host per tick
+
+
+@q(
+    "crawl_schedule",
+    f"""
+    WITH u AS (
+      SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) AS host FROM documents),
+    h AS (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs FROM u GROUP BY host),
+    s AS (
+      SELECT host, n_docs,
+             (n_docs + {_CRAWL_RATE - 1}) // {_CRAWL_RATE} AS ticks
+      FROM h)
+    SELECT host, n_docs, CAST(ticks AS BIGINT) AS ticks,
+           round(n_docs * 1.0 / ({_CRAWL_RATE} * ticks), 6) + 0
+             AS utilization,
+           ticks = MAX(ticks) OVER () AS is_critical
+    FROM s
+    """,
+)
+def crawl_schedule(spark, sf):
+    """Crawl politeness schedule: with a budget of {rate} fetches
+    per host per tick, how many ticks does each host's backlog
+    need, how full are its tick slots, and which hosts sit on the
+    critical path (ticks == makespan) — the planning report a
+    recrawl runs BEFORE dispatching (host_stats measures what was
+    crawled; this face budgets what's next — the makespan hosts are
+    where politeness, not bandwidth, bounds the crawl, and the
+    fix is raising their per-host rate agreement, not adding
+    workers). Hosts derive from the same deterministic doc_id%53
+    synthesis as host_stats. ceil division is the all-integer
+    (n + r - 1) div r on both engines; utilization is one float
+    division; the makespan is a frameless window over the
+    |hosts|-sized relation (never a second aggregation branch).
+    One map-side-combinable agg from the corpus — the report is
+    host-bounded at any scale."""
+    d = t(spark, sf, "documents")
+    h = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 53).cast("string")).alias(
+            "host"
+        )
+    ).groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    r = _CRAWL_RATE
+    s = h.select(
+        "host",
+        "n_docs",
+        F.expr(f"(n_docs + {r - 1}) div {r}").alias("ticks"),
+    )
+    wall = Window.partitionBy()
+    return s.select(
+        "host",
+        "n_docs",
+        F.col("ticks").cast("long").alias("ticks"),
+        (
+            F.round(F.col("n_docs") * F.lit(1.0) / (r * F.col("ticks")), 6)
+            + F.lit(0.0)
+        ).alias("utilization"),
+        (F.col("ticks") == F.max("ticks").over(wall)).alias("is_critical"),
+    )

@@ -1120,3 +1120,93 @@ def encode_delta(spark, sf):
         )
         .alias("ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-entity trend — grouped OLS slope as a feature column
+# ---------------------------------------------------------------------------
+@q(
+    "feat_trend",
+    """
+    WITH pts AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+            AND user_id IS NOT NULL),
+    m AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY user_id)
+    SELECT user_id, n,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+                ELSE round((n * sxy - sx * sy) * 1.0
+                           / (n * sxx - sx * sx), 6) + 0
+           END AS slope_cents_per_day,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+                ELSE round((sy * 1.0 - (n * sxy - sx * sy) * 1.0
+                                       / (n * sxx - sx * sx) * sx)
+                           / n, 6) + 0
+           END AS intercept_cents
+    FROM m
+    """,
+)
+def feat_trend(spark, sf):
+    """Per-entity OLS trend: each user's spend regressed on the
+    calendar day, emitted as (slope, intercept) feature columns —
+    the GROUPED regression the global stat_regression can't give
+    you (one REGR_SLOPE over the corpus says the fleet trend; churn
+    and LTV models need the trend PER USER, a classic
+    feature-engineering op and the textbook case for map-side
+    moment aggregation: five exact BIGINT moments per user, one
+    exchange on the grouping key, then pure per-row arithmetic —
+    never a per-user sort, never a window). Slope and intercept are
+    single identical float expressions over the exact moments
+    (cross-multiplied, the events_autocorr discipline), with the
+    degenerate cases (singleton user, all events one day) guarded
+    to NULL on both engines."""
+    pts = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    m = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col("n"),
+        F.col("sx"),
+        F.col("sy"),
+        F.col("sxy"),
+        F.col("sxx"),
+    )
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) * F.lit(1.0) / den
+    bad = (n < 2) | (den == 0)
+    return m.select(
+        "user_id",
+        "n",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6) + F.lit(0.0))
+        .alias("slope_cents_per_day"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round((sy * F.lit(1.0) - slope * sx) / n, 6) + F.lit(0.0)
+        )
+        .alias("intercept_cents"),
+    )

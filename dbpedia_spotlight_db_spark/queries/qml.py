@@ -3413,3 +3413,111 @@ def stat_hurst(spark, sf):
         )
         .alias("hurst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired test — did the model change actually change errors?
+# ---------------------------------------------------------------------------
+@q(
+    "stat_mcnemar",
+    """
+    WITH lab AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN CAST(round(value * 100) AS BIGINT) % 7 < 3
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '7'
+                  THEN 1 ELSE 0 END AS b
+      FROM events WHERE value IS NOT NULL),
+    cls AS (
+      SELECT CASE WHEN a = y THEN 1 ELSE 0 END AS a_ok,
+             CASE WHEN b = y THEN 1 ELSE 0 END AS b_ok
+      FROM lab),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b10,
+             CAST(SUM(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c01,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cls)
+    SELECT n, b10, c01,
+           CASE WHEN b10 + c01 = 0 THEN NULL
+                ELSE round((b10 - c01) * 1.0 * (b10 - c01)
+                           / (b10 + c01), 6) + 0
+           END AS chi2,
+           CASE WHEN b10 + c01 = 0 THEN NULL
+                ELSE round((abs(b10 - c01) - 1.0)
+                           * (abs(b10 - c01) - 1.0)
+                           / (b10 + c01), 6) + 0
+           END AS chi2_cc
+    FROM m
+    """,
+)
+def stat_mcnemar(spark, sf):
+    """McNemar's test on two classifiers over the SAME rows — the
+    paired accuracy comparison (ml_confusion grades one model;
+    shipping decisions compare two, and the unpaired two-proportion
+    test wastes the pairing: only the DISCORDANT cells b and c
+    carry information, concordant rows cancel). Classifier A is a
+    value-derived rule, classifier B an md5-coin rule (both
+    deterministic — the sample_hash discipline — so the 2x2
+    discordance table is engine/partitioning-invariant); the
+    statistic (b-c)^2/(b+c) and its continuity-corrected form are
+    single float expressions over three exact BIGINTs, NULL-guarded
+    when there are no discordant pairs (the ANSI divide hazard and
+    also the correct answer: identical error patterns = no
+    evidence). One corpus scan, one map-side-combinable fold to a
+    single row — the cheapest possible A/B shape at 100 TB."""
+    lab = t(spark, sf, "events").filter(F.col("value").isNotNull()).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.when(
+            F.pmod(F.round(F.col("value") * 100).cast("long"), F.lit(7)) < 3,
+            1,
+        )
+        .otherwise(0)
+        .alias("a"),
+        F.when(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "7",
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    cls = lab.select(
+        F.when(F.col("a") == F.col("y"), 1).otherwise(0).alias("a_ok"),
+        F.when(F.col("b") == F.col("y"), 1).otherwise(0).alias("b_ok"),
+    )
+    m = cls.agg(
+        F.sum(F.when((F.col("a_ok") == 1) & (F.col("b_ok") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b10"),
+        F.sum(F.when((F.col("a_ok") == 0) & (F.col("b_ok") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c01"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    b10, c01 = F.col("b10"), F.col("c01")
+    zero = b10 + c01 == 0
+    return m.select(
+        "n",
+        "b10",
+        "c01",
+        F.when(zero, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (b10 - c01) * F.lit(1.0) * (b10 - c01) / (b10 + c01), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("chi2"),
+        F.when(zero, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.abs(b10 - c01) - F.lit(1.0))
+                * (F.abs(b10 - c01) - F.lit(1.0))
+                / (b10 + c01),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("chi2_cc"),
+    )
