@@ -2928,3 +2928,76 @@ def events_dispersion(spark, sf):
         .otherwise(vnum > s1 * (n - 1))
         .alias("overdispersed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# local maxima — strict daily peaks with neighbor prominence
+# ---------------------------------------------------------------------------
+@q(
+    "events_peak",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             SUM({SQL_CENTS.format(x='value')}) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day_num, v,
+             lag(v) OVER win AS pv, lead(v) OVER win AS nv
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day_num))
+    SELECT event_type, day_num, CAST(v AS BIGINT) AS dollars,
+           CAST(v - GREATEST(pv, nv) AS BIGINT) AS prominence
+    FROM w
+    WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv
+    """,
+)
+def events_peak(spark, sf):
+    """Strict local maxima of the per-type daily revenue series with
+    a neighbor prominence (how far the peak clears its higher
+    shoulder) — the SHAPE detector the threshold family can't
+    express: events_outliers flags level (a high plateau alerts
+    every day), events_bollinger flags volatility, a PEAK is a
+    point that beats BOTH neighbors, which is what campaign-spike
+    and cron-burst triage actually looks for. One LAG and one LEAD
+    on a shared window spec (single Window operator, one sort of
+    the calendar-sized daily relation — the sql_named_window
+    discipline), strict > on both sides so plateaus are not peaks
+    (deterministic: all-integer dollar comparisons), series
+    endpoints excluded (no neighbor = no verdict). Prominence is
+    an exact BIGINT difference."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit(_EPOCH)).cast("long").alias(
+                "day_num"
+            ),
+        )
+        .agg(F.sum(cents(F.col("value"))).alias("vc"))
+        .select("event_type", "day_num", F.expr("vc div 100").alias("v"))
+    )
+    win = Window.partitionBy("event_type").orderBy("day_num")
+    w = daily.select(
+        "event_type",
+        "day_num",
+        "v",
+        F.lag("v").over(win).alias("pv"),
+        F.lead("v").over(win).alias("nv"),
+    )
+    return w.filter(
+        F.col("pv").isNotNull()
+        & F.col("nv").isNotNull()
+        & (F.col("v") > F.col("pv"))
+        & (F.col("v") > F.col("nv"))
+    ).select(
+        "event_type",
+        "day_num",
+        F.col("v").cast("long").alias("dollars"),
+        (F.col("v") - F.greatest("pv", "nv")).cast("long").alias(
+            "prominence"
+        ),
+    )

@@ -1210,3 +1210,88 @@ def feat_trend(spark, sf):
         )
         .alias("intercept_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# randomized response — LOCAL differential privacy with debiasing
+# ---------------------------------------------------------------------------
+@q(
+    "privacy_randomized_response",
+    """
+    WITH lab AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             substr(md5('rr:' || CAST(event_id AS VARCHAR)), 1, 2) AS coin
+      FROM events),
+    resp AS (
+      SELECT CASE WHEN coin < '40' THEN 1 - y
+                  ELSE y END AS r,
+             y
+      FROM lab),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r) AS BIGINT) AS n_yes,
+             CAST(SUM(y) AS BIGINT) AS n_true
+      FROM resp)
+    SELECT n, n_yes,
+           CASE WHEN n = 0 THEN NULL
+                ELSE round((n_yes * 1.0 / n - 0.25) / 0.5, 6) + 0
+           END AS p_debiased,
+           CASE WHEN n = 0 THEN NULL
+                ELSE round(n_true * 1.0 / n, 6) + 0
+           END AS p_true
+    FROM m
+    """,
+)
+def privacy_randomized_response(spark, sf):
+    """Randomized response — LOCAL differential privacy, the
+    opposite trust model from privacy_dp_count/histogram (central
+    DP: a trusted aggregator adds noise to the RELEASE; local DP:
+    each ROW lies before it ever leaves the client, so no honest
+    aggregator is required): with probability q = 0.25 the label is
+    flipped (md5 two-hex coin: '00'..'3f' is exactly 64/256), so a
+    reported yes proves nothing about any individual, yet the
+    population rate debiases exactly as (p_obs - q)/(1 - 2q). The
+    flip coin is md5-derived PER ROW (engine/partitioning-invariant,
+    hash-gateable — a production deployment uses client-side
+    CSPRNGs and drops p_true, kept here so the gate pins both the
+    mechanism and the debias arithmetic against the ground truth).
+    Map-only transform, one singleton fold — the survey-scale shape
+    at any corpus size."""
+    lab = t(spark, sf, "events").select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.substring(
+            F.md5(F.concat(F.lit("rr:"), F.col("event_id").cast("string"))),
+            1,
+            2,
+        ).alias("coin"),
+    )
+    resp = lab.select(
+        F.when(F.col("coin") < "40", 1 - F.col("y"))
+        .otherwise(F.col("y"))
+        .alias("r"),
+        "y",
+    )
+    m = resp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("n_yes"),
+        F.sum("y").cast("long").alias("n_true"),
+    )
+    n = F.col("n")
+    return m.select(
+        "n",
+        "n_yes",
+        F.when(n == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("n_yes") * F.lit(1.0) / n - F.lit(0.25)) / F.lit(0.5),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("p_debiased"),
+        F.when(n == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("n_true") * F.lit(1.0) / n, 6) + F.lit(0.0)
+        )
+        .alias("p_true"),
+    )

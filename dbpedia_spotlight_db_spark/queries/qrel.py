@@ -1855,3 +1855,110 @@ def join_asof_nearest(spark, sf):
         .otherwise("f")
         .alias("direction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grouping_id — telling subtotal NULLs from data NULLs
+# ---------------------------------------------------------------------------
+@q(
+    "agg_grouping_id",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+             AS gid,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark, sf):
+    """grouping_id() / grouping() over a ROLLUP — the disambiguator
+    agg_rollup deliberately leaves out: in a rollup result a NULL
+    group value is AMBIGUOUS (is this row the subtotal across
+    priorities, or the group of rows whose priority IS NULL?), and
+    every BI layer and downstream join on a rollup keys on the
+    grouping id, not the NULLs. grouping(col) is 1 exactly when the
+    row aggregates col away; grouping_id packs those bits
+    (status*2 + prio here) — both computed by the engine's Expand
+    operator for free, not derived from the data. Identical
+    ROLLUP + GROUPING_ID spelling on both engines; the plan is the
+    single-Expand two-phase agg the audit pins for agg_cube."""
+    o = t(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "gid",
+        "g_status",
+        "g_prio",
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# array higher-order functions — filter / exists / zip_with / sorted slice
+# ---------------------------------------------------------------------------
+@q(
+    "sql_array_hof",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           len(list_filter(embedding, x -> x > 2)) > 0 AS any_big,
+           round(list_sum(list_transform(
+                   list_zip(embedding, list_reverse(embedding)),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+                 6) + 0 AS rev_dot,
+           round(list_sum(list_transform(
+                   (list_sort(embedding, 'DESC'))[1:3],
+                   x -> CAST(x AS DOUBLE))), 6) + 0 AS top3_sum
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
+def sql_array_hof(spark, sf):
+    """The array higher-order-function family beyond arr_fns'
+    aggregate(): filter (positive-component count), exists
+    (any component above 2), zip_with (dot product with the
+    reversed self — the in-row pairwise combine ann's cosine rides),
+    and slice-of-sort_array (top-3 mass) — all evaluated INSIDE the
+    row by Catalyst's lambda machinery, which is the entire scale
+    point: per-element work without exploding d rows per vector and
+    re-aggregating (compare embed_dim_stats, which explodes because
+    it aggregates ACROSS rows; in-row reductions never should).
+    Sorting inside the row is fine at any corpus scale — it's d
+    elements, not the relation. Floats fold in index order on both
+    engines (zip_with and the transform both preserve element
+    order), so round-6 parity is exact; DuckDB spells the same
+    lambdas list_filter / list_zip / list_sort."""
+    e = t(spark, sf, "embeddings").filter(F.col("embedding").isNotNull())
+    return e.select(
+        "vec_id",
+        F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_pos"),
+        F.expr("exists(embedding, x -> x > 2)").alias("any_big"),
+        (
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(embedding, reverse(embedding),"
+                    " (a, b) -> cast(a as double) * cast(b as double)),"
+                    " 0.0d, (acc, x) -> acc + x)"
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("rev_dot"),
+        (
+            F.round(
+                F.expr(
+                    "aggregate(slice(sort_array(embedding, false), 1, 3),"
+                    " 0.0d, (acc, x) -> acc + cast(x as double))"
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("top3_sum"),
+    )
