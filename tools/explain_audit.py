@@ -1650,6 +1650,41 @@ def main() -> None:
         p_ks,
     )
 
+    # 64. wave-57..62 shapes: join_dpp must actually fire dynamic
+    # partition pruning (a dynamicpruning expression in the fact
+    # scan's PartitionFilters — the whole point of the face);
+    # sql_named_window's three functions share ONE Window operator;
+    # agg_grouping_id's rollup is a single Expand; sql_array_hof's
+    # in-row lambdas add NO Generate (explode) node.
+    p_dpp = QUERIES["join_dpp"](spark, SF)._jdf.queryExecution().toString()
+    dpp_fires = "dynamicpruning" in p_dpp.lower()
+    p_nw = (
+        QUERIES["sql_named_window"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    nw_windows = len(re.findall(r"\bWindow\b", p_nw))
+    p_gid = plan_of(QUERIES["agg_grouping_id"](spark, SF))
+    gid_expand = len(re.findall(r"\(\d+\) Expand", p_gid))
+    p_hof = plan_of(QUERIES["sql_array_hof"](spark, SF))
+    hof_generate = "Generate" in p_hof
+    hof_scans = len(re.findall(r"\(\d+\) Scan parquet", p_hof))
+    check(
+        "DPP fires; named window plans once; rollup single Expand; "
+        "array HOFs stay in-row",
+        dpp_fires
+        and nw_windows == 1
+        and gid_expand == 1
+        and not hof_generate
+        and hof_scans == 1,
+        f"join_dpp dynamicpruning={dpp_fires}; sql_named_window "
+        f"Window nodes={nw_windows} (want 1); agg_grouping_id "
+        f"Expand={gid_expand} (want 1); sql_array_hof Generate="
+        f"{hof_generate} (want False) scans={hof_scans}",
+        p_nw,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
