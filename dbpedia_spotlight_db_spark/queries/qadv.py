@@ -3001,3 +3001,69 @@ def events_peak(spark, sf):
             "prominence"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# quantified subqueries — ANY / ALL decorrelation
+# ---------------------------------------------------------------------------
+@q(
+    "sql_any_all",
+    """
+    WITH th AS (
+      SELECT o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus = 'F')
+    SELECT c.c_mktsegment AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN 20000000 < ANY (
+                  SELECT cents FROM th
+                  WHERE th.o_custkey = c.c_custkey) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_any_big,
+           CAST(SUM(CASE WHEN 10000000 < ALL (
+                  SELECT cents FROM th
+                  WHERE th.o_custkey = c.c_custkey)
+                  AND EXISTS (SELECT 1 FROM th
+                              WHERE th.o_custkey = c.c_custkey)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_all_big
+    FROM customer c
+    GROUP BY c.c_mktsegment
+    """,
+)
+def sql_any_all(spark, sf):
+    """Quantified screens per customer — "has ANY finished order
+    above $200k", "are ALL finished orders above $100k" — with the
+    engine-parity lesson as the face itself: Spark 4 does NOT parse
+    quantified comparison subqueries (`x > ANY (SELECT ...)` is a
+    PARSE_SYNTAX_ERROR), so the Spark side runs the CANONICAL
+    aggregate rewrite — ANY folds to a per-key MAX, ALL to a
+    per-key MIN plus a non-emptiness guard (ALL over an empty set
+    is vacuously TRUE; the business reading requires at least one
+    order) — while the DuckDB twin keeps the literal ANY/ALL
+    spelling, pinning both the divergence and the rewrite's
+    correctness in one hash. The rewrite is also the SCALABLE plan:
+    one map-side-combinable MAX/MIN per customer and one join,
+    where a naive quantifier evaluation re-scans orders per
+    customer. LEFT JOIN keeps orderless customers counted with
+    both flags false (NULL comparisons fall to the ELSE arm)."""
+    th = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    agg = th.groupBy("o_custkey").agg(
+        F.max("cents").alias("mx"), F.min("cents").alias("mn")
+    )
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = c.join(agg, c.c_custkey == agg.o_custkey, "left")
+    return j.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("mx") > 20000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_any_big"),
+        F.sum(F.when(F.col("mn") > 10000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_all_big"),
+    )

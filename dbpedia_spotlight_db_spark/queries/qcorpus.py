@@ -1692,3 +1692,81 @@ def crawl_schedule(spark, sf):
         ).alias("utilization"),
         (F.col("ticks") == F.max("ticks").over(wall)).alias("is_critical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# largest-remainder stratified allocation — exact budget apportionment
+# ---------------------------------------------------------------------------
+_ALLOC_BUDGET = 1000
+
+
+@q(
+    "sample_allocate",
+    f"""
+    WITH h AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      GROUP BY lang),
+    w AS (
+      SELECT lang, n, SUM(n) OVER () AS tot,
+             ({_ALLOC_BUDGET} * n) // SUM(n) OVER () AS base,
+             ({_ALLOC_BUDGET} * n) % SUM(n) OVER () AS rem
+      FROM h),
+    r AS (
+      SELECT lang, n, tot, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+             {_ALLOC_BUDGET} - SUM(base) OVER () AS leftover
+      FROM w)
+    SELECT lang, n, CAST(base AS BIGINT) AS base_quota,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota,
+           rk <= leftover AS got_remainder
+    FROM r
+    """,
+)
+def sample_allocate(spark, sf):
+    """Largest-remainder apportionment of a fixed sample budget of
+    {B} documents across language strata — the EXACT allocation
+    step in front of sample_stratified (which samples a RATE;
+    a labeling or eval budget is a COUNT, and naive rounding of
+    B*n_g/N under- or over-shoots the total — Hamilton's method
+    fixes the sum by handing the leftover units to the largest
+    fractional remainders, deterministically tie-broken by lang).
+    All-integer: base = (B*n) div N and the remainder (B*n) mod N
+    are exact; the leftover B - sum(base) is a frameless window
+    over the |strata|-sized relation; the remainder ranking is one
+    ROW_NUMBER. The invariant the test pins: sum(quota) == B
+    exactly, and every quota is within 1 of the real-valued
+    proportional share."""
+    h = t(spark, sf, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    b = _ALLOC_BUDGET
+    wall = Window.partitionBy()
+    w = h.select(
+        "lang",
+        "n",
+        F.sum("n").over(wall).alias("tot"),
+        F.expr(f"({b} * n) div (SUM(n) OVER ())").alias("base"),
+        (F.lit(b) * F.col("n") % F.sum("n").over(wall)).alias("rem"),
+    )
+    r = w.select(
+        "lang",
+        "n",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), "lang"))
+        .alias("rk"),
+        (F.lit(b) - F.sum("base").over(wall)).alias("leftover"),
+    )
+    return r.select(
+        "lang",
+        "n",
+        F.col("base").cast("long").alias("base_quota"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+        (F.col("rk") <= F.col("leftover")).alias("got_remainder"),
+    )

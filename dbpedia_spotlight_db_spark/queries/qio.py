@@ -941,3 +941,48 @@ def parquet_codecs(spark, sf):
             )
         )
     return out[0].unionByName(out[1])
+
+
+# ---------------------------------------------------------------------------
+# unionByName with allowMissingColumns — operator-level schema drift
+# ---------------------------------------------------------------------------
+@q(
+    "set_union_evolve",
+    """
+    SELECT 'v1' AS gen, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(lang) AS BIGINT) AS n_lang,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    UNION ALL
+    SELECT 'v2', CAST(COUNT(*) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents
+    """,
+)
+def set_union_evolve(spark, sf):
+    """unionByName(allowMissingColumns=True) across two schema
+    generations — the OPERATOR-level schema-drift union
+    (parquet_merge_schema handles drift at the SOURCE via footer
+    union; this is the in-flight version for combining a live
+    DataFrame with an older extract whose columns differ): v1
+    carries (doc_id, lang, n_chars), v2 dropped lang and added a
+    quality column; the name-aligned union null-fills each side's
+    missing columns. The trap it guards: plain union() aligns BY
+    POSITION and would silently zip lang against quality — a
+    corruption no error surfaces; by-name alignment is the only
+    safe spelling once schemas drift. COUNT(lang) proves the
+    null-fill landed exactly on v2's rows; the twin reproduces
+    both generations from the original table."""
+    d = t(spark, sf, "documents")
+    v1 = d.select("doc_id", "lang", "n_chars").withColumn(
+        "gen", F.lit("v1")
+    )
+    v2 = d.select(
+        "doc_id", "n_chars", (F.col("n_chars") > 200).alias("quality")
+    ).withColumn("gen", F.lit("v2"))
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("gen").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("lang").cast("long").alias("n_lang"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -3521,3 +3521,117 @@ def stat_mcnemar(spark, sf):
         )
         .alias("chi2_cc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# group-fairness report — demographic parity and equalized odds gaps
+# ---------------------------------------------------------------------------
+@q(
+    "ml_fairness",
+    """
+    WITH lab AS (
+      SELECT CASE WHEN substr(md5('grp:' || CAST(event_id AS VARCHAR)),
+                              1, 1) < '8' THEN 'g0' ELSE 'g1' END AS grp,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN CAST(round(value * 100) AS BIGINT) % 5 < 2
+                  THEN 1 ELSE 0 END AS yhat
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yhat) AS BIGINT) AS n_pred_pos,
+             CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp
+      FROM lab GROUP BY grp)
+    SELECT grp, n,
+           CASE WHEN n = 0 THEN NULL
+                ELSE round(n_pred_pos * 1.0 / n, 6) + 0 END AS pos_rate,
+           CASE WHEN np = 0 THEN NULL
+                ELSE round(tp * 1.0 / np, 6) + 0 END AS tpr,
+           CASE WHEN nn = 0 THEN NULL
+                ELSE round(fp * 1.0 / nn, 6) + 0 END AS fpr,
+           round(ABS(n_pred_pos * 1.0 / n
+                     - MAX(n_pred_pos * 1.0 / n) OVER ()), 6) + 0
+             AS parity_gap_vs_max
+    FROM g
+    """,
+)
+def ml_fairness(spark, sf):
+    """Group-fairness report over a protected attribute: per group
+    the selection rate (demographic parity), TPR and FPR (the
+    equalized-odds pair), and each group's parity gap against the
+    most-selected group — the audit table a model review reads
+    before shipping any classifier that gates people or content
+    (ml_confusion grades accuracy; fairness asks WHO pays for the
+    errors — a classifier can be 95% accurate with all its false
+    negatives in one group). Group and prediction are md5/value
+    deterministic rules (the stat_mcnemar discipline) so the 2x2x2
+    table is engine-invariant; one corpus scan folds to per-group
+    exact counts, each rate is a guarded division (an empty class
+    NULLs its rate rather than crashing under ANSI), and the
+    cross-group reference is a frameless window over the
+    |groups|-sized relation — never a second scan."""
+    lab = t(spark, sf, "events").filter(F.col("value").isNotNull()).select(
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("grp:"), F.col("event_id").cast("string"))
+                ),
+                1,
+                1,
+            )
+            < "8",
+            "g0",
+        )
+        .otherwise("g1")
+        .alias("grp"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.when(
+            F.pmod(F.round(F.col("value") * 100).cast("long"), F.lit(5)) < 2,
+            1,
+        )
+        .otherwise(0)
+        .alias("yhat"),
+    )
+    g = lab.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yhat").cast("long").alias("n_pred_pos"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nn"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+    )
+    wall = Window.partitionBy()
+    pos_rate = F.col("n_pred_pos") * F.lit(1.0) / F.col("n")
+    return g.select(
+        "grp",
+        "n",
+        F.when(F.col("n") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(pos_rate, 6) + F.lit(0.0))
+        .alias("pos_rate"),
+        F.when(F.col("np") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("tp") * F.lit(1.0) / F.col("np"), 6) + F.lit(0.0)
+        )
+        .alias("tpr"),
+        F.when(F.col("nn") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("fp") * F.lit(1.0) / F.col("nn"), 6) + F.lit(0.0)
+        )
+        .alias("fpr"),
+        (
+            F.round(F.abs(pos_rate - F.max(pos_rate).over(wall)), 6)
+            + F.lit(0.0)
+        ).alias("parity_gap_vs_max"),
+    )
