@@ -2028,3 +2028,60 @@ def udf_scalar_iter(spark, sf):
     return t(spark, sf, "documents").select(
         "doc_id", _nvowels(F.col("text")).alias("n_vowels")
     )
+
+
+# ---------------------------------------------------------------------------
+# content-addressable media dedup census — binary checksum grouping
+# ---------------------------------------------------------------------------
+@q(
+    "multimodal_dedup",
+    """
+    WITH m AS (
+      SELECT md5(text) AS checksum,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents),
+    g AS (
+      SELECT checksum, n_bytes, CAST(COUNT(*) AS BIGINT) AS c
+      FROM m GROUP BY checksum, n_bytes)
+    SELECT CAST(SUM(c) AS BIGINT) AS n_media,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_copies,
+           CAST(SUM(c * n_bytes) AS BIGINT) AS bytes_total,
+           CAST(SUM((c - 1) * n_bytes) AS BIGINT) AS bytes_dedupable
+    FROM g
+    """,
+)
+def multimodal_dedup(spark, sf):
+    """Content-addressable dedup census over the BINARY media
+    payloads: group by (md5 checksum, byte length), report how many
+    physical copies collapse to how many distinct blobs and the
+    bytes a content-addressed store would reclaim — the
+    blob-storage planning number every multimodal lake computes
+    before ingest (images recrawled from mirrors are byte-identical
+    far more often than text is near-identical; CAS dedup is the
+    cheap win BEFORE any perceptual hashing). The checksum is
+    JVM-side F.md5 over the binary column (no UDF, no decode — CAS
+    dedup never opens the blob, which is the point: it works on
+    undecodable media too); the (checksum, n_bytes) composite
+    guards the one-in-2^64 digest collision with a free second
+    key. One map-side-combinable agg to the distinct-blob relation,
+    one singleton fold; the census is exact integers end to end.
+    The twin md5's the same utf-8 bytes through the payload
+    synthesis (operators/multimodal.attach_binary_payload)."""
+    media = mm.attach_binary_payload(
+        t(spark, sf, "documents"), "doc_id", "text"
+    )
+    g = media.groupBy(
+        F.md5("payload").alias("checksum"), "n_bytes"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return g.agg(
+        F.sum("c").cast("long").alias("n_media"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (F.sum("c") - F.count(F.lit(1))).cast("long").alias("n_dup_copies"),
+        F.sum(F.col("c") * F.col("n_bytes")).cast("long").alias(
+            "bytes_total"
+        ),
+        F.sum((F.col("c") - 1) * F.col("n_bytes"))
+        .cast("long")
+        .alias("bytes_dedupable"),
+    )

@@ -986,3 +986,50 @@ def set_union_evolve(spark, sf):
         F.count("lang").cast("long").alias("n_lang"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# INT96 legacy timestamps — Hive/Impala interop round trip
+# ---------------------------------------------------------------------------
+@q(
+    "parquet_int96",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sum_us,
+           CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS min_us
+    FROM events WHERE ts IS NOT NULL GROUP BY event_type
+    """,
+)
+def parquet_int96(spark, sf):
+    """INT96 timestamp round trip — the legacy parquet encoding
+    Hive/Impala-era feeds still emit and expect
+    (outputTimestampType=INT96 vs the modern TIMESTAMP_MICROS):
+    events timestamps written as 12-byte INT96, read back, reduced
+    to exact epoch-microsecond aggregates against the original.
+    INT96 is the interop tax of a 100-TB lake fed by older
+    warehouses — a pipeline that can't write it can't hand data
+    back to them; one that reads it wrong shifts every timestamp
+    by the session zone. The conf is set around the WRITE only and
+    restored in a finally (writer property, not session state);
+    the NTZ source column casts to TIMESTAMP first (identity under
+    the UTC-pinned session — the unix_micros discipline), because
+    INT96 encodes an instant. Epoch sums are exact BIGINTs — any
+    zone shift or precision loss flips the hash."""
+    d = _sink_dir(spark, "int96")
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "INT96")
+    try:
+        t(spark, sf, "events").filter(F.col("ts").isNotNull()).select(
+            "event_type", F.col("ts").cast("timestamp").alias("ts")
+        ).write.mode("overwrite").parquet(d)
+    finally:
+        spark.conf.set(key, prev)
+    back = spark.read.schema("event_type string, ts timestamp").parquet(d)
+    us = F.unix_micros(F.col("ts"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(us).cast("long").alias("sum_us"),
+        F.min(us).cast("long").alias("min_us"),
+    )

@@ -3635,3 +3635,79 @@ def ml_fairness(spark, sf):
             + F.lit(0.0)
         ).alias("parity_gap_vs_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen estimator — the median slope, robust to outlier days
+# ---------------------------------------------------------------------------
+@q(
+    "stat_theilsen",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             SUM(CAST(round(value * 100) AS BIGINT)) // 100 AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    pairs AS (
+      SELECT (b.y - a.y) * 1.0 / (b.x - a.x) AS s
+      FROM daily a JOIN daily b ON b.x > a.x),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             round(quantile_cont(s, 0.5), 6) + 0 AS sen_slope
+      FROM pairs)
+    SELECT n_pairs,
+           CASE WHEN n_pairs = 0 THEN NULL ELSE sen_slope END
+             AS sen_slope_dollars_per_day
+    FROM m
+    """,
+)
+def stat_theilsen(spark, sf):
+    """Theil-Sen trend of the daily revenue series: the MEDIAN of
+    all pairwise slopes — the robust companion to the OLS trends
+    (stat_regression / feat_trend): one campaign-spike day drags an
+    OLS slope arbitrarily far, while the median slope has a 29%
+    breakdown point, which is why monitoring pipelines fit
+    Theil-Sen before alerting on "revenue is trending down". The
+    pairwise fan-out is quadratic IN THE CALENDAR, not the corpus —
+    the events collapse to one row per observed day first (one
+    map-side agg), so 365 days is ~66k pair rows at ANY corpus
+    scale (the kg_squares cap philosophy: bound the blow-up before
+    producing it). Each slope is one identical float division of
+    exact integers (dollars via integer div, the autocorr headroom
+    rule); the median is the exact type-7 quantile both engines
+    share (agg_percentiles precedent). Empty series guards to
+    NULL."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = (
+        e.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("x")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc"))
+        .select("x", F.expr("vc div 100").alias("y"))
+    )
+    a = daily.select(F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = daily.select(F.col("x").alias("bx"), F.col("y").alias("by"))
+    pairs = a.join(b, F.col("bx") > F.col("ax")).select(
+        (
+            (F.col("by") - F.col("ay"))
+            * F.lit(1.0)
+            / (F.col("bx") - F.col("ax"))
+        ).alias("s")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.round(F.expr("percentile(s, 0.5)"), 6) + F.lit(0.0)).alias(
+            "sen"
+        ),
+    )
+    return m.select(
+        "n_pairs",
+        F.when(F.col("n_pairs") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("sen"))
+        .alias("sen_slope_dollars_per_day"),
+    )

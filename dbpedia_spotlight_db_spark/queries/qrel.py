@@ -1962,3 +1962,66 @@ def sql_array_hof(spark, sf):
             + F.lit(0.0)
         ).alias("top3_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DECIMAL money — exact fixed-point aggregation surface
+# ---------------------------------------------------------------------------
+@q(
+    "agg_decimal",
+    """
+    WITH d AS (
+      SELECT l_returnflag,
+             CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS
+                       DECIMAL(18, 2)) * CAST(0.01 AS DECIMAL(8, 2))
+                  AS DECIMAL(18, 2)) AS price_dec
+      FROM lineitem)
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(price_dec) AS DECIMAL(38, 2)) AS VARCHAR)
+             AS total_dec,
+           CAST(CAST(AVG(price_dec) AS DECIMAL(38, 6)) AS VARCHAR)
+             AS avg_dec
+    FROM d GROUP BY l_returnflag
+    """,
+)
+def agg_decimal(spark, sf):
+    """Fixed-point DECIMAL aggregation — the money type family every
+    other face deliberately side-steps via integer cents, exercised
+    on its own terms: prices land in DECIMAL(18,2) through an
+    exact integer-cents cast (never a float-to-decimal cast, which
+    would bake in the double's representation error), SUM
+    accumulates in the widened decimal both engines grow to
+    (exact — decimal sums are order-independent by construction,
+    the property integer cents emulate), and BOTH aggregates are
+    pinned to explicit result types before the string cast because
+    the engines' defaults diverge twice over: result scales differ
+    (Spark grows avg scale by 4), and — the trap this face pins —
+    DuckDB's `/` on a DECIMAL silently returns DOUBLE, so the
+    cents-to-price step must be a decimal MULTIPLICATION by
+    0.01::DECIMAL, never a division, or the oracle side degrades
+    to float behind identical-looking SQL. Emitted as
+    strings so the gate compares exact decimal digits, not a
+    float re-parse. Scale note: decimal arithmetic runs ~2-4x
+    slower than LONG cents in codegen — the integer-cents idiom
+    everywhere else is a deliberate throughput choice, this face
+    documents the exact-type alternative."""
+    li = t(spark, sf, "lineitem")
+    d = li.select(
+        "l_returnflag",
+        F.expr(
+            "CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS"
+            " DECIMAL(18, 2)) * CAST(0.01 AS DECIMAL(8, 2))"
+            " AS DECIMAL(18, 2))"
+        ).alias("price_dec"),
+    )
+    return d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("price_dec").cast("decimal(38,2)").cast("string").alias(
+            "total_dec"
+        ),
+        F.avg("price_dec")
+        .cast("decimal(38,6)")
+        .cast("string")
+        .alias("avg_dec"),
+    )
