@@ -3067,3 +3067,85 @@ def sql_any_all(spark, sf):
         .cast("long")
         .alias("n_all_big"),
     )
+
+
+# ---------------------------------------------------------------------------
+# burstiness coefficient — gap-based clumping, per event type
+# ---------------------------------------------------------------------------
+@q(
+    "events_burstiness",
+    """
+    WITH ev AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      FROM events WHERE ts IS NOT NULL),
+    g AS (
+      SELECT event_type,
+             (us - lag(us) OVER (PARTITION BY event_type
+                                 ORDER BY us, event_id)) // 1000000
+               AS gap
+      FROM ev),
+    m AS (
+      SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n,
+             CAST(SUM(gap) AS BIGINT) AS s1,
+             CAST(SUM(gap * gap) AS BIGINT) AS s2
+      FROM g GROUP BY event_type)
+    SELECT event_type, n AS n_gaps,
+           CASE WHEN n = 0 THEN NULL
+                ELSE CAST(s1 // n AS BIGINT) END AS mean_gap_s,
+           CASE WHEN n < 2 OR s1 = 0 THEN NULL
+                ELSE round((sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1.0)))
+                            - s1 * 1.0 / n)
+                           / (sqrt((n * s2 - s1 * s1) * 1.0
+                                   / (n * (n - 1.0)))
+                              + s1 * 1.0 / n), 6) + 0
+           END AS burstiness
+    FROM m
+    """,
+)
+def events_burstiness(spark, sf):
+    """Goh-Barabási burstiness coefficient B = (σ−μ)/(σ+μ) of the
+    inter-arrival gaps per event type — the GAP-based clumping
+    measure completing events_dispersion's count-based one (they
+    disagree exactly when it matters: hourly batch jobs give
+    regular daily counts but pathological gaps; B → −1 is a
+    metronome, 0 is Poisson, → +1 is bursts-and-silence, and the
+    alerting margin a rate monitor needs depends on B, not just
+    the rate). Gaps are exact epoch-us BIGINTs from one LAG over
+    the per-type (us, event_id) total order; σ and μ come from
+    exact integer moments in one identical float expression.
+    Gaps are floored to whole SECONDS (integer div) — a year-long
+    fixture gap in microseconds squares past BIGINT (the
+    events_autocorr headroom rule, measured: ARITHMETIC_OVERFLOW
+    under ANSI), while at real densities gaps only shrink; n < 2
+    or an all-zero gap sum guards to NULL. One corpus scan, one window, one
+    map-side-combinable fold per type."""
+    ev = t(spark, sf, "events").filter(F.col("ts").isNotNull()).select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    g = ev.select(
+        "event_type",
+        F.expr(
+            "(us - lag(us) OVER (PARTITION BY event_type"
+            " ORDER BY us, event_id)) div 1000000"
+        ).alias("gap"),
+    )
+    m = g.groupBy("event_type").agg(
+        F.count("gap").cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sd = F.sqrt((n * s2 - s1 * s1) * F.lit(1.0) / (n * (n - F.lit(1.0))))
+    mu = s1 * F.lit(1.0) / n
+    return m.select(
+        "event_type",
+        n.alias("n_gaps"),
+        F.when(n == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("s1 div n"))
+        .alias("mean_gap_s"),
+        F.when((n < 2) | (s1 == 0), F.lit(None).cast("double"))
+        .otherwise(F.round((sd - mu) / (sd + mu), 6) + F.lit(0.0))
+        .alias("burstiness"),
+    )

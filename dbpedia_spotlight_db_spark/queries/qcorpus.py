@@ -1770,3 +1770,87 @@ def sample_allocate(spark, sf):
         .alias("quota"),
         (F.col("rk") <= F.col("leftover")).alias("got_remainder"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-shard vocabulary overlap — pairwise Jaccard of token sets
+# ---------------------------------------------------------------------------
+@q(
+    "text_vocab_overlap",
+    """
+    WITH tok AS (
+      SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    v AS (SELECT lang, w FROM tok WHERE w <> ''),
+    sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nv FROM v
+           GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM v a JOIN v b ON a.w = b.w AND a.lang < b.lang
+      GROUP BY 1, 2)
+    SELECT i.lang_a, i.lang_b, i.n_common,
+           sa.nv AS nv_a, sb.nv AS nv_b,
+           round(i.n_common * 1.0
+                 / (sa.nv + sb.nv - i.n_common), 6) + 0 AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.lang = i.lang_a
+    JOIN sz sb ON sb.lang = i.lang_b
+    """,
+)
+def text_vocab_overlap(spark, sf):
+    """Pairwise vocabulary Jaccard between language shards — the
+    cross-corpus contamination probe at the SHARD level
+    (decontaminate catches document-level leaks against an eval
+    set; this face catches shard-level rot: two "different
+    language" shards sharing half their vocabulary are either
+    mislabeled, boilerplate-dominated, or the same crawl ingested
+    twice — and the mix_domains temperatures computed from them
+    are then wrong). The corpus collapses ONCE to the distinct
+    (lang, token) relation (vocab-bounded per shard); the
+    intersection is one self-equi-join on the token (never a
+    cross join — the join key is the word), sizes come from the
+    same relation, and Jaccard is one guarded float division of
+    exact counts. Denominator can't be zero: an inter row exists
+    only if both shards have at least the common token. At web
+    scale the token join takes the df-cap discipline
+    (stopword-frequency tokens dominate pairs; the fixture is
+    cap-free so the face stays exact)."""
+    v = (
+        t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sz = v.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    a = v.select(F.col("lang").alias("lang_a"), "w")
+    b = v.select(F.col("lang").alias("lang_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sz.select(F.col("lang").alias("lang_a"), F.col("nv").alias("nv_a"))
+    sb = sz.select(F.col("lang").alias("lang_b"), F.col("nv").alias("nv_b"))
+    return (
+        inter.join(sa, "lang_a")
+        .join(sb, "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_common",
+            "nv_a",
+            "nv_b",
+            (
+                F.round(
+                    F.col("n_common")
+                    * F.lit(1.0)
+                    / (F.col("nv_a") + F.col("nv_b") - F.col("n_common")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+        )
+    )

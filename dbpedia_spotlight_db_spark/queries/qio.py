@@ -1033,3 +1033,50 @@ def parquet_int96(spark, sf):
         F.sum(us).cast("long").alias("sum_us"),
         F.min(us).cast("long").alias("min_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# nested-column pruning — read one leaf of a struct, not the struct
+# ---------------------------------------------------------------------------
+@q(
+    "scan_nested_prune",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE source = 'src7' GROUP BY lang
+    """,
+)
+def scan_nested_prune(spark, sf):
+    """Nested-column pruning + struct-field filter pushdown: the
+    documents table re-written with its metadata packed into a
+    struct (meta.lang, meta.source, meta.n_chars — the shape crawl
+    sidecars and protobuf-derived feeds actually have), then read
+    with a filter on ONE leaf and a projection of TWO — and the
+    scan must read exactly those leaves, not the whole struct
+    (ReadSchema shows the pruned struct; the source = 'web'
+    predicate reaches PushedFilters as a nested-field filter).
+    At 100 TB with fat metadata structs (image EXIF, WARC headers)
+    the difference between leaf-reads and struct-reads is the
+    whole scan budget; Spark's nestedSchemaPruning is ON by
+    default but silently lost if the query passes the struct
+    whole — this face pins the plan shape (audit) and the values
+    (gate). The payload column (text) rides along UNREAD — its
+    absence from ReadSchema is the proof."""
+    d = _sink_dir(spark, "nested")
+    t(spark, sf, "documents").select(
+        "doc_id",
+        "text",
+        F.struct("lang", "source", "n_chars").alias("meta"),
+    ).write.mode("overwrite").parquet(d)
+    back = spark.read.schema(
+        "doc_id long, text string, "
+        "meta struct<lang:string,source:string,n_chars:long>"
+    ).parquet(d)
+    return (
+        back.filter(F.col("meta.source") == "src7")
+        .groupBy(F.col("meta.lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("meta.n_chars").cast("long").alias("sum_chars"),
+        )
+    )

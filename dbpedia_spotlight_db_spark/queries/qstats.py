@@ -2121,3 +2121,56 @@ def events_entropy_rate(spark, sf):
         .otherwise(F.round(1 - hrate / hmarg, 6) + F.lit(0.0))
         .alias("predictability"),
     )
+
+
+# ---------------------------------------------------------------------------
+# numeric RANGE frame — peers by VALUE distance, not row position
+# ---------------------------------------------------------------------------
+@q(
+    "win_value_range",
+    """
+    WITH d AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_id, event_type, cents,
+           CAST(COUNT(*) OVER w - 1 AS BIGINT) AS n_near,
+           CAST(SUM(cents) OVER w - cents AS BIGINT) AS near_cents
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                 RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+    """,
+)
+def win_value_range(spark, sf):
+    """Numeric RANGE frame: for every event, how many SAME-TYPE
+    events priced within +/- $5, and their total — peers defined by
+    VALUE distance, not row position (win_moving_avg's ROWS frame
+    counts k neighbors however far their values are;
+    win_trailing_range's RANGE is an interval over TIME; this is
+    the third frame kind, the price-banding / crowding query, and
+    the window spelling of what join_range does with an explicit
+    self-join — same semantics, one sort instead of a join). The
+    engine maintains a sliding value-window over the per-type sort,
+    so ties are handled by the frame definition itself (all peers
+    within the band, including equal-cents rows) — subtracting the
+    row's own contribution makes the count/sum exclusive.
+    All-integer outputs; one window over one exchange."""
+    d = t(spark, sf, "events").filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rangeBetween(-500, 500)
+    )
+    return d.select(
+        "event_id",
+        "event_type",
+        "cents",
+        (F.count(F.lit(1)).over(w) - 1).cast("long").alias("n_near"),
+        (F.sum("cents").over(w) - F.col("cents"))
+        .cast("long")
+        .alias("near_cents"),
+    )
