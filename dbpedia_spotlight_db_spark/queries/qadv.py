@@ -3149,3 +3149,91 @@ def events_burstiness(spark, sf):
         .otherwise(F.round((sd - mu) / (sd + mu), 6) + F.lit(0.0))
         .alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# daily rank movers — who jumped the revenue leaderboard overnight?
+# ---------------------------------------------------------------------------
+@q(
+    "events_top_movers",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             SUM({SQL_CENTS.format(x='value')}) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT event_type, day_num, v,
+             CAST(ROW_NUMBER() OVER (PARTITION BY day_num
+                                     ORDER BY v DESC, event_type)
+                  AS INT) AS rnk
+      FROM daily),
+    mv AS (
+      SELECT event_type, day_num, v, rnk,
+             lag(rnk) OVER (PARTITION BY event_type ORDER BY day_num)
+               AS prev_rnk,
+             day_num - lag(day_num) OVER (PARTITION BY event_type
+                                          ORDER BY day_num) AS gap
+      FROM rk)
+    SELECT event_type, day_num, CAST(v AS BIGINT) AS dollars, rnk,
+           prev_rnk, CAST(prev_rnk - rnk AS INT) AS moved_up
+    FROM mv
+    WHERE gap = 1 AND prev_rnk <> rnk
+    """,
+)
+def events_top_movers(spark, sf):
+    """Daily leaderboard MOVERS: each event type's revenue rank per
+    day (deterministic dollars-DESC, type-ASC tiebreak) joined to
+    its OWN rank yesterday, emitting only consecutive-day rank
+    changes — the "what changed overnight" report rank snapshots
+    can't answer (win_rank gives positions; operations wants
+    deltas, and only across ADJACENT days — a gap week makes
+    'moved up' meaningless, hence the gap = 1 guard). Two windows
+    over the calendar-sized daily relation with DIFFERENT keys —
+    rank partitions by day, the movement lag partitions by type —
+    so the relation exchanges twice, both calendar-bounded at any
+    corpus scale (the corpus itself collapsed in the first agg).
+    All-integer output: ranks, the movement delta, and floored
+    dollars."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit(_EPOCH)).cast("long").alias(
+                "day_num"
+            ),
+        )
+        .agg(F.sum(cents(F.col("value"))).alias("vc"))
+        .select("event_type", "day_num", F.expr("vc div 100").alias("v"))
+    )
+    wd = Window.partitionBy("day_num").orderBy(
+        F.desc("v"), F.col("event_type")
+    )
+    rk = daily.select(
+        "event_type",
+        "day_num",
+        "v",
+        F.row_number().over(wd).cast("int").alias("rnk"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("day_num")
+    mv = rk.select(
+        "event_type",
+        "day_num",
+        "v",
+        "rnk",
+        F.lag("rnk").over(wt).alias("prev_rnk"),
+        (F.col("day_num") - F.lag("day_num").over(wt)).alias("gap"),
+    )
+    return mv.filter(
+        (F.col("gap") == 1) & (F.col("prev_rnk") != F.col("rnk"))
+    ).select(
+        "event_type",
+        "day_num",
+        F.col("v").cast("long").alias("dollars"),
+        "rnk",
+        "prev_rnk",
+        (F.col("prev_rnk") - F.col("rnk")).cast("int").alias("moved_up"),
+    )

@@ -3711,3 +3711,74 @@ def stat_theilsen(spark, sf):
         .otherwise(F.col("sen"))
         .alias("sen_slope_dollars_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score interval — rate CIs that behave near 0 and 1
+# ---------------------------------------------------------------------------
+@q(
+    "stat_wilson_ci",
+    """
+    WITH m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type2 = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM (SELECT event_type,
+                   CASE WHEN value IS NOT NULL AND value > 450
+                        THEN 'purchase' ELSE 'other' END AS event_type2
+            FROM events) GROUP BY event_type)
+    SELECT event_type, n, k,
+           round(k * 1.0 / n, 6) + 0 AS rate,
+           round((k + 1.92072941034706) / (n + 3.84145882069412)
+                 - 1.95996398454005 / (n + 3.84145882069412)
+                   * sqrt(k * 1.0 * (n - k) / n + 0.960364705173765),
+                 6) + 0 AS wilson_lo,
+           round((k + 1.92072941034706) / (n + 3.84145882069412)
+                 + 1.95996398454005 / (n + 3.84145882069412)
+                   * sqrt(k * 1.0 * (n - k) / n + 0.960364705173765),
+                 6) + 0 AS wilson_hi
+    FROM m
+    """,
+)
+def stat_wilson_ci(spark, sf):
+    """95% Wilson score interval for a per-type success rate (here:
+    share of events with value above $4.50) — the rate CI that
+    stays inside [0,1] and behaves at the extremes, where the
+    naive Wald interval p ± z√(p(1−p)/n) collapses to a point at
+    k = 0 or k = n (exactly the regimes corpus-quality rates live
+    in: violation rates near 0, pass rates near 1 — a Wald CI of
+    [0,0] on a zero-violation sample is a lie). z = 1.95996... and
+    its square are PYTHON-IMPORT-TIME literals embedded identically
+    in both plans (the ml_ndcg discount discipline — never runtime
+    erf), the algebra is arranged as the standard centre ± half
+    width over exact BIGINT (k, n), and n >= 1 by construction
+    (groups exist only with rows) so no division guard is needed.
+    One corpus scan, one fold."""
+    m = t(spark, sf, "events").select(
+        "event_type",
+        F.when(
+            F.col("value").isNotNull() & (F.col("value") > 450), 1
+        )
+        .otherwise(0)
+        .alias("hit"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("hit").cast("long").alias("k"),
+    )
+    z = 1.95996398454005
+    z2 = z * z  # 3.84145882069412
+    n, k = F.col("n"), F.col("k")
+    centre = (k + F.lit(z2 / 2)) / (n + F.lit(z2))
+    half = (
+        F.lit(z)
+        / (n + F.lit(z2))
+        * F.sqrt(k * F.lit(1.0) * (n - k) / n + F.lit(z2 / 4))
+    )
+    return m.select(
+        "event_type",
+        "n",
+        "k",
+        (F.round(k * F.lit(1.0) / n, 6) + F.lit(0.0)).alias("rate"),
+        (F.round(centre - half, 6) + F.lit(0.0)).alias("wilson_lo"),
+        (F.round(centre + half, 6) + F.lit(0.0)).alias("wilson_hi"),
+    )

@@ -2025,3 +2025,43 @@ def agg_decimal(spark, sf):
         .cast("string")
         .alias("avg_dec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SHUFFLE_HASH hint — overriding the sort-merge default, safely
+# ---------------------------------------------------------------------------
+@q(
+    "join_shuffle_hash",
+    """
+    SELECT c.c_mktsegment AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_shuffle_hash(spark, sf):
+    """The orders-customer join executed under an explicit
+    SHUFFLE_HASH hint — the third join-strategy control after
+    broadcast (join_broadcast) and the sort-merge default
+    (join_sortmerge): hash-join skips BOTH sort passes, which wins
+    when one side fits a partition's memory but is too big to
+    broadcast — the mid-size-dimension regime a 100-TB star schema
+    hits constantly; the trade is no spill-friendly sort order, so
+    the hint is a per-query scalpel, not a default. Hints change
+    STRATEGY, never semantics — the twin is the plain join, and
+    the audit-style assertion lives in the test: the plan must
+    show ShuffledHashJoin where the unhinted spelling shows
+    SortMergeJoin, and the aggregation partials still sit before
+    the exchanges."""
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    return j.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

@@ -752,3 +752,48 @@ def sql_cached_view(spark, sf):
         "event_type string, n long, cents long, "
         "min_cents long, max_cents long",
     )
+
+
+# ---------------------------------------------------------------------------
+# TRANSFORM ... USING — the Hive script-streaming interface
+# ---------------------------------------------------------------------------
+@q(
+    "sql_transform_script",
+    """
+    WITH piped AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM piped GROUP BY event_type
+    """,
+)
+def sql_transform_script(spark, sf):
+    """TRANSFORM ... USING 'cat' — Hive's script-streaming
+    interface, the THIRD external-execution surface after Python
+    UDFs (Arrow batches to a Python worker) and SQL UDFs
+    (Catalyst-inlined): rows serialize to tab-delimited lines on a
+    subprocess's stdin and parse back from its stdout, which is how
+    legacy Hive pipelines bolted perl/awk/sed stages into SQL — a
+    migration from such a warehouse has to run these verbatim
+    before porting them. The script here is the identity (`cat`) so
+    the oracle can gate the round trip exactly: any delimiter,
+    quoting, or type-coercion drift in the serde flips the hash
+    (values come back as STRINGS and must be re-cast — the trap
+    this face pins). Scale shape: one subprocess per task streaming
+    rows — slower than codegen but parallel like any map; the
+    aggregation after it is ordinary two-phase."""
+    return spark.sql(
+        f"""
+        WITH src AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM parquet.`{sf}/events.parquet` WHERE value IS NOT NULL),
+        piped AS (
+          SELECT TRANSFORM(event_type, cents)
+          USING 'cat' AS (event_type STRING, cents_s STRING)
+          FROM src)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(cents_s AS BIGINT)) AS BIGINT) AS cents
+        FROM piped GROUP BY event_type
+        """
+    )
