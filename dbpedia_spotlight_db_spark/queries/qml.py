@@ -3678,6 +3678,8 @@ def stat_theilsen(spark, sf):
     rule); the median is the exact type-7 quantile both engines
     share (agg_percentiles precedent). Empty series guards to
     NULL."""
+    from ..operators.dedup import parquet_checkpoint
+
     e = t(spark, sf, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
@@ -3690,6 +3692,10 @@ def stat_theilsen(spark, sf):
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc"))
         .select("x", F.expr("vc div 100").alias("y"))
     )
+    # both sides of the pair join consume daily — without the
+    # checkpoint each branch re-runs the corpus agg (measured: 2
+    # events scans; the stat_mutual_info multi-consumer rule)
+    daily = parquet_checkpoint(daily, "theilsen_daily")
     a = daily.select(F.col("x").alias("ax"), F.col("y").alias("ay"))
     b = daily.select(F.col("x").alias("bx"), F.col("y").alias("by"))
     pairs = a.join(b, F.col("bx") > F.col("ax")).select(

@@ -1685,6 +1685,48 @@ def main() -> None:
         p_nw,
     )
 
+    # 65. wave-64..66 shapes: nested-schema pruning keeps the text
+    # payload out of ReadSchema; the SHUFFLE_HASH hint actually
+    # flips the strategy; TRANSFORM plans a ScriptTransformation;
+    # theilsen's quadratic pair join is calendar-sized (the corpus
+    # scan collapses to the daily agg BEFORE the self-join — one
+    # parquet scan only).
+    p_np = (
+        QUERIES["scan_nested_prune"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    np_rs = [ln for ln in p_np.splitlines() if "ReadSchema" in ln]
+    np_pruned = bool(np_rs) and "text" not in np_rs[0]
+    p_sh = (
+        QUERIES["join_shuffle_hash"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    sh_ok = "ShuffledHashJoin" in p_sh and "SortMergeJoin" not in p_sh
+    p_ts = plan_of(QUERIES["stat_theilsen"](spark, SF))
+    ts_scans = p_ts.count("events.parquet")
+    p_tr = (
+        QUERIES["sql_transform_script"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    tr_ok = "ScriptTransformation" in p_tr
+    check(
+        "nested pruning drops payload; shuffle-hash hint lands; "
+        "script transform plans; theilsen reads the daily checkpoint",
+        np_pruned and sh_ok and ts_scans == 0 and tr_ok,
+        f"scan_nested_prune ReadSchema-no-text={np_pruned}; "
+        f"join_shuffle_hash SHJ-not-SMJ={sh_ok}; stat_theilsen "
+        f"raw events scans={ts_scans} (want 0 — checkpointed); "
+        f"sql_transform_script "
+        f"ScriptTransformation={tr_ok}",
+        p_np,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
