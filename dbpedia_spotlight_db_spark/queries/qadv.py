@@ -3237,3 +3237,71 @@ def events_top_movers(spark, sf):
         "prev_rnk",
         (F.col("prev_rnk") - F.col("rnk")).cast("int").alias("moved_up"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling — the lossless-rendering envelope per pixel bucket
+# ---------------------------------------------------------------------------
+@q(
+    "events_m4",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000)
+               AS bucket,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) * 1000000000
+               + event_id AS tkey
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(us) AS BIGINT) AS min_us,
+           CAST(MAX(us) AS BIGINT) AS max_us,
+           CAST(min_by(cents, tkey) AS BIGINT) AS first_cents,
+           CAST(max_by(cents, tkey) AS BIGINT) AS last_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM ev GROUP BY event_type, bucket
+    """,
+)
+def events_m4(spark, sf):
+    """M4 downsampling: per (type, 7-day pixel bucket) the FIRST,
+    LAST, MIN and MAX values plus the time extent — the four
+    aggregates that make a line chart render pixel-identically to
+    the raw series (the M4 result [Jugel14-style]: within one
+    x-pixel only the entry, exit, top and bottom of the polyline
+    matter), which is how a dashboard draws a 10^12-point series
+    without shipping 10^12 points. Everything is ONE map-side-
+    combinable aggregation over the corpus — no window, no sort:
+    first/last ride min_by/max_by on the composite integer key
+    seconds*10^9 + event_id (the agg_first_last idiom — exact,
+    deterministic ties), min/max are plain folds, and the bucket
+    is epoch-aligned integer division of epoch-us by the week
+    width. This is the streaming-friendly shape too: all four
+    functions are algebraic, so the same query incrementalizes
+    under a watermark (stream_window's machinery)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        us.alias("us"),
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000"
+        ).alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) div 1000000)"
+            " * 1000000000 + event_id"
+        ).alias("tkey"),
+    )
+    return ev.groupBy("event_type", F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("us").cast("long").alias("min_us"),
+        F.max("us").cast("long").alias("max_us"),
+        F.expr("min_by(cents, tkey)").cast("long").alias("first_cents"),
+        F.expr("max_by(cents, tkey)").cast("long").alias("last_cents"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )

@@ -586,3 +586,63 @@ def join_bucketed(spark, sf):
         F.sum("n_orders").cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-measure pivot — the column-name contract
+# ---------------------------------------------------------------------------
+@q(
+    "pivot_multi_agg",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click_n,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                         THEN CAST(round(value * 100) AS BIGINT) END)
+                AS BIGINT) AS click_cents,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase_n,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT) END)
+                AS BIGINT) AS purchase_cents
+    FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def pivot_multi_agg(spark, sf):
+    """Pivot with MULTIPLE measures per pivoted value — the API
+    wrinkle pivot_events' single-measure form hides: with two
+    aggregates Spark names the output columns `{value}_{alias}`
+    (click_n, click_cents, ...), and that naming is a CONTRACT the
+    downstream schema depends on, so the face pins it against
+    explicitly-aliased CASE folds in the twin (the portable
+    spelling — DuckDB's PIVOT names differently, one more dialect
+    seam made explicit). The plan is the same single two-phase
+    aggregation as any pivot over explicit values (values are
+    declared, so no extra distinct-scan pass); per-type cents sums
+    keep the SUM-over-empty = NULL semantics on both engines (a
+    user with no purchases gets NULL cents, 0 count)."""
+    e = t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    p = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    return p.select(
+        "user_id",
+        F.coalesce("click_n", F.lit(0)).cast("long").alias("click_n"),
+        F.col("click_cents").cast("long").alias("click_cents"),
+        F.coalesce("purchase_n", F.lit(0))
+        .cast("long")
+        .alias("purchase_n"),
+        F.col("purchase_cents").cast("long").alias("purchase_cents"),
+    )

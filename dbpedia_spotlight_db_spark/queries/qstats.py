@@ -2174,3 +2174,53 @@ def win_value_range(spark, sf):
         .cast("long")
         .alias("near_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# batch time-window TVF — window() outside streaming
+# ---------------------------------------------------------------------------
+@q(
+    "agg_window_tvf",
+    """
+    WITH ev AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+    SELECT (us // 604800000000) * 604800000000 AS win_start_us,
+           (us // 604800000000) * 604800000000 + 604800000000
+             AS win_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM ev GROUP BY 1, 2
+    """,
+)
+def agg_window_tvf(spark, sf):
+    """The window() time-bucketing function in BATCH mode — tumbling
+    7-day windows over the event log via the SAME construct the
+    streaming faces use (stream_window), which is the point: a
+    pipeline prototyped as a batch rollup becomes a streaming
+    rollup by swapping read for readStream, because window() means
+    the same thing in both (epoch-aligned tumbling buckets,
+    half-open [start, end)). The twin pins that alignment
+    explicitly — start = (us div W) * W — which is also the
+    correctness contract a migration relies on (a hand-rolled
+    date_trunc bucketing would WEEK-align differently and every
+    historic rollup would shift). Emitted as exact epoch-us
+    BIGINTs (the unix_micros discipline: never formatted
+    timestamps in gated output); one map-side-combinable agg."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("ts").cast("timestamp").alias("tts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = e.groupBy(F.window("tts", "7 days")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    return w.select(
+        F.unix_micros(F.col("window.start")).alias("win_start_us"),
+        F.unix_micros(F.col("window.end")).alias("win_end_us"),
+        "n",
+        "cents",
+    )
