@@ -3305,3 +3305,63 @@ def events_m4(spark, sf):
         F.min("cents").cast("long").alias("min_cents"),
         F.max("cents").cast("long").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# heartbeat availability — share of 6-hour buckets with signal
+# ---------------------------------------------------------------------------
+@q(
+    "events_uptime",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS bucket
+      FROM events WHERE ts IS NOT NULL),
+    pres AS (
+      SELECT event_type, CAST(COUNT(DISTINCT bucket) AS BIGINT) AS up,
+             CAST(MIN(bucket) AS BIGINT) AS b0,
+             CAST(MAX(bucket) AS BIGINT) AS b1
+      FROM ev GROUP BY event_type)
+    SELECT event_type, up AS up_buckets,
+           CAST(b1 - b0 + 1 AS BIGINT) AS span_buckets,
+           CAST(b1 - b0 + 1 - up AS BIGINT) AS gap_buckets,
+           round(up * 1.0 / (b1 - b0 + 1), 6) + 0 AS availability
+    FROM pres
+    """,
+)
+def events_uptime(spark, sf):
+    """Heartbeat availability SLI: per event type, the share of
+    6-hour buckets between its first and last event that contain at
+    least one event — the uptime number an SRE review reads
+    (events_gapfill enumerates the missing days for inspection;
+    this face reduces presence to the SLI: 0.97 availability with
+    120 gap buckets is a paging policy decision, not a chart).
+    Epoch-aligned integer bucketing (the agg_window_tvf alignment
+    contract), presence via COUNT(DISTINCT bucket) — one exchange,
+    and the distinct is over the BOUNDED bucket domain, never the
+    corpus (the count-of-counts discipline: at 10^12 events the
+    distinct set is still calendar-sized). The span denominator is
+    the type's OWN first-to-last window, so a late-launched type
+    isn't penalized for not existing; span >= 1 by construction
+    (no divide guard needed)."""
+    ev = t(spark, sf, "events").filter(F.col("ts").isNotNull()).select(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 21600000000"
+        ).alias("bucket"),
+    )
+    pres = ev.groupBy("event_type").agg(
+        F.countDistinct("bucket").cast("long").alias("up"),
+        F.min("bucket").cast("long").alias("b0"),
+        F.max("bucket").cast("long").alias("b1"),
+    )
+    span = F.col("b1") - F.col("b0") + 1
+    return pres.select(
+        "event_type",
+        F.col("up").alias("up_buckets"),
+        span.cast("long").alias("span_buckets"),
+        (span - F.col("up")).cast("long").alias("gap_buckets"),
+        (F.round(F.col("up") * F.lit(1.0) / span, 6) + F.lit(0.0)).alias(
+            "availability"
+        ),
+    )

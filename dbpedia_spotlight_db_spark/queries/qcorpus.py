@@ -1854,3 +1854,144 @@ def text_vocab_overlap(spark, sf):
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta — stylometric distance between sources
+# ---------------------------------------------------------------------------
+@q(
+    "text_burrows_delta",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    tf AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE w <> '' GROUP BY source, w),
+    topw AS (
+      SELECT w FROM (
+        SELECT w, SUM(c) AS tot FROM tf GROUP BY w
+        ORDER BY tot DESC, w LIMIT 30)),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+             FROM tf GROUP BY source),
+    rel AS (
+      SELECT s.source, tw.w,
+             COALESCE(tf.c, 0) * 1000000.0 / s.n AS f
+      FROM stot s CROSS JOIN topw tw
+      LEFT JOIN tf ON tf.source = s.source AND tf.w = tw.w),
+    z AS (
+      SELECT source, w,
+             (f - AVG(f) OVER (PARTITION BY w))
+               / NULLIF(stddev_samp(f) OVER (PARTITION BY w), 0) AS zf
+      FROM rel),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(SUM(CAST(round(1000000.0 * ABS(a.zf - b.zf))
+                           AS BIGINT)) AS BIGINT) AS d_us,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+      WHERE a.zf IS NOT NULL AND b.zf IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT src_a, src_b,
+           round(d_us / 1000000.0 / k, 6) + 0 AS delta
+    FROM pairs
+    ORDER BY delta, src_a, src_b
+    LIMIT 20
+    """,
+)
+def text_burrows_delta(spark, sf):
+    """Burrows' Delta between sources: mean |z-score difference| of
+    the 30 most frequent tokens' relative frequencies — the
+    stylometric distance authorship attribution runs on, and at
+    corpus scale the SOURCE-forensics probe (two "independent"
+    hosts with near-zero Delta are mirrors or one bot farm —
+    text_vocab_overlap sees shared WORDS, Delta sees shared USAGE
+    RATES of the words everyone shares, which is why it
+    fingerprints style rather than topic). The corpus collapses
+    once to the (source, token) tf relation; the top-30 function
+    words come from a TakeOrderedAndProject over its token fold;
+    relative frequencies land on a dense source x 30 grid (the
+    LEFT JOIN's zero-fill is load-bearing — a source never using a
+    word is signal, not a missing row); per-word z-scores are
+    windows over the grid (30 x |sources| — bounded); and each
+    pair's |dz| terms micros-quantize before the sum (exact
+    order-independent agg). A zero-variance word (identical rate
+    everywhere) drops via the NULLIF guard on BOTH engines. The
+    float chain (f -> avg/stddev -> z) runs in identical op order;
+    stddev_samp == Spark stddev."""
+    tok = (
+        t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    tf = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    tf = parquet_checkpoint(tf, "burrows_tf")
+    topw = (
+        tf.groupBy("w")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.desc("tot"), "w")
+        .limit(30)
+        .select("w")
+    )
+    stot = tf.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    rel = (
+        stot.crossJoin(topw)
+        .join(tf, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                F.coalesce(F.col("c"), F.lit(0))
+                * F.lit(1000000.0)
+                / F.col("n")
+            ).alias("f"),
+        )
+    )
+    ww = Window.partitionBy("w")
+    z = rel.select(
+        "source",
+        "w",
+        (
+            (F.col("f") - F.avg("f").over(ww))
+            / F.nullif(F.stddev_samp("f").over(ww), F.lit(0.0))
+        ).alias("zf"),
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "w", F.col("zf").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"), "w", F.col("zf").alias("zb")
+    )
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .filter(F.col("za").isNotNull() & F.col("zb").isNotNull())
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1000000.0) * F.abs(F.col("za") - F.col("zb"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("d_us"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    return (
+        pairs.select(
+            "src_a",
+            "src_b",
+            (
+                F.round(F.col("d_us") / F.lit(1000000.0) / F.col("k"), 6)
+                + F.lit(0.0)
+            ).alias("delta"),
+        )
+        .orderBy("delta", "src_a", "src_b")
+        .limit(20)
+    )

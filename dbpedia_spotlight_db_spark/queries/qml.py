@@ -3788,3 +3788,236 @@ def stat_wilson_ci(spark, sf):
         (F.round(centre - half, 6) + F.lit(0.0)).alias("wilson_lo"),
         (F.round(centre + half, 6) + F.lit(0.0)).alias("wilson_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box statistic — joint whiteness over lags 1..7
+# ---------------------------------------------------------------------------
+@q(
+    "stat_ljung_box",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             SUM(CAST(round(value * 100) AS BIGINT)) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(v) AS BIGINT) AS sv,
+                  CAST(SUM(v * v) AS BIGINT) AS svv
+           FROM daily),
+    px AS (
+      SELECT CAST(t.l AS BIGINT) AS lag, day_num + t.l AS tgt, v AS x
+      FROM daily, unnest([1, 2, 3, 4, 5, 6, 7]) AS t(l)),
+    pr AS (
+      SELECT px.lag,
+             CAST(SUM(px.x * b.v) AS BIGINT) AS sxy,
+             CAST(SUM(px.x) AS BIGINT) AS sx,
+             CAST(SUM(b.v) AS BIGINT) AS sy,
+             CAST(COUNT(*) AS BIGINT) AS np
+      FROM px JOIN daily b ON b.day_num = px.tgt
+      GROUP BY px.lag),
+    rk AS (
+      SELECT pr.lag,
+             CAST(round(1000000000.0
+                  * (pr.sxy - pr.sx * 1.0 * pr.sy / pr.np)
+                  / (nn.svv - nn.sv * 1.0 * nn.sv / nn.n)) AS BIGINT)
+               AS r_nanos,
+             nn.n AS n
+      FROM pr CROSS JOIN nn
+      WHERE nn.svv - nn.sv * 1.0 * nn.sv / nn.n > 0 AND pr.np > 0)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_lags,
+           CASE WHEN COUNT(*) = 0 THEN NULL
+                ELSE round(MAX(n) * (MAX(n) + 2.0)
+                     * SUM((r_nanos / 1000000000.0)
+                           * (r_nanos / 1000000000.0)
+                           / (n - lag)), 6) + 0
+           END AS q_lb
+    FROM rk
+    """,
+)
+def stat_ljung_box(spark, sf):
+    """Ljung-Box Q over lags 1..7 of the daily revenue series — the
+    JOINT whiteness test (events_autocorr reports each lag's r
+    separately; a model-residual review needs one number saying
+    "is there autocorrelation at ANY lag", and summing n(n+2)
+    r_k^2/(n-k) weights the short-sample lags correctly where the
+    naive sum of r^2 doesn't). Estimator discipline: the standard
+    time-series autocorrelation (global-mean, global-variance
+    denominator — NOT per-lag Pearson, which events_autocorr uses;
+    the two disagree and Ljung-Box is defined over this one) from
+    exact BIGINT moments, each r_k quantized to integer NANOS
+    (r is in [-1,1], so nanos keep 9 digits and the squared terms
+    lose nothing the round-6 output would see), the Q fold running
+    over the 7-row lag relation in one identical expression.
+    Degenerate series (zero variance, no pairs) guard to NULL.
+    Same bounded x7 fan-out join shape as events_autocorr."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = (
+        e.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("day_num")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc"))
+        .select("day_num", F.expr("vc div 100").alias("v"))
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    daily = parquet_checkpoint(daily, "ljungbox_daily")
+    nn = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
+    )
+    px = daily.select(
+        "day_num",
+        "v",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    ).select(
+        F.col("lag").cast("long").alias("lag"),
+        (F.col("day_num") + F.col("lag")).alias("tgt"),
+        F.col("v").alias("x"),
+    )
+    b = daily.select(F.col("day_num").alias("tgt"), F.col("v").alias("y"))
+    pr = (
+        px.join(b, "tgt")
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.count(F.lit(1)).cast("long").alias("np"),
+        )
+    )
+    den = F.col("svv") - F.col("sv") * F.lit(1.0) * F.col("sv") / F.col("n")
+    rk = (
+        pr.crossJoin(nn)
+        .filter((den > 0) & (F.col("np") > 0))
+        .select(
+            "lag",
+            "n",
+            F.round(
+                F.lit(1000000000.0)
+                * (
+                    F.col("sxy")
+                    - F.col("sx") * F.lit(1.0) * F.col("sy") / F.col("np")
+                )
+                / den
+            )
+            .cast("long")
+            .alias("r_nanos"),
+        )
+    )
+    r = F.col("r_nanos") / F.lit(1000000000.0)
+    return rk.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_lags"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.max("n")
+                * (F.max("n") + F.lit(2.0))
+                * F.sum(r * r / (F.col("n") - F.col("lag"))),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("q_lb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# group-aware split — the leakage-hygiene certificate
+# ---------------------------------------------------------------------------
+@q(
+    "ml_group_split",
+    """
+    WITH lab AS (
+      SELECT user_id, event_id,
+             CASE WHEN substr(md5('split:' || CAST(user_id AS VARCHAR)),
+                              1, 1) < 'c' THEN 'train' ELSE 'test' END
+               AS split
+      FROM events WHERE user_id IS NOT NULL),
+    per_u AS (
+      SELECT user_id, CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+      FROM lab GROUP BY user_id),
+    sizes AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM lab GROUP BY split)
+    SELECT s.split, s.n_events, s.n_users,
+           (SELECT CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM per_u) AS n_straddlers,
+           round(s.n_events * 1.0 / SUM(s.n_events) OVER (), 6) + 0
+             AS frac
+    FROM sizes s
+    """,
+)
+def ml_group_split(spark, sf):
+    """GROUP-aware train/test split with a leakage certificate: the
+    split key is the md5 of the USER, not the event, so every row
+    of a user lands on one side — and the face OUTPUTS the
+    straddler count (users appearing in both splits), which must be
+    zero and is the single number that catches the classic eval
+    bug (row-level random splits put a user's Monday in train and
+    their Tuesday in test; any user-level memorization then grades
+    as skill). Splitting by group hash is also the only split that
+    SCALES: it's a map-side expression, needs no global shuffle or
+    stored assignment table, and is stable under corpus growth —
+    a user keeps their side forever, so yesterday's eval set stays
+    clean after today's ingest (the sample_hash determinism
+    discipline). The certificate is a corpus-collapsed per-user
+    COUNT(DISTINCT split) folded to one scalar; split sizes and
+    fractions ride the same scan."""
+    lab = t(spark, sf, "events").filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                1,
+            )
+            < "c",
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    lab = parquet_checkpoint(lab, "group_split_lab")
+    straddle = (
+        lab.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_straddlers")
+        )
+    )
+    sizes = lab.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    wall = Window.partitionBy()
+    return sizes.crossJoin(straddle).select(
+        "split",
+        "n_events",
+        "n_users",
+        "n_straddlers",
+        (
+            F.round(
+                F.col("n_events")
+                * F.lit(1.0)
+                / F.sum("n_events").over(wall),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("frac"),
+    )
