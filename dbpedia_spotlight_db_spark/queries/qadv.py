@@ -3365,3 +3365,97 @@ def events_uptime(spark, sf):
             "availability"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-to-convert — first click to first subsequent purchase
+# ---------------------------------------------------------------------------
+@q(
+    "events_time_to_convert",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    fc AS (
+      SELECT user_id, CAST(MIN(us) AS BIGINT) AS c_us
+      FROM ev WHERE event_type = 'click' GROUP BY user_id),
+    fp AS (
+      SELECT fc.user_id,
+             CAST(MIN(p.us) AS BIGINT) AS p_us, MAX(fc.c_us) AS c_us
+      FROM fc JOIN ev p ON p.user_id = fc.user_id
+      WHERE p.event_type = 'purchase' AND p.us >= fc.c_us
+      GROUP BY fc.user_id),
+    lat AS (SELECT p_us - c_us AS lat_us FROM fp),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clickers FROM fc)
+    SELECT base.n_clickers,
+           CAST(COUNT(lat_us) AS BIGINT) AS n_converted,
+           CASE WHEN COUNT(lat_us) = 0 THEN NULL
+                ELSE round(COUNT(lat_us) * 1.0 / base.n_clickers, 6) + 0
+           END AS conversion_rate,
+           round(quantile_cont(lat_us, 0.5), 6) + 0 AS p50_lat_us,
+           round(quantile_cont(lat_us, 0.9), 6) + 0 AS p90_lat_us
+    FROM lat CROSS JOIN base
+    GROUP BY base.n_clickers
+    """,
+)
+def events_time_to_convert(spark, sf):
+    """Time-to-convert: each user's FIRST click to their first
+    purchase AT OR AFTER it, folded to the conversion rate and the
+    exact p50/p90 latency — the funnel-velocity number
+    events_funnel's step counts can't give (two funnels with equal
+    conversion but 1-minute vs 3-week latency are different
+    businesses) and the aggregate view of what join_asof_nearest
+    computes per click. Shape: first-click is one
+    map-side-combinable fold; the subsequent-purchase match is an
+    equi-join on user filtered by the time predicate before its
+    min-fold (never a window over the raw corpus); the percentile
+    runs over the USER-sized latency relation (type-7, the
+    agg_percentiles parity). Unconverted clickers stay in the
+    denominator; zero converters NULL the rate and percentiles.
+    Latencies are exact epoch-us BIGINT differences."""
+    ev = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("us").cast("long").alias("c_us"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("p_us0")
+    )
+    fp = (
+        fc.join(p, "user_id")
+        .filter(F.col("p_us0") >= F.col("c_us"))
+        .groupBy("user_id")
+        .agg(
+            F.min("p_us0").cast("long").alias("p_us"),
+            F.max("c_us").alias("c_us2"),
+        )
+    )
+    lat = fp.select((F.col("p_us") - F.col("c_us2")).alias("lat_us"))
+    n_clickers = fc.count()
+    agg = lat.agg(
+        F.count("lat_us").cast("long").alias("n_converted"),
+        F.expr("percentile(lat_us, 0.5)").alias("p50"),
+        F.expr("percentile(lat_us, 0.9)").alias("p90"),
+    )
+    return agg.select(
+        F.lit(n_clickers).cast("long").alias("n_clickers"),
+        "n_converted",
+        F.when(F.col("n_converted") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("n_converted") * F.lit(1.0) / F.lit(n_clickers), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("conversion_rate"),
+        (F.round(F.col("p50"), 6) + F.lit(0.0)).alias("p50_lat_us"),
+        (F.round(F.col("p90"), 6) + F.lit(0.0)).alias("p90_lat_us"),
+    )

@@ -2137,3 +2137,39 @@ def stream_resume(spark, sf):
             F.sum("cents").cast("long").alias("cents"),
         )
         return parquet_checkpoint(agg, "stream_resume_final")
+
+
+# ---------------------------------------------------------------------------
+# bitwise family — xor fingerprints and popcount census
+# ---------------------------------------------------------------------------
+@q(
+    "bit_fns",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(bit_xor(event_id) AS BIGINT) AS xor_fp,
+           CAST(SUM(event_id & 255) AS BIGINT) AS low_byte_sum,
+           CAST(SUM(bit_count(event_id)) AS BIGINT) AS popcount_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def bit_fns(spark, sf):
+    """The bitwise family: per type an XOR fingerprint of the id
+    set, a masked low-byte sum, and a popcount census — and the
+    xor aggregate is the practical one: XOR is commutative,
+    associative, and self-inverse, so bit_xor(id) is an
+    order-independent SET fingerprint computable map-side in one
+    pass — the cheapest reconciliation check between two copies of
+    a 10^12-row table (equal counts AND equal xor-fp catches any
+    single-row difference; compare snapshot_diff, which finds WHICH
+    rows differ at full join cost — the xor fingerprint is the
+    screen you run first). Masks and popcounts are the
+    encode-family's bit-level arithmetic (zorder_plan interleaves
+    bits; this face pins the primitive ops' parity). All-integer
+    end to end."""
+    return t(spark, sf, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("bit_xor(event_id)").cast("long").alias("xor_fp"),
+        F.sum(F.expr("event_id & 255")).cast("long").alias("low_byte_sum"),
+        F.sum(F.bit_count("event_id")).cast("long").alias("popcount_sum"),
+    )

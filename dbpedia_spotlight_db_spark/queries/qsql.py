@@ -797,3 +797,150 @@ def sql_transform_script(spark, sf):
         FROM piped GROUP BY event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# try_to_timestamp — multi-format dirty date parsing
+# ---------------------------------------------------------------------------
+@q(
+    "sql_try_timestamp",
+    """
+    WITH d AS (
+      SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
+             substr(md5('ts:' || CAST(o_orderkey AS VARCHAR)), 1, 1)
+               AS coin
+      FROM orders WHERE o_orderdate IS NOT NULL),
+    dirty AS (
+      SELECT o_orderkey,
+             CASE WHEN coin < '6'
+                    THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                  WHEN coin < 'c' THEN strftime(ts, '%d/%m/%Y')
+                  ELSE 'not-a-date' END AS s
+      FROM d),
+    parsed AS (
+      SELECT COALESCE(
+               try_strptime(s, '%Y-%m-%d %H:%M:%S'),
+               try_strptime(s, '%d/%m/%Y')) AS pts
+      FROM dirty)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(pts) AS BIGINT) AS n_parsed,
+           CAST(SUM(epoch_us(pts) // 1000000) AS BIGINT) AS sum_s,
+           CAST(MIN(epoch_us(pts)) AS BIGINT) AS min_us
+    FROM parsed
+    """,
+)
+def sql_try_timestamp(spark, sf):
+    """Multi-format tolerant timestamp parsing — the ingest-side
+    date mess as a first-class face: order dates arrive as ISO
+    datetimes, as European dd/MM/yyyy, or as junk (md5-coin minted,
+    deterministic), and the parse chain
+    COALESCE(try_to_timestamp(iso), try_to_timestamp(dmy)) absorbs
+    each row into the first grammar that fits, NULLing the rest —
+    the date member of the try_* tolerance family (sql_try_cast
+    holds the numeric seat; under ANSI an untry'd to_timestamp on
+    one junk row kills the job at 100 TB). The dialect seam is the
+    FORMAT LANGUAGE itself: Spark speaks Java patterns
+    ('dd/MM/yyyy'), DuckDB speaks strptime ('%d/%m/%Y') — the twin
+    pins that the two pattern systems denote the same grammar on
+    this data. The sum certificate rides whole SECONDS (an
+    epoch-us sum overflows BIGINT at ~5k rows x 1.7e15 — measured
+    at sf0.01; the events_burstiness headroom rule), the min stays
+    exact micros; naive == UTC under the pinned session, and the
+    minting strftime/date_format pair is its own round-trip check."""
+    return spark.sql(
+        f"""
+        WITH d AS (
+          SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
+                 substr(md5('ts:' || CAST(o_orderkey AS STRING)), 1, 1)
+                   AS coin
+          FROM parquet.`{sf}/orders.parquet`
+          WHERE o_orderdate IS NOT NULL),
+        dirty AS (
+          SELECT o_orderkey,
+                 CASE WHEN coin < '6'
+                        THEN date_format(ts, 'yyyy-MM-dd HH:mm:ss')
+                      WHEN coin < 'c' THEN date_format(ts, 'dd/MM/yyyy')
+                      ELSE 'not-a-date' END AS s
+          FROM d),
+        parsed AS (
+          SELECT COALESCE(
+                   try_to_timestamp(s, 'yyyy-MM-dd HH:mm:ss'),
+                   try_to_timestamp(s, 'dd/MM/yyyy')) AS pts
+          FROM dirty)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(pts) AS BIGINT) AS n_parsed,
+               CAST(SUM(unix_micros(pts) div 1000000) AS BIGINT)
+                 AS sum_s,
+               CAST(MIN(unix_micros(pts)) AS BIGINT) AS min_us
+        FROM parsed
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL UNPIVOT clause — melt as first-class syntax
+# ---------------------------------------------------------------------------
+@q(
+    "sql_unpivot",
+    """
+    WITH wide AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(round(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                      THEN CAST(round(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS view,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS purchase
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id),
+    melted AS (
+      SELECT user_id, 'click' AS metric, click AS cents FROM wide
+      WHERE click IS NOT NULL
+      UNION ALL
+      SELECT user_id, 'view', view FROM wide WHERE view IS NOT NULL
+      UNION ALL
+      SELECT user_id, 'purchase', purchase FROM wide
+      WHERE purchase IS NOT NULL)
+    SELECT metric, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM melted GROUP BY metric
+    """,
+)
+def sql_unpivot(spark, sf):
+    """The SQL UNPIVOT clause (Spark 3.4+) melting a wide per-user
+    metrics table back to long form — the SYNTAX face over the
+    semantics unpivot_events pins via the DataFrame melt(): wide
+    tables are how feature stores serve, long tables are how
+    aggregation pipelines want them, and the melt direction has one
+    subtle default this face makes explicit — UNPIVOT DROPS NULL
+    measure rows (a user with no purchases contributes no
+    'purchase' row), which the twin spells as WHERE ... IS NOT NULL
+    on each UNION branch (the portable form; DuckDB's UNPIVOT
+    quoting/naming differs enough that the explicit spelling IS the
+    safer oracle). The pivot-then-unpivot pair in one plan also
+    pins that the two are inverses up to the dropped NULLs."""
+    return spark.sql(
+        f"""
+        WITH wide AS (
+          SELECT user_id,
+                 SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(round(value * 100) AS BIGINT) END)
+                   AS click,
+                 SUM(CASE WHEN event_type = 'view'
+                     THEN CAST(round(value * 100) AS BIGINT) END)
+                   AS view,
+                 SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100) AS BIGINT) END)
+                   AS purchase
+          FROM parquet.`{sf}/events.parquet`
+          WHERE value IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY user_id)
+        SELECT metric, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM wide UNPIVOT (cents FOR metric IN (click, view, purchase))
+        GROUP BY metric
+        """
+    )
