@@ -3459,3 +3459,74 @@ def events_time_to_convert(spark, sf):
         (F.round(F.col("p50"), 6) + F.lit(0.0)).alias("p50_lat_us"),
         (F.round(F.col("p90"), 6) + F.lit(0.0)).alias("p90_lat_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN with NULLs — the three-valued-logic trap, pinned
+# ---------------------------------------------------------------------------
+@q(
+    "sql_not_in_nulls",
+    """
+    WITH buyers AS (
+      SELECT CASE WHEN event_id % 50 = 0 THEN NULL ELSE user_id END
+               AS uid
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 7 = 0),
+    c AS (SELECT DISTINCT user_id FROM events
+          WHERE user_id IS NOT NULL)
+    SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_users,
+           CAST((SELECT COUNT(*) FROM c
+                 WHERE user_id NOT IN (SELECT uid FROM buyers))
+                AS BIGINT) AS n_not_in,
+           CAST((SELECT COUNT(*) FROM c
+                 WHERE NOT EXISTS (SELECT 1 FROM buyers b
+                                   WHERE b.uid = c.user_id))
+                AS BIGINT) AS n_not_exists,
+           CAST((SELECT COUNT(*) FROM c
+                 WHERE user_id NOT IN (SELECT uid FROM buyers
+                                       WHERE uid IS NOT NULL))
+                AS BIGINT) AS n_not_in_filtered
+    FROM (SELECT 1)
+    """,
+)
+def sql_not_in_nulls(spark, sf):
+    """The NOT IN null trap, pinned as data: the buyer list
+    contains NULLs (every 50th purchase row — the dirty-key reality
+    of any real feed), and the face emits the SAME anti-query three
+    ways. Under SQL's three-valued logic `x NOT IN (..., NULL, ...)`
+    can never be TRUE (x <> NULL is UNKNOWN), so n_not_in is 0 —
+    silently, on BOTH engines, no warning — while NOT EXISTS
+    null-rejects in the correlation and returns the real
+    complement, and NOT IN over the null-filtered list agrees with
+    it. This is the most expensive semantics bug in SQL migrations
+    (an audience query returning zero rows reads as 'no audience',
+    not 'your exclusion list has a NULL'), and at the plan level
+    the three spell differently too: NOT IN needs a
+    null-aware anti join (NAAJ) where NOT EXISTS is a plain
+    LeftAnti. One singleton certificate row; the equality
+    n_not_exists == n_not_in_filtered is the cross-check."""
+    return spark.sql(
+        f"""
+        WITH buyers AS (
+          SELECT CASE WHEN event_id % 50 = 0 THEN NULL ELSE user_id END
+                   AS uid
+          FROM parquet.`{sf}/events.parquet`
+          WHERE event_type = 'purchase' AND user_id % 7 = 0),
+        c AS (SELECT DISTINCT user_id
+              FROM parquet.`{sf}/events.parquet`
+              WHERE user_id IS NOT NULL)
+        SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_users,
+               CAST((SELECT COUNT(*) FROM c
+                     WHERE user_id NOT IN (SELECT uid FROM buyers))
+                    AS BIGINT) AS n_not_in,
+               CAST((SELECT COUNT(*) FROM c
+                     WHERE NOT EXISTS (SELECT 1 FROM buyers b
+                                       WHERE b.uid = c.user_id))
+                    AS BIGINT) AS n_not_exists,
+               CAST((SELECT COUNT(*) FROM c
+                     WHERE user_id NOT IN (SELECT uid FROM buyers
+                                           WHERE uid IS NOT NULL))
+                    AS BIGINT) AS n_not_in_filtered
+        FROM (SELECT 1)
+        """
+    )

@@ -4021,3 +4021,145 @@ def ml_group_split(spark, sf):
             + F.lit(0.0)
         ).alias("frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# one-pass correlation matrix — k measures, k(k-1)/2 corrs, one scan
+# ---------------------------------------------------------------------------
+@q(
+    "stat_corr_matrix",
+    """
+    WITH m AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS a,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 % 24 AS b,
+             event_id % 97 AS c
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           round(corr(a, b), 6) + 0 AS corr_ab,
+           round(corr(a, c), 6) + 0 AS corr_ac,
+           round(corr(b, c), 6) + 0 AS corr_bc
+    FROM m
+    """,
+)
+def stat_corr_matrix(spark, sf):
+    """The pairwise correlation matrix of k derived measures in ONE
+    corpus scan — stat_corr's single pair generalized the way a
+    feature-screening pass actually runs it: all k(k-1)/2 corr()
+    aggregates share the same Aggregate operator, so the cost is
+    one pass + k^2 running moments, NOT k^2 passes (the
+    single-scan discipline as an aggregate-fusion fact: Spark
+    computes each corr with its own Corr imperative aggregate, all
+    fed by the same scan — .explain shows one Scan, one
+    Aggregate). Measures are exact integers (cents, hour-of-day,
+    an id residue) so both engines' two-pass-free Pearson
+    accumulators see identical inputs; round-6 + the -0 guard is
+    the stat_corr float-parity discipline. The expected signal:
+    corr_ac and corr_bc are ~0 by construction (id residue is
+    independent), making this also a null-baseline sanity face."""
+    m = t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.round(F.col("value") * 100).cast("long").alias("a"),
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000 % 24"
+        ).alias("b"),
+        (F.col("event_id") % 97).alias("c"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.round(F.corr("a", "b"), 6) + F.lit(0.0)).alias("corr_ab"),
+        (F.round(F.corr("a", "c"), 6) + F.lit(0.0)).alias("corr_ac"),
+        (F.round(F.corr("b", "c"), 6) + F.lit(0.0)).alias("corr_bc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# circular statistics — when in the day does each type happen?
+# ---------------------------------------------------------------------------
+@q(
+    "stat_circular",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000)
+               * (2 * pi() / 86400000000.0) AS theta
+      FROM events WHERE ts IS NOT NULL),
+    qz AS (
+      SELECT event_type,
+             CAST(round(1000000.0 * cos(theta)) AS BIGINT) AS cq,
+             CAST(round(1000000.0 * sin(theta)) AS BIGINT) AS sq
+      FROM ev),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cq) AS BIGINT) AS sc,
+             CAST(SUM(sq) AS BIGINT) AS ss
+      FROM qz GROUP BY event_type)
+    SELECT event_type, n,
+           round(sqrt(sc * 1.0 * sc + ss * 1.0 * ss) / 1000000.0 / n, 6)
+             + 0 AS resultant,
+           round((atan2(ss * 1.0, sc * 1.0) / (2 * pi()) * 24 + 24)
+                 % 24, 6) + 0 AS mean_hour
+    FROM m
+    """,
+)
+def stat_circular(spark, sf):
+    """Circular statistics of event time-of-day per type: the mean
+    resultant length R (concentration: 1 = everything at the same
+    instant, 0 = uniform around the clock) and the circular mean
+    hour — the CORRECT way to average times of day, where the
+    arithmetic mean is garbage (events at 23:00 and 01:00 average
+    to midnight on the circle, to NOON in arithmetic — the exact
+    bug events_heatmap's histogram sidesteps by never averaging;
+    this face gives the two-parameter summary a scheduler wants).
+    Each row's unit vector (cos θ, sin θ) quantizes to integer
+    micros BEFORE the sum (the kg_adamic_adar rule — trig outputs
+    are floats, and only quantization makes the per-type vector
+    sum an exact order-independent BIGINT pair); R and the mean
+    angle are then single identical float expressions (atan2's
+    quadrant logic is IEEE-pinned on both engines; the +24 %% 24
+    fold normalizes the negative branch). θ comes from pure epoch
+    arithmetic — never hour()/minute(), which are zone-shifting."""
+    ev = t(spark, sf, "events").filter(F.col("ts").isNotNull()).select(
+        "event_type",
+        (
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) % 86400000000")
+            * F.lit(2 * 3.141592653589793 / 86400000000.0)
+        ).alias("theta"),
+    )
+    qz = ev.select(
+        "event_type",
+        F.round(F.lit(1000000.0) * F.cos("theta")).cast("long").alias("cq"),
+        F.round(F.lit(1000000.0) * F.sin("theta")).cast("long").alias("sq"),
+    )
+    m = qz.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cq").cast("long").alias("sc"),
+        F.sum("sq").cast("long").alias("ss"),
+    )
+    sc, ss, n = F.col("sc"), F.col("ss"), F.col("n")
+    return m.select(
+        "event_type",
+        "n",
+        (
+            F.round(
+                F.sqrt(sc * F.lit(1.0) * sc + ss * F.lit(1.0) * ss)
+                / F.lit(1000000.0)
+                / n,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("resultant"),
+        (
+            F.round(
+                (
+                    F.atan2(ss * F.lit(1.0), sc * F.lit(1.0))
+                    / (2 * F.lit(3.141592653589793))
+                    * 24
+                    + 24
+                )
+                % 24,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_hour"),
+    )

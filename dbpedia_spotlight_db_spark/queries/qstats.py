@@ -2224,3 +2224,62 @@ def agg_window_tvf(spark, sf):
         "n",
         "cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# nth_value — fixed-position picks need an explicit full frame
+# ---------------------------------------------------------------------------
+@q(
+    "win_nth_value",
+    """
+    WITH w AS (
+      SELECT user_id, event_id,
+             nth_value(event_type, 3) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS third_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+    SELECT user_id, third_type, CAST(n_events AS BIGINT) AS n_events
+    FROM w WHERE rn = 1
+    """,
+)
+def win_nth_value(spark, sf):
+    """nth_value(type, 3) per user timeline — the fixed-position
+    pick completing the positional window family (first/last via
+    agg_first_last, lead/lag everywhere) with its ONE sharp edge
+    pinned: under the default cumulative frame nth_value can't see
+    row 3 until the window REACHES row 3, so rows 1-2 get NULL and
+    row 3+ get the value — almost never what the query means; the
+    explicit UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING frame
+    makes it a whole-partition pick (the ml_map explicit-frame
+    discipline, at its most consequential). Users with fewer than
+    3 events keep NULL — the correct semantics, not an error. The
+    rn = 1 projection collapses to one row per user without a
+    second exchange (all three windows share the user_id
+    partitioning); n_events carries the user's full event count
+    alongside the pick."""
+    e = t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    wfull = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    word = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = e.select(
+        "user_id",
+        F.nth_value("event_type", 3).over(wfull).alias("third_type"),
+        F.row_number().over(word).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("n_events"),
+    )
+    return w.filter(F.col("rn") == 1).select(
+        "user_id",
+        "third_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
