@@ -1995,3 +1995,59 @@ def text_burrows_delta(spark, sf):
         .orderBy("delta", "src_a", "src_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# UTF-8 byte census — bytes-per-char drives storage and fertility
+# ---------------------------------------------------------------------------
+@q(
+    "text_utf8_census",
+    """
+    WITH m AS (
+      SELECT lang, len(text) AS chars,
+             octet_length(encode(text)) AS bytes
+      FROM documents WHERE text IS NOT NULL)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS chars,
+           CAST(SUM(bytes) AS BIGINT) AS bytes,
+           CAST(SUM(bytes - chars) AS BIGINT) AS extra_bytes,
+           CASE WHEN SUM(chars) = 0 THEN NULL
+                ELSE round(SUM(bytes) * 1.0 / SUM(chars), 6) + 0
+           END AS bytes_per_char
+    FROM m GROUP BY lang
+    """,
+)
+def text_utf8_census(spark, sf):
+    """UTF-8 byte census per language: codepoints vs encoded bytes
+    and the bytes-per-char ratio — the cheap number three budgets
+    hang off: storage (a zh corpus at 3 bytes/char is 3x the disk
+    of its char count), tokenizer fertility (byte-fallback BPE
+    spends tokens per BYTE, so bytes-per-char is a floor on
+    tokens-per-char for unseen scripts — the text_fertility
+    companion from the encoding side), and bandwidth planning.
+    extra_bytes = bytes - chars counts exactly the multibyte
+    continuation bytes (0 for pure ASCII — the fixture's Latin
+    shards pin that identity, the zh shard would pin the 3x if it
+    carried real Han text; cf. text_script_mix which flagged it).
+    Map-only length arithmetic (Spark length() counts codepoints,
+    octet_length counts bytes — same pair as DuckDB len/
+    octet_length(encode())), one fold."""
+    m = t(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
+        "lang",
+        F.length("text").alias("chars"),
+        F.octet_length("text").alias("bytes"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("chars"),
+        F.sum("bytes").cast("long").alias("bytes"),
+        F.sum(F.col("bytes") - F.col("chars"))
+        .cast("long")
+        .alias("extra_bytes"),
+        F.when(F.sum("chars") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.sum("bytes") * F.lit(1.0) / F.sum("chars"), 6)
+            + F.lit(0.0)
+        )
+        .alias("bytes_per_char"),
+    )

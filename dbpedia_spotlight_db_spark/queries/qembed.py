@@ -357,3 +357,127 @@ def embed_fisher(spark, sf):
     ).select(
         F.col("dim").cast("int").alias("dim_idx"), "n_labels", "f_ratio"
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding drift — centroid shift between md5 halves
+# ---------------------------------------------------------------------------
+@q(
+    "embed_drift",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             substr(md5('drift:' || CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+               AS in_a
+      FROM embeddings WHERE embedding IS NOT NULL),
+    x AS (
+      SELECT in_a, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(round(1000000.0 * CAST(unnest(embedding) AS DOUBLE))
+                  AS BIGINT) AS q
+      FROM e),
+    c AS (
+      SELECT in_a, dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s
+      FROM x GROUP BY in_a, dim),
+    p AS (
+      SELECT dim,
+             MAX(CASE WHEN in_a THEN s * 1.0 / n END) AS ma,
+             MAX(CASE WHEN NOT in_a THEN s * 1.0 / n END) AS mb
+      FROM c GROUP BY dim),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d,
+             SUM((ma - mb) * (ma - mb)) AS d2,
+             SUM(ma * mb) AS dot, SUM(ma * ma) AS na2,
+             SUM(mb * mb) AS nb2
+      FROM p WHERE ma IS NOT NULL AND mb IS NOT NULL)
+    SELECT d,
+           round(sqrt(d2) / 1000000.0, 6) + 0 AS centroid_l2,
+           CASE WHEN na2 <= 0 OR nb2 <= 0 THEN NULL
+                ELSE round(dot / sqrt(na2 * nb2), 6) + 0
+           END AS centroid_cos
+    FROM agg
+    """,
+)
+def embed_drift(spark, sf):
+    """Embedding drift between the two md5 halves of the corpus:
+    L2 distance and cosine between the half-centroids — the
+    embedding-space counterpart to ml_psi's scalar drift monitor
+    (an upgraded encoder or a shifted input mix moves the centroid
+    long before any per-dimension histogram looks alarming; the
+    cosine says whether it moved DIRECTIONALLY or just scaled).
+    Components quantize to integer micros at the row (exact
+    order-independent per-half, per-dim sums — the embed_fisher
+    discipline), the per-dim half-means pivot via grouped MAX-CASE
+    (the kg_delta reconciliation idiom, never a self-join of two
+    filtered branches), and the d-dimensional folds (d2, dot,
+    norms) run over the d-row relation — float sums over ~64 rows
+    in deterministic single-partition order after the micros
+    quantization pins every input. Degenerate (zero-norm) halves
+    NULL the cosine. Monitor reading: under no drift the L2 shrinks
+    toward 0 as n grows — but for ZERO-CENTERED embeddings the
+    half-centroids are noise vectors, so the cosine between them is
+    arbitrary (informative only when centroids sit away from the
+    origin); alert on L2 against a bootstrap baseline, never on cos
+    alone — the fixture (cos ~ -0.12 on iid halves) pins that
+    lesson in tests/test_wave71.py."""
+    e = t(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select(
+        F.posexplode("embedding").alias("dim", "v"),
+        (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("drift:"), F.col("vec_id").cast("string")
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8"
+        ).alias("in_a"),
+    )
+    x = e.select(
+        "in_a",
+        "dim",
+        F.round(F.lit(1000000.0) * F.col("v").cast("double"))
+        .cast("long")
+        .alias("q"),
+    )
+    c = x.groupBy("in_a", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+    )
+    p = c.groupBy("dim").agg(
+        F.max(
+            F.when(F.col("in_a"), F.col("s") * F.lit(1.0) / F.col("n"))
+        ).alias("ma"),
+        F.max(
+            F.when(~F.col("in_a"), F.col("s") * F.lit(1.0) / F.col("n"))
+        ).alias("mb"),
+    )
+    ma, mb = F.col("ma"), F.col("mb")
+    agg = p.filter(ma.isNotNull() & mb.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum((ma - mb) * (ma - mb)).alias("d2"),
+        F.sum(ma * mb).alias("dot"),
+        F.sum(ma * ma).alias("na2"),
+        F.sum(mb * mb).alias("nb2"),
+    )
+    return agg.select(
+        "d",
+        (
+            F.round(F.sqrt(F.col("d2")) / F.lit(1000000.0), 6) + F.lit(0.0)
+        ).alias("centroid_l2"),
+        F.when(
+            (F.col("na2") <= 0) | (F.col("nb2") <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("centroid_cos"),
+    )

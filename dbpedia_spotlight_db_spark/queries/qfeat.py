@@ -1295,3 +1295,81 @@ def privacy_randomized_response(spark, sf):
         )
         .alias("p_true"),
     )
+
+
+# ---------------------------------------------------------------------------
+# small-cell suppression with complementary suppression
+# ---------------------------------------------------------------------------
+_SUPPRESS_K = 10
+
+
+@q(
+    "privacy_suppress",
+    f"""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source),
+    w AS (
+      SELECT lang, source, n,
+             n < {_SUPPRESS_K} AS primary_sup,
+             SUM(CASE WHEN n < {_SUPPRESS_K} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY lang) AS n_primary,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CASE WHEN n < {_SUPPRESS_K} THEN 1 ELSE 0 END,
+                        n, source) AS rnk
+      FROM cells)
+    SELECT lang, source,
+           CASE WHEN primary_sup OR (n_primary = 1 AND rnk = 1)
+                THEN NULL ELSE n END AS released,
+           CASE WHEN primary_sup THEN 'primary'
+                WHEN n_primary = 1 AND rnk = 1 THEN 'complementary'
+           END AS suppressed
+    FROM w
+    """,
+)
+def privacy_suppress(spark, sf):
+    """Small-cell suppression with COMPLEMENTARY suppression — the
+    disclosure-control release privacy_kanon only audits: cells
+    under k = 10 are primarily suppressed, and — the part naive
+    implementations skip — when a language row has EXACTLY ONE
+    suppressed cell, publishing every other cell alongside the row
+    total lets anyone reconstruct it by subtraction, so the
+    smallest surviving cell is suppressed too (deterministic pick:
+    (n, source) order — statistical agencies' standard secondary
+    suppression, here one round for the one-total case; full
+    multi-marginal suppression is an optimization problem out of
+    scope and documented as such). Both suppression decisions ride
+    windows over the |cells|-sized relation (the marginals-as-
+    windows rule); the release column NULLs rather than drops
+    suppressed cells, so the output schema is stable and the
+    suppression PATTERN is itself published — as the method
+    requires (the pattern is safe; the values are not)."""
+    cells = t(spark, sf, "documents").groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    k = _SUPPRESS_K
+    primary = F.col("n") < k
+    wl = Window.partitionBy("lang")
+    wr = Window.partitionBy("lang").orderBy(
+        F.when(F.col("n") < k, 1).otherwise(0), "n", "source"
+    )
+    w = cells.select(
+        "lang",
+        "source",
+        "n",
+        primary.alias("primary_sup"),
+        F.sum(F.when(primary, 1).otherwise(0)).over(wl).alias("n_primary"),
+        F.row_number().over(wr).alias("rnk"),
+    )
+    comp = (F.col("n_primary") == 1) & (F.col("rnk") == 1)
+    return w.select(
+        "lang",
+        "source",
+        F.when(F.col("primary_sup") | comp, F.lit(None).cast("long"))
+        .otherwise(F.col("n"))
+        .alias("released"),
+        F.when(F.col("primary_sup"), "primary")
+        .when(comp, "complementary")
+        .alias("suppressed"),
+    )

@@ -2173,3 +2173,42 @@ def bit_fns(spark, sf):
         F.sum(F.expr("event_id & 255")).cast("long").alias("low_byte_sum"),
         F.sum(F.bit_count("event_id")).cast("long").alias("popcount_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AQE empty-relation propagation — dead branches cost nothing
+# ---------------------------------------------------------------------------
+@q(
+    "join_empty_prop",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_matched,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders
+    """,
+)
+def join_empty_prop(spark, sf):
+    """AQE empty-relation propagation: orders joined to a dimension
+    filtered to ZERO rows (an impossible predicate a dashboard
+    parameter produces daily) — at runtime AQE sees the empty build
+    side's actual size and collapses the ENTIRE join branch to an
+    empty LocalTableScan, so the 100-TB probe side is never
+    scanned for a join that cannot match (the complement of
+    join_dpp: DPP prunes to the matching partitions, empty
+    propagation prunes to NOTHING; both are runtime decisions no
+    static optimizer could make safely). The face returns the
+    matched count (0) next to the table count computed through an
+    independent subquery — proving the empty branch didn't poison
+    the rest of the plan; the test pins the executed plan's
+    LocalTableScan/EmptyRelation collapse. Inner-join-with-empty
+    is the safe case; outer joins only simplify on the preserved
+    side — semantics first, savings second."""
+    o = t(spark, sf, "orders")
+    dim = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 0)  # impossible: keys are positive
+        .select(F.col("c_custkey").alias("k"))
+    )
+    matched = o.join(dim, o.o_custkey == dim.k).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched")
+    )
+    total = o.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    return matched.crossJoin(total)
