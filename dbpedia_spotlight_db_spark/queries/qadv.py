@@ -3530,3 +3530,72 @@ def sql_not_in_nulls(spark, sf):
         FROM (SELECT 1)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# stickiness — DAU over trailing-28-day MAU
+# ---------------------------------------------------------------------------
+@q(
+    "events_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+      FROM ud GROUP BY day),
+    fan AS (
+      SELECT DISTINCT user_id, day + CAST(t.o AS INT) AS rday
+      FROM ud, unnest(generate_series(0, 27)) AS t(o)),
+    mau AS (
+      SELECT rday, CAST(COUNT(*) AS BIGINT) AS mau28
+      FROM fan GROUP BY rday)
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, mau.mau28,
+           round(dau.dau * 1.0 / mau.mau28, 6) + 0 AS stickiness
+    FROM dau JOIN mau ON mau.rday = dau.day
+    """,
+)
+def events_stickiness(spark, sf):
+    """DAU / trailing-28-day MAU per day — the stickiness ratio
+    product teams live by (0.1 = monthly visitors, 0.5 = daily
+    habit; events_rolling_dau gives the 7-day numerator family,
+    this face adds the 28-day denominator and the ratio). Rolling
+    COUNT DISTINCT still can't be a window frame, so the same
+    scalable identity stretches to 28: each distinct (user, day)
+    fans out map-side to the 28 report days it keeps the user
+    active for, dedups, and counts — bounded x28 fan-out of the
+    (user, day)-distinct relation (NOT the raw corpus: the
+    distinct collapses first, which is what survives 10^12
+    events), two shuffles, no self-join, no per-day rescan. The
+    ratio is one float division of exact counts; report days past
+    the corpus end carry MAU but no DAU row and drop at the join
+    (the window is only fully defined inside the observed span).
+    DATE cells exit as ISO strings (CLAUDE.md)."""
+    ud = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    fan = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(27))).alias("o"),
+            "day",
+        )
+        .select("user_id", F.expr("date_add(day, o)").alias("rday"))
+        .distinct()
+    )
+    mau = fan.groupBy("rday").agg(
+        F.count(F.lit(1)).cast("long").alias("mau28")
+    )
+    return dau.join(mau, dau["day"] == mau["rday"]).select(
+        F.date_format(dau["day"], "yyyy-MM-dd").alias("day"),
+        "dau",
+        "mau28",
+        (
+            F.round(F.col("dau") * F.lit(1.0) / F.col("mau28"), 6)
+            + F.lit(0.0)
+        ).alias("stickiness"),
+    )

@@ -4163,3 +4163,144 @@ def stat_circular(spark, sf):
             + F.lit(0.0)
         ).alias("mean_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal strength — how much of the detrended variance is weekly?
+# ---------------------------------------------------------------------------
+@q(
+    "stat_seasonal_strength",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             SUM(CAST(round(value * 100) AS BIGINT)) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    w AS (
+      SELECT day_num, v,
+             COUNT(*) OVER win AS cnt, SUM(v) OVER win AS s7
+      FROM daily
+      WINDOW win AS (ORDER BY day_num
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    d7 AS (
+      SELECT day_num, 7 * v - s7 AS d, (day_num + 3) % 7 AS dow
+      FROM w WHERE cnt = 7),
+    dm AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(d) AS BIGINT) AS sd
+      FROM d7 GROUP BY dow),
+    r AS (
+      SELECT d7.d,
+             CAST(round(1000.0 * (d7.d - dm.sd * 1.0 / dm.nd))
+                  AS BIGINT) AS r_millis
+      FROM d7 JOIN dm ON dm.dow = d7.dow),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS s1,
+             CAST(SUM(d * d) AS BIGINT) AS s2,
+             CAST(SUM(r_millis) AS BIGINT) AS rs1,
+             CAST(SUM(r_millis * r_millis) AS BIGINT) AS rs2
+      FROM r)
+    SELECT n,
+           CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN NULL
+                ELSE round(GREATEST(0.0,
+                     1 - (n * rs2 - rs1 * 1.0 * rs1) / 1000000.0
+                         / (n * s2 - s1 * 1.0 * s1)), 6) + 0
+           END AS seasonal_strength
+    FROM m
+    """,
+)
+def stat_seasonal_strength(spark, sf):
+    """Hyndman-style seasonal strength of the weekly cycle:
+    1 - Var(remainder)/Var(detrended), where the detrended series
+    is events_seasonal's exact-BIGINT d7 = 7*v - sum7 (rolling full
+    weeks only) and the seasonal component is the per-day-of-week
+    mean of d7 — the single number that says whether the weekly
+    pattern events_heatmap displays is LOAD-BEARING (strength near
+    1: schedule capacity by weekday; near 0: the heatmap is noise;
+    events_autocorr's lag-7 r is the correlation cousin, this is
+    the variance-decomposition form forecasting literature uses).
+    dow from pure epoch arithmetic ((day+3) % 7 — NEVER
+    dayofweek(), the events_heatmap locale lesson); residuals
+    quantize to millis against the rational dow means before the
+    moment fold (exact order-independent sums; the variance ratio
+    then divides the millis^2 scale back out); degenerate variance
+    guards to NULL and the GREATEST clamps the estimator's
+    negative tail (remainder can out-vary the input when n_dow is
+    tiny). The d7 relation feeds two consumers (dow means and
+    residuals) — parquet_checkpointed per the multi-consumer
+    rule."""
+    from ..operators.dedup import parquet_checkpoint
+
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = (
+        e.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("day_num")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc"))
+        .select("day_num", F.expr("vc div 100").alias("v"))
+    )
+    win = Window.orderBy("day_num").rowsBetween(-6, Window.currentRow)
+    w = daily.select(
+        "day_num",
+        "v",
+        F.count(F.lit(1)).over(win).alias("cnt"),
+        F.sum("v").over(win).alias("s7"),
+    )
+    d7 = (
+        w.filter(F.col("cnt") == 7)
+        .select(
+            "day_num",
+            (7 * F.col("v") - F.col("s7")).alias("d"),
+            ((F.col("day_num") + 3) % 7).alias("dow"),
+        )
+    )
+    d7 = parquet_checkpoint(d7, "seasonal_strength_d7")
+    dm = d7.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("d").cast("long").alias("sd"),
+    )
+    r = d7.join(dm, "dow").select(
+        "d",
+        F.round(
+            F.lit(1000.0)
+            * (F.col("d") - F.col("sd") * F.lit(1.0) / F.col("nd"))
+        )
+        .cast("long")
+        .alias("r_millis"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("s2"),
+        F.sum("r_millis").cast("long").alias("rs1"),
+        F.sum(F.col("r_millis") * F.col("r_millis"))
+        .cast("long")
+        .alias("rs2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    rs1, rs2 = F.col("rs1"), F.col("rs2")
+    bad = (n < 2) | (n * s2 - s1 * s1 <= 0)
+    return m.select(
+        "n",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    1
+                    - (n * rs2 - rs1 * F.lit(1.0) * rs1)
+                    / F.lit(1000000.0)
+                    / (n * s2 - s1 * F.lit(1.0) * s1),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("seasonal_strength"),
+    )

@@ -2212,3 +2212,55 @@ def join_empty_prop(spark, sf):
     )
     total = o.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     return matched.crossJoin(total)
+
+
+# ---------------------------------------------------------------------------
+# percentile_disc vs percentile_cont — the discrete/interpolated seam
+# ---------------------------------------------------------------------------
+@q(
+    "agg_percentile_disc",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(quantile_disc(CAST(round(l_extendedprice * 100)
+                                   AS BIGINT), 0.5) AS BIGINT)
+             AS p50_disc_cents,
+           round(quantile_cont(CAST(round(l_extendedprice * 100)
+                                    AS BIGINT), 0.5), 6) + 0
+             AS p50_cont_cents,
+           CAST(quantile_disc(CAST(round(l_extendedprice * 100)
+                                   AS BIGINT), 0.9) AS BIGINT)
+             AS p90_disc_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_disc(spark, sf):
+    """percentile_disc next to percentile_cont on the same column —
+    the discrete/interpolated seam made explicit: disc returns an
+    ACTUAL data value (the smallest value at or above the
+    cumulative fraction — what "median order" must mean when the
+    answer is shown to a human or used as a key), cont interpolates
+    between neighbors (what belongs in arithmetic). On even-sized
+    groups the two DIFFER, and code that treats them as
+    interchangeable ships a subtle bias — this face pins both
+    engines' agreement on each definition separately
+    (Spark percentile_disc == DuckDB quantile_disc; the cont pair
+    is the agg_percentiles precedent). disc's result is an exact
+    BIGINT cents value by construction — no rounding needed, which
+    is itself the point."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag", cents.alias("cents")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p50_disc_cents"),
+        (F.round(F.expr("percentile(cents, 0.5)"), 6) + F.lit(0.0)).alias(
+            "p50_cont_cents"
+        ),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p90_disc_cents"),
+    )

@@ -944,3 +944,52 @@ def sql_unpivot(spark, sf):
         GROUP BY metric
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# aggregate FILTER clause — conditional aggregation as syntax
+# ---------------------------------------------------------------------------
+@q(
+    "sql_filter_clause",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE value IS NOT NULL) AS BIGINT)
+             AS n_valued,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE value > 100) AS BIGINT) AS big_cents,
+           CAST(COUNT(DISTINCT user_id)
+                FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+             AS n_even_users
+    FROM events GROUP BY event_type
+    """,
+)
+def sql_filter_clause(spark, sf):
+    """The standard-SQL aggregate FILTER clause — four differently-
+    conditioned aggregates in ONE Aggregate operator over one scan
+    (the syntax this repo's twins spell everywhere as
+    SUM(CASE WHEN ...) folds; FILTER is the declared form, it
+    composes with DISTINCT where CASE can't cleanly — a
+    conditional COUNT(DISTINCT) via CASE needs a NULL-eating
+    expression and a comment), identical spelling on both engines.
+    Semantics pinned: FILTER on a SUM over no qualifying rows
+    yields NULL (not 0) exactly like the CASE fold; the filtered
+    COUNT(DISTINCT) plans as the same Expand the unfiltered one
+    does. One map-side-combinable pass regardless of how many
+    FILTER conditions ride it — the scale property that makes the
+    clause the right spelling for metric sheets with dozens of
+    conditioned measures."""
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE value IS NOT NULL) AS BIGINT)
+                 AS n_valued,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                    FILTER (WHERE value > 100) AS BIGINT) AS big_cents,
+               CAST(COUNT(DISTINCT user_id)
+                    FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+                 AS n_even_users
+        FROM parquet.`{sf}/events.parquet` GROUP BY event_type
+        """
+    )
