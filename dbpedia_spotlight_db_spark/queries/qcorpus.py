@@ -2051,3 +2051,88 @@ def text_utf8_census(spark, sf):
         )
         .alias("bytes_per_char"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve — OOV rate vs vocabulary budget
+# ---------------------------------------------------------------------------
+@q(
+    "text_vocab_coverage",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    tf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE w <> '' GROUP BY w),
+    rk AS (
+      SELECT c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r,
+             SUM(c) OVER (ORDER BY c DESC, w
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER () AS tot,
+             COUNT(*) OVER () AS n_types
+      FROM tf),
+    ks AS (SELECT unnest([10, 100, 1000, 10000]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(MAX(rk.n_types) AS BIGINT) AS n_types,
+           CAST(MAX(CASE WHEN rk.r <= ks.k THEN rk.cum END) AS BIGINT)
+             AS covered,
+           CAST(MAX(rk.tot) AS BIGINT) AS total_tokens,
+           round(COALESCE(MAX(CASE WHEN rk.r <= ks.k THEN rk.cum END),
+                          MAX(rk.tot))
+                 * 1.0 / MAX(rk.tot), 6) + 0 AS coverage
+    FROM ks CROSS JOIN rk
+    GROUP BY ks.k
+    """,
+)
+def text_vocab_coverage(spark, sf):
+    """The vocabulary-budget coverage curve: what fraction of all
+    token OCCURRENCES do the top-k types cover, for k in
+    {10, 100, 1k, 10k} — the tokenizer/embedding-table sizing curve
+    (1 - coverage IS the OOV rate a k-type vocab ships with;
+    text_heaps fits how fast TYPES grow, text_zipf_fit fits the
+    frequency law — this face reads the decision number straight
+    off the data). One corpus scan to the vocab-sized tf relation;
+    rank and cumulative mass are windows over it (count-of-counts
+    discipline: the corpus is never sorted, the VOCABULARY is, and
+    the (c DESC, w) total order makes every prefix deterministic);
+    the four checkpoints evaluate by one cross join of a 4-row
+    literal against the ranked relation folded per k — MAX(CASE)
+    picks the cumulative at rank k exactly, COALESCE handles a k
+    beyond the vocabulary (coverage 1.0). Exact integers until the
+    final share division."""
+    tok = (
+        t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    tf = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    word = Window.orderBy(F.desc("c"), "w")
+    wcum = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    rk = tf.select(
+        "c",
+        F.row_number().over(word).alias("r"),
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n_types"),
+    )
+    ks = t(spark, sf, "documents").sparkSession.createDataFrame(
+        [(10,), (100,), (1000,), (10000,)], "k long"
+    )
+    j = ks.crossJoin(rk)
+    cov = F.max(F.when(F.col("r") <= F.col("k"), F.col("cum")))
+    return j.groupBy("k").agg(
+        F.max("n_types").cast("long").alias("n_types"),
+        cov.cast("long").alias("covered"),
+        F.max("tot").cast("long").alias("total_tokens"),
+        (
+            F.round(
+                F.coalesce(cov, F.max("tot")) * F.lit(1.0) / F.max("tot"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("coverage"),
+    )

@@ -646,3 +646,76 @@ def pivot_multi_agg(spark, sf):
         .alias("purchase_n"),
         F.col("purchase_cents").cast("long").alias("purchase_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# content digest ledger — tamper-evident table fingerprint
+# ---------------------------------------------------------------------------
+@q(
+    "lake_content_digest",
+    """
+    WITH h AS (
+      SELECT ('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               COALESCE(CAST(o_custkey AS VARCHAR), '') || '|' ||
+               COALESCE(o_orderstatus, '') || '|' ||
+               COALESCE(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), '')), 1, 15))::UBIGINT AS rh
+      FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rh // 268435456) AS BIGINT) AS digest_hi,
+           CAST(SUM(rh % 268435456) AS BIGINT) AS digest_lo,
+           CAST(bit_xor(CAST(rh AS BIGINT)) AS BIGINT) AS digest_xor
+    FROM h
+    """,
+)
+def lake_content_digest(spark, sf):
+    """Content digest ledger: every orders row canonicalizes to a
+    delimited string, hashes to a 60-bit md5 prefix, and the table
+    fingerprint is the SUM and XOR of the row hashes — the
+    tamper-evidence / replication-audit primitive (two copies of a
+    10^12-row table agree iff counts + both digests agree; bit_fns
+    fingerprints the KEY SET, this face fingerprints the VALUES —
+    an in-place update that keeps every key flips it). Both folds
+    are commutative-associative map-side aggregates, so the digest
+    is partitioning/order/engine-invariant by construction, and
+    carrying BOTH sum and xor closes each one's blind spot (xor
+    misses even-multiplicity duplicate rows, sum is the classic
+    complement). Canonicalization is the contract: explicit
+    delimiters, COALESCE('') for NULLs, money as exact cents —
+    any two writers that agree on it agree on the digest. The sum
+    rides LIMB-SPLIT: the 60-bit hash splits into 28-bit hi/lo
+    limbs summed separately (a direct BIGINT sum of 2^60-scale
+    hashes overflows ANSI at 8 rows — measured; two 2^28-limb sums
+    stay exact to 2^35 rows, and equality of (hi, lo) pairs is
+    equality of the full sum), the canonical big-integer-sum trick
+    for any checksum wider than the accumulator."""
+    rh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.coalesce(F.col("o_custkey").cast("string"), F.lit("")),
+                    F.coalesce(F.col("o_orderstatus"), F.lit("")),
+                    F.coalesce(
+                        F.round(F.col("o_totalprice") * 100)
+                        .cast("long")
+                        .cast("string"),
+                        F.lit(""),
+                    ),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = t(spark, sf, "orders").select(rh.alias("rh"))
+    return h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.expr("rh div 268435456")).cast("long").alias("digest_hi"),
+        F.sum(F.expr("rh % 268435456")).cast("long").alias("digest_lo"),
+        F.expr("bit_xor(rh)").cast("long").alias("digest_xor"),
+    )

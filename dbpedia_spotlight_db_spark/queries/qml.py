@@ -4304,3 +4304,111 @@ def stat_seasonal_strength(spark, sf):
         )
         .alias("seasonal_strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel block-maxima fit — what does the worst week look like?
+# ---------------------------------------------------------------------------
+@q(
+    "stat_gumbel",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             SUM(CAST(round(value * 100) AS BIGINT)) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    blocks AS (
+      SELECT day_num // 7 AS wk, CAST(MAX(v) AS BIGINT) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS nd
+      FROM daily GROUP BY 1),
+    full_b AS (SELECT mx FROM blocks WHERE nd = 7),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(mx) AS BIGINT) AS s1,
+             CAST(SUM(mx * mx) AS BIGINT) AS s2
+      FROM full_b)
+    SELECT n,
+           CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN NULL
+                ELSE round(sqrt(6.0 * ((n * s2 - s1 * 1.0 * s1)
+                                       / (n * (n - 1.0))))
+                           / 3.14159265358979312, 6) + 0
+           END AS beta,
+           CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN NULL
+                ELSE round(s1 * 1.0 / n
+                           - 0.57721566490153287
+                             * (sqrt(6.0 * ((n * s2 - s1 * 1.0 * s1)
+                                            / (n * (n - 1.0))))
+                                / 3.14159265358979312), 6) + 0
+           END AS mu,
+           CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN NULL
+                ELSE round(s1 * 1.0 / n
+                           - 0.57721566490153287
+                             * (sqrt(6.0 * ((n * s2 - s1 * 1.0 * s1)
+                                            / (n * (n - 1.0))))
+                                / 3.14159265358979312)
+                           - (sqrt(6.0 * ((n * s2 - s1 * 1.0 * s1)
+                                          / (n * (n - 1.0))))
+                              / 3.14159265358979312)
+                             * ln(-ln(1.0 - 1.0 / 52.0)), 6) + 0
+           END AS level_52wk
+    FROM m
+    """,
+)
+def stat_gumbel(spark, sf):
+    """Gumbel fit to the WEEKLY MAXIMA of daily revenue
+    (method-of-moments: beta = sqrt(6)*sd/pi, mu = mean - gamma*beta)
+    and the 52-week return level mu - beta*ln(-ln(1 - 1/52)) — the
+    extreme-value answer to "what daily peak should capacity absorb
+    once a year?", which no mean/variance face can give (the
+    Fisher-Tippett result: block maxima converge to a GEV, Gumbel
+    for light tails, and planning from the ALL-DATA variance
+    systematically under-provisions peaks; events_peak finds the
+    historical spikes, this face extrapolates the next one).
+    Partial weeks drop (a 3-day block maximum is biased low); the
+    maxima relation is calendar-bounded; the fit is one identical
+    float expression over two exact BIGINT moments with the
+    Euler-Mascheroni and pi constants embedded as IMPORT-TIME
+    literals on both plans (the ml_ndcg discipline); degenerate
+    variance guards to NULL."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = (
+        e.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("day_num")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc"))
+        .select("day_num", F.expr("vc div 100").alias("v"))
+    )
+    blocks = daily.groupBy(F.expr("day_num div 7").alias("wk")).agg(
+        F.max("v").cast("long").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    m = blocks.filter(F.col("nd") == 7).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("s2"),
+    )
+    pi = 3.14159265358979312
+    gamma = 0.57721566490153287
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = (n * s2 - s1 * F.lit(1.0) * s1) / (n * (n - F.lit(1.0)))
+    beta = F.sqrt(F.lit(6.0) * var) / F.lit(pi)
+    mu = s1 * F.lit(1.0) / n - F.lit(gamma) * beta
+    lvl = mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / F.lit(52.0)))
+    bad = (n < 2) | (n * s2 - s1 * s1 <= 0)
+    return m.select(
+        "n",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(beta, 6) + F.lit(0.0))
+        .alias("beta"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(mu, 6) + F.lit(0.0))
+        .alias("mu"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(lvl, 6) + F.lit(0.0))
+        .alias("level_52wk"),
+    )

@@ -993,3 +993,67 @@ def sql_filter_clause(spark, sf):
         FROM parquet.`{sf}/events.parquet` GROUP BY event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SHOW PARTITIONS — the catalog's partition inventory
+# ---------------------------------------------------------------------------
+@q(
+    "sql_show_partitions",
+    """
+    SELECT 'lang=' || lang AS partition,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def sql_show_partitions(spark, sf):
+    """SHOW PARTITIONS over a catalog-managed partitioned table —
+    the partition INVENTORY surface (ops scripts diff it against
+    yesterday's to catch partitions that vanished or appeared;
+    retention jobs drive ALTER TABLE DROP PARTITION from it), which
+    reads the METASTORE listing, not the data — O(partitions), the
+    reason it's the tool for 100-TB tables where even a pruned scan
+    is too slow for an inventory check. The face creates the
+    partitioned managed table (per-session name + stale-location
+    sweep, the sql_catalog_table discipline), INSERTs the corpus,
+    and joins SHOW PARTITIONS' strings back to per-partition counts
+    from the table — proving the inventory and the data agree; the
+    twin derives the same inventory relationally. Dynamic partition
+    INSERT needs the partition column LAST in the select list —
+    position, not name, binds it."""
+    import re as _re
+    import shutil as _shutil
+
+    sid = _re.sub(
+        r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId
+    )[-12:]
+    name = f"spark_graft_docs_{sid}_{next(_DDL_COUNTER)}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    _shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE {name} (doc_id BIGINT, n_chars BIGINT)
+        USING PARQUET PARTITIONED BY (lang STRING)
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {name}
+        SELECT doc_id, n_chars, lang
+        FROM parquet.`{sf}/documents.parquet`
+        """
+    )
+    parts = spark.sql(f"SHOW PARTITIONS {name}").select(
+        F.col("partition")
+    )
+    counts = spark.sql(
+        f"""
+        SELECT 'lang=' || lang AS partition,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM {name} GROUP BY lang
+        """
+    )
+    return parts.join(counts, "partition").select("partition", "n_docs")
