@@ -3571,12 +3571,18 @@ def events_stickiness(spark, sf):
     the corpus end carry MAU but no DAU row and drop at the join
     (the window is only fully defined inside the observed span).
     DATE cells exit as ISO strings (CLAUDE.md)."""
+    from ..operators.dedup import parquet_checkpoint
+
     ud = (
         t(spark, sf, "events")
         .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select("user_id", F.to_date("ts").alias("day"))
         .distinct()
     )
+    # ud feeds BOTH the DAU fold and the x28 fan-out — without the
+    # checkpoint each branch re-runs the corpus distinct (measured:
+    # 2 events scans; the stat_mutual_info multi-consumer rule)
+    ud = parquet_checkpoint(ud, "stickiness_ud")
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
     fan = (
         ud.select(
