@@ -2136,3 +2136,69 @@ def text_vocab_coverage(spark, sf):
             + F.lit(0.0)
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing missing mass — how much probability is unseen?
+# ---------------------------------------------------------------------------
+@q(
+    "text_good_turing",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    tf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE w <> '' GROUP BY w),
+    spectrum AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS fc
+      FROM tf GROUP BY c)
+    SELECT CAST(SUM(c * fc) AS BIGINT) AS n_tokens,
+           CAST(SUM(fc) AS BIGINT) AS n_types,
+           CAST(MAX(CASE WHEN c = 1 THEN fc ELSE 0 END) AS BIGINT) AS f1,
+           CAST(MAX(CASE WHEN c = 2 THEN fc ELSE 0 END) AS BIGINT) AS f2,
+           CASE WHEN SUM(c * fc) = 0 THEN NULL
+                ELSE round(MAX(CASE WHEN c = 1 THEN fc ELSE 0 END)
+                           * 1.0 / SUM(c * fc), 6) + 0
+           END AS p0_unseen
+    FROM spectrum
+    """,
+)
+def text_good_turing(spark, sf):
+    """The Good-Turing missing-mass estimate P0 = f1/N from the
+    frequency-of-frequencies spectrum — the principled answer to
+    'how much probability does this corpus assign to words it has
+    NEVER seen?' (Turing's Enigma-era estimator: the hapax share
+    f1/N is an unbiased estimate of the unseen mass), which is the
+    number that prices OOV risk for text_vocab_coverage's budget
+    curve and justifies text_unigram_lm_pruned's smoothing floor —
+    a corpus with P0 = 0.02 will OOV 2% of the NEXT document's
+    tokens no matter how big its observed vocabulary looks. The
+    count-of-counts discipline taken one level up: corpus ->
+    vocabulary tf (one agg) -> frequency SPECTRUM f_c (an agg over
+    the vocab-sized relation — the spectrum is tiny), and every
+    output is an exact fold over the spectrum; f2 rides along
+    because f1/f2 drives the full Good-Turing discount chain."""
+    tok = (
+        t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    tf = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    spectrum = tf.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("fc")
+    )
+    f1 = F.max(F.when(F.col("c") == 1, F.col("fc")).otherwise(0))
+    ntok = F.sum(F.col("c") * F.col("fc"))
+    return spectrum.agg(
+        ntok.cast("long").alias("n_tokens"),
+        F.sum("fc").cast("long").alias("n_types"),
+        f1.cast("long").alias("f1"),
+        F.max(F.when(F.col("c") == 2, F.col("fc")).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+        F.when(ntok == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(f1 * F.lit(1.0) / ntok, 6) + F.lit(0.0))
+        .alias("p0_unseen"),
+    )

@@ -4412,3 +4412,180 @@ def stat_gumbel(spark, sf):
         .otherwise(F.round(lvl, 6) + F.lit(0.0))
         .alias("level_52wk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# process capability — Cp / Cpk against literal spec limits
+# ---------------------------------------------------------------------------
+@q(
+    "stat_cpk",
+    """
+    WITH m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS s1,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS s2
+      FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n,
+           CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN NULL
+                ELSE round((50000 - 1000) / 6.0
+                     / sqrt((n * s2 - s1 * 1.0 * s1)
+                            / (n * (n - 1.0))), 6) + 0
+           END AS cp,
+           CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN NULL
+                ELSE round(LEAST(50000 - s1 * 1.0 / n,
+                                 s1 * 1.0 / n - 1000) / 3.0
+                     / sqrt((n * s2 - s1 * 1.0 * s1)
+                            / (n * (n - 1.0))), 6) + 0
+           END AS cpk
+    FROM m
+    """,
+)
+def stat_cpk(spark, sf):
+    """Process capability Cp / Cpk of the per-type value
+    distribution against literal spec limits ($10 .. $500) — the
+    quality-engineering pair the z-score family doesn't give: Cp
+    asks whether the SPREAD fits the tolerance band at all
+    ((USL-LSL)/6 sigma), Cpk additionally penalizes OFF-CENTER
+    processes (min distance to either limit over 3 sigma), and the
+    gap between them is pure centering error — the triage that
+    says 'tighten variance' vs 'shift the mean', which a
+    violation-rate alone can't distinguish. In a data pipeline the
+    same arithmetic grades any SLO'd metric (latency against its
+    band, document lengths against chunker limits). Exact integer
+    cents moments, one identical float expression, degenerate
+    variance to NULL; spec limits are literals by design — they're
+    the CONTRACT, not a statistic."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = t(spark, sf, "events").filter(F.col("value").isNotNull()).select(
+        "event_type", cents.alias("c")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sd = F.sqrt((n * s2 - s1 * F.lit(1.0) * s1) / (n * (n - F.lit(1.0))))
+    mean = s1 * F.lit(1.0) / n
+    bad = (n < 2) | (n * s2 - s1 * s1 <= 0)
+    return m.select(
+        "event_type",
+        "n",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round((F.lit(50000) - F.lit(1000)) / F.lit(6.0) / sd, 6)
+            + F.lit(0.0)
+        )
+        .alias("cp"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.least(F.lit(50000) - mean, mean - F.lit(1000))
+                / F.lit(3.0)
+                / sd,
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("cpk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-proportion z-test — pooled-variance rate comparison
+# ---------------------------------------------------------------------------
+@q(
+    "stat_prop_ztest",
+    """
+    WITH lab AS (
+      SELECT CASE WHEN substr(md5('pz:' || CAST(event_id AS VARCHAR)),
+                              1, 1) < '8' THEN 1 ELSE 0 END AS ina,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    g AS (
+      SELECT ina, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS k
+      FROM lab GROUP BY ina),
+    p AS (
+      SELECT CAST(MAX(CASE WHEN ina = 1 THEN n END) AS BIGINT) AS n1,
+             CAST(MAX(CASE WHEN ina = 1 THEN k END) AS BIGINT) AS k1,
+             CAST(MAX(CASE WHEN ina = 0 THEN n END) AS BIGINT) AS n2,
+             CAST(MAX(CASE WHEN ina = 0 THEN k END) AS BIGINT) AS k2
+      FROM g)
+    SELECT COALESCE(n1, 0) AS n1, COALESCE(k1, 0) AS k1,
+           COALESCE(n2, 0) AS n2, COALESCE(k2, 0) AS k2,
+           CASE WHEN n1 IS NULL OR n2 IS NULL
+                     OR (k1 + k2) * ((n1 + n2) - (k1 + k2)) = 0
+                THEN NULL
+                ELSE round((k1 * 1.0 / n1 - k2 * 1.0 / n2)
+                     / sqrt((k1 + k2) * 1.0 / (n1 + n2)
+                            * (1 - (k1 + k2) * 1.0 / (n1 + n2))
+                            * (1.0 / n1 + 1.0 / n2)), 6) + 0
+           END AS z
+    FROM p
+    """,
+)
+def stat_prop_ztest(spark, sf):
+    """Two-proportion z-test on the purchase RATE between the md5
+    halves — the rate companion to stat_ttest (means) and
+    stat_mcnemar (paired classifiers): conversion-rate A/B tests
+    are proportion tests, and the pooled-variance z is their
+    standard form (the pooling is the null hypothesis itself: if
+    the rates are equal, the best variance estimate uses the
+    combined rate). One corpus scan to two (n, k) pairs, the
+    grouped MAX-CASE pivot (kg_delta idiom), and z as one
+    identical float expression over four exact BIGINTs; a missing
+    half or a degenerate pooled rate (all successes / all
+    failures — zero variance under the null) guards to NULL.
+    stat_wilson_ci gives each rate its interval; this face gives
+    the DIFFERENCE its test."""
+    lab = t(spark, sf, "events").select(
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("pz:"), F.col("event_id").cast("string"))
+                ),
+                1,
+                1,
+            )
+            < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("ina"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = lab.groupBy("ina").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("k"),
+    )
+    p = g.agg(
+        *[
+            F.max(F.when(F.col("ina") == flag, F.col(c)))
+            .cast("long")
+            .alias(f"{c}{i}")
+            for flag, i in ((1, 1), (0, 2))
+            for c in ("n", "k")
+        ]
+    )
+    n1, k1, n2, k2 = F.col("n1"), F.col("k1"), F.col("n2"), F.col("k2")
+    pool = (k1 + k2) * F.lit(1.0) / (n1 + n2)
+    z = (k1 * F.lit(1.0) / n1 - k2 * F.lit(1.0) / n2) / F.sqrt(
+        pool * (1 - pool) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    )
+    bad = (
+        n1.isNull()
+        | n2.isNull()
+        | ((k1 + k2) * ((n1 + n2) - (k1 + k2)) == 0)
+    )
+    return p.select(
+        F.coalesce(n1, F.lit(0)).alias("n1"),
+        F.coalesce(k1, F.lit(0)).alias("k1"),
+        F.coalesce(n2, F.lit(0)).alias("n2"),
+        F.coalesce(k2, F.lit(0)).alias("k2"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6) + F.lit(0.0))
+        .alias("z"),
+    )

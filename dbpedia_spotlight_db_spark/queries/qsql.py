@@ -1057,3 +1057,85 @@ def sql_show_partitions(spark, sf):
         """
     )
     return parts.join(counts, "partition").select("partition", "n_docs")
+
+
+# ---------------------------------------------------------------------------
+# column DEFAULT — schema-evolution ergonomics in DDL
+# ---------------------------------------------------------------------------
+@q(
+    "sql_column_default",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN tier = 'unrated' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_defaulted,
+           CAST(SUM(score) AS BIGINT) AS score_sum
+    FROM (
+      SELECT source,
+             CASE WHEN doc_id % 3 = 0 THEN 'gold' ELSE 'unrated' END
+               AS tier,
+             CASE WHEN doc_id % 3 = 0 THEN doc_id % 100 ELSE 42 END
+               AS score
+      FROM documents)
+    GROUP BY source
+    """,
+)
+def sql_column_default(spark, sf):
+    """Column DEFAULT values (Spark 3.4+ DDL): the curation table
+    declares tier STRING DEFAULT 'unrated' and score BIGINT DEFAULT
+    42, the backfill INSERT names only the columns it has, and the
+    engine fills the rest — the schema-evolution ergonomic that
+    keeps every legacy writer valid when a table grows review
+    columns (the DDL-side sibling of parquet_merge_schema's
+    read-side null-fill, with a crucial difference the face pins:
+    DEFAULT fills a VALUE, merge-schema fills NULL — downstream
+    NOT-NULL logic only survives the former). Rows with ratings
+    insert all columns; rows without insert (doc_id, source) and
+    inherit both defaults; the twin reproduces the fill rule
+    relationally. Per-session table name + stale-location sweep
+    (the sql_catalog_table discipline)."""
+    import re as _re
+    import shutil as _shutil
+
+    sid = _re.sub(
+        r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId
+    )[-12:]
+    name = f"spark_graft_defaults_{sid}_{next(_DDL_COUNTER)}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    _shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE {name} (
+          doc_id BIGINT, source STRING,
+          tier STRING DEFAULT 'unrated',
+          score BIGINT DEFAULT 42
+        ) USING PARQUET
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {name}
+        SELECT doc_id, source, 'gold', doc_id % 100
+        FROM parquet.`{sf}/documents.parquet` WHERE doc_id % 3 = 0
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {name} (doc_id, source)
+        SELECT doc_id, source
+        FROM parquet.`{sf}/documents.parquet` WHERE doc_id % 3 <> 0
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN tier = 'unrated' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_defaulted,
+               CAST(SUM(score) AS BIGINT) AS score_sum
+        FROM {name} GROUP BY source
+        """
+    )
