@@ -1080,3 +1080,74 @@ def scan_nested_prune(spark, sf):
             F.sum("meta.n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DROPMALFORMED — the silent-drop CSV mode, with its count pinned
+# ---------------------------------------------------------------------------
+@q(
+    "csv_dropmalformed",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             substr(md5('cm:' || CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+               AS corrupt
+      FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN corrupt THEN 0 ELSE n_chars END)
+                AS BIGINT) AS kept_chars
+    FROM d
+    """,
+)
+def csv_dropmalformed(spark, sf):
+    """CSV mode=DROPMALFORMED with its drop count PINNED — the
+    third member of the tolerance ladder's CSV rung
+    (csv_permissive quarantines corrupt rows into a column,
+    FAILFAST kills the job, DROPMALFORMED silently discards), and
+    'silently' is the operational hazard this face converts into a
+    number: rows are deterministically corrupted (md5 coin: the
+    numeric n_chars field becomes junk on ~1/8 of rows), the file
+    is read in DROPMALFORMED mode, and the twin computes exactly
+    which rows a correct implementation must keep — any
+    over-eager or under-eager drop flips counts AND the kept-chars
+    sum. The csv_permissive lesson still binds: the parser
+    validates only REFERENCED columns, so the aggregate touches
+    every data column. Use this mode only with such an
+    accounting; unaudited DROPMALFORMED is how corpora lose 3% of
+    rows without anyone noticing."""
+    d = _sink_dir(spark, "dropmal")
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("cm:"), F.col("doc_id").cast("string"))),
+                1,
+                1,
+            )
+            < "2",
+            F.lit("JUNK"),
+        )
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("n_chars_s"),
+    )
+    docs.write.mode("overwrite").options(header=True).csv(d)
+    back = (
+        spark.read.options(header=True, mode="DROPMALFORMED")
+        .schema("doc_id long, n_chars_s long")
+        .csv(d)
+    )
+    kept = back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_chars_s").cast("long").alias("kept_chars"),
+    )
+    total = t(spark, sf, "documents").count()
+    return kept.select(
+        F.lit(total).cast("long").alias("n_total"),
+        "n_kept",
+        (F.lit(total) - F.col("n_kept")).cast("long").alias("n_dropped"),
+        "kept_chars",
+    ).select("n_total", "n_kept", "n_dropped", "kept_chars")

@@ -719,3 +719,55 @@ def lake_content_digest(spark, sf):
         F.sum(F.expr("rh % 268435456")).cast("long").alias("digest_lo"),
         F.expr("bit_xor(rh)").cast("long").alias("digest_xor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bucket pruning — an equality filter reads 1 bucket of N
+# ---------------------------------------------------------------------------
+@q(
+    "scan_bucket_prune",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_custkey = 42 GROUP BY c_mktsegment
+    """,
+)
+def scan_bucket_prune(spark, sf):
+    """Bucket PRUNING on a point lookup: the customer table written
+    bucketBy(8, c_custkey), then filtered c_custkey = 42 — the
+    filter hashes the literal to its bucket and the scan opens 1
+    file group of 8 (the executed plan prints SelectedBucketsCount:
+    1 out of 8, pinned in the test), making the bucketed layout a
+    coarse hash INDEX, not just a pre-paid join shuffle
+    (join_bucketed's use). At 100 TB this turns entity point
+    lookups — 'show me this customer' — from a table scan into a
+    bucket read without any external index; the residual in-bucket
+    filter still applies (pruning is per-bucket, not per-row).
+    The twin answers the same lookup from raw parquet; equality
+    proves pruning dropped nothing it shouldn't."""
+    import tempfile
+
+    from ..sources import catalog
+
+    base = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
+    root = tempfile.mkdtemp(prefix="qlake_bprune_", dir=base)
+    cust = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    catalog.save_bucketed(cust, "bp_cust", root, "c_custkey", n_buckets=8)
+    # DisableUnnecessaryBucketedScan turns bucketed reading off when
+    # the plan avoids no shuffle — which also forfeits bucket PRUNING
+    # on point lookups; pin it off for index-style reads (measured:
+    # "Bucketed: false (disabled by query planner)" without this)
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        back = spark.table("bp_cust").filter(F.col("c_custkey") == 42)
+        out = back.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+        from ..operators.dedup import parquet_checkpoint
+
+        return parquet_checkpoint(out, "bucket_prune_out")
+    finally:
+        spark.conf.set(key, prev)

@@ -2288,3 +2288,62 @@ def kg_rich_club(spark, sf_dir):
         )
         .alias("phi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# average-neighbor-degree profile — the disassortativity curve
+# ---------------------------------------------------------------------------
+@q(
+    "kg_knn_profile",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    deg AS (SELECT src AS uri, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY src),
+    ed AS (
+      SELECT da.d AS du, db.d AS dv
+      FROM e JOIN deg da ON da.uri = e.src
+             JOIN deg db ON db.uri = e.dst)
+    SELECT CAST(du AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_endpoints,
+           CAST(SUM(dv) AS BIGINT) AS neigh_deg_sum,
+           round(SUM(dv) * 1.0 / COUNT(*), 6) + 0 AS knn
+    FROM ed GROUP BY du
+    """,
+)
+def kg_knn_profile(spark, sf_dir):
+    """The k-nn(k) profile: for each degree k, the mean degree of
+    the neighbors of degree-k nodes — the full DISASSORTATIVITY
+    CURVE behind kg_assortativity's single correlation (the web's
+    signature is knn(k) FALLING in k: hubs attach to leaves; a
+    social graph rises; a flat curve is neutral mixing — and the
+    curve distinguishes shapes the scalar can't, e.g. mixed
+    regimes that cancel to r ~ 0). Same two unhinted
+    endpoint-degree joins as kg_rich_club (the degree relation is
+    vocab-sized and unbounded at web scale); each DIRECTED edge
+    contributes its source's k and its target's degree, so
+    per-node weighting is automatic (a degree-k node appears k
+    times — the standard edge-weighted knn definition); the profile
+    is one exact-integer fold per degree value with a single float
+    division at the end."""
+    e = _undirected_edges(spark, sf_dir)
+    deg = e.groupBy(F.col("src").alias("uri")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    da = deg.select(F.col("uri").alias("ua"), F.col("d").alias("du"))
+    db = deg.select(F.col("uri").alias("ub"), F.col("d").alias("dv"))
+    ed = (
+        e.join(da, e.src == da.ua)
+        .join(db, e.dst == db.ub)
+        .select("du", "dv")
+    )
+    return ed.groupBy(F.col("du").cast("long").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_endpoints"),
+        F.sum("dv").cast("long").alias("neigh_deg_sum"),
+        (
+            F.round(F.sum("dv") * F.lit(1.0) / F.count(F.lit(1)), 6)
+            + F.lit(0.0)
+        ).alias("knn"),
+    )

@@ -1139,3 +1139,52 @@ def sql_column_default(spark, sf):
         FROM {name} GROUP BY source
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# LISTAGG — ordered string aggregation, deterministic by decree
+# ---------------------------------------------------------------------------
+@q(
+    "agg_listagg",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+             AS type_list,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def agg_listagg(spark, sf):
+    """LISTAGG (Spark 4) / string_agg (DuckDB): each user's
+    distinct event types joined into one ordered string — the
+    denormalized label column every export and BI sheet wants, and
+    an aggregate that is NONDETERMINISTIC BY DEFAULT (concatenation
+    order follows arrival order, i.e. partitioning) unless the
+    WITHIN GROUP (ORDER BY ...) clause pins it — the same
+    discipline kg_entity_card needs for collect_list (array_sort
+    over carried structs) spelled as first-class syntax. DISTINCT
+    + ORDER BY together make the string a pure function of the
+    SET, so it hashes identically across engines, runs, and
+    cluster sizes; without the clause this face would be
+    gate-red on its first shuffle change. Engine wart pinned while
+    building it: Spark 4.1's LISTAGG(DISTINCT ...) WITHIN GROUP
+    throws a ClassCastException in the partial-agg path, so the
+    dedup runs as a DISTINCT subquery UNDER the aggregate — same
+    semantics, and the shape a migration must use today. The
+    dialect seam (LISTAGG ... WITHIN GROUP vs
+    string_agg(... ORDER BY)) is pinned by the twin."""
+    return spark.sql(
+        f"""
+        WITH ut AS (
+          SELECT DISTINCT user_id, event_type
+          FROM parquet.`{sf}/events.parquet`
+          WHERE user_id IS NOT NULL)
+        SELECT user_id,
+               listagg(event_type, ',')
+                 WITHIN GROUP (ORDER BY event_type) AS type_list,
+               CAST(COUNT(event_type) AS BIGINT) AS n_types
+        FROM ut GROUP BY user_id
+        """
+    )
