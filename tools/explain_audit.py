@@ -1727,6 +1727,37 @@ def main() -> None:
         p_np,
     )
 
+    # 66. wave-67..75 shapes: events_m4 is ONE map-side agg (no
+    # Window, no sort); lake_content_digest is map-only single-scan;
+    # text_vocab_coverage windows ride the vocab relation, never a
+    # second corpus scan; events_stickiness reads its checkpointed
+    # user-day distinct (0 raw events scans).
+    p_m4 = plan_of(QUERIES["events_m4"](spark, SF))
+    m4_win = len(re.findall(r"\(\d+\) Window", p_m4))
+    m4_scans = len(re.findall(r"\(\d+\) Scan parquet", p_m4))
+    p_dg = plan_of(QUERIES["lake_content_digest"](spark, SF))
+    dg_scans = len(re.findall(r"\(\d+\) Scan parquet", p_dg))
+    dg_ex = len(re.findall(r"\(\d+\) Exchange", p_dg))
+    p_vc = plan_of(QUERIES["text_vocab_coverage"](spark, SF))
+    vc_scans = p_vc.count("documents.parquet")
+    p_st = plan_of(QUERIES["events_stickiness"](spark, SF))
+    st_raw = p_st.count("events.parquet")
+    check(
+        "M4 windowless single agg; digest map-only; vocab coverage "
+        "one corpus scan; stickiness checkpointed",
+        m4_win == 0
+        and m4_scans == 1
+        and dg_scans == 1
+        and dg_ex == 1
+        and vc_scans == 1
+        and st_raw == 0,
+        f"events_m4 windows={m4_win} scans={m4_scans}; "
+        f"lake_content_digest scans={dg_scans} exchanges={dg_ex}; "
+        f"text_vocab_coverage documents scans={vc_scans} (want 1); "
+        f"events_stickiness raw events scans={st_raw} (want 0)",
+        p_m4,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
