@@ -2202,3 +2202,100 @@ def text_good_turing(spark, sf):
         .otherwise(F.round(f1 * F.lit(1.0) / ntok, 6) + F.lit(0.0))
         .alias("p0_unseen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KL divergence to the target language mix
+# ---------------------------------------------------------------------------
+_MIX_TARGET = (
+    ("en", 0.4),
+    ("de", 0.15),
+    ("es", 0.15),
+    ("fr", 0.15),
+    ("zh", 0.15),
+)
+
+
+@q(
+    "mix_kl_target",
+    f"""
+    WITH tgt(lang, q) AS (VALUES
+      {", ".join(f"('{lg}', {w})" for lg, w in _MIX_TARGET)}),
+    c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang),
+    w AS (
+      SELECT tgt.lang, tgt.q, COALESCE(c.n, 0) AS n,
+             SUM(COALESCE(c.n, 0)) OVER () AS tot
+      FROM tgt LEFT JOIN c ON c.lang = tgt.lang),
+    terms AS (
+      SELECT lang, n, q,
+             CASE WHEN tot = 0 THEN NULL
+                  ELSE round(n * 1.0 / tot, 6) + 0 END AS p,
+             CASE WHEN n = 0 OR tot = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(round(1000000.0 * (n * 1.0 / tot)
+                            * ln((n * 1.0 / tot) / q)) AS BIGINT)
+             END AS kl_us
+      FROM w)
+    SELECT lang, n, p, q,
+           CAST(kl_us AS BIGINT) AS kl_term_us,
+           round(SUM(kl_us) OVER () / 1000000.0, 6) + 0 AS kl_total
+    FROM terms
+    """,
+)
+def mix_kl_target(spark, sf):
+    """KL divergence of the observed language mix from the TARGET
+    mix (the sampling contract mix_domains' temperatures aim at),
+    per-language terms plus the total — the monitoring face for
+    mix drift: KL is the exact penalty a model pays in average
+    log-loss for training on the wrong mix, per-term signs say who
+    is over- (p > q, positive term) and under-represented, and
+    drift_chi2 tests significance where this face measures COST.
+    The target is a literal VALUES dim (broadcast for free, the
+    sql_inline_values shape) LEFT-joined so a missing language
+    shows as n = 0 with its zero KL term by the 0*ln(0) = 0
+    convention (an ABSENT row would hide the gap instead); each
+    term micros-quantizes in identical order (kg_adamic_adar),
+    the total is a frameless window over the |langs| relation.
+    Assumes the observed mix's support is inside the target's
+    (q > 0 everywhere by construction — KL to a zero-q cell is
+    infinite and means the TARGET is wrong, not the corpus)."""
+    tgt = t(spark, sf, "documents").sparkSession.createDataFrame(
+        list(_MIX_TARGET), "lang string, q double"
+    )
+    c = t(spark, sf, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wall = Window.partitionBy()
+    w = tgt.join(c, "lang", "left").select(
+        "lang",
+        "q",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.sum(F.coalesce(F.col("n"), F.lit(0))).over(wall).alias("tot"),
+    )
+    p = F.col("n") * F.lit(1.0) / F.col("tot")
+    kl_us = F.when(
+        (F.col("n") == 0) | (F.col("tot") == 0), F.lit(0).cast("long")
+    ).otherwise(
+        F.round(F.lit(1000000.0) * p * F.log(p / F.col("q"))).cast("long")
+    )
+    terms = w.select(
+        "lang",
+        "n",
+        F.when(F.col("tot") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(p, 6) + F.lit(0.0))
+        .alias("p"),
+        "q",
+        kl_us.alias("kl_us"),
+    )
+    return terms.select(
+        "lang",
+        "n",
+        "p",
+        "q",
+        F.col("kl_us").cast("long").alias("kl_term_us"),
+        (
+            F.round(F.sum("kl_us").over(wall) / F.lit(1000000.0), 6)
+            + F.lit(0.0)
+        ).alias("kl_total"),
+    )

@@ -4589,3 +4589,119 @@ def stat_prop_ztest(spark, sf):
         .otherwise(F.round(z, 6) + F.lit(0.0))
         .alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# odds ratio with Wald CI — the 2x2 effect size
+# ---------------------------------------------------------------------------
+@q(
+    "stat_odds_ratio",
+    """
+    WITH lab AS (
+      SELECT CASE WHEN substr(md5('or:' || CAST(event_id AS VARCHAR)),
+                              1, 1) < '8' THEN 1 ELSE 0 END AS exposed,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN exposed = 1 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN exposed = 1 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN exposed = 0 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN exposed = 0 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM lab)
+    SELECT a, b, c, d,
+           CASE WHEN a * b * c * d = 0 THEN NULL
+                ELSE round(a * 1.0 * d / (b * 1.0 * c), 6) + 0
+           END AS odds_ratio,
+           CASE WHEN a * b * c * d = 0 THEN NULL
+                ELSE round(exp(ln(a * 1.0 * d / (b * 1.0 * c))
+                     - 1.95996398454005
+                       * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)),
+                     6) + 0
+           END AS or_lo,
+           CASE WHEN a * b * c * d = 0 THEN NULL
+                ELSE round(exp(ln(a * 1.0 * d / (b * 1.0 * c))
+                     + 1.95996398454005
+                       * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)),
+                     6) + 0
+           END AS or_hi
+    FROM m
+    """,
+)
+def stat_odds_ratio(spark, sf):
+    """Odds ratio of purchase between the md5-exposed halves with
+    the 95% Wald interval on the log scale — the 2x2 effect size
+    epidemiology and churn analysis report (stat_prop_ztest answers
+    'is there a difference?'; the OR answers 'how many-fold', is
+    invariant to which margin was sampled — the property risk
+    ratios lack — and its CI is the shipping criterion: an interval
+    covering 1.0 is a no-go). One corpus scan to the exact 2x2
+    (a, b, c, d); OR and the exp(logOR +/- z*SE) bounds are single
+    identical float expressions with z embedded as the import-time
+    literal (the stat_wilson_ci discipline); ANY empty cell NULLs
+    all three (the classic zero-cell pathology — production adds
+    the Haldane 0.5 correction, documented rather than silently
+    applied). Sanity identity pinned in tests: OR lies inside its
+    own CI."""
+    lab = t(spark, sf, "events").select(
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("or:"), F.col("event_id").cast("string"))
+                ),
+                1,
+                1,
+            )
+            < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("exposed"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    m = lab.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("exposed") == e) & (F.col("y") == y), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(name)
+            for name, e, y in (
+                ("a", 1, 1),
+                ("b", 1, 0),
+                ("c", 0, 1),
+                ("d", 0, 0),
+            )
+        ]
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    orx = a * F.lit(1.0) * d / (b * F.lit(1.0) * c)
+    se = F.sqrt(
+        F.lit(1.0) / a + F.lit(1.0) / b + F.lit(1.0) / c + F.lit(1.0) / d
+    )
+    z = 1.95996398454005
+    bad = a * b * c * d == 0
+    return m.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(orx, 6) + F.lit(0.0))
+        .alias("odds_ratio"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.exp(F.log(orx) - F.lit(z) * se), 6) + F.lit(0.0)
+        )
+        .alias("or_lo"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.exp(F.log(orx) + F.lit(z) * se), 6) + F.lit(0.0)
+        )
+        .alias("or_hi"),
+    )

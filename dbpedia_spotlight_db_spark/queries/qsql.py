@@ -1188,3 +1188,40 @@ def agg_listagg(spark, sf):
         FROM ut GROUP BY user_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# REBALANCE hint — AQE-split output partitions before a write
+# ---------------------------------------------------------------------------
+@q(
+    "sql_rebalance_hint",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def sql_rebalance_hint(spark, sf):
+    """The REBALANCE hint — the output-file skew fixer: before a
+    partitionBy-style write, /*+ REBALANCE(lang) */ asks AQE to
+    hash-distribute by the column but SPLIT oversized partitions at
+    runtime (and coalesce tiny ones), which is what prevents the
+    one-giant-file-per-hot-language layout a plain
+    repartition(lang) produces — REPARTITION guarantees the
+    partitioning, REBALANCE guarantees the SIZES, and only at
+    write time does the difference matter (a skewed shuffle
+    partition inside a query is AQE's ordinary job; a skewed
+    OUTPUT FILE lives forever). The hint is a physical-layout
+    directive with zero semantic content — the twin is the plain
+    aggregate, and the test pins RebalancePartitions in the
+    optimized plan. The aggregate AFTER the rebalance also shows
+    hints compose: Catalyst still plans the normal two-phase
+    agg above it."""
+    return spark.sql(
+        f"""
+        SELECT /*+ REBALANCE(lang) */
+               lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM parquet.`{sf}/documents.parquet` GROUP BY lang
+        """
+    )
