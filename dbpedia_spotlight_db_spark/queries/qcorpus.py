@@ -2299,3 +2299,63 @@ def mix_kl_target(spark, sf):
             + F.lit(0.0)
         ).alias("kl_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# line-structure census — the dedup_lines planning numbers
+# ---------------------------------------------------------------------------
+@q(
+    "text_line_stats",
+    r"""
+    WITH d AS (
+      SELECT lang, string_split(text, chr(10)) AS lines
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT lang, len(lines) AS n_lines,
+             len(list_filter(lines, x -> trim(x) = '')) AS n_blank,
+             list_max(list_transform(lines, x -> length(x)))
+               AS max_line_len
+      FROM d)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_lines) AS BIGINT) AS lines,
+           CAST(SUM(n_blank) AS BIGINT) AS blank_lines,
+           CAST(MAX(max_line_len) AS BIGINT) AS max_line_len,
+           round(SUM(n_lines) * 1.0 / COUNT(*), 6) + 0
+             AS lines_per_doc
+    FROM m GROUP BY lang
+    """,
+)
+def text_line_stats(spark, sf):
+    """Line-structure census per language: lines per document, blank
+    lines, and the longest single line — the numbers that size a
+    line-granular pipeline BEFORE running it (dedup_lines' unit of
+    work is the line; a shard averaging 1.0 lines/doc has no line
+    structure to dedup, and a 10^6-char max line means some 'text'
+    is minified payload that will blow any per-line buffer — two
+    failure modes this one cheap pass catches). All in-row
+    higher-order lambdas over the split array (size / filter /
+    transform+max — the sql_array_hof discipline: per-line work
+    without exploding corpus x lines rows), one
+    map-side-combinable fold; the max-line certificate is an exact
+    integer."""
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
+        "lang", F.split("text", "\n").alias("lines")
+    )
+    m = d.select(
+        "lang",
+        F.size("lines").alias("n_lines"),
+        F.size(F.expr("filter(lines, x -> trim(x) = '')")).alias("n_blank"),
+        F.expr(
+            "array_max(transform(lines, x -> length(x)))"
+        ).alias("max_line_len"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_lines").cast("long").alias("lines"),
+        F.sum("n_blank").cast("long").alias("blank_lines"),
+        F.max("max_line_len").cast("long").alias("max_line_len"),
+        (
+            F.round(F.sum("n_lines") * F.lit(1.0) / F.count(F.lit(1)), 6)
+            + F.lit(0.0)
+        ).alias("lines_per_doc"),
+    )

@@ -4705,3 +4705,83 @@ def stat_odds_ratio(spark, sf):
         )
         .alias("or_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve — cumulative revenue share at population deciles
+# ---------------------------------------------------------------------------
+@q(
+    "stat_lorenz",
+    """
+    WITH sup AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM events WHERE value IS NOT NULL AND value >= 0
+      GROUP BY 1),
+    w AS (
+      SELECT c, k,
+             SUM(k) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS ck,
+             SUM(k * c) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cs,
+             SUM(k) OVER () AS n, SUM(k * c) OVER () AS s
+      FROM sup),
+    ds AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS d)
+    SELECT CAST(ds.d AS INT) AS decile,
+           round(MAX(CASE WHEN w.ck * 10 <= w.n * ds.d
+                          THEN w.cs * 1.0 / w.s END), 6) + 0
+             AS lorenz_share
+    FROM ds CROSS JOIN w
+    GROUP BY ds.d
+    """,
+)
+def stat_lorenz(spark, sf):
+    """Lorenz curve points at population deciles: the revenue share
+    held by the bottom d/10 of events — the CURVE under stat_gini's
+    scalar (Gini is twice the area between this curve and the
+    diagonal; the curve says WHERE the inequality lives — a 0.4
+    Gini from a missing middle and one from a super-heavy top decile
+    are different businesses). Count-of-counts discipline: the
+    corpus collapses to the per-distinct-cents support, cumulative
+    population and cumulative mass are windows over it (the
+    stat_gini closed-form family — the corpus is never sorted), and
+    each decile point takes the LAST support row whose cumulative
+    population fraction is still <= d/10 — the all-integer test
+    ck*10 <= n*d, so the point selection can't float-diverge; the
+    share itself is one float division. Step-function convention
+    (no interpolation — the curve of the actual multiset); a decile
+    below the smallest support point yields NULL rather than an
+    interpolated fiction."""
+    sup = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .groupBy(F.round(F.col("value") * 100).cast("long").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    wc = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    w = sup.select(
+        "c",
+        F.sum("k").over(wc).alias("ck"),
+        F.sum(F.col("k") * F.col("c")).over(wc).alias("cs"),
+        F.sum("k").over(wall).alias("n"),
+        F.sum(F.col("k") * F.col("c")).over(wall).alias("s"),
+    )
+    ds = t(spark, sf, "events").sparkSession.createDataFrame(
+        [(d,) for d in range(1, 10)], "d int"
+    )
+    j = ds.crossJoin(w)
+    return j.groupBy(F.col("d").cast("int").alias("decile")).agg(
+        (
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("ck") * 10 <= F.col("n") * F.col("d"),
+                        F.col("cs") * F.lit(1.0) / F.col("s"),
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("lorenz_share")
+    )
