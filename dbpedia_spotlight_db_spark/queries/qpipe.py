@@ -2347,3 +2347,58 @@ def kg_knn_profile(spark, sf_dir):
             + F.lit(0.0)
         ).alias("knn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# one-row graph summary — the KG's vital signs
+# ---------------------------------------------------------------------------
+@q(
+    "kg_summary",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    deg AS (SELECT src AS uri, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY src)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           round(SUM(d) * 1.0 / COUNT(*), 6) + 0 AS avg_degree,
+           CASE WHEN COUNT(*) < 2 THEN NULL
+                ELSE round(SUM(d) * 1.0
+                           / (COUNT(*) * (COUNT(*) - 1)), 6) + 0
+           END AS density
+    FROM deg
+    """,
+)
+def kg_summary(spark, sf_dir):
+    """The KG's vital signs in one row: nodes, undirected edges,
+    max and mean degree, and density — the first table a graph
+    review reads and the sanity gate every downstream face's cost
+    model hangs off (the wedge joins are Σd² work, the rich-club
+    windows are degree-distribution-sized, the density says whether
+    'broadcast the vocabulary' is even a sentence — and a density
+    that JUMPS between snapshots means the extraction threshold
+    moved, not the world; cf. kg_void_stats for the RDF-level
+    census). One degree fold (the directed edge list halves to
+    undirected edges exactly — every edge appears twice by
+    construction), one singleton rollup, NULL-guarded density for
+    the sub-2-node corpus."""
+    e = _undirected_edges(spark, sf_dir)
+    deg = e.groupBy(F.col("src").alias("uri")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    n = F.count(F.lit(1))
+    sd = F.sum("d")
+    return deg.agg(
+        n.cast("long").alias("n_nodes"),
+        F.expr("CAST(SUM(d) / 2 AS BIGINT)").alias("n_edges"),
+        F.max("d").cast("long").alias("max_degree"),
+        (F.round(sd * F.lit(1.0) / n, 6) + F.lit(0.0)).alias("avg_degree"),
+        F.when(n < 2, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(sd * F.lit(1.0) / (n * (n - 1)), 6) + F.lit(0.0)
+        )
+        .alias("density"),
+    )

@@ -2264,3 +2264,68 @@ def agg_percentile_disc(spark, sf):
         .cast("long")
         .alias("p90_disc_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT ALL / EXCEPT ALL — set operators with bag semantics
+# ---------------------------------------------------------------------------
+@q(
+    "set_ops_all",
+    """
+    WITH a AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) // 1000 AS b
+      FROM events
+      WHERE value IS NOT NULL
+            AND substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'),
+    bb AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) // 1000 AS b
+      FROM events
+      WHERE value IS NOT NULL
+            AND substr(md5(CAST(event_id AS VARCHAR)), 1, 1) >= '8'),
+    i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM bb),
+    x AS (SELECT * FROM a EXCEPT ALL SELECT * FROM bb)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bb) AS n_b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM i) AS n_intersect_all,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM x) AS n_except_all
+    FROM (SELECT 1)
+    """,
+)
+def set_ops_all(spark, sf):
+    """INTERSECT ALL and EXCEPT ALL — the BAG-semantics set
+    operators (set_intersect/except cover the DISTINCT forms):
+    multiplicities matter, so a row appearing 5 times in A and 3
+    times in B contributes min(5,3)=3 to INTERSECT ALL and
+    max(5-3,0)=2 to EXCEPT ALL — the reconciliation arithmetic for
+    row-level feed comparison where duplicate rows are LEGITIMATE
+    (retry-at-least-once logs, fanout joins), and where the
+    DISTINCT forms silently erase exactly the discrepancies you're
+    hunting. The engines implement it as a count-compare under the
+    hood (Spark: aggregate counts per value then replicate) — the
+    identity pinned in the test: |A| = |A INTERSECT ALL B| +
+    |A EXCEPT ALL B| whenever B's rows are a submultiset-or-not,
+    i.e. always, row-for-row. md5 halves of the bucketed value
+    stream give both sides real overlapping multiplicity."""
+    base = t(spark, sf, "events").filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT) div 1000").alias("b"),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).alias(
+            "coin"
+        ),
+    )
+    a = base.filter(F.col("coin") < "8").drop("coin")
+    b = base.filter(F.col("coin") >= "8").drop("coin")
+    i = a.intersectAll(b)
+    x = a.exceptAll(b)
+    import functools
+
+    counts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias(name))
+        for df, name in (
+            (a, "n_a"),
+            (b, "n_b"),
+            (i, "n_intersect_all"),
+            (x, "n_except_all"),
+        )
+    ]
+    return functools.reduce(lambda l, r: l.crossJoin(r), counts)
