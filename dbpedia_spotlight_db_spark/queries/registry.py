@@ -54,63 +54,68 @@ for mod in (
     _QUERIES.update(mod.Q)
     _ORACLES.update(mod.O)
 
-# Round-4 rotation (VERDICT r3 "Next round" #2): _FRONT is EXACTLY the
-# 50 registry keys that have never had a driver-correctness row — the
-# complement of union(CORRECTNESS_r01..r03) over the 150-key registry,
-# computed mechanically. With the driver's 50-key window, a green r4
-# makes the cross-round union 150/150. The r3-covered wave faces moved
-# behind (driver rows are durable across rounds).
+# Round-5 rotation (VERDICT r4 "Next round" #1 + CLAUDE.md "R5
+# ROTATION PREP"): union(CORRECTNESS_r01..r04) covers 150 keys; the
+# 239 wave-18..78 keys have no driver row. _FRONT is the 50
+# highest-value of those 239, picked one-per-family: the streaming
+# quadrants, the scale-mechanism faces (DPP / bucket+nested pruning /
+# dynamic overwrite / bucketed + shuffle-hash joins), the sketch
+# family, the ml_*/stat_* eval blocks, the tolerance ladder, the
+# wedge-family graph faces (which this round also gain the degree cap
+# VERDICT r4 "What's wrong" #1 demands — a driver row proves the fix
+# stays hash-green), and the UDF/Arrow quadrants. Keys already
+# driver-covered moved behind (driver rows are durable across rounds).
 _FRONT = [
-    "dedup_embed_lsh",    # fell at position 52 in r3 — just missed the window
-    "kg_cooccurrence",    # entity PMI graph
-    "kg_pagerank",        # entity salience over that graph
-    "stream_sessionize",  # stateful streaming on the oracle gate
-    "join_asof",          # as-of join, union-scan form
-    "join_range",         # bucketed time-range join, no equi key
-    "kg_degree",          # graph degree/strength
-    "kg_triangles",       # oriented triangle count
-    "agg_percentiles",    # exact grouped quantiles
-    "agg_rollup_orders",  # grouping sets + summed measure
-    "pivot_events",       # explicit-values pivot
-    "sample_hash",        # deterministic corpus split
-    "text_unigram_lm",    # unigram-LM quality score
-    "url_normalize",      # crawl URL canonicalization
-    "join_salted",        # explicit skew-salted join
-    "stream_dedup",       # watermarked streaming dedup
-    "crawl_latest",       # latest-snapshot compaction, qcorpus
-    "decontaminate",      # benchmark n-gram anti-leak
-    "text_chunks",        # token-window training chunks
-    "host_stats",         # per-host crawl stats
-    "sample_stratified",  # per-lang deterministic split
-    "token_topk",         # vocabulary heavy hitters
-    "bm25_search",        # BM25 retrieval scoring
-    "doc_tfidf_topterms", # per-doc keyword extraction
-    "kg_disambiguate",    # reference lifecycle E2 face
-    "dedup_lines",        # C4 corpus-level duplicate-line removal
-    "text_repetition",    # Gopher repetition signals, map-only
-    "pack_sequences",     # greedy training-sequence packing
-    "pii_redact",         # compliance scrub, JVM regex
-    "dedup_semantic",     # SemDeDup: cluster-then-dedup
-    "embed_kmeans",       # unrolled Lloyd iterations
-    "kg_khop",            # bounded 2-hop neighborhood size
-    "mix_domains",        # temperature-rebalanced domain mix
-    "crawl_upsert",       # changelog merge, tombstone deletes
-    "profile_columns",    # one-scan table profiling
-    "kg_shortest_path",   # bounded BFS min-distance
-    "kg_labelprop",       # min-label community rounds
-    "quality_gate",       # Gopher-style composite filter
-    "host_blocklist",     # derived spam-host anti-join
-    "index_postings",     # inverted-index posting lists
-    "events_funnel",      # ordered-sequence funnel stages
-    "retention_cohorts",  # cohort-retention matrix
-    "text_token_bpe",     # BPE-ish pretokenizer count
-    "stream_enrich",      # stream-static broadcast join
-    "kg_export_nt",       # N-Triples sink, source inverse
-    "snapshot_diff",      # added/removed/changed report
-    "agg_cube",           # CUBE grouping sets
-    "win_moving_avg",     # ROWS-frame rolling metrics
-    "unpivot_events",     # wide-to-long melt
-    "check_constraints",  # data-quality violation report
+    "stream_window",          # sliding-window append-mode agg
+    "stream_resume",          # exactly-once across two runs
+    "stream_pyds_nt",         # Python DataSource stream reader
+    "stream_pyds_sink",       # Python DataSource stream writer
+    "stream_join",            # stream-stream inner join
+    "stream_outer_join",      # stream-stream left outer join
+    "join_dpp",               # dynamic partition pruning fires
+    "scan_bucket_prune",      # SelectedBucketsCount 1-of-8
+    "scan_nested_prune",      # nested-schema pruning
+    "hive_dynamic_overwrite", # dynamic partition overwrite
+    "join_bucketed",          # bucketed join, zero Exchange
+    "join_shuffle_hash",      # SHJ hint flips SMJ
+    "hive_partition_prune",   # PartitionFilters pruning
+    "agg_countmin",           # count-min sketch
+    "agg_kmv",                # KMV distinct sketch
+    "agg_lincount",           # linear counting
+    "join_bloom",             # bloom-prefiltered semi-join
+    "agg_heavy_hitters",      # exact Misra-Gries two-phase
+    "ml_auc",                 # ROC AUC, rank form
+    "ml_map",                 # mean average precision
+    "ml_brier",               # Brier score, exact cents
+    "ml_ks",                  # model KS separation
+    "ml_fairness",            # group fairness metrics
+    "stat_friedman",          # Friedman rank test
+    "stat_theil",             # Theil inequality decomposition
+    "stat_hurst",             # R/S Hurst exponent
+    "stat_gumbel",            # extreme-value fit
+    "stat_ks",                # two-sample KS, integer ECDFs
+    "sql_try_cast",           # TRY_CAST tolerance ladder
+    "sql_try_timestamp",      # try_to_timestamp patterns
+    "csv_permissive",         # PERMISSIVE corrupt-record capture
+    "csv_dropmalformed",      # DROPMALFORMED mode
+    "scan_ignore_corrupt",    # ignoreCorruptFiles scan
+    "kg_adamic_adar",         # wedge join, degree-capped (r5)
+    "kg_betweenness",         # length-2 betweenness, capped (r5)
+    "kg_kcore",               # k-core peel rounds
+    "kg_truss",               # k-truss peel rounds
+    "kg_reach_recursive",     # Spark 4 WITH RECURSIVE
+    "udf_grouped_agg",        # GROUPED_AGG pandas UDF
+    "udf_map_arrow",          # mapInArrow quadrant
+    "udf_scalar_iter",        # Iterator[pd.Series] scalar UDF
+    "text_bpe_merge",         # one BPE merge round
+    "text_jsd",               # Jensen-Shannon divergence
+    "dedup_url",              # canonical-URL min-keeper
+    "dedup_minhash_eval",     # MinHash estimator quality
+    "events_attribution",     # running-max attribution
+    "events_changepoint",     # CUSUM changepoint
+    "merge_scd2",             # SCD2 interval merge
+    "privacy_dp_histogram",   # DP noisy histogram
+    "multimodal_dedup",       # binary-blob CAS census
 ]
 _TAIL = [
     "sort_limit",

