@@ -2085,3 +2085,121 @@ def multimodal_dedup(spark, sf):
         .cast("long")
         .alias("bytes_dedupable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# posexplode_outer — generator that PRESERVES rows with nothing to emit
+# ---------------------------------------------------------------------------
+@q(
+    "udtf_posexplode_outer",
+    """
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> length(x) >= 8) AS a
+      FROM documents),
+    tok AS (
+      SELECT doc_id, generate_subscripts(a, 1) - 1 AS pos, unnest(a) AS tk
+      FROM arr)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tok)
+             + (SELECT CAST(COUNT(*) AS BIGINT) FROM arr WHERE len(a) = 0)
+             AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM arr) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS n_tokens,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM arr WHERE len(a) = 0)
+             AS n_empty_docs,
+           (SELECT CAST(COALESCE(SUM(pos), 0) AS BIGINT) FROM tok)
+             AS pos_sum
+    """,
+)
+def udtf_posexplode_outer(spark, sf):
+    """``posexplode_outer`` — the generator variant that PRESERVES
+    parent rows whose array is empty (a NULL pos/token row) instead
+    of silently dropping them like plain posexplode. That row
+    preservation is load-bearing in pipelines: a per-doc feature
+    join keyed on the exploded output must not lose the docs with
+    zero long tokens, or downstream LEFT joins silently become
+    INNER. Tokens are filtered to length >= 8 so a real fraction of
+    docs DOES come up empty and the outer semantics bite at every
+    sf. The one-row certificate pins the accounting identity
+    n_rows = n_tokens + n_empty_docs and n_docs = every document
+    (nothing lost); DuckDB has no outer unnest, so the twin
+    reconstructs the preserved rows as the len(a)=0 count. Scale
+    shape: map-side explode + one agg — 0-based pos matches
+    generate_subscripts - 1 (qdata.py:241 idiom)."""
+    d = t(spark, sf, "documents")
+    arr = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            lambda x: F.length(x) >= 8,
+        ).alias("a"),
+    )
+    ex = arr.select(
+        "doc_id", F.posexplode_outer("a").alias("pos", "tk")
+    )
+    return ex.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("tk").cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("tk").isNull(), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_empty_docs"),
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("pos_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# barrier-mode mapInPandas — gang-scheduled Arrow stage
+# ---------------------------------------------------------------------------
+@q(
+    "udf_map_barrier",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def udf_map_barrier(spark, sf):
+    """``mapInPandas(..., barrier=True)`` — the gang-scheduled
+    variant: every task of the stage launches TOGETHER (Spark's
+    barrier execution mode), which is what all-reduce-style
+    distributed training and MPI-ish media codecs require from a
+    data stage. Barrier changes SCHEDULING, never data semantics,
+    so the twin is the plain aggregate and the gate proves the
+    barrier plumbing is lossless. The pandas step rounds cents
+    HALF-AWAY-FROM-ZERO explicitly (np.floor(|v|*100 + 0.5)) —
+    pandas .round() is half-to-even and diverges from SQL round()
+    on exact .5 cents (the running_counts_tws lesson). Scale
+    shape: barrier stages cannot start until EVERY task has a slot,
+    so the repartition(2) here is the discipline — a barrier stage
+    wider than the cluster's instantaneous free slots deadlocks;
+    size barrier stages to guaranteed capacity, never to data."""
+    import numpy as np
+
+    e = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+
+    def to_cents(batches):
+        for pdf in batches:
+            v = pdf["value"].to_numpy()
+            cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(
+                "int64"
+            )
+            yield pd.DataFrame(
+                {"event_type": pdf["event_type"], "cents": cents}
+            )
+
+    b = e.repartition(2).mapInPandas(
+        to_cents, "event_type string, cents long", barrier=True
+    )
+    return b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

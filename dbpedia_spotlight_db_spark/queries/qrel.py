@@ -2329,3 +2329,132 @@ def set_ops_all(spark, sf):
         )
     ]
     return functools.reduce(lambda l, r: l.crossJoin(r), counts)
+
+
+# ---------------------------------------------------------------------------
+# statestore reader — inspecting a streaming checkpoint's state as a table
+# ---------------------------------------------------------------------------
+@q(
+    "scan_statestore",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def scan_statestore(spark, sf):
+    """Spark 4's ``statestore`` batch source: the state a streaming
+    aggregation checkpointed is READ BACK as a DataFrame
+    (key struct + value struct per state row) — the operational
+    debugger for stateful pipelines ("what does the store think the
+    running totals are?") and the only way to audit state without
+    replaying the stream. The face runs a complete-mode
+    availableNow aggregation over the events table spooled to a
+    file source, then reads the checkpoint's state store and
+    re-emits the aggregates FROM STATE; the DuckDB twin is the
+    plain batch aggregate, so the gate proves state contents ==
+    batch truth exactly. Scale shape: the state source reads one
+    store shard per state partition in parallel — same layout the
+    stream wrote — with no replay of the input; the final aggregate
+    is parquet-checkpointed before the temp spool is reclaimed
+    (the stream_resume discipline)."""
+    import os
+    import tempfile
+
+    from ..operators.dedup import parquet_checkpoint
+
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    schema = "event_id long, event_type string, cents long"
+    with tempfile.TemporaryDirectory(prefix="scan_statestore_") as tmp:
+        src = os.path.join(tmp, "in")
+        ckpt = os.path.join(tmp, "ckpt")
+        e.write.mode("append").parquet(src)
+        qname = "ssq_" + os.path.basename(tmp)
+        q_ = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+        st = spark.read.format("statestore").load(ckpt)
+        # state rows hold the aggregation BUFFER, whose struct fields
+        # are named by FUNCTION (count, sum), not by output alias
+        out = st.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n"),
+            F.col("value.sum").cast("long").alias("cents"),
+        )
+        return parquet_checkpoint(out, "scan_statestore_final")
+
+
+# ---------------------------------------------------------------------------
+# state-metadata reader — the checkpoint's operator manifest
+# ---------------------------------------------------------------------------
+@q(
+    "scan_state_metadata",
+    """
+    SELECT 'stateStoreSave' AS operator_name,
+           'default' AS store_name,
+           CAST(1 AS BIGINT) AS n_batches
+    """,
+)
+def scan_state_metadata(spark, sf):
+    """The companion ``state-metadata`` source: the checkpoint's
+    operator manifest (which stateful operators exist, their store
+    names, and the batch range the state covers) — what an operator
+    reads FIRST before pointing the statestore source at a shard.
+    One availableNow complete-mode aggregation produces exactly one
+    stateStoreSave operator with the default store and a single
+    committed batch (min == max == 0), so the manifest is a
+    deterministic literal and the twin pins it verbatim.
+    numPartitions is deliberately NOT emitted — it equals the
+    session's shuffle-partition setting, an environment knob, not a
+    property of the pipeline."""
+    import os
+    import tempfile
+
+    from ..operators.dedup import parquet_checkpoint
+
+    e = t(spark, sf, "events").select("event_id", "event_type")
+    with tempfile.TemporaryDirectory(prefix="scan_state_md_") as tmp:
+        src = os.path.join(tmp, "in")
+        ckpt = os.path.join(tmp, "ckpt")
+        e.write.mode("append").parquet(src)
+        qname = "smq_" + os.path.basename(tmp)
+        q_ = (
+            spark.readStream.schema("event_id long, event_type string")
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+        md = spark.read.format("state-metadata").load(ckpt)
+        out = md.select(
+            F.col("operatorName").alias("operator_name"),
+            F.col("stateStoreName").alias("store_name"),
+            (F.col("maxBatchId") - F.col("minBatchId") + 1)
+            .cast("long")
+            .alias("n_batches"),
+        )
+        return parquet_checkpoint(out, "scan_state_md_final")

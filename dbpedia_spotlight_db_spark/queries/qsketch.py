@@ -926,3 +926,59 @@ def agg_approx_quantile(spark, sf):
         "exact4",
         F.lit(bool(certified)).cast("boolean").alias("rank_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# native Datasketches HLL — estimate + mergeability certificate, gated
+# ---------------------------------------------------------------------------
+@q(
+    "agg_hll_native",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tk FROM documents)
+    SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS true_distinct,
+           TRUE AS within_5pct,
+           TRUE AS merge_consistent
+    FROM tok WHERE tk <> ''
+    """,
+)
+def agg_hll_native(spark, sf):
+    """Spark 4's NATIVE Datasketches HLL aggregates
+    (hll_sketch_agg / hll_union_agg / hll_sketch_estimate) over the
+    corpus vocabulary — the JVM-side production path where
+    agg_lincount / agg_kmv build the sketch by hand for exactness.
+    The estimate itself is engine-specific (DuckDB's HLL is a
+    different implementation), so the face rides the agg_lincount
+    GATED-ROW discipline: the hashed answer is the EXACT distinct
+    count plus two deterministic certificates — (a) the native
+    estimate lands within 5% of truth (lgK=12 => ~1.6% standard
+    error, 5% is >3 sigma), and (b) MERGEABILITY: the estimate from
+    hll_union_agg over per-lang sketches equals the single global
+    sketch's estimate exactly, because HLL union is register-wise
+    max — the property that makes the sketch shardable across 1000
+    executors and re-aggregable across partial results, which is
+    the entire reason to use it at 100 TB. Empty corpus: both
+    estimates are NULL and the null-safe <=> keeps the certificate
+    TRUE."""
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tk")
+    ).filter(F.col("tk") != "")
+    glob = tok.agg(
+        F.countDistinct("tk").cast("long").alias("true_distinct"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(tk))").alias("est"),
+    )
+    per = tok.groupBy("lang").agg(F.expr("hll_sketch_agg(tk)").alias("sk"))
+    uni = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_u")
+    )
+    return glob.crossJoin(uni).select(
+        "true_distinct",
+        F.when(F.col("true_distinct") == 0, F.lit(True))
+        .otherwise(
+            F.abs(F.col("est") - F.col("true_distinct"))
+            <= 0.05 * F.col("true_distinct")
+        )
+        .alias("within_5pct"),
+        F.col("est").eqNullSafe(F.col("est_u")).alias("merge_consistent"),
+    )

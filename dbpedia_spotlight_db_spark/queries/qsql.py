@@ -1225,3 +1225,55 @@ def sql_rebalance_hint(spark, sf):
         FROM parquet.`{sf}/documents.parquet` GROUP BY lang
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame.transpose — Spark 4.0 relational pivot-without-aggregation
+# ---------------------------------------------------------------------------
+@q(
+    "sql_transpose",
+    """
+    SELECT 'n' AS key,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS "F",
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+             AS "O"
+    FROM orders
+    UNION ALL
+    SELECT 'cents',
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+             FILTER (WHERE o_orderstatus = 'F') AS BIGINT),
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+             FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+    FROM orders
+    """,
+)
+def sql_transpose(spark, sf):
+    """Spark 4.0 ``DataFrame.transpose()`` — rows become columns with
+    the index column's VALUES as the new column names (the "flip a
+    small metrics table for a report" op; pivot_events aggregates
+    into cells, transpose only reorients). The input MUST already be
+    tiny — transpose collects the index column to the driver to name
+    the output schema, so the scale discipline is aggregate-first
+    (here: 2 statuses x 2 measures from one orders scan),
+    transpose-last; transposing anything corpus-proportional is a
+    driver OOM by construction, exactly like an uncapped collect().
+    Measures must share one type (both BIGINT here) because values
+    of one original row land in one output column. Statuses
+    restricted to the always-present F/O so the output schema is
+    identical at every sf (TPC-H 'P' is rare and would make the
+    column set data-dependent); the DuckDB twin spells the same
+    table as FILTERed conditional aggregates."""
+    agg = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    return agg.transpose()
