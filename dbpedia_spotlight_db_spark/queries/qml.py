@@ -4785,3 +4785,74 @@ def stat_lorenz(spark, sf):
             + F.lit(0.0)
         ).alias("lorenz_share")
     )
+
+
+# ---------------------------------------------------------------------------
+# recall@k — the retrieval-coverage metric next to MAP/MRR/NDCG
+# ---------------------------------------------------------------------------
+@q(
+    "ml_recall_at_k",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    rk AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cents DESC, event_id) AS rn
+      FROM r),
+    agg AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_rel,
+             SUM(CASE WHEN event_type = 'purchase' AND rn <= 5
+                      THEN 1 ELSE 0 END) AS hits
+      FROM rk GROUP BY user_id)
+    SELECT user_id, CAST(n_rel AS BIGINT) AS n_rel,
+           CAST(hits AS BIGINT) AS hits_at_5,
+           round(hits / CAST(n_rel AS DOUBLE), 6) + 0 AS recall_at_5
+    FROM agg WHERE n_rel > 0
+    """,
+)
+def ml_recall_at_k(spark, sf_dir):
+    """Recall@5 per user — the retrieval-COVERAGE metric completing
+    the ranking-eval suite (ml_map averages precision over ranks,
+    ml_mrr scores the first hit, ml_ndcg discounts by position;
+    recall@k asks the deployment question: of everything relevant,
+    what fraction did the k-item page surface?). Events rank by
+    exact cents DESC with event_id as the deterministic tie-break
+    (every ranking window carries one — registry rule), relevance =
+    purchase events, and users with zero relevant rows are excluded
+    (0/0 is undefined, and under ANSI the unguarded division is a
+    crash, not just a parity bug — the drift_chi2 lesson). Ratio of
+    small exact integers -> round-6 is exact on both engines. Scale
+    shape: one window + one agg sharing the user_id exchange, same
+    shape audit #65 pins for ml_mrr."""
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.round(F.col("value") * 100).cast("long").desc(), F.col("event_id")
+    )
+    rk = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    agg = rk.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_rel"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("rn") <= 5), 1
+            ).otherwise(0)
+        ).alias("hits"),
+    )
+    return agg.filter(F.col("n_rel") > 0).select(
+        "user_id",
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.col("hits").cast("long").alias("hits_at_5"),
+        (F.round(F.col("hits") / F.col("n_rel"), 6) + F.lit(0.0)).alias(
+            "recall_at_5"
+        ),
+    )

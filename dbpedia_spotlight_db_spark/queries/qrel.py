@@ -2458,3 +2458,67 @@ def scan_state_metadata(spark, sf):
             .alias("n_batches"),
         )
         return parquet_checkpoint(out, "scan_state_md_final")
+
+
+# ---------------------------------------------------------------------------
+# session_window with a DYNAMIC per-event gap expression
+# ---------------------------------------------------------------------------
+@q(
+    "win_session_dynamic",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
+             CASE WHEN event_type = 'view' THEN 1800000000
+                  ELSE 3600000000 END AS gap_us
+      FROM events WHERE ts IS NOT NULL),
+    m AS (
+      SELECT user_id, event_id, ts, tus,
+             MAX(tus + gap_us) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM e),
+    f AS (
+      SELECT user_id, event_id, ts, tus,
+             CASE WHEN prev_end IS NULL OR tus > prev_end
+                  THEN 1 ELSE 0 END AS new_s
+      FROM m),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def win_session_dynamic(spark, sf):
+    """``session_window`` with a DYNAMIC gap — the per-event timeout
+    is an EXPRESSION (views idle out in 30 minutes, everything else
+    in 60), which is the form real engagement analytics needs: the
+    inactivity horizon depends on what the user was doing. Each
+    event contributes the interval [t, t + gap(e)); a session is a
+    maximal union of overlapping intervals, so the oracle is the
+    interval-merge form of gaps-and-islands: a running MAX of
+    interval ENDS over strictly-preceding rows, new session iff the
+    event starts strictly after that running end (the closed-end
+    merge matched to the fixed-gap face's boundary pin,
+    tests/test_wave15.py). win_session_window pins the fixed-gap
+    operator == window algebra; this face pins the dynamic-gap
+    GENERALIZATION where the gap column varies row to row. Scale
+    shape: one hash-agg pass per user key, no self-join — identical
+    to the fixed-gap plan; the gap expression is evaluated map-side
+    before the shuffle."""
+    e = t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    gap = F.when(
+        F.col("event_type") == "view", F.lit("1800 seconds")
+    ).otherwise(F.lit("3600 seconds"))
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select("user_id", "session_start", "n_events")
+    )

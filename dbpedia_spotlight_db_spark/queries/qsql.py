@@ -1277,3 +1277,81 @@ def sql_transpose(spark, sf):
         .orderBy("o_orderstatus")
     )
     return agg.transpose()
+
+
+# ---------------------------------------------------------------------------
+# try_* arithmetic — the ANSI-overflow tolerance ladder
+# ---------------------------------------------------------------------------
+@q(
+    "sql_try_arith",
+    """
+    WITH b AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id % 5 AS k
+      FROM events WHERE value IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE k = 0) AS BIGINT) AS n_div_null,
+           CAST(COUNT(*) FILTER (WHERE k = 0) AS BIGINT) AS n_mod_null,
+           CAST(COUNT(*) FILTER (WHERE
+             abs(CAST(cents AS HUGEINT) * 1000000000000000)
+               > 9223372036854775807) AS BIGINT) AS n_mul_null,
+           CAST(COUNT(*) FILTER (WHERE
+             CAST(9223372036854775000 AS HUGEINT) + CAST(cents AS HUGEINT)
+               > 9223372036854775807) AS BIGINT) AS n_add_null,
+           CAST(COALESCE(SUM(cents % k) FILTER (WHERE k <> 0), 0)
+                AS BIGINT) AS sum_mod,
+           CAST(COALESCE(SUM(CAST(round(cents / k * 1000000) AS BIGINT))
+                  FILTER (WHERE k <> 0), 0) AS BIGINT) AS sum_div_micros
+    FROM b
+    """,
+)
+def sql_try_arith(spark, sf):
+    """The try_* ARITHMETIC family (try_divide / try_mod /
+    try_multiply / try_add) — the tolerance ladder's numeric rungs:
+    under ANSI mode (this engine's default) divide-by-zero and
+    BIGINT overflow THROW and kill the job, and at 10^12 rows there
+    is always one row that overflows; try_* converts exactly those
+    rows to NULL and nothing else. The census pins each rung
+    against a twin that PREDICTS the poisoned rows arithmetically
+    (k = 0 for divide/mod; a HUGEINT-gated magnitude test for
+    multiply/add — DuckDB has no try_* so the twin must decide
+    overflow BEFORE attempting it). Division is double math; its
+    surviving sum rides per-row integer-micros quantization
+    (identical IEEE doubles -> identical round on both engines).
+    sql_try_cast covers the casting rungs; this face covers
+    arithmetic."""
+    b = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            (F.col("event_id") % 5).alias("k"),
+        )
+    )
+    w = b.select(
+        F.expr("try_divide(cents, k)").alias("d"),
+        F.expr("try_mod(cents, k)").alias("m"),
+        F.expr("try_multiply(cents, 1000000000000000L)").alias("mu"),
+        F.expr("try_add(9223372036854775000L, cents)").alias("ad"),
+    )
+    return w.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("d").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_div_null"),
+        F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mod_null"),
+        F.sum(F.when(F.col("mu").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mul_null"),
+        F.sum(F.when(F.col("ad").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_add_null"),
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("sum_mod"),
+        F.coalesce(
+            F.sum(F.round(F.col("d") * 1000000).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("sum_div_micros"),
+    )

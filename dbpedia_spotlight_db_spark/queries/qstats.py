@@ -2283,3 +2283,84 @@ def win_nth_value(spark, sf):
         "third_type",
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+def _ab_balance_arrow(left, right):
+    """Per-user two-sided balance in pure pyarrow — only integer
+    compute kernels cross the Arrow hop (the udf_map_arrow
+    discipline); cents were quantized JVM-side before the shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    src = left if left.num_rows else right
+    uid = src.column("user_id")[0].as_py()
+
+    def _sum(tbl):
+        if tbl.num_rows == 0:
+            return 0
+        v = pc.sum(tbl.column("cents")).as_py()
+        return 0 if v is None else int(v)
+
+    return pa.table(
+        {
+            "user_id": pa.array([uid], pa.int64()),
+            "n_click": pa.array([left.num_rows], pa.int64()),
+            "n_purch": pa.array([right.num_rows], pa.int64()),
+            "click_cents": pa.array([_sum(left)], pa.int64()),
+            "purch_cents": pa.array([_sum(right)], pa.int64()),
+        }
+    )
+
+
+@q(
+    "udf_cogroup_arrow",
+    """
+    WITH b AS (
+      SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'purchase'))
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+             AS n_click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purch,
+           CAST(COALESCE(SUM(cents) FILTER (WHERE event_type = 'click'),
+                         0) AS BIGINT) AS click_cents,
+           CAST(COALESCE(SUM(cents) FILTER (WHERE event_type = 'purchase'),
+                         0) AS BIGINT) AS purch_cents
+    FROM b GROUP BY user_id
+    """,
+)
+def udf_cogroup_arrow(spark, sf_dir):
+    """Cogrouped ``applyInArrow`` — the LAST cell of the custom-UDF
+    matrix (map/grouped x pandas/Arrow x one-sided/cogrouped):
+    clicks and purchases co-partition by user and ONE pyarrow
+    kernel per key receives both tables raw, no pandas conversion —
+    the zero-copy path for kernels that are themselves Arrow-native
+    (C++ codecs, datasketches, tokenizers). Cents are quantized
+    JVM-side BEFORE the hop and only integer pyarrow.compute
+    kernels run inside (udf_map_arrow's discipline), so the output
+    is an exact integer frame and the twin is plain FILTERed
+    aggregates. Scale shape: both sides shuffle once on user_id,
+    kernel memory is bounded by one user's rows; pc.sum skips
+    nulls exactly like SQL SUM."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "cents"
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "cents"
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purch.groupBy("user_id"))
+        .applyInArrow(
+            _ab_balance_arrow,
+            "user_id long, n_click long, n_purch long, "
+            "click_cents long, purch_cents long",
+        )
+    )
