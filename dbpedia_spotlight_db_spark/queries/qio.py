@@ -1151,3 +1151,90 @@ def csv_dropmalformed(spark, sf):
         (F.lit(total) - F.col("n_kept")).cast("long").alias("n_dropped"),
         "kept_chars",
     ).select("n_total", "n_kept", "n_dropped", "kept_chars")
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join split — the runtime answer to hot-key joins
+# ---------------------------------------------------------------------------
+@q(
+    "join_skew_aqe",
+    """
+    SELECT CAST(64 * COUNT(*) AS BIGINT) AS n,
+           CAST(64 * SUM(event_id
+                 + length(CASE WHEN event_id % 10 < 8
+                               THEN 'hot' ELSE event_type END))
+             AS BIGINT) AS s
+    FROM events
+    """,
+)
+def join_skew_aqe(spark, sf):
+    """AQE SKEW-JOIN splitting actually firing — the runtime
+    mechanism that saves a hot-key join at 100 TB, demonstrated the
+    way join_dpp demonstrates DPP: a deliberately skewed fact (80%
+    of events collapse onto one 'hot' key, x64 amplified) sort-merge
+    joins a disk-resident dimension, and AQE splits the oversized
+    reduce partition into per-map chunks, replicating the matching
+    dim rows (`SortMergeJoin(skew=true)` + `AQEShuffleRead skewed`,
+    pinned by audit #68 / tests). Two shape requirements this face
+    documents because both silently disable the rule: (a) the
+    OptimizeSkewedJoin pattern needs shuffle->sort DIRECTLY under
+    the join on BOTH sides, so the dim arrives from a parquet
+    snapshot, not through a distinct-aggregate leg; (b) splitting is
+    map-chunk-granular, so a single-map-task input cannot split —
+    the fact is pre-spread across 8 map tasks (a multi-file input at
+    scale gives this for free). The skew thresholds are scaled to
+    fixture bytes inside the face (set/restored in finally, the
+    parquet_int96 discipline — the 256MB defaults are right at
+    cluster scale and unreachable in a sandbox); AQE changes
+    PARTITIONING, never values, so the twin is the closed form of
+    the amplified join (every amp row matches exactly one dim row).
+    The aggregate is executed INSIDE the conf scope via
+    parquet_checkpoint — a lazily returned plan would execute after
+    the finally restored the defaults and the split would silently
+    not fire."""
+    import os
+    import tempfile
+
+    from ..operators.dedup import parquet_checkpoint
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        e = t(spark, sf, "events").select(
+            F.when(F.col("event_id") % 10 < 8, F.lit("hot"))
+            .otherwise(F.col("event_type"))
+            .alias("k"),
+            "event_id",
+        )
+        amp = e.select(
+            "k",
+            "event_id",
+            F.explode(F.sequence(F.lit(1), F.lit(64))).alias("rep"),
+        ).repartition(8)
+        with tempfile.TemporaryDirectory(prefix="join_skew_dim_") as tmp:
+            dimp = os.path.join(tmp, "dim")
+            e.select("k").distinct().withColumn(
+                "tag", F.length("k")
+            ).write.parquet(dimp)
+            dim = spark.read.parquet(dimp)
+            out = amp.join(dim, "k").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("event_id") + F.col("tag"))
+                .cast("long")
+                .alias("s"),
+            )
+            return parquet_checkpoint(out, "join_skew_aqe_final")
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

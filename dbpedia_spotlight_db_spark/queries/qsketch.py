@@ -982,3 +982,71 @@ def agg_hll_native(spark, sf):
         .alias("within_5pct"),
         F.col("est").eqNullSafe(F.col("est_u")).alias("merge_consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_percentile with a deterministic rank-error certificate
+# ---------------------------------------------------------------------------
+_APCT_ACC = 100  # Greenwald-Khanna accuracy: rank error <= n / accuracy
+
+
+@q(
+    "agg_approx_pctl_cert",
+    """
+    WITH b AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(quantile_disc(cents, 0.5) AS BIGINT) AS exact_median,
+           TRUE AS rank_ok
+    FROM b
+    """,
+)
+def agg_approx_pctl_cert(spark, sf):
+    """Spark's native ``approx_percentile`` (Greenwald-Khanna) with
+    its accuracy contract turned into a GATED certificate: the
+    hashed answer is n + the EXACT lower median (quantile_2pass's
+    trick is overkill here — one column, so a plain quantile_disc
+    twin suffices), and the certificate pins |rank(approx) - n/2|
+    <= n/accuracy + 1 — the deterministic worst-case bound GK
+    guarantees REGARDLESS of partitioning, which is what makes the
+    sketch usable as a 100-TB first pass (the estimate itself varies
+    with partition merge order, so it can never be hashed — the
+    agg_lincount/agg_hll_native gating discipline, third variation).
+    rank(approx) is measured against the data in the same pass
+    (count of rows <= approx attaches by a 1-row cross join). The
+    cents relation feeds TWO consumers (the GK agg and the rank
+    count), so it is parquet-checkpointed — column pruning defeats
+    ReuseExchange and an uncheckpointed twin subtree re-scans the
+    corpus per branch (the checkpoint-consumers rule audit #44+
+    enforces everywhere). Empty corpus: approx and median are NULL,
+    certificate stays TRUE."""
+    from ..operators.dedup import parquet_checkpoint
+
+    b = parquet_checkpoint(
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.round(F.col("value") * 100).cast("long").alias("cents")),
+        "apct_cents",
+    )
+    ap = b.agg(
+        F.expr(f"approx_percentile(cents, 0.5, {_APCT_ACC})").alias("apx")
+    )
+    j = b.crossJoin(ap)
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("exact_median"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(True))
+        .otherwise(
+            F.abs(
+                F.sum(
+                    F.when(F.col("cents") <= F.col("apx"), 1).otherwise(0)
+                )
+                - (F.count(F.lit(1)) + 1) / 2
+            )
+            <= F.count(F.lit(1)) / _APCT_ACC + 1
+        )
+        .alias("rank_ok"),
+    )

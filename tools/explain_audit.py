@@ -1803,6 +1803,64 @@ def main() -> None:
         "; ".join(wedge_detail),
     )
 
+    # 68. AQE skew-join split FIRES on join_skew_aqe's join shape
+    # (the join_dpp discipline: a scale-mechanism face must prove its
+    # mechanism); agg_approx_pctl_cert reads its cents checkpoint
+    # (two consumers — GK agg + rank count — zero raw events scans).
+    import os as _os
+    import tempfile as _tempfile
+
+    _skew_confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    _old = {k: spark.conf.get(k, None) for k in _skew_confs}
+    try:
+        for k, v in _skew_confs.items():
+            spark.conf.set(k, v)
+        _ev = spark.read.parquet(f"{SF}/events.parquet").select(
+            F.when(F.col("event_id") % 10 < 8, F.lit("hot"))
+            .otherwise(F.col("event_type"))
+            .alias("k"),
+            "event_id",
+        )
+        _amp = _ev.select(
+            "k",
+            "event_id",
+            F.explode(F.sequence(F.lit(1), F.lit(64))).alias("rep"),
+        ).repartition(8)
+        with _tempfile.TemporaryDirectory(prefix="audit_skew_") as _tmp:
+            _dimp = _os.path.join(_tmp, "dim")
+            _ev.select("k").distinct().withColumn(
+                "tag", F.length("k")
+            ).write.parquet(_dimp)
+            _dim = spark.read.parquet(_dimp)
+            _out = _amp.join(_dim, "k").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            _out.collect()
+            p_sk = _out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in _old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    sk_fired = "skew=true" in p_sk and "AQEShuffleRead skewed" in p_sk
+    p_ap = plan_of(QUERIES["agg_approx_pctl_cert"](spark, SF))
+    ap_raw = p_ap.count("events.parquet")
+    check(
+        "AQE skew-join split fires on the hot-key join; approx-pctl "
+        "certificate reads its checkpoint",
+        sk_fired and ap_raw == 0,
+        f"join_skew_aqe skew=true+skewed-read={sk_fired}; "
+        f"agg_approx_pctl_cert raw events scans={ap_raw} (want 0)",
+        p_sk,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
