@@ -3605,3 +3605,95 @@ def events_stickiness(spark, sf):
             + F.lit(0.0)
         ).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson — first-order serial correlation of the daily revenue series
+# ---------------------------------------------------------------------------
+@q(
+    "stat_durbin_watson",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             SUM({SQL_CENTS.format(x='value')}) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    lg AS (
+      SELECT v, LAG(v) OVER (ORDER BY day_num) AS vp
+      FROM daily),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(v) AS s, SUM(v * v) AS q,
+             SUM(CASE WHEN vp IS NULL THEN NULL
+                      ELSE (v - vp) * (v - vp) END) AS ssd
+      FROM lg)
+    SELECT n,
+           CAST(ssd AS BIGINT) AS sum_sq_diff,
+           CAST(n * q - s * s AS BIGINT) AS sxx_scaled,
+           CASE WHEN n < 2 OR n * q - s * s <= 0 THEN NULL
+                ELSE round(CAST(n AS DOUBLE) * ssd / (n * q - s * s), 6)
+                     + 0
+           END AS dw
+    FROM m
+    """,
+)
+def stat_durbin_watson(spark, sf):
+    """Durbin-Watson statistic of the daily revenue series — THE
+    regression-residual autocorrelation test (dw ~ 2 means no serial
+    correlation, -> 0 positive, -> 4 negative), the one-number
+    complement to events_autocorr's per-lag curve and stat_ljung_box's
+    joint test. Mean-invariance does the exactness work: the
+    numerator sum((x_t - x_{{t-1}})^2) is mean-free so it is an exact
+    BIGINT fold over the LAG pairs, and the denominator
+    sum((x - xbar)^2) cross-multiplies to (n*sum(x^2) - S^2)/n so
+    dw = n*ssd / (n*q - s^2) touches floats only in the final
+    identically-ordered round-6 division. Daily totals are floored
+    to whole dollars (integer `div`, the events_autocorr headroom
+    trick) so the five moment terms stay in BIGINT range at any
+    corpus scale. One window (LAG over the calendar-sized daily
+    relation — single-partition is fine post-agg, the orders_backlog
+    precedent), one aggregate, no joins. n < 2 and the
+    zero-variance (constant series) denominator guard to NULL —
+    Spark ANSI would otherwise throw where DuckDB yields inf."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = (
+        e.groupBy(
+            F.datediff(F.to_date("ts"), F.lit(_EPOCH)).cast("long").alias(
+                "day_num"
+            )
+        )
+        .agg(F.sum(cents(F.col("value"))).alias("vc"))
+        .select("day_num", F.expr("vc div 100").alias("v"))
+    )
+    lg = daily.select(
+        "v", F.lag("v").over(Window.orderBy("day_num")).alias("vp")
+    )
+    m = lg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+        F.sum(
+            F.when(
+                F.col("vp").isNull(), F.lit(None).cast("long")
+            ).otherwise(
+                (F.col("v") - F.col("vp")) * (F.col("v") - F.col("vp"))
+            )
+        ).alias("ssd"),
+    )
+    sxx = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return m.select(
+        "n",
+        F.col("ssd").cast("long").alias("sum_sq_diff"),
+        sxx.cast("long").alias("sxx_scaled"),
+        F.when((F.col("n") < 2) | (sxx <= 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("n").cast("double") * F.col("ssd") / sxx, 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("dw"),
+    )

@@ -2359,3 +2359,135 @@ def text_line_stats(spark, sf):
             + F.lit(0.0)
         ).alias("lines_per_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights — hashed-unigram target/raw likelihood ratio
+# ---------------------------------------------------------------------------
+_DSIR_DIM = 64
+_DSIR_TARGET_LANG = "en"
+
+
+@q(
+    "mix_dsir",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(tk), 1, 8))::UBIGINT % {_DSIR_DIM}
+                  AS INT) AS b
+      FROM (SELECT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS tk
+            FROM documents WHERE text IS NOT NULL)
+      WHERE tk <> ''),
+    cells AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c_all,
+             CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+      FROM tok GROUP BY b),
+    rates AS (
+      SELECT b,
+             CAST(round(1000000.0 * ln(
+               ((c_tgt + 1.0) / (SUM(c_tgt) OVER () + {_DSIR_DIM}.0))
+               / ((c_all + 1.0) / (SUM(c_all) OVER () + {_DSIR_DIM}.0))
+             )) AS BIGINT) AS lr_us
+      FROM cells),
+    doc AS (
+      SELECT tok.doc_id, tok.lang,
+             CAST(SUM(lr_us) AS BIGINT) AS lw_us
+      FROM tok JOIN rates ON rates.b = tok.b
+      GROUP BY tok.doc_id, tok.lang)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(lw_us) AS BIGINT) AS sum_lw_us,
+           CAST(SUM(CASE WHEN lw_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_target_like,
+           round(CAST(SUM(lw_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             + 0 AS avg_lw
+    FROM doc GROUP BY lang
+    """,
+)
+def mix_dsir(spark, sf):
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    each document scores log p_target(x)/p_raw(x) under two
+    hashed-unigram bag models — the scalable stand-in for
+    'train-on-what-looks-like-the-target-domain' selection, here with
+    the English shard as the target the way DSIR uses a Wikipedia/
+    books pile. Every token maps to one of 64 md5 buckets (the
+    feat_hashing portability hash — no vocabulary build, any executor
+    featurizes statelessly), bucket counts for target and raw come
+    from ONE corpus scan (c_tgt rides c_all as a conditional sum),
+    add-one smoothing on both, and the per-bucket log-ratio is
+    micros-quantized ONCE so each document's log-weight is an exact
+    order-independent BIGINT sum of bucket constants (the
+    kg_adamic_adar sum-of-logs trick). The tokenized relation feeds
+    TWO consumers (bucket census + the per-doc scoring join), so it
+    is parquet-checkpointed — column pruning defeats ReuseExchange
+    and the uncheckpointed twin subtree re-tokenizes the corpus per
+    branch. The 64-row rate relation joins unhinted (AQE broadcasts
+    iff it fits). Output is the per-language selection report:
+    document count, exact summed log-weight, how many docs score
+    target-like (lw > 0), and the mean log-weight in nats. Empty
+    corpus: every relation is empty, output empty."""
+    from ..operators.dedup import parquet_checkpoint
+
+    bucket = (
+        F.pmod(
+            F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("long"),
+            F.lit(_DSIR_DIM),
+        )
+        .cast("int")
+        .alias("b")
+    )
+    tok = parquet_checkpoint(
+        t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("tk")
+        )
+        .filter(F.col("tk") != "")
+        .select("doc_id", "lang", bucket),
+        "dsir_tok",
+    )
+    cells = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c_tgt"),
+    )
+    wall = Window.partitionBy()
+    p_t = (F.col("c_tgt") + F.lit(1.0)) / (
+        F.sum("c_tgt").over(wall) + F.lit(float(_DSIR_DIM))
+    )
+    p_r = (F.col("c_all") + F.lit(1.0)) / (
+        F.sum("c_all").over(wall) + F.lit(float(_DSIR_DIM))
+    )
+    rates = cells.select(
+        "b",
+        F.round(F.lit(1000000.0) * F.log(p_t / p_r))
+        .cast("long")
+        .alias("lr_us"),
+    )
+    doc = (
+        tok.join(rates, "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("lr_us").cast("long").alias("lw_us"))
+    )
+    return doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("lw_us").cast("long").alias("sum_lw_us"),
+        F.sum(F.when(F.col("lw_us") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_target_like"),
+        (
+            F.round(
+                F.sum("lw_us").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("avg_lw"),
+    )

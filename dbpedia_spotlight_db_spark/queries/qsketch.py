@@ -1050,3 +1050,52 @@ def agg_approx_pctl_cert(spark, sf):
         )
         .alias("rank_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_top_k in its exactness regime — tracked capacity >= distinct keys
+# ---------------------------------------------------------------------------
+_ATK_K = 64
+_ATK_TRACKED = 1024
+
+
+@q(
+    "agg_approx_topk",
+    """
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def agg_approx_topk(spark, sf):
+    """Spark 4.1's native ``approx_top_k`` run deliberately in its
+    EXACTNESS regime: the sketch evicts nothing while the number of
+    distinct keys stays <= maxItemsTracked, so with 1024 tracked
+    slots over the single-digit event_type domain the "approximate"
+    counts are provably exact and the plain GROUP BY twin gates them
+    to the hash — the agg_lincount/agg_hll_native discipline, but
+    here the certificate is full value equality rather than an error
+    band, because the exactness condition (|keys| <= capacity) is a
+    design-time fact about the column, not a runtime accident. That
+    is also exactly how the sketch is used on 100-TB category
+    columns: one map-side-combinable agg (the sketch buffer merges
+    associatively, no shuffle of raw rows) replaces groupBy+count
+    +top-k whenever the key domain is bounded, and degrades
+    gracefully (bounded rank error) when it is not. k = 64 >= the
+    domain size makes the returned SET total, so the face explodes
+    the sketch rows and compares them all — no top-k tie ambiguity
+    can enter the hash. Empty corpus: the sketch returns an empty
+    item array, explode drops the row, twin is empty."""
+    sk = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type").isNotNull())
+        .agg(
+            F.expr(
+                f"approx_top_k(event_type, {_ATK_K}, {_ATK_TRACKED})"
+            ).alias("arr")
+        )
+    )
+    return sk.select(F.explode("arr").alias("tk")).select(
+        F.col("tk.item").alias("item"),
+        F.col("tk.count").cast("long").alias("est"),
+    )

@@ -1355,3 +1355,77 @@ def sql_try_arith(spark, sf):
         .cast("long")
         .alias("sum_div_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting — Spark 4 BEGIN/DECLARE/WHILE/IF procedural block
+# ---------------------------------------------------------------------------
+@q(
+    "sql_scripting",
+    """
+    WITH s AS (
+      SELECT COALESCE(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT), 0) AS tot
+      FROM orders),
+    g AS (
+      SELECT tot,
+             CAST(floor(sqrt(CAST(tot AS DOUBLE))) AS BIGINT) AS g0
+      FROM s),
+    a AS (
+      SELECT tot,
+             CASE WHEN (g0 + 1) * (g0 + 1) <= tot THEN g0 + 1
+                  WHEN g0 * g0 > tot THEN g0 - 1
+                  ELSE g0 END AS r
+      FROM g)
+    SELECT CAST(tot AS BIGINT) AS tot_cents,
+           CAST(r AS BIGINT) AS isqrt_cents,
+           r * r <= tot AND (r + 1) * (r + 1) > tot AS ok
+    FROM a
+    """,
+)
+def sql_scripting(spark, sf):
+    """Spark 4 SQL scripting (`BEGIN ... END` compound with DECLARE /
+    SET / IF / WHILE — SQL:2016 PSM surface, new in 4.0): the whole
+    procedural block executes DRIVER-SIDE as a sequence of Catalyst
+    statements, so loop iterations cost one tiny job each while the
+    heavy statement (the corpus aggregate that seeds `tot`) is still
+    one distributed scan — the right division of labor for control
+    flow that a 100-TB job would otherwise push into a driver-side
+    Python loop over `.collect()`. The demo computes the exact
+    integer square root of total revenue cents with a doubling seed
+    (x <- 2x while x^2 <= tot, so x lands in (isqrt, 2*isqrt] and
+    x^2 never exceeds 4*tot — the naive seed x = tot overflows
+    BIGINT at the first x*x) followed by the classic y < x Newton
+    descent, which terminates at exactly floor(sqrt(tot)). The twin
+    has no scripting, so it uses the closed form floor(sqrt(double))
+    with a +/-1 integer correction — exact for tot < 2^52 (double
+    integer-exactness; ~10^6x the sf0.01 revenue) — and both sides
+    carry the self-certifying gate r^2 <= tot < (r+1)^2. Empty
+    corpus: SUM is NULL -> COALESCE 0, isqrt 0, gate TRUE."""
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE tot BIGINT;
+          DECLARE x BIGINT DEFAULT 0;
+          DECLARE y BIGINT;
+          SET tot = (
+            SELECT COALESCE(CAST(SUM(CAST(round(o_totalprice * 100)
+                                          AS BIGINT)) AS BIGINT),
+                            CAST(0 AS BIGINT))
+            FROM parquet.`{sf}/orders.parquet`);
+          IF tot > 0 THEN
+            SET x = 1;
+            WHILE x * x <= tot DO
+              SET x = x * 2;
+            END WHILE;
+            SET y = (x + tot DIV x) DIV 2;
+            WHILE y < x DO
+              SET x = y;
+              SET y = (x + tot DIV x) DIV 2;
+            END WHILE;
+          END IF;
+          SELECT tot AS tot_cents, x AS isqrt_cents,
+                 x * x <= tot AND (x + 1) * (x + 1) > tot AS ok;
+        END
+        """
+    )

@@ -1861,6 +1861,35 @@ def main() -> None:
         p_sk,
     )
 
+    # 69. wave 83: mix_dsir reads its tokenized checkpoint (zero raw
+    # documents scans — the two-consumer rule), DW plans exactly one
+    # Window (the LAG over the post-agg daily relation), and
+    # approx_top_k aggregates in two phases (partial sketch merge
+    # before the single-row final — map-side combine of the sketch
+    # buffer, never a shuffle of raw rows)
+    p_ds = plan_of(QUERIES["mix_dsir"](spark, SF))
+    ds_raw = p_ds.count("documents.parquet")
+    p_dw = (
+        QUERIES["stat_durbin_watson"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    dw_windows = len(re.findall(r"\bWindow\b", p_dw))
+    p_tk = plan_of(QUERIES["agg_approx_topk"](spark, SF))
+    tk_two_phase = "partial_approx_top_k" in p_tk or (
+        "approx_top_k" in p_tk and "partial" in p_tk.lower()
+    )
+    check(
+        "wave 83: DSIR checkpoint consumers, single DW window, "
+        "two-phase approx_top_k",
+        ds_raw == 0 and dw_windows == 1 and tk_two_phase,
+        f"mix_dsir raw documents scans={ds_raw} (want 0); "
+        f"stat_durbin_watson Window nodes={dw_windows} (want 1); "
+        f"approx_top_k two-phase={tk_two_phase}",
+        p_ds,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
