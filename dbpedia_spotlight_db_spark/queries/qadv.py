@@ -3697,3 +3697,227 @@ def stat_durbin_watson(spark, sf):
         )
         .alias("dw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (lag-1) — does orders revenue predict events revenue?
+# ---------------------------------------------------------------------------
+@q(
+    "stat_granger",
+    f"""
+    WITH ey AS (
+      SELECT CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN {SQL_CENTS.format(x='value')}
+                      ELSE 0 END) // 100 AS y,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    r AS (SELECT day_num, y, x FROM ey),
+    lg AS (
+      SELECT y,
+             LAG(y) OVER (ORDER BY day_num) AS yl,
+             LAG(x) OVER (ORDER BY day_num) AS xl
+      FROM r),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(y) AS sy, SUM(yl) AS s1, SUM(xl) AS s2,
+             SUM(y * y) AS syy, SUM(y * yl) AS sy1,
+             SUM(y * xl) AS sy2, SUM(yl * yl) AS s11,
+             SUM(yl * xl) AS s12, SUM(xl * xl) AS s22
+      FROM lg WHERE yl IS NOT NULL AND xl IS NOT NULL),
+    c AS (
+      SELECT n,
+             n * syy - sy * sy AS cyy,
+             n * sy1 - sy * s1 AS a1,
+             n * sy2 - sy * s2 AS a2,
+             n * s11 - s1 * s1 AS b11,
+             n * s12 - s1 * s2 AS b12,
+             n * s22 - s2 * s2 AS b22
+      FROM m),
+    f AS (
+      SELECT n, CAST(cyy AS BIGINT) AS cyy_exact,
+             CASE WHEN n < 4 OR b11 <= 0 THEN NULL
+                  ELSE (CAST(cyy AS DOUBLE)
+                        - CAST(a1 AS DOUBLE) * a1 / b11) / n
+             END AS rss_r,
+             CASE WHEN n < 4 OR b11 <= 0
+                       OR CAST(b11 AS DOUBLE) * b22
+                          - CAST(b12 AS DOUBLE) * b12 <= 0 THEN NULL
+                  ELSE (CAST(cyy AS DOUBLE)
+                        - (CAST(a1 AS DOUBLE) * a1 * b22
+                           - 2.0 * CAST(a1 AS DOUBLE) * a2 * b12
+                           + CAST(a2 AS DOUBLE) * a2 * b11)
+                          / (CAST(b11 AS DOUBLE) * b22
+                             - CAST(b12 AS DOUBLE) * b12)) / n
+             END AS rss_u
+      FROM c),
+    o AS (
+      SELECT n, cyy_exact, rss_r, rss_u,
+             CASE WHEN rss_u IS NULL OR rss_u <= 0 THEN NULL
+                  ELSE round((rss_r - rss_u) / (rss_u / (n - 3)), 6) + 0
+             END AS f_stat
+      FROM f)
+    SELECT n, cyy_exact,
+           round(rss_r, 6) + 0 AS rss_r,
+           round(rss_u, 6) + 0 AS rss_u,
+           f_stat
+    FROM o
+    """,
+)
+def stat_granger(spark, sf):
+    """Lag-1 Granger causality: does YESTERDAY'S click volume help
+    predict TODAY'S purchase revenue beyond revenue's own lag? The F
+    test compares the restricted AR(1) regression y_t ~ y_{{t-1}}
+    against the unrestricted y_t ~ y_{{t-1}} + x_{{t-1}} — the
+    canonical cross-series leading-indicator test that
+    events_crosscorr's raw correlation cannot answer (correlation
+    conflates 'x leads y' with 'both follow y's own momentum').
+    Both series come from ONE daily aggregate over the SAME table
+    (y = purchase dollars, x = click count as conditional sums), so
+    one corpus scan feeds the whole test and the day ranges align
+    by construction — the first cut of this face joined events days
+    to orders days, whose synthetic calendars do not even overlap:
+    an empty inner join that both engines happily agreed on. A
+    degenerate-but-equal result is the one failure mode the oracle
+    gate cannot see; the replay test now pins n > 0.
+    Exactness split: the ten raw moments and the six cross-
+    multiplied centered moments (n*Sab - Sa*Sb) are exact BIGINTs
+    over dollar-floored daily series (the events_autocorr headroom
+    trick); only the final quadratic forms — whose BIGINT products
+    would overflow at ~1e17 squared — run in DOUBLE, as ONE
+    identically-ordered expression chain on both engines, round-6
+    (the stat_corr discipline). RSS_r uses the simple-regression
+    closed form, RSS_u the 2x2 normal-equation determinant solve.
+    Both LAGs share one window spec, so the plan has ONE Window over
+    the calendar-sized daily relation. Lag = previous OBSERVED day.
+    Guards: n < 4 (no df for the F), zero lag-variance
+    b11, singular determinant, and rss_u <= 0 all NULL out — Spark
+    ANSI throws on the divisions DuckDB would inf through."""
+    ey = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit(_EPOCH))
+            .cast("long")
+            .alias("day_num")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    cents(F.col("value")),
+                ).otherwise(F.lit(0))
+            ).alias("yc"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .select("day_num", F.expr("yc div 100").alias("y"), "x")
+    )
+    w = Window.orderBy("day_num")
+    lg = (
+        ey.select(
+            "y",
+            F.lag("y").over(w).alias("yl"),
+            F.lag("x").over(w).alias("xl"),
+        )
+        .filter(F.col("yl").isNotNull() & F.col("xl").isNotNull())
+    )
+    m = lg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("yl").alias("s1"),
+        F.sum("xl").alias("s2"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("y") * F.col("yl")).alias("sy1"),
+        F.sum(F.col("y") * F.col("xl")).alias("sy2"),
+        F.sum(F.col("yl") * F.col("yl")).alias("s11"),
+        F.sum(F.col("yl") * F.col("xl")).alias("s12"),
+        F.sum(F.col("xl") * F.col("xl")).alias("s22"),
+    )
+    c = m.select(
+        "n",
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "cyy"
+        ),
+        (F.col("n") * F.col("sy1") - F.col("sy") * F.col("s1")).alias(
+            "a1"
+        ),
+        (F.col("n") * F.col("sy2") - F.col("sy") * F.col("s2")).alias(
+            "a2"
+        ),
+        (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).alias(
+            "b11"
+        ),
+        (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).alias(
+            "b12"
+        ),
+        (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")).alias(
+            "b22"
+        ),
+    )
+    det = F.col("b11").cast("double") * F.col("b22") - F.col(
+        "b12"
+    ).cast("double") * F.col("b12")
+    rss_r = F.when(
+        (F.col("n") < 4) | (F.col("b11") <= 0),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        (
+            F.col("cyy").cast("double")
+            - F.col("a1").cast("double") * F.col("a1") / F.col("b11")
+        )
+        / F.col("n")
+    )
+    rss_u = F.when(
+        (F.col("n") < 4) | (F.col("b11") <= 0) | (det <= 0),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        (
+            F.col("cyy").cast("double")
+            - (
+                F.col("a1").cast("double")
+                * F.col("a1")
+                * F.col("b22")
+                - F.lit(2.0)
+                * F.col("a1").cast("double")
+                * F.col("a2")
+                * F.col("b12")
+                + F.col("a2").cast("double")
+                * F.col("a2")
+                * F.col("b11")
+            )
+            / det
+        )
+        / F.col("n")
+    )
+    f = c.select(
+        "n",
+        F.col("cyy").cast("long").alias("cyy_exact"),
+        rss_r.alias("rss_r"),
+        rss_u.alias("rss_u"),
+    )
+    return f.select(
+        "n",
+        "cyy_exact",
+        (F.round(F.col("rss_r"), 6) + F.lit(0.0)).alias("rss_r"),
+        (F.round(F.col("rss_u"), 6) + F.lit(0.0)).alias("rss_u"),
+        F.when(
+            F.col("rss_u").isNull() | (F.col("rss_u") <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (F.col("rss_r") - F.col("rss_u"))
+                / (F.col("rss_u") / (F.col("n") - 3)),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("f_stat"),
+    )

@@ -2491,3 +2491,154 @@ def mix_dsir(spark, sf):
             + F.lit(0.0)
         ).alias("avg_lw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction — stopword-delimited phrases, degree/frequency
+# ---------------------------------------------------------------------------
+def _rake_stop_sql() -> str:
+    from ..functions.text import LINKING_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(LINKING_STOPWORDS))
+
+
+@q(
+    "text_rake",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, generate_subscripts(a, 1) - 1 AS pos,
+             lower(unnest(a)) AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS a
+            FROM documents WHERE text IS NOT NULL)),
+    cand AS (
+      SELECT doc_id, pos, w FROM tok
+      WHERE w <> '' AND w NOT IN ({_rake_stop_sql()})),
+    isl AS (
+      SELECT doc_id, pos, w,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS grp
+      FROM cand),
+    pl AS (
+      SELECT doc_id, pos, w, grp,
+             COUNT(*) OVER (PARTITION BY doc_id, grp) AS plen
+      FROM isl),
+    ws AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM pl GROUP BY w),
+    su AS (
+      SELECT w, (2000000 * deg + freq) // (2 * freq) AS s_us FROM ws),
+    ph AS (
+      SELECT pl.doc_id, pl.grp,
+             string_agg(pl.w, ' ' ORDER BY pl.pos) AS phrase,
+             SUM(su.s_us) AS score_us
+      FROM pl JOIN su ON su.w = pl.w
+      GROUP BY pl.doc_id, pl.grp),
+    agg AS (
+      SELECT phrase, CAST(MAX(score_us) AS BIGINT) AS score_us,
+             CAST(COUNT(*) AS BIGINT) AS n_occur
+      FROM ph GROUP BY phrase)
+    SELECT phrase, score_us, n_occur,
+           round(score_us / 1000000.0, 6) + 0 AS score
+    FROM agg ORDER BY score_us DESC, phrase LIMIT 20
+    """,
+)
+def text_rake(spark, sf):
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents"): candidate phrases are the
+    maximal stopword-free token runs, each word scores
+    deg(w)/freq(w) — degree counts every co-member of every phrase
+    occurrence (Σ phrase_len over w's occurrences), so words that
+    live in LONG phrases outrank equally-frequent words that stand
+    alone — and a phrase scores the sum of its member words. The
+    corpus-level top-20 is the keyword vocabulary a curation
+    pipeline tags shards with. Shapes: phrase segmentation is the
+    gaps-and-islands anchor (pos - row_number per doc — win_streaks'
+    day-minus-rn trick applied to token positions); phrase length
+    attaches as a COUNT window over the SAME partition the island
+    grouping uses; deg/freq quantizes half-up to EXACT integer
+    micros with pure BIGINT arithmetic ((2e6*deg + freq) div
+    (2*freq) — no float rounding seam at all), so phrase scores are
+    exact integer sums and the top-20 order is deterministic
+    (score DESC, phrase). Phrase text re-assembles via array_sort
+    over carried (pos, w) structs — collect_list alone is
+    order-unstable (kg_entity_card precedent) — vs DuckDB's ordered
+    string_agg. The island relation feeds TWO consumers (word stats
+    + phrase assembly) so it is parquet-checkpointed. The stopword
+    literal list is generated from functions.text.LINKING_STOPWORDS
+    into BOTH plans, one source of truth. At corpus scale every
+    stage keys on doc_id or w — no global window, no self-join."""
+    from ..functions.text import LINKING_STOPWORDS
+    from ..operators.dedup import parquet_checkpoint
+
+    tok = (
+        t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+        .select("doc_id", "pos", F.lower("w").alias("w"))
+    )
+    cand = tok.filter(
+        (F.col("w") != "")
+        & ~F.col("w").isin(*sorted(LINKING_STOPWORDS))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = cand.select(
+        "doc_id",
+        "pos",
+        "w",
+        (F.col("pos") - F.row_number().over(wdoc)).alias("grp"),
+    )
+    pl = parquet_checkpoint(
+        isl.select(
+            "doc_id",
+            "pos",
+            "w",
+            "grp",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("doc_id", "grp"))
+            .alias("plen"),
+        ),
+        "rake_pl",
+    )
+    ws = pl.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    su = ws.select(
+        "w", F.expr("(2000000 * deg + freq) div (2 * freq)").alias("s_us")
+    )
+    ph = (
+        pl.join(su, "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("s_us").alias("score_us"),
+        )
+    )
+    agg = ph.groupBy("phrase").agg(
+        F.max("score_us").cast("long").alias("score_us"),
+        F.count(F.lit(1)).cast("long").alias("n_occur"),
+    )
+    return (
+        agg.orderBy(F.desc("score_us"), "phrase")
+        .limit(20)
+        .select(
+            "phrase",
+            "score_us",
+            "n_occur",
+            (
+                F.round(F.col("score_us") / F.lit(1000000.0), 6)
+                + F.lit(0.0)
+            ).alias("score"),
+        )
+    )

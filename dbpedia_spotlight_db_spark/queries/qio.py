@@ -1238,3 +1238,85 @@ def join_skew_aqe(spark, sf):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Catalyst-injected runtime bloom filter — InjectRuntimeFilter actually fires
+# ---------------------------------------------------------------------------
+@q(
+    "join_runtime_bloom",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)),
+                         0) AS BIGINT) AS rev_cents,
+           TRUE AS bloom_injected
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def join_runtime_bloom(spark, sf):
+    """Catalyst's OWN runtime bloom filter (InjectRuntimeFilter,
+    Spark 3.3+): on a shuffle join with a selective dim filter, the
+    optimizer plants ``bloom_filter_agg`` over the dim keys and a
+    ``might_contain`` predicate on the FACT side's scan — rows that
+    cannot join are dropped before the shuffle, the engine-native
+    version of what the manual join_bloom face builds by hand with
+    md5 bitmap literals. The injected filter is false-positive-only,
+    so values are provably identical with or without it; what is
+    gated is the MECHANISM, ridden into the output as the
+    plan-derived ``bloom_injected`` boolean (the scan_agg_pushdown
+    discipline — a silent fallback to the uninjected plan fails the
+    hash). The sandbox's tables sit under the 10 GB
+    applicationSideScanSizeThreshold, so the face lowers it (and
+    disables broadcast so a shuffle join exists for the filter to
+    protect — at real scale both happen by themselves); confs are
+    scoped via the eager-checkpoint-then-restore idiom
+    (scan_bucket_prune). At 100 TB this is the free 5-50x fact-scan
+    reduction on every selective dim join that is too big to
+    broadcast but too selective to shuffle whole."""
+    from ..operators.dedup import parquet_checkpoint
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        dim = (
+            t(spark, sf, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = fact.join(
+            dim, fact.l_orderkey == dim.o_orderkey
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rev_cents"),
+        )
+        injected = (
+            "might_contain"
+            in j._jdf.queryExecution().optimizedPlan().toString()
+        )
+        out = j.select(
+            "n", "rev_cents", F.lit(injected).alias("bloom_injected")
+        )
+        return parquet_checkpoint(out, "runtime_bloom_out")
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -771,3 +771,87 @@ def scan_bucket_prune(spark, sf):
         return parquet_checkpoint(out, "bucket_prune_out")
     finally:
         spark.conf.set(key, prev)
+
+
+# ---------------------------------------------------------------------------
+# parquet aggregate pushdown — MIN/MAX/COUNT answered from footer statistics
+# ---------------------------------------------------------------------------
+@q(
+    "scan_agg_pushdown",
+    """
+    SELECT CAST(round(MIN(o_totalprice) * 100) AS BIGINT) AS min_cents,
+           CAST(round(MAX(o_totalprice) * 100) AS BIGINT) AS max_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS pushed
+    FROM orders
+    """,
+)
+def scan_agg_pushdown(spark, sf):
+    """Parquet AGGREGATE pushdown: with
+    ``spark.sql.parquet.aggregatePushdown`` on and the scan routed
+    through the DSv2 reader (parquet dropped from
+    ``useV1SourceList``), MIN/MAX/COUNT(*) are answered from the
+    row-group FOOTER STATISTICS — the executed plan prints
+    ``PushedAggregation: [MIN(..), MAX(..), COUNT(*)]`` and the scan
+    reads ZERO data pages. At 100 TB this is the difference between
+    a metadata-only operation (one footer read per file, seconds)
+    and a full-table scan (hours) for exactly the profiling
+    aggregates a lake runs constantly; it composes with partition
+    pruning, and it degrades safely at PLAN time — any unsupported
+    shape (filters, group-by on data columns, nested fields) falls
+    back to the normal scan with identical results. One failure mode
+    is NOT plan-time safe and this face handles it: a file whose row
+    groups carry no min/max statistics (pyarrow writes empty tables
+    that way; stats can also be legitimately dropped) makes the
+    pushed reader THROW `No min/max found` at RUNTIME, so the eager
+    execution retries unpushed with pushed=false on that seam — at
+    100 TB a single stats-less file in a million must not kill the
+    profiling job. The mechanism itself is
+    hash-gated, not just audited: the face rides the plan-derived
+    ``pushed`` boolean into the output row (the join_dpp discipline
+    upgraded — a regression to the unpushed plan flips the column
+    and FAILS the oracle gate). Cents-casting happens in a
+    projection ABOVE the pushed aggregate, so the scan still pushes
+    the raw MIN/MAX. Conf scoping follows scan_bucket_prune: set,
+    execute eagerly into a parquet checkpoint, restore in finally."""
+    from ..operators.dedup import parquet_checkpoint
+
+    k_push = "spark.sql.parquet.aggregatePushdown"
+    k_v1 = "spark.sql.sources.useV1SourceList"
+    prev_push = spark.conf.get(k_push)
+    prev_v1 = spark.conf.get(k_v1)
+    spark.conf.set(k_push, "true")
+    spark.conf.set(
+        k_v1,
+        ",".join(
+            s for s in prev_v1.split(",") if s.strip() != "parquet"
+        ),
+    )
+    def build(pushed_flag: bool):
+        agg = t(spark, sf, "orders").agg(
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        if pushed_flag:
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            pushed_flag = "PushedAggregation: [MIN" in plan
+        return agg.select(
+            F.round(F.col("mn") * 100).cast("long").alias("min_cents"),
+            F.round(F.col("mx") * 100).cast("long").alias("max_cents"),
+            "n_rows",
+            F.lit(pushed_flag).alias("pushed"),
+        )
+
+    try:
+        try:
+            return parquet_checkpoint(build(True), "agg_pushdown_out")
+        except Exception:
+            # stats-less row groups (e.g. pyarrow empty tables) make
+            # the pushed reader throw at runtime — retry unpushed
+            spark.conf.set(k_push, "false")
+            spark.conf.set(k_v1, prev_v1)
+            return parquet_checkpoint(build(False), "agg_pushdown_out")
+    finally:
+        spark.conf.set(k_push, prev_push)
+        spark.conf.set(k_v1, prev_v1)

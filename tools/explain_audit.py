@@ -1890,6 +1890,80 @@ def main() -> None:
         p_ds,
     )
 
+    # 70. wave 84: the two engine-native scale mechanisms fire with
+    # the faces' conf recipe (parquet aggregate pushdown answers
+    # MIN/MAX/COUNT from footer stats; Catalyst injects its runtime
+    # bloom filter on the shuffle join), RAKE reads its island
+    # checkpoint (zero raw documents scans), and Granger's two LAGs
+    # share ONE Window operator.
+    _k_push = "spark.sql.parquet.aggregatePushdown"
+    _k_v1 = "spark.sql.sources.useV1SourceList"
+    _prev_push, _prev_v1 = spark.conf.get(_k_push), spark.conf.get(_k_v1)
+    spark.conf.set(_k_push, "true")
+    spark.conf.set(
+        _k_v1,
+        ",".join(s for s in _prev_v1.split(",") if s.strip() != "parquet"),
+    )
+    try:
+        _agg = spark.read.parquet(f"{SF}/orders.parquet").agg(
+            F.min("o_totalprice"), F.max("o_totalprice"),
+            F.count(F.lit(1)),
+        )
+        _p_push = _agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(_k_push, _prev_push)
+        spark.conf.set(_k_v1, _prev_v1)
+    push_fired = "PushedAggregation: [MIN" in _p_push
+    _bf_confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    _bf_prev = {k: spark.conf.get(k, None) for k in _bf_confs}
+    for k, v in _bf_confs.items():
+        spark.conf.set(k, v)
+    try:
+        _fact = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        _dim = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        _j = _fact.join(_dim, _fact.l_orderkey == _dim.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        _p_bf = _j._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in _bf_prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    bloom_fired = (
+        "might_contain" in _p_bf and "bloom_filter_agg" in _p_bf
+    )
+    p_rake = plan_of(QUERIES["text_rake"](spark, SF))
+    rake_raw = p_rake.count("documents.parquet")
+    p_gr = (
+        QUERIES["stat_granger"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    gr_windows = len(re.findall(r"\bWindow\b", p_gr))
+    check(
+        "wave 84: aggregate pushdown + runtime bloom fire; RAKE reads "
+        "its checkpoint; Granger LAGs share one Window",
+        push_fired and bloom_fired and rake_raw == 0 and gr_windows == 1,
+        f"PushedAggregation={push_fired}; bloom inject={bloom_fired}; "
+        f"text_rake raw documents scans={rake_raw} (want 0); "
+        f"stat_granger Window nodes={gr_windows} (want 1)",
+        _p_bf,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
