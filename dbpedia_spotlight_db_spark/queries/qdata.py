@@ -2203,3 +2203,98 @@ def udf_map_barrier(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature mergeability — merge(sig_A, sig_B) == sig(A ∪ B)
+# ---------------------------------------------------------------------------
+@q(
+    "dedup_minhash_merge",
+    f"""
+    WITH {_SH_SQL},
+    m AS (
+      SELECT MIN(substring(md5(shingle), 1, 8)) AS f0,
+             MIN(substring(md5(shingle), 9, 8)) AS f1,
+             MIN(substring(md5(shingle), 17, 8)) AS f2,
+             MIN(substring(md5(shingle), 25, 8)) AS f3,
+             MIN(CASE WHEN id % 2 = 0
+                      THEN substring(md5(shingle), 1, 8) END) AS a0,
+             MIN(CASE WHEN id % 2 = 0
+                      THEN substring(md5(shingle), 9, 8) END) AS a1,
+             MIN(CASE WHEN id % 2 = 0
+                      THEN substring(md5(shingle), 17, 8) END) AS a2,
+             MIN(CASE WHEN id % 2 = 0
+                      THEN substring(md5(shingle), 25, 8) END) AS a3,
+             MIN(CASE WHEN id % 2 = 1
+                      THEN substring(md5(shingle), 1, 8) END) AS b0,
+             MIN(CASE WHEN id % 2 = 1
+                      THEN substring(md5(shingle), 9, 8) END) AS b1,
+             MIN(CASE WHEN id % 2 = 1
+                      THEN substring(md5(shingle), 17, 8) END) AS b2,
+             MIN(CASE WHEN id % 2 = 1
+                      THEN substring(md5(shingle), 25, 8) END) AS b3
+      FROM sh),
+    mg AS (
+      SELECT f0, f1, f2, f3,
+             CASE WHEN a0 IS NULL THEN b0 WHEN b0 IS NULL THEN a0
+                  ELSE least(a0, b0) END AS m0,
+             CASE WHEN a1 IS NULL THEN b1 WHEN b1 IS NULL THEN a1
+                  ELSE least(a1, b1) END AS m1,
+             CASE WHEN a2 IS NULL THEN b2 WHEN b2 IS NULL THEN a2
+                  ELSE least(a2, b2) END AS m2,
+             CASE WHEN a3 IS NULL THEN b3 WHEN b3 IS NULL THEN a3
+                  ELSE least(a3, b3) END AS m3
+      FROM m)
+    SELECT m0, m1, m2, m3,
+           (m0 IS NOT DISTINCT FROM f0 AND m1 IS NOT DISTINCT FROM f1
+            AND m2 IS NOT DISTINCT FROM f2
+            AND m3 IS NOT DISTINCT FROM f3) AS merge_ok
+    FROM mg
+    """,
+)
+def dedup_minhash_merge(spark, sf):
+    """MinHash signatures are MERGEABLE: the corpus-level signature
+    of a shingle-set union is the elementwise MIN of the halves'
+    signatures — the algebraic property that makes minhash usable
+    INCREMENTALLY at 100 TB (yesterday's corpus signature + today's
+    delta signature merge in O(k), no re-scan of yesterday; the
+    agg_incremental IVM proof applied to the dedup family's own
+    sketch). The face computes, in ONE corpus scan (the two half
+    signatures ride the full aggregate as conditional MINs — no
+    second pass, no join), the full 4-perm signature and the
+    even/odd-doc-half signatures, merges the halves with a
+    NULL-explicit elementwise min (an empty half contributes
+    nothing — spelled as CASE, not bare least(), because the
+    engines disagree on least()'s NULL semantics), and emits the
+    merged signature plus the merge_ok certificate that it equals
+    the full recompute — null-safe equality so the empty corpus
+    certifies TRUE vacuously. Hash slicing and shingling are
+    dedup_minhash's exactly (one md5, 4 disjoint 8-hex slices,
+    3-token shingles), so a drift in either family member breaks
+    both gates."""
+    sig = dd.minhash_signatures(
+        t(spark, sf, "documents"), "doc_id", "text", n_hashes=4, shingle_n=3
+    )
+    even = F.col("id") % 2 == 0
+    aggs = []
+    for i in range(4):
+        c = F.col(f"mh{i}")
+        aggs += [
+            F.min(c).alias(f"f{i}"),
+            F.min(F.when(even, c)).alias(f"a{i}"),
+            F.min(F.when(~even, c)).alias(f"b{i}"),
+        ]
+    m = sig.agg(*aggs)
+    merged = [
+        F.when(F.col(f"a{i}").isNull(), F.col(f"b{i}"))
+        .when(F.col(f"b{i}").isNull(), F.col(f"a{i}"))
+        .otherwise(F.least(F.col(f"a{i}"), F.col(f"b{i}")))
+        .alias(f"m{i}")
+        for i in range(4)
+    ]
+    mg = m.select(*merged, *[F.col(f"f{i}") for i in range(4)])
+    ok = None
+    for i in range(4):
+        e = F.col(f"m{i}").eqNullSafe(F.col(f"f{i}"))
+        ok = e if ok is None else (ok & e)
+    return mg.select("m0", "m1", "m2", "m3", ok.alias("merge_ok"))

@@ -855,3 +855,73 @@ def scan_agg_pushdown(spark, sf):
     finally:
         spark.conf.set(k_push, prev_push)
         spark.conf.set(k_v1, prev_v1)
+
+
+# ---------------------------------------------------------------------------
+# MSCK REPAIR TABLE — catalog discovery of out-of-band partition files
+# ---------------------------------------------------------------------------
+@q(
+    "lake_msck_repair",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_before,
+           CAST(COUNT(*) AS BIGINT) AS n_after,
+           CAST(COUNT(DISTINCT event_id % 4) AS BIGINT) AS n_partitions,
+           CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS id_sum
+    FROM events
+    """,
+)
+def lake_msck_repair(spark, sf):
+    """MSCK REPAIR TABLE (a.k.a. ALTER TABLE RECOVER PARTITIONS):
+    the catalog-repair operation every partitioned lake needs when
+    files land OUT OF BAND — a backfill job, a vendor drop, a
+    distcp — under an external table's LOCATION without going
+    through the catalog. The face simulates exactly that: events
+    written partitionBy(p) as a bare path write (no catalog), an
+    external partitioned table created over the directory, and the
+    before/after counts prove the semantics — an external
+    partitioned table KNOWS NOTHING until recovery (n_before = 0,
+    the classic new-table-reads-empty surprise), and one MSCK later
+    every partition and row is visible (n_after, id_sum match the
+    raw parquet twin exactly). At 100 TB partition discovery is a
+    LISTING-scale operation, not a data-scale one — Spark walks the
+    directory tree in parallel (spark.rdd.parallelListingThreshold)
+    and touches zero data files, which is why repair stays cheap
+    even when the table does not. Table name is suffixed with the
+    applicationId (sql_catalog_table precedent) and dropped in
+    finally; counts are computed AFTER repair from the repaired
+    table itself and checkpointed eagerly so the drop cannot race
+    the returned plan."""
+    import tempfile
+
+    from ..operators.dedup import parquet_checkpoint
+
+    base = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
+    root = tempfile.mkdtemp(prefix="qlake_msck_", dir=base)
+    tbl = f"msck_events_{spark.sparkContext.applicationId.replace('-', '_')}"
+    (
+        t(spark, sf, "events")
+        .select("event_id", (F.col("event_id") % 4).alias("p"))
+        .write.mode("overwrite")
+        .partitionBy("p")
+        .parquet(root)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} (event_id BIGINT) USING parquet "
+        f"PARTITIONED BY (p INT) LOCATION '{root}'"
+    )
+    try:
+        n_before = spark.table(tbl).count()  # 0: catalog knows nothing
+        spark.sql(f"MSCK REPAIR TABLE {tbl}")
+        n_parts = spark.sql(f"SHOW PARTITIONS {tbl}").count()
+        out = spark.table(tbl).agg(
+            F.lit(int(n_before)).cast("long").alias("n_before"),
+            F.count(F.lit(1)).cast("long").alias("n_after"),
+            F.lit(int(n_parts)).cast("long").alias("n_partitions"),
+            F.coalesce(F.sum("event_id"), F.lit(0))
+            .cast("long")
+            .alias("id_sum"),
+        )
+        return parquet_checkpoint(out, "msck_out")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -4856,3 +4856,146 @@ def ml_recall_at_k(spark, sf_dir):
             "recall_at_5"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test — equal variances via pooled/per-group log-variance
+# ---------------------------------------------------------------------------
+@q(
+    "stat_bartlett",
+    """
+    WITH v AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100) AS BIGINT) // 100 AS x
+      FROM events WHERE value IS NOT NULL),
+    grp AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(x) AS BIGINT) AS s_g,
+             CAST(SUM(x * x) AS BIGINT) AS q_g
+      FROM v GROUP BY g),
+    ok AS (
+      SELECT g, n_g, n_g * q_g - s_g * s_g AS ss_g
+      FROM grp WHERE n_g >= 2 AND n_g * q_g - s_g * s_g > 0),
+    terms AS (
+      SELECT n_g,
+             CAST(round(1000000.0 * (n_g - 1)
+                        * ln(CAST(ss_g AS DOUBLE)
+                             / (n_g * (n_g - 1.0)))) AS BIGINT) AS t_us,
+             CAST(round(1000000.0 * CAST(ss_g AS DOUBLE) / n_g)
+                  AS BIGINT) AS w_us,
+             CAST(round(1000000000000.0 / (n_g - 1.0)) AS BIGINT) AS h_ps
+      FROM ok),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(t_us) AS BIGINT) AS sum_t_us,
+             CAST(SUM(w_us) AS BIGINT) AS sum_w_us,
+             CAST(SUM(h_ps) AS BIGINT) AS sum_h_ps
+      FROM terms)
+    SELECT k, n, sum_w_us, sum_t_us,
+           CASE WHEN k < 2 THEN NULL
+                ELSE round(((n - k) * ln((sum_w_us / 1000000.0)
+                                         / (n - k))
+                            - sum_t_us / 1000000.0)
+                           / (1.0 + (sum_h_ps / 1000000000000.0
+                                     - 1.0 / (n - k))
+                                    / (3.0 * (k - 1))), 6) + 0
+           END AS chi2
+    FROM agg
+    """,
+)
+def stat_bartlett(spark, sf):
+    """Bartlett's test for variance homogeneity across event types —
+    the parametric sibling of stat_levene (Bartlett is the more
+    powerful test when the data is near-normal and the more fragile
+    one when it is not; run both, and when they disagree the
+    DISTRIBUTION is the story, not the variances). The statistic
+    needs three corpus-independent folds of per-group quantities —
+    (n_g-1)ln(s_g^2), the pooled-variance mass (n_g-1)s_g^2, and the
+    correction's harmonic sum 1/(n_g-1) — and a naive double SUM of
+    any of them is partition-order-dependent; each is quantized ONCE
+    per group (micros for the two variance terms, PICOS for the tiny
+    harmonic reciprocals — the sample_weighted precision precedent)
+    so all three aggregates are exact order-independent BIGINT sums,
+    and only the final assembly of chi2 runs in doubles, in ONE
+    identically-ordered expression, round-6. Values are floored to
+    whole dollars for BIGINT headroom in n_g*q_g at any sf
+    (events_autocorr trick). Groups with n_g < 2 (variance
+    undefined) or zero variance (ln 0 = -inf; Bartlett assumes
+    positive s^2) are excluded BEFORE the fold, mirrored in the
+    twin; k < 2 NULLs the statistic. ss_g = n_g*q_g - s_g^2 is the
+    cross-multiplied variance numerator — exact, no mean
+    subtraction, the stat_anova discipline."""
+    v = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.expr(
+                "CAST(round(value * 100) AS BIGINT) div 100"
+            ).alias("x"),
+        )
+    )
+    grp = v.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q_g"),
+    )
+    ss = F.col("n_g") * F.col("q_g") - F.col("s_g") * F.col("s_g")
+    ok = grp.select("g", "n_g", ss.alias("ss_g")).filter(
+        (F.col("n_g") >= 2) & (F.col("ss_g") > 0)
+    )
+    terms = ok.select(
+        "n_g",
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("n_g") - 1)
+            * F.log(
+                F.col("ss_g").cast("double")
+                / (F.col("n_g") * (F.col("n_g") - F.lit(1.0)))
+            )
+        )
+        .cast("long")
+        .alias("t_us"),
+        F.round(
+            F.lit(1000000.0) * F.col("ss_g").cast("double") / F.col("n_g")
+        )
+        .cast("long")
+        .alias("w_us"),
+        F.round(
+            F.lit(1000000000000.0) / (F.col("n_g") - F.lit(1.0))
+        )
+        .cast("long")
+        .alias("h_ps"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("t_us").cast("long").alias("sum_t_us"),
+        F.sum("w_us").cast("long").alias("sum_w_us"),
+        F.sum("h_ps").cast("long").alias("sum_h_ps"),
+    )
+    chi2 = (
+        (F.col("n") - F.col("k"))
+        * F.log(
+            (F.col("sum_w_us") / F.lit(1000000.0))
+            / (F.col("n") - F.col("k"))
+        )
+        - F.col("sum_t_us") / F.lit(1000000.0)
+    ) / (
+        F.lit(1.0)
+        + (
+            F.col("sum_h_ps") / F.lit(1000000000000.0)
+            - F.lit(1.0) / (F.col("n") - F.col("k"))
+        )
+        / (F.lit(3.0) * (F.col("k") - 1))
+    )
+    return agg.select(
+        "k",
+        "n",
+        "sum_w_us",
+        "sum_t_us",
+        F.when(F.col("k") < 2, F.lit(None).cast("double"))
+        .otherwise(F.round(chi2, 6) + F.lit(0.0))
+        .alias("chi2"),
+    )

@@ -1429,3 +1429,66 @@ def sql_scripting(spark, sf):
         END
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL TABLE function — CREATE FUNCTION ... RETURNS TABLE, LATERAL-correlated
+# ---------------------------------------------------------------------------
+@q(
+    "sql_table_udf",
+    """
+    WITH b AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    f AS (
+      SELECT 'lo' AS band, least(cents, 10000000) AS amount FROM b
+      UNION ALL
+      SELECT 'hi', greatest(cents - 10000000, 0) FROM b)
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(amount), 0) AS BIGINT) AS amount_cents
+    FROM f GROUP BY band
+    """,
+)
+def sql_table_udf(spark, sf):
+    """SQL TABLE function (Spark 4 `CREATE FUNCTION ... RETURNS
+    TABLE ... RETURN <query>`, the SQL-standard UDTF): the function
+    body is a QUERY inlined by Catalyst at every LATERAL call site —
+    the declarative sibling of the Python UDTF faces (udtf_ngrams /
+    udtf_analyze) with none of their Python-worker cost, and the
+    table-valued sibling of sql_udf's scalar inlining. The demo
+    splits every order's price into a capped 'lo' band and an
+    overflow 'hi' band (two rows per order — a genuine one-to-many
+    expansion), correlates it LATERAL against the orders scan, and
+    aggregates per band; the conservation identity (lo + hi sums
+    back to total revenue) rides the hashed group rows. Body shape
+    MATTERS for the plan: an inline VALUES cannot reference the
+    parameter at all (INVALID_INLINE_TABLE), and a UNION ALL of two
+    parameter SELECTs decorrelates into orders JOIN (orders UNION
+    orders) — THREE corpus scans for a two-row expansion (measured);
+    the explode-over-parameter-array body below is the one Catalyst
+    collapses to scan -> Generate -> agg, ONE corpus scan, zero
+    joins (audit #71 pins it). CREATE OR REPLACE keeps
+    re-registration idempotent across calls in one session. DuckDB
+    has no SQL macro-with-TABLE in the same shape, so the twin
+    expands the call site by hand — which is exactly what Catalyst
+    does, making plan equivalence the point of the face."""
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION price_bands(cents BIGINT)
+           RETURNS TABLE (band STRING, amount BIGINT)
+           RETURN SELECT s.col.band, s.col.amount
+                  FROM (SELECT explode(array(
+                          named_struct('band', 'lo', 'amount',
+                                       least(cents, 10000000L)),
+                          named_struct('band', 'hi', 'amount',
+                                       greatest(cents - 10000000L, 0L))
+                        )) AS col) s"""
+    )
+    return spark.sql(
+        f"""
+        SELECT band, COUNT(*) AS n,
+               COALESCE(SUM(amount), CAST(0 AS BIGINT)) AS amount_cents
+        FROM parquet.`{sf}/orders.parquet`,
+        LATERAL price_bands(CAST(round(o_totalprice * 100) AS BIGINT))
+        GROUP BY band
+        """
+    )

@@ -1964,6 +1964,50 @@ def main() -> None:
         _p_bf,
     )
 
+    # 71. wave 85: the SQL table function inlines to scan -> Generate
+    # (one corpus scan, zero joins — the UNION-ALL body shape planned
+    # 3 scans, measured); Bartlett and the minhash-merge certificate
+    # are each ONE corpus scan with no join/window (conditional aggs
+    # carry the halves).
+    p_tf = (
+        QUERIES["sql_table_udf"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    tf_scans = len(re.findall(r"FileScan parquet", p_tf))
+    tf_gen = len(re.findall(r"\bGenerate\b", p_tf))
+    tf_join = len(re.findall(r"Join", p_tf))
+    p_bt = (
+        QUERIES["stat_bartlett"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    bt_scans = len(re.findall(r"FileScan parquet", p_bt))
+    bt_join = len(re.findall(r"Join", p_bt))
+    p_mm = (
+        QUERIES["dedup_minhash_merge"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    mm_scans = len(re.findall(r"FileScan parquet", p_mm))
+    mm_join = len(re.findall(r"Join", p_mm))
+    mm_win = len(re.findall(r"\bWindow\b", p_mm))
+    check(
+        "wave 85: table function inlines to one scan + Generate; "
+        "Bartlett and minhash-merge are single-scan join-free",
+        tf_scans == 1 and tf_gen >= 1 and tf_join == 0
+        and bt_scans == 1 and bt_join == 0
+        and mm_scans == 1 and mm_join == 0 and mm_win == 0,
+        f"sql_table_udf scans={tf_scans} (want 1) Generate={tf_gen} "
+        f"joins={tf_join} (want 0); stat_bartlett scans={bt_scans} "
+        f"joins={bt_join}; dedup_minhash_merge scans={mm_scans} "
+        f"joins={mm_join} windows={mm_win}",
+        p_tf,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
