@@ -2298,3 +2298,53 @@ def dedup_minhash_merge(spark, sf):
         e = F.col(f"m{i}").eqNullSafe(F.col(f"f{i}"))
         ok = e if ok is None else (ok & e)
     return mg.select("m0", "m1", "m2", "m3", ok.alias("merge_ok"))
+
+
+# ---------------------------------------------------------------------------
+# struct-returning vectorized pandas UDF — one Arrow hop, composite output
+# ---------------------------------------------------------------------------
+@q(
+    "udf_struct_return",
+    """
+    WITH s AS (
+      SELECT CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+                  THEN 'big' ELSE 'small' END AS band,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL)
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM s GROUP BY band
+    """,
+)
+def udf_struct_return(spark, sf):
+    """Scalar pandas UDF returning a STRUCT — the composite-output
+    quadrant of the Python UDF surface (scalar/iter/grouped/arrow/
+    cogrouped faces all return flat columns): one Arrow hop carries
+    both derived fields back as a single struct column, where two
+    separate UDFs would pay the serialize-deserialize boundary
+    twice over the same input at 100 TB. Inside the UDF the cents
+    rounding is HALF-AWAY-FROM-ZERO via floor(x + 0.5) on the
+    non-negative values — pandas' .round() is half-to-even and
+    silently diverges from SQL round() on exact .5 cents (the TWS
+    lesson, CLAUDE.md) — so the struct fields match the twin's SQL
+    arithmetic bit-for-bit. The downstream aggregate groups on a
+    struct FIELD, proving field access composes with the relational
+    layer. Plan: one ArrowEvalPython, no Python rows."""
+    import numpy as np
+
+    @pandas_udf("struct<cents: long, band: string>")
+    def _split(v: pd.Series) -> pd.DataFrame:
+        cents = np.floor(v.to_numpy() * 100.0 + 0.5).astype("int64")
+        return pd.DataFrame(
+            {
+                "cents": cents,
+                "band": np.where(cents >= 5000, "big", "small"),
+            }
+        )
+
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    s = e.select(_split(F.col("value")).alias("s"))
+    return s.groupBy(F.col("s.band").alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s.cents").cast("long").alias("cents_sum"),
+    )

@@ -1320,3 +1320,97 @@ def join_runtime_bloom(spark, sf):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# chunked range join — interval overlap as equi-join on time chunks
+# ---------------------------------------------------------------------------
+_CHUNK_US = 3600 * 1000000  # 1-hour chunks == the window length
+
+
+@q(
+    "join_range_chunked",
+    """
+    WITH ev AS (
+      SELECT event_id, event_type, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    w AS (
+      SELECT event_id AS incident_id, us AS t0,
+             us + 3600000000 AS t1
+      FROM ev WHERE event_type = 'error'),
+    hit AS (
+      SELECT w.incident_id, e.cents
+      FROM w JOIN ev e ON e.us >= w.t0 AND e.us <= w.t1)
+    SELECT incident_id,
+           CAST(COUNT(*) AS BIGINT) AS n_within,
+           CAST(SUM(cents) AS BIGINT) AS cents_within
+    FROM hit GROUP BY incident_id
+    ORDER BY n_within DESC, incident_id LIMIT 20
+    """,
+)
+def join_range_chunked(spark, sf):
+    """Range join by CHUNKING: every error event opens a 1-hour
+    incident window and the face counts ALL events falling inside
+    each window — a pure interval-overlap join with NO equi-key,
+    which planned naively is a broadcast-nested-loop / cartesian
+    scan (|errors| x |events| predicate evaluations, the classic
+    range-join scale-killer). The chunk trick makes it an EQUI-join:
+    time splits into fixed chunks the size of the window, each
+    window expands to the <= 2 chunks it touches (explode of a
+    bounded sequence — the events_rolling_dau fan-out), each probe
+    event maps to its single chunk, the join runs hash/merge on the
+    chunk id, and the original range predicate stays as a cheap
+    RESIDUAL filter. Each (window, event) pair meets in EXACTLY one
+    chunk (the event's own), so no post-join dedup is needed — the
+    correctness subtlety that makes people wrongly add a DISTINCT.
+    This is precisely what engine-level range-join optimizations
+    (e.g. binned range joins) do internally; audit #72 pins the
+    absence of any nested-loop operator. The twin runs the honest
+    unchunked range join — value equality proves chunking is pure
+    plan optimization. Window length == chunk size keeps the
+    expansion factor at <= 2; a window of W with chunk C expands to
+    ceil(W/C)+1 chunks, the knob to turn for mixed window sizes.
+    unix_micros needs the NTZ->TIMESTAMP cast (house rule) and
+    matches DuckDB's epoch_us under the UTC-pinned session."""
+    ev = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("us").alias("t0"),
+        (F.col("us") + F.lit(_CHUNK_US)).alias("t1"),
+    )
+    wch = w.select(
+        "incident_id",
+        "t0",
+        "t1",
+        F.explode(
+            F.sequence(
+                F.expr(f"t0 div {_CHUNK_US}"),
+                F.expr(f"t1 div {_CHUNK_US}"),
+            )
+        ).alias("chunk"),
+    )
+    ech = ev.select(
+        "us", "cents", F.expr(f"us div {_CHUNK_US}").alias("chunk")
+    )
+    hit = wch.join(ech, "chunk").filter(
+        (F.col("us") >= F.col("t0")) & (F.col("us") <= F.col("t1"))
+    )
+    return (
+        hit.groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_within"),
+            F.sum("cents").cast("long").alias("cents_within"),
+        )
+        .orderBy(F.desc("n_within"), "incident_id")
+        .limit(20)
+    )

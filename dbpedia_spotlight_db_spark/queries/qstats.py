@@ -2364,3 +2364,115 @@ def udf_cogroup_arrow(spark, sf_dir):
             "click_cents long, purch_cents long",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SLO burn rate — multi-window error-budget alert (SRE workbook ch. 5)
+# ---------------------------------------------------------------------------
+@q(
+    "events_burn_rate",
+    f"""
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour_num,
+             CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errors
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1),
+    w AS (
+      SELECT hour_num, errors, total,
+             SUM(errors) OVER (ORDER BY hour_num
+                               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+               AS err6,
+             SUM(total) OVER (ORDER BY hour_num
+                              RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+               AS tot6
+      FROM h),
+    b AS (
+      SELECT hour_num, errors, total,
+             round(errors * 1.0 / total / 0.001, 6) + 0 AS burn_1h,
+             round(err6 * 1.0 / tot6 / 0.001, 6) + 0 AS burn_6h
+      FROM w WHERE total > 0 AND tot6 > 0)
+    SELECT CAST(hour_num AS BIGINT) AS hour_num, errors, total,
+           burn_1h, burn_6h,
+           burn_1h > 14.4 AND burn_6h > 6.0 AS page
+    FROM b
+    ORDER BY burn_1h DESC, hour_num LIMIT 20
+    """,
+)
+def events_burn_rate(spark, sf):
+    """Multi-window error-budget burn rate (the Google SRE workbook's
+    paging recipe, public): with a 99.9% SLO the error budget is
+    0.1%, burn rate = observed error ratio / budget, and a page
+    fires only when BOTH a fast window (1h, burn > 14.4 = budget
+    gone in ~2 days) AND a slow window (6h, burn > 6) exceed their
+    thresholds — the two-window AND is what kills both
+    one-bad-minute false pages and slow-leak false quiets. One
+    hourly pre-aggregate over the corpus; the 6-hour window is a
+    RANGE frame over hour numbers on the calendar-sized hourly
+    relation (win_trailing_range's shape — RANGE not ROWS, so
+    missing hours in the calendar correctly shrink the denominator
+    window rather than silently reaching further back in time).
+    Ratios divide exact BIGINTs in identical order, round-6; hours
+    with zero traffic drop out (no burn without a denominator).
+    Top-20 worst fast-burn hours, deterministic tiebreak."""
+    h = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+            ).alias("hour_num")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("errors"),
+        )
+    )
+    w6 = (
+        Window.orderBy("hour_num").rangeBetween(-5, Window.currentRow)
+    )
+    w = h.select(
+        "hour_num",
+        "errors",
+        "total",
+        F.sum("errors").over(w6).alias("err6"),
+        F.sum("total").over(w6).alias("tot6"),
+    )
+    b = w.filter((F.col("total") > 0) & (F.col("tot6") > 0)).select(
+        "hour_num",
+        "errors",
+        "total",
+        (
+            F.round(
+                F.col("errors") * F.lit(1.0) / F.col("total") / F.lit(0.001),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("burn_1h"),
+        (
+            F.round(
+                F.col("err6") * F.lit(1.0) / F.col("tot6") / F.lit(0.001),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("burn_6h"),
+    )
+    return (
+        b.select(
+            F.col("hour_num").cast("long").alias("hour_num"),
+            "errors",
+            "total",
+            "burn_1h",
+            "burn_6h",
+            ((F.col("burn_1h") > 14.4) & (F.col("burn_6h") > 6.0)).alias(
+                "page"
+            ),
+        )
+        .orderBy(F.desc("burn_1h"), "hour_num")
+        .limit(20)
+    )

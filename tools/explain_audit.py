@@ -2008,6 +2008,50 @@ def main() -> None:
         p_tf,
     )
 
+    # 72. wave 86: the chunked range join plans NO nested-loop
+    # operator (the whole point — interval overlap as equi-join on
+    # chunk + residual), burn-rate runs one corpus scan + one Window
+    # over the hourly relation, and the struct-returning pandas UDF
+    # crosses the Arrow hop exactly once.
+    p_rc = (
+        QUERIES["join_range_chunked"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    rc_nested = (
+        "BroadcastNestedLoopJoin" in p_rc or "CartesianProduct" in p_rc
+    )
+    rc_gen = len(re.findall(r"\bGenerate\b", p_rc))
+    p_br = (
+        QUERIES["events_burn_rate"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    br_scans = len(re.findall(r"FileScan parquet", p_br))
+    br_win = len(re.findall(r"\bWindow\b", p_br))
+    p_su = (
+        QUERIES["udf_struct_return"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    su_arrow = len(re.findall(r"ArrowEvalPython", p_su))
+    su_rowpy = len(re.findall(r"BatchEvalPython", p_su))
+    check(
+        "wave 86: chunked range join has no nested loop; burn-rate "
+        "single scan + one window; struct UDF one Arrow hop",
+        not rc_nested and rc_gen >= 1
+        and br_scans == 1 and br_win == 1
+        and su_arrow == 1 and su_rowpy == 0,
+        f"join_range_chunked nested-loop={rc_nested} (want False) "
+        f"Generate={rc_gen}; events_burn_rate scans={br_scans} "
+        f"windows={br_win}; udf_struct_return ArrowEvalPython="
+        f"{su_arrow} (want 1) BatchEvalPython={su_rowpy} (want 0)",
+        p_rc,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
