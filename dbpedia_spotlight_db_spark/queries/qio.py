@@ -1414,3 +1414,58 @@ def join_range_chunked(spark, sf):
         .orderBy(F.desc("n_within"), "incident_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# variant_explode — schema-free JSON key census over the props column
+# ---------------------------------------------------------------------------
+@q(
+    "json_variant_census",
+    r"""
+    WITH kv AS (
+      SELECT regexp_extract(props, '"([^"]+)" *:', 1) AS key,
+             TRY_CAST(regexp_extract(props, ': *(-?[0-9]+) *\}$', 1)
+                      AS BIGINT) AS ival
+      FROM events WHERE props IS NOT NULL)
+    SELECT key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(ival) AS BIGINT) AS n_int,
+           CAST(COALESCE(SUM(ival), 0) AS BIGINT) AS int_sum
+    FROM kv GROUP BY key
+    """,
+)
+def json_variant_census(spark, sf):
+    """Schema-free JSON key census via the VARIANT path:
+    ``parse_json`` (binary variant, no schema declared) +
+    ``variant_explode`` (lateral TVF over the object's key/value
+    pairs) + per-key type counting — the first question a lake asks
+    of a semi-structured column it does NOT control ('what keys
+    exist, how often, what types, what magnitudes') and the reason
+    VARIANT exists: from_json needs the schema up front, the
+    variant census DISCOVERS it. Integer-typed values are summed
+    through try_variant_get (non-integer values contribute NULL, not
+    an error — tolerant by construction, the try_* ladder). The
+    sandbox DuckDB build has no json extension (json_each is
+    unavailable and the driver runs twins verbatim), so the twin
+    parses the fixture's FLAT single-key objects with regexp — exact
+    on this corpus, while the Spark side stays general JSON.
+    Scale shape: parse once, one Generate for the lateral explode,
+    one aggregate keyed on the (tiny) key census — and the variant
+    binary's per-row parse is the cost from_json would pay anyway,
+    paid WITHOUT knowing the schema."""
+    return spark.sql(
+        f"""
+        WITH src AS (
+          SELECT parse_json(props) AS j
+          FROM parquet.`{sf}/events.parquet`
+          WHERE props IS NOT NULL),
+        kv AS (
+          SELECT v.key AS key,
+                 try_variant_get(v.value, '$', 'bigint') AS ival
+          FROM src, LATERAL variant_explode(j) v)
+        SELECT key, COUNT(*) AS n,
+               COUNT(ival) AS n_int,
+               COALESCE(SUM(ival), CAST(0 AS BIGINT)) AS int_sum
+        FROM kv GROUP BY key
+        """
+    )

@@ -925,3 +925,70 @@ def lake_msck_repair(spark, sf):
         return parquet_checkpoint(out, "msck_out")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source filter pushdown — the source prunes, Spark trusts it
+# ---------------------------------------------------------------------------
+@q(
+    "pyds_filter_pushdown",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(id * 7), 0) AS BIGINT) AS cents_sum,
+           CAST(COUNT(DISTINCT id // 250) AS BIGINT) AS n_parts
+    FROM range(1000) t(id)
+    WHERE id >= 750 AND id % 2 = 0
+    """,
+)
+def pyds_filter_pushdown(spark, sf):
+    """Spark 4.1 Python Data Source FILTER PUSHDOWN
+    (``DataSourceReader.pushFilters``): the planner hands the
+    source the conjunctive filters, the source keeps the bounds it
+    can evaluate natively (here ``id >= 750`` — accepted, partitions
+    outside the bound pruned at planning, rows pruned in read()) and
+    returns the rest as residuals (``id % 2 = 0`` — no Filter
+    subclass models modulo, Spark re-applies it post-scan). The
+    split is visible in the executed plan: the residual Filter node
+    carries the modulo but NOT the bound (audit #73), and 3 of 4
+    input partitions never get a task. This is the quadrant that
+    makes a Python connector honest at 100 TB — a database / REST /
+    feed source that cannot push bounds ships the whole table to
+    Spark per query. The trust model is the sharp edge: once a
+    filter is accepted Spark never re-checks it, so a source that
+    accepts-but-does-not-apply silently corrupts — exactly what the
+    closed-form DuckDB twin over the same synthetic feed
+    (id in [0,1000), cents = id*7, pid = id div 250) hash-detects.
+    sf-independent by design: the feed is the connector's own.
+    PyDS pushdown ships behind a feature flag
+    (spark.sql.python.filterPushdown.enabled, default FALSE in 4.1 —
+    a reader implementing pushFilters with the flag off is an
+    ERROR, not a silent fallback); scoped via the eager-checkpoint
+    idiom."""
+    from ..operators.dedup import parquet_checkpoint
+    from ..sources import pushdown_ints
+
+    pushdown_ints.register(spark)
+    key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = (
+            spark.read.format("pushdown_ints")
+            .option("n", 1000)
+            .option("parts", 4)
+            .load()
+            .filter((F.col("id") >= 750) & (F.col("id") % 2 == 0))
+        )
+        out = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias(
+                "cents_sum"
+            ),
+            F.countDistinct("pid").cast("long").alias("n_parts"),
+        )
+        return parquet_checkpoint(out, "pyds_pushdown_out")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -1099,3 +1099,55 @@ def agg_approx_topk(spark, sf):
         F.col("tk.item").alias("item"),
         F.col("tk.count").cast("long").alias("est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_top_k sketch STATE — accumulate per shard, combine, estimate
+# ---------------------------------------------------------------------------
+@q(
+    "agg_topk_state",
+    """
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def agg_topk_state(spark, sf):
+    """The approx_top_k SKETCH-STATE triple (Spark 4.1:
+    ``approx_top_k_accumulate`` / ``_combine`` / ``_estimate``) —
+    the engine-native version of dedup_minhash_merge's mergeability
+    algebra, and the API that turns the sketch into INFRASTRUCTURE:
+    accumulate per shard/day/tenant, persist the opaque state,
+    combine states across jobs, estimate once at read time — no
+    re-scan of yesterday, same contract as any production sketch
+    store. The face accumulates the two event_id-parity halves in
+    one pass each, combines, estimates, and — because tracked
+    capacity (1024) exceeds the event_type domain — the estimates
+    are provably exact, so the plain GROUP BY twin gates the whole
+    accumulate->combine->estimate chain by full value equality
+    (agg_approx_topk's exactness-regime discipline, extended through
+    the state algebra). k = 64 >= |domain| keeps the estimated set
+    total: no top-k tie ambiguity reaches the hash."""
+    halves = spark.sql(
+        f"""
+        WITH src AS (
+          SELECT event_id, event_type
+          FROM parquet.`{sf}/events.parquet`
+          WHERE event_type IS NOT NULL),
+        halves AS (
+          SELECT approx_top_k_accumulate(event_type, {_ATK_TRACKED})
+                   AS st
+          FROM src WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT approx_top_k_accumulate(event_type, {_ATK_TRACKED})
+          FROM src WHERE event_id % 2 = 1),
+        comb AS (
+          SELECT approx_top_k_combine(st, {_ATK_TRACKED}) AS cst
+          FROM halves)
+        SELECT approx_top_k_estimate(cst, {_ATK_K}) AS arr FROM comb
+        """
+    )
+    return halves.select(F.explode("arr").alias("tk")).select(
+        F.col("tk.item").alias("item"),
+        F.col("tk.count").cast("long").alias("est"),
+    )

@@ -2052,6 +2052,54 @@ def main() -> None:
         p_rc,
     )
 
+    # 73. wave 87: PyDS filter pushdown leaves only the residual in
+    # the post-scan Filter (the accepted bound is never re-checked);
+    # the variant census plans exactly one Generate (the lateral
+    # variant_explode) over one scan.
+    _pd_key = "spark.sql.python.filterPushdown.enabled"
+    _pd_prev = spark.conf.get(_pd_key, None)
+    spark.conf.set(_pd_key, "true")
+    try:
+        from dbpedia_spotlight_db_spark.sources import pushdown_ints
+
+        pushdown_ints.register(spark)
+        _pd_df = (
+            spark.read.format("pushdown_ints")
+            .option("n", 1000)
+            .option("parts", 4)
+            .load()
+            .filter((F.col("id") >= 750) & (F.col("id") % 2 == 0))
+        )
+        p_pd = _pd_df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if _pd_prev is None:
+            spark.conf.unset(_pd_key)
+        else:
+            spark.conf.set(_pd_key, _pd_prev)
+    _pd_filter_lines = [
+        ln for ln in p_pd.splitlines() if "Filter" in ln
+    ]
+    pd_residual_ok = bool(_pd_filter_lines) and all(
+        ">= 750" not in ln for ln in _pd_filter_lines
+    )
+    p_vc = (
+        QUERIES["json_variant_census"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    vc_gen = len(re.findall(r"\bGenerate\b", p_vc))
+    vc_scans = len(re.findall(r"FileScan parquet", p_vc))
+    check(
+        "wave 87: PyDS pushdown drops the accepted bound from the "
+        "residual Filter; variant census is scan -> Generate -> agg",
+        pd_residual_ok and vc_gen == 1 and vc_scans == 1,
+        f"pyds residual Filter lacks pushed bound={pd_residual_ok}; "
+        f"json_variant_census Generate={vc_gen} (want 1) "
+        f"scans={vc_scans} (want 1)",
+        p_pd,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
