@@ -992,3 +992,70 @@ def pyds_filter_pushdown(spark, sf):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+# ---------------------------------------------------------------------------
+# output file sizing — maxRecordsPerFile actually bounds the written files
+# ---------------------------------------------------------------------------
+_MAXREC = 1000
+
+
+@q(
+    "lake_output_sizing",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CEIL(COUNT(*) / {_MAXREC}.0) AS BIGINT) AS n_files,
+           TRUE AS size_ok,
+           CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS id_sum
+    FROM events
+    """,
+)
+def lake_output_sizing(spark, sf):
+    """``maxRecordsPerFile`` — the writer-side knob that bounds
+    output file ROW COUNT, the complement of compact_plan (which
+    fixes files already too small, this prevents files too big): a
+    single write task splits its output into ceil(rows/N) files, so
+    downstream scans get bounded-size splits regardless of how
+    skewed the writing tasks were. The face writes the events ids
+    coalesced to ONE task (making the file count the closed form
+    ceil(n/N) the twin can state), reads the result back with
+    ``_metadata.file_path`` (the scan_row_index machinery), and
+    emits the file census: row count and id checksum prove
+    losslessness, n_files pins the split arithmetic, and size_ok
+    certifies every file honors the bound (COALESCE-d to TRUE on an
+    empty corpus, where Spark writes no data files at all). At
+    100 TB this knob is how a compaction/export job guarantees its
+    consumers' memory envelope; without coalesce(1) the bound still
+    holds per-file — only the closed-form COUNT becomes
+    sum-over-tasks, which is why the face pins the 1-task case."""
+    import tempfile
+
+    from ..operators.dedup import parquet_checkpoint
+
+    base = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
+    root = tempfile.mkdtemp(prefix="qlake_sizing_", dir=base)
+    out_dir = f"{root}/out"
+    (
+        t(spark, sf, "events")
+        .select("event_id")
+        .coalesce(1)
+        .write.option("maxRecordsPerFile", _MAXREC)
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir).select(
+        "event_id", F.col("_metadata.file_path").alias("fp")
+    )
+    per = back.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("event_id").cast("long").alias("s"),
+    )
+    out = per.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.coalesce(F.max("cnt") <= _MAXREC, F.lit(True)).alias(
+            "size_ok"
+        ),
+        F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("id_sum"),
+    )
+    return parquet_checkpoint(out, "output_sizing_out")

@@ -4999,3 +4999,246 @@ def stat_bartlett(spark, sf):
         .otherwise(F.round(chi2, 6) + F.lit(0.0))
         .alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 distance between the A/B halves — exact integer transport
+# ---------------------------------------------------------------------------
+@q(
+    "stat_wasserstein",
+    """
+    WITH lab AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS ina
+      FROM events WHERE value IS NOT NULL),
+    cells AS (
+      SELECT v, CAST(SUM(ina) AS BIGINT) AS na_v,
+             CAST(SUM(1 - ina) AS BIGINT) AS nb_v
+      FROM lab GROUP BY v),
+    cum AS (
+      SELECT v, na_v, nb_v,
+             SUM(na_v) OVER (ORDER BY v) AS ca,
+             SUM(nb_v) OVER (ORDER BY v) AS cb,
+             SUM(na_v) OVER () AS na, SUM(nb_v) OVER () AS nb,
+             LEAD(v) OVER (ORDER BY v) AS nxt
+      FROM cells),
+    seg AS (
+      SELECT na, nb,
+             abs(ca * nb - cb * na) * (nxt - v) AS w_term
+      FROM cum WHERE nxt IS NOT NULL)
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(COALESCE(SUM(w_term), 0) AS BIGINT) AS w1_scaled,
+           CASE WHEN MAX(na) = 0 OR MAX(nb) = 0 THEN NULL
+                ELSE round(CAST(SUM(w_term) AS DOUBLE)
+                           / MAX(na) / MAX(nb) / 100.0, 6) + 0
+           END AS w1_dollars
+    FROM seg
+    """,
+)
+def stat_wasserstein(spark, sf):
+    """Wasserstein-1 (earth mover's) distance between the value
+    distributions of the two md5 halves — THE drift metric with
+    units (dollars of probability mass moved), where stat_ks gives a
+    unitless sup-norm and drift_chi2 a significance: W1 is what you
+    threshold when the question is 'does the drift MATTER'. For 1-D
+    discrete distributions W1 = integral |F_a - F_b| dx, which over
+    the support grid is a SUM of |cumA*NB - cumB*NA| * gap terms —
+    cross-multiplied ECDFs (the stat_ks trick) times the integer
+    cents gap to the next support point: every term is an exact
+    BIGINT, the whole integral is an exact order-independent integer
+    (w1_scaled), and only the final unit conversion divides. One
+    corpus scan -> support-sized cells relation -> one window chain
+    ordered by value (support-sized, the count-of-counts
+    discipline); the last support point carries no segment (both
+    CDFs are 1 beyond it). A/A split at fixture scale, so W1 is
+    small but nonzero — the replay test pins the exact integer."""
+    lab = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+            F.when(
+                F.substring(
+                    F.md5(F.col("event_id").cast("string")), 1, 1
+                )
+                < "8",
+                1,
+            )
+            .otherwise(0)
+            .alias("ina"),
+        )
+    )
+    cells = lab.groupBy("v").agg(
+        F.sum("ina").cast("long").alias("na_v"),
+        F.sum(F.lit(1) - F.col("ina")).cast("long").alias("nb_v"),
+    )
+    wcum = Window.orderBy("v")
+    wall = Window.partitionBy()
+    cum = cells.select(
+        "v",
+        F.sum("na_v").over(wcum).alias("ca"),
+        F.sum("nb_v").over(wcum).alias("cb"),
+        F.sum("na_v").over(wall).alias("na"),
+        F.sum("nb_v").over(wall).alias("nb"),
+        F.lead("v").over(wcum).alias("nxt"),
+    )
+    seg = cum.filter(F.col("nxt").isNotNull()).select(
+        "na",
+        "nb",
+        (
+            F.abs(
+                F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+            )
+            * (F.col("nxt") - F.col("v"))
+        ).alias("w_term"),
+    )
+    return seg.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.coalesce(F.sum("w_term"), F.lit(0))
+        .cast("long")
+        .alias("w1_scaled"),
+        F.when(
+            (F.max("na") == 0) | (F.max("nb") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.sum("w_term").cast("double")
+                / F.max("na")
+                / F.max("nb")
+                / F.lit(100.0),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("w1_dollars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér-von Mises two-sample statistic — the L2 companion to stat_ks
+# ---------------------------------------------------------------------------
+@q(
+    "stat_cvm",
+    """
+    WITH lab AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS ina
+      FROM events WHERE value IS NOT NULL),
+    cells AS (
+      SELECT v, CAST(SUM(ina) AS BIGINT) AS na_v,
+             CAST(SUM(1 - ina) AS BIGINT) AS nb_v
+      FROM lab GROUP BY v),
+    cum AS (
+      SELECT v, na_v, nb_v,
+             SUM(na_v) OVER (ORDER BY v) AS ca,
+             SUM(nb_v) OVER (ORDER BY v) AS cb,
+             SUM(na_v) OVER () AS na, SUM(nb_v) OVER () AS nb
+      FROM cells),
+    terms AS (
+      SELECT na, nb,
+             CAST(round(1000000.0 * (na_v + nb_v)
+                        * (CAST(ca * nb - cb * na AS DOUBLE)
+                           / (CAST(na AS DOUBLE) * nb))
+                        * (CAST(ca * nb - cb * na AS DOUBLE)
+                           / (CAST(na AS DOUBLE) * nb)))
+                  AS BIGINT) AS t_us
+      FROM cum)
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(COALESCE(SUM(t_us), 0) AS BIGINT) AS sum_t_us,
+           CASE WHEN MAX(na) = 0 OR MAX(nb) = 0 THEN NULL
+                ELSE round(CAST(MAX(na) AS DOUBLE) * MAX(nb)
+                           / ((MAX(na) + MAX(nb))
+                              * (MAX(na) + MAX(nb)) * 1.0)
+                           * (SUM(t_us) / 1000000.0), 6) + 0
+           END AS t_stat
+    FROM terms
+    """,
+)
+def stat_cvm(spark, sf):
+    """Two-sample Cramér-von Mises T — the L2 companion to stat_ks'
+    sup-norm (KS sees the single worst CDF gap; CvM integrates ALL
+    of them, so it catches broad small drifts KS dilutes): T =
+    nm/(n+m)^2 * sum over pooled observations of (F_a - F_b)^2.
+    Shares stat_wasserstein's exact cells->cumulative machinery;
+    each pooled-point term weights the squared cross-multiplied CDF
+    gap by that value's pooled count, but the SQUARE of
+    (ca*nb - cb*na) overflows BIGINT (~1e8 squared times 1e4-row
+    support), so each term computes in DOUBLE — in ONE identical
+    operation order — and micros-quantizes BEFORE the sum, making
+    the aggregate an exact order-independent integer again (the
+    kg_adamic_adar sum-of-logs discipline applied to squares). One
+    scan, one window chain over the support-sized relation."""
+    lab = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+            F.when(
+                F.substring(
+                    F.md5(F.col("event_id").cast("string")), 1, 1
+                )
+                < "8",
+                1,
+            )
+            .otherwise(0)
+            .alias("ina"),
+        )
+    )
+    cells = lab.groupBy("v").agg(
+        F.sum("ina").cast("long").alias("na_v"),
+        F.sum(F.lit(1) - F.col("ina")).cast("long").alias("nb_v"),
+    )
+    wcum = Window.orderBy("v")
+    wall = Window.partitionBy()
+    cum = cells.select(
+        "na_v",
+        "nb_v",
+        F.sum("na_v").over(wcum).alias("ca"),
+        F.sum("nb_v").over(wcum).alias("cb"),
+        F.sum("na_v").over(wall).alias("na"),
+        F.sum("nb_v").over(wall).alias("nb"),
+    )
+    d = (
+        F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+    ).cast("double") / (F.col("na").cast("double") * F.col("nb"))
+    terms = cum.select(
+        "na",
+        "nb",
+        F.round(
+            F.lit(1000000.0) * (F.col("na_v") + F.col("nb_v")) * d * d
+        )
+        .cast("long")
+        .alias("t_us"),
+    )
+    return terms.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.coalesce(F.sum("t_us"), F.lit(0))
+        .cast("long")
+        .alias("sum_t_us"),
+        F.when(
+            (F.max("na") == 0) | (F.max("nb") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.max("na").cast("double")
+                * F.max("nb")
+                / (
+                    (F.max("na") + F.max("nb"))
+                    * (F.max("na") + F.max("nb"))
+                    * F.lit(1.0)
+                )
+                * (F.sum("t_us") / F.lit(1000000.0)),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("t_stat"),
+    )

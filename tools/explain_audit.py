@@ -2100,6 +2100,32 @@ def main() -> None:
         p_pd,
     )
 
+    # 74. wave 88: the two ECDF statistics run one corpus scan each
+    # with their window chain over the support-sized relation (no
+    # join, no second scan); output-sizing reads its checkpoint.
+    for _k in ("stat_wasserstein", "stat_cvm"):
+        _p = (
+            QUERIES[_k](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        _scans = len(re.findall(r"FileScan parquet", _p))
+        _joins = len(re.findall(r"Join", _p))
+        check(
+            f"wave 88: {_k} single-scan join-free ECDF chain",
+            _scans == 1 and _joins == 0,
+            f"{_k} scans={_scans} (want 1) joins={_joins} (want 0)",
+        )
+    p_os = plan_of(QUERIES["lake_output_sizing"](spark, SF))
+    os_raw = p_os.count("events.parquet")
+    check(
+        "wave 88: lake_output_sizing returns its checkpoint, not a "
+        "raw corpus scan",
+        os_raw == 0,
+        f"lake_output_sizing raw events scans={os_raw} (want 0)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
