@@ -2642,3 +2642,98 @@ def text_rake(spark, sf):
             ).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# explode-free token-length moments — HOF struct accumulator, in-row fold
+# ---------------------------------------------------------------------------
+@q(
+    "text_inrow_moments",
+    """
+    WITH d AS (
+      SELECT lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS lf
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT lang,
+             CAST(len(lf) AS BIGINT) AS n,
+             CAST(COALESCE(list_sum(
+               list_transform(lf, x -> length(x))), 0) AS BIGINT) AS s,
+             CAST(COALESCE(list_sum(
+               list_transform(lf, x -> length(x) * length(x))), 0)
+               AS BIGINT) AS q
+      FROM d)
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(s) AS BIGINT) AS len_sum,
+           CAST(SUM(q) AS BIGINT) AS len_sumsq,
+           CASE WHEN SUM(n) = 0 THEN NULL
+                ELSE round(CAST(SUM(n) * SUM(q) - SUM(s) * SUM(s)
+                                AS DOUBLE)
+                           / (CAST(SUM(n) AS DOUBLE) * SUM(n)), 6) + 0
+           END AS len_var
+    FROM m GROUP BY lang
+    """,
+)
+def text_inrow_moments(spark, sf):
+    """Token-length moments per language WITHOUT exploding a token
+    row per word: one ``aggregate`` higher-order function folds each
+    document's token array into a (n, sum, sumsq) STRUCT accumulator
+    entirely inside the row — the composite-accumulator HOF shape
+    sql_array_hof's scalar lambdas don't exercise — and the corpus
+    agg then sums three BIGINTs per document. At 100 TB this is the
+    difference between shuffling |tokens| rows (the posexplode
+    formulation materializes every word; Tungsten row churn was the
+    measured dominant cost of the minhash family pre-fold) and
+    shuffling 3 integers per document: the moment algebra is
+    associative, so fold-in-row-then-sum equals explode-then-sum
+    exactly, which is what the DuckDB twin (list_transform/list_sum,
+    no engine HOF structs needed — values are the contract, not the
+    plan) certifies. Variance cross-multiplies to exact BIGINTs
+    (stat_anova discipline): len <= ~50, so q fits comfortably at
+    any sf. Plan: zero Generate, zero joins, one scan (audit #75).
+    Empty token lists fold to the (0,0,0) init struct — DuckDB's
+    list_sum yields NULL on empties, COALESCE'd to 0 to match."""
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    acc0 = F.named_struct(
+        F.lit("n"), F.lit(0).cast("long"),
+        F.lit("s"), F.lit(0).cast("long"),
+        F.lit("q"), F.lit(0).cast("long"),
+    )
+    m = (
+        t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "lang",
+            F.aggregate(
+                arr,
+                acc0,
+                lambda acc, x: F.named_struct(
+                    F.lit("n"), acc["n"] + 1,
+                    F.lit("s"), acc["s"] + F.length(x),
+                    F.lit("q"),
+                    acc["q"] + F.length(x).cast("long") * F.length(x),
+                ),
+            ).alias("m"),
+        )
+    )
+    g = m.groupBy("lang").agg(
+        F.sum("m.n").cast("long").alias("n_tokens"),
+        F.sum("m.s").cast("long").alias("len_sum"),
+        F.sum("m.q").cast("long").alias("len_sumsq"),
+    )
+    var = (
+        F.col("n_tokens") * F.col("len_sumsq")
+        - F.col("len_sum") * F.col("len_sum")
+    ).cast("double") / (
+        F.col("n_tokens").cast("double") * F.col("n_tokens")
+    )
+    return g.select(
+        "lang",
+        "n_tokens",
+        "len_sum",
+        "len_sumsq",
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(var, 6) + F.lit(0.0))
+        .alias("len_var"),
+    )

@@ -1469,3 +1469,78 @@ def json_variant_census(spark, sf):
         FROM kv GROUP BY key
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# type-widening read — int32/float32 files read under a long/double schema
+# ---------------------------------------------------------------------------
+@q(
+    "scan_type_widening",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS id_sum,
+           CAST(COALESCE(SUM(CAST(round(
+                 CAST(CAST(value AS REAL) AS DOUBLE) * 100)
+                 AS BIGINT)), 0) AS BIGINT) AS cents_sum,
+           TRUE AS widened
+    FROM events WHERE event_id <= 2147483647 AND value IS NOT NULL
+    """,
+)
+def scan_type_widening(spark, sf):
+    """TYPE-WIDENING read: parquet files written INT32/FLOAT32 read
+    back under an explicit LONG/DOUBLE schema — the schema-evolution
+    move every long-lived lake eventually needs (ids outgrow int32,
+    measures move to double) and the one that historically threw
+    SCHEMA_MISMATCH; Spark's vectorized reader now upcasts
+    int->long and float->double per-file, so OLD files stay
+    readable under the NEW table schema with no rewrite — at 100 TB
+    'widen the declared schema' must never mean 'rewrite the lake'.
+    The face writes a narrowed snapshot (event_id as int, value as
+    float), reads it back under the widened schema, and aggregates;
+    the float32 path is the subtle half of the twin — DuckDB
+    reproduces the precision truncation with CAST(value AS REAL)
+    before widening, because sum-of-cents over float32-rounded
+    values differs from the double original (that difference being
+    REAL is exactly why the face pins it). The `widened` certificate
+    rides the read-back dataframe's own schema. Eager checkpoint +
+    temp dir under spark.local.dir (scan_bucket_prune idiom)."""
+    import tempfile
+
+    from ..operators.dedup import parquet_checkpoint
+
+    base = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
+    root = tempfile.mkdtemp(prefix="qio_widen_", dir=base)
+    narrow = f"{root}/narrow"
+    (
+        t(spark, sf, "events")
+        .filter(
+            (F.col("event_id") <= 2147483647)
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.col("event_id").cast("int").alias("event_id"),
+            F.col("value").cast("float").alias("value"),
+        )
+        .write.mode("overwrite")
+        .parquet(narrow)
+    )
+    back = spark.read.schema("event_id long, value double").parquet(
+        narrow
+    )
+    widened = [f.dataType.simpleString() for f in back.schema.fields] == [
+        "bigint",
+        "double",
+    ]
+    out = back.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("event_id"), F.lit(0))
+        .cast("long")
+        .alias("id_sum"),
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("cents_sum"),
+        F.lit(widened).alias("widened"),
+    )
+    return parquet_checkpoint(out, "widen_out")

@@ -5242,3 +5242,134 @@ def stat_cvm(spark, sf):
         )
         .alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sign-flip permutation test — md5-derived replicates, exact integers
+# ---------------------------------------------------------------------------
+_PERM_K = 64
+
+
+@q(
+    "stat_perm_test",
+    f"""
+    WITH lab AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS ina
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    daily AS (
+      SELECT day_num,
+             (SUM(ina * cents) - SUM((1 - ina) * cents)) // 100 AS d
+      FROM lab GROUP BY day_num),
+    fan AS (
+      SELECT day_num, d, k.k AS k
+      FROM daily, (SELECT unnest(range(0, {_PERM_K})) AS k) k),
+    signed AS (
+      SELECT k, d,
+             CASE WHEN substr(md5(CAST(day_num AS VARCHAR) || ':'
+                                  || CAST(k AS VARCHAR)), 1, 1) < '8'
+                  THEN d ELSE -d END AS sd
+      FROM fan),
+    reps AS (
+      SELECT k, CAST(SUM(sd) AS BIGINT) AS t_k,
+             CAST(SUM(d) AS BIGINT) AS t_obs,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM signed GROUP BY k)
+    SELECT MAX(n_days) AS n_days,
+           CAST(MAX(t_obs) AS BIGINT) AS t_obs,
+           CAST(SUM(CASE WHEN abs(t_k) >= abs(t_obs) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extreme,
+           round((1.0 + SUM(CASE WHEN abs(t_k) >= abs(t_obs)
+                                 THEN 1 ELSE 0 END))
+                 / (1.0 + {_PERM_K}), 6) + 0 AS p_value
+    FROM reps
+    """,
+)
+def stat_perm_test(spark, sf):
+    """Paired sign-flip permutation test — the distribution-free
+    answer to 'is the A/B daily revenue gap real?' that needs NO
+    normal approximation (stat_ttest's assumption) and no rank
+    transform (stat_wilcoxon's information loss): under H0 the
+    per-day difference d_i is symmetric around 0, so each replicate
+    flips every day's sign by a deterministic md5 coin (the
+    kg_walks/text_collation coin discipline — both engines derive
+    the SAME 64 sign patterns from day_num:k, no RNG anywhere) and
+    the p-value is the add-one-smoothed fraction of replicates at
+    least as extreme as the observed sum. Everything is an exact
+    BIGINT fold: daily diffs floor to dollars (headroom), T_obs
+    rides every replicate group as the unsigned sum. Scale shape:
+    corpus -> calendar-sized daily agg -> x64 fan-out of the TINY
+    relation (never the corpus — the events_rolling_dau bounded
+    explode) -> 64-row replicate agg -> one row. With K = 64 the
+    resolution floor is p = 1/65; production raises K, the shape is
+    K-linear in the calendar only."""
+    lab = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("day_num"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.when(
+                F.substring(
+                    F.md5(F.col("event_id").cast("string")), 1, 1
+                )
+                < "8",
+                1,
+            )
+            .otherwise(0)
+            .alias("ina"),
+        )
+    )
+    daily = lab.groupBy("day_num").agg(
+        F.expr(
+            "(SUM(ina * cents) - SUM((1 - ina) * cents)) div 100"
+        ).alias("d")
+    )
+    fan = daily.select(
+        "day_num",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_K - 1))).alias("k"),
+    )
+    coin = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("day_num").cast("string"),
+                    F.lit(":"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    signed = fan.select(
+        "k",
+        "d",
+        F.when(coin, F.col("d")).otherwise(-F.col("d")).alias("sd"),
+    )
+    reps = signed.groupBy("k").agg(
+        F.sum("sd").cast("long").alias("t_k"),
+        F.sum("d").cast("long").alias("t_obs"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    extreme = F.when(
+        F.abs(F.col("t_k")) >= F.abs(F.col("t_obs")), 1
+    ).otherwise(0)
+    return reps.agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.max("t_obs").cast("long").alias("t_obs"),
+        F.sum(extreme).cast("long").alias("n_extreme"),
+        (
+            F.round(
+                (F.lit(1.0) + F.sum(extreme)) / F.lit(1.0 + _PERM_K), 6
+            )
+            + F.lit(0.0)
+        ).alias("p_value"),
+    )

@@ -2126,6 +2126,38 @@ def main() -> None:
         f"lake_output_sizing raw events scans={os_raw} (want 0)",
     )
 
+    # 75. wave 89: the in-row moment fold is explode-free (zero
+    # Generate — the whole point vs the posexplode formulation) on
+    # one scan; the permutation fan-out explodes the CALENDAR-sized
+    # daily relation, never the corpus (Generate sits above the
+    # day-grouped aggregate).
+    p_im = (
+        QUERIES["text_inrow_moments"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    im_gen = len(re.findall(r"\bGenerate\b", p_im))
+    im_scans = len(re.findall(r"FileScan parquet", p_im))
+    p_pt = (
+        QUERIES["stat_perm_test"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    _gen_pos = p_pt.find("Generate")
+    _agg_pos = p_pt.rfind("HashAggregate")
+    pt_gen_above_agg = 0 <= _gen_pos < _agg_pos
+    check(
+        "wave 89: in-row moments explode-free; permutation fan-out "
+        "sits above the daily aggregate",
+        im_gen == 0 and im_scans == 1 and pt_gen_above_agg,
+        f"text_inrow_moments Generate={im_gen} (want 0) "
+        f"scans={im_scans} (want 1); stat_perm_test Generate-above-"
+        f"bottom-aggregate={pt_gen_above_agg}",
+        p_im,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
