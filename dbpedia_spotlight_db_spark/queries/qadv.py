@@ -3921,3 +3921,152 @@ def stat_granger(spark, sf):
         )
         .alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# partial autocorrelation (lag 2) — Durbin-Levinson on integer-mean ACF
+# ---------------------------------------------------------------------------
+@q(
+    "stat_pacf",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             SUM({SQL_CENTS.format(x='value')}) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    base AS (
+      SELECT day_num, v,
+             SUM(v) OVER () AS s, COUNT(*) OVER () AS n
+      FROM daily),
+    e AS (
+      SELECT day_num,
+             v - (CASE WHEN s >= 0 THEN s // n
+                       ELSE -((-s) // n) END) AS e
+      FROM base),
+    lg AS (
+      SELECT e,
+             LAG(e, 1) OVER (ORDER BY day_num) AS e1,
+             LAG(e, 2) OVER (ORDER BY day_num) AS e2
+      FROM e),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(e * e) AS BIGINT) AS den,
+             CAST(SUM(CASE WHEN e1 IS NULL THEN NULL
+                           ELSE e * e1 END) AS BIGINT) AS num1,
+             CAST(SUM(CASE WHEN e2 IS NULL THEN NULL
+                           ELSE e * e2 END) AS BIGINT) AS num2
+      FROM lg),
+    r AS (
+      SELECT n, den, num1, num2,
+             CASE WHEN den <= 0 THEN NULL
+                  ELSE CAST(num1 AS DOUBLE) / den END AS rho1,
+             CASE WHEN den <= 0 THEN NULL
+                  ELSE CAST(num2 AS DOUBLE) / den END AS rho2
+      FROM m),
+    o AS (
+      SELECT n, den, num1, num2, rho1, rho2,
+             CASE WHEN rho1 IS NULL OR 1.0 - rho1 * rho1 = 0 THEN NULL
+                  ELSE round((rho2 - rho1 * rho1)
+                             / (1.0 - rho1 * rho1), 6) + 0
+             END AS phi22
+      FROM r)
+    SELECT n, den, num1, num2,
+           round(rho1, 6) + 0 AS rho1,
+           round(rho2, 6) + 0 AS rho2,
+           phi22
+    FROM o
+    """,
+)
+def stat_pacf(spark, sf):
+    """Partial autocorrelation at lag 2 (Durbin-Levinson step 2:
+    phi22 = (rho2 - rho1^2)/(1 - rho1^2)) of the daily revenue
+    series — the model-order diagnostic events_autocorr's raw ACF
+    cannot give (an AR(1) process has rho2 = rho1^2 exactly, so
+    phi22 ~ 0 says 'one lag suffices'; a real lag-2 effect survives
+    the partialling). The ACF here is the global-mean form (the
+    stat_ljung_box lesson — per-lag Pearson is a DIFFERENT
+    statistic) centered on the INTEGER mean S div N, truncated
+    toward zero on both engines (a defined statistic, the DW
+    precedent: exactness beats textbook fidelity by a part in n),
+    which keeps deviations, their products, and all three moment
+    sums exact BIGINTs at any corpus scale — no n^2-scaled
+    cross-multiplication anywhere. One corpus scan, one window
+    chain (the two LAGs and the centering totals share the
+    calendar-sized relation), divisions only in the final round-6
+    assembly, zero-variance and unit-rho1 guards NULL."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit(_EPOCH))
+            .cast("long")
+            .alias("day_num")
+        )
+        .agg(F.sum(cents(F.col("value"))).alias("vc"))
+        .select("day_num", F.expr("vc div 100").alias("v"))
+    )
+    wall = Window.partitionBy()
+    base = daily.select(
+        "day_num",
+        "v",
+        F.sum("v").over(wall).alias("s"),
+        F.count(F.lit(1)).over(wall).alias("n0"),
+    )
+    e = base.select(
+        "day_num",
+        (F.col("v") - F.expr("s div n0")).alias("e"),
+    )
+    word = Window.orderBy("day_num")
+    lg = e.select(
+        "e",
+        F.lag("e", 1).over(word).alias("e1"),
+        F.lag("e", 2).over(word).alias("e2"),
+    )
+    m = lg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("e") * F.col("e")).cast("long").alias("den"),
+        F.sum(
+            F.when(F.col("e1").isNull(), F.lit(None)).otherwise(
+                F.col("e") * F.col("e1")
+            )
+        )
+        .cast("long")
+        .alias("num1"),
+        F.sum(
+            F.when(F.col("e2").isNull(), F.lit(None)).otherwise(
+                F.col("e") * F.col("e2")
+            )
+        )
+        .cast("long")
+        .alias("num2"),
+    )
+    rho1 = F.when(F.col("den") <= 0, F.lit(None).cast("double")).otherwise(
+        F.col("num1").cast("double") / F.col("den")
+    )
+    rho2 = F.when(F.col("den") <= 0, F.lit(None).cast("double")).otherwise(
+        F.col("num2").cast("double") / F.col("den")
+    )
+    r = m.select("n", "den", "num1", "num2", rho1.alias("rho1"), rho2.alias("rho2"))
+    return r.select(
+        "n",
+        "den",
+        "num1",
+        "num2",
+        (F.round(F.col("rho1"), 6) + F.lit(0.0)).alias("rho1"),
+        (F.round(F.col("rho2"), 6) + F.lit(0.0)).alias("rho2"),
+        F.when(
+            F.col("rho1").isNull()
+            | (F.lit(1.0) - F.col("rho1") * F.col("rho1") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (F.col("rho2") - F.col("rho1") * F.col("rho1"))
+                / (F.lit(1.0) - F.col("rho1") * F.col("rho1")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("phi22"),
+    )

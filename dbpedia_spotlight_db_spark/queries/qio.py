@@ -1544,3 +1544,90 @@ def scan_type_widening(spark, sf):
         F.lit(widened).alias("widened"),
     )
     return parquet_checkpoint(out, "widen_out")
+
+
+# ---------------------------------------------------------------------------
+# wholetext read — one file = one row, the crawl-page ingestion shape
+# ---------------------------------------------------------------------------
+@q(
+    "scan_wholetext",
+    """
+    WITH s AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 101 = 0 AND text IS NOT NULL),
+    h AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                             1, 7))::UBIGINT AS hv
+      FROM s)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(hv), 0) AS BIGINT) AS digest
+    FROM h
+    """,
+)
+def scan_wholetext(spark, sf):
+    """``wholetext`` — the text-source mode that reads EACH FILE as
+    ONE row instead of one row per line: the ingestion shape for
+    document stores where one file IS one document (crawl page
+    dumps, extracted article files) and the only lossless way to
+    read multi-line documents from plain text, where the default
+    line mode shatters them (the text_roundtrip face needed hex
+    armor for exactly that reason; wholetext needs none). The face
+    round-trips a doc sample out through a doc_id-partitioned text
+    sink (one single-row file per partition directory) and back via
+    wholetext, recovering the document body EXACTLY — measured: the
+    single-row-per-file text sink writes no trailing record
+    separator, so no newline stripping is needed (the test pins
+    byte equality); identity is certified by a
+    28-bit-limb md5 digest over (doc_id, restored text) — the
+    lake_content_digest discipline — against the twin computing the
+    same digest from the source table directly. The read-back uses
+    an EXPLICIT schema (value + the doc_id partition column), which
+    both keeps the empty-corpus case total (no schema inference
+    over zero files) and pins partition-column recovery. Scale
+    shape: one task per file on read — the wholetext contract also
+    means ONE ROW PER TASK in memory, so at 100 TB it is for
+    document-sized files, never log-sized ones."""
+    import tempfile
+
+    from ..operators.dedup import parquet_checkpoint
+
+    base = spark.conf.get("spark.local.dir", "/tmp").split(",")[0]
+    root = tempfile.mkdtemp(prefix="qio_wholetext_", dir=base)
+    out_dir = f"{root}/docs"
+    (
+        t(spark, sf, "documents")
+        .filter((F.col("doc_id") % 101 == 0) & F.col("text").isNotNull())
+        .select("text", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("doc_id")
+        .text(out_dir)
+    )
+    back = (
+        spark.read.schema("value string, doc_id bigint")
+        .option("wholetext", "true")
+        .text(out_dir)
+    )
+    h = back.select(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("value"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv")
+    )
+    out = h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("hv"), F.lit(0)).cast("long").alias("digest"),
+    )
+    return parquet_checkpoint(out, "wholetext_out")

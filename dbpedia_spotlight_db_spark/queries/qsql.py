@@ -1492,3 +1492,52 @@ def sql_table_udf(spark, sf):
         GROUP BY band
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# pandas API on Spark — the DataFrame-as-pandas front end hits the same engine
+# ---------------------------------------------------------------------------
+@q(
+    "ps_api_groupby",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def ps_api_groupby(spark, sf):
+    """pandas API on Spark (``pyspark.pandas``) — the third public
+    query front end after the DataFrame API and SQL (the face
+    families' usual two), and the migration path for pandas
+    codebases that outgrow one machine: ps.read_parquet ->
+    groupby -> agg writes pandas, executes Catalyst. The face does
+    the cents rounding and the aggregation THROUGH the pandas
+    surface (assign + groupby.agg), converts back with
+    to_spark(), and the plain GROUP BY twin certifies that the
+    pandas semantics layered on top (here: groupby semantics,
+    no pandas index materialization) changed no values. The
+    attach-default-index overhead trap is dodged by
+    index_col-free reads feeding straight into a groupby (the
+    index is never materialized as a distributed sequence). One
+    scan, one shuffle — the same plan the DataFrame face would
+    make, which is the point."""
+    import pyspark.pandas as ps
+
+    with ps.option_context("compute.default_index_type", "distributed"):
+        pdf = ps.read_parquet(f"{sf}/orders.parquet")
+        pdf = pdf.assign(
+            cents=(pdf["o_totalprice"] * 100).round(0).astype("int64")
+        )
+        g = (
+            pdf.groupby("o_orderstatus")
+            .agg(n=("cents", "count"), total_cents=("cents", "sum"))
+            .reset_index()
+        )
+        out = g.to_spark()
+    return out.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("n").cast("long").alias("n"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+    )

@@ -2158,6 +2158,40 @@ def main() -> None:
         p_im,
     )
 
+    # 76. wave 90: the pandas-API face plans the same one-scan
+    # shuffle-agg a DataFrame face would (no Python eval anywhere —
+    # pyspark.pandas compiles to Catalyst); PACF is one scan with
+    # its windows over the calendar relation; wholetext returns its
+    # checkpoint.
+    p_ps = (
+        QUERIES["ps_api_groupby"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ps_py = len(re.findall(r"EvalPython|ArrowEval", p_ps))
+    ps_scans = len(re.findall(r"FileScan parquet", p_ps))
+    p_pf = (
+        QUERIES["stat_pacf"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf_scans = len(re.findall(r"FileScan parquet", p_pf))
+    pf_joins = len(re.findall(r"Join", p_pf))
+    p_wt = plan_of(QUERIES["scan_wholetext"](spark, SF))
+    wt_raw = p_wt.count("documents.parquet")
+    check(
+        "wave 90: pandas-API face is pure Catalyst one-scan; PACF "
+        "single-scan join-free; wholetext checkpointed",
+        ps_py == 0 and ps_scans == 1
+        and pf_scans == 1 and pf_joins == 0 and wt_raw == 0,
+        f"ps_api_groupby python-nodes={ps_py} (want 0) scans="
+        f"{ps_scans} (want 1); stat_pacf scans={pf_scans} joins="
+        f"{pf_joins}; scan_wholetext raw documents scans={wt_raw}",
+        p_ps,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
