@@ -1581,12 +1581,17 @@ def scan_wholetext(spark, sf):
     28-bit-limb md5 digest over (doc_id, restored text) — the
     lake_content_digest discipline — against the twin computing the
     same digest from the source table directly. The read-back uses
-    an EXPLICIT schema (value + the doc_id partition column), which
-    both keeps the empty-corpus case total (no schema inference
-    over zero files) and pins partition-column recovery. Scale
+    an EXPLICIT schema (value + the doc_id partition column) and
+    pins partition-column recovery. Zero-doc totality needs a
+    driver-side listing guard: with NO partition directories the
+    text reader has nothing to discover, treats doc_id as a DATA
+    column, and rejects BIGINT (UNSUPPORTED_DATA_TYPE_FOR_DATASOURCE
+    — measured), so an empty write short-circuits to the literal
+    empty census row the twin produces. Scale
     shape: one task per file on read — the wholetext contract also
     means ONE ROW PER TASK in memory, so at 100 TB it is for
     document-sized files, never log-sized ones."""
+    import glob as _glob
     import tempfile
 
     from ..operators.dedup import parquet_checkpoint
@@ -1602,6 +1607,11 @@ def scan_wholetext(spark, sf):
         .partitionBy("doc_id")
         .text(out_dir)
     )
+    if not _glob.glob(f"{out_dir}/doc_id=*"):
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("digest"),
+        )
     back = (
         spark.read.schema("value string, doc_id bigint")
         .option("wholetext", "true")
