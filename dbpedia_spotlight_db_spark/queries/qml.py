@@ -5373,3 +5373,133 @@ def stat_perm_test(spark, sf):
             + F.lit(0.0)
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# native moment aggregates certified against exact power-sum assembly
+# ---------------------------------------------------------------------------
+@q(
+    "agg_native_moments",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) // 100 AS x
+      FROM events WHERE value IS NOT NULL),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2,
+             CAST(SUM(x * x * x) AS BIGINT) AS s3,
+             CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+      FROM v),
+    m AS (
+      SELECT n, s1, s2, s3, s4,
+             (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+               / (CAST(n AS DOUBLE) * n) AS m2,
+             (CAST(n AS DOUBLE) * n * s3
+              - 3.0 * n * CAST(s1 AS DOUBLE) * s2
+              + 2.0 * CAST(s1 AS DOUBLE) * s1 * s1)
+               / (CAST(n AS DOUBLE) * n * n) AS m3,
+             (CAST(n AS DOUBLE) * n * n * s4
+              - 4.0 * CAST(n AS DOUBLE) * n * s1 * s3
+              + 6.0 * CAST(n AS DOUBLE) * s1 * s1 * s2
+              - 3.0 * CAST(s1 AS DOUBLE) * s1 * s1 * s1)
+               / (CAST(n AS DOUBLE) * n * n * n) AS m4
+      FROM s)
+    SELECT n, s1,
+           CASE WHEN n = 0 THEN NULL
+                ELSE round(CAST(s1 AS DOUBLE) / n, 6) + 0 END AS mean,
+           CASE WHEN n < 2 THEN NULL
+                ELSE round(m2 * n / (n - 1.0), 6) + 0 END AS var_samp,
+           CASE WHEN n = 0 OR m2 <= 0 THEN NULL
+                ELSE round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6)
+                     + 0 END AS skew,
+           CASE WHEN n = 0 OR m2 <= 0 THEN NULL
+                ELSE round(m4 / (m2 * m2) - 3.0, 6) + 0 END AS kurt,
+           TRUE AS ok_var, TRUE AS ok_skew, TRUE AS ok_kurt
+    FROM m
+    """,
+)
+def agg_native_moments(spark, sf):
+    """Spark's NATIVE moment aggregates (var_samp / skewness /
+    kurtosis — single-pass streaming central-moment updates whose
+    float accumulation order is engine- and partitioning-specific,
+    so they can never be hashed directly) CERTIFIED against the
+    exact power-sum assembly: four exact BIGINT sums S1..S4 over
+    dollar-floored values feed the closed-form central moments in
+    one identically-ordered double chain (the hashable answer, twin
+    says the same), and three ride-along booleans attest
+    |native - exact| <= 1e-6 — a regression in either Spark's
+    Welford-style merge or the closed-form algebra flips a
+    certificate and fails the gate (the agg_lincount gating
+    discipline applied to the engine's own exact aggregates).
+    Spark's skewness/kurtosis are the POPULATION forms (g1 =
+    m3/m2^1.5, excess g2 = m4/m2^2 - 3); var_samp is the n-1 sample
+    form — the certificate documents the exact contract. Dollars
+    floor keeps S4 ~ x^4 in BIGINT headroom to ~sf1 (x <= ~500).
+    Empty/degenerate inputs NULL the moments and leave certificates
+    vacuously TRUE."""
+    v = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.expr(
+                "CAST(round(value * 100) AS BIGINT) div 100"
+            ).alias("x")
+        )
+    )
+    s = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("s4"),
+        F.var_samp(F.col("x").cast("double")).alias("nv"),
+        F.skewness(F.col("x").cast("double")).alias("nsk"),
+        F.kurtosis(F.col("x").cast("double")).alias("nku"),
+    )
+    nD = F.col("n").cast("double")
+    s1D = F.col("s1").cast("double")
+    m2 = (nD * F.col("s2") - s1D * F.col("s1")) / (nD * F.col("n"))
+    m3 = (
+        nD * F.col("n") * F.col("s3")
+        - F.lit(3.0) * F.col("n") * s1D * F.col("s2")
+        + F.lit(2.0) * s1D * F.col("s1") * F.col("s1")
+    ) / (nD * F.col("n") * F.col("n"))
+    m4 = (
+        nD * F.col("n") * F.col("n") * F.col("s4")
+        - F.lit(4.0) * nD * F.col("n") * F.col("s1") * F.col("s3")
+        + F.lit(6.0) * nD * F.col("s1") * F.col("s1") * F.col("s2")
+        - F.lit(3.0) * s1D * F.col("s1") * F.col("s1") * F.col("s1")
+    ) / (nD * F.col("n") * F.col("n") * F.col("n"))
+    var_s = F.when(F.col("n") < 2, F.lit(None).cast("double")).otherwise(
+        m2 * F.col("n") / (F.col("n") - F.lit(1.0))
+    )
+    skew = F.when(
+        (F.col("n") == 0) | (m2 <= 0), F.lit(None).cast("double")
+    ).otherwise(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)))
+    kurt = F.when(
+        (F.col("n") == 0) | (m2 <= 0), F.lit(None).cast("double")
+    ).otherwise(m4 / (m2 * m2) - F.lit(3.0))
+
+    def cert(native, exact):
+        return F.when(
+            native.isNull() | exact.isNull(), F.lit(True)
+        ).otherwise(F.abs(native - exact) <= 1e-6)
+
+    return s.select(
+        "n",
+        "s1",
+        F.when(F.col("n") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(s1D / F.col("n"), 6) + F.lit(0.0))
+        .alias("mean"),
+        (F.round(var_s, 6) + F.lit(0.0)).alias("var_samp"),
+        (F.round(skew, 6) + F.lit(0.0)).alias("skew"),
+        (F.round(kurt, 6) + F.lit(0.0)).alias("kurt"),
+        cert(F.col("nv"), var_s).alias("ok_var"),
+        cert(F.col("nsk"), skew).alias("ok_skew"),
+        cert(F.col("nku"), kurt).alias("ok_kurt"),
+    )

@@ -2522,3 +2522,117 @@ def win_session_dynamic(spark, sf):
         )
         .select("user_id", "session_start", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join with a tolerance horizon — stale matches become non-matches
+# ---------------------------------------------------------------------------
+_ASOF_TOL_US = 3600 * 1000000  # 1 hour
+
+
+@q(
+    "join_asof_tolerance",
+    f"""
+    WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    u AS (
+      SELECT user_id AS k, ts, 1 AS is_r, event_id AS click_id,
+             CAST(NULL AS BIGINT) AS purchase_id
+      FROM e WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, 0, CAST(NULL AS BIGINT), event_id
+      FROM e WHERE event_type = 'purchase'),
+    w AS (
+      SELECT *,
+             last_value(click_id IGNORE NULLS) OVER (
+                 PARTITION BY k ORDER BY ts, is_r DESC,
+                 coalesce(click_id, -1)
+                 ROWS UNBOUNDED PRECEDING) AS asof_id,
+             last_value(CASE WHEN is_r = 1 THEN ts END IGNORE NULLS)
+               OVER (
+                 PARTITION BY k ORDER BY ts, is_r DESC,
+                 coalesce(click_id, -1)
+                 ROWS UNBOUNDED PRECEDING) AS asof_ts
+      FROM u),
+    g AS (
+      SELECT purchase_id AS event_id, k AS user_id,
+             epoch_us(ts) - epoch_us(asof_ts) AS gap_us,
+             asof_id
+      FROM w WHERE is_r = 0)
+    SELECT event_id, user_id,
+           CASE WHEN gap_us IS NOT NULL
+                     AND gap_us <= {_ASOF_TOL_US}
+                THEN asof_id END AS asof_click_id,
+           CASE WHEN gap_us IS NOT NULL
+                     AND gap_us <= {_ASOF_TOL_US}
+                THEN CAST(gap_us AS BIGINT) END AS gap_us
+    FROM g
+    """,
+)
+def join_asof_tolerance(spark, sf):
+    """As-of join WITH A TOLERANCE (pandas merge_asof's `tolerance`,
+    kdb's windowed aj): the most recent prior click still matches
+    ONLY if it happened within the last hour — beyond that the
+    purchase is organic, not attributed, and a NULL is the correct
+    answer where join_asof would return a stale match (attribution
+    windows, sensor staleness, quote validity: the tolerance IS the
+    business rule). Same scalable union-scan shape as join_asof —
+    one shuffle+sort per user, NO candidate fan-out join — with the
+    matched CLICK TIMESTAMP carried forward through a second
+    last_value over the IDENTICAL window spec (both carried columns
+    are non-null exactly on click rows, so they always come from the
+    same row and the plan keeps ONE Window operator, audit #77); the
+    tolerance gate is then a pure projection. Gap emitted as exact
+    epoch-us BIGINT (the sub-second emission rule), NULLed with the
+    match so a non-match carries no partial information."""
+    e = t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(1).alias("is_r"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(0).alias("is_r"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    u = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(
+            F.col("ts"),
+            F.col("is_r").desc(),
+            F.coalesce(F.col("click_id"), F.lit(-1)),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        F.last("click_id", ignorenulls=True).over(w).alias("asof_id"),
+        F.last(
+            F.when(F.col("is_r") == 1, F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("asof_ts"),
+    )
+    g = carried.filter(F.col("is_r") == 0).select(
+        F.col("purchase_id").alias("event_id"),
+        F.col("k").alias("user_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("gap_us"),
+        "asof_id",
+    )
+    ok = F.col("gap_us").isNotNull() & (
+        F.col("gap_us") <= _ASOF_TOL_US
+    )
+    return g.select(
+        "event_id",
+        "user_id",
+        F.when(ok, F.col("asof_id")).alias("asof_click_id"),
+        F.when(ok, F.col("gap_us").cast("long")).alias("gap_us"),
+    )

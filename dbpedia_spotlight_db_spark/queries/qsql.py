@@ -1541,3 +1541,86 @@ def ps_api_groupby(spark, sf):
         F.col("n").cast("long").alias("n"),
         F.col("total_cents").cast("long").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL session variables — DECLARE VARIABLE / SET VAR / reference in queries
+# ---------------------------------------------------------------------------
+@q(
+    "sql_variables",
+    """
+    WITH s AS (
+      SELECT COALESCE(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT), 0) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders),
+    c AS (
+      SELECT tot, cnt,
+             CASE WHEN cnt = 0 THEN 0
+                  ELSE (3 * (tot // cnt)) // 2 END AS big_cut
+      FROM s)
+    SELECT CAST(c.tot AS BIGINT) AS tot_cents,
+           CAST(c.big_cut AS BIGINT) AS cutoff_cents,
+           CAST(COUNT(CASE WHEN CAST(round(o.o_totalprice * 100)
+                                     AS BIGINT) > c.big_cut
+                           THEN 1 END) AS BIGINT) AS n_above,
+           CAST(COALESCE(SUM(CASE WHEN CAST(round(o.o_totalprice * 100)
+                                            AS BIGINT) > c.big_cut
+                                  THEN CAST(round(o.o_totalprice * 100)
+                                            AS BIGINT) END),
+                         0) AS BIGINT) AS above_cents
+    FROM c LEFT JOIN orders o ON TRUE
+    GROUP BY c.tot, c.big_cut
+    """,
+)
+def sql_variables(spark, sf):
+    """SQL session variables (Spark 4 `DECLARE VARIABLE` / `SET VAR` /
+    bare-name reference): the two-statement analytic idiom — compute
+    a scalar once, reuse it as a CONSTANT in later queries — without
+    the scripting block sql_scripting wraps around it, and without
+    re-evaluating the scalar subquery per consumer: at SET VAR time
+    the aggregate runs ONCE and the variable folds into every later
+    plan as a literal (the driver-literal closure discipline the
+    flagship uses, surfaced as SQL). The face sets the revenue total
+    as a variable, derives a 1.5x-average cutoff through a SECOND variable that
+    references the first (variables compose), and counts/totals the
+    orders above it — the 'whales above average' report, with a
+    cutoff the data actually splits (the first cut used 5% of total
+    book, which NO order reaches: a degenerate-but-hash-green face,
+    the stat_granger lesson, caught by the replay test this time).
+    The twin has no variables, so it reproduces the same dataflow
+    with a 1-row CTE cross-joined in (same values, two evaluation
+    strategies — which is the point; and conditional aggregation,
+    never LEFT JOIN ON predicate + COUNT(*), which counts the
+    no-match null row). DECLARE OR REPLACE keeps re-runs
+    idempotent."""
+    spark.sql("DECLARE OR REPLACE VARIABLE rev_tot BIGINT")
+    spark.sql("DECLARE OR REPLACE VARIABLE big_cut BIGINT")
+    spark.sql(
+        f"""SET VAR rev_tot = (
+              SELECT COALESCE(CAST(SUM(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT),
+                              CAST(0 AS BIGINT))
+              FROM parquet.`{sf}/orders.parquet`)"""
+    )
+    spark.sql(
+        f"""SET VAR big_cut = (
+              SELECT CASE WHEN COUNT(*) = 0 THEN CAST(0 AS BIGINT)
+                          ELSE (3 * (rev_tot DIV COUNT(*))) DIV 2 END
+              FROM parquet.`{sf}/orders.parquet`)"""
+    )
+    return spark.sql(
+        f"""
+        SELECT rev_tot AS tot_cents,
+               big_cut AS cutoff_cents,
+               COUNT(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                               > big_cut THEN 1 END) AS n_above,
+               COALESCE(SUM(CASE WHEN CAST(round(o_totalprice * 100)
+                                           AS BIGINT) > big_cut
+                                 THEN CAST(round(o_totalprice * 100)
+                                           AS BIGINT) END),
+                        CAST(0 AS BIGINT)) AS above_cents
+        FROM parquet.`{sf}/orders.parquet`
+        GROUP BY rev_tot, big_cut
+        """
+    )

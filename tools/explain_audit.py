@@ -2192,6 +2192,36 @@ def main() -> None:
         p_ps,
     )
 
+    # 77. wave 91: both carried as-of columns share ONE Window
+    # operator (two last_values over the identical spec — a second
+    # Window would double the sort); the native-moments face is one
+    # scan with the native and exact aggregates fused into a single
+    # HashAggregate pair.
+    p_at = (
+        QUERIES["join_asof_tolerance"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    at_windows = len(re.findall(r"\bWindow\b", p_at))
+    p_nm = (
+        QUERIES["agg_native_moments"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    nm_scans = len(re.findall(r"FileScan parquet", p_nm))
+    nm_aggs = len(re.findall(r"HashAggregate|SortAggregate", p_nm))
+    check(
+        "wave 91: tolerance as-of keeps one Window; native moments "
+        "fuse into one two-phase aggregate over one scan",
+        at_windows == 1 and nm_scans == 1 and nm_aggs <= 2,
+        f"join_asof_tolerance Window nodes={at_windows} (want 1); "
+        f"agg_native_moments scans={nm_scans} (want 1) "
+        f"agg nodes={nm_aggs} (want <=2)",
+        p_at,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
