@@ -2737,3 +2737,74 @@ def text_inrow_moments(spark, sf):
         .otherwise(F.round(var, 6) + F.lit(0.0))
         .alias("len_var"),
     )
+
+
+# ---------------------------------------------------------------------------
+# parse_url function family — host/path/query-param/fragment extraction
+# ---------------------------------------------------------------------------
+@q(
+    "url_parse_fns",
+    """
+    WITH u AS (
+      SELECT 'https://h' || CAST(doc_id % 53 AS VARCHAR)
+             || '.example.com/p/' || CAST(doc_id % 7 AS VARCHAR)
+             || '/page?k=' || CAST(doc_id % 10 AS VARCHAR)
+             || '&x=1#s' || CAST(doc_id % 3 AS VARCHAR) AS url
+      FROM documents),
+    p AS (
+      SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+             regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1)
+               AS path,
+             CAST(regexp_extract(url, '[?&]k=([0-9]+)', 1) AS BIGINT)
+               AS k,
+             regexp_extract(url, '#(.*)$', 1) AS frag
+      FROM u)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(COUNT(DISTINCT frag) AS BIGINT) AS n_frags
+    FROM p GROUP BY host
+    """,
+)
+def url_parse_fns(spark, sf):
+    """The ``parse_url`` function family (HOST / PATH / QUERY-param /
+    REF) — the JVM-native URL decomposition a crawl pipeline should
+    reach for BEFORE the regexp toolbox url_normalize builds from
+    (parse_url understands delimiters; regexes understand bytes):
+    per-host census of paths, query-parameter mass and fragments
+    over the host_stats synthesized-URL corpus (the fixture carries
+    no real URLs; both sides build the same ones from doc_id). The
+    twin extracts with regexps — agreement proves the native parser
+    and the portable regex rules coincide on well-formed URLs, which
+    is the compatibility contract that lets the 100-TB pipeline mix
+    both (parse_url in the JVM hot path, the regex table wherever an
+    engine lacks it). Map-side expressions into one host-keyed agg;
+    parse_url returns NULL, never an error, on malformed input —
+    the try_* tolerance family's contract."""
+    u = t(spark, sf, "documents").select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 53).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/page?k="),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("&x=1#s"),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("url")
+    )
+    p = u.select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("k"))
+        .cast("long")
+        .alias("k"),
+        F.parse_url("url", F.lit("REF")).alias("frag"),
+    )
+    return p.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("path").cast("long").alias("n_paths"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.countDistinct("frag").cast("long").alias("n_frags"),
+    )

@@ -1641,3 +1641,65 @@ def scan_wholetext(spark, sf):
         F.coalesce(F.sum("hv"), F.lit(0)).cast("long").alias("digest"),
     )
     return parquet_checkpoint(out, "wholetext_out")
+
+
+# ---------------------------------------------------------------------------
+# XPath function family — structural extraction with an XPath sum()
+# ---------------------------------------------------------------------------
+@q(
+    "xml_xpath",
+    """
+    WITH x AS (
+      SELECT o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 5 AS q1, o_orderkey % 3 AS q2
+      FROM orders)
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           CAST(SUM(q1 + q2) AS BIGINT) AS qty_sum
+    FROM x GROUP BY status
+    """,
+)
+def xml_xpath(spark, sf):
+    """The XPath function family (``xpath_long`` for scalar node
+    extraction, ``xpath_double('sum(...)')`` for real XPath
+    AGGREGATION inside one document) — the structural sibling of
+    json_variant_census for the other half of the semi-structured
+    web: each order renders as a small XML document with two nested
+    line items, the price comes back via a node-path lookup and the
+    quantity total via XPath's own sum() over the repeated <q>
+    elements (the part a regexp cannot do safely — repetition with
+    structure). The twin computes the same numbers straight from the
+    source columns, so hash equality proves render -> xpath-extract
+    is lossless end to end (the xml_roundtrip discipline at the
+    FUNCTION level, no files involved). Map-side expressions into
+    one status-keyed agg; at 100 TB this is the shape for sampling
+    structured fields out of crawl-archived XML/HTML fragments
+    without a parser UDF in the hot path."""
+    x = t(spark, sf, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.concat(
+            F.lit("<o><p>"),
+            F.round(F.col("o_totalprice") * 100).cast("long").cast(
+                "string"
+            ),
+            F.lit("</p><it><q>"),
+            (F.col("o_orderkey") % 5).cast("string"),
+            F.lit("</q></it><it><q>"),
+            (F.col("o_orderkey") % 3).cast("string"),
+            F.lit("</q></it></o>"),
+        ).alias("xml"),
+    )
+    e = x.select(
+        "status",
+        F.expr("xpath_long(xml, '/o/p')").alias("cents"),
+        F.expr("xpath_double(xml, 'sum(/o/it/q)')")
+        .cast("long")
+        .alias("qty"),
+    )
+    return e.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.sum("qty").cast("long").alias("qty_sum"),
+    )

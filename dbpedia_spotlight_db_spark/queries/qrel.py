@@ -2636,3 +2636,68 @@ def join_asof_tolerance(spark, sf):
         F.when(ok, F.col("asof_id")).alias("asof_click_id"),
         F.when(ok, F.col("gap_us").cast("long")).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Complete-mode streaming aggregate — the full-table re-emission mode
+# ---------------------------------------------------------------------------
+@q(
+    "stream_complete_topk",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def stream_complete_topk(spark, sf):
+    """COMPLETE output mode — the third and last streaming output
+    mode (append: stream_window, update: the upsert family): every
+    trigger re-emits the ENTIRE result table, which is only sane
+    when the result cardinality is bounded (a per-category dashboard
+    like this one — |event_type| rows forever), and is then the
+    simplest exactly-right live rollup there is: no watermark, no
+    eviction, state = the result itself. The memory sink holds
+    exactly the final emission after the availableNow drain, so the
+    plain batch GROUP BY is the full-gate twin — Complete mode's
+    semantics ARE 'as if batch over everything so far'. At 100 TB
+    the mode's contract is the design constraint worth a face:
+    unbounded-key aggregates under Complete mode grow state without
+    bound, which is why the windowed/append family exists at all."""
+    import os
+    import tempfile
+
+    name = f"stream_complete_{next(_STREAM_Q_COUNTER)}"
+    schema = t(spark, sf, "events").schema
+    with tempfile.TemporaryDirectory(prefix="stream_complete_") as tmp:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        src = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .filter(F.col("value").isNotNull())
+            .select(
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        )
+        agg = src.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        q_ = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)

@@ -2222,6 +2222,27 @@ def main() -> None:
         p_at,
     )
 
+    # 78. wave 92: the parse_url and xpath families stay pure
+    # map-side expressions into one two-phase aggregate — no Python
+    # nodes, no Generate, one scan each (the whole point of
+    # function-level extraction vs parser UDFs in the hot path).
+    for _k in ("url_parse_fns", "xml_xpath"):
+        _p = (
+            QUERIES[_k](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        _scans = len(re.findall(r"FileScan parquet", _p))
+        _py = len(re.findall(r"EvalPython|ArrowEval", _p))
+        _gen = len(re.findall(r"\bGenerate\b", _p))
+        check(
+            f"wave 92: {_k} is a map-side function chain",
+            _scans == 1 and _py == 0 and _gen == 0,
+            f"{_k} scans={_scans} (want 1) python-nodes={_py} "
+            f"(want 0) Generate={_gen} (want 0)",
+        )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
