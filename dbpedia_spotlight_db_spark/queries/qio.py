@@ -1703,3 +1703,88 @@ def xml_xpath(spark, sf):
         F.sum("cents").cast("long").alias("cents_sum"),
         F.sum("qty").cast("long").alias("qty_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AQE runtime broadcast conversion — SMJ statically, BHJ once sizes are real
+# ---------------------------------------------------------------------------
+@q(
+    "join_aqe_bhj_convert",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)),
+                         0) AS BIGINT) AS rev_cents,
+           TRUE AS smj_initial, TRUE AS bhj_final
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def join_aqe_bhj_convert(spark, sf):
+    """AQE's flagship move, pinned as a face: the STATIC planner is
+    told it may never broadcast (autoBroadcastJoinThreshold = -1 —
+    the defensive production setting when size ESTIMATES cannot be
+    trusted: estimates come from file sizes and propagate wrongly
+    through filters/aggs), so the initial plan is a sort-merge join;
+    at runtime the dim side's ACTUAL shuffle bytes come in under
+    spark.sql.adaptive.autoBroadcastJoinThreshold and AQE rewrites
+    the running query to a broadcast join mid-flight. That split —
+    distrust estimates, trust measurements — is exactly how a
+    100-TB job gets broadcast wins without broadcast OOM risk, and
+    it is a RUNTIME effect no EXPLAIN of the initial plan can show:
+    the face executes eagerly, captures the initial plan's
+    SortMergeJoin and the final adaptive plan's BroadcastHashJoin
+    (+ isFinalPlan=true), and rides both booleans into the hash
+    (the scan_agg_pushdown discipline). Values are the plain join
+    aggregate either way — join strategy is value-neutral, which is
+    what makes the mechanism safely hash-gatable."""
+    from ..operators.dedup import parquet_checkpoint
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        dim = (
+            t(spark, sf, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = fact.join(dim, fact.l_orderkey == dim.o_orderkey).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rev_cents"),
+        )
+        init = j._jdf.queryExecution().executedPlan().toString()
+        smj_initial = (
+            "SortMergeJoin" in init and "BroadcastHashJoin" not in init
+        )
+        j.collect()  # drive AQE to the final plan
+        final = j._jdf.queryExecution().executedPlan().toString()
+        bhj_final = (
+            "BroadcastHashJoin" in final and "isFinalPlan=true" in final
+        )
+        out = j.select(
+            "n",
+            "rev_cents",
+            F.lit(smj_initial).alias("smj_initial"),
+            F.lit(bhj_final).alias("bhj_final"),
+        )
+        return parquet_checkpoint(out, "aqe_bhj_out")
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

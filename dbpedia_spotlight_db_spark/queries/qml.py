@@ -5503,3 +5503,131 @@ def agg_native_moments(spark, sf):
         cert(F.col("nsk"), skew).alias("ok_skew"),
         cert(F.col("nku"), kurt).alias("ok_kurt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis outliers — 2-D covariance-aware distance, top-20
+# ---------------------------------------------------------------------------
+@q(
+    "stat_mahalanobis",
+    """
+    WITH v AS (
+      SELECT event_id,
+             CAST(round(value * 100) AS BIGINT) // 100 AS x,
+             CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS BIGINT)
+               AS y
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM v),
+    c AS (
+      SELECT n, sx, sy,
+             n * sxx - sx * sx AS cxx,
+             n * syy - sy * sy AS cyy,
+             n * sxy - sx * sy AS cxy
+      FROM s),
+    d AS (
+      SELECT v.event_id,
+             CAST(round(1000000.0 *
+               ((CAST(n * v.x - sx AS DOUBLE) * (n * v.x - sx) * cyy
+                 - 2.0 * CAST(n * v.x - sx AS DOUBLE) * (n * v.y - sy)
+                   * cxy
+                 + CAST(n * v.y - sy AS DOUBLE) * (n * v.y - sy) * cxx)
+                / (CAST(cxx AS DOUBLE) * cyy
+                   - CAST(cxy AS DOUBLE) * cxy)))
+               AS BIGINT) AS d2_us
+      FROM v CROSS JOIN c
+      WHERE n >= 3
+        AND CAST(cxx AS DOUBLE) * cyy - CAST(cxy AS DOUBLE) * cxy > 0)
+    SELECT event_id, d2_us, round(d2_us / 1000000.0, 6) + 0 AS d2
+    FROM d ORDER BY d2_us DESC, event_id LIMIT 20
+    """,
+)
+def stat_mahalanobis(spark, sf):
+    """Mahalanobis outliers over (value, hour-of-day) — the
+    covariance-AWARE anomaly score events_outliers' per-column z
+    cannot give: a $300 purchase is normal at noon and anomalous at
+    4am only if value and hour CORRELATE, and d^2 = e' adj(C') e /
+    det(C') prices exactly that. Cross-multiplied algebra keeps the
+    per-point deviations exact (e_x = n*x - Sx, the stat_anova
+    discipline) and the five moment sums exact BIGINTs; the
+    quadratic form itself runs in DOUBLE in ONE identical operation
+    order (its integer version tops 1e23 — the stat_cvm overflow
+    lesson) and micros-quantizes per point, so the top-20 ranking
+    compares exact integers with a deterministic event_id tiebreak.
+    The 1-row moment relation broadcasts onto the corpus
+    (events_outliers' broadcast-stats shape; the cross join IS the
+    1-row attach). Degenerate covariance (det <= 0: constant column
+    or perfect correlation) yields no rows rather than NaNs; under
+    a true 2-D normal d^2 ~ chi^2_2, so the top-20 doubling as a
+    'scores > 13.8 are p < .001' readout is the production use."""
+    v = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT) div 100").alias(
+                "x"
+            ),
+            F.hour(F.col("ts").cast("timestamp"))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    c = s.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "cxx"
+        ),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "cyy"
+        ),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "cxy"
+        ),
+    )
+    ex = (F.col("n") * F.col("x") - F.col("sx")).cast("double")
+    exl = F.col("n") * F.col("x") - F.col("sx")
+    ey = (F.col("n") * F.col("y") - F.col("sy")).cast("double")
+    eyl = F.col("n") * F.col("y") - F.col("sy")
+    det = F.col("cxx").cast("double") * F.col("cyy") - F.col(
+        "cxy"
+    ).cast("double") * F.col("cxy")
+    d2_us = F.round(
+        F.lit(1000000.0)
+        * (
+            (ex * exl * F.col("cyy")
+             - F.lit(2.0) * ex * eyl * F.col("cxy")
+             + ey * eyl * F.col("cxx"))
+            / det
+        )
+    ).cast("long")
+    d = (
+        v.crossJoin(c)
+        .filter((F.col("n") >= 3) & (det > 0))
+        .select("event_id", d2_us.alias("d2_us"))
+    )
+    return (
+        d.orderBy(F.desc("d2_us"), "event_id")
+        .limit(20)
+        .select(
+            "event_id",
+            "d2_us",
+            (F.round(F.col("d2_us") / F.lit(1000000.0), 6) + F.lit(0.0))
+            .alias("d2"),
+        )
+    )

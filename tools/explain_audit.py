@@ -2243,6 +2243,32 @@ def main() -> None:
             f"(want 0) Generate={_gen} (want 0)",
         )
 
+    # 79. wave 93: the AQE conversion face reads its checkpoint (the
+    # mechanism evidence lives in the hashed booleans, earned at
+    # eager execution); Mahalanobis broadcasts the 1-row moment
+    # relation onto the corpus (BNLJ on a 1-row side IS the
+    # broadcast attach — what must NOT appear is a shuffle of the
+    # corpus for the attach) and takes top-20 without a global sort.
+    p_aq = plan_of(QUERIES["join_aqe_bhj_convert"](spark, SF))
+    aq_raw = p_aq.count("lineitem.parquet")
+    p_mh = (
+        QUERIES["stat_mahalanobis"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    mh_topk = "TakeOrderedAndProject" in p_mh
+    mh_sort_global = len(re.findall(r"\bSort\b.*global=true", p_mh))
+    check(
+        "wave 93: AQE face checkpointed; Mahalanobis top-k without "
+        "a global sort",
+        aq_raw == 0 and mh_topk and mh_sort_global == 0,
+        f"join_aqe_bhj_convert raw lineitem scans={aq_raw} (want 0); "
+        f"stat_mahalanobis TakeOrderedAndProject={mh_topk} "
+        f"global-sorts={mh_sort_global} (want 0)",
+        p_mh,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
