@@ -2471,3 +2471,153 @@ def kg_summary(spark, sf_dir):
         )
         .alias("density"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimRank (2 iterations) — structural similarity on the capped subgraph
+# ---------------------------------------------------------------------------
+@q(
+    "kg_simrank",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    {_CEDGES_SQL},
+    degc AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+             FROM ce GROUP BY src),
+    cn AS (SELECT e1.src AS a, e2.src AS b,
+                  CAST(COUNT(*) AS BIGINT) AS cn
+           FROM ce e1 JOIN ce e2
+             ON e1.dst = e2.dst AND e1.src < e2.src
+           GROUP BY 1, 2),
+    s1 AS (SELECT cn.a, cn.b,
+                  (2 * 800000000000 * cn.cn + da.d * db.d)
+                    // (2 * da.d * db.d) AS s_ps
+           FROM cn
+           JOIN degc da ON da.src = cn.a
+           JOIN degc db ON db.src = cn.b),
+    p2 AS (SELECT c.a, c.b, ea.dst AS i, eb.dst AS j
+           FROM cn c
+           JOIN ce ea ON ea.src = c.a
+           JOIN ce eb ON eb.src = c.b),
+    contrib AS (
+      SELECT p2.a, p2.b,
+             CASE WHEN p2.i = p2.j THEN 1000000000000
+                  ELSE COALESCE(s1.s_ps, 0) END AS t_ps
+      FROM p2 LEFT JOIN s1
+        ON p2.i <> p2.j
+           AND s1.a = least(p2.i, p2.j)
+           AND s1.b = greatest(p2.i, p2.j)),
+    tot AS (SELECT a, b, CAST(SUM(t_ps) AS BIGINT) AS total_ps
+            FROM contrib GROUP BY a, b),
+    s2 AS (SELECT tot.a, tot.b,
+                  (8 * total_ps + 5 * da.d * db.d)
+                    // (10 * da.d * db.d) AS s2_ps
+           FROM tot
+           JOIN degc da ON da.src = tot.a
+           JOIN degc db ON db.src = tot.b)
+    SELECT a AS uri_a, b AS uri_b,
+           CAST(s2_ps AS BIGINT) AS s2_ps,
+           round(s2_ps / 1000000000000.0, 6) + 0 AS simrank2
+    FROM s2 ORDER BY s2_ps DESC, a, b LIMIT 20
+    """,
+)
+def kg_simrank(spark, sf_dir):
+    """SimRank, two iterations (Jeh & Widom 2002: 'two objects are
+    similar if they are referenced by similar objects'), C = 0.8 —
+    the RECURSIVE structural similarity kg_node_sim's one-shot
+    neighbor-overlap cannot express: s2 credits a pair for having
+    neighbors that are THEMSELVES similar, not merely shared.
+    Iterate from s0 = identity: s1(a,b) = C*cn(a,b)/(da*db), and
+    s2(a,b) = C/(da*db) * [cn(a,b)*1 + sum over neighbor pairs
+    i != j of s1(i,j)] — the i = j diagonal terms fold to cn exactly.
+    Everything is EXACT integer picos: s1 quantizes half-up with
+    pure BIGINT arithmetic ((2*C*1e12*cn + D) div (2D), no float
+    anywhere), the iteration sums those integers, and s2 re-divides
+    once ((8T + 5D) div (10D) = half-up 0.8*T/D) — so two chained
+    rational iterations hash bit-for-bit across engines. Candidate
+    set and iteration both live on the deg <= 64 capped subgraph
+    (``_capped_edges``; degrees are the SUBGRAPH's own, making this
+    exactly SimRank of the induced graph): per-pair neighbor
+    fan-out is bounded by cap^2 = 4096, and the s1 support (wedge-
+    connected pairs) is the same candidate set — which is what makes
+    SimRank iterable at web scale at all. ce and cn each feed 2+
+    consumers, so both are parquet-checkpointed (the two-consumer
+    rule). Top-20 with deterministic (score, a, b) order."""
+    from ..operators.dedup import parquet_checkpoint
+
+    e = _undirected_edges(spark, sf_dir)
+    ce = parquet_checkpoint(_capped_edges(e), "simrank_ce")
+    degc = ce.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    cn = parquet_checkpoint(
+        ce.alias("e1")
+        .join(
+            ce.alias("e2"),
+            (F.col("e1.dst") == F.col("e2.dst"))
+            & (F.col("e1.src") < F.col("e2.src")),
+        )
+        .groupBy(
+            F.col("e1.src").alias("a"), F.col("e2.src").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cn")),
+        "simrank_cn",
+    )
+    s1 = (
+        cn.join(degc.select(F.col("src").alias("a"), F.col("d").alias("da")), "a")
+        .join(degc.select(F.col("src").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "(2 * 800000000000 * cn + da * db) div (2 * da * db)"
+            ).alias("s_ps"),
+        )
+    )
+    p2 = (
+        cn.select("a", "b")
+        .join(ce.select(F.col("src").alias("a"), F.col("dst").alias("i")), "a")
+        .join(ce.select(F.col("src").alias("b"), F.col("dst").alias("j")), "b")
+    )
+    contrib = p2.join(
+        s1.select(
+            F.col("a").alias("sa"), F.col("b").alias("sb"), "s_ps"
+        ),
+        (F.col("i") != F.col("j"))
+        & (F.col("sa") == F.least("i", "j"))
+        & (F.col("sb") == F.greatest("i", "j")),
+        "left",
+    ).select(
+        "a",
+        "b",
+        F.when(F.col("i") == F.col("j"), F.lit(1000000000000))
+        .otherwise(F.coalesce(F.col("s_ps"), F.lit(0)))
+        .alias("t_ps"),
+    )
+    tot = contrib.groupBy("a", "b").agg(
+        F.sum("t_ps").cast("long").alias("total_ps")
+    )
+    s2 = (
+        tot.join(degc.select(F.col("src").alias("a"), F.col("d").alias("da")), "a")
+        .join(degc.select(F.col("src").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "(8 * total_ps + 5 * da * db) div (10 * da * db)"
+            ).alias("s2_ps"),
+        )
+    )
+    return (
+        s2.orderBy(F.desc("s2_ps"), "a", "b")
+        .limit(20)
+        .select(
+            F.col("a").alias("uri_a"),
+            F.col("b").alias("uri_b"),
+            F.col("s2_ps").cast("long").alias("s2_ps"),
+            (
+                F.round(F.col("s2_ps") / F.lit(1000000000000.0), 6)
+                + F.lit(0.0)
+            ).alias("simrank2"),
+        )
+    )

@@ -2269,6 +2269,22 @@ def main() -> None:
         p_mh,
     )
 
+    # 80. wave 94: kg_simrank runs entirely on the capped subgraph
+    # checkpoints — zero raw documents scans in the returned plan
+    # (ce and cn each feed 2+ consumers), and the top-20 takes
+    # TakeOrderedAndProject, not a global sort.
+    p_sr = plan_of(QUERIES["kg_simrank"](spark, SF))
+    sr_raw = p_sr.count("documents.parquet")
+    sr_topk = "TakeOrderedAndProject" in p_sr
+    check(
+        "wave 94: simrank reads its checkpoints and top-ks without "
+        "a global sort",
+        sr_raw == 0 and sr_topk,
+        f"kg_simrank raw documents scans={sr_raw} (want 0) "
+        f"TakeOrderedAndProject={sr_topk}",
+        p_sr,
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
