@@ -1059,3 +1059,56 @@ def lake_output_sizing(spark, sf):
         F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("id_sum"),
     )
     return parquet_checkpoint(out, "output_sizing_out")
+
+
+# ---------------------------------------------------------------------------
+# input split sizing — maxPartitionBytes actually re-splits the scan
+# ---------------------------------------------------------------------------
+@q(
+    "scan_split_sizing",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS id_sum,
+           TRUE AS more_splits
+    FROM events
+    """,
+)
+def scan_split_sizing(spark, sf):
+    """``spark.sql.files.maxPartitionBytes`` (+ openCostInBytes) —
+    the knob that decides how many TASKS a file scan becomes, pinned
+    as a face: the same parquet input planned under a 64 KB split
+    target yields strictly more input partitions than under the
+    default 128 MB, values identical either way (splits are a pure
+    physical re-chunking). This is the repo's own measured tuning
+    lever (CLAUDE.md: 16 MB splits raised busy-fraction on the
+    1.7 GB bench input but per-task overhead ate smaller splits) —
+    at 100 TB split sizing is the difference between 800k
+    well-pipelined tasks and 80 starved ones, and it interacts with
+    AQE's advisory sizes downstream. Mechanism rides the hash as
+    the more_splits boolean (both partition counts measured from
+    the planned scan RDDs under conf scope, restored in finally);
+    correctness rides the count + id checksum, which a mis-split
+    scan (dropped or doubled split) would break."""
+    key_b = "spark.sql.files.maxPartitionBytes"
+    key_o = "spark.sql.files.openCostInBytes"
+    prev_b, prev_o = spark.conf.get(key_b), spark.conf.get(key_o)
+    ev = t(spark, sf, "events").select("event_id")
+    n_default = ev.rdd.getNumPartitions()
+    spark.conf.set(key_b, "65536")
+    spark.conf.set(key_o, "0")
+    try:
+        ev_small = t(spark, sf, "events").select("event_id")
+        n_small = ev_small.rdd.getNumPartitions()
+        out = ev_small.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("event_id"), F.lit(0))
+            .cast("long")
+            .alias("id_sum"),
+            F.lit(bool(n_small > n_default)).alias("more_splits"),
+        )
+        from ..operators.dedup import parquet_checkpoint
+
+        return parquet_checkpoint(out, "split_sizing_out")
+    finally:
+        spark.conf.set(key_b, prev_b)
+        spark.conf.set(key_o, prev_o)

@@ -2285,6 +2285,26 @@ def main() -> None:
         p_sr,
     )
 
+    # 81. wave 95: EB shrinkage is one corpus scan (the prior fit
+    # and the per-segment attach both run on the k-sized relation);
+    # split sizing returns its checkpoint.
+    p_eb = (
+        QUERIES["stat_eb_shrinkage"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    eb_raw = p_eb.count("events.parquet")
+    p_ss = plan_of(QUERIES["scan_split_sizing"](spark, SF))
+    ss_raw = p_ss.count("events.parquet")
+    check(
+        "wave 95: EB shrinkage reads its segment checkpoint (two "
+        "consumers); split-sizing checkpointed",
+        eb_raw == 0 and ss_raw == 0,
+        f"stat_eb_shrinkage raw events scans={eb_raw} (want 0); "
+        f"scan_split_sizing raw events scans={ss_raw} (want 0)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
