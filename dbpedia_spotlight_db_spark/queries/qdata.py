@@ -2348,3 +2348,73 @@ def udf_struct_return(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("s.cents").cast("long").alias("cents_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow batch sizing — maxRecordsPerBatch actually bounds UDF batches
+# ---------------------------------------------------------------------------
+_ARROW_BATCH = 100
+
+
+@q(
+    "udf_arrow_batching",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CEIL(COUNT(*) / {_ARROW_BATCH}.0) AS BIGINT)
+             AS n_batches,
+           TRUE AS max_ok,
+           CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS id_sum
+    FROM events
+    """,
+)
+def udf_arrow_batching(spark, sf):
+    """``spark.sql.execution.arrow.maxRecordsPerBatch`` — the knob
+    that bounds how many rows cross the JVM->Python Arrow hop per
+    batch, certified from INSIDE the UDF: a mapInPandas over the
+    corpus coalesced to one partition emits one summary row per
+    received batch, so the batch count is the closed form
+    ceil(n/100) and every batch's size is <= the bound (both ride
+    the hash; the id checksum proves no row was lost at the batch
+    seams). Why a face: batch size is the Python UDF family's
+    memory contract — a 100-TB mapInPandas with a model that copies
+    its input must size batches to the executor's Python heap, and
+    this conf (default 10000) is the only lever; the face pins that
+    it actually propagates to the worker. Conf scoped with the
+    eager-checkpoint idiom. The single partition makes the count a
+    closed form — multi-partition runs bound per-partition batch
+    counts instead (the lake_output_sizing caveat, Arrow edition)."""
+    from ..operators.dedup import parquet_checkpoint
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(_ARROW_BATCH))
+    try:
+        src = (
+            t(spark, sf, "events")
+            .select("event_id")
+            .coalesce(1)
+        )
+
+        def _per_batch(batches):
+            for b in batches:
+                yield pd.DataFrame(
+                    {
+                        "rows": [len(b)],
+                        "ids": [int(b["event_id"].sum())],
+                    }
+                )
+
+        per = src.mapInPandas(_per_batch, "rows long, ids long")
+        out = per.agg(
+            F.coalesce(F.sum("rows"), F.lit(0)).cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.coalesce(F.max("rows") <= _ARROW_BATCH, F.lit(True)).alias(
+                "max_ok"
+            ),
+            F.coalesce(F.sum("ids"), F.lit(0))
+            .cast("long")
+            .alias("id_sum"),
+        )
+        return parquet_checkpoint(out, "arrow_batching_out")
+    finally:
+        spark.conf.set(key, prev)

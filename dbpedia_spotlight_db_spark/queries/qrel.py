@@ -2701,3 +2701,61 @@ def stream_complete_topk(spark, sf):
         )
         q_.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# monotonically_increasing_id — the contract, certified, never the values
+# ---------------------------------------------------------------------------
+@q(
+    "mono_id_contract",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS all_distinct,
+           TRUE AS monotone_within_partition
+    FROM events
+    """,
+)
+def mono_id_contract(spark, sf):
+    """``monotonically_increasing_id`` certified by CONTRACT, never
+    by value: the generated ids are partition-layout-dependent
+    (63-bit partition-id-shifted counters), so no cross-engine — or
+    even cross-run — value comparison can exist; what IS stable, and
+    what every consumer actually relies on, is the contract: ids are
+    globally DISTINCT and strictly INCREASING within each partition.
+    The face generates ids over the corpus and hashes exactly those
+    two properties (count-distinct == count; a per-partition LAG
+    window finds zero non-increasing steps), the scan_agg_pushdown
+    ride-along discipline applied to a nondeterministic generator.
+    The practical 100-TB note rides in the docstring: the ids are
+    NOT dense and NOT stable across recomputations of the same
+    lineage under AQE/retries — surrogate keys that must be stable
+    belong to content hashes (sample_hash/md5 family), and row
+    positions to _metadata.row_index (scan_row_index); this
+    generator is for within-job temporary tags only."""
+    ids = t(spark, sf, "events").select(
+        F.monotonically_increasing_id().alias("mid"),
+        F.spark_partition_id().alias("pid"),
+    )
+    w = Window.partitionBy("pid").orderBy("mid")
+    stepped = ids.select(
+        "mid",
+        "pid",
+        F.lag("mid").over(w).alias("prev"),
+    )
+    return stepped.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.countDistinct("mid") == F.count(F.lit(1))).alias(
+            "all_distinct"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("mid") <= F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+            == 0,
+            F.lit(True),
+        ).alias("monotone_within_partition"),
+    )

@@ -1624,3 +1624,60 @@ def sql_variables(spark, sf):
         GROUP BY rev_tot, big_cut
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# try_element_at — the collection rung of the ANSI tolerance ladder
+# ---------------------------------------------------------------------------
+@q(
+    "sql_try_element_at",
+    """
+    WITH a AS (
+      SELECT string_split(text, ' ') AS arr,
+             CAST(1 + doc_id % 40 AS BIGINT) AS idx
+      FROM documents WHERE text IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN idx <= len(arr) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN idx <= len(arr)
+                         THEN length(arr[CAST(idx AS INT)])
+                         ELSE 0 END) AS BIGINT) AS hit_len_sum
+    FROM a
+    """,
+)
+def sql_try_element_at(spark, sf):
+    """``try_element_at`` — the collection rung of the try_*
+    tolerance ladder (arith: sql_try_arith, casts: sql_try_cast,
+    timestamps: sql_try_timestamp): under ANSI mode a plain
+    element_at past the end of the array THROWS
+    INVALID_ARRAY_INDEX, so probing 'the (1 + doc_id mod 40)-th
+    token' of variable-length documents is a crash without the try_
+    form and a clean NULL with it. The face counts probes that land
+    (and the total length of the tokens they fetch); the twin
+    bounds-checks explicitly, which is exactly the rewrite try_
+    spares you at 100 TB — one deep document keeps the job alive
+    while the short ones return NULL, the same
+    tolerate-the-tail contract as csv_permissive. In-row array
+    access only: no Generate, one scan."""
+    a = (
+        t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.split("text", " ").alias("arr"),
+            (F.lit(1) + F.col("doc_id") % 40)
+            .cast("int")
+            .alias("idx"),
+        )
+    )
+    probe = a.select(
+        F.expr("try_element_at(arr, idx)").alias("tok")
+    )
+    return probe.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("tok").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.coalesce(F.sum(F.length("tok")), F.lit(0))
+        .cast("long")
+        .alias("hit_len_sum"),
+    )

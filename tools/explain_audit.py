@@ -2305,6 +2305,39 @@ def main() -> None:
         f"scan_split_sizing raw events scans={ss_raw} (want 0)",
     )
 
+    # 82. wave 96: the try_element_at probe is in-row (no Generate,
+    # one scan — the whole point vs exploding to find the k-th
+    # token); the Arrow-batching face returns its checkpoint; the
+    # mono-id certificate runs one scan with its per-partition
+    # window.
+    p_te = (
+        QUERIES["sql_try_element_at"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    te_gen = len(re.findall(r"\bGenerate\b", p_te))
+    te_scans = len(re.findall(r"FileScan parquet", p_te))
+    p_ab = plan_of(QUERIES["udf_arrow_batching"](spark, SF))
+    ab_raw = p_ab.count("events.parquet")
+    p_mi = (
+        QUERIES["mono_id_contract"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    mi_scans = len(re.findall(r"FileScan parquet", p_mi))
+    mi_win = len(re.findall(r"\bWindow\b", p_mi))
+    check(
+        "wave 96: try_element_at in-row; arrow-batching "
+        "checkpointed; mono-id one scan + one window",
+        te_gen == 0 and te_scans == 1 and ab_raw == 0
+        and mi_scans == 1 and mi_win == 1,
+        f"sql_try_element_at Generate={te_gen} scans={te_scans}; "
+        f"udf_arrow_batching raw events scans={ab_raw} (want 0); "
+        f"mono_id_contract scans={mi_scans} windows={mi_win}",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
