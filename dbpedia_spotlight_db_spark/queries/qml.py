@@ -5751,3 +5751,115 @@ def stat_eb_shrinkage(spark, sf):
         )
         .alias("shrunk_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G-test (log-likelihood ratio) — the information-theoretic chi-square
+# ---------------------------------------------------------------------------
+@q(
+    "stat_gtest",
+    """
+    WITH lab AS (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS ina
+      FROM documents),
+    ct AS (
+      SELECT lang, CAST(SUM(ina) AS BIGINT) AS n_a,
+             CAST(SUM(1 - ina) AS BIGINT) AS n_b
+      FROM lab GROUP BY lang),
+    tot AS (
+      SELECT lang, n_a, n_b,
+             SUM(n_a) OVER () AS ta, SUM(n_b) OVER () AS tb
+      FROM ct),
+    terms AS (
+      SELECT lang, n_a, n_b,
+             CAST(round(1000000.0 * 2.0 *
+               (CASE WHEN n_a = 0 THEN 0.0
+                     ELSE n_a * ln(CAST(n_a AS DOUBLE)
+                          / (CAST(n_a + n_b AS DOUBLE) * ta
+                             / (ta + tb))) END
+                + CASE WHEN n_b = 0 THEN 0.0
+                       ELSE n_b * ln(CAST(n_b AS DOUBLE)
+                            / (CAST(n_a + n_b AS DOUBLE) * tb
+                               / (ta + tb))) END))
+               AS BIGINT) AS g_us
+      FROM tot)
+    SELECT lang, n_a, n_b,
+           CAST(g_us AS BIGINT) AS g_term_us,
+           round(SUM(g_us) OVER () / 1000000.0, 6) + 0 AS g_total
+    FROM terms
+    """,
+)
+def stat_gtest(spark, sf):
+    """G-test of homogeneity (the log-likelihood-ratio chi-square,
+    G = 2 sum O ln(O/E)) over the language distribution of the two
+    md5 halves — drift_chi2's information-theoretic twin, and the
+    one to prefer when any cell is small or the statistic will be
+    ADDED across strata (G is exactly additive over partitions of
+    the table; Pearson's X^2 is not — the property that matters when
+    a 100-TB drift monitor sums per-shard statistics into a global
+    one). Same shape as mix_kl_target: per-cell terms micros-
+    quantized in identical operation order (expected counts written
+    as the same division chain on both engines), total as a
+    frameless window over the |langs| relation; empty cells
+    contribute 0 by the 0*ln(0) convention. In fact G = 2N * MI in
+    nats — this face and stat_mutual_info agree up to that constant,
+    a cross-check the test pins."""
+    lab = t(spark, sf, "documents").select(
+        "lang",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("ina"),
+    )
+    ct = lab.groupBy("lang").agg(
+        F.sum("ina").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("ina")).cast("long").alias("n_b"),
+    )
+    wall = Window.partitionBy()
+    tot = ct.select(
+        "lang",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(wall).alias("ta"),
+        F.sum("n_b").over(wall).alias("tb"),
+    )
+    ea = (
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        * F.col("ta")
+        / (F.col("ta") + F.col("tb"))
+    )
+    eb = (
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        * F.col("tb")
+        / (F.col("ta") + F.col("tb"))
+    )
+    g_us = F.round(
+        F.lit(1000000.0)
+        * F.lit(2.0)
+        * (
+            F.when(F.col("n_a") == 0, F.lit(0.0)).otherwise(
+                F.col("n_a")
+                * F.log(F.col("n_a").cast("double") / ea)
+            )
+            + F.when(F.col("n_b") == 0, F.lit(0.0)).otherwise(
+                F.col("n_b")
+                * F.log(F.col("n_b").cast("double") / eb)
+            )
+        )
+    ).cast("long")
+    terms = tot.select("lang", "n_a", "n_b", g_us.alias("g_us"))
+    return terms.select(
+        "lang",
+        "n_a",
+        "n_b",
+        F.col("g_us").cast("long").alias("g_term_us"),
+        (
+            F.round(F.sum("g_us").over(wall) / F.lit(1000000.0), 6)
+            + F.lit(0.0)
+        ).alias("g_total"),
+    )

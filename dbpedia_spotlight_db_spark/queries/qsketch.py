@@ -1151,3 +1151,58 @@ def agg_topk_state(spark, sf):
         F.col("tk.item").alias("item"),
         F.col("tk.count").cast("long").alias("est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_count_distinct with its rsd error bound turned into a certificate
+# ---------------------------------------------------------------------------
+_ACD_RSD = 0.02
+
+
+@q(
+    "agg_approx_cd_cert",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_cd_cert(spark, sf):
+    """``approx_count_distinct`` GATED — the certificate upgrade of
+    agg_approx_cd, the registry's one rows-only key (HLL estimates
+    vary with partition merge order, so the estimate itself can
+    never be hashed): per group the hashable answer is the EXACT
+    distinct count, and the ride-along boolean attests the HLL++
+    estimate at rsd = 0.02 lands within 5 standard errors of it
+    (P(miss) ~ 3e-7 per group under the estimator's own Gaussian
+    error model — a deterministic-in-practice certificate over this
+    fixed input, and the honest form: a HARD analytic bound does not
+    exist for HLL++, unlike the GK rank bound agg_approx_pctl_cert
+    pins). Both aggregates fuse into ONE two-phase pass, which is
+    also the production pattern inverted: at 100 TB you run ONLY the
+    sketch and this face is the offline calibration that justifies
+    trusting it. The agg_lincount / agg_hll_native gating
+    discipline, closing the family."""
+    g = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").cast("long").alias(
+                "exact_parts"
+            ),
+            F.expr(
+                f"approx_count_distinct(l_partkey, {_ACD_RSD})"
+            ).alias("est"),
+        )
+    )
+    bound = F.lit(5.0 * _ACD_RSD) * F.col("exact_parts")
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        F.when(F.col("exact_parts") == 0, F.lit(True))
+        .otherwise(
+            F.abs(F.col("est") - F.col("exact_parts")) <= bound
+        )
+        .alias("within_bound"),
+    )

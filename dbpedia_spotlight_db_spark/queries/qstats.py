@@ -2476,3 +2476,99 @@ def events_burn_rate(spark, sf):
         .orderBy(F.desc("burn_1h"), "hour_num")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# linear multi-touch attribution — credit split over the prior-hour clicks
+# ---------------------------------------------------------------------------
+@q(
+    "events_attribution_linear",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    j AS (
+      SELECT p.event_id AS pid, c.event_id AS click_id
+      FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM e WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND c.us >= p.us - 3600000000 AND c.us <= p.us),
+    w AS (
+      SELECT pid, click_id,
+             COUNT(*) OVER (PARTITION BY pid) AS n_touch
+      FROM j),
+    cr AS (
+      SELECT click_id,
+             (2000000 + n_touch) // (2 * n_touch) AS credit_us
+      FROM w)
+    SELECT click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_assists,
+           CAST(SUM(credit_us) AS BIGINT) AS credit_us
+    FROM cr GROUP BY click_id
+    ORDER BY credit_us DESC, click_id LIMIT 20
+    """,
+)
+def events_attribution_linear(spark, sf):
+    """LINEAR multi-touch attribution — every purchase splits one
+    unit of conversion credit EQUALLY over all of the same user's
+    clicks in the prior hour, the standard middle ground between
+    events_attribution's last-touch (winner-takes-all overcredits
+    the final click) and data-driven models (which need a trained
+    uplift model this table cannot supply). The per-purchase split
+    1/n quantizes half-up to exact integer micros in pure BIGINT
+    arithmetic ((2e6 + n) div 2n — the text_rake trick), so each
+    click's accumulated credit is an exact order-independent sum and
+    the top-20 assist leaderboard hashes. Shape: user-keyed
+    equi-join with the hour bound as a residual (per-user touch
+    volumes bound the fan-out; a keyless variant would be
+    join_range_chunked's problem), touch counts as a window keyed by
+    the purchase — no second join against a counts relation.
+    Purchases with no prior click drop out (unattributed organic
+    conversions — last-touch drops them identically)."""
+    e = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("u"),
+        F.col("us").alias("pus"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("u"),
+        F.col("us").alias("cus"),
+    )
+    j = p.join(c, "u").filter(
+        (F.col("cus") >= F.col("pus") - 3600000000)
+        & (F.col("cus") <= F.col("pus"))
+    )
+    w = j.select(
+        "pid",
+        "click_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("pid"))
+        .alias("n_touch"),
+    )
+    cr = w.select(
+        "click_id",
+        F.expr("(2000000 + n_touch) div (2 * n_touch)").alias(
+            "credit_us"
+        ),
+    )
+    return (
+        cr.groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assists"),
+            F.sum("credit_us").cast("long").alias("credit_us"),
+        )
+        .orderBy(F.desc("credit_us"), "click_id")
+        .limit(20)
+    )

@@ -2338,6 +2338,44 @@ def main() -> None:
         f"mono_id_contract scans={mi_scans} windows={mi_win}",
     )
 
+    # 83. wave 97: the HLL certificate fuses exact + sketch into one
+    # two-phase aggregate over one scan; the G-test is single-scan
+    # with its windows over the |langs| relation; linear attribution
+    # counts touches as a purchase-keyed window, never a second join.
+    p_cd = (
+        QUERIES["agg_approx_cd_cert"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    cd_scans = len(re.findall(r"FileScan parquet", p_cd))
+    p_gt = (
+        QUERIES["stat_gtest"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    gt_scans = len(re.findall(r"FileScan parquet", p_gt))
+    gt_joins = len(re.findall(r"Join", p_gt))
+    p_al = (
+        QUERIES["events_attribution_linear"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    al_joins = len(re.findall(r"Join", p_al))
+    al_win = len(re.findall(r"\bWindow\b", p_al))
+    check(
+        "wave 97: HLL-cert single scan; G-test join-free; linear "
+        "attribution one join + one window",
+        cd_scans == 1 and gt_scans == 1 and gt_joins == 0
+        and al_joins == 1 and al_win == 1,
+        f"agg_approx_cd_cert scans={cd_scans} (want 1); stat_gtest "
+        f"scans={gt_scans} joins={gt_joins}; "
+        f"events_attribution_linear joins={al_joins} (want 1) "
+        f"windows={al_win} (want 1)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
