@@ -1112,3 +1112,106 @@ def scan_split_sizing(spark, sf):
     finally:
         spark.conf.set(key_b, prev_b)
         spark.conf.set(key_o, prev_o)
+
+
+# ---------------------------------------------------------------------------
+# CBO join reorder — ANALYZE'd stats actually change the join order
+# ---------------------------------------------------------------------------
+@q(
+    "join_cbo_reorder",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)),
+                         0) AS BIGINT) AS rev_cents,
+           TRUE AS reordered
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE n.n_name = 'FRANCE'
+    """,
+)
+def join_cbo_reorder(spark, sf):
+    """Cost-based join REORDERING: with per-column statistics
+    (ANALYZE TABLE ... FOR ALL COLUMNS) and
+    spark.sql.cbo.joinReorder.enabled, Catalyst moves the selective
+    customer-nation reduction AHEAD of the big orders join — measured
+    here as the optimized plan's scan order flipping from the
+    syntactic (orders, customer, nation) to (customer, nation,
+    orders) the moment CBO sees the stats. That is the third leg of
+    the optimizer-mechanism family: DPP (join_dpp) prunes inputs,
+    AQE (join_aqe_bhj_convert) fixes strategies at runtime from
+    MEASURED sizes, CBO fixes join ORDER at plan time from COLLECTED
+    stats — and order is the one of the three that can change cost
+    by orders of magnitude on a 100-TB snowflake (joining the fact
+    table first materializes it twice). The face builds app-suffixed
+    analyzed catalog tables (sql_catalog_table's collision
+    discipline), plans the same query under cbo off/on, rides the
+    order-changed boolean into the hash, executes the CBO plan
+    eagerly, and drops the tables in finally. Values are
+    order-independent — which is exactly why reordering is always
+    legal and only cost decides."""
+    import re as _re
+
+    from ..operators.dedup import parquet_checkpoint
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    names = {}
+    confs = {
+        "spark.sql.cbo.enabled": None,
+        "spark.sql.cbo.joinReorder.enabled": None,
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for tbl in ("customer", "orders", "nation"):
+            nm = f"cbo_{tbl}_{app}"
+            names[tbl] = nm
+            spark.sql(f"DROP TABLE IF EXISTS {nm}")
+            t(spark, sf, tbl).write.saveAsTable(nm)
+            spark.sql(
+                f"ANALYZE TABLE {nm} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+        q_sql = f"""
+            SELECT COUNT(*) AS n,
+                   COALESCE(SUM(CAST(round(o_totalprice * 100)
+                                     AS BIGINT)), CAST(0 AS BIGINT))
+                     AS rev_cents
+            FROM {names['orders']} o
+            JOIN {names['customer']} c ON c.c_custkey = o.o_custkey
+            JOIN {names['nation']} n ON n.n_nationkey = c.c_nationkey
+            WHERE n.n_name = 'FRANCE'
+        """
+
+        def scan_order(cbo: str) -> list:
+            spark.conf.set("spark.sql.cbo.enabled", cbo)
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo)
+            plan = (
+                spark.sql(q_sql)
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .toString()
+            )
+            seen = []
+            for m in _re.findall(r"cbo_(\w+?)_", plan):
+                if m not in seen:
+                    seen.append(m)
+            return seen
+
+        base_order = scan_order("false")
+        cbo_order = scan_order("true")
+        reordered = (
+            base_order != cbo_order and cbo_order[-1] == "orders"
+        )
+        out_df = spark.sql(q_sql).select(  # executes under cbo=true
+            "n",
+            "rev_cents",
+            F.lit(reordered).alias("reordered"),
+        )
+        return parquet_checkpoint(out_df, "cbo_reorder_out")
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for nm in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {nm}")

@@ -5863,3 +5863,72 @@ def stat_gtest(spark, sf):
             + F.lit(0.0)
         ).alias("g_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DataFrameStatFunctions — crosstab exact, freqItems superset certificate
+# ---------------------------------------------------------------------------
+@q(
+    "stat_api_crosstab",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(user_id % 3 AS VARCHAR) AS seg
+      FROM events WHERE user_id IS NOT NULL)
+    SELECT event_type, seg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS freq_superset_ok
+    FROM e GROUP BY event_type, seg
+    """,
+)
+def stat_api_crosstab(spark, sf):
+    """``DataFrame.stat`` — the fourth public query surface
+    (DataFrame API / SQL / pyspark.pandas / df.stat): ``crosstab``
+    builds the contingency table in one pass (exact — the twin is
+    the plain two-key GROUP BY after the face UNPIVOTs the wide
+    crosstab back to long form, proving the reshape is lossless),
+    and ``freqItems`` rides along as a CERTIFICATE: the
+    Karp-Papadimitriou-Shenker sketch guarantees a SUPERSET of the
+    truly-frequent items (possible false positives, never false
+    negatives), and since the returned set varies with partition
+    order only the guaranteed direction is hashable — every
+    event_type with frequency >= the 0.15 support must appear in
+    the sketch's answer (array_except of exact-frequent minus
+    sketch == empty). The agg_lincount one-sided-gating discipline
+    applied to an API whose output LOOKS like a plain list but is
+    contractually a superset — the trap this face documents."""
+    e = (
+        t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .withColumn("seg", (F.col("user_id") % 3).cast("string"))
+    )
+    ct = e.stat.crosstab("event_type", "seg")
+    seg_cols = sorted(c for c in ct.columns if c != "event_type_seg")
+    long = ct.select(
+        F.col("event_type_seg").alias("event_type"),
+        F.expr(
+            "stack({n}, {args}) AS (seg, n)".format(
+                n=len(seg_cols),
+                args=", ".join(f"'{c}', `{c}`" for c in seg_cols),
+            )
+        ),
+    ).filter(F.col("n") > 0)
+    fi = [
+        r
+        for r in e.stat.freqItems(["event_type"], 0.15).collect()[0][0]
+    ]
+    n_total = e.count()
+    exact_frequent = [
+        r["event_type"]
+        for r in e.groupBy("event_type")
+        .count()
+        .filter(F.col("count") >= 0.15 * n_total)
+        .collect()
+    ]
+    superset_ok = set(exact_frequent) <= set(fi)
+    return long.select(
+        "event_type",
+        "seg",
+        F.col("n").cast("long").alias("n"),
+        F.lit(bool(superset_ok)).alias("freq_superset_ok"),
+    )

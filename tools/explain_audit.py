@@ -2376,6 +2376,30 @@ def main() -> None:
         f"windows={al_win} (want 1)",
     )
 
+    # 84. wave 98: CBO face reads its checkpoint (the mechanism
+    # evidence lives in the hashed boolean); crosstab's unpivot adds
+    # no Python nodes and one corpus scan feeds the wide pass.
+    p_cb = plan_of(QUERIES["join_cbo_reorder"](spark, SF))
+    cb_raw = (
+        p_cb.count("orders.parquet")
+        + p_cb.count("customer.parquet")
+        + p_cb.count("nation.parquet")
+    )
+    p_xt = (
+        QUERIES["stat_api_crosstab"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    xt_py = len(re.findall(r"EvalPython|ArrowEval", p_xt))
+    check(
+        "wave 98: CBO face checkpointed; crosstab unpivot stays "
+        "JVM-side",
+        cb_raw == 0 and xt_py == 0,
+        f"join_cbo_reorder raw scans={cb_raw} (want 0); "
+        f"stat_api_crosstab python-nodes={xt_py} (want 0)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
