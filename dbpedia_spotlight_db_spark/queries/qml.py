@@ -5904,6 +5904,14 @@ def stat_api_crosstab(spark, sf):
     )
     ct = e.stat.crosstab("event_type", "seg")
     seg_cols = sorted(c for c in ct.columns if c != "event_type_seg")
+    if not seg_cols:
+        # empty corpus: the crosstab has no value columns and
+        # stack(0) is a PARSE error — return the empty long form
+        return spark.createDataFrame(
+            [],
+            "event_type string, seg string, n long, "
+            "freq_superset_ok boolean",
+        )
     long = ct.select(
         F.col("event_type_seg").alias("event_type"),
         F.expr(
