@@ -4070,3 +4070,95 @@ def stat_pacf(spark, sf):
         )
         .alias("phi22"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 99: Cronbach's alpha — internal-consistency reliability from
+# exact integer power sums in one scan
+# ---------------------------------------------------------------------------
+@q(
+    "stat_cronbach",
+    """
+    WITH it AS (
+      SELECT CAST(l_quantity AS BIGINT)            AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_tax * 100) AS BIGINT)      AS x3
+      FROM lineitem),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x1*x1) AS BIGINT) AS q1,
+             CAST(SUM(x2) AS BIGINT) AS s2, CAST(SUM(x2*x2) AS BIGINT) AS q2,
+             CAST(SUM(x3) AS BIGINT) AS s3, CAST(SUM(x3*x3) AS BIGINT) AS q3,
+             CAST(SUM(x1+x2+x3) AS BIGINT) AS st,
+             CAST(SUM((x1+x2+x3)*(x1+x2+x3)) AS BIGINT) AS qt
+      FROM it)
+    SELECT n,
+           CASE WHEN n < 2 THEN NULL
+                ELSE (n*q1 - s1*s1) + (n*q2 - s2*s2) + (n*q3 - s3*s3)
+           END AS item_var_num,
+           CASE WHEN n < 2 THEN NULL ELSE n*qt - st*st END AS total_var_num,
+           CASE WHEN n < 2 OR n*qt - st*st = 0 THEN NULL
+                ELSE round(1.5 * (1.0 - CAST((n*q1 - s1*s1) + (n*q2 - s2*s2)
+                                             + (n*q3 - s3*s3) AS DOUBLE)
+                                        / (n*qt - st*st)), 6) + 0
+           END AS alpha
+    FROM m
+    """,
+)
+def stat_cronbach(spark, sf):
+    """Cronbach's alpha over k=3 integer "items" per lineitem
+    (quantity, discount cents, tax cents) — the internal-consistency
+    number a labeling pipeline reports over redundant quality
+    raters/scorers before trusting their mean. alpha = k/(k-1) *
+    (1 - SUM var_i / var_total); every sample variance shares the
+    n(n-1) denominator, so the ratio collapses to exact BIGINT
+    numerators n*SUMx^2 - (SUMx)^2 — items AND their row-sum total
+    come out of ONE aggregate over ONE scan (no per-item passes, no
+    Exchange beyond the single partial->final agg), and the only
+    float is the final k/(k-1)-scaled division, rounded to 6
+    identically in both engines. Headroom: items <= 5000, so
+    n*qt <= 2.1e8 * n^2-ish — exact past 1e8 rows; beyond that the
+    power sums move to DECIMAL(38,0), same shape. n<2 or zero total
+    variance (constant rows) NULL-guards the ANSI divide. IEEE -0.0
+    normalized with `+ 0` (stat_corr precedent)."""
+    it = t(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("x3"),
+    ).withColumn("xt", F.col("x1") + F.col("x2") + F.col("x3"))
+    m = it.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("q1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("q2"),
+        F.sum("x3").cast("long").alias("s3"),
+        F.sum(F.col("x3") * F.col("x3")).cast("long").alias("q3"),
+        F.sum("xt").cast("long").alias("st"),
+        F.sum(F.col("xt") * F.col("xt")).cast("long").alias("qt"),
+    )
+    ivn = (
+        (F.col("n") * F.col("q1") - F.col("s1") * F.col("s1"))
+        + (F.col("n") * F.col("q2") - F.col("s2") * F.col("s2"))
+        + (F.col("n") * F.col("q3") - F.col("s3") * F.col("s3"))
+    )
+    tvn = F.col("n") * F.col("qt") - F.col("st") * F.col("st")
+    small = F.col("n") < 2
+    return m.select(
+        "n",
+        F.when(small, F.lit(None).cast("long")).otherwise(ivn)
+        .alias("item_var_num"),
+        F.when(small, F.lit(None).cast("long")).otherwise(tvn)
+        .alias("total_var_num"),
+        (
+            F.when(small | (tvn == 0), F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.lit(1.5)
+                    * (F.lit(1.0) - ivn.cast("double") / tvn),
+                    6,
+                )
+                + F.lit(0.0)
+            )
+        ).alias("alpha"),
+    )

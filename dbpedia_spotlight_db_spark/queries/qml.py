@@ -5940,3 +5940,78 @@ def stat_api_crosstab(spark, sf):
         F.col("n").cast("long").alias("n"),
         F.lit(bool(superset_ok)).alias("freq_superset_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 99: exact F1 threshold sweep — the operating-point selector
+# ---------------------------------------------------------------------------
+@q(
+    "ml_f1_sweep",
+    """
+    WITH """ + _SCORE_SQL + """,
+    sw AS (
+      SELECT cents AS thr_cents,
+             pprev + p AS tp,
+             (cprev + cnt) - (pprev + p) AS fp,
+             pos_tot - (pprev + p) AS fn,
+             CAST((2000000 * (pprev + p))
+                  // ((cprev + cnt) + pos_tot) AS BIGINT) AS f1_micros
+      FROM rk)
+    SELECT thr_cents, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, f1_micros,
+           f1_micros = MAX(f1_micros) OVER () AS is_best
+    FROM sw
+    """,
+)
+def ml_f1_sweep(spark, sf):
+    """Exact F1 operating-point sweep: one row per DISTINCT score
+    threshold (predict positive iff score >= thr) with its exact
+    TP/FP/FN and F1, plus an is_best flag at the argmax — the curve a
+    quality-classifier gate reads to pick its production cutoff,
+    where ml_auc summarizes threshold-free and ml_pr_curve stops at
+    P/R. The algebra stays in BIGINT end-to-end: with inclusive
+    top-down cumulatives TP and PP (predicted positives), the F1
+    denominator 2TP+FP+FN collapses to PP + pos_tot, so f1_micros =
+    (2e6*TP) div (PP + pos_tot) is exact integer floor-division
+    (text_rake's micros discipline) — no float enters, so the argmax
+    flag is an exact integer comparison, never an epsilon. Scale
+    shape: ONE corpus scan to the bounded per-distinct-score support
+    (shared _score_support, audit #44 family), windows over the
+    support only; denominator >= cnt >= 1 on every support row so the
+    div never sees zero; empty corpus -> empty curve (vacuously
+    total)."""
+    pv = _score_support(spark, sf)
+    wi = Window.orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    sw = pv.select(
+        F.col("cents").alias("thr_cents"),
+        F.sum("p").over(wi).cast("long").alias("tp"),
+        (F.sum("cnt").over(wi) - F.sum("p").over(wi))
+        .cast("long")
+        .alias("fp"),
+        (F.sum("p").over(wall) - F.sum("p").over(wi))
+        .cast("long")
+        .alias("fn"),
+        (F.sum("cnt").over(wi) + F.sum("p").over(wall))
+        .cast("long")
+        .alias("den"),
+    ).select(
+        "thr_cents",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("(2000000 * tp) div den").cast("long").alias("f1_micros"),
+    )
+    return sw.select(
+        "thr_cents",
+        "tp",
+        "fp",
+        "fn",
+        "f1_micros",
+        (
+            F.col("f1_micros")
+            == F.max("f1_micros").over(Window.partitionBy())
+        ).alias("is_best"),
+    )

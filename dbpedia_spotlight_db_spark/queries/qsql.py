@@ -1681,3 +1681,92 @@ def sql_try_element_at(spark, sf):
         .cast("long")
         .alias("hit_len_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 99: crypto function surface — AES roundtrip with the padding
+# arithmetic as the cross-engine certificate
+# ---------------------------------------------------------------------------
+@q(
+    "sql_aes_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS pt_len,
+           CAST((strlen(text) // 16 + 1) * 16 AS BIGINT) AS ct_len,
+           TRUE AS roundtrip_ok
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def sql_aes_roundtrip(spark, sf):
+    """``aes_encrypt``/``aes_decrypt`` — the at-rest column-encryption
+    surface a compliance pipeline wraps around PII columns before the
+    lake write. ECB + PKCS padding is the one DETERMINISTIC mode
+    (GCM, the default, salts a random IV per call — hashing its
+    output would be flaky by construction), so the face can gate two
+    things exactly: the decrypt(encrypt(x)) == x roundtrip per
+    document, and the PKCS#7 padded ciphertext length, whose closed
+    form 16*(bytes DIV 16 + 1) the DuckDB twin (no AES at all)
+    reproduces from byte-length arithmetic alone — the empty string
+    pads to one full 16-byte block, an off-by-one the naive
+    ceil(n/16) spelling gets wrong. Scale shape: map-only (one
+    project over the scan, zero Exchange — the cipher runs inside
+    whole-stage codegen JVM-side, never a Python hop), so it
+    pipelines at scan speed on 100 TB. Spark ``octet_length`` ==
+    DuckDB ``strlen`` (BYTES, not characters — multi-byte UTF-8
+    documents diverge under length())."""
+    key = "0123456789abcdef"
+    d = t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    ct = F.expr(
+        f"aes_encrypt(cast(text AS BINARY), '{key}', 'ECB', 'PKCS')"
+    )
+    pt = F.expr(
+        f"cast(aes_decrypt(aes_encrypt(cast(text AS BINARY), '{key}', "
+        f"'ECB', 'PKCS'), '{key}', 'ECB', 'PKCS') AS STRING)"
+    )
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("pt_len"),
+        F.octet_length(ct).cast("long").alias("ct_len"),
+        (pt == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 99: lateral column aliases — the SELECT-list dependency chain
+# ---------------------------------------------------------------------------
+@q(
+    "sql_lateral_alias",
+    """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           cents * 2 AS cents_x2,
+           cents_x2 - cents AS delta
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def sql_lateral_alias(spark, sf):
+    """Lateral column aliases — a SELECT item referencing an alias
+    defined EARLIER IN THE SAME LIST (`cents`, then `cents*2 AS
+    cents_x2`, then `cents_x2 - cents`), the spreadsheet-style idiom
+    Spark added in 3.4 and DuckDB supports natively, so the oracle is
+    the literal same text. The semantic trap the face pins: lateral
+    resolution must NOT re-evaluate the source or join the relation
+    to itself per reference — Catalyst lowers each alias level to a
+    stacked Project and whole-stage codegen fuses the stack into ONE
+    generated stage (audit #85 asserts a single `*(1)` codegen stage,
+    zero Exchange, zero joins), and the status filter still reaches
+    the parquet scan below the aliased projection. Using the
+    convenience costs nothing at 100 TB — the plan is one pipelined
+    map over the scan."""
+    return spark.sql(
+        f"""
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               cents * 2 AS cents_x2,
+               cents_x2 - cents AS delta
+        FROM parquet.`{sf}/orders.parquet`
+        WHERE o_orderstatus = 'F'
+        """
+    )

@@ -2400,6 +2400,58 @@ def main() -> None:
         f"stat_api_crosstab python-nodes={xt_py} (want 0)",
     )
 
+    # 85. wave 99: AES roundtrip is map-only (the cipher runs inside
+    # codegen — zero Exchange, zero Python nodes); the lateral-alias
+    # chain inlines to ONE Project with the filter still pushed to
+    # the scan; cronbach is one scan, zero Window (power sums in one
+    # agg); the F1 sweep touches the corpus once.
+    p_ae = (
+        QUERIES["sql_aes_roundtrip"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ae_ex = len(re.findall(r"Exchange", p_ae))
+    ae_py = len(re.findall(r"EvalPython|ArrowEval", p_ae))
+    p_la = (
+        QUERIES["sql_lateral_alias"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    la_stages = len(set(re.findall(r"\*\((\d+)\)", p_la)))
+    la_ex = len(re.findall(r"Exchange", p_la))
+    la_join = len(re.findall(r"\bJoin\b", p_la))
+    la_pushed = "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in p_la
+    p_cr = (
+        QUERIES["stat_cronbach"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    cr_scans = len(re.findall(r"FileScan parquet", p_cr))
+    cr_win = len(re.findall(r"\bWindow\b", p_cr))
+    p_f1 = (
+        QUERIES["ml_f1_sweep"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    f1_scans = len(re.findall(r"FileScan parquet", p_f1))
+    check(
+        "wave 99: AES map-only JVM-side; lateral alias fused to one "
+        "codegen stage + pushed filter; cronbach one scan zero Window; "
+        "F1 sweep one scan",
+        ae_ex == 0 and ae_py == 0 and la_stages == 1 and la_ex == 0
+        and la_join == 0 and la_pushed and cr_scans == 1 and cr_win == 0
+        and f1_scans == 1,
+        f"sql_aes_roundtrip Exchange={ae_ex} python={ae_py} (want 0/0); "
+        f"sql_lateral_alias codegen-stages={la_stages} (want 1) "
+        f"Exchange={la_ex} Join={la_join} pushed={la_pushed}; "
+        f"stat_cronbach scans={cr_scans} windows={cr_win}; "
+        f"ml_f1_sweep scans={f1_scans} (want 1)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
