@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .common import cents, t
+from .common import SQL_CENTS, cents, t
 
 Q = {}
 O = {}
@@ -1215,3 +1215,111 @@ def join_cbo_reorder(spark, sf):
                 spark.conf.set(k, v)
         for nm in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {nm}")
+
+
+# ---------------------------------------------------------------------------
+# wave 100: AQE partition coalescing — the small-output shuffle fix
+# ---------------------------------------------------------------------------
+@q(
+    "agg_aqe_coalesce",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({cents}) AS BIGINT) AS cents,
+           TRUE AS coalesced,
+           TRUE AS parts_bounded
+    FROM orders GROUP BY o_orderpriority
+    """.format(cents=SQL_CENTS.format(x="o_totalprice")),
+)
+def agg_aqe_coalesce(spark, sf):
+    """AQE partition coalescing — the third leg of the
+    runtime-adaptivity triad (join_aqe_bhj_convert fixes STRATEGY,
+    join_skew_aqe SPLITS fat partitions, this face MERGES thin ones):
+    the job is planned with a deliberately oversized
+    spark.sql.shuffle.partitions = 200 — the defensive setting a
+    shared 100-TB cluster runs so the BIG aggregations don't spill —
+    and AQE's coalescePartitions rewrites the shuffle read at runtime
+    down to a handful of partitions once the map stage reports tiny
+    actual bytes, so the 5-group rollup doesn't schedule 200
+    near-empty reducers (pure overhead: task launch + fetch per
+    partition, multiplied across every small stage of a 1000-stage
+    pipeline). Runtime effect, so the face executes eagerly and rides
+    two booleans into the hash (join_aqe_bhj_convert discipline):
+    `AQEShuffleRead coalesced` present in the final plan, and the
+    materialized reducer count strictly below the planned 200.
+    Values are the plain priority rollup — coalescing is
+    value-neutral, which is what makes it hash-gatable."""
+    from ..operators.dedup import parquet_checkpoint
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        agg = (
+            t(spark, sf, "orders")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.coalesce(F.sum(cents(F.col("o_totalprice"))), F.lit(0))
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        agg.collect()  # drive AQE to the final plan
+        final = agg._jdf.queryExecution().executedPlan().toString()
+        coalesced = "AQEShuffleRead coalesced" in final
+        n_parts = agg.rdd.getNumPartitions()
+        out = agg.select(
+            "o_orderpriority",
+            "n",
+            "cents",
+            F.lit(bool(coalesced)).alias("coalesced"),
+            F.lit(bool(n_parts < 200)).alias("parts_bounded"),
+        )
+        return parquet_checkpoint(out, "aqe_coalesce_out")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# ---------------------------------------------------------------------------
+# wave 100: histogram_numeric in its exact regime — zero-distance
+# merges only while ndv <= nbins
+# ---------------------------------------------------------------------------
+@q(
+    "agg_hist_numeric",
+    """
+    SELECT CAST(l_quantity AS BIGINT) AS qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_hist_numeric(spark, sf):
+    """``histogram_numeric`` (the Hive/Spark streaming histogram
+    sketch) gated EXACTLY in its provable regime — the
+    agg_approx_topk discipline applied to the third native sketch.
+    The sketch trims to nbins by repeatedly merging the CLOSEST
+    centroid pair; while the input's distinct-value count stays
+    <= nbins, every partial and every merge always contains a
+    zero-distance pair (duplicate centroids from different
+    partitions) before any pair of DISTINCT values, so trimming only
+    ever fuses exact duplicates: centroids stay exact input values
+    and weights stay exact counts. The raw array is still
+    partition-ORDER-dependent (duplicates split across partials —
+    measured: 20 bins for 7 values), so the face re-aggregates the
+    exploded sketch with a GROUP BY — that reduction, not the raw
+    array, is the deterministic object, and it equals the plain
+    GROUP-BY histogram the twin computes. l_quantity has 50 distinct
+    integral values vs nbins=64. Outside this regime (ndv > nbins)
+    centroids become partition-dependent weighted means and NOTHING
+    is hashable — the boundary this face documents."""
+    h = (
+        t(spark, sf, "lineitem")
+        .agg(F.expr("histogram_numeric(l_quantity, 64)").alias("h"))
+        .select(F.explode("h").alias("b"))
+        .select(
+            F.col("b.x").cast("long").alias("qty"),
+            F.col("b.y").alias("w"),
+        )
+    )
+    return h.groupBy("qty").agg(
+        F.round(F.sum("w")).cast("long").alias("n")
+    )

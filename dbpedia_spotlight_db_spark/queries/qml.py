@@ -6015,3 +6015,70 @@ def ml_f1_sweep(spark, sf):
             == F.max("f1_micros").over(Window.partitionBy())
         ).alias("is_best"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 100: pyspark.ml feature pipeline — the MLlib API surface
+# compiled down to the same Catalyst answers
+# ---------------------------------------------------------------------------
+@q(
+    "mllib_feature_pipeline",
+    """
+    WITH freq AS (
+      SELECT o_orderpriority AS lab, COUNT(*) AS c
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT lab,
+             ROW_NUMBER() OVER (ORDER BY c DESC, lab ASC) - 1 AS pi
+      FROM freq)
+    SELECT o.o_orderkey,
+           CAST(i.pi AS BIGINT) AS prio_idx,
+           CAST(CASE WHEN o.o_totalprice < 50000.0 THEN 0
+                     WHEN o.o_totalprice < 150000.0 THEN 1
+                     ELSE 2 END AS BIGINT) AS bucket
+    FROM orders o JOIN idx i ON o.o_orderpriority = i.lab
+    """,
+)
+def mllib_feature_pipeline(spark, sf):
+    """The fifth public query surface — ``pyspark.ml`` — driven
+    through a fitted feature Pipeline (StringIndexer +
+    Bucketizer) and gated by the same DuckDB oracle as everything
+    else, because both transformers are DETERMINISTIC relational
+    operators wearing estimator clothing: StringIndexer's
+    frequencyDesc ordering is contractually tie-broken by label
+    ascending (the twin is ROW_NUMBER over (count DESC, label ASC)
+    minus one), and Bucketizer is a right-open CASE ladder over the
+    splits. fit() runs one distributed countByValue job and bakes
+    the labels into the transformer as LITERALS — exactly the
+    collected-literals pattern the sketch faces use — so transform()
+    is map-only (a broadcast-free lookup against a 5-entry map
+    inside codegen, no join at 100 TB). The face pins that routing
+    a query through the MLlib API costs nothing semantically; the
+    supported path for actual model TRAINING at scale remains
+    pyspark.ml on top of these same DataFrames."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import Bucketizer, StringIndexer
+
+    d = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    pipe = Pipeline(
+        stages=[
+            StringIndexer(
+                inputCol="o_orderpriority",
+                outputCol="prio_idx_d",
+                stringOrderType="frequencyDesc",
+            ),
+            Bucketizer(
+                splits=[0.0, 50000.0, 150000.0, float("inf")],
+                inputCol="o_totalprice",
+                outputCol="bucket_d",
+            ),
+        ]
+    )
+    out = pipe.fit(d).transform(d)
+    return out.select(
+        "o_orderkey",
+        F.col("prio_idx_d").cast("long").alias("prio_idx"),
+        F.col("bucket_d").cast("long").alias("bucket"),
+    )

@@ -1770,3 +1770,106 @@ def sql_lateral_alias(spark, sf):
         WHERE o_orderstatus = 'F'
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 100: catalog column statistics — ANALYZE ... FOR COLUMNS read
+# back and gated against the data they summarize
+# ---------------------------------------------------------------------------
+@q(
+    "sql_column_stats",
+    """
+    SELECT 'o_custkey' AS col_name, 'min' AS stat,
+           CAST(MIN(o_custkey) AS BIGINT) AS value FROM orders
+    UNION ALL
+    SELECT 'o_custkey', 'max', CAST(MAX(o_custkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_custkey', 'num_nulls',
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', 'num_nulls',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', 'max_col_len',
+           CAST(MAX(strlen(o_orderpriority)) AS BIGINT) FROM orders
+    """,
+)
+def sql_column_stats(spark, sf):
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, read back
+    through DESCRIBE EXTENDED <table> <col> and gated against the
+    data it summarizes — the stats feed join_cbo_reorder consumes
+    blind, here checked for TRUTH: catalog min/max/num_nulls for a
+    BIGINT key and num_nulls/max_col_len for a string column must
+    equal the direct aggregates (the twin computes them from the
+    rows). distinct_count is deliberately EXCLUDED from the hash:
+    it is HyperLogLog-estimated with no one-sided guarantee — the
+    freqItems/approx_top_k lesson, applied to the catalog itself.
+    The stats arrive as catalog STRINGS, so the face casts them back
+    to BIGINT (a lossless trip only for integral stats — min/max of
+    a DOUBLE column would round-trip through decimal formatting,
+    another reason the face pins the integer column). Managed table
+    carries the app-suffixed name + warehouse sweep + finally-DROP
+    (sql_catalog_table discipline); output rows are collected
+    literals, so the DROP cannot race the driver's collect."""
+    import re as _re
+    import shutil as _shutil
+
+    sid = _re.sub(
+        r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId
+    )[-12:]
+    name = f"spark_graft_colstats_{sid}_{next(_DDL_COUNTER)}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    _shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+    try:
+        spark.sql(
+            f"""
+            CREATE TABLE {name} USING PARQUET
+            AS SELECT o_custkey, o_orderpriority
+            FROM parquet.`{sf}/orders.parquet`
+            """
+        )
+        if spark.table(name).count() == 0:
+            # empty corpus: the SQL twin's aggregates over zero rows
+            # are NULL for min/max/max_len and 0 for the null counts;
+            # the catalog's empty-table stats encode the same facts
+            # but with engine-specific NULL spellings — short-circuit
+            # to the twin semantics (stat_api_crosstab discipline)
+            rows = [
+                ("o_custkey", "min", None),
+                ("o_custkey", "max", None),
+                ("o_custkey", "num_nulls", 0),
+                ("o_orderpriority", "num_nulls", 0),
+                ("o_orderpriority", "max_col_len", None),
+            ]
+            return spark.createDataFrame(
+                rows, "col_name string, stat string, value bigint"
+            )
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS "
+            f"FOR COLUMNS o_custkey, o_orderpriority"
+        )
+
+        def col_stats(col):
+            return {
+                r["info_name"]: r["info_value"]
+                for r in spark.sql(
+                    f"DESCRIBE EXTENDED {name} {col}"
+                ).collect()
+            }
+
+        ck, pr = col_stats("o_custkey"), col_stats("o_orderpriority")
+        rows = [
+            ("o_custkey", "min", int(ck["min"])),
+            ("o_custkey", "max", int(ck["max"])),
+            ("o_custkey", "num_nulls", int(ck["num_nulls"])),
+            ("o_orderpriority", "num_nulls", int(pr["num_nulls"])),
+            ("o_orderpriority", "max_col_len", int(pr["max_col_len"])),
+        ]
+        return spark.createDataFrame(
+            rows, "col_name string, stat string, value bigint"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

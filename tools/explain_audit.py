@@ -2452,6 +2452,52 @@ def main() -> None:
         f"ml_f1_sweep scans={f1_scans} (want 1)",
     )
 
+    # 86. wave 100: the AQE-coalesce face returns its checkpoint (the
+    # runtime evidence lives in the hashed booleans — no raw re-scan);
+    # the exact-regime histogram is one corpus scan; the MLlib
+    # pipeline transform is map-only (labels baked as literals — no
+    # join, no Python); column stats return collected literals (no
+    # FileScan at all in the returned plan).
+    p_ac = (
+        QUERIES["agg_aqe_coalesce"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ac_raw = p_ac.count("orders.parquet")
+    p_hn = (
+        QUERIES["agg_hist_numeric"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    hn_scans = len(re.findall(r"FileScan parquet", p_hn))
+    p_mp = (
+        QUERIES["mllib_feature_pipeline"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    mp_join = len(re.findall(r"\bJoin\b", p_mp))
+    mp_py = len(re.findall(r"EvalPython|ArrowEval", p_mp))
+    p_cs = (
+        QUERIES["sql_column_stats"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    cs_scans = len(re.findall(r"FileScan parquet", p_cs))
+    check(
+        "wave 100: AQE-coalesce checkpointed; exact-regime histogram one "
+        "scan; MLlib transform join-free JVM-side; column stats literal",
+        ac_raw == 0 and hn_scans == 1 and mp_join == 0 and mp_py == 0
+        and cs_scans == 0,
+        f"agg_aqe_coalesce raw scans={ac_raw} (want 0); agg_hist_numeric "
+        f"scans={hn_scans} (want 1); mllib_feature_pipeline joins={mp_join} "
+        f"python={mp_py} (want 0/0); sql_column_stats FileScans={cs_scans} "
+        f"(want 0)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
