@@ -4162,3 +4162,224 @@ def stat_cronbach(spark, sf):
             )
         ).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 101: Fisher's exact test — hypergeometric 2x2, log-factorials
+# as exact integer-micros cumulative sums
+# ---------------------------------------------------------------------------
+@q(
+    "stat_fisher_exact",
+    """
+    WITH cells AS (
+      SELECT CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                            AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                            AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                            AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                            AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM orders),
+    m AS (
+      SELECT a, b, c, d, a+b AS r1, c+d AS r2, a+c AS c1, b+d AS c2,
+             a+b+c+d AS n
+      FROM cells),
+    s AS (
+      SELECT CAST(0 AS BIGINT) AS i
+      UNION ALL
+      SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) FROM orders),
+    lf AS (
+      SELECT i, SUM(li) OVER (ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS lf
+      FROM (SELECT i,
+                   CASE WHEN i <= 1 THEN 0
+                        ELSE CAST(round(ln(CAST(i AS DOUBLE)) * 1000000)
+                                  AS BIGINT) END AS li
+            FROM s) z),
+    konst AS (
+      SELECT lr1.lf + lr2.lf + lc1.lf + lc2.lf - ln_.lf AS margin_lf,
+             m.a, m.b, m.c, m.d, m.r1, m.r2, m.c1, m.c2
+      FROM m
+      JOIN lf lr1 ON lr1.i = m.r1
+      JOIN lf lr2 ON lr2.i = m.r2
+      JOIN lf lc1 ON lc1.i = m.c1
+      JOIN lf lc2 ON lc2.i = m.c2
+      JOIN lf ln_ ON ln_.i = m.n),
+    lpa AS (
+      SELECT k.margin_lf - la1.lf - la2.lf - la3.lf - la4.lf AS lp_a
+      FROM konst k
+      JOIN lf la1 ON la1.i = k.a
+      JOIN lf la2 ON la2.i = k.r1 - k.a
+      JOIN lf la3 ON la3.i = k.c1 - k.a
+      JOIN lf la4 ON la4.i = k.r2 - k.c1 + k.a),
+    lp AS (
+      SELECT ks.a, ks.b, ks.c, ks.d,
+             ks.margin_lf - l1.lf - l2.lf - l3.lf - l4.lf AS lpm
+      FROM konst ks
+      JOIN s ON s.i BETWEEN GREATEST(0, ks.c1 - ks.r2)
+                        AND LEAST(ks.r1, ks.c1)
+      JOIN lf l1 ON l1.i = s.i
+      JOIN lf l2 ON l2.i = ks.r1 - s.i
+      JOIN lf l3 ON l3.i = ks.c1 - s.i
+      JOIN lf l4 ON l4.i = ks.r2 - ks.c1 + s.i)
+    SELECT lp.a, lp.b, lp.c, lp.d,
+           CAST(SUM(CASE WHEN lpm <= lp_a THEN 1 ELSE 0 END)
+                AS BIGINT) AS k_included,
+           CAST(SUM(CASE WHEN lpm <= lp_a THEN
+                  CAST(round(exp(CAST(lpm AS DOUBLE) / 1000000.0)
+                             * 1000000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS p_micros
+    FROM lp, lpa
+    GROUP BY lp.a, lp.b, lp.c, lp.d
+    """,
+)
+def stat_fisher_exact(spark, sf):
+    """Fisher's EXACT test on the 2x2 (orderkey parity) x (status =
+    'F') table — the small-margin companion to stat_gtest/drift_chi2
+    whose asymptotics it does not need. The whole hypergeometric
+    machinery stays in exact integers: log-factorials are cumulative
+    sums of PER-TERM micros-quantized ln(i) (the kg_adamic_adar
+    sum-of-logs trick), so every logpmf is an exact order-independent
+    BIGINT, the two-sided inclusion rule pmf(k) <= pmf(a) becomes an
+    exact integer comparison (quantized ties included by both
+    engines by construction), and the p-value is a sum of per-k
+    probabilities each independently quantized to micros
+    (stat_circular's per-row discipline) — no float accumulates.
+    The index series 0..n is derived FROM the table itself
+    (ROW_NUMBER + a union'd 0 — DuckDB's generate_series refuses
+    subquery bounds), so the face is vacuously total on the empty
+    corpus: all margins 0, support {0}, logpmf 0, p = 1.000000
+    exactly. Scale shape: the 4 cells collapse to literals via one
+    scan; the log-factorial relation is O(n) rows built once,
+    parquet-checkpointed (5 downstream consumers — the
+    reuse-defeats-pruning lesson), and its cumulative window is the
+    documented single-partition cost: Fisher is a SMALL-n test by
+    nature (the support is min-margin-sized); at 100-TB margins you
+    switch to stat_gtest's chi-square asymptotics — that boundary is
+    this face's real content."""
+    from ..operators.dedup import parquet_checkpoint
+
+    cells = (
+        t(spark, sf, "orders")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("o_orderkey") % 2 == 0)
+                    & (F.col("o_orderstatus") == "F"),
+                    1,
+                ).otherwise(0)
+            ).alias("a"),
+            F.sum(
+                F.when(
+                    (F.col("o_orderkey") % 2 == 0)
+                    & (F.col("o_orderstatus") != "F"),
+                    1,
+                ).otherwise(0)
+            ).alias("b"),
+            F.sum(
+                F.when(
+                    (F.col("o_orderkey") % 2 == 1)
+                    & (F.col("o_orderstatus") == "F"),
+                    1,
+                ).otherwise(0)
+            ).alias("c"),
+            F.sum(
+                F.when(
+                    (F.col("o_orderkey") % 2 == 1)
+                    & (F.col("o_orderstatus") != "F"),
+                    1,
+                ).otherwise(0)
+            ).alias("d"),
+        )
+        .collect()[0]
+    )
+    a = int(cells["a"] or 0)
+    b = int(cells["b"] or 0)
+    c = int(cells["c"] or 0)
+    d = int(cells["d"] or 0)
+    r1, r2, c1, c2 = a + b, c + d, a + c, b + d
+    n = a + b + c + d
+    lf = parquet_checkpoint(
+        spark.range(0, n + 1)
+        .select(
+            F.col("id").alias("i"),
+            F.when(F.col("id") <= 1, F.lit(0))
+            .otherwise(
+                F.round(F.log(F.col("id").cast("double")) * 1000000)
+                .cast("long")
+            )
+            .alias("li"),
+        )
+        .select(
+            "i",
+            F.sum("li")
+            .over(
+                Window.orderBy("i").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("lf"),
+        ),
+        "fisher_lf",
+    )
+    need = {r1, r2, c1, c2, n, a, r1 - a, c1 - a, r2 - c1 + a}
+    lfv = {
+        row["i"]: row["lf"]
+        for row in lf.filter(F.col("i").isin(list(need))).collect()
+    }
+    margin_lf = lfv[r1] + lfv[r2] + lfv[c1] + lfv[c2] - lfv[n]
+    lp_a = (
+        margin_lf
+        - lfv[a]
+        - lfv[r1 - a]
+        - lfv[c1 - a]
+        - lfv[r2 - c1 + a]
+    )
+    kmin, kmax = max(0, c1 - r2), min(r1, c1)
+    supp = spark.range(kmin, kmax + 1).select(F.col("id").alias("k"))
+    lp = (
+        supp.join(lf.alias("l1"), F.col("k") == F.col("l1.i"))
+        .join(lf.alias("l2"), F.lit(r1) - F.col("k") == F.col("l2.i"))
+        .join(lf.alias("l3"), F.lit(c1) - F.col("k") == F.col("l3.i"))
+        .join(
+            lf.alias("l4"),
+            F.lit(r2 - c1) + F.col("k") == F.col("l4.i"),
+        )
+        .select(
+            (
+                F.lit(margin_lf)
+                - F.col("l1.lf")
+                - F.col("l2.lf")
+                - F.col("l3.lf")
+                - F.col("l4.lf")
+            ).alias("lpm")
+        )
+    )
+    inc = F.col("lpm") <= F.lit(lp_a)
+    return lp.agg(
+        F.sum(F.when(inc, 1).otherwise(0)).cast("long")
+        .alias("k_included"),
+        F.sum(
+            F.when(
+                inc,
+                F.round(
+                    F.exp(F.col("lpm").cast("double") / F.lit(1000000.0))
+                    * 1000000
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("p_micros"),
+    ).select(
+        F.lit(a).cast("long").alias("a"),
+        F.lit(b).cast("long").alias("b"),
+        F.lit(c).cast("long").alias("c"),
+        F.lit(d).cast("long").alias("d"),
+        "k_included",
+        "p_micros",
+    )

@@ -2759,3 +2759,93 @@ def mono_id_contract(spark, sf):
             F.lit(True),
         ).alias("monotone_within_partition"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 101: UPDATE output mode — the changed-keys-only emission,
+# gated through an order-independent certificate
+# ---------------------------------------------------------------------------
+@q(
+    "stream_update_mode",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(COUNT(DISTINCT user_id % 3) AS BIGINT) AS n_updates
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def stream_update_mode(spark, sf):
+    """UPDATE output mode, gated explicitly — the mode matrix's last
+    direct face (append: stream_window, complete: stream_complete_
+    topk; the upsert family exercised update SEMANTICS through
+    foreachBatch but never the mode itself). The corpus is split
+    into 3 deterministic chunks (user_id % 3) replayed as separate
+    micro-batches via maxFilesPerTrigger=1; update mode re-emits a
+    key ONLY in batches whose chunk touched it. The sink transcript
+    is therefore batch-ORDER-dependent in its intermediate values
+    (each emission carries that moment's running aggregate) — so the
+    face hashes only the two order-INDEPENDENT projections: the
+    latest row per key (running count n strictly increases per
+    emission, so max_by(struct, n) compaction — crawl_upsert's
+    associativity — recovers exactly the final totals = the batch
+    GROUP BY), and the per-key EMISSION COUNT, which equals the
+    number of distinct chunks containing the key regardless of
+    replay order — COUNT(DISTINCT user_id % 3) in the twin. That
+    count doubles as the proof the key really was updated
+    incrementally across batches rather than recomputed once. At
+    100 TB update mode is the dashboard-sink contract: per-trigger
+    output is O(changed keys), state is O(keys) — the face's
+    docstring boundary vs complete mode's O(result) re-emission."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    name = f"stream_update_{next(_STREAM_Q_COUNTER)}"
+    ev = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    schema = t(spark, sf, "events").schema
+    with tempfile.TemporaryDirectory(prefix="stream_update_") as tmp:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        for bkt in range(3):
+            sdir = os.path.join(tmp, f"chunk{bkt}")
+            ev.filter(F.col("user_id") % 3 == bkt).coalesce(
+                1
+            ).write.mode("overwrite").parquet(sdir)
+            parts = glob.glob(os.path.join(sdir, "part-*.parquet"))
+            if parts:
+                shutil.copy(
+                    parts[0],
+                    os.path.join(src_dir, f"{bkt:02d}_chunk.parquet"),
+                )
+        agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("long")
+                ).cast("long").alias("cents"),
+            )
+        )
+        q_ = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    sink = spark.table(name)
+    return sink.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max_by("cents", "n").cast("long").alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("n_updates"),
+    )

@@ -1873,3 +1873,65 @@ def sql_column_stats(spark, sf):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# ---------------------------------------------------------------------------
+# wave 101: pandas-on-Spark rolling — positional window through the
+# pandas API, compiled to one Catalyst Window
+# ---------------------------------------------------------------------------
+@q(
+    "ps_api_rolling",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             COALESCE(SUM(CAST(round(value * 100) AS BIGINT)), 0) AS cents
+      FROM events GROUP BY 1)
+    SELECT day,
+           round(AVG(CAST(cents AS DOUBLE)) OVER (
+             ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             6) + 0 AS mavg
+    FROM daily
+    """,
+)
+def ps_api_rolling(spark, sf):
+    """pandas-on-Spark ``rolling(3).mean()`` — the time-series idiom
+    a pandas user types verbatim, here proven to compile to ONE
+    Catalyst Window (rows-frame AVG ordered by the post-sort natural
+    order — zero Python nodes, audit #87) over the day-indexed daily
+    rollup. The determinism contract the face documents: ps rolling
+    is POSITIONAL (pandas semantics — exactly 3 physical rows, not 3
+    calendar days; win_trailing_range is the calendar-RANGE
+    counterpart), and position is defined by the index, so the
+    pipeline sets a UNIQUE sorted index first — on a non-unique or
+    unsorted index the natural order is partition-dependent and
+    nothing would be hashable. Daily cents are exact BIGINTs, the
+    3-value frame divides once, rounds to 6, and `+ 0` normalizes
+    IEEE -0.0 (stat_corr). Scale shape: the pre-agg shuffles once on
+    day; the global-ordered window is the documented
+    single-partition cost over the BOUNDED daily relation, not the
+    corpus."""
+    import pyspark.pandas as ps
+
+    daily = (
+        t(spark, sf, "events")
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 100).cast("long")),
+                F.lit(0),
+            ).alias("cents")
+        )
+    )
+    pdf = ps.DataFrame(daily).set_index("day").sort_index()
+    roll = (
+        pdf["cents"].astype("double").rolling(3, min_periods=1).mean()
+    )
+    out = roll.to_frame("mavg_raw").to_spark(index_col="day")
+    return out.select(
+        "day",
+        (F.round(F.col("mavg_raw"), 6) + F.lit(0.0)).alias("mavg"),
+    )

@@ -2498,6 +2498,36 @@ def main() -> None:
         f"(want 0)",
     )
 
+    # 87. wave 101: Fisher's returned plan never re-touches the raw
+    # corpus (cells collected, log-factorials checkpointed — 5
+    # consumers) and carries exactly the 4 support-to-lf joins; the
+    # pandas-on-Spark rolling compiles to ONE Catalyst Window with
+    # zero Python nodes.
+    p_fi = (
+        QUERIES["stat_fisher_exact"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    fi_raw = p_fi.count("orders.parquet")
+    fi_joins = len(re.findall(r"HashJoin|SortMergeJoin|NestedLoop", p_fi))
+    p_pr = (
+        QUERIES["ps_api_rolling"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pr_py = len(re.findall(r"EvalPython|ArrowEval", p_pr))
+    pr_win = len(re.findall(r"\bWindow\b", p_pr))
+    check(
+        "wave 101: Fisher checkpointed + exactly 4 lf joins; ps rolling "
+        "one Window zero Python",
+        fi_raw == 0 and fi_joins == 4 and pr_py == 0 and pr_win == 1,
+        f"stat_fisher_exact raw scans={fi_raw} (want 0) joins={fi_joins} "
+        f"(want 4); ps_api_rolling python={pr_py} (want 0) "
+        f"windows={pr_win} (want 1)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
