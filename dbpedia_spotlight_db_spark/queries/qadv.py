@@ -4383,3 +4383,103 @@ def stat_fisher_exact(spark, sf):
         "k_included",
         "p_micros",
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 102: Cochran's Q — k correlated binary treatments, exact
+# integer numerator/denominator
+# ---------------------------------------------------------------------------
+@q(
+    "stat_cochran_q",
+    """
+    WITH subj AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS x1,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS x2,
+             MAX(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END)
+               AS x3
+      FROM orders GROUP BY o_custkey),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_subj,
+             CAST(COALESCE(SUM(x1), 0) AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(x2), 0) AS BIGINT) AS s2,
+             CAST(COALESCE(SUM(x3), 0) AS BIGINT) AS s3,
+             CAST(COALESCE(SUM(x1 + x2 + x3), 0) AS BIGINT) AS sr,
+             CAST(COALESCE(SUM((x1 + x2 + x3) * (x1 + x2 + x3)), 0)
+                  AS BIGINT) AS sr2
+      FROM subj)
+    SELECT n_subj,
+           2 * (3 * (s1*s1 + s2*s2 + s3*s3) - sr*sr) AS q_num,
+           3 * sr - sr2 AS q_den,
+           CASE WHEN 3 * sr - sr2 = 0 THEN NULL
+                ELSE round(CAST(2 * (3 * (s1*s1 + s2*s2 + s3*s3) - sr*sr)
+                                AS DOUBLE) / (3 * sr - sr2), 6) + 0
+           END AS q
+    FROM m
+    """,
+)
+def stat_cochran_q(spark, sf):
+    """Cochran's Q over k=3 correlated binary "treatments" per
+    customer (ever-finished / ever-urgent / ever-large-order) — the
+    repeated-measures extension of stat_mcnemar (k=2) and the
+    categorical sibling of stat_friedman, closing the
+    matched-samples test family. The statistic is a pure integer
+    ratio: Q = (k-1)(k SUM Cj^2 - N^2) / (k SUM Ri - SUM Ri^2) needs
+    only the three column totals and the row-sum first/second
+    moments, all exact BIGINTs out of a two-level aggregate (per-
+    subject flags via MAX-CASE, then one global fold) over ONE scan
+    — subjects whose row sums are 0 or k cancel out of the
+    denominator by algebra, exactly as the textbook requires, with
+    no filtering step. The only float is the final division, rounded
+    to 6 with the -0.0 normalizer; an all-agreeing corpus (den = 0)
+    NULL-guards the ANSI divide. Headroom: Ri <= 3 so sums are
+    O(n) — exact to 10^18 subjects."""
+    subj = (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("x1"),
+            F.max(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT", 1
+                ).otherwise(0)
+            ).alias("x2"),
+            F.max(
+                F.when(F.col("o_totalprice") > 100000.0, 1).otherwise(0)
+            ).alias("x3"),
+        )
+        .withColumn("r", F.col("x1") + F.col("x2") + F.col("x3"))
+    )
+    m = subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subj"),
+        F.coalesce(F.sum("x1"), F.lit(0)).cast("long").alias("s1"),
+        F.coalesce(F.sum("x2"), F.lit(0)).cast("long").alias("s2"),
+        F.coalesce(F.sum("x3"), F.lit(0)).cast("long").alias("s3"),
+        F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("sr"),
+        F.coalesce(F.sum(F.col("r") * F.col("r")), F.lit(0))
+        .cast("long")
+        .alias("sr2"),
+    )
+    num = 2 * (
+        3
+        * (
+            F.col("s1") * F.col("s1")
+            + F.col("s2") * F.col("s2")
+            + F.col("s3") * F.col("s3")
+        )
+        - F.col("sr") * F.col("sr")
+    )
+    den = 3 * F.col("sr") - F.col("sr2")
+    return m.select(
+        "n_subj",
+        num.cast("long").alias("q_num"),
+        den.cast("long").alias("q_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(num.cast("double") / den, 6) + F.lit(0.0)
+        )
+        .alias("q"),
+    )

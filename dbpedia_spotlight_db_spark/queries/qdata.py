@@ -2418,3 +2418,56 @@ def udf_arrow_batching(spark, sf):
         return parquet_checkpoint(out, "arrow_batching_out")
     finally:
         spark.conf.set(key, prev)
+
+
+# ---------------------------------------------------------------------------
+# wave 102: Arrow-optimized Python UDTF — the vectorized table
+# function quadrant
+# ---------------------------------------------------------------------------
+@q(
+    "udtf_arrow_split",
+    """
+    WITH ex AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, CAST(pos AS INT) AS pos, tok,
+           CAST(strlen(tok) AS INT) AS tok_bytes
+    FROM ex
+    """,
+)
+def udtf_arrow_split(spark, sf):
+    """Python UDTF with ``useArrow=True`` — the ARROW-OPTIMIZED
+    table-function quadrant (udtf_ngrams is the pickled-row UDTF;
+    scalar/iter/grouped/cogrouped Arrow UDFs all have faces, this
+    closes the table-function column of the matrix): each document
+    fans out to one row per space-delimited token with its position
+    and byte length, rows crossing the Python boundary as Arrow
+    record batches instead of pickled tuples — the same ~10-100x
+    serialization win the pandas_udf family documents, applied to
+    variable-arity output. Token contract matches udtf_ngrams
+    (split on single space; consecutive spaces yield empty tokens
+    in BOTH engines; byte length via octet semantics — multi-byte
+    UTF-8 tokens diverge under char length). Scale shape: map-side
+    Generate over the pruned (doc_id, text) scan, zero shuffle —
+    the UDTF distributes with the documents partitioning."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, tok: string, tok_bytes: int",
+          useArrow=True)
+    class ArrowSplit:
+        def eval(self, text):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")):
+                yield i, w, len(w.encode("utf-8"))
+
+    spark.udtf.register("arrow_split", ArrowSplit)
+    t(spark, sf, "documents").select("doc_id", "text").filter(
+        F.col("text").isNotNull()
+    ).createOrReplaceTempView("udtf_arrow_docs")
+    return spark.sql(
+        "SELECT d.doc_id, g.pos, g.tok, g.tok_bytes "
+        "FROM udtf_arrow_docs d, LATERAL arrow_split(d.text) g"
+    )

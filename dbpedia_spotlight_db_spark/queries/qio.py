@@ -1788,3 +1788,77 @@ def join_aqe_bhj_convert(spark, sf):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# wave 102: ignoreMissingFiles — objects deleted between listing and
+# execution
+# ---------------------------------------------------------------------------
+@q(
+    "scan_ignore_missing",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           TRUE AS survived_listing_race
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    """,
+)
+def scan_ignore_missing(spark, sf):
+    """ignoreMissingFiles — the third rung of the file-tolerance
+    ladder (ignoreCorruptFiles skips files whose BYTES are bad; this
+    skips files that VANISH between listing and task execution — the
+    lifecycle-policy / compaction race every long-running job on a
+    live 100-TB lake eventually loses). The face reproduces the race
+    deterministically: sink the even/odd doc_id halves as two named
+    part files, force the file INDEX to materialize (listing),
+    delete the odd file from under the plan, then execute — with the
+    option on, the dead file's tasks are dropped instead of failing
+    the stage, and the surviving aggregate equals the even half
+    exactly (the twin's WHERE doc_id % 2 = 0), proving the skip is
+    surgical. Executes eagerly behind a checkpoint because the race
+    window is inside the face by construction. Same production
+    caveat as ignoreCorruptFiles: the option also eats REAL losses —
+    pair it with manifest row-count reconciliation."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.dedup import parquet_checkpoint
+
+    d = _sink_dir(spark, "missing")
+    os.makedirs(d, exist_ok=True)
+    for name in os.listdir(d):
+        os.remove(os.path.join(d, name))
+    for half, fname in ((0, "00_even.parquet"), (1, "01_odd.parquet")):
+        sdir = d + f"_stage{half}"
+        (
+            t(spark, sf, "documents")
+            .select("doc_id", "lang")
+            .filter(F.col("doc_id") % 2 == half)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(sdir)
+        )
+        parts = glob.glob(os.path.join(sdir, "part-*.parquet"))
+        if parts:
+            shutil.copy(parts[0], os.path.join(d, fname))
+    back = (
+        spark.read.option("ignoreMissingFiles", "true")
+        .schema("doc_id long, lang string")
+        .parquet(d)
+    )
+    listed = back.inputFiles()  # materialize the file index
+    gone = os.path.join(d, "01_odd.parquet")
+    if os.path.exists(gone):
+        os.remove(gone)
+    survived = any(f.endswith("01_odd.parquet") for f in listed)
+    out = back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    ).select(
+        "lang",
+        "n_docs",
+        "id_sum",
+        F.lit(bool(survived)).alias("survived_listing_race"),
+    )
+    return parquet_checkpoint(out, "ignore_missing_out")

@@ -2849,3 +2849,65 @@ def stream_update_mode(spark, sf):
         F.max_by("cents", "n").cast("long").alias("cents"),
         F.count(F.lit(1)).cast("long").alias("n_updates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 102: INTERVAL arithmetic — date/timestamp shifting emitted as
+# exact epoch integers
+# ---------------------------------------------------------------------------
+@q(
+    "date_interval_arith",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+                     AS DATE)
+                - DATE '1970-01-01' AS BIGINT) AS due30_day,
+           CAST(epoch_us(o_orderdate + INTERVAL 36 HOUR) AS BIGINT)
+             AS plus36h_us,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH
+                     AS DATE)
+                - DATE '1970-01-01' AS BIGINT) AS plus2mo_day,
+           CAST(date_diff('hour', TIMESTAMP '1990-01-01 00:00:00',
+                          o_orderdate) AS BIGINT) AS hours_since_1990
+    FROM orders
+    """,
+)
+def date_interval_arith(spark, sf):
+    """INTERVAL-type arithmetic — the ANSI year-month and day-time
+    interval surface date_fns leaves untouched: DATE + INTERVAL DAY,
+    TIMESTAMP + INTERVAL HOUR, month addition with END-OF-MONTH
+    CLAMPING (Jan 31 + 1 month = Feb 28 in BOTH engines — the
+    calendar hazard this face pins), and timestampdiff unit
+    counting. Every result leaves as an exact epoch integer (days
+    since 1970 / epoch micros — the CLAUDE.md sub-second rule), so
+    formatting never enters the hash. Unit-diff parity caveat the
+    docstring carries: Spark's timestampdiff counts COMPLETE units,
+    DuckDB's date_diff counts boundary CROSSINGS — equal here only
+    because order timestamps sit exactly on midnight; for arbitrary
+    timestamps emit epoch differences instead. Map-only: one
+    projection over the scan, intervals fold inside codegen."""
+    o = t(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.datediff(
+            d + F.expr("INTERVAL '30' DAY"), F.lit("1970-01-01")
+        )
+        .cast("long")
+        .alias("due30_day"),
+        F.unix_micros(ts + F.expr("INTERVAL '36' HOUR"))
+        .cast("long")
+        .alias("plus36h_us"),
+        F.datediff(
+            F.add_months(d, 2), F.lit("1970-01-01")
+        )
+        .cast("long")
+        .alias("plus2mo_day"),
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP '1990-01-01 00:00:00', "
+            "cast(o_orderdate AS TIMESTAMP))"
+        )
+        .cast("long")
+        .alias("hours_since_1990"),
+    )

@@ -2528,6 +2528,52 @@ def main() -> None:
         f"windows={pr_win} (want 1)",
     )
 
+    # 88. wave 102: the Arrow UDTF really crosses via Arrow (node is
+    # ArrowEvalPythonUDTF, never the pickled BatchEval) over one
+    # pruned scan with zero Exchange; Cochran's Q is one scan;
+    # ignore-missing returns its checkpoint; interval arithmetic is
+    # map-only (zero Exchange).
+    p_au = (
+        QUERIES["udtf_arrow_split"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    au_arrow = "ArrowEvalPythonUDTF" in p_au
+    au_pickled = "BatchEvalPythonUDTF" in p_au
+    au_ex = len(re.findall(r"Exchange", p_au))
+    p_cq = (
+        QUERIES["stat_cochran_q"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    cq_scans = len(re.findall(r"FileScan parquet", p_cq))
+    p_im = (
+        QUERIES["scan_ignore_missing"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    im_raw = p_im.count("documents.parquet")
+    p_ia = (
+        QUERIES["date_interval_arith"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ia_ex = len(re.findall(r"Exchange", p_ia))
+    check(
+        "wave 102: UDTF crosses via Arrow, zero Exchange; Cochran one "
+        "scan; ignore-missing checkpointed; interval arith map-only",
+        au_arrow and not au_pickled and au_ex == 0 and cq_scans == 1
+        and im_raw == 0 and ia_ex == 0,
+        f"udtf_arrow_split arrow={au_arrow} pickled={au_pickled} "
+        f"Exchange={au_ex}; stat_cochran_q scans={cq_scans} (want 1); "
+        f"scan_ignore_missing raw scans={im_raw} (want 0); "
+        f"date_interval_arith Exchange={ia_ex} (want 0)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
