@@ -6082,3 +6082,158 @@ def mllib_feature_pipeline(spark, sf):
         F.col("prio_idx_d").cast("long").alias("prio_idx"),
         F.col("bucket_d").cast("long").alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 103: Page's trend test — Friedman machinery + linear weights
+# ---------------------------------------------------------------------------
+@q(
+    "stat_page_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             event_type,
+             SUM(CAST(round(value * 100) AS BIGINT)) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+           FROM daily),
+    tj AS (
+      SELECT event_type,
+             CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS BIGINT) AS j
+      FROM (SELECT DISTINCT event_type FROM daily)),
+    fb AS (
+      SELECT day_num FROM daily GROUP BY day_num
+      HAVING COUNT(*) = (SELECT k FROM kk)),
+    r AS (
+      SELECT d.event_type, d.day_num,
+             2 * RANK() OVER (PARTITION BY d.day_num ORDER BY d.v)
+               + COUNT(*) OVER (PARTITION BY d.day_num, d.v) - 1 AS dr
+      FROM daily d JOIN fb USING (day_num)),
+    tr AS (
+      SELECT r.event_type, CAST(SUM(r.dr) AS BIGINT) AS rd
+      FROM r GROUP BY r.event_type),
+    fin AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fb) AS n,
+             (SELECT k FROM kk) AS k,
+             (SELECT CAST(COALESCE(SUM(tj.j * tr.rd), 0) AS BIGINT)
+              FROM tr JOIN tj USING (event_type)) AS l2
+      FROM kk)
+    SELECT n AS n_blocks, k AS n_treatments, l2 AS l_doubled,
+           CASE WHEN n = 0 OR k < 2 THEN NULL
+                ELSE round((CAST(l2 AS DOUBLE)
+                            - n * k * (k + 1) * (k + 1) / 2.0)
+                           / sqrt(n * CAST(k AS DOUBLE) * k * (k + 1)
+                                  * (k * k - 1) / 36.0), 6) + 0
+           END AS z
+    FROM fin
+    """,
+)
+def stat_page_trend(spark, sf):
+    """Page's trend test (ordered alternatives) on the
+    daily-revenue-by-type panel — stat_friedman's machinery with
+    LINEAR treatment weights: where Friedman asks "do treatments
+    differ at all", Page asks "do they increase along a hypothesized
+    ORDER" (here the deterministic alphabetical event-type order —
+    the ordering is a modelling input, the docstring's point), which
+    has far more power against monotone drift. L = SUM_j j * R_j
+    arrives exactly as l_doubled = SUM j * rd_j over the
+    doubled tie-averaged rank sums (the mannwhitney/friedman
+    integers — order-independent BIGINT end to end), and the normal
+    approximation z uses the closed-form doubled moments E[2L] =
+    nk(k+1)^2/2, Var[2L] = nk^2(k+1)(k^2-1)/36 in ONE identical
+    float expression both engines round once (standard Page ignores
+    tie corrections — documented). Complete blocks only, exactly as
+    Friedman; n = 0 or k < 2 NULL-guards. Scale shape identical to
+    stat_friedman: one corpus agg to calendar x types cells,
+    everything downstream calendar-bounded."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = (
+        e.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("day_num"),
+            "event_type",
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc")
+        )
+        .select("day_num", "event_type", F.expr("vc div 100").alias("v"))
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    daily = parquet_checkpoint(daily, "page_daily")
+    kk = daily.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    tj = (
+        daily.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.row_number()
+            .over(Window.orderBy("event_type"))
+            .cast("long")
+            .alias("j"),
+        )
+    )
+    fb = (
+        daily.groupBy("day_num")
+        .agg(F.count(F.lit(1)).alias("ntypes"))
+        .crossJoin(kk)
+        .filter(F.col("ntypes") == F.col("k"))
+        .select("day_num")
+    )
+    wrank = Window.partitionBy("day_num").orderBy("v")
+    wtie = Window.partitionBy("day_num", "v")
+    r = daily.join(fb, "day_num").select(
+        "event_type",
+        (
+            2 * F.rank().over(wrank)
+            + F.count(F.lit(1)).over(wtie)
+            - 1
+        ).alias("dr"),
+    )
+    tr = r.groupBy("event_type").agg(
+        F.sum("dr").cast("long").alias("rd")
+    )
+    l2 = (
+        tr.join(tj, "event_type")
+        .agg(
+            F.coalesce(F.sum(F.col("j") * F.col("rd")), F.lit(0))
+            .cast("long")
+            .alias("l2")
+        )
+    )
+    nb = fb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    fin = nb.crossJoin(kk).crossJoin(l2)
+    bad = (F.col("n") == 0) | (F.col("k") < 2)
+    kd = F.col("k").cast("double")
+    mean2 = (
+        F.col("n") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)
+        / F.lit(2.0)
+    )
+    var2 = (
+        F.col("n")
+        * kd
+        * F.col("k")
+        * (F.col("k") + 1)
+        * (F.col("k") * F.col("k") - 1)
+        / F.lit(36.0)
+    )
+    return fin.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        F.col("l2").alias("l_doubled"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("l2").cast("double") - mean2) / F.sqrt(var2), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("z"),
+    )

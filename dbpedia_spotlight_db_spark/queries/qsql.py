@@ -1935,3 +1935,220 @@ def ps_api_rolling(spark, sf):
         "day",
         (F.round(F.col("mavg_raw"), 6) + F.lit(0.0)).alias("mavg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 103: semantic-equivalence certificate — three spellings, one
+# canonical plan
+# ---------------------------------------------------------------------------
+@q(
+    "sql_semantic_equiv",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS api_eq_sql,
+           FALSE AS pipe_analyzed_eq,
+           TRUE AS pipe_optimized_eq
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_semantic_equiv(spark, sf):
+    """``sameSemantics``/``semanticHash`` — the planner's own
+    plan-fingerprint APIs, pinned at BOTH levels they actually
+    operate on. The same query is spelled three ways (DataFrame API,
+    SQL text, Spark-4 pipe syntax): API vs SQL are sameSemantics-
+    equal, but API vs PIPE is contractually FALSE — sameSemantics
+    canonicalizes the ANALYZED plan, and pipe's trailing |> SELECT
+    survives analysis as an extra Project that only the OPTIMIZER
+    collapses (the canonicalized optimized plans are measured
+    identical, the third boolean). That split is the face's real
+    content: sameSemantics is the cheap pre-optimization test Spark's
+    plan cache runs, so result-reuse layers keyed on it MISS across
+    dialects that optimize identically — budget cache hit rates
+    accordingly. All three booleans ride the hash; values come from
+    the API spelling. semanticHash values themselves are
+    version-dependent and never hashed."""
+    api = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t(spark, sf, "orders").createOrReplaceTempView("sem_orders")
+    sql_df = spark.sql(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM sem_orders WHERE o_orderstatus = 'F' "
+        "GROUP BY o_orderpriority"
+    )
+    pipe_df = spark.sql(
+        """
+        FROM sem_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n
+        """
+    )
+    eq_sql = api.sameSemantics(sql_df)
+    eq_pipe_analyzed = api.sameSemantics(pipe_df)
+    eq_pipe_opt = (
+        api._jdf.queryExecution().optimizedPlan().canonicalized()
+        .toString()
+        == pipe_df._jdf.queryExecution().optimizedPlan()
+        .canonicalized()
+        .toString()
+    )
+    return api.select(
+        "o_orderpriority",
+        "n",
+        F.lit(bool(eq_sql)).alias("api_eq_sql"),
+        F.lit(bool(eq_pipe_analyzed)).alias("pipe_analyzed_eq"),
+        F.lit(bool(eq_pipe_opt)).alias("pipe_optimized_eq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 103: execution-mode invariance — codegen / vectorized reader /
+# AQE off must not change one bit
+# ---------------------------------------------------------------------------
+@q(
+    "sql_exec_invariance",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents,
+           TRUE AS codegen_off_eq,
+           TRUE AS vectorized_off_eq,
+           TRUE AS aqe_off_eq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_exec_invariance(spark, sf):
+    """Execution-mode INVARIANCE certificate: the same aggregate
+    re-executed under three degraded engine modes — whole-stage
+    codegen off (interpreted expression evaluation), the vectorized
+    parquet reader off (row-at-a-time scan), and AQE off (static
+    plans) — must return bit-identical rows, with the three equality
+    booleans riding the hash. These are exactly the fallback paths a
+    production 100-TB job silently takes (codegen falls back past
+    the 64KB JVM method limit / wide schemas; the vectorized reader
+    falls back on nested types and version skew; AQE is disabled by
+    some resource managers), so 'fast path == slow path' is a
+    correctness contract, not an optimization detail — and the
+    integer-cents discipline is what makes bitwise equality the
+    right test (float SUM would legitimately differ under different
+    partial-agg trees). Eager, conf-restoring, checkpointed
+    (join_aqe_bhj_convert discipline)."""
+    from ..operators.dedup import parquet_checkpoint
+
+    def run():
+        return sorted(
+            (r["l_returnflag"], r["n"], r["rev_cents"])
+            for r in t(spark, sf, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                )
+                .cast("long")
+                .alias("rev_cents"),
+            )
+            .collect()
+        )
+
+    base = run()
+    modes = {
+        "codegen_off_eq": ("spark.sql.codegen.wholeStage", "false"),
+        "vectorized_off_eq": (
+            "spark.sql.parquet.enableVectorizedReader",
+            "false",
+        ),
+        "aqe_off_eq": ("spark.sql.adaptive.enabled", "false"),
+    }
+    flags = {}
+    for label, (key, off) in modes.items():
+        prev = spark.conf.get(key)
+        spark.conf.set(key, off)
+        try:
+            flags[label] = run() == base
+        finally:
+            spark.conf.set(key, prev)
+    rows = [
+        (rf, n, rc, flags["codegen_off_eq"],
+         flags["vectorized_off_eq"], flags["aqe_off_eq"])
+        for rf, n, rc in base
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "l_returnflag string, n bigint, rev_cents bigint, "
+        "codegen_off_eq boolean, vectorized_off_eq boolean, "
+        "aqe_off_eq boolean",
+    )
+    return parquet_checkpoint(out, "exec_invariance_out")
+
+
+# ---------------------------------------------------------------------------
+# wave 103: try_* aggregates — the ANSI-safe aggregation rung
+# ---------------------------------------------------------------------------
+@q(
+    "sql_try_agg",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           round(AVG(CAST(round(o_totalprice * 100) AS BIGINT)), 6) + 0
+             AS avg_cents,
+           TRUE AS overflow_is_null
+    FROM orders
+    """,
+)
+def sql_try_agg(spark, sf):
+    """``try_sum`` / ``try_avg`` — the AGGREGATE rung of the try_*
+    tolerance ladder (sql_try_arith covers scalar arithmetic,
+    sql_try_cast parsing, sql_try_element_at lookup): under ANSI
+    mode a single overflowing partial kills the whole job, and
+    try_sum instead degrades the answer to NULL — the right contract
+    for a speculative metric over 10^12 rows where one poisoned
+    value must not cost the run. On clean integer-cents input the
+    try_ forms must equal the plain SUM/AVG bit-for-bit (that
+    equality is the hashed value), and the face also drives try_sum
+    into a REAL BIGINT overflow (two Long.MaxValue rows) and rides
+    `result IS NULL` as the certificate — the DuckDB twin cannot
+    overflow (native HUGEINT accumulation) so the boolean is the
+    gated literal, the scan_agg_pushdown one-sided discipline.
+    Same plan shape as the plain aggregate: partial try_sum before
+    the shuffle, one scan."""
+    o = t(spark, sf, "orders")
+    cents_col = F.round(F.col("o_totalprice") * 100).cast("long")
+    ov = (
+        spark.range(0, 2)
+        .agg(
+            F.expr("try_sum(9223372036854775807)").alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    return o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "try_sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+        )
+        .cast("long")
+        .alias("sum_cents"),
+        (
+            F.round(
+                F.expr(
+                    "try_avg(CAST(round(o_totalprice * 100) AS BIGINT))"
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("avg_cents"),
+    ).select(
+        "n",
+        "sum_cents",
+        "avg_cents",
+        F.lit(ov is None).alias("overflow_is_null"),
+    )

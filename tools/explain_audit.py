@@ -2574,6 +2574,40 @@ def main() -> None:
         f"date_interval_arith Exchange={ia_ex} (want 0)",
     )
 
+    # 89. wave 103: try_sum plans with a partial before the shuffle
+    # (the try_ forms must not forfeit map-side combine); Page's
+    # trend reads its daily checkpoint (no raw events re-scan in the
+    # returned plan); exec-invariance returns its checkpoint.
+    p_ta = (
+        QUERIES["sql_try_agg"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ta_partial = "partial_try_sum" in p_ta
+    p_pt = (
+        QUERIES["stat_page_trend"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pt_raw = p_pt.count("events.parquet")
+    p_ei = (
+        QUERIES["sql_exec_invariance"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ei_raw = p_ei.count("lineitem.parquet")
+    check(
+        "wave 103: try_sum keeps map-side partials; Page trend "
+        "checkpointed; exec-invariance checkpointed",
+        ta_partial and pt_raw == 0 and ei_raw == 0,
+        f"sql_try_agg partial_try_sum={ta_partial}; stat_page_trend raw "
+        f"events scans={pt_raw} (want 0); sql_exec_invariance raw "
+        f"scans={ei_raw} (want 0)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
