@@ -4483,3 +4483,134 @@ def stat_cochran_q(spark, sf):
         )
         .alias("q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 104: Mood's median test — k-group location test on the exact
+# pooled lower median
+# ---------------------------------------------------------------------------
+@q(
+    "stat_mood_median",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    med AS (
+      SELECT c AS m FROM (
+        SELECT c,
+               SUM(COUNT(*)) OVER (ORDER BY c
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(COUNT(*)) OVER () AS tot
+        FROM v GROUP BY c) z
+      WHERE 2 * cum >= tot
+      ORDER BY c LIMIT 1),
+    cellsx AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN c > (SELECT m FROM med)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS above,
+             CAST(SUM(CASE WHEN c <= (SELECT m FROM med)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS below
+      FROM v GROUP BY event_type),
+    marg AS (
+      SELECT event_type, above, below,
+             SUM(above) OVER () AS ta,
+             SUM(below) OVER () AS tb,
+             SUM(above + below) OVER () AS n,
+             above + below AS r
+      FROM cellsx),
+    terms AS (
+      SELECT event_type, above, below,
+             CASE WHEN ta = 0 THEN NULL
+                  ELSE CAST(round(1000000.0 *
+                    ((above - CAST(r AS DOUBLE) * ta / n)
+                     * (above - CAST(r AS DOUBLE) * ta / n)
+                     / (CAST(r AS DOUBLE) * ta / n))) AS BIGINT) END
+             + CASE WHEN tb = 0 THEN NULL
+                    ELSE CAST(round(1000000.0 *
+                      ((below - CAST(r AS DOUBLE) * tb / n)
+                       * (below - CAST(r AS DOUBLE) * tb / n)
+                       / (CAST(r AS DOUBLE) * tb / n))) AS BIGINT) END
+               AS chi2_mic
+      FROM marg)
+    SELECT event_type, above, below, chi2_mic
+    FROM terms
+    """,
+)
+def stat_mood_median(spark, sf):
+    """Mood's median test across event types — the k-group LOCATION
+    test that needs no rank machinery at all (stat_kruskal's
+    nonparametric sibling for coarse, heavily-tied data): split
+    every observation at the POOLED median and chi-square the
+    resulting 2xk table. The pooled median is the exact integer
+    lower median via the 2*cum >= tot count-of-counts rule
+    (stat_weighted_median), so the split is an exact integer
+    comparison — no quantile float ever decides a row. Cell counts
+    and both marginals come as WINDOWS over the k-row cells relation
+    (the stat_mutual_info rule: never re-aggregate the corpus per
+    marginal), and each group's chi-square contribution is one
+    identical-op-order float expression quantized to micros per
+    TERM, so the hashed statistic is an exact integer sum. Per-group
+    rows (not one folded statistic) so the face doubles as the
+    drill-down report. Scale: one corpus scan to count-of-counts,
+    one to cells; everything after is |types|-sized. Zero-expected
+    cells cannot occur by construction (every group has r >= 1 and
+    the median split leaves both sides of the POOLED table nonempty
+    whenever two distinct values exist); an all-one-value corpus
+    puts everything in `below` with ta = 0 — the face emits NULL
+    chi2 rows for that degenerate regime via an ANSI-safe guard."""
+    v = t(spark, sf, "events").filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    cc = v.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    med = (
+        cc.select(
+            "c",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wall).alias("tot"),
+        )
+        .filter(2 * F.col("cum") >= F.col("tot"))
+        .orderBy("c")
+        .limit(1)
+        .collect()
+    )
+    m = med[0]["c"] if med else 0
+    cells = v.groupBy("event_type").agg(
+        F.sum(F.when(F.col("c") > m, 1).otherwise(0))
+        .cast("long")
+        .alias("above"),
+        F.sum(F.when(F.col("c") <= m, 1).otherwise(0))
+        .cast("long")
+        .alias("below"),
+    )
+    marg = cells.select(
+        "event_type",
+        "above",
+        "below",
+        F.sum("above").over(wall).alias("ta"),
+        F.sum("below").over(wall).alias("tb"),
+        F.sum(F.col("above") + F.col("below")).over(wall).alias("n"),
+        (F.col("above") + F.col("below")).alias("r"),
+    )
+
+    def term(obs, tot):
+        e = F.col("r").cast("double") * F.col(tot) / F.col("n")
+        return F.when(
+            F.col(tot) == 0, F.lit(None).cast("long")
+        ).otherwise(
+            F.round(
+                F.lit(1000000.0)
+                * ((F.col(obs) - e) * (F.col(obs) - e) / e)
+            ).cast("long")
+        )
+
+    return marg.select(
+        "event_type",
+        "above",
+        "below",
+        (term("above", "ta") + term("below", "tb")).alias("chi2_mic"),
+    )

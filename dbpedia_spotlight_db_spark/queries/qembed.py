@@ -481,3 +481,96 @@ def embed_drift(spark, sf):
         )
         .alias("centroid_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 104: product quantization — the PQ codebook over subspace
+# k-means, the vector-store compression path IVF leaves out
+# ---------------------------------------------------------------------------
+def _pq_half_sql(tag: int, lo: int, hi: int) -> str:
+    """Unrolled 2-round Lloyd CTE chain over list_slice(embedding,
+    lo, hi) — the embed_kmeans twin structure parameterized by
+    subspace."""
+    sub = f"list_slice(embedding, {lo}, {hi})"
+    cos = _IVF_COS.format(a="v.emb", b="c.cv", an="v.vn", bn="c.cn")
+    return f"""
+    vecs{tag} AS (
+      SELECT vec_id, {sub} AS emb,
+             {_NORM.format(v=sub)} AS vn
+      FROM embeddings),
+    icents{tag} AS (
+      SELECT vec_id AS cid, emb AS cv, vn AS cn
+      FROM vecs{tag} ORDER BY vec_id LIMIT {_SEM_K}),
+    a{tag}0 AS (
+      SELECT v.vec_id, v.emb, v.vn, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {cos} DESC, c.cid) AS rn
+      FROM vecs{tag} v, icents{tag} c),
+    cell{tag}0 AS (SELECT vec_id, emb, vn, cid FROM a{tag}0 WHERE rn = 1),
+    upd{tag} AS (
+      SELECT cid, i, round(AVG(CAST(emb[i] AS DOUBLE)), 6) AS x
+      FROM cell{tag}0 CROSS JOIN
+           (SELECT unnest(generate_series(1, {hi - lo + 1})) AS i) dims
+      GROUP BY cid, i),
+    cents{tag}1 AS (
+      SELECT cid, cv, {_NORM.format(v='cv')} AS cn
+      FROM (SELECT cid, array_agg(x ORDER BY i) AS cv
+            FROM upd{tag} GROUP BY cid)),
+    a{tag}1 AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {cos} DESC, c.cid) AS rn
+      FROM vecs{tag} v, cents{tag}1 c),
+    code{tag} AS (SELECT vec_id, cid AS c{tag} FROM a{tag}1 WHERE rn = 1)
+    """
+
+
+@q(
+    "embed_pq_codebook",
+    f"""
+    WITH {_pq_half_sql(0, 1, _EMB_DIM // 2)},
+    {_pq_half_sql(1, _EMB_DIM // 2 + 1, _EMB_DIM)}
+    SELECT code0.c0, code1.c1,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(code0.vec_id) AS BIGINT) AS id_sum
+    FROM code0 JOIN code1 USING (vec_id)
+    GROUP BY code0.c0, code1.c1
+    """,
+)
+def embed_pq_codebook(spark, sf):
+    """Product quantization — the vector-COMPRESSION half of the ANN
+    stack (ann_ivf_topk prunes the SEARCH; PQ is how a 100-TB vector
+    store fits RAM at all: d-dim float32 -> m subspace code bytes,
+    a 128x shrink at m=8/d=256). The embedding splits into two
+    halves, each clustered by the SAME deterministic 2-round Lloyd
+    machinery as embed_kmeans (lowest-id init, round-6 cosine with
+    cid tie-break, round-6 centroid components — the float-parity
+    contract operators/clustering.py documents), and each vector's
+    PQ code is its (c0, c1) centroid pair; the face emits the code
+    HISTOGRAM with per-code id-sums pinning the exact assignment.
+    Scale shape: per half, assignment is map-only against broadcast-
+    literal centroids and re-estimation is one k x (d/2) agg — the
+    corpus is scanned per round but NEVER shuffled by vector; the
+    final code join is vec_id-keyed (in production the two halves
+    are computed in ONE pass — here they share the parquet scan and
+    AQE dedups nothing more because each half prunes to its slice).
+    Real PQ trains on residuals after coarse IVF and uses 8-256
+    centroids per subspace; the 2x8 layout is the same algebra at
+    test scale."""
+    emb = t(spark, sf, "embeddings")
+    half_dim = _EMB_DIM // 2
+    codes = []
+    for h, lo in enumerate((1, half_dim + 1)):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", lo, half_dim).alias("embedding"),
+        )
+        assigned, _ = clustering.lloyd_kmeans(sub, k=_SEM_K, iters=2)
+        codes.append(
+            assigned.select("vec_id", F.col("cid").alias(f"c{h}"))
+        )
+    code = codes[0].join(codes[1], "vec_id")
+    return code.groupBy("c0", "c1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("vec_id").cast("long").alias("id_sum"),
+    )

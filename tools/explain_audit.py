@@ -2608,6 +2608,39 @@ def main() -> None:
         f"scans={ei_raw} (want 0)",
     )
 
+    # 90. wave 104: the PQ code table never shuffles vectors — the
+    # returned plan is two pruned corpus scans (one per subspace
+    # assignment against literal centroids), ONE vec_id join, zero
+    # Windows; Mood's median re-touches the corpus once for cells
+    # (the median came back as a literal) with the marginals as one
+    # Window over the k-row cells relation.
+    p_pq = (
+        QUERIES["embed_pq_codebook"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pq_scans = p_pq.count("embeddings.parquet")
+    pq_win = len(re.findall(r"\bWindow\b", p_pq))
+    pq_joins = len(re.findall(r"HashJoin|SortMergeJoin|NestedLoop", p_pq))
+    p_mm = (
+        QUERIES["stat_mood_median"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    mm_scans = p_mm.count("events.parquet")
+    mm_win = len(re.findall(r"\bWindow\b", p_mm))
+    check(
+        "wave 104: PQ two subspace scans + one join + zero Window; "
+        "Mood one cells scan + one marginal Window",
+        pq_scans == 2 and pq_win == 0 and pq_joins == 1
+        and mm_scans == 1 and mm_win == 1,
+        f"embed_pq_codebook scans={pq_scans} (want 2) windows={pq_win} "
+        f"joins={pq_joins} (want 1); stat_mood_median scans={mm_scans} "
+        f"(want 1) windows={mm_win} (want 1)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
