@@ -1323,3 +1323,62 @@ def agg_hist_numeric(spark, sf):
     return h.groupBy("qty").agg(
         F.round(F.sum("w")).cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 105: broadcast nested-loop join — the O(1)-build-side regime
+# where BNLJ is the RIGHT plan
+# ---------------------------------------------------------------------------
+@q(
+    "join_bnlj_bands",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('tiny', 0, 10), ('small', 10, 20), ('mid', 20, 35),
+             ('large', 35, 45), ('huge', 45, 1000000)),
+    j AS (
+      SELECT b.band, l.l_quantity
+      FROM lineitem l JOIN bands b
+        ON l.l_quantity >= b.lo AND l.l_quantity < b.hi)
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM j GROUP BY band
+    """,
+)
+def join_bnlj_bands(spark, sf):
+    """BroadcastNestedLoopJoin in the ONE regime where it is the
+    right plan — completing the join-strategy matrix (BHJ:
+    join_broadcast, SMJ: join_sortmerge, SHJ: join_shuffle_hash,
+    and the chunked equi-rewrite join_range_chunked exists precisely
+    to AVOID BNLJ between two big sides): a pure-inequality join
+    against an O(1)-row config/band table. With no equi-key Spark
+    has only nested-loop strategies, and broadcasting the 5-row band
+    table makes the 'loop' a 5-predicate test fused into the scan
+    pipeline — zero shuffle for the join (the only Exchange is the
+    final rollup's), cost 5n comparisons, which no rewrite beats.
+    The audit pins BroadcastNestedLoopJoin BuildRight in the plan so
+    a regression to CartesianProduct (both sides shuffled+looped —
+    the scale-killer spelling) or to a misplaced sort-merge can't
+    land silently. Bands tile the domain disjointly so the join is
+    row-preserving — COUNT conservation is part of the test."""
+    bands = spark.createDataFrame(
+        [
+            ("tiny", 0, 10),
+            ("small", 10, 20),
+            ("mid", 20, 35),
+            ("large", 35, 45),
+            ("huge", 45, 1000000),
+        ],
+        "band string, lo int, hi int",
+    )
+    li = t(spark, sf, "lineitem").select("l_quantity")
+    j = li.join(
+        F.broadcast(bands),
+        (F.col("l_quantity") >= F.col("lo"))
+        & (F.col("l_quantity") < F.col("hi")),
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("long"))
+        .cast("long")
+        .alias("qty_sum"),
+    )

@@ -2911,3 +2911,99 @@ def date_interval_arith(spark, sf):
         .cast("long")
         .alias("hours_since_1990"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 105: stream-stream FULL OUTER join — the join-type matrix's
+# last streaming cell
+# ---------------------------------------------------------------------------
+@q(
+    "stream_full_outer_join",
+    """
+    WITH c AS (
+      SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+      FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
+    p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+    SELECT c.click_id, p.purchase_id,
+           COALESCE(c.c_user, p.p_user) AS user_id
+    FROM c FULL OUTER JOIN p
+      ON p.p_user = c.c_user AND p.p_ts >= c.c_ts
+     AND p.p_ts <= c.c_ts + INTERVAL 3 DAY
+    """,
+)
+def stream_full_outer_join(spark, sf):
+    """Stream-stream FULL OUTER join — the last streaming cell of
+    the join-type matrix (inner: stream_join, left outer:
+    stream_outer_join): every click AND every orphaned purchase
+    flows out, the two-sided funnel feed (drops AND attribution-less
+    conversions in one topology). State discipline is symmetric now:
+    an UNMATCHED row on EITHER side is only emitted once the OTHER
+    side's watermark proves no future partner (that is what makes
+    full outer strictly harder than left — both buffers must drain
+    by watermark, not just one), so the bounded replay needs the
+    sentinel flush on BOTH sides; the existing two-round far-future
+    sentinel push already advances both watermarks, and emission
+    lags one batch exactly as documented on stream_outer_join.
+    With the flush, availableNow output == the exact batch FULL
+    OUTER row set, so the DuckDB twin is the plain FULL JOIN —
+    the strongest gate a streaming topology can get. At 100 TB the
+    face's boundary note: full-outer state holds BOTH horizons of
+    BOTH streams, double the left-outer footprint — size watermarks
+    accordingly."""
+    import datetime as _dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.annotate_stream import outer_join_streams
+
+    name = f"stream_fojoin_{next(_STREAM_Q_COUNTER)}"
+    schema = t(spark, sf, "events").schema
+    with tempfile.TemporaryDirectory(prefix="stream_fojoin_") as tmp:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "00_events.parquet"),
+        )
+        for i, (yr, et) in enumerate(
+            [(2030, "click"), (2030, "purchase"),
+             (2035, "click"), (2035, "purchase")]
+        ):
+            sdir = os.path.join(tmp, f"s{i}")
+            spark.createDataFrame(
+                [(-(100 + i), _dt.datetime(yr, 1, 1), -(100 + i), et,
+                  0.0, "{}")],
+                schema,
+            ).coalesce(1).write.mode("overwrite").parquet(sdir)
+            part = glob.glob(os.path.join(sdir, "part-*.parquet"))[0]
+            shutil.copy(
+                part, os.path.join(src_dir, f"{10 + i:02d}_s.parquet")
+            )
+
+        def side(et):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+                .filter(F.col("event_type") == et)
+            )
+
+        q_ = (
+            outer_join_streams(
+                side("click"), side("purchase"), how="fullOuter"
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name).filter(
+        F.coalesce(F.col("user_id"), F.lit(-1)) >= 0
+    )

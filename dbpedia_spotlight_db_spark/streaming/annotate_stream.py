@@ -353,6 +353,7 @@ def outer_join_streams(
     purchases: DataFrame,
     horizon_days: int = 3,
     watermark: str = "1 hour",
+    how: str = "leftOuter",
 ) -> DataFrame:
     """STREAM-STREAM LEFT OUTER join — the join shape that reports
     the NON-converting clicks too (the funnel-drop feed: every click
@@ -393,5 +394,9 @@ def outer_join_streams(
             "p_user = c_user AND p_ts >= c_ts "
             f"AND p_ts <= c_ts + INTERVAL {horizon_days} DAYS"
         ),
-        "leftOuter",
-    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+        how,
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+    )

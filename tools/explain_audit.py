@@ -2641,6 +2641,27 @@ def main() -> None:
         f"(want 1) windows={mm_win} (want 1)",
     )
 
+    # 91. wave 105: the band join is a BroadcastNestedLoopJoin with
+    # the bands built (never a CartesianProduct, never a shuffle for
+    # the join — the only Exchange is the rollup's).
+    p_bn = (
+        QUERIES["join_bnlj_bands"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    bn_bnlj = "BroadcastNestedLoopJoin" in p_bn
+    bn_cart = "CartesianProduct" in p_bn
+    bn_ex = len(re.findall(r"Exchange (hashpartitioning|SinglePartition)",
+                           p_bn))
+    check(
+        "wave 105: band join is BNLJ (no cartesian), join-side "
+        "shuffle-free",
+        bn_bnlj and not bn_cart and bn_ex <= 1,
+        f"join_bnlj_bands BNLJ={bn_bnlj} cartesian={bn_cart} "
+        f"shuffle exchanges={bn_ex} (want <=1, the rollup's)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
