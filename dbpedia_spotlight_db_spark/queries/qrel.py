@@ -3007,3 +3007,166 @@ def stream_full_outer_join(spark, sf):
     return spark.table(name).filter(
         F.coalesce(F.col("user_id"), F.lit(-1)) >= 0
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 106: StreamingQueryProgress — the observability contract
+# (dropped-by-watermark + bounded state) gated, not just logged
+# ---------------------------------------------------------------------------
+@q(
+    "stream_progress_metrics",
+    """
+    WITH src AS (
+      SELECT epoch_us(ts) AS us, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    wm AS (
+      SELECT (MAX(us) // 1000) * 1000 - 86400000000 AS w FROM src),
+    fan AS (
+      SELECT (us // 86400000000) * 86400000000 AS s, event_type, cents
+      FROM src
+      UNION ALL
+      SELECT (us // 86400000000) * 86400000000 - 86400000000,
+             event_type, cents
+      FROM src)
+    SELECT s AS win_start_us, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           TRUE AS late_dropped,
+           TRUE AS state_bounded
+    FROM fan CROSS JOIN wm
+    WHERE s + 172800000000 <= wm.w
+    GROUP BY s, event_type
+    """,
+)
+def stream_progress_metrics(spark, sf):
+    """StreamingQueryProgress as a GATED contract — the
+    observability face: every production streaming job watches
+    numRowsDroppedByWatermark and stateOperators.numRowsTotal on a
+    dashboard; this face makes both load-bearing. The stream_window
+    topology replays with fabricated 1992 'late_probe' rows arriving
+    as the THIRD micro-batch, behind a neutral watermark-burn batch
+    (maxFilesPerTrigger=1) — necessarily third, because the
+    input-side late filter uses the watermark committed at the
+    PREVIOUS batch boundary, which itself lags the event-time stats
+    by one batch (measured: the probe as batch 1 sails through under
+    a still-1970 filter watermark and its already-closed windows
+    flush straight to the sink — the leak this face exists to catch).
+    The state store must DROP the probes (late_dropped rides the
+    summed numRowsDroppedByWatermark > 0), and the value rows must be
+    byte-identical to stream_window's twin — a leaked 1992 window
+    would hash-mismatch, so the drop is proven twice, by metric AND
+    by values. state_bounded pins max numRowsTotal <= total fan-in
+    pairs (2 windows x events), the boundedness claim watermark
+    eviction exists to provide. At 100 TB these two numbers are the
+    difference between 'the job runs' and 'the job runs forever':
+    unbounded state growth and silent late-data loss are both
+    invisible in the OUTPUT until far too late — the progress feed
+    is where they show first."""
+    import datetime as _dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    name = f"stream_progress_{next(_STREAM_Q_COUNTER)}"
+    schema = t(spark, sf, "events").schema
+    with tempfile.TemporaryDirectory(prefix="stream_progress_") as tmp:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "00_events.parquet"),
+        )
+        n_events = t(spark, sf, "events").count()
+        if n_events > 0:
+            # the probe only makes sense once batch 1 can stand a
+            # watermark — on the empty corpus there is nothing to be
+            # late RELATIVE TO (the probes would seed the watermark
+            # themselves and leak). The NEUTRAL middle batch matters:
+            # the input-side late filter uses the watermark COMMITTED
+            # at the previous batch boundary, which itself lags the
+            # event-time stats by one batch (measured: a late file as
+            # batch 1 sails through with wm still 1970 and its
+            # already-closed windows flush straight to the sink) — so
+            # the probe must arrive as batch 2, behind a burn batch.
+            maxts = (
+                t(spark, sf, "events")
+                .agg(F.max(F.col("ts")))
+                .collect()[0][0]
+            )
+
+            def _push(fname, rows):
+                sdir = os.path.join(tmp, fname)
+                spark.createDataFrame(rows, schema).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(sdir)
+                parts = glob.glob(os.path.join(sdir, "part-*.parquet"))
+                if parts:
+                    shutil.copy(
+                        parts[0],
+                        os.path.join(src_dir, fname + ".parquet"),
+                    )
+
+            _push(
+                "01_neutral",
+                [(-800, maxts, -800, "wm_push", 1.0, "{}")],
+            )
+            _push(
+                "02_late",
+                [
+                    (-900 - i, _dt.datetime(1992, 1, 1 + i), -900 - i,
+                     "late_probe", 1.0, "{}")
+                    for i in range(3)
+                ],
+            )
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .select(
+                F.col("ts").cast("timestamp").alias("ets"),
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .withWatermark("ets", "1 day")
+        )
+        agg = src.groupBy(
+            F.window("ets", "2 days", "1 day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        out = agg.select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "cents",
+        )
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+        dropped = 0
+        max_state = 0
+        for prog in q_.recentProgress:
+            for op in prog.get("stateOperators", []):
+                dropped += op.get("numRowsDroppedByWatermark", 0) or 0
+                max_state = max(
+                    max_state, op.get("numRowsTotal", 0) or 0
+                )
+    return spark.table(name).select(
+        "win_start_us",
+        "event_type",
+        "n",
+        "cents",
+        F.lit(bool(dropped > 0)).alias("late_dropped"),
+        F.lit(bool(max_state <= 2 * n_events + 6)).alias(
+            "state_bounded"
+        ),
+    )

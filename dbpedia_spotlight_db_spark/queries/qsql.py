@@ -2152,3 +2152,47 @@ def sql_try_agg(spark, sf):
         "avg_cents",
         F.lit(ov is None).alias("overflow_is_null"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 106: correlated scalar subquery — decorrelated to one join,
+# never a per-row probe
+# ---------------------------------------------------------------------------
+@q(
+    "sql_scalar_subquery",
+    """
+    SELECT c.c_custkey,
+           (SELECT CAST(MAX(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders o WHERE o.o_custkey = c.c_custkey)
+             AS max_order_cents
+    FROM customer c
+    """,
+)
+def sql_scalar_subquery(spark, sf):
+    """Correlated SCALAR subquery — the third decorrelation face
+    (join_exists_subq: EXISTS/NOT EXISTS; join_lateral: correlated
+    LATERAL): each customer's maximum order value written as the
+    textbook per-row subquery, which Catalyst must rewrite into ONE
+    aggregate-below-left-outer-join — executed naively it is a full
+    orders scan PER CUSTOMER, the O(n*m) spelling that kills any
+    100-TB run; decorrelated it is one orders aggregate and one
+    join. The audit pins the rewrite: exactly one join in the
+    executed plan, an Aggregate on the orders side, and zero
+    remaining subquery-execution nodes. The customer-without-orders
+    row keeps the scalar contract (NULL, not a dropped row — LEFT
+    outer, not inner) and the MAX-of-empty NULL is identical in both
+    engines. The SQL text is engine-portable verbatim; the oracle
+    runs the same string."""
+    t(spark, sf, "orders").createOrReplaceTempView("ssq_orders")
+    t(spark, sf, "customer").createOrReplaceTempView("ssq_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               (SELECT CAST(MAX(CAST(round(o.o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT)
+                FROM ssq_orders o WHERE o.o_custkey = c.c_custkey)
+                 AS max_order_cents
+        FROM ssq_customer c
+        """
+    )

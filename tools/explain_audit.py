@@ -2662,6 +2662,27 @@ def main() -> None:
         f"shuffle exchanges={bn_ex} (want <=1, the rollup's)",
     )
 
+    # 92. wave 106: the correlated scalar subquery decorrelates to
+    # exactly one join with an Aggregate on the inner side and no
+    # surviving per-row subquery execution.
+    p_sq = (
+        QUERIES["sql_scalar_subquery"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    sq_joins = len(re.findall(r"HashJoin|SortMergeJoin|NestedLoop", p_sq))
+    sq_agg = len(re.findall(r"HashAggregate|SortAggregate", p_sq))
+    sq_subq = len(re.findall(r"Subquery(?!Alias)", p_sq))
+    check(
+        "wave 106: scalar subquery decorrelated (one join, inner "
+        "aggregate, zero subquery nodes)",
+        sq_joins == 1 and sq_agg >= 1 and sq_subq == 0,
+        f"sql_scalar_subquery joins={sq_joins} (want 1) "
+        f"aggregates={sq_agg} (want >=1) subquery nodes={sq_subq} "
+        f"(want 0)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
