@@ -4614,3 +4614,186 @@ def stat_mood_median(spark, sf):
         "below",
         (term("above", "ta") + term("below", "tb")).alias("chi2_mic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 107: Jonckheere–Terpstra — ordered alternatives for
+# INDEPENDENT groups, exact integers via the grid-ECDF machinery
+# ---------------------------------------------------------------------------
+@q(
+    "stat_jonckheere",
+    """
+    WITH v AS (
+      SELECT event_type AS ty, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    sup AS (
+      SELECT ty, c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY ty, c),
+    grid AS (
+      SELECT tt.ty, cc.c, COALESCE(s.cnt, 0) AS cnt
+      FROM (SELECT DISTINCT ty FROM sup) tt
+      CROSS JOIN (SELECT DISTINCT c FROM sup) cc
+      LEFT JOIN sup s ON s.ty = tt.ty AND s.c = cc.c),
+    cum AS (
+      SELECT ty, c, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY ty ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumlt
+      FROM grid),
+    pairs AS (
+      SELECT gi.ty AS ti, gj.ty AS tj,
+             CAST(SUM(gj.cnt * (2 * gi.cumlt + gi.cnt)) AS BIGINT)
+               AS u2
+      FROM cum gi JOIN cum gj
+        ON gi.c = gj.c AND gi.ty < gj.ty
+      GROUP BY gi.ty, gj.ty),
+    sizes AS (
+      SELECT ty, CAST(SUM(cnt) AS BIGINT) AS n FROM sup GROUP BY ty),
+    fin AS (
+      SELECT (SELECT CAST(COALESCE(SUM(u2), 0) AS BIGINT) FROM pairs)
+               AS j2,
+             (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM sizes)
+               AS nt,
+             (SELECT CAST(COALESCE(SUM(n * n), 0) AS BIGINT)
+              FROM sizes) AS sn2,
+             (SELECT CAST(COALESCE(SUM(n * n * (2 * n + 3)), 0)
+                          AS BIGINT) FROM sizes) AS sv,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS k)
+    SELECT k, nt AS n_total, j2 AS j_doubled,
+           CASE WHEN k < 2 OR nt = 0
+                     OR nt * nt * (2 * nt + 3) - sv = 0 THEN NULL
+                ELSE round((CAST(j2 AS DOUBLE) / 2
+                            - (CAST(nt AS DOUBLE) * nt - sn2) / 4)
+                           / sqrt((CAST(nt AS DOUBLE) * nt
+                                   * (2 * nt + 3) - sv) / 72.0), 6) + 0
+           END AS z
+    FROM fin
+    """,
+)
+def stat_jonckheere(spark, sf):
+    """Jonckheere–Terpstra trend test — ordered alternatives for
+    INDEPENDENT groups (stat_page_trend's unblocked sibling; where
+    Kruskal-Wallis asks 'any difference', JT asks 'monotone along
+    the a-priori group order', here alphabetical event types). J =
+    SUM over ordered pairs of Mann-Whitney counts, and the whole
+    computation stays in exact BIGINTs via the grid-ECDF machinery
+    (stat_ks/stat_wasserstein family): per-type counts land on the
+    SHARED distinct-value grid, exclusive per-type prefix sums give
+    count(<v), and 2J accumulates cnt_j(v) * (2*cumlt_i(v) +
+    cnt_i(v)) — the doubled form books tie pairs at the standard
+    half credit with no fraction. The normal z uses the closed-form
+    no-ties moments E[J] = (n^2 - SUM ni^2)/4, Var[J] = (n^2(2n+3) -
+    SUM ni^2(2ni+3))/72 in one identical float expression (tie
+    correction to the VARIANCE omitted — standard practice,
+    documented; the statistic itself is tie-exact). Scale shape: one
+    corpus scan to the (type x value) support; the grid is |types| x
+    |distinct values| — bounded, never corpus-sized; the pair join
+    is grid x types, all post-aggregate."""
+    v = t(spark, sf, "events").filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("ty"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    sup = parquet_checkpoint(
+        v.groupBy("ty", "c").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        ),
+        "jt_sup",
+    )
+    grid = (
+        sup.select("ty")
+        .distinct()
+        .crossJoin(sup.select("c").distinct())
+        .join(sup, ["ty", "c"], "left")
+        .select("ty", "c", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("ty")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = parquet_checkpoint(
+        grid.select(
+            "ty",
+            "c",
+            "cnt",
+            F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias(
+                "cumlt"
+            ),
+        ),
+        "jt_cum",
+    )
+    gi = cum.select(
+        F.col("ty").alias("ti"),
+        F.col("c").alias("ci"),
+        F.col("cnt").alias("cnti"),
+        F.col("cumlt").alias("cumi"),
+    )
+    gj = cum.select(
+        F.col("ty").alias("tj"),
+        F.col("c").alias("cj"),
+        F.col("cnt").alias("cntj"),
+    )
+    pairs = gi.join(
+        gj,
+        (F.col("ci") == F.col("cj")) & (F.col("ti") < F.col("tj")),
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.col("cntj")
+                * (2 * F.col("cumi") + F.col("cnti"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("j2")
+    )
+    sizes = sup.groupBy("ty").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    m = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("nt"),
+        F.coalesce(F.sum(F.col("n") * F.col("n")), F.lit(0))
+        .cast("long")
+        .alias("sn2"),
+        F.coalesce(
+            F.sum(F.col("n") * F.col("n") * (2 * F.col("n") + 3)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sv"),
+    )
+    fin = m.crossJoin(pairs)
+    ntd = F.col("nt").cast("double")
+    bad = (
+        (F.col("k") < 2)
+        | (F.col("nt") == 0)
+        | (F.col("nt") * F.col("nt") * (2 * F.col("nt") + 3)
+           - F.col("sv") == 0)
+    )
+    return fin.select(
+        "k",
+        F.col("nt").alias("n_total"),
+        F.col("j2").alias("j_doubled"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (
+                    F.col("j2").cast("double") / 2
+                    - (ntd * F.col("nt") - F.col("sn2")) / 4
+                )
+                / F.sqrt(
+                    (
+                        ntd * F.col("nt") * (2 * F.col("nt") + 3)
+                        - F.col("sv")
+                    )
+                    / F.lit(72.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("z"),
+    )

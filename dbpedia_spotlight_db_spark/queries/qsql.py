@@ -2196,3 +2196,97 @@ def sql_scalar_subquery(spark, sf):
         FROM ssq_customer c
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 107: SQL PIVOT clause — the dialect spelling of the wide
+# reshape, and its multi-measure naming contract
+# ---------------------------------------------------------------------------
+@q(
+    "sql_pivot_clause",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                AS BIGINT) AS F_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS F_cents,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                AS BIGINT) AS O_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS O_cents,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END)
+                AS BIGINT) AS P_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS P_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_pivot_clause(spark, sf):
+    """The SQL-text ``PIVOT`` clause (`FROM ... PIVOT (aggs FOR col
+    IN (...))`) — the dialect spelling of what pivot_events /
+    pivot_multi_agg do through the DataFrame API, worth its own face
+    because the CLAUSE carries two contracts the API doesn't
+    surface: the IN list is MANDATORY and literal (Spark never
+    infers pivot values in SQL — the eager-distinct scan the API's
+    values-less pivot hides is simply unavailable, which is the
+    scale-safe default), and multi-measure columns are named
+    {value}_{alias} (the pivot_multi_agg naming lesson, now pinned
+    from the SQL side). Catalyst lowers the clause to the same
+    single-scan two-phase conditional aggregate as the twin's
+    CASE-WHEN spelling — pivoting is syntax, never a plan shape.
+    Missing (priority, status) cells surface as NULL (SUM over an
+    empty set), identical in both engines."""
+    t(spark, sf, "orders").createOrReplaceTempView("pv_orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM pv_orders)
+        PIVOT (
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(cents) AS BIGINT) AS cents
+          FOR o_orderstatus IN ('F', 'O', 'P'))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 107: quantified LIKE — LIKE ANY / LIKE ALL predicate lists
+# ---------------------------------------------------------------------------
+@q(
+    "sql_like_quantified",
+    """
+    SELECT p_partkey, p_name,
+           (p_name LIKE '%green%' OR p_name LIKE '%blue%') AS any_color,
+           (p_name LIKE '%s%' AND p_name LIKE '% %') AS all_marks,
+           NOT (p_name LIKE '%a%' OR p_name LIKE '%e%') AS no_vowel_ae
+    FROM part
+    """,
+)
+def sql_like_quantified(spark, sf):
+    """Quantified LIKE predicates — ``LIKE ANY (...)`` / ``LIKE ALL
+    (...)`` / ``NOT LIKE ANY`` over literal pattern lists, the
+    dialect surface a migration from Teradata/Snowflake SQL hits
+    first. DuckDB has no quantified LIKE at all, so the twin is the
+    expanded OR/AND spelling — which is also exactly what Catalyst
+    lowers the quantified forms to (LikeAny/LikeAll expressions fold
+    to the disjunction/conjunction at analysis; the plan is the same
+    map-only scan either way, pinned by the sql_any_all precedent
+    where the QUANTIFIED-SUBQUERY form, by contrast, does not parse
+    at all — lists yes, subqueries no, the asymmetry this face
+    documents). Pattern semantics (%, _) are common SQL; no regex
+    dialect divergence can enter."""
+    t(spark, sf, "part").createOrReplaceTempView("lq_part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name,
+               p_name LIKE ANY ('%green%', '%blue%') AS any_color,
+               p_name LIKE ALL ('%s%', '% %') AS all_marks,
+               NOT (p_name LIKE ANY ('%a%', '%e%')) AS no_vowel_ae
+        FROM lq_part
+        """
+    )

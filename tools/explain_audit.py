@@ -2683,6 +2683,44 @@ def main() -> None:
         f"(want 0)",
     )
 
+    # 93. wave 107: the PIVOT clause lowers to ONE scan + two-phase
+    # aggregate (no per-status branch); quantified LIKE folds to a
+    # map-only scan (no join, no Python); Jonckheere's returned plan
+    # reads its checkpoints, never the raw corpus.
+    p_pc = (
+        QUERIES["sql_pivot_clause"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pc_scans = len(re.findall(r"FileScan parquet", p_pc))
+    pc_aggs = len(re.findall(r"HashAggregate|SortAggregate", p_pc))
+    p_lk = (
+        QUERIES["sql_like_quantified"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lk_join = len(re.findall(r"HashJoin|SortMergeJoin|NestedLoop", p_lk))
+    lk_ex = len(re.findall(r"Exchange", p_lk))
+    p_jt = (
+        QUERIES["stat_jonckheere"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    jt_raw = p_jt.count("events.parquet")
+    check(
+        "wave 107: PIVOT clause one scan two-phase agg; quantified "
+        "LIKE map-only; Jonckheere checkpointed",
+        pc_scans == 1 and pc_aggs >= 2 and lk_join == 0 and lk_ex == 0
+        and jt_raw == 0,
+        f"sql_pivot_clause scans={pc_scans} (want 1) aggs={pc_aggs} "
+        f"(want >=2); sql_like_quantified joins={lk_join} "
+        f"Exchange={lk_ex} (want 0/0); stat_jonckheere raw "
+        f"scans={jt_raw} (want 0)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
