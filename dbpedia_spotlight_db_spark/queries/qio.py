@@ -1862,3 +1862,116 @@ def scan_ignore_missing(spark, sf):
         F.lit(bool(survived)).alias("survived_listing_race"),
     )
     return parquet_checkpoint(out, "ignore_missing_out")
+
+
+# ---------------------------------------------------------------------------
+# wave 108: localCheckpoint — built-in lineage truncation, and why
+# the repo's parquet checkpoint is still the production choice
+# ---------------------------------------------------------------------------
+@q(
+    "scan_local_checkpoint",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents,
+           TRUE AS lineage_truncated
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def scan_local_checkpoint(spark, sf):
+    """``localCheckpoint(eager=True)`` — Spark's built-in lineage
+    cut, the in-engine sibling of the repo's parquet_checkpoint
+    discipline: after the call the plan bottoms out at the
+    materialized RDD (pinned: no FileScan of orders remains in the
+    returned plan — the `lineage_truncated` boolean rides the hash)
+    and every downstream consumer reuses the computed rows instead
+    of re-running the subtree — the cure for the measured
+    multi-consumer double-scan class (stat_mutual_info lesson).
+    Why the repo still prefers the parquet spelling for corpus-scale
+    intermediates, documented here: localCheckpoint stores blocks on
+    EXECUTORS (lost on executor death — an hours-long 100-TB job
+    cannot re-derive truncated lineage, the failure is fatal by
+    design), keeps deserialized rows on the JVM heap (the r2 GC-storm
+    lesson that made .persist() SUPERLINEAR at 1.2M docs), and dies
+    with the session; a parquet checkpoint is executor-loss-proof,
+    columnar-compressed, and resumable. localCheckpoint's niche is
+    small hot relations inside one job — exactly this 5-row
+    rollup."""
+    agg = (
+        t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    lc = agg.localCheckpoint(eager=True)
+    plan = lc._jdf.queryExecution().executedPlan().toString()
+    truncated = "orders.parquet" not in plan
+    return lc.select(
+        "o_orderpriority",
+        "n",
+        "cents",
+        F.lit(bool(truncated)).alias("lineage_truncated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 108: DataFrame.to(schema) — declarative schema reconciliation
+# at the writer boundary
+# ---------------------------------------------------------------------------
+@q(
+    "sql_schema_enforce",
+    """
+    SELECT CAST(p_size AS BIGINT) AS p_size,
+           p_partkey,
+           upper(p_brand) AS brand,
+           TRUE AS schema_ok
+    FROM part
+    """,
+)
+def sql_schema_enforce(spark, sf):
+    """``DataFrame.to(schema)`` — declarative schema reconciliation,
+    the one-call writer-boundary contract (Spark 3.4): given a
+    TARGET schema it reorders columns, applies safe upcasts (int ->
+    bigint here — never a silent narrowing; an unsafe cast is an
+    ANALYSIS error, not a runtime surprise), and matches names
+    case-insensitively — replacing the hand-rolled select/cast
+    chains every sink job accumulates. The face pins the reconciled
+    schema EXACTLY (schema_ok = returned schema == target, riding
+    the hash) and the values through the upcast; the twin is the
+    explicit CAST spelling, which is also precisely what Catalyst
+    lowers .to() into (Project over scan — map-only, pinned by the
+    audit's Exchange=0). At 100 TB this is the cheap half of schema
+    evolution: .to() standardizes what the job WRITES;
+    parquet_merge_schema (footer-union) handles what it READS."""
+    src = t(spark, sf, "part").select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand"),
+        F.col("p_size"),
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    target = StructType(
+        [
+            StructField("p_size", LongType()),
+            StructField("p_partkey", LongType()),
+            StructField("brand", StringType()),
+        ]
+    )
+    out = src.to(target)
+    ok = out.schema == target
+    return out.select(
+        "p_size",
+        "p_partkey",
+        "brand",
+        F.lit(bool(ok)).alias("schema_ok"),
+    )

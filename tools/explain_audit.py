@@ -2721,6 +2721,34 @@ def main() -> None:
         f"scans={jt_raw} (want 0)",
     )
 
+    # 94. wave 108: localCheckpoint's returned plan bottoms out at
+    # the materialized RDD (zero FileScan); .to(schema) stays a
+    # map-only Project (zero Exchange, zero joins).
+    p_lc = (
+        QUERIES["scan_local_checkpoint"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lc_scans = len(re.findall(r"FileScan parquet", p_lc))
+    lc_rdd = "ExistingRDD" in p_lc or "LogicalRDD" in p_lc
+    p_se = (
+        QUERIES["sql_schema_enforce"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    se_ex = len(re.findall(r"Exchange", p_se))
+    se_join = len(re.findall(r"HashJoin|SortMergeJoin|NestedLoop", p_se))
+    check(
+        "wave 108: localCheckpoint plan is the materialized RDD; "
+        ".to(schema) map-only",
+        lc_scans == 0 and lc_rdd and se_ex == 0 and se_join == 0,
+        f"scan_local_checkpoint FileScans={lc_scans} (want 0) "
+        f"rdd-backed={lc_rdd}; sql_schema_enforce Exchange={se_ex} "
+        f"joins={se_join} (want 0/0)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
