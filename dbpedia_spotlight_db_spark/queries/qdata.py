@@ -2471,3 +2471,200 @@ def udtf_arrow_split(spark, sf):
         "SELECT d.doc_id, g.pos, g.tok, g.tok_bytes "
         "FROM udtf_arrow_docs d, LATERAL arrow_split(d.text) g"
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 109: self-BLEU — the corpus-diversity metric, exact clipped
+# counts + one micros-quantized float per pair
+# ---------------------------------------------------------------------------
+@q(
+    "text_self_bleu",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    prs AS (
+      SELECT doc_id AS cand_id,
+             LEAD(doc_id) OVER (ORDER BY doc_id) AS ref_id
+      FROM docs),
+    pairs AS (SELECT cand_id, ref_id FROM prs WHERE ref_id IS NOT NULL),
+    g1 AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(toks) AS g FROM docs) z1
+      GROUP BY doc_id, g),
+    ex2 AS (
+      SELECT doc_id, generate_subscripts(toks, 1) AS i, toks
+      FROM docs),
+    g2 AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM ex2 WHERE i <= len(toks) - 1 GROUP BY doc_id, g),
+    lens AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt FROM docs),
+    clip1 AS (
+      SELECT p.cand_id, p.ref_id,
+             CAST(SUM(LEAST(a.c, COALESCE(b.c, 0))) AS BIGINT) AS c1,
+             CAST(SUM(a.c) AS BIGINT) AS t1
+      FROM pairs p
+      JOIN g1 a ON a.doc_id = p.cand_id
+      LEFT JOIN g1 b ON b.doc_id = p.ref_id AND b.g = a.g
+      GROUP BY p.cand_id, p.ref_id),
+    clip2 AS (
+      SELECT p.cand_id, p.ref_id,
+             CAST(COALESCE(SUM(LEAST(a.c, COALESCE(b.c, 0))), 0)
+                  AS BIGINT) AS c2,
+             CAST(COALESCE(SUM(a.c), 0) AS BIGINT) AS t2
+      FROM pairs p
+      LEFT JOIN g2 a ON a.doc_id = p.cand_id
+      LEFT JOIN g2 b ON b.doc_id = p.ref_id AND b.g = a.g
+      GROUP BY p.cand_id, p.ref_id)
+    SELECT c1.cand_id, c1.ref_id, c1.c1, c1.t1, c2.c2, c2.t2,
+           CASE WHEN c1.c1 = 0 OR c2.c2 = 0 OR c2.t2 = 0 THEN 0
+                ELSE CAST(round(1000000.0 *
+                  CASE WHEN lc.nt >= lr.nt THEN 1.0
+                       ELSE exp(1.0 - CAST(lr.nt AS DOUBLE) / lc.nt)
+                  END
+                  * exp(0.5 * (ln(CAST(c1.c1 AS DOUBLE) / c1.t1)
+                               + ln(CAST(c2.c2 AS DOUBLE) / c2.t2))))
+                  AS BIGINT)
+           END AS bleu_micros
+    FROM clip1 c1
+    JOIN clip2 c2 ON c1.cand_id = c2.cand_id AND c1.ref_id = c2.ref_id
+    JOIN lens lc ON lc.doc_id = c1.cand_id
+    JOIN lens lr ON lr.doc_id = c1.ref_id
+    """,
+)
+def text_self_bleu(spark, sf):
+    """Self-BLEU over adjacent document pairs — the corpus DIVERSITY
+    gate (high self-BLEU = templated/near-duplicate generations; the
+    standard companion to the dedup family when curating synthetic
+    training data). BLEU-2 per (doc, next-doc-by-id) pair: clipped
+    n-gram matches SUM(min(count_cand, count_ref)) and totals are
+    exact BIGINTs riding the hash per pair; the only float is ONE
+    identical-op-order expression per pair (brevity penalty x
+    geometric mean of the two precisions), micros-quantized — a
+    zero clipped count short-circuits to 0 before any ln. Adjacent
+    pairing keeps the work linear (true corpus-level self-BLEU is
+    quadratic; production samples pairs — the deterministic
+    next-by-id pairing IS a sample, documented). Scale shape: the
+    per-doc gram relations are checkpointed once (each is consumed
+    by BOTH join sides — the reuse-defeats-pruning lesson), joins
+    are gram-keyed and bounded by document length, and nothing
+    corpus-sized ever sorts globally except the id-adjacency window
+    over the DOC-ID relation (bounded, one column)."""
+    from ..operators.dedup import parquet_checkpoint
+
+    docs = (
+        t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    docs = parquet_checkpoint(docs, "sbleu_docs")
+    lens = docs.select(
+        "doc_id", F.size("toks").cast("long").alias("nt")
+    )
+    prs = docs.select(
+        F.col("doc_id").alias("cand_id"),
+        F.lead("doc_id")
+        .over(Window.orderBy("doc_id"))
+        .alias("ref_id"),
+    ).filter(F.col("ref_id").isNotNull())
+    g1 = parquet_checkpoint(
+        docs.select("doc_id", F.explode("toks").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c")),
+        "sbleu_g1",
+    )
+    g2 = parquet_checkpoint(
+        docs.select(
+            "doc_id", F.posexplode("toks").alias("i", "tok"), "toks"
+        )
+        .filter(F.col("i") <= F.size("toks") - 2)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                F.element_at(F.col("toks"), F.col("i") + 2),
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c")),
+        "sbleu_g2",
+    )
+
+    def clipped(grams, outer):
+        a = grams.select(
+            F.col("doc_id").alias("cand_id"),
+            F.col("g").alias("ga"),
+            F.col("c").alias("ca"),
+        )
+        b = grams.select(
+            F.col("doc_id").alias("rid"),
+            F.col("g").alias("gb"),
+            F.col("c").alias("cb"),
+        )
+        base = prs.join(a, "cand_id", "left" if outer else "inner")
+        j = base.join(
+            b,
+            (F.col("rid") == F.col("ref_id"))
+            & (F.col("gb") == F.col("ga")),
+            "left",
+        )
+        return j.groupBy("cand_id", "ref_id").agg(
+            F.coalesce(
+                F.sum(F.least(F.col("ca"), F.coalesce(F.col("cb"),
+                                                      F.lit(0)))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("clip"),
+            F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("tot"),
+        )
+
+    c1 = clipped(g1, outer=False).withColumnsRenamed(
+        {"clip": "c1", "tot": "t1"}
+    )
+    c2 = clipped(g2, outer=True).withColumnsRenamed(
+        {"clip": "c2", "tot": "t2"}
+    )
+    j = (
+        c1.join(c2, ["cand_id", "ref_id"])
+        .join(
+            lens.select(
+                F.col("doc_id").alias("cand_id"),
+                F.col("nt").alias("ntc"),
+            ),
+            "cand_id",
+        )
+        .join(
+            lens.select(
+                F.col("doc_id").alias("ref_id"),
+                F.col("nt").alias("ntr"),
+            ),
+            "ref_id",
+        )
+    )
+    bp = F.when(F.col("ntc") >= F.col("ntr"), F.lit(1.0)).otherwise(
+        F.exp(1.0 - F.col("ntr").cast("double") / F.col("ntc"))
+    )
+    bleu = F.when(
+        (F.col("c1") == 0) | (F.col("c2") == 0) | (F.col("t2") == 0),
+        F.lit(0),
+    ).otherwise(
+        F.round(
+            F.lit(1000000.0)
+            * bp
+            * F.exp(
+                0.5
+                * (
+                    F.log(F.col("c1").cast("double") / F.col("t1"))
+                    + F.log(F.col("c2").cast("double") / F.col("t2"))
+                )
+            )
+        ).cast("long")
+    )
+    return j.select(
+        "cand_id", "ref_id", "c1", "t1", "c2", "t2",
+        bleu.alias("bleu_micros"),
+    )

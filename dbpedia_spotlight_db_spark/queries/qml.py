@@ -6237,3 +6237,135 @@ def stat_page_trend(spark, sf):
         )
         .alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 109: Krippendorff's alpha — label reliability with variable
+# raters per unit, exact coincidence algebra
+# ---------------------------------------------------------------------------
+@q(
+    "ml_krippendorff",
+    """
+    WITH r AS (
+      SELECT user_id AS u,
+             CAST(round(value * 100) AS BIGINT) // 2000 AS v
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    uv AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n
+      FROM r GROUP BY u, v),
+    um AS (
+      SELECT u, CAST(SUM(n) AS BIGINT) AS m,
+             CAST(SUM(n * n) AS BIGINT) AS sn2
+      FROM uv GROUP BY u),
+    keep AS (SELECT u, m, sn2 FROM um WHERE m >= 2),
+    douter AS (
+      SELECT CAST(COALESCE(SUM(CAST(round(1000000.0 *
+               CAST(m * m - sn2 AS DOUBLE) / (m - 1)) AS BIGINT)), 0)
+               AS BIGINT) AS do_mic,
+             CAST(COALESCE(SUM(m), 0) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS n_units
+      FROM keep),
+    vt AS (
+      SELECT CAST(COALESCE(SUM(nv * nv), 0) AS BIGINT) AS sv2
+      FROM (SELECT CAST(SUM(uv.n) AS BIGINT) AS nv
+            FROM uv JOIN keep ON keep.u = uv.u
+            GROUP BY uv.v) z)
+    SELECT d.n_units, d.nn AS n_ratings, d.do_mic,
+           d.nn * d.nn - vt.sv2 AS de_num,
+           CASE WHEN d.nn < 2 OR d.nn * d.nn - vt.sv2 = 0 THEN NULL
+                ELSE round(1.0 - (d.nn - 1)
+                           * (CAST(d.do_mic AS DOUBLE) / 1000000.0)
+                           / (d.nn * d.nn - vt.sv2), 6) + 0
+           END AS alpha
+    FROM douter d CROSS JOIN vt
+    """,
+)
+def ml_krippendorff(spark, sf):
+    """Krippendorff's alpha (nominal) — THE reliability coefficient
+    for label pipelines with VARIABLE raters per unit and missing
+    ratings, where ml_cohen_kappa demands exactly two fixed raters
+    and stat_cronbach demands numeric items: units are users, each
+    event is one nominal 'rating' (a coarse value bucket), and alpha
+    = 1 - D_o/D_e over coincidence counts. The algebra stays exact:
+    per-unit observed-disagreement numerators m^2 - SUM n_v^2 are
+    BIGINTs, the single fractional step /(m-1) quantizes to micros
+    PER UNIT in identical op order (the stat_circular discipline —
+    order-independent integer sum across units), the expected-
+    disagreement numerator N^2 - SUM n_v^2 is a BIGINT over pooled
+    value totals (computed over KEPT units only — single-rating
+    units are excluded from BOTH sides, the standard treatment), and
+    alpha is one final float rounded to 6. Scale shape: corpus ->
+    (unit x value) cells in one agg, everything downstream is
+    cell-bounded; no unit-pair or rater-pair join ever forms (the
+    naive pairwise-agreement spelling is quadratic in raters).
+    All-agreeing-or-degenerate corpora (de_num = 0) NULL-guard."""
+    r = (
+        t(spark, sf, "events")
+        .filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("u"),
+            F.expr(
+                "CAST(round(value * 100) AS BIGINT) div 2000"
+            ).alias("v"),
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    uv = parquet_checkpoint(
+        r.groupBy("u", "v").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ),
+        "kripp_uv",
+    )
+    um = uv.groupBy("u").agg(
+        F.sum("n").cast("long").alias("m"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sn2"),
+    )
+    keep = parquet_checkpoint(
+        um.filter(F.col("m") >= 2), "kripp_keep"
+    )
+    unit_mic = F.round(
+        F.lit(1000000.0)
+        * (F.col("m") * F.col("m") - F.col("sn2")).cast("double")
+        / (F.col("m") - 1)
+    ).cast("long")
+    douter = keep.agg(
+        F.coalesce(F.sum(unit_mic), F.lit(0))
+        .cast("long")
+        .alias("do_mic"),
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+    )
+    vt = (
+        uv.join(keep.select("u"), "u")
+        .groupBy("v")
+        .agg(F.sum("n").cast("long").alias("nv"))
+        .agg(
+            F.coalesce(F.sum(F.col("nv") * F.col("nv")), F.lit(0))
+            .cast("long")
+            .alias("sv2")
+        )
+    )
+    fin = douter.crossJoin(vt)
+    de = F.col("nn") * F.col("nn") - F.col("sv2")
+    bad = (F.col("nn") < 2) | (de == 0)
+    return fin.select(
+        "n_units",
+        F.col("nn").alias("n_ratings"),
+        "do_mic",
+        de.cast("long").alias("de_num"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - (F.col("nn") - 1)
+                * (F.col("do_mic").cast("double") / F.lit(1000000.0))
+                / de,
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("alpha"),
+    )

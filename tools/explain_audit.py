@@ -2749,6 +2749,32 @@ def main() -> None:
         f"joins={se_join} (want 0/0)",
     )
 
+    # 95. wave 109: the self-BLEU gram relations are checkpointed
+    # (each consumed by BOTH join sides — zero raw documents scans
+    # in the returned plan); Krippendorff reads its checkpointed
+    # cells (zero raw events scans) and forms no unit-pair join.
+    p_sb = (
+        QUERIES["text_self_bleu"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    sb_raw = p_sb.count("documents.parquet")
+    p_ka = (
+        QUERIES["ml_krippendorff"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ka_raw = p_ka.count("events.parquet")
+    check(
+        "wave 109: self-BLEU + Krippendorff fully checkpointed (no "
+        "raw corpus re-scan in returned plans)",
+        sb_raw == 0 and ka_raw == 0,
+        f"text_self_bleu raw documents scans={sb_raw} (want 0); "
+        f"ml_krippendorff raw events scans={ka_raw} (want 0)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
