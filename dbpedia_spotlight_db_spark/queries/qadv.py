@@ -4797,3 +4797,122 @@ def stat_jonckheere(spark, sf):
         )
         .alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 110: Cochran-Armitage trend — binary outcome vs ordered doses,
+# cross-multiplied to exact integers
+# ---------------------------------------------------------------------------
+@q(
+    "stat_cochran_armitage",
+    """
+    WITH g AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a
+      FROM orders GROUP BY 1),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(a) AS BIGINT) AS at,
+             CAST(SUM(s * a) AS BIGINT) AS t,
+             CAST(SUM(s * n) AS BIGINT) AS s1,
+             CAST(SUM(s * s * n) AS BIGINT) AS s2
+      FROM g)
+    SELECT k, nt AS n_total, at AS n_pos, t AS t_stat, s1, s2,
+           CASE WHEN at = 0 OR at = nt OR nt * s2 - s1 * s1 = 0
+                     OR nt = 0 THEN NULL
+                ELSE round((CAST(nt AS DOUBLE) * t - CAST(at AS DOUBLE)
+                            * s1)
+                           / sqrt(CAST(at AS DOUBLE) * (nt - at)
+                                  * (CAST(nt AS DOUBLE) * s2
+                                     - CAST(s1 AS DOUBLE) * s1) / nt),
+                           6) + 0
+           END AS z
+    FROM m
+    """,
+)
+def stat_cochran_armitage(spark, sf):
+    """Cochran-Armitage trend test — BINARY outcome against ORDERED
+    doses (the epidemiology classic; here: does the finished-order
+    rate trend with priority level), completing the trend family's
+    third cell (Page: blocked ranks, Jonckheere: independent ranks,
+    CA: binary proportions). Dose scores come from the priority
+    prefix digit (1-URGENT..5-LOW — an ORDINAL encoding that already
+    lives in the data), and every moment — group sizes, positives,
+    T = SUM s*a, S1, S2 — is an exact BIGINT from ONE two-level
+    aggregate over ONE scan. The z statistic is the cross-multiplied
+    form z = (N*T - A*S1) / sqrt(A(N-A)(N*S2 - S1^2)/N): numerator
+    and variance pieces would square past BIGINT at corpus scale
+    (the events_burstiness lesson), so the final expression runs in
+    DOUBLE over the exact integer columns in identical op order —
+    values up to ~1e12 are exact doubles, and both engines round the
+    one float once. Degenerate regimes (all-positive, all-negative,
+    single dose, empty) NULL-guard."""
+    g = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1)
+            .cast("long")
+            .alias("s")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("a"),
+        )
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("nt"),
+        F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("at"),
+        F.coalesce(F.sum(F.col("s") * F.col("a")), F.lit(0))
+        .cast("long")
+        .alias("t"),
+        F.coalesce(F.sum(F.col("s") * F.col("n")), F.lit(0))
+        .cast("long")
+        .alias("s1"),
+        F.coalesce(
+            F.sum(F.col("s") * F.col("s") * F.col("n")), F.lit(0)
+        )
+        .cast("long")
+        .alias("s2"),
+    )
+    ntd = F.col("nt").cast("double")
+    atd = F.col("at").cast("double")
+    bad = (
+        (F.col("at") == 0)
+        | (F.col("at") == F.col("nt"))
+        | (F.col("nt") * F.col("s2") - F.col("s1") * F.col("s1") == 0)
+        | (F.col("nt") == 0)
+    )
+    return m.select(
+        "k",
+        F.col("nt").alias("n_total"),
+        F.col("at").alias("n_pos"),
+        F.col("t").alias("t_stat"),
+        "s1",
+        "s2",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (ntd * F.col("t") - atd * F.col("s1"))
+                / F.sqrt(
+                    atd
+                    * (F.col("nt") - F.col("at"))
+                    * (
+                        ntd * F.col("s2")
+                        - F.col("s1").cast("double") * F.col("s1")
+                    )
+                    / F.col("nt")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("z"),
+    )

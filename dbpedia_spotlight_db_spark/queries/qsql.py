@@ -2290,3 +2290,46 @@ def sql_like_quantified(spark, sf):
         FROM lq_part
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 110: ordinal references — GROUP BY 1 / ORDER BY 2 position
+# binding
+# ---------------------------------------------------------------------------
+@q(
+    "sql_ordinal_refs",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def sql_ordinal_refs(spark, sf):
+    """Ordinal (positional) references — ``GROUP BY 1``, ``ORDER BY
+    2 DESC`` — the interactive-SQL idiom both engines support and
+    every BI tool emits. The contract pinned: ordinals bind to the
+    SELECT-list POSITION at analysis time (spark.sql.groupByOrdinal
+    / orderByOrdinal, default on), so they survive expression
+    changes but silently REBIND when columns are reordered — the
+    docstring's migration warning; an ordinal referencing an
+    aggregate expression is an analysis error, not a group-by-
+    aggregate (the classic footgun, kept out of the face). The
+    ORDER BY inside the face is presentation-only (the driver's
+    hash is order-insensitive) — it exercises the parse path while
+    the twin omits it, proving ordering is value-neutral. Lowers to
+    the identical plan as named references: syntax only."""
+    t(spark, sf, "orders").createOrReplaceTempView("ord_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM ord_orders
+        GROUP BY 1
+        ORDER BY 2 DESC
+        """
+    )

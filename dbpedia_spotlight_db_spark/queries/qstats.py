@@ -2572,3 +2572,47 @@ def events_attribution_linear(spark, sf):
         .orderBy(F.desc("credit_us"), "click_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 110: mode(x, deterministic=true) — the native mode made
+# gate-able by its lowest-tie contract
+# ---------------------------------------------------------------------------
+@q(
+    "agg_mode_det",
+    """
+    WITH cc AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+             COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, c),
+    rk AS (
+      SELECT event_type, c, n,
+             MAX(n) OVER (PARTITION BY event_type) AS mx
+      FROM cc)
+    SELECT event_type,
+           CAST(MIN(c) AS BIGINT) AS mode_cents
+    FROM rk WHERE n = mx GROUP BY event_type
+    """,
+)
+def agg_mode_det(spark, sf):
+    """``mode(x, true)`` — Spark 4's DETERMINISTIC mode flag, the
+    fix for exactly the defect that made agg_mode refuse the native
+    function (an implementation-defined tie pick is unhashable and,
+    worse, partition-order-dependent): with the flag the contract is
+    'lowest value among the tied maxima', measured and here GATED —
+    the twin computes min-of-argmax from the count-of-counts support
+    with a per-group MAX window, so a regression in the tie contract
+    hash-mismatches immediately. Scale shape identical to the plain
+    mode: one corpus agg to the (group, value) support, one bounded
+    window — the flag costs one ordering comparison in the agg
+    buffer, not a plan change. agg_mode (manual spelling) stays as
+    the portable form; this face is the Spark-4-native fast path."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    return e.groupBy("event_type").agg(
+        F.expr(
+            "mode(CAST(round(value * 100) AS BIGINT), true)"
+        )
+        .cast("long")
+        .alias("mode_cents")
+    )

@@ -2775,6 +2775,37 @@ def main() -> None:
         f"ml_krippendorff raw events scans={ka_raw} (want 0)",
     )
 
+    # 96. wave 110: the native deterministic mode plans exactly like
+    # the plain agg (one scan, partial before the shuffle, no
+    # Window); Cochran-Armitage is one scan; ordinal refs lower to
+    # the identical agg plan as named refs (plus the presentation
+    # sort).
+    p_md = (
+        QUERIES["agg_mode_det"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    md_scans = len(re.findall(r"FileScan parquet", p_md))
+    md_win = len(re.findall(r"\bWindow\b", p_md))
+    md_partial = "partial_mode" in p_md
+    p_ca = (
+        QUERIES["stat_cochran_armitage"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ca_scans = len(re.findall(r"FileScan parquet", p_ca))
+    check(
+        "wave 110: deterministic mode one scan + map-side partial, "
+        "no Window; Cochran-Armitage one scan",
+        md_scans == 1 and md_win == 0 and md_partial
+        and ca_scans == 1,
+        f"agg_mode_det scans={md_scans} (want 1) windows={md_win} "
+        f"partial_mode={md_partial}; stat_cochran_armitage "
+        f"scans={ca_scans} (want 1)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
