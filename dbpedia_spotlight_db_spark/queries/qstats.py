@@ -2616,3 +2616,384 @@ def agg_mode_det(spark, sf):
         .cast("long")
         .alias("mode_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 111: log-rank test — two-group survival comparison on the
+# shared duration grid, per-time terms micros-quantized
+# ---------------------------------------------------------------------------
+@q(
+    "stat_log_rank",
+    """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS grp,
+             MIN(epoch_us(ts)) AS fus, MAX(epoch_us(ts)) AS lus
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    ud AS (
+      SELECT grp, (lus - fus) // 3600000000 AS dur,
+             CASE WHEN MAX(lus) OVER () - lus < 43200000000
+                  THEN 1 ELSE 0 END AS cen
+      FROM u),
+    sup AS (
+      SELECT grp, dur, CAST(SUM(1 - cen) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS tot
+      FROM ud GROUP BY grp, dur),
+    grid AS (
+      SELECT gg.grp, dd.dur, COALESCE(s.d, 0) AS d,
+             COALESCE(s.tot, 0) AS tot
+      FROM (SELECT DISTINCT grp FROM sup) gg
+      CROSS JOIN (SELECT DISTINCT dur FROM sup) dd
+      LEFT JOIN sup s ON s.grp = gg.grp AND s.dur = dd.dur),
+    rk AS (
+      SELECT grp, dur, d,
+             SUM(tot) OVER (PARTITION BY grp ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_risk
+      FROM grid),
+    at AS (
+      SELECT dur,
+             CAST(SUM(d) AS BIGINT) AS dt,
+             CAST(SUM(n_risk) AS BIGINT) AS nt,
+             CAST(SUM(CASE WHEN grp = 0 THEN d ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN grp = 0 THEN n_risk ELSE 0 END)
+                  AS BIGINT) AS n1
+      FROM rk GROUP BY dur),
+    terms AS (
+      SELECT d1,
+             CAST(round(1000000.0 * CAST(dt AS DOUBLE) * n1 / nt)
+                  AS BIGINT) AS e1_mic,
+             CASE WHEN nt > 1
+                  THEN CAST(round(1000000.0 * CAST(dt AS DOUBLE)
+                        * (nt - dt) * n1 * (nt - n1)
+                        / (CAST(nt AS DOUBLE) * nt * (nt - 1)))
+                       AS BIGINT)
+                  ELSE 0 END AS v_mic
+      FROM at WHERE dt > 0 AND nt > 0),
+    fin AS (
+      SELECT CAST(COALESCE(SUM(d1), 0) AS BIGINT) AS o1,
+             CAST(COALESCE(SUM(e1_mic), 0) AS BIGINT) AS e1_mic,
+             CAST(COALESCE(SUM(v_mic), 0) AS BIGINT) AS v_mic
+      FROM terms)
+    SELECT o1, e1_mic, v_mic,
+           CASE WHEN v_mic = 0 THEN NULL
+                ELSE round((o1 - e1_mic / 1000000.0)
+                           * (o1 - e1_mic / 1000000.0)
+                           / (v_mic / 1000000.0), 6) + 0
+           END AS chi2
+    FROM fin
+    """,
+)
+def stat_log_rank(spark, sf):
+    """Log-rank test — the inference companion to events_survival's
+    Kaplan-Meier curve: do two cohorts (user-id parity) share one
+    survival distribution? At each distinct lifetime the observed
+    group-0 churn d1, its hypergeometric expectation d_t*n1/n_t and
+    variance d_t(n_t-d_t)n1(n_t-n1)/(n_t^2(n_t-1)) accumulate; the
+    per-time fractions are the only non-integers, so each quantizes
+    to micros in identical op order (stat_circular discipline) and
+    the three totals are exact order-independent BIGINTs, with
+    chi2 = (O1-E1)^2/V as one final float. Group at-risk counts come
+    from per-group SUFFIX cumulatives over the SHARED duration grid
+    (the stat_jonckheere zero-filled grid — without the fill a
+    duration absent from one group would silently drop that group's
+    risk set instead of carrying it). Same censoring rule as the KM
+    face family (right-censor users whose last event falls in the
+    final 12 observed hours; durations in HOURS because the synthetic
+    users all span the whole calendar in days; censored users
+    leave the risk set at their censoring time and never count as
+    events). Scale shape: one corpus scan to per-user spans,
+    everything downstream duration-grid-bounded."""
+    e = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+            "fus"
+        ),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+            "lus"
+        ),
+    ).select(
+        (F.col("user_id") % 2).alias("grp"), "fus", "lus"
+    )
+    wall = Window.partitionBy()
+    ud = u.select(
+        "grp",
+        F.expr("(lus - fus) div 3600000000").alias("dur"),
+        F.when(
+            F.max("lus").over(wall) - F.col("lus") < 43200000000,
+            1,
+        )
+        .otherwise(0)
+        .alias("cen"),
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    sup = parquet_checkpoint(
+        ud.groupBy("grp", "dur").agg(
+            F.sum(1 - F.col("cen")).cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("tot"),
+        ),
+        "logrank_sup",
+    )
+    grid = (
+        sup.select("grp")
+        .distinct()
+        .crossJoin(sup.select("dur").distinct())
+        .join(sup, ["grp", "dur"], "left")
+        .select(
+            "grp",
+            "dur",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("tot", F.lit(0)).alias("tot"),
+        )
+    )
+    wrk = (
+        Window.partitionBy("grp")
+        .orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rk = grid.select(
+        "grp", "dur", "d", F.sum("tot").over(wrk).alias("n_risk")
+    )
+    at = rk.groupBy("dur").agg(
+        F.sum("d").cast("long").alias("dt"),
+        F.sum("n_risk").cast("long").alias("nt"),
+        F.sum(F.when(F.col("grp") == 0, F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(
+            F.when(F.col("grp") == 0, F.col("n_risk")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n1"),
+    )
+    terms = at.filter((F.col("dt") > 0) & (F.col("nt") > 0)).select(
+        "d1",
+        F.round(
+            F.lit(1000000.0)
+            * F.col("dt").cast("double")
+            * F.col("n1")
+            / F.col("nt")
+        )
+        .cast("long")
+        .alias("e1_mic"),
+        F.when(
+            F.col("nt") > 1,
+            F.round(
+                F.lit(1000000.0)
+                * F.col("dt").cast("double")
+                * (F.col("nt") - F.col("dt"))
+                * F.col("n1")
+                * (F.col("nt") - F.col("n1"))
+                / (
+                    F.col("nt").cast("double")
+                    * F.col("nt")
+                    * (F.col("nt") - 1)
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("v_mic"),
+    )
+    fin = terms.agg(
+        F.coalesce(F.sum("d1"), F.lit(0)).cast("long").alias("o1"),
+        F.coalesce(F.sum("e1_mic"), F.lit(0))
+        .cast("long")
+        .alias("e1_mic"),
+        F.coalesce(F.sum("v_mic"), F.lit(0))
+        .cast("long")
+        .alias("v_mic"),
+    )
+    dev = F.col("o1") - F.col("e1_mic") / F.lit(1000000.0)
+    return fin.select(
+        "o1",
+        "e1_mic",
+        "v_mic",
+        F.when(F.col("v_mic") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                dev * dev / (F.col("v_mic") / F.lit(1000000.0)), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 111: restricted mean survival time — the area under the KM
+# curve up to a horizon, per-interval micros terms
+# ---------------------------------------------------------------------------
+@q(
+    "events_rmst",
+    """
+    WITH u AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS fus, MAX(epoch_us(ts)) AS lus
+      FROM events GROUP BY user_id),
+    ud AS (
+      SELECT (lus - fus) // 3600000000 AS dur,
+             CASE WHEN MAX(lus) OVER () - lus < 43200000000
+                  THEN 1 ELSE 0 END AS cen
+      FROM u),
+    sup AS (
+      SELECT dur, CAST(SUM(1 - cen) AS BIGINT) AS d,
+             CAST(SUM(cen) AS BIGINT) AS c
+      FROM ud GROUP BY dur),
+    rk AS (
+      SELECT dur, d, c,
+             SUM(d + c) OVER (ORDER BY dur DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS n_risk
+      FROM sup),
+    ev AS (
+      SELECT dur, d, n_risk,
+             CASE WHEN d < n_risk
+                  THEN CAST(round(1000000.0
+                         * ln(CAST(n_risk - d AS DOUBLE) / n_risk))
+                       AS BIGINT) END AS term_micros
+      FROM rk WHERE d > 0),
+    km AS (
+      SELECT dur,
+             SUM(term_micros) OVER (ORDER BY dur
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS msum,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS dead,
+             LEAD(dur, 1, 1000000) OVER (ORDER BY dur) AS nxt
+      FROM ev),
+    terms AS (
+      SELECT CAST(round(
+               CASE WHEN dead = 1 THEN 0.0
+                    ELSE 1000000.0 * exp(msum / 1000000.0) END
+               * GREATEST(0, LEAST(nxt, 720) - LEAST(dur, 720)))
+               AS BIGINT) AS tm
+      FROM km),
+    init AS (
+      SELECT CAST(1000000 * LEAST(COALESCE(MIN(dur), 720), 720)
+                  AS BIGINT) AS im,
+             CAST(COUNT(*) AS BIGINT) AS n_support
+      FROM ev)
+    SELECT CAST(720 AS BIGINT) AS tau_hr,
+           CAST(CASE WHEN (SELECT SUM(d + c) FROM sup) IS NULL THEN NULL
+                ELSE init.im + COALESCE((SELECT SUM(tm) FROM terms), 0)
+           END AS BIGINT) AS rmst_micros
+    FROM init
+    """,
+)
+def events_rmst(spark, sf):
+    """Restricted mean survival time — the area under the KM curve
+    up to a 720-hour horizon, the A/B-testing summary that stays
+    valid when hazards cross and medians are undefined (the single
+    number 'expected active hours within 30 days' a retention test
+    reports; stat_log_rank tests the difference, RMST sizes it).
+    Pure step-function integration over the SAME support relation as
+    events_survival: each inter-event interval contributes
+    S(t_i) * (min(t_{i+1}, tau) - min(t_i, tau)), the survival value
+    comes from the cumulative micros-ln sum (kg_adamic_adar
+    discipline), each interval's area quantizes to micros
+    independently (order-independent integer sum), and the initial
+    [0, first-event) strip at S = 1 is exact. The absorbing-zero
+    regime (risk set dies) contributes nothing after death, and the
+    empty corpus NULLs the estimate rather than reporting tau.
+    Scale shape identical to the KM face: corpus -> per-user spans
+    -> duration support; windows only over the bounded support."""
+    e = t(spark, sf, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+            "fus"
+        ),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+            "lus"
+        ),
+    )
+    wall = Window.partitionBy()
+    ud = u.select(
+        F.expr("(lus - fus) div 3600000000").alias("dur"),
+        F.when(
+            F.max("lus").over(wall) - F.col("lus") < 43200000000, 1
+        )
+        .otherwise(0)
+        .alias("cen"),
+    )
+    sup = ud.groupBy("dur").agg(
+        F.sum(1 - F.col("cen")).cast("long").alias("d"),
+        F.sum("cen").cast("long").alias("c"),
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    sup = parquet_checkpoint(sup, "rmst_sup")
+    wrk = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rk = sup.select(
+        "dur",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(wrk).alias("n_risk"),
+    )
+    ev = rk.filter(F.col("d") > 0).select(
+        "dur",
+        "d",
+        "n_risk",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk")
+                )
+            ).cast("long"),
+        ).alias("term_micros"),
+    )
+    ev = parquet_checkpoint(ev, "rmst_ev")
+    wkm = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    km = ev.select(
+        "dur",
+        F.sum("term_micros").over(wkm).alias("msum"),
+        F.max(
+            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(wkm)
+        .alias("dead"),
+        F.lead("dur", 1, 1000000)
+        .over(Window.orderBy("dur"))
+        .alias("nxt"),
+    )
+    terms = km.select(
+        F.round(
+            F.when(F.col("dead") == 1, F.lit(0.0)).otherwise(
+                F.lit(1000000.0)
+                * F.exp(F.col("msum") / F.lit(1000000.0))
+            )
+            * F.greatest(
+                F.lit(0),
+                F.least(F.col("nxt"), F.lit(720))
+                - F.least(F.col("dur"), F.lit(720)),
+            )
+        )
+        .cast("long")
+        .alias("tm")
+    ).agg(F.coalesce(F.sum("tm"), F.lit(0)).cast("long").alias("ts"))
+    init = ev.agg(
+        (
+            F.lit(1000000)
+            * F.least(F.coalesce(F.min("dur"), F.lit(720)), F.lit(720))
+        )
+        .cast("long")
+        .alias("im")
+    )
+    npop = sup.agg(
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("pop")
+    )
+    fin = init.crossJoin(terms).crossJoin(npop)
+    return fin.select(
+        F.lit(720).cast("long").alias("tau_hr"),
+        F.when(F.col("pop").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.col("im") + F.col("ts"))
+        .alias("rmst_micros"),
+    )
