@@ -1975,3 +1975,78 @@ def sql_schema_enforce(spark, sf):
         "brand",
         F.lit(bool(ok)).alias("schema_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 112: recursiveFileLookup — flat-listing a nested non-partition
+# directory tree
+# ---------------------------------------------------------------------------
+@q(
+    "scan_recursive",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           TRUE AS deep_file_listed
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_recursive(spark, sf):
+    """``recursiveFileLookup=true`` — reading a directory tree whose
+    nesting carries NO partition semantics (the layout every
+    hand-rolled archiver, log shipper, and S3 sync job produces:
+    files scattered at mixed depths under plain-named dirs). Spark's
+    default listing treats subdirectories as partition-discovery
+    candidates — plain names (no key=value) don't parse as
+    partitions, so nested files are either missed or break
+    inference; the option flips the lister to a flat recursive walk
+    and explicitly DISABLES partition inference (the two are
+    mutually exclusive by contract). The face plants the even doc_id
+    half at the root and the odd half two directories deep, reads
+    with the option plus an explicit schema (never infer on a mixed
+    tree), and the twin is the whole table — equality proves the
+    deep file was neither dropped nor double-counted; the
+    `deep_file_listed` boolean (derived from inputFiles()) rides the
+    hash. Eager + checkpoint because the staging tree is reclaimed
+    on return (the scan_ignore_missing discipline). At 100 TB the
+    flat walk is one LIST per prefix — same cost class as the
+    default lister; what it costs you is partition PRUNING, so it is
+    the ingest-once pattern, not the serving layout."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.dedup import parquet_checkpoint
+
+    d = _sink_dir(spark, "recursive")
+    shutil.rmtree(d, ignore_errors=True)
+    deep = os.path.join(d, "sub", "deep")
+    os.makedirs(deep, exist_ok=True)
+    for half, dest in ((0, d), (1, deep)):
+        sdir = d + f"_stage{half}"
+        (
+            t(spark, sf, "documents")
+            .select("doc_id", "lang")
+            .filter(F.col("doc_id") % 2 == half)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(sdir)
+        )
+        parts = glob.glob(os.path.join(sdir, "part-*.parquet"))
+        if parts:
+            shutil.copy(parts[0], os.path.join(dest, f"h{half}.parquet"))
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("doc_id long, lang string")
+        .parquet(d)
+    )
+    saw_deep = any("sub/deep" in f for f in back.inputFiles())
+    out = back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    ).select(
+        "lang",
+        "n_docs",
+        "id_sum",
+        F.lit(bool(saw_deep)).alias("deep_file_listed"),
+    )
+    return parquet_checkpoint(out, "scan_recursive_out")

@@ -2333,3 +2333,45 @@ def sql_ordinal_refs(spark, sf):
         ORDER BY 2 DESC
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 112: LIMIT ... OFFSET pagination under a total order
+# ---------------------------------------------------------------------------
+@q(
+    "sql_offset_fetch",
+    """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    ORDER BY cents DESC, o_orderkey
+    LIMIT 20 OFFSET 30
+    """,
+)
+def sql_offset_fetch(spark, sf):
+    """Keyless pagination — ``ORDER BY ... LIMIT 20 OFFSET 30``, the
+    page-2+ query every API backend emits. Two contracts pinned:
+    (1) pagination is only deterministic under a TOTAL order, so the
+    sort carries o_orderkey as the tiebreak after the cents measure —
+    without it, ties straddling the page boundary make page
+    membership run-dependent on BOTH engines (the face would be
+    flaky, the production bug would be duplicated/skipped rows across
+    pages); (2) Spark executes limit+offset as a single
+    TakeOrderedAndProject (limit = offset + fetch pushed to each
+    partition, offset applied once at the gather) — a top-50
+    per-partition heap, NEVER a global sort, so page depth bounds
+    memory, not data size (the test pins TakeOrderedAndProject and
+    the absence of a global Sort/Exchange-range). Deep OFFSET is
+    still O(offset) work per page — the docstring's production note:
+    keyset pagination (WHERE key > last_seen) is the 100-TB answer;
+    this face is the standard-SQL surface."""
+    t(spark, sf, "orders").createOrReplaceTempView("pg_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM pg_orders
+        ORDER BY cents DESC, o_orderkey
+        LIMIT 20 OFFSET 30
+        """
+    )

@@ -2997,3 +2997,318 @@ def events_rmst(spark, sf):
         .otherwise(F.col("im") + F.col("ts"))
         .alias("rmst_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 112: Cochran–Mantel–Haenszel — stratified 2x2 association,
+# per-stratum hypergeometric terms micros-quantized
+# ---------------------------------------------------------------------------
+@q(
+    "stat_cmh",
+    """
+    WITH lab AS (
+      SELECT substr(o_orderpriority, 1, 1) AS stratum,
+             CAST(o_custkey % 2 AS BIGINT) AS exposed,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    cells AS (
+      SELECT stratum,
+             CAST(SUM(CASE WHEN exposed = 1 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN exposed = 1 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN exposed = 0 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN exposed = 0 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM lab GROUP BY stratum),
+    terms AS (
+      SELECT a,
+             CAST(round(1000000.0 * (a + b) * (a + c)
+                        / (a + b + c + d)) AS BIGINT) AS e_mic,
+             CASE WHEN a + b + c + d > 1
+                  THEN CAST(round(1000000.0 * (a + b) * (c + d)
+                         * (a + c) * (b + d)
+                         / (CAST(a + b + c + d AS DOUBLE)
+                            * (a + b + c + d)
+                            * (a + b + c + d - 1))) AS BIGINT)
+                  ELSE 0 END AS v_mic,
+             CAST(round(1000000.0 * a * d / (a + b + c + d))
+                  AS BIGINT) AS ad_mic,
+             CAST(round(1000000.0 * b * c / (a + b + c + d))
+                  AS BIGINT) AS bc_mic
+      FROM cells WHERE a + b + c + d > 0),
+    fin AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COALESCE(SUM(a), 0) AS BIGINT) AS o_sum,
+             CAST(COALESCE(SUM(e_mic), 0) AS BIGINT) AS e_mic,
+             CAST(COALESCE(SUM(v_mic), 0) AS BIGINT) AS v_mic,
+             CAST(COALESCE(SUM(ad_mic), 0) AS BIGINT) AS ad_mic,
+             CAST(COALESCE(SUM(bc_mic), 0) AS BIGINT) AS bc_mic
+      FROM terms)
+    SELECT k, o_sum, e_mic, v_mic,
+           CASE WHEN v_mic = 0 THEN NULL
+                ELSE round((o_sum - e_mic / 1000000.0)
+                           * (o_sum - e_mic / 1000000.0)
+                           / (v_mic / 1000000.0), 6) + 0
+           END AS chi2,
+           CASE WHEN bc_mic = 0 THEN NULL
+                ELSE round(CAST(ad_mic AS DOUBLE) / bc_mic, 6) + 0
+           END AS or_mh
+    FROM fin
+    """,
+)
+def stat_cmh(spark, sf):
+    """Cochran-Mantel-Haenszel test + Mantel-Haenszel common odds
+    ratio — the STRATIFIED companion to stat_odds_ratio: does the
+    exposure (customer-key parity) associate with order failure
+    AFTER controlling for priority stratum? Pooling the five strata
+    naively invites Simpson's paradox; CMH accumulates, per stratum,
+    the observed exposed-positive count a, its margin-conditional
+    expectation (a+b)(a+c)/T and hypergeometric variance
+    n1*n0*m1*m0/(T^2(T-1)), plus the ad/T and bc/T terms whose ratio
+    is the common OR. Each per-stratum fraction is the only
+    non-integer, so each quantizes to micros in identical op order
+    (the stat_log_rank discipline) and the five totals are exact
+    order-independent BIGINT sums; chi2 (no continuity correction,
+    documented) and OR_MH are single final floats with zero-variance
+    / zero-denominator NULL guards. Scale shape: one corpus scan to
+    a stratum-count relation, everything downstream bounded by the
+    number of strata."""
+    lab = t(spark, sf, "orders").select(
+        F.substring("o_orderpriority", 1, 1).alias("stratum"),
+        (F.col("o_custkey") % 2).cast("long").alias("exposed"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    cells = lab.groupBy("stratum").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("exposed") == e) & (F.col("y") == y), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(name)
+            for name, e, y in (
+                ("a", 1, 1),
+                ("b", 1, 0),
+                ("c", 0, 1),
+                ("d", 0, 0),
+            )
+        ]
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    tt = a + b + c + d
+    terms = cells.filter(tt > 0).select(
+        "a",
+        F.round(F.lit(1000000.0) * (a + b) * (a + c) / tt)
+        .cast("long")
+        .alias("e_mic"),
+        F.when(
+            tt > 1,
+            F.round(
+                F.lit(1000000.0)
+                * (a + b)
+                * (c + d)
+                * (a + c)
+                * (b + d)
+                / (tt.cast("double") * tt * (tt - F.lit(1)))
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("v_mic"),
+        F.round(F.lit(1000000.0) * a * d / tt).cast("long").alias("ad_mic"),
+        F.round(F.lit(1000000.0) * b * c / tt).cast("long").alias("bc_mic"),
+    )
+    fin = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("o_sum"),
+        F.coalesce(F.sum("e_mic"), F.lit(0)).cast("long").alias("e_mic"),
+        F.coalesce(F.sum("v_mic"), F.lit(0)).cast("long").alias("v_mic"),
+        F.coalesce(F.sum("ad_mic"), F.lit(0)).cast("long").alias("ad_mic"),
+        F.coalesce(F.sum("bc_mic"), F.lit(0)).cast("long").alias("bc_mic"),
+    )
+    dev = F.col("o_sum") - F.col("e_mic") / F.lit(1000000.0)
+    return fin.select(
+        "k",
+        "o_sum",
+        "e_mic",
+        "v_mic",
+        F.when(F.col("v_mic") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(dev * dev / (F.col("v_mic") / F.lit(1000000.0)), 6)
+            + F.lit(0.0)
+        )
+        .alias("chi2"),
+        F.when(F.col("bc_mic") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("ad_mic").cast("double") / F.col("bc_mic"), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("or_mh"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 112: Kendall's W — inter-rater concordance over the
+# priority x segment revenue panel, doubled tie-ranks
+# ---------------------------------------------------------------------------
+@q(
+    "stat_kendall_w",
+    """
+    WITH cells0 AS (
+      SELECT substr(o.o_orderpriority, 1, 1) AS rater,
+             c.c_mktsegment AS item,
+             SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) // 100 AS v
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT rr.rater, ii.item, COALESCE(c0.v, 0) AS v
+      FROM (SELECT DISTINCT rater FROM cells0) rr
+      CROSS JOIN (SELECT DISTINCT item FROM cells0) ii
+      LEFT JOIN cells0 c0 ON c0.rater = rr.rater AND c0.item = ii.item),
+    r AS (
+      SELECT item, rater, v,
+             2 * RANK() OVER (PARTITION BY rater ORDER BY v)
+               + COUNT(*) OVER (PARTITION BY rater, v) - 1 AS dr
+      FROM grid),
+    tr AS (
+      SELECT item, CAST(SUM(dr) AS BIGINT) AS drsum
+      FROM r GROUP BY item),
+    tg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS tc
+      FROM r GROUP BY rater, v),
+    fin AS (
+      SELECT (SELECT CAST(COUNT(DISTINCT rater) AS BIGINT) FROM grid)
+               AS m,
+             (SELECT CAST(COUNT(DISTINCT item) AS BIGINT) FROM grid)
+               AS k,
+             (SELECT CAST(COALESCE(SUM(
+                (drsum - (SELECT CAST(COUNT(DISTINCT rater) AS BIGINT)
+                          FROM grid)
+                  * ((SELECT CAST(COUNT(DISTINCT item) AS BIGINT)
+                      FROM grid) + 1))
+                * (drsum - (SELECT CAST(COUNT(DISTINCT rater) AS BIGINT)
+                            FROM grid)
+                  * ((SELECT CAST(COUNT(DISTINCT item) AS BIGINT)
+                      FROM grid) + 1))), 0) AS BIGINT) FROM tr) AS s_d,
+             (SELECT CAST(COALESCE(SUM(tc * tc * tc - tc), 0) AS BIGINT)
+              FROM tg) AS tsum)
+    SELECT m, k, s_d, tsum,
+           CASE WHEN m * m * (k * k * k - k) - m * tsum <= 0 THEN NULL
+                ELSE round(3.0 * s_d
+                           / (m * m * (k * k * k - k) - m * tsum), 6)
+                     + 0
+           END AS w
+    FROM fin
+    """,
+)
+def stat_kendall_w(spark, sf):
+    """Kendall's coefficient of concordance W — do the five order
+    priorities (the 'raters') agree on the revenue RANKING of the
+    five market segments (the 'items')? The panel is the
+    orders-customer join aggregated to (priority, segment) dollars
+    (integer div for headroom, the events_autocorr rule), zero-filled
+    over the rater x item grid (the stat_log_rank lesson: a segment
+    absent from one priority must rank LAST there, not silently drop
+    the cell and shrink that rater's k). Ranks within each rater are
+    tie-averaged via the doubled-rank identity dr = 2*RANK() + ties
+    - 1, so per-item doubled rank sums and the concordance sum
+    S_d = SUM_i (DR_i - m(k+1))^2 are exact BIGINTs (the doubled
+    scale folds the usual 12S into 3*S_d exactly); the tie masses
+    t^3 - t correct the denominator, and W = 3*S_d / (m^2(k^3-k) -
+    m*T) is one final float in [0, 1] (identity W = Q/(m(k-1))
+    against stat_friedman's machinery, different panel). All-tied
+    degenerate panels NULL the denominator guard. Scale shape: one
+    join + one agg to a strata x segments relation; everything
+    downstream is grid-bounded (25 cells)."""
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        F.substring("o_orderpriority", 1, 1).alias("rater"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = t(spark, sf, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("item")
+    )
+    cells0 = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("rater", "item")
+        .agg(F.sum("cents").alias("vc"))
+        .select("rater", "item", F.expr("vc div 100").alias("v"))
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    cells0 = parquet_checkpoint(cells0, "kendall_w_cells")
+    grid = (
+        cells0.select("rater")
+        .distinct()
+        .crossJoin(cells0.select("item").distinct())
+        .join(cells0, ["rater", "item"], "left")
+        .select(
+            "rater", "item", F.coalesce("v", F.lit(0)).alias("v")
+        )
+    )
+    grid = parquet_checkpoint(grid, "kendall_w_grid")
+    dr = (
+        F.lit(2)
+        * F.rank().over(Window.partitionBy("rater").orderBy("v"))
+        + F.count(F.lit(1)).over(Window.partitionBy("rater", "v"))
+        - F.lit(1)
+    )
+    r = grid.select("item", "rater", "v", dr.alias("dr"))
+    mk = grid.agg(
+        F.countDistinct("rater").cast("long").alias("m"),
+        F.countDistinct("item").cast("long").alias("k"),
+    )
+    tr = r.groupBy("item").agg(
+        F.sum("dr").cast("long").alias("drsum")
+    )
+    sd = (
+        tr.crossJoin(mk)
+        .select(
+            (
+                (F.col("drsum") - F.col("m") * (F.col("k") + 1))
+                * (F.col("drsum") - F.col("m") * (F.col("k") + 1))
+            ).alias("dev2")
+        )
+        .agg(
+            F.coalesce(F.sum("dev2"), F.lit(0))
+            .cast("long")
+            .alias("s_d")
+        )
+    )
+    tsum = (
+        r.groupBy("rater", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tc") * F.col("tc") * F.col("tc")
+                    - F.col("tc")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    fin = mk.crossJoin(sd).crossJoin(tsum)
+    denom = (
+        F.col("m")
+        * F.col("m")
+        * (F.col("k") * F.col("k") * F.col("k") - F.col("k"))
+        - F.col("m") * F.col("tsum")
+    )
+    return fin.select(
+        "m",
+        "k",
+        "s_d",
+        "tsum",
+        F.when(denom <= 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.lit(3.0) * F.col("s_d") / denom, 6) + F.lit(0.0)
+        )
+        .alias("w"),
+    )
