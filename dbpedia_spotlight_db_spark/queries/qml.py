@@ -6369,3 +6369,166 @@ def ml_krippendorff(spark, sf):
         )
         .alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 113: regression metrics — MAE / RMSE / R^2 / pinball(0.9)
+# against the per-stratum group-mean model, per-row micros terms
+# ---------------------------------------------------------------------------
+@q(
+    "ml_regression_metrics",
+    """
+    WITH lab AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             o_orderpriority AS g
+      FROM orders),
+    e AS (
+      SELECT CAST(round((COUNT(*) OVER (PARTITION BY g) * c
+                         - SUM(c) OVER (PARTITION BY g))
+                        * 1.0 / COUNT(*) OVER (PARTITION BY g))
+                  AS BIGINT) AS ec,
+             CAST(round((COUNT(*) OVER () * c - SUM(c) OVER ())
+                        * 1.0 / COUNT(*) OVER ())
+                  AS BIGINT) AS tc,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM lab),
+    terms AS (
+      SELECT n,
+             CAST(abs(ec) AS BIGINT) AS mae_c,
+             CAST(round(1000000.0 * ec * ec / (10000.0 * n))
+                  AS BIGINT) AS sse_t,
+             CAST(round(1000000.0 * tc * tc / (10000.0 * n))
+                  AS BIGINT) AS sst_t,
+             CAST(round(1000000.0
+                        * (0.9 * GREATEST(ec / 100.0, 0)
+                           + 0.1 * GREATEST(-ec / 100.0, 0)))
+                  AS BIGINT) AS pin_t
+      FROM e)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           round(CAST(SUM(mae_c) AS DOUBLE) / 100.0 / MAX(n), 6) + 0
+             AS mae,
+           round(sqrt(SUM(sse_t) / 1000000.0), 6) + 0 AS rmse,
+           CASE WHEN SUM(sst_t) = 0 THEN NULL
+                ELSE round(1.0 - CAST(SUM(sse_t) AS DOUBLE)
+                           / SUM(sst_t), 6) + 0
+           END AS r2,
+           round(CAST(SUM(pin_t) AS DOUBLE) / 1000000.0 / MAX(n), 6)
+             + 0 AS pinball90
+    FROM terms
+    """,
+)
+def ml_regression_metrics(spark, sf):
+    """The regression-evaluation block the otherwise classification/
+    ranking-only ml_* family lacks: MAE, RMSE, R^2, and the pinball
+    (quantile) loss at tau = 0.9 — the quantile-forecast score an
+    over-provisioning SLA model is graded on (pinball is THE proper
+    scoring rule for quantile regression; RMSE alone rewards median
+    forecasts). The 'model' is the deterministic per-priority
+    group-mean predictor computed IN the same scan via windows (no
+    join, no second pass — mean_g = SUM over g / COUNT over g), so
+    residuals are rationals with denominator n_g: each rounds to
+    exact cents in identical op order on both engines, |e| sums are
+    exact BIGINTs, and the square/pinball contributions are per-row
+    micros-quantized with the row count folded into the term (the
+    ml_brier denominator discipline) so RMSE/R^2/pinball are single
+    final floats over exact integer sums. R^2 compares against the
+    global-mean baseline (SST from the same machinery); zero-variance
+    corpus NULLs it. Scale shape: one scan, two window specs (one
+    partitioned by stratum, one global — production replaces the
+    global window with the twice-computed-constant literal trick if
+    the corpus is too big for a single reducer)."""
+    lab = t(spark, sf, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        F.col("o_orderpriority").alias("g"),
+    )
+    wg = Window.partitionBy("g")
+    wa = Window.partitionBy()
+    e = lab.select(
+        F.round(
+            (
+                F.count(F.lit(1)).over(wg) * F.col("c")
+                - F.sum("c").over(wg)
+            )
+            * F.lit(1.0)
+            / F.count(F.lit(1)).over(wg)
+        )
+        .cast("long")
+        .alias("ec"),
+        F.round(
+            (
+                F.count(F.lit(1)).over(wa) * F.col("c")
+                - F.sum("c").over(wa)
+            )
+            * F.lit(1.0)
+            / F.count(F.lit(1)).over(wa)
+        )
+        .cast("long")
+        .alias("tc"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+    )
+    terms = e.select(
+        "n",
+        F.abs(F.col("ec")).cast("long").alias("mae_c"),
+        F.round(
+            F.lit(1000000.0)
+            * F.col("ec")
+            * F.col("ec")
+            / (F.lit(10000.0) * F.col("n"))
+        )
+        .cast("long")
+        .alias("sse_t"),
+        F.round(
+            F.lit(1000000.0)
+            * F.col("tc")
+            * F.col("tc")
+            / (F.lit(10000.0) * F.col("n"))
+        )
+        .cast("long")
+        .alias("sst_t"),
+        F.round(
+            F.lit(1000000.0)
+            * (
+                F.lit(0.9)
+                * F.greatest(F.col("ec") / F.lit(100.0), F.lit(0.0))
+                + F.lit(0.1)
+                * F.greatest(-F.col("ec") / F.lit(100.0), F.lit(0.0))
+            )
+        )
+        .cast("long")
+        .alias("pin_t"),
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        (
+            F.round(
+                F.sum("mae_c").cast("double")
+                / F.lit(100.0)
+                / F.max("n"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mae"),
+        (
+            F.round(F.sqrt(F.sum("sse_t") / F.lit(1000000.0)), 6)
+            + F.lit(0.0)
+        ).alias("rmse"),
+        F.when(F.sum("sst_t") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - F.sum("sse_t").cast("double") / F.sum("sst_t"),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("r2"),
+        (
+            F.round(
+                F.sum("pin_t").cast("double")
+                / F.lit(1000000.0)
+                / F.max("n"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("pinball90"),
+    )

@@ -3170,3 +3170,72 @@ def stream_progress_metrics(spark, sf):
             "state_bounded"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 113: stream-stream LEFT SEMI join — the streaming EXISTS
+# ---------------------------------------------------------------------------
+@q(
+    "stream_semi_join",
+    """
+    SELECT c.event_id AS click_id, c.user_id
+    FROM events c
+    WHERE c.event_type = 'click' AND c.ts IS NOT NULL
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase' AND p.ts IS NOT NULL
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3 DAY)
+    """,
+)
+def stream_semi_join(spark, sf):
+    """STREAM-STREAM LEFT SEMI join on the oracle gate — the third
+    and last stream-stream join shape after inner (stream_join) and
+    left outer (stream_outer_join): the converting-clicks EXISTS
+    filter, one output row per click no matter how many purchases
+    follow, no right-side columns in the output, no row explosion.
+    Semi state discipline differs from both siblings: a click emits
+    the FIRST time a match arrives (then leaves state), and an
+    unmatched click is dropped — never emitted — when the purchase
+    watermark passes c_ts + horizon; since only the MATCHED set
+    reaches the sink, a single availableNow batch needs no sentinel
+    flush (the outer join's two-round flush is exactly the machinery
+    this face proves unnecessary). DuckDB twin is the decorrelated
+    EXISTS — also pinning that Spark's batch planner and its
+    streaming state machine agree with a third engine on semi-join
+    multiplicity semantics."""
+    import os
+    import tempfile
+
+    from ..streaming.annotate_stream import semi_join_streams
+
+    name = f"stream_sjoin_{next(_STREAM_Q_COUNTER)}"
+    schema = t(spark, sf, "events").schema
+    with tempfile.TemporaryDirectory(prefix="stream_sjoin_") as tmp:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        clicks = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .filter(F.col("event_type") == "click")
+        )
+        purchases = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .filter(F.col("event_type") == "purchase")
+        )
+        q_ = (
+            semi_join_streams(clicks, purchases)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)

@@ -3312,3 +3312,302 @@ def stat_kendall_w(spark, sf):
         )
         .alias("w"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 113: Brunner–Munzel — rank-based Behrens–Fisher, exact
+# integer pooled/internal doubled-midrank machinery
+# ---------------------------------------------------------------------------
+@q(
+    "stat_brunner_munzel",
+    """
+    WITH v AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT grp,
+             2 * RANK() OVER (ORDER BY v)
+               + COUNT(*) OVER (PARTITION BY v) - 1 AS drc,
+             2 * RANK() OVER (PARTITION BY grp ORDER BY v)
+               + COUNT(*) OVER (PARTITION BY grp, v) - 1 AS dri
+      FROM v),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(drc) AS BIGINT) AS sdr,
+             CAST(SUM((drc - dri) * (drc - dri)) AS BIGINT) AS sq
+      FROM r GROUP BY grp),
+    f AS (
+      SELECT CAST(COALESCE(MAX(CASE WHEN grp = 0 THEN n END), 0)
+                  AS BIGINT) AS n0,
+             CAST(COALESCE(MAX(CASE WHEN grp = 1 THEN n END), 0)
+                  AS BIGINT) AS n1,
+             CAST(COALESCE(MAX(CASE WHEN grp = 0 THEN sdr END), 0)
+                  AS BIGINT) AS sdr0,
+             CAST(COALESCE(MAX(CASE WHEN grp = 1 THEN sdr END), 0)
+                  AS BIGINT) AS sdr1,
+             CAST(COALESCE(MAX(CASE WHEN grp = 0 THEN sq END), 0)
+                  AS BIGINT) AS sq0,
+             CAST(COALESCE(MAX(CASE WHEN grp = 1 THEN sq END), 0)
+                  AS BIGINT) AS sq1
+      FROM g)
+    SELECT n0, n1, sdr0, sdr1, sq0, sq1,
+           CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+                ELSE round((sdr1 - n1 * (n1 + 1))
+                           / (2.0 * n0 * n1), 6) + 0
+           END AS p_hat,
+           CASE WHEN n0 < 2 OR n1 < 2
+                     OR n0 * (sq0 * 1.0 * n0
+                              - (sdr0 - n0 * (n0 + 1.0))
+                                * (sdr0 - n0 * (n0 + 1.0)))
+                        / (n0 * (n0 - 1.0))
+                      + n1 * (sq1 * 1.0 * n1
+                              - (sdr1 - n1 * (n1 + 1.0))
+                                * (sdr1 - n1 * (n1 + 1.0)))
+                        / (n1 * (n1 - 1.0)) <= 0 THEN NULL
+                ELSE round(n0 * 1.0 * n1
+                           * (sdr1 * 1.0 / n1 - sdr0 * 1.0 / n0)
+                           / ((n0 + n1)
+                              * sqrt(n0 * (sq0 * 1.0 * n0
+                                     - (sdr0 - n0 * (n0 + 1.0))
+                                       * (sdr0 - n0 * (n0 + 1.0)))
+                                     / (n0 * (n0 - 1.0))
+                                   + n1 * (sq1 * 1.0 * n1
+                                     - (sdr1 - n1 * (n1 + 1.0))
+                                       * (sdr1 - n1 * (n1 + 1.0)))
+                                     / (n1 * (n1 - 1.0)))), 6) + 0
+           END AS w
+    FROM f
+    """,
+)
+def stat_brunner_munzel(spark, sf):
+    """Brunner-Munzel test — the rank-based Behrens-Fisher answer:
+    is P(purchase value > other value) = 1/2, WITHOUT assuming the
+    two event-type populations share a variance (Mann-Whitney's
+    hidden assumption that breaks under heteroscedasticity — the
+    default recommendation over MW in modern texts). The machinery
+    is two doubled-midrank layers over ONE relation: pooled ranks
+    drc (the stat_mannwhitney identity 2*RANK() + ties - 1) and
+    WITHIN-group ranks dri; the per-observation placement A = drc -
+    dri is an exact integer whose group sums obey SUM(A) = SUM(drc)
+    - n(n+1) (internal doubled midranks always sum to n(n+1) — ties
+    or not — an identity the test pins), so each group folds to
+    three exact BIGINTs (n, SUM drc, SUM A^2) and the rank variances
+    S_k^2 = (n*SQ - C^2)/(n(n-1)) with C = SUM(drc) - n(n+1), the
+    statistic W = n0*n1*(mean1 - mean0) / (N*sqrt(n0*S0 + n1*S1))
+    and the effect size p_hat = C1/(2*n0*n1) are single identical
+    float expressions over those integers. Degenerate guards: any
+    group under 2, or zero pooled rank variance, NULL the statistic.
+    Scale note: the pooled rank is a single-partition window over
+    the corpus — production shards it by value range with offset
+    reconciliation (the abc_classification prefix-sum pattern);
+    SUM(A^2) <= 4N^3 bounds the BIGINT headroom (quantize past ~1e6
+    rows, the stat_cvm rule)."""
+    v = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("grp"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    drc = (
+        F.lit(2) * F.rank().over(Window.orderBy("v"))
+        + F.count(F.lit(1)).over(Window.partitionBy("v"))
+        - F.lit(1)
+    )
+    dri = (
+        F.lit(2) * F.rank().over(Window.partitionBy("grp").orderBy("v"))
+        + F.count(F.lit(1)).over(Window.partitionBy("grp", "v"))
+        - F.lit(1)
+    )
+    r = v.select("grp", drc.alias("drc"), dri.alias("dri"))
+    g = r.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("drc").cast("long").alias("sdr"),
+        F.sum(
+            (F.col("drc") - F.col("dri"))
+            * (F.col("drc") - F.col("dri"))
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    f = g.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("grp") == gv, F.col(c))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"{c}{gv}")
+            for c in ("n", "sdr", "sq")
+            for gv in (0, 1)
+        ]
+    ).select("n0", "n1", "sdr0", "sdr1", "sq0", "sq1")
+    n0, n1 = F.col("n0"), F.col("n1")
+    sdr0, sdr1 = F.col("sdr0"), F.col("sdr1")
+    sq0, sq1 = F.col("sq0"), F.col("sq1")
+    c0 = sdr0 - n0 * (n0 + F.lit(1.0))
+    c1 = sdr1 - n1 * (n1 + F.lit(1.0))
+    ds0 = (sq0 * F.lit(1.0) * n0 - c0 * c0) / (n0 * (n0 - F.lit(1.0)))
+    ds1 = (sq1 * F.lit(1.0) * n1 - c1 * c1) / (n1 * (n1 - F.lit(1.0)))
+    var = n0 * ds0 + n1 * ds1
+    return f.select(
+        "n0",
+        "n1",
+        "sdr0",
+        "sdr1",
+        "sq0",
+        "sq1",
+        F.when((n0 == 0) | (n1 == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (sdr1 - n1 * (n1 + 1)) / (F.lit(2.0) * n0 * n1), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("p_hat"),
+        F.when(
+            (n0 < 2) | (n1 < 2) | (var <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                n0
+                * F.lit(1.0)
+                * n1
+                * (sdr1 * F.lit(1.0) / n1 - sdr0 * F.lit(1.0) / n0)
+                / ((n0 + n1) * F.sqrt(var)),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 113: Ansari–Bradley — rank-based scale test, exact
+# permutation moments from the observed score multiset
+# ---------------------------------------------------------------------------
+@q(
+    "stat_ansari_bradley",
+    """
+    WITH v AS (
+      SELECT CAST(o_orderkey % 2 AS BIGINT) AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders),
+    r AS (
+      SELECT grp,
+             2 * RANK() OVER (ORDER BY v)
+               + COUNT(*) OVER (PARTITION BY v) - 1 AS drc,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nn
+      FROM v),
+    s AS (
+      SELECT grp,
+             LEAST(drc, 2 * (nn + 1) - drc) AS da
+      FROM r),
+    f AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(COALESCE(SUM(CASE WHEN grp = 1 THEN da END), 0)
+                  AS BIGINT) AS ab1_d,
+             CAST(COALESCE(SUM(da), 0) AS BIGINT) AS sda,
+             CAST(COALESCE(SUM(da * da), 0) AS BIGINT) AS sdaq
+      FROM s)
+    SELECT n0, n1, ab1_d, sda, sdaq,
+           CASE WHEN n0 = 0 OR n1 = 0
+                     OR (n0 + n1) * sdaq - sda * sda <= 0 THEN NULL
+                ELSE round((ab1_d - n1 * 1.0 * sda / (n0 + n1))
+                           / sqrt(n1 * 1.0 * n0
+                                  * ((n0 + n1) * 1.0 * sdaq
+                                     - sda * 1.0 * sda)
+                                  / ((n0 + n1) * 1.0 * (n0 + n1)
+                                     * (n0 + n1 - 1))), 6) + 0
+           END AS z
+    FROM f
+    """,
+)
+def stat_ansari_bradley(spark, sf):
+    """Ansari-Bradley test — the rank-based SCALE alternative: do the
+    odd- and even-orderkey halves of order totals have the same
+    dispersion around a common median? Completes the two-sample
+    ladder: location (stat_mannwhitney, stat_mood_median),
+    location-with-unequal-variance (stat_brunner_munzel), variance
+    parametric (stat_levene, stat_bartlett) — this is the variance
+    test that needs no moments at all. Scores fold the pooled ranks
+    inward, a = min(rank, N+1-rank): extreme values score low, so a
+    SMALL group-1 sum means group 1 is more dispersed. In doubled
+    space da = min(drc, 2(N+1) - drc) stays an exact integer through
+    ties; the null moments come from the OBSERVED score multiset
+    (sampling n1 of N scores without replacement): E = n1*sda/N,
+    Var = n0*n1*(N*sdaq - sda^2)/(N^2(N-1)) — the tie-exact
+    conditional moments, not the textbook no-tie closed form (which
+    is wrong under ties) — and z is one final float over five exact
+    BIGINTs. Same single-partition pooled-rank scale note as
+    stat_brunner_munzel (shard by value range in production)."""
+    v = t(spark, sf, "orders").select(
+        (F.col("o_orderkey") % 2).cast("long").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    drc = (
+        F.lit(2) * F.rank().over(Window.orderBy("v"))
+        + F.count(F.lit(1)).over(Window.partitionBy("v"))
+        - F.lit(1)
+    )
+    nn = F.count(F.lit(1)).over(Window.partitionBy())
+    r = v.select("grp", drc.alias("drc"), nn.cast("long").alias("nn"))
+    s = r.select(
+        "grp",
+        F.least(
+            F.col("drc"), F.lit(2) * (F.col("nn") + 1) - F.col("drc")
+        ).alias("da"),
+    )
+    f = s.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.coalesce(F.sum(F.when(F.col("grp") == 1, F.col("da"))), F.lit(0))
+        .cast("long")
+        .alias("ab1_d"),
+        F.coalesce(F.sum("da"), F.lit(0)).cast("long").alias("sda"),
+        F.coalesce(F.sum(F.col("da") * F.col("da")), F.lit(0))
+        .cast("long")
+        .alias("sdaq"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    sda, sdaq, ab1 = F.col("sda"), F.col("sdaq"), F.col("ab1_d")
+    nn_ = n0 + n1
+    disc = nn_ * sdaq - sda * sda
+    return f.select(
+        "n0",
+        "n1",
+        "ab1_d",
+        "sda",
+        "sdaq",
+        F.when(
+            (n0 == 0) | (n1 == 0) | (disc <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (ab1 - n1 * F.lit(1.0) * sda / nn_)
+                / F.sqrt(
+                    n1
+                    * F.lit(1.0)
+                    * n0
+                    * (nn_ * F.lit(1.0) * sdaq - sda * F.lit(1.0) * sda)
+                    / (nn_ * F.lit(1.0) * nn_ * (nn_ - 1))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("z"),
+    )

@@ -348,6 +348,53 @@ def join_streams(
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
 
 
+def semi_join_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_days: int = 3,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """STREAM-STREAM LEFT SEMI join — the existence filter shape
+    (emit each click that a purchase followed within the horizon,
+    WITHOUT duplicating the click per matching purchase and without
+    carrying right-side columns): the streaming spelling of EXISTS,
+    the conversion-filter feed. Same bounded-state geometry as
+    join_streams (watermarks on both inputs + the event-time range
+    predicate give both state stores a provable eviction bound); the
+    semi join's own discipline is emit-once — a buffered click is
+    released the first time a match arrives and never again, and an
+    unmatched click is silently dropped when the watermark proves no
+    future match, so no sentinel flush is needed for the MATCHED set
+    under a single availableNow batch: the output is exactly the
+    batch semi-join row set and the DuckDB twin is a plain EXISTS."""
+    c = (
+        clicks.filter(F.col("ts").isNotNull())
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    p = (
+        purchases.filter(F.col("ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return c.join(
+        p,
+        F.expr(
+            "p_user = c_user AND p_ts >= c_ts "
+            f"AND p_ts <= c_ts + INTERVAL {horizon_days} DAYS"
+        ),
+        "left_semi",
+    ).select("click_id", F.col("c_user").alias("user_id"))
+
+
 def outer_join_streams(
     clicks: DataFrame,
     purchases: DataFrame,
