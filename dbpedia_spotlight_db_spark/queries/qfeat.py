@@ -1373,3 +1373,99 @@ def privacy_suppress(spark, sf):
         .when(comp, "complementary")
         .alias("suppressed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 114: exponential-mechanism top-k — Gumbel-noise argmax release
+# ---------------------------------------------------------------------------
+@q(
+    "privacy_dp_topk",
+    """
+    WITH cnt AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type),
+    u AS (
+      SELECT event_type, n,
+             (('0x' || substr(md5('dptopk:' || event_type), 1, 8))
+                ::UBIGINT + 1) / 4294967298.0 AS v
+      FROM cnt),
+    nz AS (
+      SELECT event_type, n,
+             CAST(round(1000000.0
+                        * (n + 2.0 * (-ln(-ln(v))))) AS BIGINT)
+               AS noisy_mic
+      FROM u),
+    rk AS (
+      SELECT event_type, noisy_mic,
+             ROW_NUMBER() OVER (ORDER BY noisy_mic DESC, event_type)
+               AS rnk
+      FROM nz)
+    SELECT CAST(rnk AS BIGINT) AS rnk, event_type, noisy_mic
+    FROM rk WHERE rnk <= 3
+    """,
+)
+def privacy_dp_topk(spark, sf):
+    """Differentially private TOP-K — the exponential mechanism via
+    the Gumbel-max trick: adding Gumbel(2*Delta/eps) noise to each
+    candidate's utility (its count; Delta = 1, eps split across the
+    k peeled maxima -> scale 2/eps_total with eps_total = 1) and
+    taking the argmax IS an exponential-mechanism draw, and taking
+    the top-k in one shot equals k sequential peeled draws — the
+    'which categories dominate' release privacy_dp_histogram's
+    per-cell Laplace can't answer without paying for EVERY cell.
+    True counts are NOT in the output (the selection, not the
+    measure, is the release — add a Laplace count face per selected
+    key if magnitudes are needed). The Gumbel draw is md5-derived
+    from the candidate key (engine/run/partitioning-invariant, the
+    dp_histogram discipline), u is shifted off {0,1} by (h+1)/(2^32
+    + 2) so neither ln can hit its pole, and the noisy score is
+    micros-quantized BEFORE ranking with the key as tiebreak, so
+    the released ranking is bit-identical across engines. Scale
+    shape: one corpus scan to the per-category counts; the window
+    ranks a category-bounded relation."""
+    cnt = t(spark, sf, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    u = cnt.select(
+        "event_type",
+        "n",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("dptopk:"), F.col("event_type")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                + F.lit(1)
+            )
+            / F.lit(4294967298.0)
+        ).alias("v"),
+    )
+    nz = u.select(
+        "event_type",
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("n") + F.lit(2.0) * (-F.log(-F.log(F.col("v")))))
+        )
+        .cast("long")
+        .alias("noisy_mic"),
+    )
+    w = Window.orderBy(F.desc("noisy_mic"), F.col("event_type"))
+    rk = nz.select(
+        "event_type",
+        "noisy_mic",
+        F.row_number().over(w).alias("rnk"),
+    )
+    return rk.filter(F.col("rnk") <= 3).select(
+        F.col("rnk").cast("long").alias("rnk"),
+        "event_type",
+        "noisy_mic",
+    )

@@ -3611,3 +3611,111 @@ def stat_ansari_bradley(spark, sf):
         )
         .alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 114: TOST equivalence — two one-sided Welch tests against a
+# relative margin
+# ---------------------------------------------------------------------------
+@q(
+    "stat_tost",
+    """
+    WITH lab AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                       < '8'
+                  THEN 'a' ELSE 'b' END AS half
+      FROM orders),
+    m AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE half = 'a') AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE half = 'b') AS BIGINT) AS n_b,
+             AVG(x) FILTER (WHERE half = 'a') AS m_a,
+             AVG(x) FILTER (WHERE half = 'b') AS m_b,
+             var_samp(x) FILTER (WHERE half = 'a') AS v_a,
+             var_samp(x) FILTER (WHERE half = 'b') AS v_b
+      FROM lab)
+    SELECT n_a, n_b,
+           round(m_a - m_b, 6) + 0 AS diff,
+           CASE WHEN n_a < 2 OR n_b < 2
+                     OR v_a / n_a + v_b / n_b <= 0 THEN NULL
+                ELSE round((m_a - m_b + 0.10 * abs((m_a + m_b) / 2))
+                           / sqrt(v_a / n_a + v_b / n_b), 6) + 0
+           END AS t_lower,
+           CASE WHEN n_a < 2 OR n_b < 2
+                     OR v_a / n_a + v_b / n_b <= 0 THEN NULL
+                ELSE round((m_a - m_b - 0.10 * abs((m_a + m_b) / 2))
+                           / sqrt(v_a / n_a + v_b / n_b), 6) + 0
+           END AS t_upper,
+           CASE WHEN n_a < 2 OR n_b < 2
+                     OR v_a / n_a + v_b / n_b <= 0 THEN NULL
+                ELSE round((m_a - m_b + 0.10 * abs((m_a + m_b) / 2))
+                           / sqrt(v_a / n_a + v_b / n_b), 6)
+                       > 1.6448536269514722
+                     AND round((m_a - m_b - 0.10 * abs((m_a + m_b) / 2))
+                               / sqrt(v_a / n_a + v_b / n_b), 6)
+                       < -1.6448536269514722
+           END AS equivalent
+    FROM m
+    """,
+)
+def stat_tost(spark, sf):
+    """TOST equivalence test — the inference stat_ttest CANNOT give:
+    failing to reject 'means differ' is NOT evidence they are the
+    same (the absence-of-evidence fallacy every A/A-gated rollout
+    report commits); TOST flips the burden by testing two one-sided
+    hypotheses against an explicit margin (here +/-10% of the pooled
+    mean) and declares equivalence only when BOTH one-sided Welch
+    statistics clear the one-sided 5% critical value (z = 1.6448...
+    embedded as an import-time literal, the stat_wilson_ci
+    discipline). Same conditional-moment machinery as stat_ttest
+    (six FILTERed aggregates, one map-side-combinable pass, md5 A/A
+    halves of order totals); the equivalence verdict compares the
+    ROUNDED statistics on both engines so the boolean can never flip
+    on sub-ulp accumulation differences (the events_outliers rounded-
+    filter rule). On the A/A split the verdict is TRUE by a wide
+    margin — the fixture's non-degeneracy is |t_lower| and |t_upper|
+    both far from the critical value, pinned in tests. Scale shape:
+    one scan, one 1-row aggregate."""
+    zc = 1.6448536269514722
+    lab = t(spark, sf, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string")), 1, 1
+            )
+            < "8",
+            "a",
+        )
+        .otherwise("b")
+        .alias("half"),
+    )
+    a, b = F.col("half") == "a", F.col("half") == "b"
+    m = lab.agg(
+        F.count(F.when(a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(b, 1)).cast("long").alias("n_b"),
+        F.avg(F.when(a, F.col("x"))).alias("m_a"),
+        F.avg(F.when(b, F.col("x"))).alias("m_b"),
+        F.var_samp(F.when(a, F.col("x"))).alias("v_a"),
+        F.var_samp(F.when(b, F.col("x"))).alias("v_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma, mb = F.col("m_a"), F.col("m_b")
+    se2 = F.col("v_a") / na + F.col("v_b") / nb
+    delta = F.lit(0.10) * F.abs((ma + mb) / F.lit(2))
+    bad = (na < 2) | (nb < 2) | (se2 <= 0)
+    t_lo = F.round((ma - mb + delta) / F.sqrt(se2), 6)
+    t_hi = F.round((ma - mb - delta) / F.sqrt(se2), 6)
+    return m.select(
+        "n_a",
+        "n_b",
+        (F.round(ma - mb, 6) + F.lit(0.0)).alias("diff"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(t_lo + F.lit(0.0))
+        .alias("t_lower"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(t_hi + F.lit(0.0))
+        .alias("t_upper"),
+        F.when(bad, F.lit(None).cast("boolean"))
+        .otherwise((t_lo > F.lit(zc)) & (t_hi < F.lit(-zc)))
+        .alias("equivalent"),
+    )

@@ -2806,6 +2806,50 @@ def main() -> None:
         f"scans={ca_scans} (want 1)",
     )
 
+    # 97. waves 111-113: Brunner-Munzel's two doubled-midrank layers
+    # (pooled + internal) fold onto ONE events scan — the two Window
+    # specs share the relation instead of re-scanning per layer; the
+    # regression-metrics face likewise computes its group-mean model
+    # via windows over ONE orders scan (no self-join); Kendall's W
+    # returns a plan whose inputs are the parquet CHECKPOINTS — the
+    # orders/customer join subtree must not be re-run by the
+    # grid/rank/moment consumers (the stat_mutual_info double-scan
+    # class).
+    p_bm = (
+        QUERIES["stat_brunner_munzel"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    bm_scans = len(re.findall(r"FileScan parquet", p_bm))
+    bm_win = len(re.findall(r"\bWindow\b", p_bm))
+    p_rm = (
+        QUERIES["ml_regression_metrics"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    rm_scans = len(re.findall(r"FileScan parquet", p_rm))
+    rm_join = len(re.findall(r"Join", p_rm))
+    p_kw = (
+        QUERIES["stat_kendall_w"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    kw_orders = len(re.findall(r"FileScan parquet \[o_", p_kw))
+    kw_cust = len(re.findall(r"FileScan parquet \[c_", p_kw))
+    check(
+        "waves 111-113: BM one scan / two windows; regression "
+        "metrics one scan no join; Kendall W consumes checkpoints",
+        bm_scans == 1 and bm_win >= 2 and rm_scans == 1
+        and rm_join == 0 and kw_orders == 0 and kw_cust == 0,
+        f"brunner_munzel scans={bm_scans} (want 1) windows={bm_win} "
+        f"(want >=2); regression_metrics scans={rm_scans} (want 1) "
+        f"joins={rm_join} (want 0); kendall_w orders-scans="
+        f"{kw_orders} customer-scans={kw_cust} (want 0/0)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
