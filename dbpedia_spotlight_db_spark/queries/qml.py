@@ -6532,3 +6532,79 @@ def ml_regression_metrics(spark, sf):
             + F.lit(0.0)
         ).alias("pinball90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 115: pyspark.ml StandardScaler — fitted moments as literals,
+# map-only transform, micros-certified aggregate
+# ---------------------------------------------------------------------------
+@q(
+    "mllib_scaler",
+    """
+    WITH m AS (
+      SELECT AVG(value) AS mu, stddev_samp(value) AS sd
+      FROM events WHERE value IS NOT NULL),
+    z AS (
+      SELECT e.event_type,
+             CAST(round(1000000.0 * (e.value - m.mu) / m.sd)
+                  AS BIGINT) AS zmic
+      FROM events e CROSS JOIN m
+      WHERE e.value IS NOT NULL AND m.sd > 0)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(zmic) AS BIGINT) AS sum_zmic
+    FROM z GROUP BY event_type
+    """,
+)
+def mllib_scaler(spark, sf):
+    """``pyspark.ml`` StandardScaler (withMean + withStd) — the
+    second MLlib-surface face after mllib_feature_pipeline, covering
+    the ESTIMATOR-with-continuous-state half: fit() runs one
+    distributed moments job (Summarizer mean + SAMPLE std — the
+    N-1 form, pinned by the twin's stddev_samp) and bakes mu/sigma
+    into the transformer, so transform() is a map-only affine op on
+    the assembled vector — zero joins, zero shuffles at 100 TB, the
+    exact 'fold the fitted constants into codegen' shape
+    production feature serving uses. The gate aggregates per-row
+    standardized values quantized to micros BIGINTs (per-row
+    rounding is partition-order-invariant; a float SUM would not
+    be) grouped by event type — pinning vector assembly, the fit
+    moments, AND the transform arithmetic against DuckDB computing
+    the same standardization relationally. The z's group sums also
+    certify the global constraint SUM over all groups ~ 0 (mean
+    centering), asserted in tests. Engine-parity note: MLlib's
+    treeAggregate accumulates moments in a different order than
+    DuckDB's streaming aggregate — parity holds through the micros
+    rounding exactly like events_outliers' rounded-z rule."""
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    e = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    if e.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], "event_type string, n long, sum_zmic long"
+        )
+    va = VectorAssembler(inputCols=["value"], outputCol="v")
+    sc = StandardScaler(
+        inputCol="v", outputCol="z", withMean=True, withStd=True
+    )
+    model = sc.fit(va.transform(e))
+    if model.std[0] <= 0:
+        return spark.createDataFrame(
+            [], "event_type string, n long, sum_zmic long"
+        )
+    out = model.transform(va.transform(e)).select(
+        "event_type",
+        F.round(
+            F.lit(1000000.0) * vector_to_array(F.col("z"))[0]
+        )
+        .cast("long")
+        .alias("zmic"),
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("zmic").cast("long").alias("sum_zmic"),
+    )

@@ -2375,3 +2375,57 @@ def sql_offset_fetch(spark, sf):
         LIMIT 20 OFFSET 30
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 115: pandas-on-Spark resample('D') — calendar binning through
+# the pandas front end
+# ---------------------------------------------------------------------------
+@q(
+    "ps_api_resample",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def ps_api_resample(spark, sf):
+    """pandas-on-Spark ``resample('D').sum()`` — the calendar
+    downsampling idiom (ps_api_rolling is the POSITIONAL window;
+    this is the CALENDAR bin), typed exactly as a pandas user would
+    with ``on=`` a timestamp column, compiled to Catalyst. Bin
+    labels come back as midnight timestamps and are emitted as ISO
+    DATE STRINGS (the events_gapfill rule — DATE-typed cells hash
+    differently across engine/pandas bridges). The density caveat is
+    the documented contract: pandas resample EMITS empty bins (sum
+    0) while a plain GROUP BY day does not, so the twin is only
+    day-for-day equal because the synthetic calendar is DENSE — the
+    replay test asserts density, making the assumption explicit
+    instead of silent (the granger lesson); a gap-bearing corpus
+    needs the events_gapfill spine face, which is exactly why both
+    exist. Empty corpus short-circuits to a schema-stable empty
+    frame (ps resample raises on an empty DatetimeIndex). Scale
+    shape: one shuffle on the day bin, same as the bare groupBy —
+    the front end adds zero physical cost (no Python nodes in the
+    plan, audit-checked via the ps_api_groupby precedent)."""
+    import pyspark.pandas as ps
+
+    e = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    if e.limit(1).count() == 0:
+        return spark.createDataFrame([], "day string, cents long")
+    pdf = ps.DataFrame(e)
+    res = pdf.resample("D", on=pdf["ts"]).sum()
+    out = res.to_spark(index_col="day_ts")
+    return out.select(
+        F.date_format(F.col("day_ts"), "yyyy-MM-dd").alias("day"),
+        F.col("cents").cast("long").alias("cents"),
+    )

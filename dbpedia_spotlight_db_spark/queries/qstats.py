@@ -3719,3 +3719,178 @@ def stat_tost(spark, sf):
         .otherwise((t_lo > F.lit(zc)) & (t_hi < F.lit(-zc)))
         .alias("equivalent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 115: two-sample Anderson–Darling — EDF test with tail weight,
+# shared-grid integer machinery
+# ---------------------------------------------------------------------------
+@q(
+    "stat_anderson_darling",
+    """
+    WITH v AS (
+      SELECT CAST(l_linenumber % 2 AS BIGINT) AS grp,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem),
+    cells AS (
+      SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY grp, v),
+    grid AS (
+      SELECT gg.grp, vv.v, COALESCE(c0.c, 0) AS c
+      FROM (SELECT DISTINCT grp FROM cells) gg
+      CROSS JOIN (SELECT DISTINCT v FROM cells) vv
+      LEFT JOIN cells c0 ON c0.grp = gg.grp AND c0.v = vv.v),
+    cum AS (
+      SELECT grp, v, c,
+             SUM(c) OVER (PARTITION BY grp ORDER BY v) AS m
+      FROM grid),
+    att AS (
+      SELECT v,
+             CAST(MAX(CASE WHEN grp = 0 THEN m END) AS BIGINT) AS m0,
+             CAST(MAX(CASE WHEN grp = 1 THEN m END) AS BIGINT) AS m1,
+             CAST(SUM(c) AS BIGINT) AS l
+      FROM cum GROUP BY v),
+    b AS (
+      SELECT v, m0, m1, l, m0 + m1 AS bj,
+             MAX(m0) OVER () AS n0, MAX(m1) OVER () AS n1
+      FROM att),
+    terms AS (
+      SELECT CAST(round(1000000.0 * l
+               * CAST(n0 * bj - (n0 + n1) * m0 AS DOUBLE)
+               * (n0 * bj - (n0 + n1) * m0)
+               / (bj * 1.0 * ((n0 + n1) - bj) * n0 * (n0 + n1)))
+               AS BIGINT) AS t0,
+             CAST(round(1000000.0 * l
+               * CAST(n1 * bj - (n0 + n1) * m1 AS DOUBLE)
+               * (n1 * bj - (n0 + n1) * m1)
+               / (bj * 1.0 * ((n0 + n1) - bj) * n1 * (n0 + n1)))
+               AS BIGINT) AS t1
+      FROM b
+      WHERE bj > 0 AND bj < n0 + n1 AND n0 > 0 AND n1 > 0),
+    fin AS (
+      SELECT CAST(COALESCE(SUM(t0), 0) AS BIGINT) AS s0_mic,
+             CAST(COALESCE(SUM(t1), 0) AS BIGINT) AS s1_mic
+      FROM terms)
+    SELECT (SELECT MAX(m0) FROM att WHERE m0 IS NOT NULL) AS n0,
+           (SELECT MAX(m1) FROM att WHERE m1 IS NOT NULL) AS n1,
+           s0_mic, s1_mic,
+           round((s0_mic + s1_mic) / 1000000.0, 6) + 0 AS a2
+    FROM fin
+    """,
+)
+def stat_anderson_darling(spark, sf):
+    """Two-sample Anderson-Darling (Scholz-Stephens A2_kN, k = 2,
+    right-continuous ECDF version) — completes the EDF-distance trio
+    with stat_ks (sup metric, tail-blind) and stat_cvm (integrated
+    square, center-weighted): AD divides each squared ECDF gap by
+    B(N-B), which blows the weight up in the TAILS — the test that
+    catches a contaminated price feed whose bulk matches but whose
+    extremes don't. Machinery is the shared zero-filled value grid
+    (stat_jonckheere / stat_log_rank discipline): per-group prefix
+    cumulatives M_ij on the grid make the pooled cumulative B_j =
+    M_0j + M_1j for free (no second window), the per-distinct-value
+    deviation N*M_ij - n_i*B_j is an exact BIGINT, and each term
+    l_j * dev^2 / (B_j (N-B_j) n_i N) is micros-quantized in
+    identical op order (dev^2 crosses 2^53, so the square is taken
+    in DOUBLE on both engines — the stat_mahalanobis precedent:
+    parity by identical IEEE op order, documented precision trade).
+    The last grid point (B = N) is excluded by the weight's zero
+    denominator, exactly as the statistic requires. Under H0,
+    E[A2] = k - 1 = 1 — the replay test pins the fixture lands near
+    it. Scale shape: one scan to (grp, value) cells; windows only
+    over the value grid."""
+    v = t(spark, sf, "lineitem").select(
+        (F.col("l_linenumber") % 2).cast("long").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    cells = v.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    cells = parquet_checkpoint(cells, "ad_cells")
+    grid = (
+        cells.select("grp")
+        .distinct()
+        .crossJoin(cells.select("v").distinct())
+        .join(cells, ["grp", "v"], "left")
+        .select("grp", "v", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "grp", "v", "c", F.sum("c").over(wcum).alias("m")
+    )
+    att = cum.groupBy("v").agg(
+        F.max(F.when(F.col("grp") == 0, F.col("m")))
+        .cast("long")
+        .alias("m0"),
+        F.max(F.when(F.col("grp") == 1, F.col("m")))
+        .cast("long")
+        .alias("m1"),
+        F.sum("c").cast("long").alias("l"),
+    )
+    att = parquet_checkpoint(att, "ad_att")
+    wall = Window.partitionBy()
+    b = att.select(
+        "v",
+        "m0",
+        "m1",
+        "l",
+        (F.col("m0") + F.col("m1")).alias("bj"),
+        F.max("m0").over(wall).alias("n0"),
+        F.max("m1").over(wall).alias("n1"),
+    )
+    nn = F.col("n0") + F.col("n1")
+
+    def term(mi, ni):
+        dev = ni * F.col("bj") - nn * mi
+        return (
+            F.round(
+                F.lit(1000000.0)
+                * F.col("l")
+                * dev.cast("double")
+                * dev
+                / (
+                    F.col("bj")
+                    * F.lit(1.0)
+                    * (nn - F.col("bj"))
+                    * ni
+                    * nn
+                )
+            ).cast("long")
+        )
+
+    terms = b.filter(
+        (F.col("bj") > 0)
+        & (F.col("bj") < nn)
+        & (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+    ).select(
+        term(F.col("m0"), F.col("n0")).alias("t0"),
+        term(F.col("m1"), F.col("n1")).alias("t1"),
+    )
+    fin = terms.agg(
+        F.coalesce(F.sum("t0"), F.lit(0)).cast("long").alias("s0_mic"),
+        F.coalesce(F.sum("t1"), F.lit(0)).cast("long").alias("s1_mic"),
+    )
+    tots = att.agg(
+        F.max("m0").cast("long").alias("n0"),
+        F.max("m1").cast("long").alias("n1"),
+    )
+    return fin.crossJoin(tots).select(
+        "n0",
+        "n1",
+        "s0_mic",
+        "s1_mic",
+        (
+            F.round(
+                (F.col("s0_mic") + F.col("s1_mic")) / F.lit(1000000.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("a2"),
+    )
