@@ -3239,3 +3239,100 @@ def stream_semi_join(spark, sf):
         )
         q_.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# wave 116: chained streaming aggregations — two stateful operators
+# in ONE query (6h rollup re-aggregated to days)
+# ---------------------------------------------------------------------------
+@q(
+    "stream_chained_windows",
+    """
+    WITH src AS (
+      SELECT epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    wm AS (
+      SELECT (MAX(us) // 1000) * 1000 - 3600000000 AS w FROM src),
+    sub AS (
+      SELECT (us // 21600000000) * 21600000000 AS s6, cents
+      FROM src),
+    day AS (
+      SELECT (s6 // 86400000000) * 86400000000 AS sd,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS cents,
+             CAST(COUNT(DISTINCT s6) AS BIGINT) AS n_sub
+      FROM sub GROUP BY 1)
+    SELECT sd AS day_start_us, n, cents, n_sub
+    FROM day CROSS JOIN wm
+    WHERE sd + 86400000000 <= wm.w
+    """,
+)
+def stream_chained_windows(spark, sf):
+    """CHAINED streaming aggregations — two stateful operators in
+    ONE query (Spark's multiple-stateful-operator support): a 6-hour
+    tumbling rollup re-aggregated into day windows by passing the
+    window STRUCT column back into window() — the hierarchical
+    rollup topology (minute -> hour -> day) every metrics pipeline
+    wants but pre-3.4 engines forced into two queries with a sink
+    between them. The mechanics the face pins: the upstream agg
+    emits a 6h window downstream only once the shared watermark
+    closes it, the downstream agg closes a day window by the SAME
+    watermark, and because a day's END is always <= its last 6h
+    constituent's end, every emitted day window has its full
+    complement of closed sub-windows — n_sub rides the hash to prove
+    no partially-assembled day ever reached the sink (4 per interior
+    day). Emission rule in the twin: day end <= (max_us//1000)*1000
+    - 1h (the stream_window millisecond-floor discipline). Scale
+    shape: state is one row per open window per operator — the 4:1
+    reduction between stages is exactly why the chained form beats
+    two queries (the intermediate never hits storage)."""
+    import os
+    import tempfile
+
+    name = f"stream_chw_{next(_STREAM_Q_COUNTER)}"
+    schema = t(spark, sf, "events").schema
+    with tempfile.TemporaryDirectory(prefix="stream_chw_") as tmp:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        src = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .filter(F.col("value").isNotNull())
+            .select(
+                F.col("ts").cast("timestamp").alias("ets"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .withWatermark("ets", "1 hour")
+        )
+        six = src.groupBy(F.window("ets", "6 hours")).agg(
+            F.count(F.lit(1)).cast("long").alias("n6"),
+            F.sum("cents").cast("long").alias("c6"),
+        )
+        day = six.groupBy(
+            F.window(F.col("window"), "1 day").alias("dwin")
+        ).agg(
+            F.sum("n6").cast("long").alias("n"),
+            F.sum("c6").cast("long").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_sub"),
+        )
+        out = day.select(
+            F.unix_micros(F.col("dwin.start")).alias("day_start_us"),
+            "n",
+            "cents",
+            "n_sub",
+        )
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)

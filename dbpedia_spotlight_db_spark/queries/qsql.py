@@ -2429,3 +2429,64 @@ def ps_api_resample(spark, sf):
         F.date_format(F.col("day_ts"), "yyyy-MM-dd").alias("day"),
         F.col("cents").cast("long").alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 116: NULLS FIRST / NULLS LAST — explicit null placement under
+# a total order, cross-engine
+# ---------------------------------------------------------------------------
+@q(
+    "sql_nulls_ordering",
+    """
+    WITH v AS (
+      SELECT event_id, NULLIF(user_id % 8, 3) AS k
+      FROM events),
+    r AS (
+      SELECT event_id, k,
+             ROW_NUMBER() OVER (ORDER BY k ASC NULLS FIRST, event_id)
+               AS rn_nf,
+             ROW_NUMBER() OVER (ORDER BY k ASC NULLS LAST, event_id)
+               AS rn_nl
+      FROM v)
+    SELECT event_id, k, CAST(rn_nf AS BIGINT) AS rn_nf,
+           CAST(rn_nl AS BIGINT) AS rn_nl
+    FROM r WHERE rn_nf <= 25 OR rn_nl <= 25
+    """,
+)
+def sql_nulls_ordering(spark, sf):
+    """Explicit ``NULLS FIRST`` / ``NULLS LAST`` — the ordering
+    clause that MUST be spelled out in any cross-engine SQL, because
+    the defaults disagree: Spark places NULLs FIRST on ASC while
+    DuckDB (and Postgres) place them LAST, so the same unadorned
+    ORDER BY paginates differently on each engine — the classic
+    silent-drift bug in a keyset-paginated API backed by two stores.
+    The face fabricates a NULL key (the join_null_safe NULLIF
+    discipline — the synthetic tables have no NULL keys), ranks the
+    corpus under BOTH explicit placements with event_id as the
+    total-order tiebreak, and emits the head of each ordering: the
+    NULL-keyed rows must occupy the first ranks of rn_nf and be
+    absent from the rn_nl head (pinned in tests) — and since both
+    engines evaluate the SAME explicit spellings, hash equality
+    proves the clause, not the default, decided placement. Scale
+    note: the global ROW_NUMBER is the documented single-partition
+    window; production pages with keyset predicates instead
+    (sql_offset_fetch's docstring), which inherit the same
+    explicit-NULLS requirement."""
+    t(spark, sf, "events").createOrReplaceTempView("no_events")
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT event_id, NULLIF(user_id % 8, 3) AS k
+          FROM no_events),
+        r AS (
+          SELECT event_id, k,
+                 ROW_NUMBER() OVER
+                   (ORDER BY k ASC NULLS FIRST, event_id) AS rn_nf,
+                 ROW_NUMBER() OVER
+                   (ORDER BY k ASC NULLS LAST, event_id) AS rn_nl
+          FROM v)
+        SELECT event_id, k, CAST(rn_nf AS BIGINT) AS rn_nf,
+               CAST(rn_nl AS BIGINT) AS rn_nl
+        FROM r WHERE rn_nf <= 25 OR rn_nl <= 25
+        """
+    )

@@ -3894,3 +3894,84 @@ def stat_anderson_darling(spark, sf):
             + F.lit(0.0)
         ).alias("a2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 116: maximum drawdown — worst drop from a running peak,
+# all-integer window machinery
+# ---------------------------------------------------------------------------
+@q(
+    "events_drawdown",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    dd AS (
+      SELECT event_type, day, cents,
+             MAX(cents) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cents AS draw
+      FROM daily)
+    SELECT event_type,
+           CAST(MAX(draw) AS BIGINT) AS max_drawdown_cents,
+           CAST(MIN(CASE WHEN draw = (SELECT MAX(d2.draw) FROM dd d2
+                                      WHERE d2.event_type = dd.event_type)
+                         THEN day END) AS BIGINT) AS trough_day
+    FROM dd GROUP BY event_type
+    """,
+)
+def events_drawdown(spark, sf):
+    """Maximum drawdown per event type — the worst drop of the daily
+    revenue level below its historical peak, the risk metric a
+    revenue-ops dashboard borrows from finance (events_bollinger
+    flags band breaches; drawdown measures the DEPTH of the worst
+    slump and when it bottomed). Pure integer window machinery: the
+    running peak is a cumulative MAX over the day-ordered daily
+    cents, draw = peak - cents is an exact BIGINT, and the trough
+    day is the FIRST day attaining the maximum draw (MIN over the
+    matching days — a deterministic argmax, the agg_first_last
+    tiebreak discipline, spelled as a correlated max in the twin and
+    as a window max in Spark so both engines resolve ties
+    identically). Scale shape: corpus -> calendar x types cells in
+    one agg; the windows run over the bounded daily relation, one
+    partition per type."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = e.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wpk = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = daily.select(
+        "event_type",
+        "day",
+        (F.max("cents").over(wpk) - F.col("cents")).alias("draw"),
+    )
+    wmx = Window.partitionBy("event_type")
+    dd2 = dd.select(
+        "event_type",
+        "day",
+        "draw",
+        F.max("draw").over(wmx).alias("mx"),
+    )
+    return dd2.groupBy("event_type").agg(
+        F.max("draw").cast("long").alias("max_drawdown_cents"),
+        F.min(F.when(F.col("draw") == F.col("mx"), F.col("day")))
+        .cast("long")
+        .alias("trough_day"),
+    )
