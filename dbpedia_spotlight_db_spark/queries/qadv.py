@@ -4916,3 +4916,257 @@ def stat_cochran_armitage(spark, sf):
         )
         .alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 117: exact binomial test — logfact series machinery, integer
+# inclusion rule
+# ---------------------------------------------------------------------------
+@q(
+    "stat_binom_test",
+    """
+    WITH m AS (
+      SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS obs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events),
+    s AS (
+      SELECT CAST(0 AS BIGINT) AS i
+      UNION ALL
+      SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) FROM events),
+    lf AS (
+      SELECT i, SUM(li) OVER (ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS lf
+      FROM (SELECT i,
+                   CASE WHEN i <= 1 THEN 0
+                        ELSE CAST(round(ln(CAST(i AS DOUBLE)) * 1000000)
+                                  AS BIGINT) END AS li
+            FROM s) z),
+    lp AS (
+      SELECT s.i AS k, m.obs, m.n,
+             lfn.lf - lfk.lf - lfnk.lf
+             + s.i * CAST(round(ln(0.2) * 1000000) AS BIGINT)
+             + (m.n - s.i) * CAST(round(ln(0.8) * 1000000) AS BIGINT)
+               AS lpm
+      FROM m
+      JOIN s ON s.i BETWEEN 0 AND m.n
+      JOIN lf lfn ON lfn.i = m.n
+      JOIN lf lfk ON lfk.i = s.i
+      JOIN lf lfnk ON lfnk.i = m.n - s.i),
+    la AS (
+      SELECT lpm AS lp_obs FROM lp WHERE k = obs)
+    SELECT MAX(lp.n) AS n, MAX(lp.obs) AS obs,
+           CAST(SUM(CASE WHEN lpm <= la.lp_obs THEN 1 ELSE 0 END)
+                AS BIGINT) AS k_included,
+           CAST(SUM(CASE WHEN lpm <= la.lp_obs THEN
+                  CAST(round(exp(CAST(lpm AS DOUBLE) / 1000000.0)
+                             * 1000000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS p_micros
+    FROM lp, la
+    """,
+)
+def stat_binom_test(spark, sf):
+    """EXACT one-sample binomial test — is the purchase share of the
+    event stream the uniform 1-in-5 (p0 = 0.2, five event types)?
+    The exact counterpart of stat_prop_ztest's normal approximation,
+    and the one-sample sibling of stat_fisher_exact, sharing its
+    entire machinery: the k = 0..n support is derived FROM the
+    corpus via ROW_NUMBER + a zero row (DuckDB generate_series
+    refuses subquery bounds — the fisher lesson), log-factorials are
+    cumulative sums of per-term micros-quantized ln(i), the binomial
+    logpmf adds k*ln(p0) + (n-k)*ln(1-p0) with the log literals
+    micros-rounded IDENTICALLY on both engines (k times an integer
+    stays an exact BIGINT), the two-sided inclusion rule pmf(k) <=
+    pmf(obs) is an integer compare, and each included pmf is
+    micros-rounded before the exact integer sum. Scale note: the
+    support grid is n+1 rows — one window over a corpus-row-count
+    relation; past ~1e7 rows production switches to the normal
+    approximation this face exists to check."""
+    m = t(spark, sf, "events").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("obs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    s = (
+        spark.range(1)
+        .select(F.lit(0).cast("long").alias("i"))
+        .union(
+            t(spark, sf, "events").select(
+                F.row_number()
+                .over(Window.orderBy(F.lit(1)))
+                .cast("long")
+                .alias("i")
+            )
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    lnm = (
+        F.when(F.col("i") <= 1, F.lit(0))
+        .otherwise(
+            F.round(F.log(F.col("i").cast("double")) * 1000000).cast(
+                "long"
+            )
+        )
+        .alias("li")
+    )
+    lf = parquet_checkpoint(
+        s.select("i", lnm).select(
+            "i",
+            F.sum("li")
+            .over(
+                Window.orderBy("i").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("lf"),
+        ),
+        "binom_lf",
+    )
+    lnp = F.round(F.log(F.lit(0.2)) * 1000000).cast("long")
+    lnq = F.round(F.log(F.lit(0.8)) * 1000000).cast("long")
+    sk = s.withColumnRenamed("i", "k")
+    lp = (
+        m.join(sk, sk["k"].between(0, m["n"]))
+        .join(lf.alias("lfn"), F.col("lfn.i") == F.col("n"))
+        .join(lf.alias("lfk"), F.col("lfk.i") == F.col("k"))
+        .join(
+            lf.alias("lfnk"),
+            F.col("lfnk.i") == F.col("n") - F.col("k"),
+        )
+        .select(
+            "k",
+            "obs",
+            "n",
+            (
+                F.col("lfn.lf")
+                - F.col("lfk.lf")
+                - F.col("lfnk.lf")
+                + F.col("k") * lnp
+                + (F.col("n") - F.col("k")) * lnq
+            ).alias("lpm"),
+        )
+    )
+    lp = parquet_checkpoint(lp, "binom_lp")
+    la = lp.filter(F.col("k") == F.col("obs")).select(
+        F.col("lpm").alias("lp_obs")
+    )
+    return lp.crossJoin(la).agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("obs").cast("long").alias("obs"),
+        F.sum(F.when(F.col("lpm") <= F.col("lp_obs"), 1).otherwise(0))
+        .cast("long")
+        .alias("k_included"),
+        F.sum(
+            F.when(
+                F.col("lpm") <= F.col("lp_obs"),
+                F.round(
+                    F.exp(F.col("lpm").cast("double") / 1000000.0)
+                    * 1000000
+                ).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("p_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 117: Hodges–Lehmann shift estimator — median of pairwise
+# differences over calendar-bounded samples
+# ---------------------------------------------------------------------------
+@q(
+    "stat_hodges_lehmann",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IN ('purchase', 'click')
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT p.cents - c.cents AS d
+      FROM daily p JOIN daily c
+        ON p.event_type = 'purchase' AND c.event_type = 'click'),
+    w AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM pairs GROUP BY d),
+    cum AS (
+      SELECT d, SUM(cnt) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             SUM(cnt) OVER () AS tw
+      FROM w)
+    SELECT CAST(MAX(tw) AS BIGINT) AS n_pairs,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN d END) AS BIGINT)
+             AS hl_cents
+    FROM cum
+    """,
+)
+def stat_hodges_lehmann(spark, sf):
+    """Hodges-Lehmann two-sample shift estimator — the EFFECT SIZE
+    that belongs to stat_mannwhitney's test: the median of all
+    pairwise differences between daily purchase revenue and daily
+    click revenue, 'purchases out-earn clicks by HL cents on a
+    typical day-pair', robust where the difference of means is not
+    and valid where medians of skewed samples mislead. The pair
+    relation is the cross join of two CALENDAR-bounded daily
+    rollups (30 x 30 at a month — the corpus is touched once by the
+    daily agg; the quadratic blowup lives entirely on the bounded
+    calendar, the stat_theilsen rule), differences are exact BIGINT
+    cents, and the lower median comes from the count-of-counts
+    cumulative 2*cw >= tw rule (stat_weighted_median discipline) —
+    no global sort of the pair relation, no float percentile.
+    Empty either-sample corpus yields zero pairs and a NULL
+    estimate."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "click")
+        )
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    daily = parquet_checkpoint(daily, "hl_daily")
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("cents").alias("pc")
+    )
+    c = daily.filter(F.col("event_type") == "click").select(
+        F.col("cents").alias("cc")
+    )
+    pairs = p.crossJoin(c).select((F.col("pc") - F.col("cc")).alias("d"))
+    w = pairs.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = w.select(
+        "d",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cw"),
+        F.sum("cnt").over(Window.partitionBy()).alias("tw"),
+    )
+    return cum.agg(
+        F.max("tw").cast("long").alias("n_pairs"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("d"))
+        )
+        .cast("long")
+        .alias("hl_cents"),
+    )
