@@ -2668,3 +2668,100 @@ def text_self_bleu(spark, sf):
         "cand_id", "ref_id", "c1", "t1", "c2", "t2",
         bleu.alias("bleu_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 118: partitioned TABLE-argument UDTF — per-partition ordered
+# state with terminate() emission
+# ---------------------------------------------------------------------------
+@q(
+    "udtf_partitioned",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us
+      FROM events WHERE ts IS NOT NULL),
+    g AS (
+      SELECT event_type, event_id, us,
+             us - LAG(us) OVER (PARTITION BY event_type
+                                ORDER BY us, event_id) AS gap
+      FROM v)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS first_id,
+           CAST(MAX(event_id) AS BIGINT) AS last_id,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY event_type
+    """,
+)
+def udtf_partitioned(spark, sf):
+    """Polymorphic UDTF over a PARTITIONED + ORDERED table argument —
+    the Spark-4 protocol the LATERAL faces (udtf_ngrams, scalar per
+    row) and the TABLE-arg analyze face (udtf_analyze) don't touch:
+    ``my_udtf(TABLE(v) PARTITION BY event_type ORDER BY ts,
+    event_id)`` guarantees each partition's rows arrive at ONE UDTF
+    instance IN ORDER, with terminate() fired at each partition
+    boundary — Spark's public contract for per-group sequential
+    Python state (the same niche as applyInPandas but streaming
+    row-at-a-time, so a partition never has to fit in one pandas
+    frame). The face computes something only the ORDER makes
+    well-defined — the maximum inter-event gap — plus first/last ids
+    under the (us, event_id) total order; the twin is the LAG window
+    + group-by, so a green hash proves partition isolation, arrival
+    order, AND the terminate() protocol at once. Scale shape: one
+    shuffle on the partition key, then map-side Python; the
+    first_id/last_id would differ from the twin if Spark ever
+    delivered rows unordered — making the contract itself the thing
+    the gate hashes."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="event_type string, n bigint, first_id bigint, "
+        "last_id bigint, max_gap_us bigint"
+    )
+    class PerTypeStats:
+        def __init__(self):
+            self.et = None
+            self.n = 0
+            self.first_id = None
+            self.last_id = None
+            self.prev_us = None
+            self.max_gap = None
+
+        def eval(self, row):
+            self.et = row["event_type"]
+            self.n += 1
+            if self.first_id is None:
+                self.first_id = row["event_id"]
+            self.last_id = row["event_id"]
+            if self.prev_us is not None:
+                gap = row["us"] - self.prev_us
+                if self.max_gap is None or gap > self.max_gap:
+                    self.max_gap = gap
+            self.prev_us = row["us"]
+
+        def terminate(self):
+            if self.n:
+                yield (
+                    self.et,
+                    self.n,
+                    self.first_id,
+                    self.last_id,
+                    self.max_gap,
+                )
+
+    spark.udtf.register("per_type_stats", PerTypeStats)
+    (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .createOrReplaceTempView("udtf_part_events")
+    )
+    return spark.sql(
+        "SELECT * FROM per_type_stats("
+        "TABLE(udtf_part_events) "
+        "PARTITION BY event_type ORDER BY (us, event_id))"
+    )

@@ -1382,3 +1382,84 @@ def join_bnlj_bands(spark, sf):
         .cast("long")
         .alias("qty_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 118: write-audit-publish — staged write, constraint audit,
+# atomic rename publish
+# ---------------------------------------------------------------------------
+@q(
+    "lake_wap",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents,
+           TRUE AS audit_passed, TRUE AS published
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def lake_wap(spark, sf):
+    """Write-Audit-Publish — the lakehouse deployment pattern that
+    keeps bad data out of consumer view without table-format
+    branches: the batch lands in a STAGING path invisible to
+    readers, an audit pass runs the quality gates against the
+    staged files (here: row-count reconciliation against the
+    source, zero NULL keys, zero negative totals — the
+    check_constraints shape), and only a passing audit PUBLISHES by
+    an atomic directory rename into the serving path — a failed
+    audit leaves the serving path untouched and the staging dir for
+    forensics (the face would return audit_passed = FALSE and
+    publish nothing; the gate hashing TRUE proves the happy path
+    end-to-end: what was staged is byte-what was published). This
+    is WAP on plain parquet — Iceberg/Delta make the rename a
+    metadata swap (documented catalog seam, SURVEY §0); the
+    mechanics and the audit contract are identical. Eager +
+    checkpoint because the staging/serving tree is reclaimed on
+    return (the scan_recursive discipline). Scale note: the rename
+    is O(1) on a real filesystem and the audit reads only the
+    staged batch, never the serving history."""
+    import os
+    import tempfile
+
+    from ..operators.dedup import parquet_checkpoint
+
+    src = t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    n_src = src.count()
+    with tempfile.TemporaryDirectory(prefix="lake_wap_") as tmp:
+        staging = os.path.join(tmp, "staging", "batch_001")
+        serving = os.path.join(tmp, "serving", "batch_001")
+        os.makedirs(os.path.dirname(serving), exist_ok=True)
+        src.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        bad = staged.filter(
+            F.col("o_orderkey").isNull() | (F.col("o_totalprice") < 0)
+        ).count()
+        audit_passed = bool(bad == 0 and staged.count() == n_src)
+        published = False
+        if audit_passed:
+            os.rename(staging, serving)
+            published = True
+        read_path = serving if published else staging
+        out = (
+            spark.read.parquet(read_path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                )
+                .cast("long")
+                .alias("cents"),
+            )
+            .select(
+                "o_orderpriority",
+                "n",
+                "cents",
+                F.lit(audit_passed).alias("audit_passed"),
+                F.lit(published).alias("published"),
+            )
+        )
+        return parquet_checkpoint(out, "lake_wap_out")
