@@ -574,3 +574,88 @@ def embed_pq_codebook(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.sum("vec_id").cast("long").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 119: truncation-energy profile — Matryoshka-style retained
+# energy per dimension prefix
+# ---------------------------------------------------------------------------
+@q(
+    "embed_truncation",
+    """
+    WITH e0 AS (
+      SELECT vec_id, unnest(range(0, len(embedding))) AS j, embedding
+      FROM embeddings),
+    q0 AS (
+      SELECT j,
+             CAST(round(1000000.0 * (CAST(embedding[j + 1] AS DOUBLE)
+                  * CAST(embedding[j + 1] AS DOUBLE))) AS BIGINT) AS q
+      FROM e0),
+    dimsum AS (
+      SELECT j, CAST(SUM(q) AS BIGINT) AS e FROM q0 GROUP BY j),
+    cum AS (
+      SELECT j, SUM(e) OVER (ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ce,
+             SUM(e) OVER () AS te
+      FROM dimsum)
+    SELECT CAST(j + 1 AS BIGINT) AS k,
+           CAST(ce AS BIGINT) AS energy_mic,
+           CASE WHEN te = 0 THEN NULL
+                ELSE round(CAST(ce AS DOUBLE) / te, 6) + 0
+           END AS retained
+    FROM cum WHERE j + 1 IN (8, 16, 32, 64)
+    """,
+)
+def embed_truncation(spark, sf):
+    """Dimension-truncation energy profile — what fraction of the
+    corpus's total embedding energy the first k dimensions retain
+    (k = 8, 16, 32, 64), the measurement behind every
+    Matryoshka-style 'can we serve the 16-dim prefix?' decision:
+    retained energy bounds the cosine error a truncated index
+    introduces, so this one report prices the ANN memory/recall
+    trade BEFORE re-indexing 10^11 vectors. Per-component squared
+    energies are micros-quantized (the embed_norms discipline —
+    exact order-independent BIGINT sums), the 64 per-dimension
+    totals cumulate in one window over the DIMENSION-bounded
+    relation, and the retained fractions are final floats with a
+    zero-corpus NULL guard. Index parity: Spark posexplode is
+    0-based, DuckDB arrays are 1-based — range(0, len) + [j + 1]
+    on the twin (the embed_fisher lesson). Scale shape: one scan,
+    one explode bounded by d = 64, everything downstream is
+    64 rows."""
+    e = t(spark, sf, "embeddings").select(
+        F.posexplode("embedding").alias("j", "x")
+    )
+    q0 = e.select(
+        "j",
+        F.round(
+            F.lit(1000000.0)
+            * F.col("x").cast("double")
+            * F.col("x").cast("double")
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    dimsum = q0.groupBy("j").agg(F.sum("q").cast("long").alias("e"))
+    cum = dimsum.select(
+        "j",
+        F.sum("e")
+        .over(
+            Window.orderBy("j").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("ce"),
+        F.sum("e").over(Window.partitionBy()).alias("te"),
+    )
+    return cum.filter((F.col("j") + 1).isin(8, 16, 32, 64)).select(
+        (F.col("j") + 1).cast("long").alias("k"),
+        F.col("ce").cast("long").alias("energy_mic"),
+        F.when(F.col("te") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("ce").cast("double") / F.col("te"), 6)
+            + F.lit(0.0)
+        )
+        .alias("retained"),
+    )

@@ -3975,3 +3975,117 @@ def events_drawdown(spark, sf):
         .cast("long")
         .alias("trough_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 119: Mann–Kendall trend test — pairwise signs over the
+# bounded calendar, tie-exact variance
+# ---------------------------------------------------------------------------
+@q(
+    "stat_mann_kendall",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    pairs AS (
+      SELECT CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sg
+      FROM daily a JOIN daily b ON b.day > a.day),
+    ties AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS tc
+      FROM daily GROUP BY cents),
+    f AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n,
+             (SELECT CAST(COALESCE(SUM(sg), 0) AS BIGINT) FROM pairs)
+               AS s,
+             (SELECT CAST(COALESCE(SUM(tc * (tc - 1) * (2 * tc + 5)),
+                                   0) AS BIGINT) FROM ties) AS tcor)
+    SELECT n, s,
+           CAST(n * (n - 1) * (2 * n + 5) - tcor AS BIGINT) AS var18,
+           CASE WHEN n < 2 OR n * (n - 1) * (2 * n + 5) - tcor <= 0
+                THEN NULL
+                ELSE round((s - CASE WHEN s > 0 THEN 1
+                                     WHEN s < 0 THEN -1 ELSE 0 END)
+                           / sqrt((n * (n - 1) * (2 * n + 5) - tcor)
+                                  / 18.0), 6) + 0
+           END AS z
+    FROM f
+    """,
+)
+def stat_mann_kendall(spark, sf):
+    """Mann-Kendall trend test on the daily revenue series — the
+    significance companion to stat_theilsen's slope (theilsen says
+    HOW steep, MK says whether a monotone trend exists at all,
+    distribution-free, robust to the spikes that wreck an OLS
+    t-test). S = sum of sign(c_j - c_i) over all day pairs i < j is
+    an exact integer from the calendar-bounded self-join (the
+    quadratic lives on ~30 rows, the stat_theilsen rule — the
+    corpus is scanned once by the daily agg); the null variance
+    carries the tie correction as 18*Var = n(n-1)(2n+5) - SUM
+    t(t-1)(2t+5) over tied daily values, kept as the exact integer
+    var18 so the only float is the final continuity-corrected z =
+    (S - sign(S)) / sqrt(var18/18). Degenerate calendars (n < 2, or
+    all days tied making var18 = 0) NULL the statistic."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    daily = parquet_checkpoint(daily, "mk_daily")
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(b, F.col("b.day") > F.col("a.day")).select(
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .when(F.col("b.cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+        .alias("sg")
+    )
+    s_agg = pairs.agg(
+        F.coalesce(F.sum("sg"), F.lit(0)).cast("long").alias("s")
+    )
+    n_agg = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t_agg = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tc")
+                    * (F.col("tc") - 1)
+                    * (2 * F.col("tc") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tcor")
+        )
+    )
+    f = n_agg.crossJoin(s_agg).crossJoin(t_agg)
+    n, s = F.col("n"), F.col("s")
+    var18 = n * (n - 1) * (2 * n + 5) - F.col("tcor")
+    sgn = F.when(s > 0, 1).when(s < 0, -1).otherwise(0)
+    return f.select(
+        "n",
+        "s",
+        var18.cast("long").alias("var18"),
+        F.when((n < 2) | (var18 <= 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round((s - sgn) / F.sqrt(var18 / F.lit(18.0)), 6)
+            + F.lit(0.0)
+        )
+        .alias("z"),
+    )
