@@ -659,3 +659,105 @@ def embed_truncation(spark, sf):
         )
         .alias("retained"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 120: hard-negative margin report — per-label centroid margins
+# with exact per-component micros sums
+# ---------------------------------------------------------------------------
+@q(
+    "embed_margin",
+    """
+    WITH e0 AS (
+      SELECT vec_id, label, unnest(range(0, len(embedding))) AS j,
+             embedding
+      FROM embeddings),
+    comp AS (
+      SELECT vec_id, label, j,
+             CAST(embedding[j + 1] AS DOUBLE) AS x
+      FROM e0),
+    cents AS (
+      SELECT label AS clab, j, round(AVG(x), 6) AS c
+      FROM comp GROUP BY label, j),
+    q AS (
+      SELECT v.vec_id, v.label, c.clab,
+             CAST(round(1000000.0 * (v.x - c.c) * (v.x - c.c))
+                  AS BIGINT) AS qm
+      FROM comp v JOIN cents c ON c.j = v.j),
+    d2 AS (
+      SELECT vec_id, label, clab, CAST(SUM(qm) AS BIGINT) AS d2mic
+      FROM q GROUP BY vec_id, label, clab),
+    m AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clab = label THEN d2mic END) AS own,
+             MIN(CASE WHEN clab <> label THEN d2mic END) AS other
+      FROM d2 GROUP BY vec_id, label)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN other - own < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(SUM(other - own) AS BIGINT) AS sum_margin_mic
+    FROM m GROUP BY label
+    """,
+)
+def embed_margin(spark, sf):
+    """Hard-negative margin report — for every labeled vector, the
+    gap between its squared distance to the NEAREST FOREIGN label
+    centroid and to its OWN: negative margins are the hard examples
+    a contrastive trainer should mine and a labeler should re-check,
+    and the per-label violation counts are the 'which classes bleed
+    into each other' report that prices a classifier before training
+    one. Centroid components are rounded to 6 on BOTH engines before
+    any distance (the embed_kmeans assignment-parity rule), each
+    per-component squared gap is micros-quantized and the 64-term
+    distance is an exact integer SUM (the embed_norms discipline —
+    never a float accumulation whose order could differ), so own,
+    min-other, margins, and the per-label sums are all exact
+    BIGINTs. Scale shape: one explode of the corpus, a
+    labels x dims (bounded) centroid relation joined on the dim key
+    — the corpus never self-joins; the x|labels| fan-out is the
+    explicit, bounded cost (10 here; production prunes candidates
+    with an IVF-style shortlist first, the dedup_semantic route)."""
+    comp = t(spark, sf, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("j", "xf")
+    ).select("vec_id", "label", "j", F.col("xf").cast("double").alias("x"))
+    from ..operators.dedup import parquet_checkpoint
+
+    comp = parquet_checkpoint(comp, "margin_comp")
+    cents = comp.groupBy(
+        F.col("label").alias("clab"), "j"
+    ).agg(F.round(F.avg("x"), 6).alias("c"))
+    q = comp.join(cents, "j").select(
+        "vec_id",
+        "label",
+        "clab",
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("x") - F.col("c"))
+            * (F.col("x") - F.col("c"))
+        )
+        .cast("long")
+        .alias("qm"),
+    )
+    d2 = q.groupBy("vec_id", "label", "clab").agg(
+        F.sum("qm").cast("long").alias("d2mic")
+    )
+    m = d2.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clab") == F.col("label"), F.col("d2mic"))
+        ).alias("own"),
+        F.min(
+            F.when(F.col("clab") != F.col("label"), F.col("d2mic"))
+        ).alias("other"),
+    )
+    return m.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("other") - F.col("own") < 0, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+        F.sum(F.col("other") - F.col("own"))
+        .cast("long")
+        .alias("sum_margin_mic"),
+    )
