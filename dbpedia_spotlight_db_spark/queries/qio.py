@@ -2050,3 +2050,77 @@ def scan_recursive(spark, sf):
         F.lit(bool(saw_deep)).alias("deep_file_listed"),
     )
     return parquet_checkpoint(out, "scan_recursive_out")
+
+
+# ---------------------------------------------------------------------------
+# wave 121: pathGlobFilter — listing-time file selection
+# ---------------------------------------------------------------------------
+@q(
+    "scan_path_glob_filter",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           TRUE AS junk_excluded
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_path_glob_filter(spark, sf):
+    """``pathGlobFilter`` — the LISTING-time rung of the
+    file-tolerance ladder, below all three read-time rungs
+    (ignoreCorruptFiles reads bytes and drops bad ones,
+    ignoreMissingFiles tolerates vanishing files, PERMISSIVE parses
+    bad records): a glob applied while ENUMERATING the directory,
+    so excluded files cost nothing — no open, no footer read, no
+    task. The face plants a data-bearing parquet part next to two
+    landmines a live ingest dir always contains — a half-written
+    `.tmp` spill (GARBAGE bytes: without the filter the read
+    ERRORS, with ignoreCorruptFiles it would still be OPENED) and a
+    zero-byte `_WIP` marker — reads with pathGlobFilter='*.parquet',
+    and the twin is the whole table: equality proves selection
+    happened at listing (the junk never became tasks), and the
+    `junk_excluded` boolean (no junk path in inputFiles()) rides
+    the hash. Eager + checkpoint (staging reclaimed on return).
+    At 100 TB this is the difference between skipping a million
+    temp files for free and paying a failed-read retry storm."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.dedup import parquet_checkpoint
+
+    d = _sink_dir(spark, "pathglob")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    sdir = d + "_stage"
+    (
+        t(spark, sf, "documents")
+        .select("doc_id", "lang")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+    parts = glob.glob(os.path.join(sdir, "part-*.parquet"))
+    if parts:
+        shutil.copy(parts[0], os.path.join(d, "data.parquet"))
+    with open(os.path.join(d, "spill-0001.tmp"), "wb") as fh:
+        fh.write(b"\x00garbage-not-parquet\xff" * 64)
+    open(os.path.join(d, "_WIP"), "wb").close()
+    back = (
+        spark.read.option("pathGlobFilter", "*.parquet")
+        .schema("doc_id long, lang string")
+        .parquet(d)
+    )
+    listed = back.inputFiles()
+    junk_seen = any(
+        f.endswith(("spill-0001.tmp", "_WIP")) for f in listed
+    )
+    out = back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    ).select(
+        "lang",
+        "n_docs",
+        "id_sum",
+        F.lit(not junk_seen).alias("junk_excluded"),
+    )
+    return parquet_checkpoint(out, "pathglob_out")

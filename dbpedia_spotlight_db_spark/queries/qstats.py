@@ -4089,3 +4089,103 @@ def stat_mann_kendall(spark, sf):
         )
         .alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 121: one-sample KS vs discrete uniform — hash-uniformity
+# certificate in exact cross-multiplied integers
+# ---------------------------------------------------------------------------
+@q(
+    "stat_ks_uniform",
+    """
+    WITH b AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+               ::UBIGINT AS bk
+      FROM documents),
+    c AS (
+      SELECT bk, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bk),
+    e AS (
+      SELECT bk, cnt,
+             SUM(cnt) OVER (ORDER BY bk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k,
+             SUM(cnt) OVER () AS n
+      FROM c),
+    d AS (
+      SELECT n,
+             GREATEST(abs(256 * k - n * (bk + 1)),
+                      abs(256 * (k - cnt) - n * bk)) AS dn
+      FROM e)
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(dn) AS BIGINT) AS d_num,
+           round(CAST(MAX(dn) AS DOUBLE) / (256.0 * MAX(n)), 6) + 0
+             AS ks_stat,
+           round(CAST(MAX(dn) AS DOUBLE) / (256.0 * MAX(n)), 6)
+             < round(1.627 / sqrt(CAST(MAX(n) AS DOUBLE)), 6)
+             AS uniform_ok
+    FROM d
+    """,
+)
+def stat_ks_uniform(spark, sf):
+    """One-sample Kolmogorov-Smirnov against the discrete uniform —
+    the hash-uniformity certificate every md5-sharded pipeline in
+    this repo implicitly relies on (shard_plan, sample_balanced,
+    feat_hashing, the LSH band keys all assume the first hash byte
+    is uniform; this face MEASURES it instead of assuming). The
+    statistic is fully exact: with 256 hash buckets, the sup over
+    the ECDF step function is the max over buckets of the
+    cross-multiplied integers |256*k - n*(b+1)| (after-step gap) and
+    |256*(k - c_b) - n*b| (before-step gap) — the stat_ks
+    discipline extended to a THEORETICAL CDF, no float until the
+    final division by 256n. The alpha = 0.01 acceptance compares
+    ROUNDED values of identical expressions on both engines
+    (1.627/sqrt(n) is the asymptotic critical value, embedded as a
+    literal); the replay test pins uniform_ok = TRUE — md5 had
+    better be uniform, and if this face ever fails, every sharding
+    decision upstream is suspect. Scale shape: one scan to 256
+    buckets; windows over the bucket-bounded relation."""
+    b = t(spark, sf, "documents").select(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("bk")
+    )
+    c = b.groupBy("bk").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    e = c.select(
+        "bk",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("bk").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("k"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    d = e.select(
+        "n",
+        F.greatest(
+            F.abs(256 * F.col("k") - F.col("n") * (F.col("bk") + 1)),
+            F.abs(
+                256 * (F.col("k") - F.col("cnt"))
+                - F.col("n") * F.col("bk")
+            ),
+        ).alias("dn"),
+    )
+    ks = F.round(
+        F.max("dn").cast("double") / (F.lit(256.0) * F.max("n")), 6
+    )
+    return d.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("dn").cast("long").alias("d_num"),
+        (ks + F.lit(0.0)).alias("ks_stat"),
+        (
+            ks
+            < F.round(
+                F.lit(1.627) / F.sqrt(F.max("n").cast("double")), 6
+            )
+        ).alias("uniform_ok"),
+    )
