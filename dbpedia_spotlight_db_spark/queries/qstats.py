@@ -4189,3 +4189,231 @@ def stat_ks_uniform(spark, sf):
             )
         ).alias("uniform_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 122: Quade test — range-weighted blocked ranks, all-integer
+# doubled machinery
+# ---------------------------------------------------------------------------
+@q(
+    "stat_quade",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
+             event_type,
+             SUM(CAST(round(value * 100) AS BIGINT)) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+           FROM daily),
+    fb AS (
+      SELECT day_num FROM daily GROUP BY day_num
+      HAVING COUNT(*) = (SELECT k FROM kk)),
+    r AS (
+      SELECT d.event_type, d.day_num, d.v,
+             2 * RANK() OVER (PARTITION BY d.day_num ORDER BY d.v)
+               + COUNT(*) OVER (PARTITION BY d.day_num, d.v) - 1 AS dr
+      FROM daily d JOIN fb USING (day_num)),
+    rng AS (
+      SELECT day_num, MAX(v) - MIN(v) AS rg FROM r GROUP BY day_num),
+    wts AS (
+      SELECT day_num,
+             2 * RANK() OVER (ORDER BY rg)
+               + COUNT(*) OVER (PARTITION BY rg) - 1 AS dw
+      FROM rng),
+    sc AS (
+      SELECT r.event_type,
+             wts.dw * (r.dr - ((SELECT k FROM kk) + 1)) AS ds
+      FROM r JOIN wts USING (day_num)),
+    tr AS (
+      SELECT event_type, CAST(SUM(ds) AS BIGINT) AS sj
+      FROM sc GROUP BY event_type),
+    fin AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fb) AS n,
+             (SELECT k FROM kk) AS k,
+             (SELECT CAST(SUM(ds * ds) AS BIGINT) FROM sc) AS a_q,
+             (SELECT CAST(SUM(sj * sj) AS BIGINT) FROM tr) AS sb_q)
+    SELECT n, k, a_q, sb_q,
+           CASE WHEN n < 2 OR k < 2 OR n * a_q - sb_q <= 0 THEN NULL
+                ELSE round((n - 1.0) * sb_q / (n * a_q - sb_q), 6) + 0
+           END AS f_stat
+    FROM fin
+    """,
+)
+def stat_quade(spark, sf):
+    """Quade test — the range-WEIGHTED member of the blocked-rank
+    family (stat_friedman treats every day as equally informative;
+    Quade up-weights the days where treatments actually SPREAD, the
+    right choice at small k where Friedman wastes power): block
+    weights are the tie-averaged ranks of each day's value RANGE,
+    scores are S_bj = W_b * (r_bj - (k+1)/2), and the statistic is
+    F = (n-1)B/(A-B). Everything stays integer in doubled space —
+    within-day doubled ranks dr, doubled range-rank weights dw, and
+    dS = dw*(dr - (k+1)) carries BOTH doublings, so A and B's
+    numerators (SUM dS^2, SUM_j S_j^2) are exact BIGINTs whose
+    common x16 scale CANCELS in F = (n-1)*SB / (n*A - SB) — one
+    final float from three exact integers. Daily dollars via
+    integer div (the events_autocorr headroom rule); complete
+    blocks only (the stat_friedman fb discipline); the perfect-
+    concordance degenerate case (n*A = SB) NULLs, as does a single
+    treatment. Scale shape identical to Friedman: corpus -> calendar
+    x types cells once, every later relation calendar-bounded."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = (
+        e.groupBy(
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day_num"),
+            "event_type",
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc"))
+        .select("day_num", "event_type", F.expr("vc div 100").alias("v"))
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    daily = parquet_checkpoint(daily, "quade_daily")
+    kk = daily.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    fb = (
+        daily.groupBy("day_num")
+        .agg(F.count(F.lit(1)).alias("ntypes"))
+        .crossJoin(kk)
+        .filter(F.col("ntypes") == F.col("k"))
+        .select("day_num", "k")
+    )
+    r = daily.join(fb, "day_num").select(
+        "event_type",
+        "day_num",
+        "v",
+        "k",
+        (
+            F.lit(2)
+            * F.rank().over(
+                Window.partitionBy("day_num").orderBy("v")
+            )
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("day_num", "v")
+            )
+            - F.lit(1)
+        ).alias("dr"),
+    )
+    r = parquet_checkpoint(r, "quade_r")
+    rng = r.groupBy("day_num").agg(
+        (F.max("v") - F.min("v")).alias("rg")
+    )
+    wts = rng.select(
+        "day_num",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("rg"))
+            + F.count(F.lit(1)).over(Window.partitionBy("rg"))
+            - F.lit(1)
+        ).alias("dw"),
+    )
+    sc = r.join(wts, "day_num").select(
+        "event_type",
+        (F.col("dw") * (F.col("dr") - (F.col("k") + 1))).alias("ds"),
+    )
+    sc = parquet_checkpoint(sc, "quade_sc")
+    tr = sc.groupBy("event_type").agg(
+        F.sum("ds").cast("long").alias("sj")
+    )
+    n_agg = fb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a_agg = sc.agg(
+        F.sum(F.col("ds") * F.col("ds")).cast("long").alias("a_q")
+    )
+    b_agg = tr.agg(
+        F.sum(F.col("sj") * F.col("sj")).cast("long").alias("sb_q")
+    )
+    fin = n_agg.crossJoin(kk).crossJoin(a_agg).crossJoin(b_agg)
+    n, k = F.col("n"), F.col("k")
+    a_q, sb_q = F.col("a_q"), F.col("sb_q")
+    return fin.select(
+        "n",
+        "k",
+        "a_q",
+        "sb_q",
+        F.when(
+            (n < 2) | (k < 2) | (n * a_q - sb_q <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (n - F.lit(1.0)) * sb_q / (n * a_q - sb_q), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 122: geometric mean aggregate — the ln-sum identity as an
+# exact grouped aggregate
+# ---------------------------------------------------------------------------
+@q(
+    "agg_geomean",
+    """
+    WITH lab AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(ln(o_totalprice) * 1000000) AS BIGINT) AS lm
+      FROM orders WHERE o_totalprice > 0),
+    s AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lm) AS BIGINT) AS sum_ln_mic
+      FROM lab GROUP BY g)
+    SELECT g, n, sum_ln_mic,
+           round(exp(CAST(sum_ln_mic AS DOUBLE) / 1000000.0 / n), 6)
+             + 0 AS geomean
+    FROM s
+    """,
+)
+def agg_geomean(spark, sf):
+    """Geometric mean of order totals per priority — the aggregate
+    the arithmetic AVG family can't substitute for multiplicative
+    quantities (growth factors, price ratios, latency multipliers:
+    AVG of a 2x and a 0.5x change is 1.25x, the geomean is the
+    correct 1.0x). Spark has no product/geomean aggregate, and a
+    naive product overflows anything; the ln-sum identity
+    exp(mean(ln x)) is the standard rewrite — and the repo's
+    per-term integer-micros quantization (the kg_adamic_adar
+    discipline) makes it an EXACT order-independent BIGINT
+    aggregate, map-side combinable like any SUM/COUNT pair, with
+    one exp at the end. Non-positive values are excluded by
+    contract (domain of ln), documented rather than silently
+    absorbed. The micros sums ride the hash, so the gate pins the
+    quantization itself, not just the rounded float. Scale shape:
+    one scan, one ordinary grouped agg — partial before the
+    shuffle."""
+    lab = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.log(F.col("o_totalprice")) * 1000000)
+            .cast("long")
+            .alias("lm"),
+        )
+    )
+    s = lab.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lm").cast("long").alias("sum_ln_mic"),
+    )
+    return s.select(
+        "g",
+        "n",
+        "sum_ln_mic",
+        (
+            F.round(
+                F.exp(
+                    F.col("sum_ln_mic").cast("double")
+                    / F.lit(1000000.0)
+                    / F.col("n")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("geomean"),
+    )
