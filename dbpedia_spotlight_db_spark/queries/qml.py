@@ -6608,3 +6608,151 @@ def mllib_scaler(spark, sf):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("zmic").cast("long").alias("sum_zmic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 123: learning curve — exact AUC at nested md5 data fractions
+# ---------------------------------------------------------------------------
+@q(
+    "ml_learning_curve",
+    """
+    WITH lab AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+             CASE WHEN substr(md5('lc:' || CAST(event_id AS VARCHAR)),
+                              1, 1) < '4' THEN 25
+                  WHEN substr(md5('lc:' || CAST(event_id AS VARCHAR)),
+                              1, 1) < '8' THEN 50
+                  ELSE 100 END AS tier
+      FROM events WHERE value IS NOT NULL),
+    fr AS (SELECT unnest([25, 50, 100]) AS frac),
+    pv AS (
+      SELECT fr.frac, lab.cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(lab.pos) AS BIGINT) AS p
+      FROM lab JOIN fr ON lab.tier <= fr.frac
+      GROUP BY fr.frac, lab.cents),
+    ark AS (
+      SELECT frac, cnt, p,
+             2 * SUM(cnt) OVER (PARTITION BY frac ORDER BY cents
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - cnt + 1 AS rx2
+      FROM pv),
+    m AS (
+      SELECT frac,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(p) AS BIGINT) AS np,
+             CAST(SUM(cnt - p) AS BIGINT) AS nn,
+             CAST(SUM(p * rx2) AS BIGINT) AS s2
+      FROM ark GROUP BY frac)
+    SELECT CAST(frac AS BIGINT) AS frac, n, np AS n_pos, nn AS n_neg,
+           CASE WHEN np = 0 OR nn = 0 THEN NULL
+                ELSE round(CAST(s2 - np * (np + 1) AS DOUBLE)
+                           / (2.0 * np * nn), 6) + 0 END AS auc
+    FROM m
+    """,
+)
+def ml_learning_curve(spark, sf):
+    """Learning curve — the exact ROC AUC of the score signal at
+    NESTED 25% / 50% / 100% md5 fractions of the corpus, the
+    'does more data still help?' diagnostic that decides whether
+    the next 10^12 tokens are worth crawling (a flat curve says
+    spend on quality, a rising one says spend on scale). The
+    fractions are NESTED by construction (tier thresholds on one
+    hash digit: the 25% subset is inside the 50% inside the 100%) —
+    independent random subsets would confound sampling noise with
+    the scaling signal. Machinery is ml_auc's doubled-rank identity
+    verbatim, with the fraction fan-out done relationally (each
+    support row joins to the fractions that CONTAIN its tier, a x3
+    bounded multiply on the pre-aggregated support, never on the
+    corpus) and one window per fraction partition. All rank sums are
+    exact BIGINTs; the three AUCs are final floats. Scale shape: one
+    corpus scan to the (tier, score) support, bounded fan-out,
+    support-sized windows."""
+    lab = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("pos"),
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lc:"),
+                            F.col("event_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                < "4",
+                25,
+            )
+            .when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lc:"),
+                            F.col("event_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                < "8",
+                50,
+            )
+            .otherwise(100)
+            .alias("tier"),
+        )
+    )
+    fr = spark.createDataFrame([(25,), (50,), (100,)], "frac int")
+    pv = (
+        lab.join(fr, lab["tier"] <= fr["frac"])
+        .groupBy("frac", "cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+    )
+    w = (
+        Window.partitionBy("frac")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ark = pv.select(
+        "frac",
+        "cnt",
+        "p",
+        (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias("rx2"),
+    )
+    m = ark.groupBy("frac").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("np"),
+        F.sum(F.col("cnt") - F.col("p")).cast("long").alias("nn"),
+        F.sum(F.col("p") * F.col("rx2")).cast("long").alias("s2"),
+    )
+    return m.select(
+        F.col("frac").cast("long").alias("frac"),
+        "n",
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.when(
+            (F.col("np") == 0) | (F.col("nn") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (F.col("s2") - F.col("np") * (F.col("np") + 1)).cast(
+                    "double"
+                )
+                / (F.lit(2.0) * F.col("np") * F.col("nn")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("auc"),
+    )
