@@ -2850,6 +2850,47 @@ def main() -> None:
         f"{kw_orders} customer-scans={kw_cust} (want 0/0)",
     )
 
+    # 98. waves 117-123: the exact-binomial face consumes its logfact
+    # CHECKPOINTS (the corpus-sized support grid is materialized
+    # once, never re-derived per join branch — 3 lf-alias joins over
+    # one parquet relation); the learning-curve fan-out happens on
+    # the PRE-AGGREGATED support (one events scan; the x3 fraction
+    # multiply joins after the groupBy, so no corpus re-scan per
+    # fraction); the DP top-k ranks a category-bounded relation with
+    # ONE window and ONE events scan.
+    p_bt = (
+        QUERIES["stat_binom_test"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    bt_events = len(re.findall(r"FileScan parquet \[event", p_bt))
+    p_lc = (
+        QUERIES["ml_learning_curve"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lc_scans = len(re.findall(r"FileScan parquet \[", p_lc))
+    p_dp = (
+        QUERIES["privacy_dp_topk"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    dp_scans = len(re.findall(r"FileScan parquet", p_dp))
+    dp_win = len(re.findall(r"\bWindow\b", p_dp))
+    check(
+        "waves 117-123: binom consumes checkpoints (no events "
+        "re-scan); learning curve one scan; dp_topk one scan + one "
+        "window",
+        bt_events == 0 and lc_scans == 1 and dp_scans == 1
+        and dp_win == 1,
+        f"binom events-scans={bt_events} (want 0); learning_curve "
+        f"scans={lc_scans} (want 1); dp_topk scans={dp_scans} "
+        f"windows={dp_win} (want 1/1)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
