@@ -1469,3 +1469,64 @@ def privacy_dp_topk(spark, sf):
         "event_type",
         "noisy_mic",
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 124: systematic sampling — every k-th row of the md5 order
+# ---------------------------------------------------------------------------
+@q(
+    "sample_systematic",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (ORDER BY md5('sys:'
+               || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM r WHERE rn % 10 = 1 GROUP BY lang
+    """,
+)
+def sample_systematic(spark, sf):
+    """Systematic 1-in-10 sampling — every 10th row of the
+    md5-shuffled order, the third deterministic sampling face
+    (sample_balanced draws per-class quotas, sample_weighted draws
+    by weight; systematic is the 'thin the corpus to exactly 10%,
+    reproducibly, with zero RNG state' tool a dataset-ablation run
+    wants): hashing the key gives a pseudo-random permutation, the
+    stride guarantees the EXACT sample fraction (rank-threshold
+    sampling only hits it in expectation), and the id-sum pins set
+    membership, not just counts. The md5 order carries doc_id as
+    tiebreak so the permutation is total (hash collisions would
+    otherwise make rank engine-dependent). Scale note: the global
+    ROW_NUMBER is the documented single-partition cost — production
+    runs the stride per shard with collected offset literals (the
+    abc_classification exclusive-prefix-sum pattern), which
+    preserves exactness; the per-lang kept counts converge to 10%
+    of each class only in expectation — systematic is NOT
+    stratified, which is exactly why sample_balanced also exists."""
+    r = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.md5(
+                    F.concat(
+                        F.lit("sys:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                "doc_id",
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        r.filter(F.col("rn") % 10 == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )

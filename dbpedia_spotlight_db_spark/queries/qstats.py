@@ -4417,3 +4417,112 @@ def agg_geomean(spark, sf):
             + F.lit(0.0)
         ).alias("geomean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 124: power / minimum-detectable-effect — the experiment-
+# planning closed form over exact counts
+# ---------------------------------------------------------------------------
+@q(
+    "stat_power_mde",
+    """
+    WITH lab AS (
+      SELECT CASE WHEN substr(md5('pw:' || CAST(event_id AS VARCHAR)),
+                              1, 1) < '8' THEN 1 ELSE 0 END AS grp,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS x1,
+             CAST(SUM(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS x0
+      FROM lab)
+    SELECT n0, n1, x0, x1,
+           round(x0 * 1.0 / n0, 6) + 0 AS p0,
+           round(x1 * 1.0 / n1, 6) + 0 AS p1,
+           round((1.9599639845400545 + 0.8416212335729143)
+                 * sqrt((x0 * 1.0 / n0) * (1 - x0 * 1.0 / n0) / n0
+                        + (x1 * 1.0 / n1) * (1 - x1 * 1.0 / n1) / n1),
+                 6) + 0 AS mde,
+           abs(round(x1 * 1.0 / n1 - x0 * 1.0 / n0, 6))
+             > round((1.9599639845400545 + 0.8416212335729143)
+                 * sqrt((x0 * 1.0 / n0) * (1 - x0 * 1.0 / n0) / n0
+                        + (x1 * 1.0 / n1) * (1 - x1 * 1.0 / n1) / n1),
+                 6) AS powered
+    FROM m
+    """,
+)
+def stat_power_mde(spark, sf):
+    """Minimum detectable effect at 80% power / 5% two-sided alpha —
+    the experiment-PLANNING number every A/B platform prints next to
+    stat_prop_ztest's verdict: with these arms and these conversion
+    rates, how big a lift could this experiment even see? MDE =
+    (z_{alpha/2} + z_{power}) * SE with both z's embedded as
+    import-grade literals in identical expression order on both
+    engines (the stat_wilson_ci discipline), the SE from the
+    per-arm observed rates, and the `powered` verdict — is the
+    observed |lift| above the MDE? — compared on ROUNDED values so
+    the boolean can never flip on sub-ulp differences (the
+    stat_tost rule). One conditional-moment scan to four exact
+    BIGINTs; everything else is a single-row closed form.
+    Production note: the same formula inverted gives required n per
+    arm — this face reports the forward direction because the
+    synthetic corpus fixes n."""
+    lab = t(spark, sf, "events").select(
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("pw:"), F.col("event_id").cast("string")
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8",
+            1,
+        )
+        .otherwise(0)
+        .alias("grp"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    m = lab.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("x0"),
+    )
+    za, zb = 1.9599639845400545, 0.8416212335729143
+    p0 = F.col("x0") * F.lit(1.0) / F.col("n0")
+    p1 = F.col("x1") * F.lit(1.0) / F.col("n1")
+    mde = F.round(
+        F.lit(za + zb)
+        * F.sqrt(
+            p0 * (1 - p0) / F.col("n0") + p1 * (1 - p1) / F.col("n1")
+        ),
+        6,
+    )
+    return m.select(
+        "n0",
+        "n1",
+        "x0",
+        "x1",
+        (F.round(p0, 6) + F.lit(0.0)).alias("p0"),
+        (F.round(p1, 6) + F.lit(0.0)).alias("p1"),
+        (mde + F.lit(0.0)).alias("mde"),
+        (F.abs(F.round(p1 - p0, 6)) > mde).alias("powered"),
+    )
