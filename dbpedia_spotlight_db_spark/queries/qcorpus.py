@@ -2808,3 +2808,72 @@ def url_parse_fns(spark, sf):
         F.sum("k").cast("long").alias("k_sum"),
         F.countDistinct("frag").cast("long").alias("n_frags"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 125: crawl frontier — per-source round-robin interleave
+# ---------------------------------------------------------------------------
+@q(
+    "crawl_frontier",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5('fr:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS host_rank
+      FROM documents),
+    g AS (
+      SELECT doc_id, source, host_rank,
+             ROW_NUMBER() OVER (ORDER BY host_rank,
+               md5('fr:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS fetch_order
+      FROM r)
+    SELECT fetch_order, doc_id, source,
+           CAST(host_rank AS BIGINT) AS host_rank
+    FROM g WHERE fetch_order <= 40
+    """,
+)
+def crawl_frontier(spark, sf):
+    """Politeness-interleaved crawl frontier — the fetch schedule a
+    crawler actually issues: ranking candidates WITHIN each source
+    first (md5 order = deterministic pseudo-random priority,
+    doc_id tiebreak for totality) and then interleaving by that
+    per-source rank, so the head of the queue cycles through
+    sources round-robin instead of hammering one host with its
+    whole backlog — the global-ordering spelling of the per-host
+    rate limit (crawl_schedule decides WHEN a host is due; this
+    face decides the ORDER of a ready batch). Every source with at
+    least rank-1 work appears in the first |sources| positions —
+    the interleave guarantee, pinned in tests. Both windows are
+    exact integer machinery over the same total order, so the
+    emitted head-40 plan is bit-identical cross-engine. Scale note:
+    the global interleave window is the documented single-partition
+    cost over the BOUNDED ready-batch (a frontier emits fixed-size
+    batches), never over the full URL store."""
+    pri = F.md5(
+        F.concat(F.lit("fr:"), F.col("doc_id").cast("string"))
+    )
+    r = t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(pri, "doc_id"))
+        .alias("host_rank"),
+    )
+    pri2 = F.md5(
+        F.concat(F.lit("fr:"), F.col("doc_id").cast("string"))
+    )
+    g = r.select(
+        "doc_id",
+        "source",
+        "host_rank",
+        F.row_number()
+        .over(Window.orderBy("host_rank", pri2, "doc_id"))
+        .alias("fetch_order"),
+    )
+    return g.filter(F.col("fetch_order") <= 40).select(
+        "fetch_order",
+        "doc_id",
+        "source",
+        F.col("host_rank").cast("long").alias("host_rank"),
+    )

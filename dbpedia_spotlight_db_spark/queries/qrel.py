@@ -3336,3 +3336,61 @@ def stream_chained_windows(spark, sf):
         )
         q_.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# wave 125: ISO-week rollup — Monday alignment from pure epoch-day
+# arithmetic
+# ---------------------------------------------------------------------------
+@q(
+    "date_iso_week",
+    """
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    w AS (
+      SELECT day - ((day + 3) % 7) AS week_start, cents FROM d)
+    SELECT CAST(week_start AS BIGINT) AS week_start_day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM w GROUP BY week_start
+    """,
+)
+def date_iso_week(spark, sf):
+    """ISO-week (Monday-aligned) revenue rollup via PURE epoch-day
+    arithmetic: week_start = day - ((day + 3) % 7), exploiting that
+    epoch day 0 (1970-01-01) was a THURSDAY — the +3 rotates Monday
+    to the modulus origin. This is the only portable spelling: the
+    engines' calendar functions disagree at every turn (Spark
+    dayofweek() is 1=Sunday, DuckDB's is 0=Sunday, both
+    locale-shifting — the events_heatmap lesson; Spark weekofyear is
+    ISO-8601 while DuckDB week() is too but their YEAR boundary
+    splits differ, so week NUMBERS cross-tabulate wrong at every
+    January). Emitting the week's START DAY instead of a (year,
+    week#) pair sidesteps the year-boundary trap entirely — a week
+    is identified by its Monday, which both engines compute from
+    the same integers. Scale shape: map-side key derivation, one
+    ordinary grouped agg."""
+    d = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = d.select(
+        (F.col("day") - ((F.col("day") + 3) % 7)).alias("week_start"),
+        "cents",
+    )
+    return w.groupBy("week_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    ).select(
+        F.col("week_start").cast("long").alias("week_start_day"),
+        "n",
+        "cents",
+    )
