@@ -4526,3 +4526,229 @@ def stat_power_mde(spark, sf):
         (mde + F.lit(0.0)).alias("mde"),
         (F.abs(F.round(p1 - p0, 6)) > mde).alias("powered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 126: capture-recapture — Chapman population estimate from two
+# md5 crawl samples
+# ---------------------------------------------------------------------------
+@q(
+    "stat_capture_recapture",
+    """
+    WITH s AS (
+      SELECT CASE WHEN substr(md5('cra:' || CAST(doc_id AS VARCHAR)),
+                              1, 1) < '4' THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN substr(md5('crb:' || CAST(doc_id AS VARCHAR)),
+                              1, 1) < '4' THEN 1 ELSE 0 END AS in_b
+      FROM documents),
+    m AS (
+      SELECT CAST(SUM(in_a) AS BIGINT) AS n1,
+             CAST(SUM(in_b) AS BIGINT) AS n2,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS m12,
+             CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM s)
+    SELECT n1, n2, m12, true_n,
+           round((n1 + 1.0) * (n2 + 1.0) / (m12 + 1.0) - 1.0, 6) + 0
+             AS n_hat,
+           CASE WHEN m12 = 0 THEN NULL
+                ELSE round(abs((n1 + 1.0) * (n2 + 1.0) / (m12 + 1.0)
+                               - 1.0 - true_n)
+                           / true_n, 6) + 0
+           END AS rel_err
+    FROM m
+    """,
+)
+def stat_capture_recapture(spark, sf):
+    """Capture-recapture (Chapman's Lincoln-Petersen) — estimating
+    the size of a population you can only SAMPLE, from the overlap
+    of two independent samples: the crawl-coverage question ('how
+    many pages exist, given what two independent crawl passes each
+    found and how much they agreed on?') and the dedup-rate twin
+    ('how many uniques in the full corpus, from two cheap looks').
+    Two independent md5 quarters (DIFFERENT salts — the same salt
+    would make the samples identical, overlap = min, estimate
+    garbage; independence of the hash draws is exactly what
+    stat_ks_uniform certifies) give exact BIGINT n1, n2, m;
+    Chapman's (n1+1)(n2+1)/(m+1) - 1 corrects Lincoln-Petersen's
+    small-m bias and never divides by zero. Because the synthetic
+    fixture KNOWS the true population, the face also emits the
+    relative error — the estimator's own report card rides the
+    hash. At 25%/25% sampling m ~ n/16 and SE(n_hat) ~ N/sqrt(m), so
+    accuracy is scale-dependent: ~15% at a 100-doc fixture, ~4% at
+    1000 docs, sub-1% at crawl scale — the replay test bounds the
+    error at 2 SE rather than a fixed percentage. One scan, one
+    1-row aggregate."""
+    s = t(spark, sf, "documents").select(
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cra:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                1,
+            )
+            < "4",
+            1,
+        )
+        .otherwise(0)
+        .alias("in_a"),
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("crb:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                1,
+            )
+            < "4",
+            1,
+        )
+        .otherwise(0)
+        .alias("in_b"),
+    )
+    m = s.agg(
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m12"),
+        F.count(F.lit(1)).cast("long").alias("true_n"),
+    )
+    n1, n2, m12, tn = (
+        F.col("n1"),
+        F.col("n2"),
+        F.col("m12"),
+        F.col("true_n"),
+    )
+    nhat = (n1 + F.lit(1.0)) * (n2 + F.lit(1.0)) / (
+        m12 + F.lit(1.0)
+    ) - F.lit(1.0)
+    return m.select(
+        "n1",
+        "n2",
+        "m12",
+        "true_n",
+        (F.round(nhat, 6) + F.lit(0.0)).alias("n_hat"),
+        F.when(m12 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.abs(nhat - tn) / tn, 6) + F.lit(0.0))
+        .alias("rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 126: winsorized mean — robust location via exact
+# count-of-counts clipping at the P10/P90 cut values
+# ---------------------------------------------------------------------------
+@q(
+    "agg_winsorized_mean",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    w AS (
+      SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY event_type, c),
+    cum AS (
+      SELECT event_type, c, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM w),
+    cuts AS (
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN 10 * cw >= n THEN c END) AS lo,
+             MIN(CASE WHEN 10 * cw >= 9 * n THEN c END) AS hi
+      FROM cum GROUP BY event_type),
+    clip AS (
+      SELECT w.event_type, cuts.n, cuts.lo, cuts.hi,
+             LEAST(GREATEST(w.c, cuts.lo), cuts.hi) * w.cnt AS s
+      FROM w JOIN cuts USING (event_type))
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(lo) AS BIGINT) AS lo_cents,
+           CAST(MAX(hi) AS BIGINT) AS hi_cents,
+           CAST(SUM(s) AS BIGINT) AS win_sum_cents,
+           round(CAST(SUM(s) AS DOUBLE) / 100.0 / MAX(n), 6) + 0
+             AS win_mean
+    FROM clip GROUP BY event_type
+    """,
+)
+def agg_winsorized_mean(spark, sf):
+    """10% winsorized mean per event type — the robust location
+    estimate between the mean (outlier-hostage) and the median
+    (throws away 98% of the data): values below the P10 cut are
+    MOVED to it and values above P90 likewise, then averaged — the
+    estimator a revenue dashboard uses when whale transactions are
+    real but shouldn't own the headline number. Everything is exact
+    integer machinery on the count-of-counts support (the
+    stat_weighted_median discipline): the cut values are the
+    discrete lower quantiles MIN(c : 10*cw >= n) and MIN(c : 10*cw
+    >= 9n) — cross-multiplied, no float percentile — and the
+    winsorized sum clips each SUPPORT row once (LEAST/GREATEST
+    against the cuts) and weights by its count, so the per-type
+    sums are exact BIGINT cents and the mean is one final float.
+    The support is re-joined to its own cuts (types x support,
+    bounded); the corpus is scanned once. Tests pin the defining
+    property: the winsorized mean lies between median and mean on
+    the right-skewed fixture."""
+    v = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+    )
+    w = v.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    w = parquet_checkpoint(w, "winsor_w")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = w.select(
+        "event_type",
+        "c",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    cuts = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(10 * F.col("cw") >= F.col("n"), F.col("c"))
+        ).alias("lo"),
+        F.min(
+            F.when(10 * F.col("cw") >= 9 * F.col("n"), F.col("c"))
+        ).alias("hi"),
+    )
+    clip = w.join(cuts, "event_type").select(
+        "event_type",
+        "n",
+        "lo",
+        "hi",
+        (
+            F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
+            * F.col("cnt")
+        ).alias("s"),
+    )
+    return clip.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("lo").cast("long").alias("lo_cents"),
+        F.max("hi").cast("long").alias("hi_cents"),
+        F.sum("s").cast("long").alias("win_sum_cents"),
+        (
+            F.round(
+                F.sum("s").cast("double") / F.lit(100.0) / F.max("n"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("win_mean"),
+    )
