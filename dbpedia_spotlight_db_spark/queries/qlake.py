@@ -1411,7 +1411,8 @@ def lake_wap(spark, sf):
     audit leaves the serving path untouched and the staging dir for
     forensics (the face would return audit_passed = FALSE and
     publish nothing; the gate hashing TRUE proves the happy path
-    end-to-end: what was staged is byte-what was published). This
+    end-to-end: what was published is byte-for-byte what was
+    staged). This
     is WAP on plain parquet — Iceberg/Delta make the rename a
     metadata swap (documented catalog seam, SURVEY §0); the
     mechanics and the audit contract are identical. Eager +
