@@ -2877,3 +2877,81 @@ def crawl_frontier(spark, sf):
         "source",
         F.col("host_rank").cast("long").alias("host_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 127: type-token ratio — per-source lexical diversity with
+# hapax share
+# ---------------------------------------------------------------------------
+@q(
+    "text_ttr",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    tw AS (SELECT source, w FROM tok WHERE w <> ''),
+    tf AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tw GROUP BY source, w),
+    agg AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM tf GROUP BY source)
+    SELECT source, n_tokens, n_types, n_hapax,
+           round(n_types * 1.0 / n_tokens, 6) + 0 AS ttr,
+           round(n_hapax * 1.0 / n_types, 6) + 0 AS hapax_share
+    FROM agg WHERE n_tokens > 0
+    """,
+)
+def text_ttr(spark, sf):
+    """Type-token ratio and hapax share per source — the lexical-
+    diversity profile a corpus-mixing decision reads next to
+    text_simpson's concentration and text_heaps' growth curve: a
+    source whose TTR collapses is template/boilerplate-heavy (the
+    text_repetition signal at vocabulary granularity), and a source
+    whose hapax share is extreme in either direction is suspect —
+    near-zero means generated/looping text, near-one means OCR
+    noise or tokenizer breakage. One explode to per-source term
+    frequencies (the corpus-proportional relation, shuffled once on
+    (source, token)), then counts-of-counts: tokens, types, and
+    hapaxes are exact BIGINTs, the two ratios final floats. Empty
+    tokenizations drop (parity: Spark split and DuckDB string_split
+    both yield empty strings on consecutive spaces — filtered on
+    BOTH sides). TTR is length-sensitive by construction — comparing
+    sources of very different sizes calls for the windowed MATTR
+    variant, documented here rather than silently conflated."""
+    tok = t(spark, sf, "documents").select(
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return agg.filter(F.col("n_tokens") > 0).select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (
+            F.round(
+                F.col("n_types") * F.lit(1.0) / F.col("n_tokens"), 6
+            )
+            + F.lit(0.0)
+        ).alias("ttr"),
+        (
+            F.round(
+                F.col("n_hapax") * F.lit(1.0) / F.col("n_types"), 6
+            )
+            + F.lit(0.0)
+        ).alias("hapax_share"),
+    )
