@@ -4752,3 +4752,98 @@ def agg_winsorized_mean(spark, sf):
             + F.lit(0.0)
         ).alias("win_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 128: cohort lifetime value — first-order-year cohorts,
+# cumulative revenue per customer by age
+# ---------------------------------------------------------------------------
+@q(
+    "customer_clv",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    first_yr AS (
+      SELECT o_custkey, MIN(yr) AS cohort FROM o GROUP BY o_custkey),
+    sz AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM first_yr GROUP BY cohort),
+    cell AS (
+      SELECT f.cohort, o.yr - f.cohort AS age,
+             CAST(SUM(o.cents) AS BIGINT) AS rev
+      FROM o JOIN first_yr f USING (o_custkey)
+      GROUP BY f.cohort, o.yr - f.cohort),
+    cum AS (
+      SELECT cohort, age, rev,
+             SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev
+      FROM cell)
+    SELECT c.cohort, CAST(c.age AS BIGINT) AS age, s.cohort_size,
+           c.rev AS rev_cents, CAST(c.cum_rev AS BIGINT) AS cum_cents,
+           round(CAST(c.cum_rev AS DOUBLE) / 100.0 / s.cohort_size, 6)
+             + 0 AS clv
+    FROM cum c JOIN sz s USING (cohort)
+    """,
+)
+def customer_clv(spark, sf):
+    """Cohort lifetime value — customers grouped by FIRST-order
+    year, cumulative revenue per cohort member tracked by age in
+    years: the curve a subscription/commerce business reads to
+    decide acquisition spend (retention_cohorts reports who COMES
+    BACK; CLV reports what they are WORTH, and the multi-year
+    TPC-H calendar is exactly the panel it needs). Shape: one scan
+    to (custkey, year, cents); the first-year relation is a
+    customer-sized groupBy joined back UNHINTED (AQE broadcasts
+    iff it fits — the r2 vocabulary-broadcast lesson); revenue
+    cells are exact BIGINT cents on the bounded cohort x age grid,
+    cumulated by one grid-sized window; CLV divides once per output
+    row. The defining identities are pinned in tests: age-0 revenue
+    is positive for every cohort (a customer's first order IS at
+    age 0), cum_cents is nondecreasing in age, and the total across
+    cells equals the corpus revenue exactly."""
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first_yr = o.groupBy("o_custkey").agg(
+        F.min("yr").alias("cohort")
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    first_yr = parquet_checkpoint(first_yr, "clv_first")
+    sz = first_yr.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cell = (
+        o.join(first_yr, "o_custkey")
+        .groupBy("cohort", (F.col("yr") - F.col("cohort")).alias("age"))
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cell.select(
+        "cohort", "age", "rev", F.sum("rev").over(wc).alias("cum_rev")
+    )
+    return cum.join(sz, "cohort").select(
+        "cohort",
+        F.col("age").cast("long").alias("age"),
+        "cohort_size",
+        F.col("rev").alias("rev_cents"),
+        F.col("cum_rev").cast("long").alias("cum_cents"),
+        (
+            F.round(
+                F.col("cum_rev").cast("double")
+                / F.lit(100.0)
+                / F.col("cohort_size"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("clv"),
+    )
