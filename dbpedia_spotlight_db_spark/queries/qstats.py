@@ -4847,3 +4847,148 @@ def customer_clv(spark, sf):
             + F.lit(0.0)
         ).alias("clv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 129: Benjamini–Hochberg FDR — the multiple-testing layer over
+# a per-type test battery, integer step-up mechanics
+# ---------------------------------------------------------------------------
+@q(
+    "stat_bh_fdr",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(CAST(c AS DOUBLE)) AS m,
+             var_samp(CAST(c AS DOUBLE)) AS s2
+      FROM v GROUP BY event_type),
+    tot AS (
+      SELECT AVG(CAST(c AS DOUBLE)) AS gm FROM v),
+    z AS (
+      SELECT g.event_type, g.n,
+             abs(g.m - tot.gm) / sqrt(g.s2 / g.n) AS az
+      FROM g CROSS JOIN tot WHERE g.n >= 2 AND g.s2 > 0),
+    p AS (
+      SELECT event_type, n,
+             round(az, 6) + 0 AS z_abs,
+             CAST(round(1000000.0
+               * (0.3480242 / (1.0 + 0.47047 * (az / sqrt(2.0)))
+                  - 0.0958798 / ((1.0 + 0.47047 * (az / sqrt(2.0)))
+                                 * (1.0 + 0.47047 * (az / sqrt(2.0))))
+                  + 0.7478556 / ((1.0 + 0.47047 * (az / sqrt(2.0)))
+                                 * (1.0 + 0.47047 * (az / sqrt(2.0)))
+                                 * (1.0 + 0.47047 * (az / sqrt(2.0)))))
+               * exp(-(az / sqrt(2.0)) * (az / sqrt(2.0))))
+               AS BIGINT) AS p_mic
+      FROM z),
+    rk AS (
+      SELECT event_type, z_abs, p_mic,
+             ROW_NUMBER() OVER (ORDER BY p_mic, event_type) AS rnk,
+             COUNT(*) OVER () AS m_tests
+      FROM p),
+    thr AS (
+      SELECT *, CASE WHEN 20 * p_mic * m_tests <= rnk * 1000000
+                     THEN rnk ELSE 0 END AS ok_rnk
+      FROM rk),
+    mx AS (SELECT MAX(ok_rnk) AS k FROM thr)
+    SELECT t.event_type, t.z_abs, t.p_mic, CAST(t.rnk AS BIGINT) AS rnk,
+           t.rnk <= mx.k AS rejected
+    FROM thr t CROSS JOIN mx
+    """,
+)
+def stat_bh_fdr(spark, sf):
+    """Benjamini-Hochberg FDR control at q = 0.05 over the per-type
+    'does this event type's mean value differ from the global mean'
+    battery — the MULTIPLE-TESTING layer none of the individual stat
+    faces carries: run five tests at alpha = 0.05 each and the
+    family-wise false-positive rate is ~23%; BH's step-up (reject
+    the k smallest p-values where k = max{i : p_(i) <= i*q/m})
+    controls the FDR with one sorted pass. The normal tail comes
+    from the Abramowitz-Stegun 7.1.25 3-term erf polynomial — a
+    FIXED rational approximation evaluated in identical op order on
+    both engines (the embedded-literal discipline generalized to an
+    embedded FORMULA; |error| < 2.5e-5, far below the q gap) — and
+    every BH decision is then INTEGER: p micros-quantized before
+    ranking (type tiebreak), the step condition 20*p_mic*m <=
+    rnk*1e6 is exact, and the step-up is a MAX over qualifying
+    ranks. Scale shape: one scan to per-type moments, battery-sized
+    windows. On the null-true synthetic corpus (values iid across
+    types) the truthful verdict is ZERO rejections — pinned; the
+    step-up property itself (a rank failing its OWN threshold is
+    still rejected when a later rank qualifies — rejection is by
+    rank <= k, not per-row inequality) is pinned on a fabricated
+    battery with the identical integer mechanics."""
+    v = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.col("c").cast("double")).alias("m"),
+        F.var_samp(F.col("c").cast("double")).alias("s2"),
+    )
+    tot = v.agg(F.avg(F.col("c").cast("double")).alias("gm"))
+    z = (
+        g.crossJoin(tot)
+        .filter((F.col("n") >= 2) & (F.col("s2") > 0))
+        .select(
+            "event_type",
+            "n",
+            (
+                F.abs(F.col("m") - F.col("gm"))
+                / F.sqrt(F.col("s2") / F.col("n"))
+            ).alias("az"),
+        )
+    )
+    x = F.col("az") / F.sqrt(F.lit(2.0))
+    den = F.lit(1.0) + F.lit(0.47047) * x
+    poly = (
+        F.lit(0.3480242) / den
+        - F.lit(0.0958798) / (den * den)
+        + F.lit(0.7478556) / (den * den * den)
+    )
+    p = z.select(
+        "event_type",
+        "n",
+        (F.round(F.col("az"), 6) + F.lit(0.0)).alias("z_abs"),
+        F.round(F.lit(1000000.0) * poly * F.exp(-x * x))
+        .cast("long")
+        .alias("p_mic"),
+    )
+    rk = p.select(
+        "event_type",
+        "z_abs",
+        "p_mic",
+        F.row_number()
+        .over(Window.orderBy("p_mic", "event_type"))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m_tests"),
+    )
+    thr = rk.select(
+        "event_type",
+        "z_abs",
+        "p_mic",
+        "rnk",
+        F.when(
+            20 * F.col("p_mic") * F.col("m_tests")
+            <= F.col("rnk") * 1000000,
+            F.col("rnk"),
+        )
+        .otherwise(0)
+        .alias("ok_rnk"),
+    )
+    mx = thr.agg(F.max("ok_rnk").alias("k"))
+    return thr.crossJoin(mx).select(
+        "event_type",
+        "z_abs",
+        "p_mic",
+        F.col("rnk").cast("long").alias("rnk"),
+        (F.col("rnk") <= F.col("k")).alias("rejected"),
+    )
