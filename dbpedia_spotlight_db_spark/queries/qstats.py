@@ -4992,3 +4992,269 @@ def stat_bh_fdr(spark, sf):
         F.col("rnk").cast("long").alias("rnk"),
         (F.col("rnk") <= F.col("k")).alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 130: van der Waerden normal-scores test — Acklam inverse-
+# normal as an embedded piecewise formula on both engines
+# ---------------------------------------------------------------------------
+def _phi_inv_sql(p: str) -> str:
+    """Acklam's rational approximation to the standard normal
+    quantile, as a SQL CASE over the three regions, written once and
+    instantiated into the twin (the embedded-FORMULA discipline of
+    stat_bh_fdr; |error| < 1.15e-9 — far inside the micros grid)."""
+    qc = f"({p} - 0.5)"
+    rc = f"({qc} * {qc})"
+    num_c = (
+        f"((((((-39.69683028665376 * {rc} + 220.9460984245205) * {rc} "
+        f"- 275.9285104469687) * {rc} + 138.357751867269) * {rc} "
+        f"- 30.66479806614716) * {rc} + 2.506628277459239) * {qc})"
+    )
+    den_c = (
+        f"(((((-54.47609879822406 * {rc} + 161.5858368580409) * {rc} "
+        f"- 155.6989798598866) * {rc} + 66.80131188771972) * {rc} "
+        f"- 13.28068155288572) * {rc} + 1.0)"
+    )
+    ql = f"sqrt(-2.0 * ln({p}))"
+    num_l = (
+        f"(((((-0.007784894002430293 * {ql} - 0.3223964580411365) "
+        f"* {ql} - 2.400758277161838) * {ql} - 2.549732539343734) "
+        f"* {ql} + 4.374664141464968) * {ql} + 2.938163982698783)"
+    )
+    den_l = (
+        f"((((0.007784695709041462 * {ql} + 0.3224671290700398) "
+        f"* {ql} + 2.445134137142996) * {ql} + 3.754408661907416) "
+        f"* {ql} + 1.0)"
+    )
+    qu = f"sqrt(-2.0 * ln(1.0 - {p}))"
+    num_u = (
+        f"(((((-0.007784894002430293 * {qu} - 0.3223964580411365) "
+        f"* {qu} - 2.400758277161838) * {qu} - 2.549732539343734) "
+        f"* {qu} + 4.374664141464968) * {qu} + 2.938163982698783)"
+    )
+    den_u = (
+        f"((((0.007784695709041462 * {qu} + 0.3224671290700398) "
+        f"* {qu} + 2.445134137142996) * {qu} + 3.754408661907416) "
+        f"* {qu} + 1.0)"
+    )
+    return (
+        f"CASE WHEN {p} < 0.02425 THEN {num_l} / {den_l} "
+        f"WHEN {p} > 0.97575 THEN -({num_u} / {den_u}) "
+        f"ELSE {num_c} / {den_c} END"
+    )
+
+
+_VDW_P = "(CAST(dr AS DOUBLE) / (2.0 * (n + 1)))"
+
+@q(
+    "stat_van_der_waerden",
+    f"""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT event_type,
+             2 * RANK() OVER (ORDER BY c)
+               + COUNT(*) OVER (PARTITION BY c) - 1 AS dr,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM v),
+    a AS (
+      SELECT event_type, n,
+             CAST(round(1000000.0 * ({_phi_inv_sql(_VDW_P)}))
+                  AS BIGINT) AS a_mic
+      FROM r),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nj,
+             CAST(SUM(a_mic) AS BIGINT) AS sa
+      FROM a GROUP BY event_type),
+    s2 AS (
+      SELECT CAST(SUM(a_mic * a_mic) AS BIGINT) AS ssq,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM a),
+    num AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(sa AS DOUBLE) * sa / nj) AS wsum
+      FROM g)
+    SELECT s2.n, num.k, s2.ssq AS ssq_mic2,
+           CASE WHEN s2.ssq = 0 OR s2.n < 2 THEN NULL
+                ELSE round((s2.n - 1.0) * num.wsum / s2.ssq, 6) + 0
+           END AS t_stat
+    FROM s2 CROSS JOIN num
+    """,
+)
+def stat_van_der_waerden(spark, sf):
+    """Van der Waerden k-sample normal-scores test — the rank test
+    that converts tie-averaged ranks to NORMAL QUANTILES A_i =
+    Phi^-1(R_i/(N+1)) before comparing groups, buying back the
+    asymptotic efficiency Kruskal-Wallis gives up against normal
+    alternatives while keeping full rank robustness. The quantile
+    function has no closed form; both engines evaluate the SAME
+    Acklam piecewise rational approximation (|error| < 1.15e-9),
+    instantiated from ONE Python template into the twin SQL and the
+    Column expression — the embedded-formula discipline stat_bh_fdr
+    introduced, hardened here: a formula written twice WILL drift
+    (the bh lesson), a formula written once cannot. Doubled midranks
+    make p = dr/(2(N+1)) exact before the only transcendental step;
+    each score is micros-quantized so group sums and the pooled
+    SUM(A^2) are exact BIGINTs; T = (N-1) * SUM n_j*Abar_j^2 /
+    SUM A^2 is one final float. Same single-partition pooled-rank
+    scale note as stat_brunner_munzel. The null-true fixture keeps
+    T small (~chi2_{k-1}); pinned loosely in tests."""
+    v = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+    )
+    r = v.select(
+        "event_type",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("c"))
+            + F.count(F.lit(1)).over(Window.partitionBy("c"))
+            - F.lit(1)
+        ).alias("dr"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n"),
+    )
+    p = F.col("dr").cast("double") / (F.lit(2.0) * (F.col("n") + 1))
+
+    def _phi_inv_col(p):
+        qc = p - F.lit(0.5)
+        rc = qc * qc
+        num_c = (
+            (
+                (
+                    (
+                        (
+                            F.lit(-39.69683028665376) * rc
+                            + F.lit(220.9460984245205)
+                        )
+                        * rc
+                        - F.lit(275.9285104469687)
+                    )
+                    * rc
+                    + F.lit(138.357751867269)
+                )
+                * rc
+                - F.lit(30.66479806614716)
+            )
+            * rc
+            + F.lit(2.506628277459239)
+        ) * qc
+        den_c = (
+            (
+                (
+                    (
+                        (
+                            F.lit(-54.47609879822406) * rc
+                            + F.lit(161.5858368580409)
+                        )
+                        * rc
+                        - F.lit(155.6989798598866)
+                    )
+                    * rc
+                    + F.lit(66.80131188771972)
+                )
+                * rc
+                - F.lit(13.28068155288572)
+            )
+            * rc
+            + F.lit(1.0)
+        )
+
+        def tail(q):
+            num = (
+                (
+                    (
+                        (
+                            (
+                                F.lit(-0.007784894002430293) * q
+                                - F.lit(0.3223964580411365)
+                            )
+                            * q
+                            - F.lit(2.400758277161838)
+                        )
+                        * q
+                        - F.lit(2.549732539343734)
+                    )
+                    * q
+                    + F.lit(4.374664141464968)
+                )
+                * q
+                + F.lit(2.938163982698783)
+            )
+            den = (
+                (
+                    (
+                        (
+                            F.lit(0.007784695709041462) * q
+                            + F.lit(0.3224671290700398)
+                        )
+                        * q
+                        + F.lit(2.445134137142996)
+                    )
+                    * q
+                    + F.lit(3.754408661907416)
+                )
+                * q
+                + F.lit(1.0)
+            )
+            return num / den
+
+        ql = F.sqrt(F.lit(-2.0) * F.log(p))
+        qu = F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - p))
+        return (
+            F.when(p < 0.02425, tail(ql))
+            .when(p > 0.97575, -tail(qu))
+            .otherwise(num_c / den_c)
+        )
+
+    a = r.select(
+        "event_type",
+        "n",
+        F.round(F.lit(1000000.0) * _phi_inv_col(p))
+        .cast("long")
+        .alias("a_mic"),
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    a = parquet_checkpoint(a, "vdw_a")
+    g = a.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nj"),
+        F.sum("a_mic").cast("long").alias("sa"),
+    )
+    s2 = a.agg(
+        F.sum(F.col("a_mic") * F.col("a_mic"))
+        .cast("long")
+        .alias("ssq"),
+        F.max("n").cast("long").alias("n"),
+    )
+    num = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.col("sa").cast("double") * F.col("sa") / F.col("nj")
+        ).alias("wsum"),
+    )
+    return s2.crossJoin(num).select(
+        "n",
+        "k",
+        F.col("ssq").alias("ssq_mic2"),
+        F.when(
+            (F.col("ssq") == 0) | (F.col("n") < 2),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (F.col("n") - F.lit(1.0))
+                * F.col("wsum")
+                / F.col("ssq"),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("t_stat"),
+    )
