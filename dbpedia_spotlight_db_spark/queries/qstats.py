@@ -5044,6 +5044,102 @@ def _phi_inv_sql(p: str) -> str:
     )
 
 
+def _phi_inv_col_shared(p):
+    """Column-side instantiation of the SAME Acklam template as
+    _phi_inv_sql — one formula, two engines (the drift-proof
+    discipline); keep coefficient-for-coefficient in sync with the
+    SQL string above."""
+    qc = p - F.lit(0.5)
+    rc = qc * qc
+    num_c = (
+        (
+            (
+                (
+                    (
+                        F.lit(-39.69683028665376) * rc
+                        + F.lit(220.9460984245205)
+                    )
+                    * rc
+                    - F.lit(275.9285104469687)
+                )
+                * rc
+                + F.lit(138.357751867269)
+            )
+            * rc
+            - F.lit(30.66479806614716)
+        )
+        * rc
+        + F.lit(2.506628277459239)
+    ) * qc
+    den_c = (
+        (
+            (
+                (
+                    (
+                        F.lit(-54.47609879822406) * rc
+                        + F.lit(161.5858368580409)
+                    )
+                    * rc
+                    - F.lit(155.6989798598866)
+                )
+                * rc
+                + F.lit(66.80131188771972)
+            )
+            * rc
+            - F.lit(13.28068155288572)
+        )
+        * rc
+        + F.lit(1.0)
+    )
+
+    def tail(q):
+        num = (
+            (
+                (
+                    (
+                        (
+                            F.lit(-0.007784894002430293) * q
+                            - F.lit(0.3223964580411365)
+                        )
+                        * q
+                        - F.lit(2.400758277161838)
+                    )
+                    * q
+                    - F.lit(2.549732539343734)
+                )
+                * q
+                + F.lit(4.374664141464968)
+            )
+            * q
+            + F.lit(2.938163982698783)
+        )
+        den = (
+            (
+                (
+                    (
+                        F.lit(0.007784695709041462) * q
+                        + F.lit(0.3224671290700398)
+                    )
+                    * q
+                    + F.lit(2.445134137142996)
+                )
+                * q
+                + F.lit(3.754408661907416)
+            )
+            * q
+            + F.lit(1.0)
+        )
+        return num / den
+
+    ql = F.sqrt(F.lit(-2.0) * F.log(p))
+    qu = F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - p))
+    return (
+        F.when(p < 0.02425, tail(ql))
+        .when(p > 0.97575, -tail(qu))
+        .otherwise(num_c / den_c)
+    )
+
+
 _VDW_P = "(CAST(dr AS DOUBLE) / (2.0 * (n + 1)))"
 
 @q(
@@ -5122,101 +5218,10 @@ def stat_van_der_waerden(spark, sf):
     )
     p = F.col("dr").cast("double") / (F.lit(2.0) * (F.col("n") + 1))
 
-    def _phi_inv_col(p):
-        qc = p - F.lit(0.5)
-        rc = qc * qc
-        num_c = (
-            (
-                (
-                    (
-                        (
-                            F.lit(-39.69683028665376) * rc
-                            + F.lit(220.9460984245205)
-                        )
-                        * rc
-                        - F.lit(275.9285104469687)
-                    )
-                    * rc
-                    + F.lit(138.357751867269)
-                )
-                * rc
-                - F.lit(30.66479806614716)
-            )
-            * rc
-            + F.lit(2.506628277459239)
-        ) * qc
-        den_c = (
-            (
-                (
-                    (
-                        (
-                            F.lit(-54.47609879822406) * rc
-                            + F.lit(161.5858368580409)
-                        )
-                        * rc
-                        - F.lit(155.6989798598866)
-                    )
-                    * rc
-                    + F.lit(66.80131188771972)
-                )
-                * rc
-                - F.lit(13.28068155288572)
-            )
-            * rc
-            + F.lit(1.0)
-        )
-
-        def tail(q):
-            num = (
-                (
-                    (
-                        (
-                            (
-                                F.lit(-0.007784894002430293) * q
-                                - F.lit(0.3223964580411365)
-                            )
-                            * q
-                            - F.lit(2.400758277161838)
-                        )
-                        * q
-                        - F.lit(2.549732539343734)
-                    )
-                    * q
-                    + F.lit(4.374664141464968)
-                )
-                * q
-                + F.lit(2.938163982698783)
-            )
-            den = (
-                (
-                    (
-                        (
-                            F.lit(0.007784695709041462) * q
-                            + F.lit(0.3224671290700398)
-                        )
-                        * q
-                        + F.lit(2.445134137142996)
-                    )
-                    * q
-                    + F.lit(3.754408661907416)
-                )
-                * q
-                + F.lit(1.0)
-            )
-            return num / den
-
-        ql = F.sqrt(F.lit(-2.0) * F.log(p))
-        qu = F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - p))
-        return (
-            F.when(p < 0.02425, tail(ql))
-            .when(p > 0.97575, -tail(qu))
-            .otherwise(num_c / den_c)
-        )
-
     a = r.select(
         "event_type",
         "n",
-        F.round(F.lit(1000000.0) * _phi_inv_col(p))
+        F.round(F.lit(1000000.0) * _phi_inv_col_shared(p))
         .cast("long")
         .alias("a_mic"),
     )
@@ -5257,4 +5262,295 @@ def stat_van_der_waerden(spark, sf):
             + F.lit(0.0)
         )
         .alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 131: Fligner–Killeen — robust k-sample scale test on
+# normal scores of |x - group median|
+# ---------------------------------------------------------------------------
+_FK_P = "(0.5 + CAST(dr AS DOUBLE) / (4.0 * (n + 1)))"
+
+@q(
+    "stat_fligner_killeen",
+    f"""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    w AS (
+      SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY event_type, c),
+    cum AS (
+      SELECT event_type, c, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             SUM(cnt) OVER (PARTITION BY event_type) AS ng
+      FROM w),
+    med AS (
+      SELECT event_type,
+             MIN(CASE WHEN 2 * cw >= ng THEN c END) AS md
+      FROM cum GROUP BY event_type),
+    z AS (
+      SELECT v.event_type, abs(v.c - med.md) AS zz
+      FROM v JOIN med USING (event_type)),
+    r AS (
+      SELECT event_type,
+             2 * RANK() OVER (ORDER BY zz)
+               + COUNT(*) OVER (PARTITION BY zz) - 1 AS dr,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM z),
+    a AS (
+      SELECT event_type, n,
+             CAST(round(1000000.0 * ({{PHI}}))
+                  AS BIGINT) AS a_mic
+      FROM r),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nj,
+             CAST(SUM(a_mic) AS BIGINT) AS sa
+      FROM a GROUP BY event_type),
+    tots AS (
+      SELECT CAST(SUM(a_mic) AS BIGINT) AS s,
+             CAST(SUM(a_mic * a_mic) AS BIGINT) AS ssq,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM a),
+    num AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(sa AS DOUBLE) * sa / nj) AS wsum
+      FROM g)
+    SELECT tots.n, num.k,
+           CASE WHEN tots.n < 2 OR num.k < 2
+                     OR tots.ssq - CAST(tots.s AS DOUBLE) * tots.s
+                        / tots.n <= 0 THEN NULL
+                ELSE round((tots.n - 1.0)
+                     * (num.wsum - CAST(tots.s AS DOUBLE) * tots.s
+                        / tots.n)
+                     / (tots.ssq - CAST(tots.s AS DOUBLE) * tots.s
+                        / tots.n), 6) + 0
+           END AS x2
+    FROM tots CROSS JOIN num
+    """.replace("{PHI}", _phi_inv_sql(_FK_P)),
+)
+def stat_fligner_killeen(spark, sf):
+    """Fligner-Killeen test — the ROBUST k-sample scale test (R's
+    default for variance homogeneity, the one that survives the
+    heavy tails that wreck stat_bartlett and out-powers
+    stat_levene's means-based spelling): center each group by its
+    OWN discrete median (the 2*cw >= n count-of-counts rule, exact),
+    pool the |x - med| deviations, rank them with doubled midranks,
+    map ranks to HALF-normal scores a = Phi^-1(1/2 + r/(2(N+1)))
+    via the shared Acklam template (_phi_inv_sql — written once,
+    instantiated into both engines, the stat_van_der_waerden
+    discipline), and compare group score means: X2 = (N-1) *
+    (SUM n_j*Abar_j^2 - S^2/N) / (SSQ - S^2/N), every input an
+    exact micros BIGINT, one final float, degenerate (zero score
+    variance, single group) NULLed. Scale note: per-group medians
+    are group-bounded windows; the pooled rank is the documented
+    single-partition window (shard by value range in production)."""
+    v = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+    )
+    w = v.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = w.select(
+        "event_type",
+        "c",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("ng"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("ng"), F.col("c"))
+        ).alias("md")
+    )
+    z = v.join(med, "event_type").select(
+        "event_type", F.abs(F.col("c") - F.col("md")).alias("zz")
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    z = parquet_checkpoint(z, "fk_z")
+    r = z.select(
+        "event_type",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("zz"))
+            + F.count(F.lit(1)).over(Window.partitionBy("zz"))
+            - F.lit(1)
+        ).alias("dr"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n"),
+    )
+    p = F.lit(0.5) + F.col("dr").cast("double") / (
+        F.lit(4.0) * (F.col("n") + 1)
+    )
+    a = r.select(
+        "event_type",
+        "n",
+        F.round(F.lit(1000000.0) * _phi_inv_col_shared(p))
+        .cast("long")
+        .alias("a_mic"),
+    )
+    a = parquet_checkpoint(a, "fk_a")
+    g = a.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nj"),
+        F.sum("a_mic").cast("long").alias("sa"),
+    )
+    tots = a.agg(
+        F.sum("a_mic").cast("long").alias("s"),
+        F.sum(F.col("a_mic") * F.col("a_mic"))
+        .cast("long")
+        .alias("ssq"),
+        F.max("n").cast("long").alias("n"),
+    )
+    num = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.col("sa").cast("double") * F.col("sa") / F.col("nj")
+        ).alias("wsum"),
+    )
+    fin = tots.crossJoin(num)
+    n, s, ssq = F.col("n"), F.col("s"), F.col("ssq")
+    cb = ssq - s.cast("double") * s / n
+    return fin.select(
+        "n",
+        "k",
+        F.when(
+            (n < 2) | (F.col("k") < 2) | (cb <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (n - F.lit(1.0))
+                * (F.col("wsum") - s.cast("double") * s / n)
+                / cb,
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("x2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 131: Shapiro–Francia — normality via correlation with normal
+# order-statistic scores
+# ---------------------------------------------------------------------------
+_SF_P = "(CAST(i AS DOUBLE) / (n + 1))"
+
+@q(
+    "stat_shapiro_francia",
+    f"""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM v),
+    a AS (
+      SELECT c,
+             CAST(round(1000000.0 * ({{PHI}}))
+                  AS BIGINT) AS m_mic
+      FROM r),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS sx,
+             CAST(SUM(c * c) AS BIGINT) AS sxx,
+             CAST(SUM(m_mic) AS BIGINT) AS sm,
+             CAST(SUM(m_mic * m_mic) AS BIGINT) AS smm,
+             CAST(SUM(c * m_mic) AS BIGINT) AS sxm
+      FROM a)
+    SELECT n, sxm,
+           CASE WHEN n < 3
+                     OR n * 1.0 * sxx - CAST(sx AS DOUBLE) * sx <= 0
+                     OR n * 1.0 * smm - CAST(sm AS DOUBLE) * sm <= 0
+                THEN NULL
+                ELSE round(
+                  (n * 1.0 * sxm - CAST(sx AS DOUBLE) * sm)
+                  * (n * 1.0 * sxm - CAST(sx AS DOUBLE) * sm)
+                  / ((n * 1.0 * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (n * 1.0 * smm - CAST(sm AS DOUBLE) * sm)),
+                  6) + 0
+           END AS w_prime
+    FROM s
+    """.replace("{{PHI}}", "{PHI}").replace("{PHI}", _phi_inv_sql(_SF_P)),
+)
+def stat_shapiro_francia(spark, sf):
+    """Shapiro-Francia normality test — the squared correlation
+    between the sorted sample and the expected normal order-
+    statistic scores m_i = Phi^-1(i/(n+1)): W' near 1 says the
+    sample could be normal, and it is the normality check the
+    battery lacked (stat_jarque_bera sees only two moments; W'
+    sees the whole shape — a symmetric-but-uniform sample fools JB's
+    skewness and is caught here). The scores use the shared Acklam
+    template; positions come from a plain ROW_NUMBER whose
+    INTRA-TIE order is arbitrary — sound, because within a tie
+    group x is constant, so SUM(x*m), SUM(m), SUM(m^2) depend only
+    on the SET of positions a tie group occupies, never their
+    assignment (the invariance argument is in the test, which
+    shuffles input order and re-runs). All six sufficient sums are
+    exact BIGINTs (headroom note: SUM(m^2) ~ n * 1.6e13 — quantize
+    coarser past ~5e5 rows, the stat_cvm rule); W' is one final
+    float via the cross-multiplied correlation form. The uniform
+    synthetic values are decisively NON-normal: W' lands near the
+    uniform-distribution plateau ~0.955, far from 1 — pinned in
+    tests as the face's discriminative evidence."""
+    v = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.round(F.col("value") * 100).cast("long").alias("c"))
+    )
+    r = v.select(
+        "c",
+        F.row_number().over(Window.orderBy("c")).alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n"),
+    )
+    p = F.col("i").cast("double") / (F.col("n") + 1)
+    a = r.select(
+        "c",
+        F.round(F.lit(1000000.0) * _phi_inv_col_shared(p))
+        .cast("long")
+        .alias("m_mic"),
+    )
+    s = a.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+        F.sum("m_mic").cast("long").alias("sm"),
+        F.sum(F.col("m_mic") * F.col("m_mic"))
+        .cast("long")
+        .alias("smm"),
+        F.sum(F.col("c") * F.col("m_mic")).cast("long").alias("sxm"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    sm, smm, sxm = F.col("sm"), F.col("smm"), F.col("sxm")
+    vx = n * F.lit(1.0) * sxx - sx.cast("double") * sx
+    vm = n * F.lit(1.0) * smm - sm.cast("double") * sm
+    cov = n * F.lit(1.0) * sxm - sx.cast("double") * sm
+    return s.select(
+        "n",
+        "sxm",
+        F.when(
+            (n < 3) | (vx <= 0) | (vm <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(cov * cov / (vx * vm), 6) + F.lit(0.0))
+        .alias("w_prime"),
     )
