@@ -2765,3 +2765,65 @@ def udtf_partitioned(spark, sf):
         "TABLE(udtf_part_events) "
         "PARTITION BY event_type ORDER BY (us, event_id))"
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 132: GROUPED_AGG pandas UDF over a BOUNDED sliding frame
+# ---------------------------------------------------------------------------
+@q(
+    "udf_window_bounded",
+    """
+    WITH d AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL)
+    SELECT user_id, event_id,
+           CAST(SUM(cents) OVER (PARTITION BY user_id
+             ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS roll3
+    FROM d
+    """,
+)
+def udf_window_bounded(spark, sf):
+    """GROUPED_AGG pandas UDF over a BOUNDED sliding frame — the
+    window-UDF regime udf_grouped_agg's unbounded-partition spelling
+    never reaches: with ROWS BETWEEN 2 PRECEDING AND CURRENT ROW the
+    engine must re-evaluate the Python aggregate PER ROW over each
+    row's own frame slice (the unbounded case evaluates once per
+    partition and broadcasts), which is the sliding-window UDF
+    contract a custom online metric needs when no built-in
+    aggregate fits. The UDF sums int64 in pandas (exact,
+    order-independent within the frame), the frame is defined by
+    the (user, event_id) total order, and the twin is the built-in
+    window SUM — hash equality proves the engine sliced every
+    frame exactly. The test pins the plan: the window node is the
+    Arrow-batched Python window eval, not a rewritten aggregate.
+    Scale note: per-row Python frame evaluation costs O(frame) per
+    row across the Arrow boundary — built-ins stay the hot path
+    (the repo rule); this face exists to prove the seam works and
+    what it costs, not to recommend it."""
+    d = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+
+    @pandas_udf("long")
+    def psum3(v: pd.Series) -> int:
+        return int(v.sum())
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-2, 0)
+    )
+    return d.select(
+        "user_id",
+        "event_id",
+        psum3(F.col("cents")).over(w).alias("roll3"),
+    )

@@ -5554,3 +5554,127 @@ def stat_shapiro_francia(spark, sf):
         .otherwise(F.round(cov * cov / (vx * vm), 6) + F.lit(0.0))
         .alias("w_prime"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 132: Welch's ANOVA — k-sample means under unequal variances
+# ---------------------------------------------------------------------------
+@q(
+    "stat_anova_welch",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(CAST(c AS DOUBLE)) AS m,
+             var_samp(CAST(c AS DOUBLE)) AS s2
+      FROM v GROUP BY event_type),
+    w AS (
+      SELECT event_type, n, m, s2, n / s2 AS wj
+      FROM g WHERE n >= 2 AND s2 > 0),
+    t1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(wj) AS sw, SUM(wj * m) AS swm
+      FROM w),
+    t2 AS (
+      SELECT SUM(w.wj * (w.m - t1.swm / t1.sw)
+                 * (w.m - t1.swm / t1.sw)) AS num,
+             SUM((1.0 - w.wj / t1.sw) * (1.0 - w.wj / t1.sw)
+                 / (w.n - 1)) AS lam,
+             MAX(t1.k) AS k
+      FROM w CROSS JOIN t1)
+    SELECT k,
+           CASE WHEN k < 2 THEN NULL
+                ELSE round(num / (k - 1)
+                     / (1.0 + 2.0 * (k - 2) / (k * k - 1.0) * lam),
+                     6) + 0
+           END AS f_stat,
+           CASE WHEN k < 2 OR lam <= 0 THEN NULL
+                ELSE round((k * k - 1.0) / (3.0 * lam), 6) + 0
+           END AS df2
+    FROM t2
+    """,
+)
+def stat_anova_welch(spark, sf):
+    """Welch's ANOVA — the k-sample mean comparison that drops
+    classical ANOVA's equal-variance assumption, exactly as
+    stat_brunner_munzel drops Mann-Whitney's (stat_anova is the
+    textbook F; under variance heterogeneity with unequal group
+    sizes its size error is unbounded, and Welch's
+    inverse-variance-weighted form is the modern default): weights
+    w_j = n_j/s_j^2, weighted grand mean, F* = SUM w_j(m_j - mw)^2 /
+    (k-1) / (1 + 2(k-2)/(k^2-1) * Lambda) with Lambda = SUM
+    (1 - w_j/W)^2/(n_j - 1), and the Welch-Satterthwaite df2 =
+    (k^2-1)/(3*Lambda). One conditional-moment scan (the stat_ttest
+    discipline: identical expression order both engines, native AVG
+    and var_samp rounded only at the end); groups with n < 2 or
+    zero variance drop by contract. The null-true fixture keeps F*
+    near 1 — pinned loosely in tests."""
+    v = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.col("c").cast("double")).alias("m"),
+        F.var_samp(F.col("c").cast("double")).alias("s2"),
+    )
+    w = g.filter((F.col("n") >= 2) & (F.col("s2") > 0)).select(
+        "event_type",
+        "n",
+        "m",
+        (F.col("n") / F.col("s2")).alias("wj"),
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    w = parquet_checkpoint(w, "welch_w")
+    t1 = w.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("wj").alias("sw"),
+        F.sum(F.col("wj") * F.col("m")).alias("swm"),
+    )
+    mw = F.col("swm") / F.col("sw")
+    t2 = w.crossJoin(t1).agg(
+        F.sum(F.col("wj") * (F.col("m") - mw) * (F.col("m") - mw)).alias(
+            "num"
+        ),
+        F.sum(
+            (F.lit(1.0) - F.col("wj") / F.col("sw"))
+            * (F.lit(1.0) - F.col("wj") / F.col("sw"))
+            / (F.col("n") - 1)
+        ).alias("lam"),
+        F.max("k").alias("k"),
+    )
+    k, num, lam = F.col("k"), F.col("num"), F.col("lam")
+    return t2.select(
+        "k",
+        F.when(k < 2, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                num
+                / (k - 1)
+                / (
+                    F.lit(1.0)
+                    + F.lit(2.0)
+                    * (k - 2)
+                    / (k * k - F.lit(1.0))
+                    * lam
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("f_stat"),
+        F.when((k < 2) | (lam <= 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round((k * k - F.lit(1.0)) / (F.lit(3.0) * lam), 6)
+            + F.lit(0.0)
+        )
+        .alias("df2"),
+    )
