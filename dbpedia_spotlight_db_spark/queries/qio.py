@@ -2124,3 +2124,62 @@ def scan_path_glob_filter(spark, sf):
         F.lit(not junk_seen).alias("junk_excluded"),
     )
     return parquet_checkpoint(out, "pathglob_out")
+
+
+# ---------------------------------------------------------------------------
+# wave 133: multi-path load — one reader over several roots
+# ---------------------------------------------------------------------------
+@q(
+    "scan_multipath",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           TRUE AS both_roots_listed
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_multipath(spark, sf):
+    """Multi-path load — ``spark.read.parquet(path_a, path_b)``,
+    the one-reader-many-roots API every dated-directory layout
+    leans on (`.../2024-01-01`, `.../2024-01-02`, ... passed as N
+    roots): the listing unions the roots BEFORE planning, so the
+    result is one scan relation with shared pushdown/pruning — not
+    a DataFrame union of N reads (which plans N scans and defeats
+    global file-size coalescing of splits across roots). The face
+    splits events into two root directories on event_id parity,
+    loads both roots in one call, and the twin is the whole table:
+    equality proves no row was dropped or double-listed across
+    roots; the boolean (inputFiles() shows files under BOTH roots)
+    rides the hash. Eager + checkpoint (staging reclaimed on
+    return). Scale note: N roots = N LIST calls but ONE job — the
+    opposite trade of scan_recursive's single flat walk."""
+    import os
+    import tempfile
+
+    from ..operators.dedup import parquet_checkpoint
+
+    e = t(spark, sf, "events").select("event_id", "event_type")
+    with tempfile.TemporaryDirectory(prefix="multipath_") as tmp:
+        pa = os.path.join(tmp, "root_a")
+        pb = os.path.join(tmp, "root_b")
+        e.filter(F.col("event_id") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(pa)
+        e.filter(F.col("event_id") % 2 == 1).write.mode(
+            "overwrite"
+        ).parquet(pb)
+        back = spark.read.parquet(pa, pb)
+        listed = back.inputFiles()
+        both = any("root_a" in f for f in listed) and any(
+            "root_b" in f for f in listed
+        )
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        ).select(
+            "event_type",
+            "n",
+            "id_sum",
+            F.lit(bool(both)).alias("both_roots_listed"),
+        )
+        return parquet_checkpoint(out, "multipath_out")

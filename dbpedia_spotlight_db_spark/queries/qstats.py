@@ -5678,3 +5678,101 @@ def stat_anova_welch(spark, sf):
         )
         .alias("df2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 133: Games–Howell post-hoc — pairwise Welch comparisons on
+# the bounded type grid
+# ---------------------------------------------------------------------------
+@q(
+    "stat_games_howell",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(CAST(c AS DOUBLE)) AS m,
+             var_samp(CAST(c AS DOUBLE)) AS s2
+      FROM v GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS na, b.n AS nb,
+             a.m - b.m AS diff,
+             a.s2 / a.n + b.s2 / b.n AS se2,
+             (a.s2 / a.n + b.s2 / b.n) * (a.s2 / a.n + b.s2 / b.n)
+             / (a.s2 * a.s2 / (a.n * a.n * (a.n - 1))
+                + b.s2 * b.s2 / (b.n * b.n * (b.n - 1))) AS df
+      FROM g a JOIN g b ON a.event_type < b.event_type
+      WHERE a.n >= 2 AND b.n >= 2 AND a.s2 > 0 AND b.s2 > 0)
+    SELECT type_a, type_b, na, nb,
+           round(diff / sqrt(se2), 6) + 0 AS t_stat,
+           round(df, 6) + 0 AS df
+    FROM p WHERE se2 > 0
+    """,
+)
+def stat_games_howell(spark, sf):
+    """Games-Howell post-hoc — the pairwise follow-up to
+    stat_anova_welch: once the omnibus says SOME mean differs, every
+    pair gets its own Welch t and Welch-Satterthwaite df, with no
+    pooled-variance assumption anywhere (Tukey's HSD pools; GH is
+    its heteroscedastic replacement). The pair relation is the
+    moment table self-joined on type_a < type_b — a k(k-1)/2
+    bounded grid (10 rows at k = 5), never a corpus self-join (the
+    corpus is scanned once into k moment rows); every expression is
+    written in identical op order on both engines (the stat_ttest
+    discipline) and rounded once at the end. The statistic is
+    reported without a verdict column: the studentized-range
+    critical values GH gates on are table lookups, documented as
+    the consumer's job rather than baked in as pseudo-literals.
+    Null-true fixture: every |t| stays small — pinned in tests."""
+    v = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.col("c").cast("double")).alias("m"),
+        F.var_samp(F.col("c").cast("double")).alias("s2"),
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    g = parquet_checkpoint(g, "gh_moments")
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .filter(
+            (F.col("a.n") >= 2)
+            & (F.col("b.n") >= 2)
+            & (F.col("a.s2") > 0)
+            & (F.col("b.s2") > 0)
+        )
+    )
+    sa = F.col("a.s2") / F.col("a.n")
+    sb = F.col("b.s2") / F.col("b.n")
+    se2 = sa + sb
+    df = (se2 * se2) / (
+        F.col("a.s2")
+        * F.col("a.s2")
+        / (F.col("a.n") * F.col("a.n") * (F.col("a.n") - 1))
+        + F.col("b.s2")
+        * F.col("b.s2")
+        / (F.col("b.n") * F.col("b.n") * (F.col("b.n") - 1))
+    )
+    return pairs.filter(se2 > 0).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+        (
+            F.round((F.col("a.m") - F.col("b.m")) / F.sqrt(se2), 6)
+            + F.lit(0.0)
+        ).alias("t_stat"),
+        (F.round(df, 6) + F.lit(0.0)).alias("df"),
+    )
