@@ -5776,3 +5776,137 @@ def stat_games_howell(spark, sf):
         ).alias("t_stat"),
         (F.round(df, 6) + F.lit(0.0)).alias("df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 134: Dunn's test — rank-based post-hoc pairs with tie-exact
+# pooled variance
+# ---------------------------------------------------------------------------
+@q(
+    "stat_dunn",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT event_type,
+             2 * RANK() OVER (ORDER BY c)
+               + COUNT(*) OVER (PARTITION BY c) - 1 AS dr,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM v),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nj,
+             CAST(SUM(dr) AS BIGINT) AS sdr,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM r GROUP BY event_type),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(tc * tc * tc - tc), 0) AS BIGINT)
+               AS tsum
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tc
+            FROM v GROUP BY c) z),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.nj AS na, b.nj AS nb, a.n AS n, ties.tsum,
+             CAST(a.sdr AS DOUBLE) / a.nj
+               - CAST(b.sdr AS DOUBLE) / b.nj AS ddiff
+      FROM g a JOIN g b ON a.event_type < b.event_type
+      CROSS JOIN ties)
+    SELECT type_a, type_b, na, nb,
+           CASE WHEN n < 2
+                     OR (n * 1.0 * (n + 1) / 12.0
+                         - CAST(tsum AS DOUBLE) / (12.0 * (n - 1)))
+                        * (1.0 / na + 1.0 / nb) <= 0 THEN NULL
+                ELSE round((ddiff / 2.0)
+                     / sqrt((n * 1.0 * (n + 1) / 12.0
+                             - CAST(tsum AS DOUBLE) / (12.0 * (n - 1)))
+                            * (1.0 / na + 1.0 / nb)), 6) + 0
+           END AS z
+    FROM p
+    """,
+)
+def stat_dunn(spark, sf):
+    """Dunn's test — the rank-space post-hoc that follows
+    stat_kruskal exactly as stat_games_howell follows
+    stat_anova_welch: pairwise z on mean POOLED ranks, z_ij =
+    (Rbar_i - Rbar_j) / sqrt((N(N+1)/12 - T/(12(N-1)))(1/n_i +
+    1/n_j)) with the tie mass T = SUM(t^3 - t) — the tie-exact
+    variance, not the textbook no-tie form (the stat_ansari_bradley
+    rule). Doubled midranks keep every rank sum an exact BIGINT
+    (mean doubled rank / 2 = mean rank, folded into the final
+    expression once); the pair grid is k(k-1)/2 over the group-sum
+    relation, never a corpus self-join, and the one pooled-rank
+    window carries the usual single-partition scale note. Dunn (not
+    pairwise Mann-Whitney!) is the correct follow-up because it
+    reuses the POOLED ranking the omnibus computed — pairwise MW
+    re-ranks each pair and loses the family's common scale. The
+    multiple-testing layer is stat_bh_fdr's job, documented
+    division of labor. Null-true fixture: all |z| small, pinned."""
+    v = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+    )
+    r = v.select(
+        "event_type",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("c"))
+            + F.count(F.lit(1)).over(Window.partitionBy("c"))
+            - F.lit(1)
+        ).alias("dr"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n"),
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    r = parquet_checkpoint(r, "dunn_r")
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nj"),
+        F.sum("dr").cast("long").alias("sdr"),
+        F.max("n").cast("long").alias("n"),
+    )
+    ties = (
+        v.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tc") * F.col("tc") * F.col("tc")
+                    - F.col("tc")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    p = a.join(
+        b, F.col("a.event_type") < F.col("b.event_type")
+    ).crossJoin(ties)
+    n = F.col("a.n")
+    var = (
+        n * F.lit(1.0) * (n + 1) / F.lit(12.0)
+        - F.col("tsum").cast("double") / (F.lit(12.0) * (n - 1))
+    ) * (F.lit(1.0) / F.col("a.nj") + F.lit(1.0) / F.col("b.nj"))
+    ddiff = (
+        F.col("a.sdr").cast("double") / F.col("a.nj")
+        - F.col("b.sdr").cast("double") / F.col("b.nj")
+    )
+    return p.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.nj").alias("na"),
+        F.col("b.nj").alias("nb"),
+        F.when((n < 2) | (var <= 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round((ddiff / F.lit(2.0)) / F.sqrt(var), 6)
+            + F.lit(0.0)
+        )
+        .alias("z"),
+    )
