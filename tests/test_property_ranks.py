@@ -1,0 +1,136 @@
+"""Property-based harness: run REAL faces against RANDOM synthetic
+events tables (written as temp sf-dirs, exactly the layout
+`t(spark, sf, "events")` reads) and check them against the
+pure-Python replays — the fixture-independent correctness evidence
+the single-corpus tests can't give. Ties are generated on purpose
+(small value grids), group sizes are skewed, and the doubled-rank /
+micros machinery must agree exactly on every draw.
+
+Kept to a handful of drawn examples per face: each example is a
+full Spark round trip; hypothesis explores the tie/skew space, not
+the row count."""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import Counter, defaultdict
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+from dbpedia_spotlight_db_spark.queries import qstats
+
+TYPES = ["click", "view", "purchase"]
+
+# (event_type_index, value_cents) rows; tiny value grid forces ties
+ROWS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 12)),
+    min_size=8,
+    max_size=40,
+)
+
+
+def _write_events(spark, tmp_path, rows, tag):
+    import datetime
+
+    d = os.path.join(str(tmp_path), f"sf_{tag}")
+    os.makedirs(d, exist_ok=True)
+    data = [
+        (
+            i + 1,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i),
+            (i % 7) + 1,
+            TYPES[ti],
+            cents / 100.0,
+            "{}",
+        )
+        for i, (ti, cents) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+def _doubled_ranks(vals):
+    cnt = Counter(vals)
+    start, first = {}, 1
+    for u in sorted(cnt):
+        start[u] = first
+        first += cnt[u]
+    return {u: 2 * start[u] + cnt[u] - 1 for u in cnt}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(rows=ROWS)
+def test_brunner_munzel_on_random_tables(spark, tmp_path, rows):
+    sf = _write_events(spark, tmp_path, rows, "bm")
+    groups = defaultdict(list)
+    allv = []
+    for ti, cents in rows:
+        g = 1 if TYPES[ti] == "purchase" else 0
+        groups[g].append(cents)
+        allv.append(cents)
+    drc = _doubled_ranks(allv)
+    got = qstats.Q["stat_brunner_munzel"](spark, sf).collect()[0]
+    for g in (0, 1):
+        vs = groups.get(g, [])
+        dri = _doubled_ranks(vs)
+        n = len(vs)
+        sdr = sum(drc[v] for v in vs)
+        sq = sum((drc[v] - dri[v]) ** 2 for v in vs)
+        assert got[f"n{g}"] == n
+        assert got[f"sdr{g}"] == sdr
+        assert got[f"sq{g}"] == sq
+    n0, n1 = got["n0"], got["n1"]
+    if n0 >= 2 and n1 >= 2 and got["w"] is not None:
+        c0 = got["sdr0"] - n0 * (n0 + 1)
+        c1 = got["sdr1"] - n1 * (n1 + 1)
+        ds0 = (got["sq0"] * n0 - c0 * c0) / (n0 * (n0 - 1))
+        ds1 = (got["sq1"] * n1 - c1 * c1) / (n1 * (n1 - 1))
+        w = (
+            n0 * n1 * (got["sdr1"] / n1 - got["sdr0"] / n0)
+            / ((n0 + n1) * math.sqrt(n0 * ds0 + n1 * ds1))
+        )
+        assert abs(got["w"] - round(w, 6)) <= 1e-9
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(rows=ROWS)
+def test_winsorized_mean_on_random_tables(spark, tmp_path, rows):
+    sf = _write_events(spark, tmp_path, rows, "wm")
+    vals = defaultdict(list)
+    for ti, cents in rows:
+        vals[TYPES[ti]].append(cents)
+    got = {
+        r["event_type"]: r
+        for r in qstats.Q["agg_winsorized_mean"](spark, sf).collect()
+    }
+    assert set(got) == {et for et in vals}
+    for et, cs in vals.items():
+        cs.sort()
+        n = len(cs)
+        lo = next(c for i, c in enumerate(cs, 1) if 10 * i >= n)
+        hi = next(c for i, c in enumerate(cs, 1) if 10 * i >= 9 * n)
+        wsum = sum(min(max(c, lo), hi) for c in cs)
+        g = got[et]
+        assert (g["n"], g["lo_cents"], g["hi_cents"], g["win_sum_cents"]) \
+            == (n, lo, hi, wsum)
