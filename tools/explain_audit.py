@@ -2891,6 +2891,41 @@ def main() -> None:
         f"windows={dp_win} (want 1/1)",
     )
 
+    # 99. waves 130-134: the normal-scores family consumes its
+    # parquet checkpoints — van-der-Waerden and Fligner-Killeen's
+    # multi-consumer aggregates (group sums, pooled moments, totals)
+    # must read the materialized scores, never re-run the corpus
+    # window per branch (the stat_mutual_info double-scan class);
+    # Games-Howell's pair grid self-joins the checkpointed moment
+    # relation, not the corpus; the bounded-frame pandas window UDF
+    # really crosses into Python (WindowInPandas node).
+    def _ev_scans(key):
+        pl = (
+            QUERIES[key](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # count scans of the fixture table itself (checkpoint scans
+        # also lead with an event_type column — match the path)
+        return len(re.findall(r"events\.parquet", pl)), pl
+
+    vdw_s, _ = _ev_scans("stat_van_der_waerden")
+    fk_s, _ = _ev_scans("stat_fligner_killeen")
+    gh_s, _ = _ev_scans("stat_games_howell")
+    dunn_s, _ = _ev_scans("stat_dunn")
+    _, p_wb = _ev_scans("udf_window_bounded")
+    wb_ok = "WindowInPandas" in p_wb or "ArrowWindowPython" in p_wb
+    check(
+        "waves 130-134: normal-scores faces consume checkpoints; "
+        "pair grids never re-scan the corpus; window UDF crosses "
+        "via Arrow",
+        vdw_s == 0 and fk_s == 0 and gh_s == 0 and dunn_s <= 1
+        and wb_ok,
+        f"events-scans vdw={vdw_s} fk={fk_s} gh={gh_s} (want 0) "
+        f"dunn={dunn_s} (want <=1); window-udf Arrow node={wb_ok}",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
