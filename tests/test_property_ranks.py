@@ -134,3 +134,103 @@ def test_winsorized_mean_on_random_tables(spark, tmp_path, rows):
         g = got[et]
         assert (g["n"], g["lo_cents"], g["hi_cents"], g["win_sum_cents"]) \
             == (n, lo, hi, wsum)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(rows=ROWS)
+def test_dunn_on_random_tables(spark, tmp_path, rows):
+    sf = _write_events(spark, tmp_path, rows, "dunn")
+    vals = defaultdict(list)
+    allv = []
+    for ti, cents in rows:
+        vals[TYPES[ti]].append(cents)
+        allv.append(cents)
+    n = len(allv)
+    dr = _doubled_ranks(allv)
+    tsum = sum(tc**3 - tc for tc in Counter(allv).values())
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in qstats.Q["stat_dunn"](spark, sf).collect()
+    }
+    types = sorted(vals)
+    pairs = [
+        (a, b)
+        for i, a in enumerate(types)
+        for b in types[i + 1 :]
+    ]
+    assert set(got) == set(pairs)
+    for ta, tb in pairs:
+        na, nb = len(vals[ta]), len(vals[tb])
+        var = (n * (n + 1) / 12.0 - tsum / (12.0 * (n - 1))) * (
+            1.0 / na + 1.0 / nb
+        )
+        g = got[(ta, tb)]
+        assert (g["na"], g["nb"]) == (na, nb)
+        if var > 0 and g["z"] is not None:
+            ma = sum(dr[c] for c in vals[ta]) / na / 2.0
+            mb = sum(dr[c] for c in vals[tb]) / nb / 2.0
+            assert abs(
+                g["z"] - round((ma - mb) / math.sqrt(var), 6)
+            ) <= 1e-9
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(rows=ROWS)
+def test_mann_kendall_on_random_tables(spark, tmp_path, rows):
+    import datetime
+
+    # spread rows over distinct days so the daily series is nontrivial
+    sf = _write_events(spark, tmp_path, rows, "mk")
+    # rewrite with 6-hourly spacing (multiple days)
+    data = [
+        (
+            i + 1,
+            datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(hours=6 * i),
+            (i % 7) + 1,
+            TYPES[ti],
+            cents / 100.0,
+            "{}",
+        )
+        for i, (ti, cents) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    daily = defaultdict(int)
+    base = datetime.datetime(2024, 1, 1)
+    for i, (_, cents) in enumerate(rows):
+        ts = base + datetime.timedelta(hours=6 * i)
+        day = int(ts.timestamp() * 1_000_000) // 86_400_000_000
+        daily[day] += cents
+    days = sorted(daily)
+    n = len(days)
+    s = sum(
+        (daily[dj] > daily[di]) - (daily[dj] < daily[di])
+        for i, di in enumerate(days)
+        for dj in days[i + 1 :]
+    )
+    tcor = sum(
+        tc * (tc - 1) * (2 * tc + 5)
+        for tc in Counter(daily.values()).values()
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tcor
+    got = qstats.Q["stat_mann_kendall"](spark, sf).collect()[0]
+    assert (got["n"], got["s"], got["var18"]) == (n, s, var18)
+    if n >= 2 and var18 > 0:
+        z = (s - (s > 0) + (s < 0)) / math.sqrt(var18 / 18.0)
+        assert abs(got["z"] - round(z, 6)) <= 1e-9
+    else:
+        assert got["z"] is None
