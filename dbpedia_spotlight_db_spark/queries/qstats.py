@@ -5910,3 +5910,177 @@ def stat_dunn(spark, sf):
         )
         .alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 135: Lepage test — joint location-scale omnibus from the
+# Wilcoxon and Ansari-Bradley machineries in one pass
+# ---------------------------------------------------------------------------
+@q(
+    "stat_lepage",
+    """
+    WITH v AS (
+      SELECT CAST(o_orderkey % 2 AS BIGINT) AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders),
+    r AS (
+      SELECT grp,
+             2 * RANK() OVER (ORDER BY c)
+               + COUNT(*) OVER (PARTITION BY c) - 1 AS drc,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nn
+      FROM v),
+    s AS (
+      SELECT grp, drc, nn,
+             LEAST(drc, 2 * (nn + 1) - drc) AS da
+      FROM r),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(tc * tc * tc - tc), 0) AS BIGINT)
+               AS tsum
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tc
+            FROM v GROUP BY c) z),
+    f AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(COALESCE(SUM(CASE WHEN grp = 1 THEN drc END), 0)
+                  AS BIGINT) AS w_d,
+             CAST(COALESCE(SUM(CASE WHEN grp = 1 THEN da END), 0)
+                  AS BIGINT) AS ab_d,
+             CAST(COALESCE(SUM(da), 0) AS BIGINT) AS sda,
+             CAST(COALESCE(SUM(da * da), 0) AS BIGINT) AS sdaq
+      FROM s),
+    fin AS (
+      SELECT f.*, ties.tsum, f.n0 + f.n1 AS n FROM f CROSS JOIN ties)
+    SELECT n0, n1, w_d, ab_d,
+           CASE WHEN n0 = 0 OR n1 = 0 OR n < 2
+                     OR n1 * 1.0 * n0 * (n + 1) / 3.0
+                        - n1 * 1.0 * n0 * tsum / (3.0 * n * (n - 1))
+                        <= 0
+                     OR n1 * 1.0 * n0 * (n * 1.0 * sdaq - sda * 1.0 * sda)
+                       / (n * 1.0 * n * (n - 1)) <= 0
+                THEN NULL
+                ELSE round(
+                  (w_d - n1 * 1.0 * (n + 1))
+                  * (w_d - n1 * 1.0 * (n + 1))
+                  / (n1 * 1.0 * n0 * (n + 1) / 3.0
+                     - n1 * 1.0 * n0 * tsum / (3.0 * n * (n - 1)))
+                  + (ab_d - n1 * 1.0 * sda / n)
+                  * (ab_d - n1 * 1.0 * sda / n)
+                  / (n1 * 1.0 * n0
+                     * (n * 1.0 * sdaq - sda * 1.0 * sda)
+                     / (n * 1.0 * n * (n - 1))), 6) + 0
+           END AS l_stat
+    FROM fin
+    """,
+)
+def stat_lepage(spark, sf):
+    """Lepage test — the joint location-scale omnibus: L = Z_W^2 +
+    Z_AB^2, the standardized Wilcoxon rank-sum (location) plus the
+    standardized Ansari-Bradley (scale), ~chi2_2 under H0 — the
+    two-sample 'did ANYTHING change' gate a distribution-drift
+    monitor wants when location and scale shifts are both in play
+    (KS sees both but weakly; Lepage is the targeted combination).
+    Both component machineries already exist in this module and are
+    REUSED from ONE pooled doubled-midrank pass: w_d = SUM of
+    doubled pooled ranks in group 1 (E = n1(N+1) doubled, tie-exact
+    Var folded x4: n1*n0[(N+1)/3 - T/(3N(N-1))]) and ab_d = SUM of
+    folded scores (moments from the OBSERVED score multiset, the
+    stat_ansari_bradley rule). Every input is an exact BIGINT; L is
+    one final float with degenerate guards. The components are
+    asymptotically independent (W is antisymmetric about the
+    center, AB symmetric) — which is what makes the plain sum of
+    squares the right combination; pinned against the component
+    faces in tests (identical w/ab integers). Same pooled-rank
+    scale note as the siblings."""
+    v = t(spark, sf, "orders").select(
+        (F.col("o_orderkey") % 2).cast("long").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    r = v.select(
+        "grp",
+        "c",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("c"))
+            + F.count(F.lit(1)).over(Window.partitionBy("c"))
+            - F.lit(1)
+        ).alias("drc"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("nn"),
+    )
+    s = r.select(
+        "grp",
+        "drc",
+        F.least(
+            F.col("drc"), F.lit(2) * (F.col("nn") + 1) - F.col("drc")
+        ).alias("da"),
+    )
+    ties = (
+        v.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tc") * F.col("tc") * F.col("tc")
+                    - F.col("tc")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    f = s.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.coalesce(F.sum(F.when(F.col("grp") == 1, F.col("drc"))), F.lit(0))
+        .cast("long")
+        .alias("w_d"),
+        F.coalesce(F.sum(F.when(F.col("grp") == 1, F.col("da"))), F.lit(0))
+        .cast("long")
+        .alias("ab_d"),
+        F.coalesce(F.sum("da"), F.lit(0)).cast("long").alias("sda"),
+        F.coalesce(F.sum(F.col("da") * F.col("da")), F.lit(0))
+        .cast("long")
+        .alias("sdaq"),
+    ).crossJoin(ties)
+    n0, n1 = F.col("n0"), F.col("n1")
+    n = n0 + n1
+    w_d, ab_d = F.col("w_d"), F.col("ab_d")
+    sda, sdaq, tsum = F.col("sda"), F.col("sdaq"), F.col("tsum")
+    var_w = n1 * F.lit(1.0) * n0 * (n + 1) / F.lit(3.0) - n1 * F.lit(
+        1.0
+    ) * n0 * tsum / (F.lit(3.0) * n * (n - 1))
+    var_ab = (
+        n1
+        * F.lit(1.0)
+        * n0
+        * (n * F.lit(1.0) * sdaq - sda * F.lit(1.0) * sda)
+        / (n * F.lit(1.0) * n * (n - 1))
+    )
+    dev_w = w_d - n1 * F.lit(1.0) * (n + 1)
+    dev_ab = ab_d - n1 * F.lit(1.0) * sda / n
+    return f.select(
+        "n0",
+        "n1",
+        "w_d",
+        "ab_d",
+        F.when(
+            (n0 == 0) | (n1 == 0) | (n < 2) | (var_w <= 0)
+            | (var_ab <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                dev_w * dev_w / var_w + dev_ab * dev_ab / var_ab, 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("l_stat"),
+    )
