@@ -2955,3 +2955,90 @@ def text_ttr(spark, sf):
             + F.lit(0.0)
         ).alias("hapax_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 136: MATTR — moving-average type-token ratio, in-row HOF
+# ---------------------------------------------------------------------------
+@q(
+    "text_mattr",
+    """
+    WITH tok AS (
+      SELECT source, doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS arr
+      FROM documents),
+    d AS (
+      SELECT source, doc_id, arr, len(arr) AS nt FROM tok
+      WHERE len(arr) >= 20),
+    wd AS (
+      SELECT source, doc_id, nt,
+             CAST(round(1000000.0 * list_avg(list_transform(
+               generate_series(1, nt - 20 + 1),
+               i -> len(list_distinct(arr[i:i+19])) / 20.0)))
+               AS BIGINT) AS mattr_mic
+      FROM d)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(mattr_mic) AS BIGINT) AS sum_mattr_mic,
+           round(CAST(SUM(mattr_mic) AS DOUBLE) / 1000000.0
+                 / COUNT(*), 6) + 0 AS mattr
+    FROM wd GROUP BY source
+    """,
+)
+def text_mattr(spark, sf):
+    """MATTR — moving-average type-token ratio over a sliding
+    20-token window, the length-INVARIANT lexical diversity measure
+    text_ttr's docstring defers to (raw TTR falls with document
+    length by Heaps' law, so cross-source TTR comparisons confound
+    diversity with size; MATTR's fixed window removes the
+    confound). The whole computation is IN-ROW higher-order
+    functions — transform over the window-start sequence, slice,
+    array_distinct, size — so the plan is map-only with zero
+    Generate and zero shuffle before the per-source aggregate (the
+    text_inrow_moments class; O(n_tokens * 20) work per document,
+    distributed with the documents partitioning). Each document's
+    mean window-TTR is micros-quantized once (a single rounding of
+    the same rational on both engines — window TTRs are exact
+    20ths, their mean exact up to one division in identical order),
+    making the per-source sums exact BIGINTs. Docs under 20 tokens
+    drop by contract (no window fits). Engine parity: Spark slice
+    is (start, length), DuckDB list slicing arr[i:i+19] is
+    START:END INCLUSIVE — both spell a 20-token window; empty-token
+    filtering mirrors text_ttr."""
+    arr = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    d = (
+        t(spark, sf, "documents")
+        .select("source", "doc_id", arr.alias("arr"))
+        .withColumn("nt", F.size("arr"))
+        .filter(F.col("nt") >= 20)
+    )
+    win_ttrs = F.transform(
+        F.sequence(F.lit(1), F.col("nt") - 20 + 1),
+        lambda i: F.size(F.array_distinct(F.slice(F.col("arr"), i, 20)))
+        / F.lit(20.0),
+    )
+    mattr_mic = (
+        F.round(
+            F.lit(1000000.0)
+            * F.aggregate(
+                win_ttrs, F.lit(0.0), lambda acc, x: acc + x
+            )
+            / F.size(win_ttrs)
+        )
+        .cast("long")
+        .alias("mattr_mic")
+    )
+    wd = d.select("source", mattr_mic)
+    return wd.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("mattr_mic").cast("long").alias("sum_mattr_mic"),
+        (
+            F.round(
+                F.sum("mattr_mic").cast("double")
+                / F.lit(1000000.0)
+                / F.count(F.lit(1)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mattr"),
+    )
