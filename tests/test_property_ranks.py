@@ -234,3 +234,97 @@ def test_mann_kendall_on_random_tables(spark, tmp_path, rows):
         assert abs(got["z"] - round(z, 6)) <= 1e-9
     else:
         assert got["z"] is None
+
+
+ORDER_ROWS = st.lists(
+    # (key, status_is_F, price_cents in a small tie-heavy grid)
+    st.tuples(st.booleans(), st.integers(0, 15)),
+    min_size=10,
+    max_size=40,
+)
+
+
+def _write_orders(spark, tmp_path, rows, tag):
+    import datetime
+
+    d = os.path.join(str(tmp_path), f"sfo_{tag}")
+    os.makedirs(d, exist_ok=True)
+    data = [
+        (
+            i + 1,
+            (i % 5) + 1,
+            "F" if is_f else "O",
+            cents / 100.0,
+            datetime.date(1995, 1, 1) + datetime.timedelta(days=i),
+            f"{(i % 5) + 1}-X",
+        )
+        for i, (is_f, cents) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, "
+        "o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    return d
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(rows=ORDER_ROWS)
+def test_lepage_on_random_tables(spark, tmp_path, rows):
+    sf = _write_orders(spark, tmp_path, rows, "lp")
+    groups = defaultdict(list)
+    allv = []
+    for i, (_, cents) in enumerate(rows):
+        groups[(i + 1) % 2].append(cents)
+        allv.append(cents)
+    drc = _doubled_ranks(allv)
+    N = len(allv)
+    da = lambda v: min(drc[v], 2 * (N + 1) - drc[v])
+    got = qstats.Q["stat_lepage"](spark, sf).collect()[0]
+    assert got["n1"] == len(groups[1])
+    assert got["n0"] == len(groups[0])
+    assert got["w_d"] == sum(drc[v] for v in groups[1])
+    assert got["ab_d"] == sum(da(v) for v in groups[1])
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(rows=ORDER_ROWS)
+def test_cmh_on_random_tables(spark, tmp_path, rows):
+    sf = _write_orders(spark, tmp_path, rows, "cmh")
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for i, (is_f, _) in enumerate(rows):
+        stratum = str((i % 5) + 1)
+        e = ((i % 5) + 1) % 2  # o_custkey % 2
+        y = 1 if is_f else 0
+        cells[stratum][(1 - e) * 2 + (1 - y)] += 1
+    o = e_mic = v_mic = 0
+    for a, b, c, d in cells.values():
+        T = a + b + c + d
+        if T == 0:
+            continue
+        o += a
+
+        def _r(x):
+            return math.floor(x + 0.5)
+
+        e_mic += _r(1e6 * (a + b) * (a + c) / T)
+        if T > 1:
+            v_mic += _r(
+                1e6 * (a + b) * (c + d) * (a + c) * (b + d)
+                / (T * T * (T - 1))
+            )
+    got = qstats.Q["stat_cmh"](spark, sf).collect()[0]
+    assert (got["k"], got["o_sum"], got["e_mic"], got["v_mic"]) == (
+        len(cells), o, e_mic, v_mic,
+    )
