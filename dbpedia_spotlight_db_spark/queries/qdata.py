@@ -2697,8 +2697,10 @@ def udtf_partitioned(spark, sf):
     """Polymorphic UDTF over a PARTITIONED + ORDERED table argument —
     the Spark-4 protocol the LATERAL faces (udtf_ngrams, scalar per
     row) and the TABLE-arg analyze face (udtf_analyze) don't touch:
-    ``my_udtf(TABLE(v) PARTITION BY event_type ORDER BY ts,
-    event_id)`` guarantees each partition's rows arrive at ONE UDTF
+    ``my_udtf(TABLE(v) PARTITION BY event_type ORDER BY (ts,
+    event_id))`` — a multi-expression ORDER BY in a TABLE argument
+    MUST be parenthesized or the parser rejects it — guarantees
+    each partition's rows arrive at ONE UDTF
     instance IN ORDER, with terminate() fired at each partition
     boundary — Spark's public contract for per-group sequential
     Python state (the same niche as applyInPandas but streaming
