@@ -6084,3 +6084,138 @@ def stat_lepage(spark, sf):
         )
         .alias("l_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 137: interrupted time series — pre/post segmented OLS via
+# native REGR_* aggregates
+# ---------------------------------------------------------------------------
+@q(
+    "events_its",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    cut AS (
+      SELECT CAST((MIN(day) + MAX(day)) // 2 AS BIGINT) AS c
+      FROM daily),
+    seg AS (
+      SELECT CASE WHEN d.day < cut.c THEN 0 ELSE 1 END AS post,
+             CAST(d.day AS DOUBLE) AS x,
+             CAST(d.cents AS DOUBLE) / 100.0 AS y,
+             cut.c
+      FROM daily d CROSS JOIN cut),
+    fits AS (
+      SELECT post, CAST(COUNT(*) AS BIGINT) AS n,
+             regr_slope(y, x) AS slope,
+             regr_intercept(y, x) AS icept,
+             MAX(c) AS c
+      FROM seg GROUP BY post),
+    w AS (
+      SELECT MAX(CASE WHEN post = 0 THEN n END) AS n_pre,
+             MAX(CASE WHEN post = 1 THEN n END) AS n_post,
+             MAX(CASE WHEN post = 0 THEN slope END) AS slope_pre,
+             MAX(CASE WHEN post = 1 THEN slope END) AS slope_post,
+             MAX(CASE WHEN post = 0 THEN icept END) AS i_pre,
+             MAX(CASE WHEN post = 1 THEN icept END) AS i_post,
+             MAX(c) AS c
+      FROM fits)
+    SELECT n_pre, n_post, CAST(c AS BIGINT) AS cut_day,
+           round(slope_pre, 6) + 0 AS slope_pre,
+           round(slope_post, 6) + 0 AS slope_post,
+           round(slope_post - slope_pre, 6) + 0 AS slope_change,
+           round((i_post + slope_post * c)
+                 - (i_pre + slope_pre * c), 6) + 0 AS level_change
+    FROM w
+    """,
+)
+def events_its(spark, sf):
+    """Interrupted time series — the deploy/policy impact design:
+    fit the daily revenue trend SEPARATELY before and after a
+    cutpoint (here the calendar midpoint, standing in for a release
+    date) and report the slope change and the level change AT the
+    cut — the two numbers an ITS reads (did the trend bend, and did
+    the series jump). Each segment's OLS comes from the native
+    REGR_SLOPE/REGR_INTERCEPT aggregates — exact moment machinery
+    inside both engines, evaluated in identical expression order
+    and rounded once (the stat_regression precedent); the level
+    change evaluates both fits AT the cut day, never extrapolating
+    the pre-fit into the post-period beyond the boundary. The
+    segmented spelling equals the interaction-term spelling
+    (y ~ t + D + t*D) coefficient-for-coefficient — replayed in
+    the test via two independent least-squares fits. Scale shape:
+    corpus -> calendar cells once, two REGR aggregates over the
+    bounded daily relation. On the trendless synthetic calendar
+    both changes hover near zero — the test bounds them rather
+    than asserting effect."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    daily = parquet_checkpoint(daily, "its_daily")
+    cut = daily.agg(
+        F.expr("(min(day) + max(day)) div 2").cast("long").alias("c")
+    )
+    seg = daily.crossJoin(cut).select(
+        F.when(F.col("day") < F.col("c"), 0).otherwise(1).alias("post"),
+        F.col("day").cast("double").alias("x"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("y"),
+        "c",
+    )
+    fits = seg.groupBy("post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("regr_slope(y, x)").alias("slope"),
+        F.expr("regr_intercept(y, x)").alias("icept"),
+        F.max("c").alias("c"),
+    )
+    w = fits.agg(
+        F.max(F.when(F.col("post") == 0, F.col("n"))).alias("n_pre"),
+        F.max(F.when(F.col("post") == 1, F.col("n"))).alias("n_post"),
+        F.max(F.when(F.col("post") == 0, F.col("slope"))).alias(
+            "slope_pre"
+        ),
+        F.max(F.when(F.col("post") == 1, F.col("slope"))).alias(
+            "slope_post"
+        ),
+        F.max(F.when(F.col("post") == 0, F.col("icept"))).alias("i_pre"),
+        F.max(F.when(F.col("post") == 1, F.col("icept"))).alias(
+            "i_post"
+        ),
+        F.max("c").alias("c"),
+    )
+    return w.select(
+        "n_pre",
+        "n_post",
+        F.col("c").cast("long").alias("cut_day"),
+        (F.round(F.col("slope_pre"), 6) + F.lit(0.0)).alias("slope_pre"),
+        (F.round(F.col("slope_post"), 6) + F.lit(0.0)).alias(
+            "slope_post"
+        ),
+        (
+            F.round(F.col("slope_post") - F.col("slope_pre"), 6)
+            + F.lit(0.0)
+        ).alias("slope_change"),
+        (
+            F.round(
+                (F.col("i_post") + F.col("slope_post") * F.col("c"))
+                - (F.col("i_pre") + F.col("slope_pre") * F.col("c")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("level_change"),
+    )
