@@ -3394,3 +3394,106 @@ def date_iso_week(spark, sf):
         "n",
         "cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 138: dedup -> windowed agg chained in ONE streaming query
+# ---------------------------------------------------------------------------
+@q(
+    "stream_dedup_agg",
+    """
+    WITH src AS (
+      SELECT DISTINCT event_id, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM (
+        SELECT event_id, ts, value FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+        UNION ALL
+        SELECT event_id, ts, value FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_id % 3 = 0)),
+    wm AS (
+      SELECT (MAX(us) // 1000) * 1000 - 3600000000 AS w FROM src),
+    day AS (
+      SELECT (us // 86400000000) * 86400000000 AS sd,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM src GROUP BY 1)
+    SELECT sd AS day_start_us, n, cents
+    FROM day CROSS JOIN wm
+    WHERE sd + 86400000000 <= wm.w
+    """,
+)
+def stream_dedup_agg(spark, sf):
+    """dropDuplicates -> windowed aggregation chained in ONE
+    streaming query — the OTHER multiple-stateful-operator topology
+    (stream_chained_windows is agg -> agg; this is the
+    exactly-once-metrics shape every at-least-once feed needs:
+    upstream retries duplicate events, the dedup operator absorbs
+    them by key within the watermark, and the downstream day window
+    aggregates the deduplicated stream without an intermediate
+    sink). The face FABRICATES the duplicates (every third event
+    appended twice — the input is provably at-least-once), dedups
+    on (event_id, ets) with a 1-hour watermark, rolls into day
+    windows, and the twin is DISTINCT-then-aggregate in batch SQL:
+    equality proves the dedup state absorbed every duplicate BEFORE
+    the window state counted it — double-counting would inflate n
+    on exactly the fabricated third. Emission rule as
+    stream_window (day end <= ms-floored watermark). State bound:
+    dedup keys evicted past the watermark, one row per open day
+    window downstream."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    name = f"stream_dedup_agg_{next(_STREAM_Q_COUNTER)}"
+    schema = t(spark, sf, "events").schema
+    with tempfile.TemporaryDirectory(prefix="stream_ddagg_") as tmp:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "00_events.parquet"),
+        )
+        dup_dir = os.path.join(tmp, "dups")
+        (
+            t(spark, sf, "events")
+            .filter(F.col("event_id") % 3 == 0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dup_dir)
+        )
+        part = glob.glob(os.path.join(dup_dir, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src_dir, "01_dups.parquet"))
+        src = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+            .select(
+                "event_id",
+                F.col("ts").cast("timestamp").alias("ets"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .withWatermark("ets", "1 hour")
+        )
+        dd = src.dropDuplicates(["event_id", "ets"])
+        day = dd.groupBy(F.window("ets", "1 day")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        out = day.select(
+            F.unix_micros(F.col("window.start")).alias("day_start_us"),
+            "n",
+            "cents",
+        )
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)

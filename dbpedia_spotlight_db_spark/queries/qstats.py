@@ -6219,3 +6219,121 @@ def events_its(spark, sf):
             + F.lit(0.0)
         ).alias("level_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 138: Bowker symmetry test — k x k transition symmetry,
+# per-pair micros terms
+# ---------------------------------------------------------------------------
+@q(
+    "stat_bowker",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    tr AS (
+      SELECT event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS b
+      FROM seq),
+    cells AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tr WHERE b IS NOT NULL GROUP BY a, b),
+    pairs AS (
+      SELECT LEAST(a, b) AS i, GREATEST(a, b) AS j,
+             CAST(SUM(CASE WHEN a < b THEN n ELSE 0 END) AS BIGINT)
+               AS nij,
+             CAST(SUM(CASE WHEN a > b THEN n ELSE 0 END) AS BIGINT)
+               AS nji
+      FROM cells WHERE a <> b GROUP BY LEAST(a, b), GREATEST(a, b)),
+    terms AS (
+      SELECT CAST(round(1000000.0 * (nij - nji) * (nij - nji)
+                        / (nij + nji)) AS BIGINT) AS t_mic
+      FROM pairs WHERE nij + nji > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(COALESCE(SUM(t_mic), 0) AS BIGINT) AS chi2_mic,
+           round(COALESCE(SUM(t_mic), 0) / 1000000.0, 6) + 0 AS chi2
+    FROM terms
+    """,
+)
+def stat_bowker(spark, sf):
+    """Bowker's symmetry test — the k x k generalization of
+    stat_mcnemar, applied to the user transition matrix
+    events_markov estimates: is traffic between every pair of event
+    types BALANCED (n_ij = n_ji), or does the session flow have a
+    direction (clicks feed purchases more than purchases feed
+    clicks)? Each unordered pair contributes (n_ij - n_ji)^2 /
+    (n_ij + n_ji) — an exact-integer numerator over an exact-integer
+    denominator, micros-quantized per pair (the stat_cmh
+    discipline) and summed exactly; df = the number of pairs with
+    any traffic, chi2 the one final float. The pair relation is the
+    transition-cell table LEFT-joined to its own transpose on
+    a < b — cells are |types|^2-bounded, so everything after the
+    one corpus scan (LEAD over per-user sessions — many small
+    user-partitioned windows, the scale-sane shape) is constant-
+    sized — pairs come from a LEAST/GREATEST symmetrize-groupBy of
+    the cell table (NOT a self-join filtered on a < b, whose first
+    draft silently DROPPED any pair with traffic only in the
+    reverse direction — caught by the replay test on the general
+    case before the dense fixture could hide it). The asymmetry
+    claim is pinned positively: the synthetic feed IS directional
+    (chi2 > 0, df = 10)."""
+    seq = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    tr = seq.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("b"),
+    )
+    cells = (
+        tr.filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    cells = parquet_checkpoint(cells, "bowker_cells")
+    pairs = (
+        cells.filter(F.col("a") != F.col("b"))
+        .groupBy(
+            F.least("a", "b").alias("i"),
+            F.greatest("a", "b").alias("j"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("a") < F.col("b"), F.col("n")).otherwise(0)
+            )
+            .cast("long")
+            .alias("nij"),
+            F.sum(
+                F.when(F.col("a") > F.col("b"), F.col("n")).otherwise(0)
+            )
+            .cast("long")
+            .alias("nji"),
+        )
+    )
+    terms = pairs.filter(F.col("nij") + F.col("nji") > 0).select(
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("nij") - F.col("nji"))
+            * (F.col("nij") - F.col("nji"))
+            / (F.col("nij") + F.col("nji"))
+        )
+        .cast("long")
+        .alias("t_mic")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.coalesce(F.sum("t_mic"), F.lit(0))
+        .cast("long")
+        .alias("chi2_mic"),
+        (
+            F.round(
+                F.coalesce(F.sum("t_mic"), F.lit(0)) / F.lit(1000000.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("chi2"),
+    )
