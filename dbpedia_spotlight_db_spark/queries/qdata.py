@@ -2829,3 +2829,67 @@ def udf_window_bounded(spark, sf):
         "event_id",
         psum3(F.col("cents")).over(w).alias("roll3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 139: language-ID confusion matrix — the labeler graded
+# against the corpus labels
+# ---------------------------------------------------------------------------
+def _lang_confusion_sql() -> str:
+    s = {
+        lang: "len(list_intersect(ws, ["
+        + ", ".join(f"'{w}'" for w in ws)
+        + "]))"
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    return rf"""
+    WITH b AS (SELECT doc_id, lang,
+                      string_split_regex(lower(text), '\s+') AS ws
+               FROM documents),
+    sc AS (SELECT doc_id, lang, {s['en']} AS s_en, {s['fr']} AS s_fr,
+                  {s['es']} AS s_es, {s['de']} AS s_de FROM b),
+    g AS (SELECT lang,
+           CASE WHEN s_en = 0 AND s_fr = 0 AND s_es = 0 AND s_de = 0
+                THEN 'und'
+                WHEN s_de > s_es AND s_de > s_fr AND s_de > s_en
+                THEN 'de'
+                WHEN s_es > s_fr AND s_es > s_en THEN 'es'
+                WHEN s_fr > s_en THEN 'fr'
+                ELSE 'en' END AS guess
+          FROM sc)
+    SELECT lang, guess, CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY lang, guess
+    """
+
+
+@q("text_langid_confusion", _lang_confusion_sql())
+def text_langid_confusion(spark, sf):
+    """Language-ID confusion matrix — text_langid's n-gram-marker
+    heuristic graded against the corpus's own lang labels, the
+    evaluation every routing decision (T1 sends documents to
+    per-language pipelines) should see before trusting the
+    labeler: the diagonal is per-class recall mass, off-diagonal
+    cells name exactly WHICH languages bleed into which, and the
+    zh column is the census's known blind spot (the fixture's zh
+    shard is LATIN-script — the text_script_mix lesson — so the
+    marker heuristic cannot see it and the matrix REPORTS that
+    honestly as zh rows landing off-diagonal). One scan, map-side
+    guess derivation (the same langid_ngram_col the routing path
+    uses — grading the PRODUCTION function, not a reimplementation),
+    one |langs|^2-bounded aggregate. On the synthetic corpus the
+    report is damning and HONEST: only en's markers ever fire (the
+    synthetic fr/es/de texts carry no marker stopwords), so every
+    non-en row lands off-diagonal — exactly the evidence that
+    disqualifies the heuristic for this corpus, which is what a
+    confusion face is for; zh is additionally never PREDICTED (no
+    zh markers by design). The test pins those truths."""
+    from ..functions.text import langid_ngram_col
+
+    return (
+        t(spark, sf, "documents")
+        .select(
+            "lang", langid_ngram_col(F.col("text")).alias("guess")
+        )
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
