@@ -6337,3 +6337,162 @@ def stat_bowker(spark, sf):
             + F.lit(0.0)
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 140: seasonal Mann–Kendall — per-weekday trend signs summed
+# across seasons
+# ---------------------------------------------------------------------------
+@q(
+    "stat_seasonal_mk",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    lab AS (
+      SELECT day, cents, CAST((day + 4) % 7 AS BIGINT) AS season
+      FROM daily),
+    pairs AS (
+      SELECT a.season,
+             CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sg
+      FROM lab a JOIN lab b
+        ON b.season = a.season AND b.day > a.day),
+    per AS (
+      SELECT l.season,
+             CAST(COUNT(DISTINCT l.day) AS BIGINT) AS n,
+             (SELECT CAST(COALESCE(SUM(p.sg), 0) AS BIGINT)
+              FROM pairs p WHERE p.season = l.season) AS s,
+             (SELECT CAST(COALESCE(SUM(tc * (tc - 1) * (2 * tc + 5)),
+                                   0) AS BIGINT)
+              FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tc
+                    FROM lab x WHERE x.season = l.season
+                    GROUP BY x.cents) z) AS tcor
+      FROM lab l GROUP BY l.season),
+    tot AS (
+      SELECT CAST(SUM(s) AS BIGINT) AS s_tot,
+             CAST(SUM(n * (n - 1) * (2 * n + 5) - tcor) AS BIGINT)
+               AS var18,
+             CAST(COUNT(*) AS BIGINT) AS n_seasons
+      FROM per)
+    SELECT n_seasons, s_tot, var18,
+           CASE WHEN var18 <= 0 THEN NULL
+                ELSE round((s_tot - CASE WHEN s_tot > 0 THEN 1
+                                         WHEN s_tot < 0 THEN -1
+                                         ELSE 0 END)
+                           / sqrt(var18 / 18.0), 6) + 0
+           END AS z
+    FROM tot
+    """,
+)
+def stat_seasonal_mk(spark, sf):
+    """Seasonal Mann-Kendall — stat_mann_kendall computed WITHIN
+    each day-of-week stratum and summed (Hirsch-Slack): pairs are
+    only formed between same-weekday observations, so the weekly
+    cycle the plain MK would read as noise (or worse, as trend when
+    the calendar ends mid-week) cancels by construction — the
+    standard trend test for any series with a known season. Each
+    season's S and tie-corrected 18*Var are the exact integers of
+    the parent face (per-season pairwise self-joins on the bounded
+    calendar — 7 strata of ~4 days each at a month); under
+    independence across seasons they SUM exactly, and the
+    continuity-corrected z is the only float. Day-of-week from pure
+    epoch arithmetic, (day+4)%7 (epoch day 0 = Thursday -> +4 makes
+    Sunday 0), never dayofweek() (the events_heatmap trap). The
+    identity pinned in tests: per-season S values summed equal the
+    replayed total, and the seasonal z differs from the plain MK z
+    (the deseasonalization did something)."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    lab = parquet_checkpoint(
+        daily.select(
+            "day", "cents", ((F.col("day") + 4) % 7).alias("season")
+        ),
+        "smk_lab",
+    )
+    a = lab.alias("a")
+    b = lab.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.season") == F.col("a.season"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.season").alias("season"),
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .when(F.col("b.cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+        .alias("sg"),
+    )
+    s_per = pairs.groupBy("season").agg(
+        F.coalesce(F.sum("sg"), F.lit(0)).cast("long").alias("s")
+    )
+    n_per = lab.groupBy("season").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t_per = (
+        lab.groupBy("season", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .groupBy("season")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tc")
+                    * (F.col("tc") - 1)
+                    * (2 * F.col("tc") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tcor")
+        )
+    )
+    per = (
+        n_per.join(s_per, "season", "left")
+        .join(t_per, "season", "left")
+        .select(
+            "season",
+            "n",
+            F.coalesce("s", F.lit(0)).alias("s"),
+            F.coalesce("tcor", F.lit(0)).alias("tcor"),
+        )
+    )
+    tot = per.agg(
+        F.sum("s").cast("long").alias("s_tot"),
+        F.sum(
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tcor")
+        )
+        .cast("long")
+        .alias("var18"),
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+    )
+    s_tot, var18 = F.col("s_tot"), F.col("var18")
+    sgn = F.when(s_tot > 0, 1).when(s_tot < 0, -1).otherwise(0)
+    return tot.select(
+        "n_seasons",
+        "s_tot",
+        "var18",
+        F.when(var18 <= 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round((s_tot - sgn) / F.sqrt(var18 / F.lit(18.0)), 6)
+            + F.lit(0.0)
+        )
+        .alias("z"),
+    )
