@@ -6496,3 +6496,250 @@ def stat_seasonal_mk(spark, sf):
         )
         .alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 141: Cliff's delta — ordinal effect size on the shared value grid
+# ---------------------------------------------------------------------------
+@q(
+    "stat_cliff_delta",
+    """
+    WITH lab AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS ina
+      FROM events WHERE value IS NOT NULL),
+    cells AS (
+      SELECT v, CAST(SUM(ina) AS BIGINT) AS na_v,
+             CAST(SUM(1 - ina) AS BIGINT) AS nb_v
+      FROM lab GROUP BY v),
+    cum AS (
+      SELECT v, na_v, nb_v,
+             CAST(SUM(nb_v) OVER (ORDER BY v) AS BIGINT) AS cb,
+             CAST(SUM(na_v) OVER () AS BIGINT) AS na,
+             CAST(SUM(nb_v) OVER () AS BIGINT) AS nb
+      FROM cells),
+    terms AS (
+      SELECT na, nb,
+             CAST(na_v * (cb - nb_v) AS BIGINT) AS gt_t,
+             CAST(na_v * (nb - cb) AS BIGINT) AS lt_t
+      FROM cum)
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(COALESCE(SUM(gt_t), 0) AS BIGINT) AS n_gt,
+           CAST(COALESCE(SUM(lt_t), 0) AS BIGINT) AS n_lt,
+           CASE WHEN MAX(na) = 0 OR MAX(nb) = 0 THEN NULL
+                ELSE round(CAST(COALESCE(SUM(gt_t), 0)
+                                - COALESCE(SUM(lt_t), 0) AS DOUBLE)
+                           / (CAST(MAX(na) AS DOUBLE) * MAX(nb)),
+                           6) + 0
+           END AS delta
+    FROM terms
+    """,
+)
+def stat_cliff_delta(spark, sf):
+    """Cliff's delta — the ordinal effect size the Mann-Whitney test
+    leaves on the table: delta = (#(x>y) - #(x<y)) / (m*n) over all
+    A x B pairs, the probability a random A value exceeds a random B
+    value minus the reverse. The naive spelling is a quadratic cross
+    join; on the shared value grid (the stat_cvm / stat_wasserstein
+    cells->cumulative machinery) each distinct cents value v
+    contributes na_v * #(B strictly below v) concordant and
+    na_v * #(B strictly above v) discordant pairs, both exact
+    BIGINTs from ONE cumulative window over the support-sized cells
+    relation — ties contribute to neither side, exactly per the
+    definition. Groups are the stat_ttest md5 halves, so on the
+    shared-distribution fixture delta sits near 0 (pinned in tests
+    against a brute-force pair count). One corpus scan, one window
+    chain; at 100 TB the grid is |distinct cents| rows, not |rows|."""
+    lab = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+            F.when(
+                F.substring(
+                    F.md5(F.col("event_id").cast("string")), 1, 1
+                )
+                < "8",
+                1,
+            )
+            .otherwise(0)
+            .alias("ina"),
+        )
+    )
+    cells = lab.groupBy("v").agg(
+        F.sum("ina").cast("long").alias("na_v"),
+        F.sum(F.lit(1) - F.col("ina")).cast("long").alias("nb_v"),
+    )
+    wcum = Window.orderBy("v")
+    wall = Window.partitionBy()
+    cum = cells.select(
+        "na_v",
+        "nb_v",
+        F.sum("nb_v").over(wcum).cast("long").alias("cb"),
+        F.sum("na_v").over(wall).cast("long").alias("na"),
+        F.sum("nb_v").over(wall).cast("long").alias("nb"),
+    )
+    terms = cum.select(
+        "na",
+        "nb",
+        (F.col("na_v") * (F.col("cb") - F.col("nb_v")))
+        .cast("long")
+        .alias("gt_t"),
+        (F.col("na_v") * (F.col("nb") - F.col("cb")))
+        .cast("long")
+        .alias("lt_t"),
+    )
+    gt = F.coalesce(F.sum("gt_t"), F.lit(0)).cast("long")
+    lt = F.coalesce(F.sum("lt_t"), F.lit(0)).cast("long")
+    return terms.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        gt.alias("n_gt"),
+        lt.alias("n_lt"),
+        F.when(
+            (F.max("na") == 0) | (F.max("nb") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (gt - lt).cast("double")
+                / (F.max("na").cast("double") * F.max("nb")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 141: Fleiss' kappa — multi-rater agreement on first-3-events panels
+# ---------------------------------------------------------------------------
+@q(
+    "stat_fleiss_kappa",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events),
+    cells AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM r WHERE rn <= 3 AND cnt >= 3
+      GROUP BY 1, 2),
+    it AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nn,
+             CAST(COALESCE(SUM(n * n), 0) AS BIGINT) AS ssq
+      FROM cells),
+    cj AS (
+      SELECT CAST(COALESCE(SUM(c * c), 0) AS BIGINT) AS s2
+      FROM (SELECT CAST(SUM(n) AS BIGINT) AS c
+            FROM cells GROUP BY event_type) z)
+    SELECT nn AS n_items,
+           CAST(ssq - 3 * nn AS BIGINT) AS a_excess,
+           s2,
+           CASE WHEN nn = 0 THEN NULL
+                ELSE round(CAST(ssq - 3 * nn AS DOUBLE)
+                           / (6.0 * nn), 6) + 0 END AS p_o,
+           CASE WHEN nn = 0 THEN NULL
+                ELSE round(CAST(s2 AS DOUBLE)
+                           / (9.0 * nn * nn), 6) + 0 END AS p_e,
+           CASE WHEN nn = 0 OR 9 * nn * nn - s2 = 0 THEN NULL
+                ELSE round(CAST(3 * nn * (ssq - 3 * nn)
+                                - 2 * s2 AS DOUBLE)
+                           / CAST(2 * (9 * nn * nn - s2)
+                                  AS DOUBLE), 6) + 0
+           END AS kappa
+    FROM it, cj
+    """,
+)
+def stat_fleiss_kappa(spark, sf):
+    """Fleiss' kappa — chance-corrected agreement for a FIXED number
+    of raters per item (Cohen/ml_cohen_kappa handles exactly 2
+    paired raters; Fleiss handles n anonymous ratings per item).
+    Items are users, the n=3 ratings are each user's FIRST three
+    event types in (ts, event_id) order (a total order — engine-
+    identical panel), users with fewer than 3 events dropped so n is
+    constant as the statistic requires. With n=3 every per-item
+    agreement P_i = (sum_j n_ij^2 - 3)/6 is an exact rational, so
+    cross-multiplying clears ALL divisions: kappa =
+    (3N*A - 2*S2) / (2*(9N^2 - S2)) with A = sum n_ij^2 - 3N and
+    S2 = sum_j c_j^2 — three exact BIGINTs and one final float.
+    The per-(item,category) cell relation is computed once and
+    checkpointed for its two consumers (item moments + category
+    marginals; the per-branch column-pruning double-scan lesson).
+    Degenerate guard: all ratings one category makes the chance
+    denominator zero -> NULL (ANSI divide). At corpus scale the
+    window is per-user (bounded partitions) and everything after
+    the first groupBy is |users x types|-sized."""
+    from ..operators.dedup import parquet_checkpoint
+
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    rated = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .filter((F.col("rn") <= 3) & (F.col("cnt") >= 3))
+    )
+    cells = parquet_checkpoint(
+        rated.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ),
+        "fleiss_cells",
+    )
+    it = cells.agg(
+        F.countDistinct("user_id").cast("long").alias("nn"),
+        F.coalesce(F.sum(F.col("n") * F.col("n")), F.lit(0))
+        .cast("long")
+        .alias("ssq"),
+    )
+    cj = (
+        cells.groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0))
+            .cast("long")
+            .alias("s2")
+        )
+    )
+    j = it.crossJoin(cj)
+    nn, ssq, s2 = F.col("nn"), F.col("ssq"), F.col("s2")
+    a_exc = (ssq - 3 * nn).cast("long")
+    return j.select(
+        nn.alias("n_items"),
+        a_exc.alias("a_excess"),
+        s2.alias("s2"),
+        F.when(nn == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(a_exc.cast("double") / (F.lit(6.0) * nn), 6)
+            + F.lit(0.0)
+        )
+        .alias("p_o"),
+        F.when(nn == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(s2.cast("double") / (F.lit(9.0) * nn * nn), 6)
+            + F.lit(0.0)
+        )
+        .alias("p_e"),
+        F.when(
+            (nn == 0) | (9 * nn * nn - s2 == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (3 * nn * a_exc - 2 * s2).cast("double")
+                / (2 * (9 * nn * nn - s2)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("kappa"),
+    )
