@@ -6743,3 +6743,321 @@ def stat_fleiss_kappa(spark, sf):
         )
         .alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 142: Somers' D / gamma / tau-b — ordinal association in one grid pass
+# ---------------------------------------------------------------------------
+@q(
+    "stat_somers_d",
+    """
+    WITH o AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders),
+    cells AS (
+      SELECT v,
+             CAST(COUNT(*) FILTER (WHERE x = 1) AS BIGINT) AS n1,
+             CAST(COUNT(*) FILTER (WHERE x = 2) AS BIGINT) AS n2,
+             CAST(COUNT(*) FILTER (WHERE x = 3) AS BIGINT) AS n3,
+             CAST(COUNT(*) FILTER (WHERE x = 4) AS BIGINT) AS n4,
+             CAST(COUNT(*) FILTER (WHERE x = 5) AS BIGINT) AS n5
+      FROM o GROUP BY v),
+    cum AS (
+      SELECT n1, n2, n3, n4, n5,
+             CAST(n1 + n2 + n3 + n4 + n5 AS BIGINT) AS ny,
+             CAST(SUM(n1) OVER w AS BIGINT) AS c1,
+             CAST(SUM(n2) OVER w AS BIGINT) AS c2,
+             CAST(SUM(n3) OVER w AS BIGINT) AS c3,
+             CAST(SUM(n4) OVER w AS BIGINT) AS c4,
+             CAST(SUM(n1) OVER () AS BIGINT) AS t1,
+             CAST(SUM(n2) OVER () AS BIGINT) AS t2,
+             CAST(SUM(n3) OVER () AS BIGINT) AS t3,
+             CAST(SUM(n4) OVER () AS BIGINT) AS t4,
+             CAST(SUM(n5) OVER () AS BIGINT) AS t5
+      FROM cells
+      WINDOW w AS (ORDER BY v)),
+    terms AS (
+      SELECT ny, n1, n2, n3, n4, n5, t1, t2, t3, t4, t5,
+             CAST(n2 * (2 * c1 - n1 - t1)
+                + n3 * (2 * c1 - n1 - t1 + 2 * c2 - n2 - t2)
+                + n4 * (2 * c1 - n1 - t1 + 2 * c2 - n2 - t2
+                        + 2 * c3 - n3 - t3)
+                + n5 * (2 * c1 - n1 - t1 + 2 * c2 - n2 - t2
+                        + 2 * c3 - n3 - t3 + 2 * c4 - n4 - t4)
+               AS BIGINT) AS s_t
+      FROM cum),
+    agg AS (
+      SELECT CAST(MAX(t1 + t2 + t3 + t4 + t5) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(s_t), 0) AS BIGINT) AS s,
+             CAST(MAX(t1 * (t1 - 1) / 2 + t2 * (t2 - 1) / 2
+                      + t3 * (t3 - 1) / 2 + t4 * (t4 - 1) / 2
+                      + t5 * (t5 - 1) / 2) AS BIGINT) AS tx,
+             CAST(COALESCE(SUM(ny * (ny - 1) / 2), 0) AS BIGINT)
+               AS ty,
+             CAST(COALESCE(SUM(n1 * (n1 - 1) / 2 + n2 * (n2 - 1) / 2
+                               + n3 * (n3 - 1) / 2
+                               + n4 * (n4 - 1) / 2
+                               + n5 * (n5 - 1) / 2), 0) AS BIGINT)
+               AS txy
+      FROM terms)
+    SELECT n, s, tx, ty, txy,
+           CASE WHEN n IS NULL THEN NULL
+                WHEN n * (n - 1) / 2 - tx - ty + txy = 0 THEN NULL
+                ELSE round(CAST(s AS DOUBLE)
+                           / (n * (n - 1) / 2 - tx - ty + txy), 6)
+                     + 0 END AS gamma,
+           CASE WHEN n IS NULL THEN NULL
+                WHEN n * (n - 1) / 2 - tx = 0 THEN NULL
+                ELSE round(CAST(s AS DOUBLE)
+                           / (n * (n - 1) / 2 - tx), 6) + 0
+           END AS d_yx,
+           CASE WHEN n IS NULL THEN NULL
+                WHEN n * (n - 1) / 2 - tx = 0
+                     OR n * (n - 1) / 2 - ty = 0 THEN NULL
+                ELSE round(CAST(s AS DOUBLE)
+                           / (sqrt(CAST(n * (n - 1) / 2 - tx
+                                        AS DOUBLE))
+                              * sqrt(CAST(n * (n - 1) / 2 - ty
+                                          AS DOUBLE))), 6) + 0
+           END AS tau_b
+    FROM agg
+    """,
+)
+def stat_somers_d(spark, sf):
+    """Somers' D, Goodman-Kruskal gamma, and Kendall tau-b between
+    order priority (5 ordinal classes) and order value — the three
+    standard ordinal-association coefficients, all from ONE pass
+    over the price-support grid. The naive spelling is the n^2 pair
+    census; here the Kendall S statistic folds per grid row: a
+    class-b order at price v pairs concordantly with every lower-
+    class order strictly below v and discordantly with every one
+    strictly above, so S = sum over rows of
+    n_b * (2*cum_a - n_a - tot_a) summed over the 10 ordered class
+    pairs — five cumulative windows over ONE ordering (the
+    stat_jonckheere grid-ECDF machinery widened to pairwise
+    classes). Tie masses T_X (same class), T_Y (same price), T_XY
+    (both) are closed-form from the same relation, giving gamma =
+    S/(P-TX-TY+TXY), D(Y|X) = S/(P-TX), tau_b =
+    S/sqrt((P-TX)(P-TY)) — every numerator and denominator an exact
+    BIGINT except tau_b's sqrt, taken in DOUBLE in identical op
+    order on both engines because (P-TX)(P-TY) ~ 1e20 overflows
+    BIGINT at sf0.1 (the stat_mahalanobis square-in-double
+    precedent). Tested against a brute-force quadratic pair census.
+    At 100 TB the grid is |distinct cents| rows and the class count
+    is fixed, so the window chain stays support-sized."""
+    o = t(spark, sf, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    ns = [
+        F.sum(F.when(F.col("x") == k, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n{k}")
+        for k in range(1, 6)
+    ]
+    cells = o.groupBy("v").agg(*ns)
+    wcum = Window.orderBy("v")
+    wall = Window.partitionBy()
+    cum = cells.select(
+        *[F.col(f"n{k}") for k in range(1, 6)],
+        sum(F.col(f"n{k}") for k in range(1, 6))
+        .cast("long")
+        .alias("ny"),
+        *[
+            F.sum(f"n{k}").over(wcum).cast("long").alias(f"c{k}")
+            for k in range(1, 5)
+        ],
+        *[
+            F.sum(f"n{k}").over(wall).cast("long").alias(f"t{k}")
+            for k in range(1, 6)
+        ],
+    )
+    run = [
+        (
+            2 * F.col(f"c{a}") - F.col(f"n{a}") - F.col(f"t{a}")
+        )
+        for a in range(1, 5)
+    ]
+    s_t = sum(
+        F.col(f"n{b}") * sum(run[: b - 1])
+        for b in range(2, 6)
+    ).cast("long")
+    terms = cum.select(
+        "ny",
+        *[F.col(f"n{k}") for k in range(1, 6)],
+        *[F.col(f"t{k}") for k in range(1, 6)],
+        s_t.alias("s_t"),
+    )
+    tot = sum(F.max(f"t{k}") for k in range(1, 6)).cast("long")
+    tx = sum(
+        F.max(F.col(f"t{k}") * (F.col(f"t{k}") - 1) / 2)
+        for k in range(1, 6)
+    ).cast("long")
+    txy = F.coalesce(
+        F.sum(
+            sum(
+                F.col(f"n{k}") * (F.col(f"n{k}") - 1) / 2
+                for k in range(1, 6)
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    agg = terms.agg(
+        tot.alias("n"),
+        F.coalesce(F.sum("s_t"), F.lit(0)).cast("long").alias("s"),
+        tx.alias("tx"),
+        F.coalesce(
+            F.sum(F.col("ny") * (F.col("ny") - 1) / 2), F.lit(0)
+        )
+        .cast("long")
+        .alias("ty"),
+        txy.alias("txy"),
+    )
+    n, s = F.col("n"), F.col("s")
+    p = (n * (n - 1) / 2).cast("long")
+    cd = p - F.col("tx") - F.col("ty") + F.col("txy")
+    px = p - F.col("tx")
+    py = p - F.col("ty")
+    return agg.select(
+        "n",
+        "s",
+        "tx",
+        "ty",
+        "txy",
+        F.when(n.isNull() | (cd == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(s.cast("double") / cd, 6) + F.lit(0.0))
+        .alias("gamma"),
+        F.when(n.isNull() | (px == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(s.cast("double") / px, 6) + F.lit(0.0))
+        .alias("d_yx"),
+        F.when(
+            n.isNull() | (px == 0) | (py == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                s.cast("double")
+                / (
+                    F.sqrt(px.cast("double"))
+                    * F.sqrt(py.cast("double"))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 142: Kuiper's V vs the discrete md5-bucket uniform
+# ---------------------------------------------------------------------------
+@q(
+    "stat_kuiper",
+    """
+    WITH b AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+               ::UBIGINT AS bk
+      FROM documents),
+    c AS (
+      SELECT bk, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bk),
+    e AS (
+      SELECT bk, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bk) AS BIGINT) AS k,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM c),
+    d AS (
+      SELECT n,
+             CAST(256 * k - n * (bk + 1) AS BIGINT) AS up_t,
+             CAST(n * bk - 256 * (k - cnt) AS BIGINT) AS dn_t
+      FROM e),
+    agg AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(GREATEST(COALESCE(MAX(up_t), 0), 0) AS BIGINT)
+               AS d_plus_num,
+             CAST(GREATEST(COALESCE(MAX(dn_t), 0), 0) AS BIGINT)
+               AS d_minus_num
+      FROM d)
+    SELECT n, d_plus_num, d_minus_num,
+           CASE WHEN n IS NULL OR n = 0 THEN NULL
+                ELSE round(CAST(d_plus_num + d_minus_num AS DOUBLE)
+                           / (256.0 * n), 6) + 0 END AS v_stat,
+           CASE WHEN n IS NULL OR n = 0 THEN NULL
+                ELSE round(CAST(d_plus_num + d_minus_num AS DOUBLE)
+                           / (256.0 * n), 6)
+                     < round(2.001 / sqrt(CAST(n AS DOUBLE)), 6)
+           END AS uniform_ok
+    FROM agg
+    """,
+)
+def stat_kuiper(spark, sf):
+    """Kuiper's V against the 256-bucket md5 uniform — the CIRCULAR
+    companion to stat_ks_uniform: V = D+ + D- is invariant under
+    cyclic rotation of the domain, so it has equal power at every
+    bucket offset where KS concentrates power at the median and
+    goes blind near the wrap point (the right test when the hash
+    byte feeds a ring — consistent-hash sharding, modulo
+    partitioning). Both one-sided sups are exact cross-multiplied
+    integers on the bucket grid: F_n - U maximizes just AFTER a
+    step (256k - n(b+1)) and U - F_n just BEFORE one (nb -
+    256(k - cnt)); flat stretches between occupied buckets are
+    covered because each gap's endpoints are the adjacent
+    evaluation points (U is linear between steps). The alpha=0.01
+    acceptance compares ROUNDED identical expressions (2.001/sqrt(n)
+    asymptotic critical value as an embedded literal, the
+    stat_wilson_ci discipline); uniform_ok is pinned TRUE in the
+    replay — if md5's first byte ever drifts, every ring-sharded
+    face upstream is suspect. One scan to 256 cells, one window."""
+    b = t(spark, sf, "documents").select(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("bk")
+    )
+    c = b.groupBy("bk").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    e = c.select(
+        "bk",
+        "cnt",
+        F.sum("cnt").over(Window.orderBy("bk")).cast("long").alias("k"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    d = e.select(
+        "n",
+        (256 * F.col("k") - F.col("n") * (F.col("bk") + 1))
+        .cast("long")
+        .alias("up_t"),
+        (F.col("n") * F.col("bk") - 256 * (F.col("k") - F.col("cnt")))
+        .cast("long")
+        .alias("dn_t"),
+    )
+    agg = d.agg(
+        F.max("n").cast("long").alias("n"),
+        F.greatest(F.coalesce(F.max("up_t"), F.lit(0)), F.lit(0))
+        .cast("long")
+        .alias("d_plus_num"),
+        F.greatest(F.coalesce(F.max("dn_t"), F.lit(0)), F.lit(0))
+        .cast("long")
+        .alias("d_minus_num"),
+    )
+    n = F.col("n")
+    v = (F.col("d_plus_num") + F.col("d_minus_num")).cast("double") / (
+        F.lit(256.0) * n
+    )
+    return agg.select(
+        "n",
+        "d_plus_num",
+        "d_minus_num",
+        F.when(n.isNull() | (n == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(v, 6) + F.lit(0.0))
+        .alias("v_stat"),
+        F.when(n.isNull() | (n == 0), F.lit(None).cast("boolean"))
+        .otherwise(
+            F.round(v, 6)
+            < F.round(F.lit(2.001) / F.sqrt(n.cast("double")), 6)
+        )
+        .alias("uniform_ok"),
+    )
