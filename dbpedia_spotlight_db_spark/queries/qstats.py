@@ -7061,3 +7061,299 @@ def stat_kuiper(spark, sf):
         )
         .alias("uniform_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 143: Dickey-Fuller unit-root t on the daily revenue series
+# ---------------------------------------------------------------------------
+@q(
+    "stat_df_unit_root",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) // 100000 AS kd
+      FROM orders GROUP BY 1),
+    lagged AS (
+      SELECT day, kd,
+             LAG(day) OVER (ORDER BY day) AS pday,
+             LAG(kd) OVER (ORDER BY day) AS pkd
+      FROM daily),
+    pairs AS (
+      SELECT CAST(pkd AS BIGINT) AS x,
+             CAST(kd - pkd AS BIGINT) AS dy
+      FROM lagged WHERE pday IS NOT NULL AND day - pday = 1),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+             CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sx,
+             CAST(COALESCE(SUM(dy), 0) AS BIGINT) AS sy,
+             CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS sxx,
+             CAST(COALESCE(SUM(x * dy), 0) AS BIGINT) AS sxy,
+             CAST(COALESCE(SUM(dy * dy), 0) AS BIGINT) AS syy
+      FROM pairs),
+    f AS (
+      SELECT n2,
+             CAST(n2 * sxy - sx * sy AS BIGINT) AS a,
+             CAST(n2 * sxx - sx * sx AS BIGINT) AS b,
+             CAST(n2 * syy - sy * sy AS BIGINT) AS c
+      FROM m)
+    SELECT n2 AS n_pairs, a, b,
+           CASE WHEN b = 0 THEN NULL
+                ELSE round(CAST(a AS DOUBLE) / b, 6) + 0 END AS rho,
+           CASE WHEN n2 < 3 OR b = 0
+                     OR CAST(c AS DOUBLE) * b - CAST(a AS DOUBLE) * a
+                        <= 0 THEN NULL
+                ELSE round(CAST(a AS DOUBLE) * sqrt(n2 - 2.0)
+                           / sqrt(CAST(c AS DOUBLE) * b
+                                  - CAST(a AS DOUBLE) * a), 6) + 0
+           END AS t_df,
+           CASE WHEN n2 < 3 OR b = 0
+                     OR CAST(c AS DOUBLE) * b - CAST(a AS DOUBLE) * a
+                        <= 0 THEN NULL
+                ELSE round(CAST(a AS DOUBLE) * sqrt(n2 - 2.0)
+                           / sqrt(CAST(c AS DOUBLE) * b
+                                  - CAST(a AS DOUBLE) * a), 6)
+                     < -3.43
+           END AS unit_root_rejected
+    FROM f
+    """,
+)
+def stat_df_unit_root(spark, sf):
+    """Dickey-Fuller unit-root t-test on the daily revenue series —
+    the stationarity gate a forecasting pipeline runs before
+    differencing decisions: regress day-over-day change on the
+    lagged LEVEL; under a unit root the level carries no pull-back
+    and t(rho) is near 0, under stationarity rho < 0 with t far
+    below the -3.43 (1%, with-constant) Dickey-Fuller critical
+    value (embedded literal; plain t criticals do NOT apply to this
+    regression — that is the whole point of the DF tables, left to
+    the consumer in the games_howell discipline for other alphas).
+    The OLS t folds to closed form on cross-multiplied integer
+    moments: A = n*Sxy', B = n*Sxx', C = n*Syy' (shift-invariant,
+    so NO centering pass is needed), t = A*sqrt(n-2)/sqrt(C*B-A^2).
+    Revenue is exact integer KILOdollars (SUM(cents) div 100000) so
+    B fits BIGINT at sf1 where dollar-cents moments overflow
+    (n^2*dev^2 ~ 1e21); A^2 ~ 1e30 still overflows anything, so the
+    final assembly is DOUBLE in ONE identical op order from exact
+    integer inputs (the stat_cvm square-in-double discipline).
+    Consecutive-day pairs only (day - prev == 1), LAG over the
+    |days|-sized relation — one corpus scan, support-sized window.
+    The iid-by-day fixture is strongly mean-reverting: rho ~ -1 and
+    unit_root_rejected TRUE are pinned in the replay test."""
+    daily = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate AS TIMESTAMP))"
+                " div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.expr(
+                "sum(cast(round(o_totalprice * 100) AS BIGINT))"
+                " div 100000"
+            )
+            .cast("long")
+            .alias("kd")
+        )
+    )
+    wl = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "kd",
+        F.lag("day").over(wl).alias("pday"),
+        F.lag("kd").over(wl).alias("pkd"),
+    )
+    pairs = lagged.filter(
+        F.col("pday").isNotNull()
+        & (F.col("day") - F.col("pday") == 1)
+    ).select(
+        F.col("pkd").cast("long").alias("x"),
+        (F.col("kd") - F.col("pkd")).cast("long").alias("dy"),
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n2"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("sx"),
+        F.coalesce(F.sum("dy"), F.lit(0)).cast("long").alias("sy"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0))
+        .cast("long")
+        .alias("sxx"),
+        F.coalesce(F.sum(F.col("x") * F.col("dy")), F.lit(0))
+        .cast("long")
+        .alias("sxy"),
+        F.coalesce(F.sum(F.col("dy") * F.col("dy")), F.lit(0))
+        .cast("long")
+        .alias("syy"),
+    )
+    n2 = F.col("n2")
+    f = m.select(
+        n2,
+        (n2 * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("a"),
+        (n2 * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("b"),
+        (n2 * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("long")
+        .alias("c"),
+    )
+    a_d = F.col("a").cast("double")
+    b, c = F.col("b"), F.col("c")
+    disc = c.cast("double") * b - a_d * F.col("a")
+    t_df = F.round(
+        a_d * F.sqrt(n2 - F.lit(2.0)) / F.sqrt(disc), 6
+    )
+    bad = (n2 < 3) | (b == 0) | (disc <= 0)
+    return f.select(
+        n2.alias("n_pairs"),
+        "a",
+        "b",
+        F.when(b == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(a_d / b, 6) + F.lit(0.0))
+        .alias("rho"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(t_df + F.lit(0.0))
+        .alias("t_df"),
+        F.when(bad, F.lit(None).cast("boolean"))
+        .otherwise(t_df < F.lit(-3.43))
+        .alias("unit_root_rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 143: KPSS level-stationarity statistic — exact partial sums
+# ---------------------------------------------------------------------------
+@q(
+    "stat_kpss",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) // 100000 AS kd
+      FROM orders GROUP BY 1),
+    sc AS (
+      SELECT day, kd,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(kd) OVER () AS BIGINT) AS tot
+      FROM daily),
+    e AS (
+      SELECT n, CAST(n * kd - tot AS BIGINT) AS ep,
+             CAST(SUM(n * kd - tot) OVER (ORDER BY day) AS BIGINT)
+               AS sp
+      FROM sc),
+    terms AS (
+      SELECT n,
+             CAST(round((CAST(ep AS DOUBLE) / 1000.0)
+                        * (CAST(ep AS DOUBLE) / 1000.0))
+                  AS BIGINT) AS e_q,
+             CAST(round((CAST(sp AS DOUBLE) / 1000000.0)
+                        * (CAST(sp AS DOUBLE) / 1000000.0))
+                  AS BIGINT) AS s_q
+      FROM e)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(COALESCE(SUM(s_q), 0) AS BIGINT) AS q_num,
+           CAST(COALESCE(SUM(e_q), 0) AS BIGINT) AS q_den,
+           CASE WHEN MAX(n) IS NULL OR COALESCE(SUM(e_q), 0) = 0
+                THEN NULL
+                ELSE round(CAST(SUM(s_q) AS DOUBLE) * 1000000.0
+                           / (CAST(MAX(n) AS DOUBLE) * SUM(e_q)),
+                           6) + 0 END AS eta,
+           CASE WHEN MAX(n) IS NULL OR COALESCE(SUM(e_q), 0) = 0
+                THEN NULL
+                ELSE round(CAST(SUM(s_q) AS DOUBLE) * 1000000.0
+                           / (CAST(MAX(n) AS DOUBLE) * SUM(e_q)),
+                           6) < 0.739
+           END AS level_stationary
+    FROM terms
+    """,
+)
+def stat_kpss(spark, sf):
+    """KPSS level-stationarity statistic (lag-0 long-run variance) —
+    the COMPLEMENT of stat_df_unit_root: DF's null is a unit root,
+    KPSS's null is stationarity, and running both is the standard
+    confirmatory protocol (agree -> confident; disagree -> the
+    series is too short or fractionally integrated). eta = sum_t
+    S_t^2 / (n^2 sigma^2) with S_t the partial sums of demeaned
+    values. Demeaning is EXACT: e'_t = n*y_t - sum(y) (BIGINT, no
+    division), and the cumulative window over the day-ordered
+    support gives S'_t = n*S_t exactly; the n-powers then cancel to
+    eta = sum S'^2 / (n * sum e'^2). The squares cross 2^63 (S' is
+    a random walk reaching ~1e11 at sf0.1, squared 1e22), so each
+    term squares in DOUBLE in identical op order and quantizes to a
+    FIXED grid before the sum — e'^2 to 1e6 units, S'^2 to 1e12
+    units — making both aggregates exact order-independent BIGINTs
+    (the kg_adamic_adar per-term discipline; the two grids rescale
+    to eta = qS*1e6/(n*qE)). Level-stationarity acceptance at the
+    1% critical value 0.739 (embedded literal) compares the ROUNDED
+    statistic; the iid-by-day fixture is stationary, so
+    level_stationary TRUE is pinned — jointly with DF's rejection,
+    the two faces bracket the fixture from both nulls. One scan,
+    two windows over the |days| relation."""
+    daily = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate AS TIMESTAMP))"
+                " div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.expr(
+                "sum(cast(round(o_totalprice * 100) AS BIGINT))"
+                " div 100000"
+            )
+            .cast("long")
+            .alias("kd")
+        )
+    )
+    wall = Window.partitionBy()
+    sc = daily.select(
+        "day",
+        "kd",
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("kd").over(wall).cast("long").alias("tot"),
+    )
+    ep = (F.col("n") * F.col("kd") - F.col("tot")).cast("long")
+    e = sc.select(
+        "n",
+        ep.alias("ep"),
+        F.sum(ep).over(Window.orderBy("day")).cast("long").alias("sp"),
+    )
+    terms = e.select(
+        "n",
+        F.round(
+            (F.col("ep").cast("double") / F.lit(1000.0))
+            * (F.col("ep").cast("double") / F.lit(1000.0))
+        )
+        .cast("long")
+        .alias("e_q"),
+        F.round(
+            (F.col("sp").cast("double") / F.lit(1000000.0))
+            * (F.col("sp").cast("double") / F.lit(1000000.0))
+        )
+        .cast("long")
+        .alias("s_q"),
+    )
+    qs = F.coalesce(F.sum("s_q"), F.lit(0)).cast("long")
+    qe = F.coalesce(F.sum("e_q"), F.lit(0)).cast("long")
+    eta = F.round(
+        qs.cast("double")
+        * F.lit(1000000.0)
+        / (F.max("n").cast("double") * qe),
+        6,
+    )
+    bad = F.max("n").isNull() | (qe == 0)
+    return terms.agg(
+        F.max("n").cast("long").alias("n_days"),
+        qs.alias("q_num"),
+        qe.alias("q_den"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(eta + F.lit(0.0))
+        .alias("eta"),
+        F.when(bad, F.lit(None).cast("boolean"))
+        .otherwise(eta < F.lit(0.739))
+        .alias("level_stationary"),
+    )
