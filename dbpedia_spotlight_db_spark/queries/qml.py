@@ -6756,3 +6756,388 @@ def ml_learning_curve(spark, sf):
         )
         .alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 144: weighted Cohen's kappa — linear + quadratic weights, one grid
+# ---------------------------------------------------------------------------
+@q(
+    "ml_weighted_kappa",
+    """
+    WITH o AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+             CASE WHEN o_totalprice < 50000 THEN 1
+                  WHEN o_totalprice < 100000 THEN 2
+                  WHEN o_totalprice < 200000 THEN 3
+                  WHEN o_totalprice < 300000 THEN 4
+                  ELSE 5 END AS y
+      FROM orders),
+    cells AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+      FROM o GROUP BY 1, 2),
+    rx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS r
+           FROM cells GROUP BY x),
+    cy AS (SELECT y, CAST(SUM(c) AS BIGINT) AS s
+           FROM cells GROUP BY y),
+    grid AS (
+      SELECT rx.x, cy.y, rx.r, cy.s,
+             CAST(COALESCE(cl.c, 0) AS BIGINT) AS o_c,
+             CAST(abs(rx.x - cy.y) AS BIGINT) AS wl,
+             CAST((rx.x - cy.y) * (rx.x - cy.y) AS BIGINT) AS wq
+      FROM rx CROSS JOIN cy
+      LEFT JOIN cells cl ON cl.x = rx.x AND cl.y = cy.y),
+    agg AS (
+      SELECT CAST((SELECT COALESCE(SUM(c), 0) FROM cells) AS BIGINT)
+               AS n,
+             CAST(COALESCE(SUM(wl * o_c), 0) AS BIGINT) AS ol,
+             CAST(COALESCE(SUM(wq * o_c), 0) AS BIGINT) AS oq,
+             CAST(COALESCE(SUM(wl * r * s), 0) AS BIGINT) AS el,
+             CAST(COALESCE(SUM(wq * r * s), 0) AS BIGINT) AS eq
+      FROM grid)
+    SELECT n, ol, oq, el, eq,
+           CASE WHEN n = 0 OR el = 0 THEN NULL
+                ELSE round(1.0 - CAST(n AS DOUBLE) * ol / el, 6) + 0
+           END AS kappa_linear,
+           CASE WHEN n = 0 OR eq = 0 THEN NULL
+                ELSE round(1.0 - CAST(n AS DOUBLE) * oq / eq, 6) + 0
+           END AS kappa_quadratic
+    FROM agg
+    """,
+)
+def ml_weighted_kappa(spark, sf):
+    """Weighted Cohen's kappa (linear AND quadratic weights) between
+    two ordinal raters — order priority (1..5) vs fixed price band
+    (1..5) — the agreement statistic when disagreeing by one class
+    should cost less than disagreeing by four (plain ml_cohen_kappa
+    treats both as identical failures; quadratic-weighted kappa is
+    the ICC-equivalent the ordinal-rating literature reports).
+    kappa_w = 1 - n*sum(w_ij o_ij) / sum(w_ij r_i c_j) — clearing
+    the chance normalization leaves FIVE exact BIGINTs (observed and
+    expected weighted disagreement masses under both weight
+    schemes) and two guarded divisions. The expected mass needs the
+    FULL k x k grid including empty cells (r_i*c_j > 0 where o_ij =
+    0), so the 5x5 grid is the cross join of the two 5-row marginal
+    relations left-joined back to occupied cells — all three
+    derived from one 25-cell checkpointed support, corpus scanned
+    ONCE. The fixture's raters are independent, so both kappas sit
+    in the null bulk near 0 (pinned); the replay test also pins the
+    weighted-vs-unweighted ordering identity on a fabricated
+    near-diagonal battery. Scale shape: everything after the first
+    groupBy is O(k^2) = 25 rows."""
+    from ..operators.dedup import parquet_checkpoint
+
+    o = t(spark, sf, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("x"),
+        F.when(F.col("o_totalprice") < 50000, 1)
+        .when(F.col("o_totalprice") < 100000, 2)
+        .when(F.col("o_totalprice") < 200000, 3)
+        .when(F.col("o_totalprice") < 300000, 4)
+        .otherwise(5)
+        .cast("long")
+        .alias("y"),
+    )
+    cells = parquet_checkpoint(
+        o.groupBy("x", "y").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+        "wkappa_cells",
+    )
+    rx = cells.groupBy("x").agg(F.sum("c").cast("long").alias("r"))
+    cy = cells.groupBy("y").agg(F.sum("c").cast("long").alias("s"))
+    grid = (
+        rx.crossJoin(cy)
+        .join(cells, ["x", "y"], "left")
+        .select(
+            "r",
+            "s",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("o_c"),
+            F.abs(F.col("x") - F.col("y")).cast("long").alias("wl"),
+            ((F.col("x") - F.col("y")) * (F.col("x") - F.col("y")))
+            .cast("long")
+            .alias("wq"),
+        )
+    )
+    n_tot = cells.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n")
+    )
+    agg = grid.agg(
+        F.coalesce(F.sum(F.col("wl") * F.col("o_c")), F.lit(0))
+        .cast("long")
+        .alias("ol"),
+        F.coalesce(F.sum(F.col("wq") * F.col("o_c")), F.lit(0))
+        .cast("long")
+        .alias("oq"),
+        F.coalesce(F.sum(F.col("wl") * F.col("r") * F.col("s")), F.lit(0))
+        .cast("long")
+        .alias("el"),
+        F.coalesce(F.sum(F.col("wq") * F.col("r") * F.col("s")), F.lit(0))
+        .cast("long")
+        .alias("eq"),
+    ).crossJoin(n_tot)
+    n = F.col("n")
+    return agg.select(
+        "n",
+        "ol",
+        "oq",
+        "el",
+        "eq",
+        F.when(
+            (n == 0) | (F.col("el") == 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - n.cast("double") * F.col("ol") / F.col("el"),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("kappa_linear"),
+        F.when(
+            (n == 0) | (F.col("eq") == 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - n.cast("double") * F.col("oq") / F.col("eq"),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("kappa_quadratic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 144: Harrell's concordance index on the user-survival panel
+# ---------------------------------------------------------------------------
+@q(
+    "ml_concordance_index",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+             (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3600000000
+               AS dur,
+             CASE WHEN (SELECT MAX(epoch_us(ts)) FROM events)
+                       - MAX(epoch_us(ts)) < 43200000000
+                  THEN 0 ELSE 1 END AS ev
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    cc AS (
+      SELECT cnt, CAST(COUNT(*) AS BIGINT) AS m FROM u GROUP BY cnt),
+    cw AS (
+      SELECT cnt,
+             CAST(SUM(m) OVER (ORDER BY cnt) AS BIGINT) AS cum,
+             CAST(SUM(m) OVER () AS BIGINT) AS nu
+      FROM cc),
+    cuts AS (
+      SELECT CAST(MIN(CASE WHEN 4 * cum >= nu THEN cnt END)
+                  AS BIGINT) AS q1,
+             CAST(MIN(CASE WHEN 2 * cum >= nu THEN cnt END)
+                  AS BIGINT) AS q2,
+             CAST(MIN(CASE WHEN 4 * cum >= 3 * nu THEN cnt END)
+                  AS BIGINT) AS q3
+      FROM cw),
+    ub AS (
+      SELECT dur, ev,
+             1 + CASE WHEN cnt > q1 THEN 1 ELSE 0 END
+               + CASE WHEN cnt > q2 THEN 1 ELSE 0 END
+               + CASE WHEN cnt > q3 THEN 1 ELSE 0 END AS b
+      FROM u CROSS JOIN cuts),
+    cells AS (
+      SELECT dur,
+             CAST(COUNT(*) FILTER (WHERE b = 1) AS BIGINT) AS n1,
+             CAST(COUNT(*) FILTER (WHERE b = 2) AS BIGINT) AS n2,
+             CAST(COUNT(*) FILTER (WHERE b = 3) AS BIGINT) AS n3,
+             CAST(COUNT(*) FILTER (WHERE b = 4) AS BIGINT) AS n4,
+             CAST(COUNT(*) FILTER (WHERE b = 1 AND ev = 1)
+                  AS BIGINT) AS d1,
+             CAST(COUNT(*) FILTER (WHERE b = 2 AND ev = 1)
+                  AS BIGINT) AS d2,
+             CAST(COUNT(*) FILTER (WHERE b = 3 AND ev = 1)
+                  AS BIGINT) AS d3,
+             CAST(COUNT(*) FILTER (WHERE b = 4 AND ev = 1)
+                  AS BIGINT) AS d4
+      FROM ub GROUP BY dur),
+    cum AS (
+      SELECT d1, d2, d3, d4,
+             CAST(SUM(n1) OVER () - SUM(n1) OVER w AS BIGINT) AS l1,
+             CAST(SUM(n2) OVER () - SUM(n2) OVER w AS BIGINT) AS l2,
+             CAST(SUM(n3) OVER () - SUM(n3) OVER w AS BIGINT) AS l3,
+             CAST(SUM(n4) OVER () - SUM(n4) OVER w AS BIGINT) AS l4
+      FROM cells
+      WINDOW w AS (ORDER BY dur)),
+    terms AS (
+      SELECT CAST(d1 * (l2 + l3 + l4) + d2 * (l3 + l4) + d3 * l4
+                  AS BIGINT) AS conc,
+             CAST(d2 * l1 + d3 * (l1 + l2) + d4 * (l1 + l2 + l3)
+                  AS BIGINT) AS disc,
+             CAST(d1 * l1 + d2 * l2 + d3 * l3 + d4 * l4
+                  AS BIGINT) AS tie
+      FROM cum)
+    SELECT CAST(COALESCE(SUM(conc), 0) AS BIGINT) AS n_conc,
+           CAST(COALESCE(SUM(disc), 0) AS BIGINT) AS n_disc,
+           CAST(COALESCE(SUM(tie), 0) AS BIGINT) AS n_tie,
+           CASE WHEN COALESCE(SUM(conc) + SUM(disc) + SUM(tie), 0)
+                     = 0 THEN NULL
+                ELSE round(CAST(2 * SUM(conc) + SUM(tie) AS DOUBLE)
+                           / (2.0 * (SUM(conc) + SUM(disc)
+                                     + SUM(tie))), 6) + 0
+           END AS c_index
+    FROM terms
+    """,
+)
+def ml_concordance_index(spark, sf):
+    """Harrell's concordance index on the user-survival panel — THE
+    discrimination metric for survival models (the AUC
+    generalization that respects censoring): over comparable pairs
+    (T_i < T_j and subject i's event observed), the fraction where
+    the predictor ranks them correctly, prediction ties scoring
+    half. Durations and 12h-window censoring are exactly
+    stat_log_rank's (hours; users last seen within 12h of the
+    corpus max are censored); the predictor is the user's event
+    count banded into data-derived QUARTILE classes via the exact
+    2*cw >= p*n count-of-counts rule (customer_rfm's cutoff ladder
+    — fixed count thresholds would collapse to one band because the
+    count distribution shifts with corpus size). The pair census
+    never materializes pairs: on the duration-support grid with 4
+    band columns, each death cell pairs with the strictly-later
+    survivors per band (l_k = tot_k - cum_k), so conc/disc/tie fold
+    to exact BIGINTs from ONE window chain (the stat_somers_d
+    machinery with time as the ordering axis), and C =
+    (2*conc + tie)/(2*(conc+disc+tie)) is one guarded division.
+    Convention pinned in tests against a brute-force quadratic pair
+    census: comparable = strict T_i < T_j with delta_i = 1. Scale:
+    the grid is |distinct durations| rows regardless of user count."""
+    from ..operators.dedup import parquet_checkpoint
+
+    e = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    mx = e.agg(
+        F.max(F.expr("unix_micros(cast(ts AS TIMESTAMP))")).alias(
+            "gmax"
+        )
+    )
+    u = parquet_checkpoint(
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min(
+                F.expr("unix_micros(cast(ts AS TIMESTAMP))")
+            ).alias("fus"),
+            F.max(
+                F.expr("unix_micros(cast(ts AS TIMESTAMP))")
+            ).alias("lus"),
+        )
+        .crossJoin(mx)
+        .select(
+            "cnt",
+            F.expr("(lus - fus) div 3600000000")
+            .cast("long")
+            .alias("dur"),
+            F.when(
+                F.col("gmax") - F.col("lus") < 43200000000, 0
+            )
+            .otherwise(1)
+            .alias("ev"),
+        ),
+        "cidx_users",
+    )
+    cc = u.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    cw = cc.select(
+        "cnt",
+        F.sum("m").over(Window.orderBy("cnt")).cast("long").alias("cum"),
+        F.sum("m").over(Window.partitionBy()).cast("long").alias("nu"),
+    )
+    cuts = cw.agg(
+        F.min(F.when(4 * F.col("cum") >= F.col("nu"), F.col("cnt")))
+        .cast("long")
+        .alias("q1"),
+        F.min(F.when(2 * F.col("cum") >= F.col("nu"), F.col("cnt")))
+        .cast("long")
+        .alias("q2"),
+        F.min(
+            F.when(4 * F.col("cum") >= 3 * F.col("nu"), F.col("cnt"))
+        )
+        .cast("long")
+        .alias("q3"),
+    )
+    ub = u.crossJoin(cuts).select(
+        "dur",
+        "ev",
+        (
+            F.lit(1)
+            + (F.col("cnt") > F.col("q1")).cast("int")
+            + (F.col("cnt") > F.col("q2")).cast("int")
+            + (F.col("cnt") > F.col("q3")).cast("int")
+        ).alias("b"),
+    )
+    aggs = []
+    for k in range(1, 5):
+        aggs.append(
+            F.sum(F.when(F.col("b") == k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.when((F.col("b") == k) & (F.col("ev") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias(f"d{k}")
+        )
+    cells = ub.groupBy("dur").agg(*aggs)
+    w = Window.orderBy("dur")
+    wall = Window.partitionBy()
+    cum = cells.select(
+        *[F.col(f"d{k}") for k in range(1, 5)],
+        *[
+            (
+                F.sum(f"n{k}").over(wall) - F.sum(f"n{k}").over(w)
+            )
+            .cast("long")
+            .alias(f"l{k}")
+            for k in range(1, 5)
+        ],
+    )
+    terms = cum.select(
+        (
+            F.col("d1") * (F.col("l2") + F.col("l3") + F.col("l4"))
+            + F.col("d2") * (F.col("l3") + F.col("l4"))
+            + F.col("d3") * F.col("l4")
+        )
+        .cast("long")
+        .alias("conc"),
+        (
+            F.col("d2") * F.col("l1")
+            + F.col("d3") * (F.col("l1") + F.col("l2"))
+            + F.col("d4")
+            * (F.col("l1") + F.col("l2") + F.col("l3"))
+        )
+        .cast("long")
+        .alias("disc"),
+        (
+            F.col("d1") * F.col("l1")
+            + F.col("d2") * F.col("l2")
+            + F.col("d3") * F.col("l3")
+            + F.col("d4") * F.col("l4")
+        )
+        .cast("long")
+        .alias("tie"),
+    )
+    sc = F.coalesce(F.sum("conc"), F.lit(0)).cast("long")
+    sd = F.coalesce(F.sum("disc"), F.lit(0)).cast("long")
+    st = F.coalesce(F.sum("tie"), F.lit(0)).cast("long")
+    tot = sc + sd + st
+    return terms.agg(
+        sc.alias("n_conc"),
+        sd.alias("n_disc"),
+        st.alias("n_tie"),
+        F.when(tot == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (2 * sc + st).cast("double") / (F.lit(2.0) * tot), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("c_index"),
+    )
