@@ -1530,3 +1530,132 @@ def sample_systematic(spark, sf):
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 145: differentially private clamped mean (Laplace, noisy sum/count)
+# ---------------------------------------------------------------------------
+@q(
+    "privacy_dp_mean",
+    """
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(LEAST(GREATEST(
+               CAST(round(value * 100) AS BIGINT), 0), 10000)), 0)
+               AS BIGINT) AS s_c
+      FROM events WHERE value IS NOT NULL),
+    u AS (
+      SELECT n, s_c,
+             (('0x' || substr(md5('dpmean:sum'), 1, 8))
+                ::UBIGINT + 1) / 4294967298.0 AS u1,
+             (('0x' || substr(md5('dpmean:cnt'), 1, 8))
+                ::UBIGINT + 1) / 4294967298.0 AS u2
+      FROM base),
+    nz AS (
+      SELECT n, s_c,
+             CAST(round(1000000.0 * (s_c / 100.0
+               + 200.0 * (-(CASE WHEN u1 >= 0.5 THEN 1.0
+                                 ELSE -1.0 END)
+                          * ln(1.0 - 2.0 * abs(u1 - 0.5)))))
+               AS BIGINT) AS noisy_sum_mic,
+             CAST(round(1000000.0 * (n
+               + 2.0 * (-(CASE WHEN u2 >= 0.5 THEN 1.0
+                          ELSE -1.0 END)
+                        * ln(1.0 - 2.0 * abs(u2 - 0.5)))))
+               AS BIGINT) AS noisy_cnt_mic
+      FROM u)
+    SELECT noisy_sum_mic, noisy_cnt_mic,
+           CASE WHEN noisy_cnt_mic <= 0 THEN NULL
+                ELSE round(CAST(noisy_sum_mic AS DOUBLE)
+                           / noisy_cnt_mic, 6) + 0
+           END AS dp_mean
+    FROM nz
+    """,
+)
+def privacy_dp_mean(spark, sf):
+    """Differentially private mean event value — the noisy-sum /
+    noisy-count Laplace estimator (eps = 1 split 0.5 + 0.5):
+    values clamp to [0, 100] dollars so the sum's sensitivity is
+    the clamp bound C (b_sum = C/eps_1 = 200), the count's is 1
+    (b_cnt = 2), and the release is their ratio — the composition
+    pattern every DP aggregate library (SmartNoise, PipelineDP)
+    ships as its mean primitive, and the one privacy_dp_count and
+    privacy_dp_histogram cannot express because the denominator
+    itself must be noisy. The Laplace draws are md5-derived from
+    fixed release seeds via the inverse CDF
+    -b*sign(u-1/2)*ln(1-2|u-1/2|), u shifted off the pole by
+    (h+1)/(2^32+2) (the privacy_dp_topk discipline; a per-release
+    seed is the deterministic replay of 'fresh noise per release'
+    — rerunning the SAME release must NOT spend fresh budget).
+    Both noisy terms micros-quantize BEFORE the division so the
+    released ratio is bit-identical across engines; the true n and
+    sum do NOT appear in the output. The clamped sum is an exact
+    integer-cents aggregate — one corpus scan, map-side
+    combinable, no shuffle beyond the 1-row agg."""
+    base = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.least(
+                        F.greatest(
+                            F.round(F.col("value") * 100).cast(
+                                "long"
+                            ),
+                            F.lit(0),
+                        ),
+                        F.lit(10000),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("s_c"),
+        )
+    )
+
+    def _u(seed):
+        return (
+            F.conv(F.substring(F.md5(F.lit(seed)), 1, 8), 16, 10)
+            .cast("long")
+            + F.lit(1)
+        ) / F.lit(4294967298.0)
+
+    u1, u2 = _u("dpmean:sum"), _u("dpmean:cnt")
+    lap1 = -(
+        F.when(u1 >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    ) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u1 - F.lit(0.5)))
+    lap2 = -(
+        F.when(u2 >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    ) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u2 - F.lit(0.5)))
+    nz = base.select(
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("s_c") / F.lit(100.0) + F.lit(200.0) * lap1)
+        )
+        .cast("long")
+        .alias("noisy_sum_mic"),
+        F.round(
+            F.lit(1000000.0) * (F.col("n") + F.lit(2.0) * lap2)
+        )
+        .cast("long")
+        .alias("noisy_cnt_mic"),
+    )
+    return nz.select(
+        "noisy_sum_mic",
+        "noisy_cnt_mic",
+        F.when(
+            F.col("noisy_cnt_mic") <= 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.col("noisy_sum_mic").cast("double")
+                / F.col("noisy_cnt_mic"),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("dp_mean"),
+    )

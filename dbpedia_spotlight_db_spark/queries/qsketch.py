@@ -1206,3 +1206,177 @@ def agg_approx_cd_cert(spark, sf):
         )
         .alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 145: Bloom-filter false-positive-rate certificate
+# ---------------------------------------------------------------------------
+@q(
+    "agg_bloom_fpp_cert",
+    """
+    WITH ins AS (
+      SELECT DISTINCT doc_id AS k FROM documents
+      WHERE doc_id % 4 = 0),
+    ipos AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5('b' || i || ':' || CAST(k AS VARCHAR)),
+                             1, 8))::UBIGINT % 65536 AS pos
+      FROM ins CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS i) hs),
+    probes AS (
+      SELECT doc_id + 1000000000000 AS k FROM documents),
+    ppos AS (
+      SELECT k,
+             CAST(('0x' || substr(md5('b' || i || ':'
+                                      || CAST(k AS VARCHAR)), 1, 8))
+                  ::UBIGINT % 65536 AS BIGINT) AS pos
+      FROM probes CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS i) hs),
+    pp AS (
+      SELECT k, pos, CAST(COUNT(*) AS BIGINT) AS dummy
+      FROM ppos GROUP BY k, pos),
+    hit AS (
+      SELECT pp.k,
+             CAST(COUNT(*) AS BIGINT) AS npos,
+             CAST(SUM(CASE WHEN ip.pos IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nhit
+      FROM pp LEFT JOIN ipos ip ON ip.pos = pp.pos
+      GROUP BY pp.k),
+    agg AS (
+      SELECT CAST((SELECT COUNT(*) FROM ins) AS BIGINT) AS n_keys,
+             CAST((SELECT COUNT(*) FROM ipos) AS BIGINT) AS bits_set,
+             CAST(COUNT(*) AS BIGINT) AS n_probes,
+             CAST(COALESCE(SUM(CASE WHEN nhit = npos THEN 1 ELSE 0
+                                    END), 0) AS BIGINT) AS n_fp
+      FROM hit)
+    SELECT n_keys, bits_set, n_probes, n_fp,
+           CASE WHEN n_probes = 0 THEN NULL
+                ELSE round(CAST(n_fp AS DOUBLE) / n_probes, 6) + 0
+           END AS fpp_observed,
+           round((CAST(bits_set AS DOUBLE) / 65536.0)
+                 * (CAST(bits_set AS DOUBLE) / 65536.0)
+                 * (CAST(bits_set AS DOUBLE) / 65536.0), 6) + 0
+             AS fpp_theory,
+           CASE WHEN n_probes = 0 THEN NULL
+                ELSE CAST(n_fp AS DOUBLE) / n_probes
+                     <= 3.0 * ((CAST(bits_set AS DOUBLE) / 65536.0)
+                               * (CAST(bits_set AS DOUBLE) / 65536.0)
+                               * (CAST(bits_set AS DOUBLE) / 65536.0))
+                        + 0.01
+           END AS calibrated
+    FROM agg
+    """,
+)
+def agg_bloom_fpp_cert(spark, sf):
+    """Bloom-filter FALSE-POSITIVE-RATE certificate — the
+    measurement that justifies join_bloom's bitmap prefilter before
+    a 100-TB run: build the m=65536-bit / k=3 filter over a quarter
+    of the doc-id space, probe with keys GUARANTEED absent (doc_id
+    + 1e12), and compare the observed FP rate to the theoretical
+    rho^k computed from the REALIZED fill ratio rho = bits_set/m —
+    an exact rational assembled by explicit multiplication, never
+    pow()/exp() (whose cross-engine ulp behavior is the one
+    transcendental class the embedded-formula discipline cannot
+    pin). Membership is evaluated by SET semantics — the distinct
+    occupied-position relation (<= m rows, broadcast) left-joined
+    to each probe's <= k distinct positions, FP iff every one hits
+    — which is bit-for-bit the semantics of join_bloom's literal
+    bitmap with zero driver collect, so the certificate path
+    itself scales (positions relation is bounded by m regardless
+    of corpus size). Hash positions are md5-derived per (hash
+    index, key) — engine/partitioning-invariant. `calibrated`
+    pins observed <= 3x theory + 1% on the fixture; if this face
+    ever goes red the md5 position-uniformity assumption behind
+    every sketch face is suspect (see stat_ks_uniform)."""
+    docs = t(spark, sf, "documents")
+    ins = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("k")
+    ).distinct()
+    hs = spark.range(1, 4).select(F.col("id").alias("i"))
+
+    def pos_expr(kcol):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("b"),
+                            F.col("i").cast("string"),
+                            F.lit(":"),
+                            kcol.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 65536
+        )
+
+    ipos = (
+        ins.crossJoin(F.broadcast(hs))
+        .select(pos_expr(F.col("k")).alias("pos"))
+        .distinct()
+    )
+    probes = docs.select(
+        (F.col("doc_id") + F.lit(1000000000000)).alias("k")
+    )
+    pp = (
+        probes.crossJoin(F.broadcast(hs))
+        .select("k", pos_expr(F.col("k")).alias("pos"))
+        .distinct()
+    )
+    hit = (
+        pp.join(ipos.withColumnRenamed("pos", "ip"),
+                pp["pos"] == F.col("ip"), "left")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("npos"),
+            F.sum(
+                F.when(F.col("ip").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("nhit"),
+        )
+    )
+    nk = ins.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    nb = ipos.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    agg = (
+        hit.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("nhit") == F.col("npos"), 1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_fp"),
+        )
+        .crossJoin(nk)
+        .crossJoin(nb)
+    )
+    rho = F.col("bits_set").cast("double") / F.lit(65536.0)
+    theory = rho * rho * rho
+    return agg.select(
+        "n_keys",
+        "bits_set",
+        "n_probes",
+        "n_fp",
+        F.when(F.col("n_probes") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("n_fp").cast("double") / F.col("n_probes"), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("fpp_observed"),
+        (F.round(theory, 6) + F.lit(0.0)).alias("fpp_theory"),
+        F.when(F.col("n_probes") == 0, F.lit(None).cast("boolean"))
+        .otherwise(
+            F.col("n_fp").cast("double") / F.col("n_probes")
+            <= F.lit(3.0) * theory + F.lit(0.01)
+        )
+        .alias("calibrated"),
+    )
