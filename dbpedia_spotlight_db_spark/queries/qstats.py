@@ -7357,3 +7357,425 @@ def stat_kpss(spark, sf):
         .otherwise(eta < F.lit(0.739))
         .alias("level_stationary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 146: Yuen's trimmed-means t — outlier-robust Welch on md5 halves
+# ---------------------------------------------------------------------------
+@q(
+    "stat_yuen",
+    """
+    WITH lab AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'a' ELSE 'b' END AS grp
+      FROM events WHERE value IS NOT NULL),
+    sup AS (
+      SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lab GROUP BY grp, v),
+    cw AS (
+      SELECT grp, v, c,
+             CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v)
+                  AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM sup),
+    bounds AS (
+      SELECT grp, n, CAST(n // 5 AS BIGINT) AS g,
+             CAST(MIN(CASE WHEN cum >= n // 5 + 1 THEN v END)
+                  AS BIGINT) AS lo,
+             CAST(MIN(CASE WHEN cum >= n - n // 5 THEN v END)
+                  AS BIGINT) AS hi
+      FROM cw GROUP BY grp, n),
+    inc AS (
+      SELECT w.grp, b.n, b.g, b.lo, b.hi,
+             GREATEST(LEAST(w.cum, b.n - b.g)
+                      - GREATEST(w.cum - w.c, b.g), 0) AS k,
+             w.v
+      FROM cw w JOIN bounds b ON b.grp = w.grp),
+    moms AS (
+      SELECT grp, MAX(n) AS n, MAX(g) AS g,
+             MAX(lo) AS lo, MAX(hi) AS hi,
+             CAST(COALESCE(SUM(k), 0) AS BIGINT) AS h,
+             CAST(COALESCE(SUM(v * k), 0) AS BIGINT) AS ts,
+             CAST(COALESCE(SUM(v * v * k), 0) AS BIGINT) AS ts2
+      FROM inc GROUP BY grp),
+    wm AS (
+      SELECT grp, n, g, h,
+             CAST(ts AS DOUBLE) / 100.0 / h AS tmean,
+             CAST(ts + lo * g + hi * g AS BIGINT) AS ws,
+             CAST(ts2 + lo * lo * g + hi * hi * g AS BIGINT) AS ws2
+      FROM moms WHERE h > 1),
+    se AS (
+      SELECT grp, n, g, h, tmean,
+             (CAST(ws2 AS DOUBLE) / 10000.0
+              - (CAST(ws AS DOUBLE) / 100.0)
+                * (CAST(ws AS DOUBLE) / 100.0) / n)
+             / (CAST(h AS DOUBLE) * (h - 1)) AS se2
+      FROM wm),
+    ab AS (
+      SELECT MAX(CASE WHEN grp = 'a' THEN n END) AS n_a,
+             MAX(CASE WHEN grp = 'b' THEN n END) AS n_b,
+             MAX(CASE WHEN grp = 'a' THEN g END) AS g_a,
+             MAX(CASE WHEN grp = 'b' THEN g END) AS g_b,
+             MAX(CASE WHEN grp = 'a' THEN h END) AS h_a,
+             MAX(CASE WHEN grp = 'b' THEN h END) AS h_b,
+             MAX(CASE WHEN grp = 'a' THEN tmean END) AS tm_a,
+             MAX(CASE WHEN grp = 'b' THEN tmean END) AS tm_b,
+             MAX(CASE WHEN grp = 'a' THEN se2 END) AS se2_a,
+             MAX(CASE WHEN grp = 'b' THEN se2 END) AS se2_b
+      FROM se)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(g_a AS BIGINT) AS g_a, CAST(g_b AS BIGINT) AS g_b,
+           round(tm_a, 6) + 0 AS tmean_a,
+           round(tm_b, 6) + 0 AS tmean_b,
+           CASE WHEN se2_a IS NULL OR se2_b IS NULL
+                     OR se2_a + se2_b <= 0 THEN NULL
+                ELSE round((tm_a - tm_b) / sqrt(se2_a + se2_b), 6)
+                     + 0 END AS t_yuen,
+           CASE WHEN se2_a IS NULL OR se2_b IS NULL
+                     OR se2_a + se2_b <= 0
+                     OR h_a < 2 OR h_b < 2 THEN NULL
+                ELSE round((se2_a + se2_b) * (se2_a + se2_b)
+                           / (se2_a * se2_a / (h_a - 1)
+                              + se2_b * se2_b / (h_b - 1)), 6) + 0
+           END AS df
+    FROM ab
+    """,
+)
+def stat_yuen(spark, sf):
+    """Yuen's trimmed-means t — the outlier-robust replacement for
+    stat_ttest's Welch (a single wild value can swing a raw mean;
+    20% symmetric trimming bounds any point's influence): t =
+    (xt_a - xt_b)/sqrt(se_a^2 + se_b^2) with trimmed means over the
+    middle n-2g order statistics (g = n div 5) and standard errors
+    from the WINSORIZED variance, se^2 = SSD_w/(h(h-1)), df by
+    Welch-Satterthwaite on the same terms. Everything runs on the
+    per-group count-of-counts support: each value's in-trim
+    multiplicity is the exact interval overlap min(cw, n-g) -
+    max(cw-c, g) clamped at 0 (the agg_winsorized_mean clip-once-
+    per-SUPPORT-row discipline), the trim boundary values are
+    conditional MINs over the same cumulative, and the winsorized
+    sums add the g boundary copies back in closed form — trimmed
+    and winsorized moments as exact BIGINT cents with ZERO extra
+    scans. Variance assembly is DOUBLE in identical op order (the
+    n*sum_sq cross-product overflows BIGINT at sf0.1). The md5
+    halves share one distribution, so |t| sits in the null bulk
+    (pinned); the replay test checks against a brute-force sorted
+    trim. One scan, one support-sized window chain per group."""
+    lab = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+            F.when(
+                F.substring(
+                    F.md5(F.col("event_id").cast("string")), 1, 1
+                )
+                < "8",
+                "a",
+            )
+            .otherwise("b")
+            .alias("grp"),
+        )
+    )
+    sup = lab.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wg = Window.partitionBy("grp").orderBy("v")
+    wa = Window.partitionBy("grp")
+    cw = sup.select(
+        "grp",
+        "v",
+        "c",
+        F.sum("c").over(wg).cast("long").alias("cum"),
+        F.sum("c").over(wa).cast("long").alias("n"),
+    )
+    g = F.expr("n div 5")
+    bounds = cw.groupBy("grp", "n").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("n div 5") + 1, F.col("v"))
+        )
+        .cast("long")
+        .alias("lo"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.col("n") - F.expr("n div 5"),
+                F.col("v"),
+            )
+        )
+        .cast("long")
+        .alias("hi"),
+    ).select(
+        "grp",
+        "n",
+        F.expr("n div 5").cast("long").alias("g"),
+        "lo",
+        "hi",
+    )
+    inc = cw.drop("n").join(bounds, "grp").select(
+        "grp",
+        "n",
+        "g",
+        "lo",
+        "hi",
+        "v",
+        F.greatest(
+            F.least(F.col("cum"), F.col("n") - F.col("g"))
+            - F.greatest(F.col("cum") - F.col("c"), F.col("g")),
+            F.lit(0),
+        ).alias("k"),
+    )
+    moms = inc.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max("g").alias("g"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("h"),
+        F.coalesce(F.sum(F.col("v") * F.col("k")), F.lit(0))
+        .cast("long")
+        .alias("ts"),
+        F.coalesce(
+            F.sum(F.col("v") * F.col("v") * F.col("k")), F.lit(0)
+        )
+        .cast("long")
+        .alias("ts2"),
+    )
+    wm = moms.filter(F.col("h") > 1).select(
+        "grp",
+        "n",
+        "g",
+        "h",
+        (F.col("ts").cast("double") / F.lit(100.0) / F.col("h"))
+        .alias("tmean"),
+        (F.col("ts") + F.col("lo") * F.col("g") + F.col("hi") * F.col("g"))
+        .cast("long")
+        .alias("ws"),
+        (
+            F.col("ts2")
+            + F.col("lo") * F.col("lo") * F.col("g")
+            + F.col("hi") * F.col("hi") * F.col("g")
+        )
+        .cast("long")
+        .alias("ws2"),
+    )
+    se = wm.select(
+        "grp",
+        "n",
+        "g",
+        "h",
+        "tmean",
+        (
+            (
+                F.col("ws2").cast("double") / F.lit(10000.0)
+                - (F.col("ws").cast("double") / F.lit(100.0))
+                * (F.col("ws").cast("double") / F.lit(100.0))
+                / F.col("n")
+            )
+            / (F.col("h").cast("double") * (F.col("h") - 1))
+        ).alias("se2"),
+    )
+
+    def pick(col, grp):
+        return F.max(F.when(F.col("grp") == grp, F.col(col)))
+
+    ab = se.agg(
+        pick("n", "a").alias("n_a"),
+        pick("n", "b").alias("n_b"),
+        pick("g", "a").alias("g_a"),
+        pick("g", "b").alias("g_b"),
+        pick("h", "a").alias("h_a"),
+        pick("h", "b").alias("h_b"),
+        pick("tmean", "a").alias("tm_a"),
+        pick("tmean", "b").alias("tm_b"),
+        pick("se2", "a").alias("se2_a"),
+        pick("se2", "b").alias("se2_b"),
+    )
+    s2a, s2b = F.col("se2_a"), F.col("se2_b")
+    bad = s2a.isNull() | s2b.isNull() | (s2a + s2b <= 0)
+    return ab.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("g_a").cast("long").alias("g_a"),
+        F.col("g_b").cast("long").alias("g_b"),
+        (F.round(F.col("tm_a"), 6) + F.lit(0.0)).alias("tmean_a"),
+        (F.round(F.col("tm_b"), 6) + F.lit(0.0)).alias("tmean_b"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("tm_a") - F.col("tm_b"))
+                / F.sqrt(s2a + s2b),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("t_yuen"),
+        F.when(
+            bad | (F.col("h_a") < 2) | (F.col("h_b") < 2),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (s2a + s2b)
+                * (s2a + s2b)
+                / (
+                    s2a * s2a / (F.col("h_a") - 1)
+                    + s2b * s2b / (F.col("h_b") - 1)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 146: Theil's uncertainty coefficient U(Y|X)
+# ---------------------------------------------------------------------------
+@q(
+    "stat_theil_u",
+    """
+    WITH lab AS (
+      SELECT event_type AS x,
+             CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+               AS y
+      FROM events WHERE ts IS NOT NULL),
+    cells AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lab GROUP BY x, y),
+    m AS (
+      SELECT x, y, c,
+             CAST(SUM(c) OVER (PARTITION BY x) AS BIGINT) AS rx,
+             CAST(SUM(c) OVER (PARTITION BY y) AS BIGINT) AS cy,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM cells),
+    mi AS (
+      SELECT MAX(n) AS n,
+             CAST(COALESCE(SUM(CAST(round(1000000.0 * c
+               * ln(CAST(n AS DOUBLE) * c
+                    / (CAST(rx AS DOUBLE) * cy))) AS BIGINT)), 0)
+               AS BIGINT) AS mi_mic
+      FROM m),
+    hy AS (
+      SELECT CAST(COALESCE(SUM(CAST(round(1000000.0 * cy
+               * ln(CAST(cy AS DOUBLE))) AS BIGINT)), 0) AS BIGINT)
+               AS sy_mic
+      FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS cy
+            FROM cells GROUP BY y) z)
+    SELECT n, mi_mic,
+           CASE WHEN n IS NULL OR n = 0 THEN NULL
+                ELSE CAST(round(1000000.0 * n
+                          * ln(CAST(n AS DOUBLE))) AS BIGINT)
+                     - sy_mic END AS nhy_mic,
+           CASE WHEN n IS NULL OR n = 0
+                     OR CAST(round(1000000.0 * n
+                             * ln(CAST(n AS DOUBLE))) AS BIGINT)
+                        - sy_mic <= 0 THEN NULL
+                ELSE round(CAST(mi_mic AS DOUBLE)
+                           / (CAST(round(1000000.0 * n
+                               * ln(CAST(n AS DOUBLE))) AS BIGINT)
+                              - sy_mic), 6) + 0
+           END AS u_yx
+    FROM mi, hy
+    """,
+)
+def stat_theil_u(spark, sf):
+    """Theil's uncertainty coefficient U(Y|X) = I(X;Y)/H(Y) — the
+    ASYMMETRIC normalized dependence measure (stat_cramers_v is
+    symmetric; U answers "what fraction of Y's entropy does knowing
+    X remove", which is the feature-selection question): here X =
+    event type, Y = day-of-week from pure epoch arithmetic (the
+    events_heatmap (day+4)%7 rule, never dayofweek()). Both the
+    mutual information and N*H(Y) ride the per-term integer-micros
+    ln-sum discipline: each cell contributes round(1e6 * c *
+    ln(N*c/(rx*cy))) and each Y marginal round(1e6 * cy * ln cy),
+    so the sums are exact order-independent BIGINTs and U is ONE
+    guarded division — N*H(Y) = round(1e6*N*lnN) - sum(cy ln cy
+    terms), zero when Y is constant -> NULL (ANSI). Marginals are
+    WINDOWS over the cells relation, never re-aggregation branches
+    (the stat_mutual_info one-scan discipline). Type and weekday
+    are independent in the fixture, so U ~ 0 is pinned; the replay
+    test also pins 0 <= U <= 1 and the I <= H(Y) information
+    inequality on the quantized integers. One corpus scan; cells
+    are |types x 7|."""
+    lab = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.col("event_type").alias("x"),
+            (
+                (
+                    F.expr(
+                        "unix_micros(cast(ts AS TIMESTAMP))"
+                        " div 86400000000"
+                    )
+                    + 4
+                )
+                % 7
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    cells = lab.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m = cells.select(
+        "c",
+        F.sum("c").over(Window.partitionBy("x")).cast("long").alias("rx"),
+        F.sum("c").over(Window.partitionBy("y")).cast("long").alias("cy"),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    mi_t = F.round(
+        F.lit(1000000.0)
+        * F.col("c")
+        * F.log(
+            F.col("n").cast("double")
+            * F.col("c")
+            / (F.col("rx").cast("double") * F.col("cy"))
+        )
+    ).cast("long")
+    mi = m.agg(
+        F.max("n").alias("n"),
+        F.coalesce(F.sum(mi_t), F.lit(0)).cast("long").alias("mi_mic"),
+    )
+    hy = (
+        cells.groupBy("y")
+        .agg(F.sum("c").cast("long").alias("cy"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.round(
+                        F.lit(1000000.0)
+                        * F.col("cy")
+                        * F.log(F.col("cy").cast("double"))
+                    ).cast("long")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("sy_mic")
+        )
+    )
+    j = mi.crossJoin(hy)
+    n = F.col("n")
+    nlogn = F.round(
+        F.lit(1000000.0) * n * F.log(n.cast("double"))
+    ).cast("long")
+    nhy = nlogn - F.col("sy_mic")
+    return j.select(
+        n.cast("long").alias("n"),
+        "mi_mic",
+        F.when(n.isNull() | (n == 0), F.lit(None).cast("long"))
+        .otherwise(nhy)
+        .alias("nhy_mic"),
+        F.when(
+            n.isNull() | (n == 0) | (nhy <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(F.col("mi_mic").cast("double") / nhy, 6)
+            + F.lit(0.0)
+        )
+        .alias("u_yx"),
+    )
