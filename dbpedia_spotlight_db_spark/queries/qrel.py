@@ -3497,3 +3497,111 @@ def stream_dedup_agg(spark, sf):
         )
         q_.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# wave 147: business-day latency — closed-form weekday arithmetic
+# ---------------------------------------------------------------------------
+@q(
+    "date_business_days",
+    """
+    WITH pairs AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+               AS a,
+             CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT)
+               AS b
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate),
+    bd AS (
+      SELECT priority,
+             5 * ((b - a) // 7)
+             + (CASE WHEN (b - a) % 7 > 0
+                     AND ((a + 3) % 7 + 0) % 7 < 5 THEN 1 ELSE 0 END)
+             + (CASE WHEN (b - a) % 7 > 1
+                     AND ((a + 3) % 7 + 1) % 7 < 5 THEN 1 ELSE 0 END)
+             + (CASE WHEN (b - a) % 7 > 2
+                     AND ((a + 3) % 7 + 2) % 7 < 5 THEN 1 ELSE 0 END)
+             + (CASE WHEN (b - a) % 7 > 3
+                     AND ((a + 3) % 7 + 3) % 7 < 5 THEN 1 ELSE 0 END)
+             + (CASE WHEN (b - a) % 7 > 4
+                     AND ((a + 3) % 7 + 4) % 7 < 5 THEN 1 ELSE 0 END)
+             + (CASE WHEN (b - a) % 7 > 5
+                     AND ((a + 3) % 7 + 5) % 7 < 5 THEN 1 ELSE 0 END)
+               AS bdays
+      FROM pairs)
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bdays) AS BIGINT) AS total_bdays,
+           CAST(MIN(bdays) AS BIGINT) AS min_bdays,
+           CAST(MAX(bdays) AS BIGINT) AS max_bdays,
+           round(CAST(SUM(bdays) AS DOUBLE) / COUNT(*), 6) + 0
+             AS avg_bdays
+    FROM bd GROUP BY priority ORDER BY priority
+    """,
+)
+def date_business_days(spark, sf):
+    """Business-day order-to-ship latency per priority — weekday
+    counting as CLOSED-FORM integer arithmetic, no calendar table,
+    no UDF, no generate_series: for the half-open span [a, b),
+    bdays = 5*((b-a) div 7) + #{i in [0, (b-a) mod 7) :
+    (dow_a + i) % 7 < 5} with dow_a = (a+3) % 7 (epoch day 0 is a
+    THURSDAY, +3 makes Monday 0 — the events_heatmap epoch-
+    arithmetic rule; dayofweek() is locale-shifted and engine-
+    divergent). The remainder term unrolls to six gated CASE terms
+    (rem <= 6 always), so the whole expression is map-side,
+    branch-free of any date function, and engine-exact — the same
+    spelling runs on both engines character-for-character. The
+    SLA question this answers ("how many WORKING days did
+    fulfilment take") is the one raw day-diffs overstate by ~40%
+    on weekend-spanning spans; the replay test pins the closed
+    form against a literal day-by-day Python walk, including
+    weekend-start and same-day edges. One join (orderkey
+    equi-join), one aggregate — no window, no shuffle beyond the
+    join and the 5-row group."""
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr(
+                "unix_micros(cast(o_orderdate AS TIMESTAMP))"
+                " div 86400000000"
+            )
+            .cast("long")
+            .alias("a"),
+            F.expr(
+                "unix_micros(cast(l_shipdate AS TIMESTAMP))"
+                " div 86400000000"
+            )
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    span = F.col("b") - F.col("a")
+    dow_a = (F.col("a") + 3) % 7
+    bdays = (5 * F.expr("(b - a) div 7")).cast("long")
+    for i in range(6):
+        bdays = bdays + F.when(
+            (span % 7 > i) & ((dow_a + i) % 7 < 5), 1
+        ).otherwise(0)
+    bd = pairs.select("priority", bdays.cast("long").alias("bdays"))
+    return (
+        bd.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bdays").cast("long").alias("total_bdays"),
+            F.min("bdays").cast("long").alias("min_bdays"),
+            F.max("bdays").cast("long").alias("max_bdays"),
+            (
+                F.round(
+                    F.sum("bdays").cast("double") / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_bdays"),
+        )
+        .orderBy("priority")
+    )

@@ -17,7 +17,7 @@ FileSourceScanExec)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from .common import t
 
@@ -2489,4 +2489,61 @@ def sql_nulls_ordering(spark, sf):
                CAST(rn_nl AS BIGINT) AS rn_nl
         FROM r WHERE rn_nf <= 25 OR rn_nl <= 25
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 147: DISTINCT ON dialect pair — rank-filter spelling in Spark
+# ---------------------------------------------------------------------------
+@q(
+    "sql_distinct_on",
+    """
+    SELECT DISTINCT ON (user_id)
+           user_id,
+           event_type AS last_type,
+           CAST(round(value * 100) AS BIGINT) AS last_cents,
+           CAST(epoch_us(ts) AS BIGINT) AS last_us
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ORDER BY user_id, ts DESC, event_id DESC
+    """,
+)
+def sql_distinct_on(spark, sf):
+    """The DISTINCT ON dialect pair — latest event per user. DuckDB
+    (following Postgres) spells keep-first-per-group as DISTINCT ON
+    (key) ... ORDER BY key, ts DESC; Spark has NO DISTINCT ON, and
+    the faithful translation is the rank-filter idiom: row_number()
+    over (PARTITION BY key ORDER BY ts DESC, event_id DESC) = 1.
+    The tiebreak column is NOT optional in the translation: DuckDB's
+    DISTINCT ON keeps the first row of the sort, so any ts tie
+    resolved differently across engines breaks value equality — the
+    (ts, event_id) total order makes the kept row engine-unique.
+    Spark 4 compiles the rank filter to WindowGroupLimit (per-
+    partition top-1 BEFORE the shuffle, pinned in the plan test) —
+    contrast crawl_latest, which spells the SAME semantics as a
+    max_by(struct) aggregate and plans as a two-phase
+    SortAggregate: rank-filter wins when the full row set per key
+    is wide (k columns ride the limit, not the agg buffer), max_by
+    wins when ties don't need total-order control. At 100 TB this
+    is a single shuffle on user_id with map-side partial limit."""
+    e = t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round(F.col("value") * 100)
+            .cast("long")
+            .alias("last_cents"),
+            F.expr("unix_micros(cast(ts AS TIMESTAMP))")
+            .cast("long")
+            .alias("last_us"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
