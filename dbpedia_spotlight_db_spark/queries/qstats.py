@@ -7779,3 +7779,253 @@ def stat_theil_u(spark, sf):
         )
         .alias("u_yx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 148: Little's law certificate — sweep-line integral vs closed form
+# ---------------------------------------------------------------------------
+@q(
+    "events_queueing",
+    """
+    WITH u AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS fus, MAX(epoch_us(ts)) AS lus
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    span AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(fus) AS BIGINT) AS t0,
+             CAST(MAX(lus) AS BIGINT) AS t1,
+             CAST(COALESCE(SUM(lus - fus), 0) AS BIGINT) AS sum_dur
+      FROM u),
+    b AS (
+      SELECT fus AS ts, 1 AS delta FROM u
+      UNION ALL
+      SELECT lus AS ts, -1 AS delta FROM u),
+    sw AS (
+      SELECT ts,
+             CAST(SUM(delta) OVER (ORDER BY ts, delta DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS conc,
+             LEAD(ts) OVER (ORDER BY ts, delta DESC) AS nxt
+      FROM b),
+    integ AS (
+      SELECT CAST(COALESCE(SUM(conc * (nxt - ts)), 0) AS BIGINT)
+               AS integral_us
+      FROM sw WHERE nxt IS NOT NULL)
+    SELECT s.n AS n_users,
+           CAST(s.t1 - s.t0 AS BIGINT) AS span_us,
+           s.sum_dur AS sum_dur_us,
+           i.integral_us,
+           i.integral_us = s.sum_dur AS littles_exact,
+           CASE WHEN s.t1 - s.t0 <= 0 THEN NULL
+                ELSE round(CAST(s.n AS DOUBLE) * 3600000000.0
+                           / (s.t1 - s.t0), 6) + 0
+           END AS lambda_per_hour,
+           CASE WHEN s.n = 0 THEN NULL
+                ELSE round(CAST(s.sum_dur AS DOUBLE)
+                           / s.n / 3600000000.0, 6) + 0
+           END AS w_hours,
+           CASE WHEN s.t1 - s.t0 <= 0 THEN NULL
+                ELSE round(CAST(i.integral_us AS DOUBLE)
+                           / (s.t1 - s.t0), 6) + 0
+           END AS l_avg
+    FROM span s, integ i
+    """,
+)
+def events_queueing(spark, sf):
+    """Little's law (L = lambda * W) as an EXACT integer certificate
+    of the sweep-line concurrency machinery: each user is an
+    interval [first event, last event), the time-average
+    concurrency L comes from the +1/-1 boundary sweep (sorted
+    deltas, running sum, each segment weighted by its exact
+    microsecond width), and over the full observation span the
+    sweep integral MUST equal sum(durations) — the identity behind
+    Little's law — as BIGINT equality, not a float tolerance. A
+    red `littles_exact` means the sweep (the same machinery
+    events_concurrency and capacity planning dashboards rely on)
+    dropped or double-counted a boundary. lambda (arrivals/hour),
+    W (mean residence hours) and L then report the actual queueing
+    numbers. Tie handling: coincident boundaries order (ts, delta
+    DESC) so arrivals precede departures at the same instant; the
+    segment width there is zero, so the integral — and the
+    certificate — is tie-order invariant. One scan to the per-user
+    panel; the sweep window runs over 2|users| boundary rows."""
+    e = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(cast(ts AS TIMESTAMP))")).alias(
+            "fus"
+        ),
+        F.max(F.expr("unix_micros(cast(ts AS TIMESTAMP))")).alias(
+            "lus"
+        ),
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    u = parquet_checkpoint(u, "queueing_users")
+    span = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("fus").cast("long").alias("t0"),
+        F.max("lus").cast("long").alias("t1"),
+        F.coalesce(F.sum(F.col("lus") - F.col("fus")), F.lit(0))
+        .cast("long")
+        .alias("sum_dur"),
+    )
+    b = u.select(
+        F.col("fus").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        u.select(F.col("lus").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    wsw = Window.orderBy(F.col("ts"), F.desc("delta")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.orderBy(F.col("ts"), F.desc("delta"))
+    sw = b.select(
+        "ts",
+        F.sum("delta").over(wsw).cast("long").alias("conc"),
+        F.lead("ts").over(wl).alias("nxt"),
+    )
+    integ = sw.filter(F.col("nxt").isNotNull()).agg(
+        F.coalesce(
+            F.sum(F.col("conc") * (F.col("nxt") - F.col("ts"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("integral_us")
+    )
+    j = span.crossJoin(integ)
+    spn = (F.col("t1") - F.col("t0")).cast("long")
+    return j.select(
+        F.col("n").alias("n_users"),
+        spn.alias("span_us"),
+        F.col("sum_dur").alias("sum_dur_us"),
+        "integral_us",
+        (F.col("integral_us") == F.col("sum_dur")).alias(
+            "littles_exact"
+        ),
+        F.when(spn <= 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("n").cast("double") * F.lit(3600000000.0) / spn,
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("lambda_per_hour"),
+        F.when(F.col("n") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("sum_dur").cast("double")
+                / F.col("n")
+                / F.lit(3600000000.0),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("w_hours"),
+        F.when(spn <= 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("integral_us").cast("double") / spn, 6)
+            + F.lit(0.0)
+        )
+        .alias("l_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 148: Nelson-Aalen cumulative hazard on the survival panel
+# ---------------------------------------------------------------------------
+@q(
+    "events_hazard",
+    """
+    WITH u AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS fus, MAX(epoch_us(ts)) AS lus
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    ud AS (
+      SELECT (lus - fus) // 3600000000 AS dur,
+             CASE WHEN MAX(lus) OVER () - lus < 43200000000
+                  THEN 0 ELSE 1 END AS ev
+      FROM u),
+    sup AS (
+      SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS tot
+      FROM ud GROUP BY dur),
+    rk AS (
+      SELECT dur, d,
+             CAST(SUM(tot) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_risk
+      FROM sup),
+    st AS (
+      SELECT dur, d, n_risk,
+             CAST(round(1000000.0 * d / n_risk) AS BIGINT) AS h_mic
+      FROM rk WHERE d > 0)
+    SELECT dur, d, n_risk, h_mic,
+           CAST(SUM(h_mic) OVER (ORDER BY dur) AS BIGINT) AS ch_mic
+    FROM st ORDER BY dur
+    """,
+)
+def events_hazard(spark, sf):
+    """Nelson-Aalen cumulative hazard on the user-survival panel —
+    the instantaneous-risk companion to events_survival's
+    Kaplan-Meier (KM multiplies survival factors; Nelson-Aalen sums
+    hazard increments d_i/n_i, is defined even when a risk set
+    empties, and is what proportional-hazards diagnostics plot):
+    durations and 12h censoring exactly as stat_log_rank. Each
+    step d/n_risk micros-quantizes BEFORE the cumulative sum (the
+    kg_adamic_adar per-term discipline), so H(t) is an exact
+    running BIGINT; the risk sets come from ONE suffix-cumulative
+    window over the duration support (never a per-time re-count).
+    The replay test pins the H ~ -ln(S_KM) correspondence (equal
+    to first order; H >= -ln S always on the quantized grid up to
+    per-term rounding) and that n_risk is non-increasing while H
+    is non-decreasing. Scale: everything after the per-user
+    aggregate is |distinct durations|-sized."""
+    e = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(cast(ts AS TIMESTAMP))")).alias(
+            "fus"
+        ),
+        F.max(F.expr("unix_micros(cast(ts AS TIMESTAMP))")).alias(
+            "lus"
+        ),
+    )
+    wall = Window.partitionBy()
+    ud = u.select(
+        F.expr("(lus - fus) div 3600000000").alias("dur"),
+        F.when(
+            F.max("lus").over(wall) - F.col("lus") < 43200000000, 0
+        )
+        .otherwise(1)
+        .alias("ev"),
+    )
+    sup = ud.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("tot"),
+    )
+    wdesc = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = sup.select(
+        "dur",
+        "d",
+        F.sum("tot").over(wdesc).cast("long").alias("n_risk"),
+    )
+    st = rk.filter(F.col("d") > 0).select(
+        "dur",
+        "d",
+        "n_risk",
+        F.round(
+            F.lit(1000000.0) * F.col("d") / F.col("n_risk")
+        )
+        .cast("long")
+        .alias("h_mic"),
+    )
+    return st.select(
+        "dur",
+        "d",
+        "n_risk",
+        "h_mic",
+        F.sum("h_mic")
+        .over(Window.orderBy("dur"))
+        .cast("long")
+        .alias("ch_mic"),
+    ).orderBy("dur")
