@@ -2547,3 +2547,73 @@ def sql_distinct_on(spark, sf):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 149: pandas-on-Spark pivot_table — the ps reshape quadrant
+# ---------------------------------------------------------------------------
+@q(
+    "ps_api_pivot_table",
+    """
+    WITH lab AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) // 1000000 // 86400 + 4) % 7
+                  AS BIGINT) AS dow,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+    SELECT event_type,
+           CAST(SUM(cents) FILTER (WHERE dow = 0) AS BIGINT) AS d0,
+           CAST(SUM(cents) FILTER (WHERE dow = 1) AS BIGINT) AS d1,
+           CAST(SUM(cents) FILTER (WHERE dow = 2) AS BIGINT) AS d2,
+           CAST(SUM(cents) FILTER (WHERE dow = 3) AS BIGINT) AS d3,
+           CAST(SUM(cents) FILTER (WHERE dow = 4) AS BIGINT) AS d4,
+           CAST(SUM(cents) FILTER (WHERE dow = 5) AS BIGINT) AS d5,
+           CAST(SUM(cents) FILTER (WHERE dow = 6) AS BIGINT) AS d6
+    FROM lab GROUP BY event_type
+    """,
+)
+def ps_api_pivot_table(spark, sf):
+    """pandas-on-Spark ``pivot_table`` — the RESHAPE quadrant of the
+    ps surface (ps_api_groupby covers split-apply-combine,
+    ps_api_rolling/resample the window quadrants): type x weekday
+    cents, aggfunc='sum', compiled by ps into the same
+    pivot-aggregate Catalyst plan the DataFrame API's
+    groupBy().pivot() makes. API contracts measured, not assumed:
+    `index` MUST be a list (a bare column name throws TypeError,
+    unlike pandas), the timestamp column cast .astype('int64')
+    yields epoch SECONDS (Spark cast semantics, not pandas' ns —
+    dow = secs//86400 + 4 mod 7 accordingly, mirrored in the twin
+    as epoch_us//1e6), and the pivoted columns come back NAMED BY
+    VALUE with float rendering ('0.0'..'6.0'), so the face
+    re-aliases them to d0..d6 positionally-independently and fills
+    whole-column absence (a weekday with zero rows pivots to NO
+    column, where SQL's conditional SUM FILTER yields NULL — the
+    same fact spelled two ways, reconciled to NULL). One scan, one
+    pivot shuffle."""
+    import pyspark.pandas as ps
+
+    with ps.option_context(
+        "compute.default_index_type", "distributed"
+    ):
+        pdf = ps.read_parquet(f"{sf}/events.parquet")
+        pdf = pdf[pdf["ts"].notnull() & pdf["value"].notnull()]
+        pdf = pdf.assign(
+            cents=(pdf["value"] * 100).round(0).astype("int64"),
+            dow=((pdf["ts"].astype("int64") // 86400 + 4) % 7),
+        )
+        pv = pdf.pivot_table(
+            index=["event_type"],
+            columns="dow",
+            values="cents",
+            aggfunc="sum",
+        )
+        out = pv.reset_index().to_spark()
+    have = set(out.columns)
+    cols = [F.col("event_type")]
+    for k in range(7):
+        name = f"{float(k)}"
+        if name in have:
+            cols.append(F.col(f"`{name}`").cast("long").alias(f"d{k}"))
+        else:
+            cols.append(F.lit(None).cast("long").alias(f"d{k}"))
+    return out.select(*cols)

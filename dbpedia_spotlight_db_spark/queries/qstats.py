@@ -8029,3 +8029,270 @@ def events_hazard(spark, sf):
         .cast("long")
         .alias("ch_mic"),
     ).orderBy("dur")
+
+
+# ---------------------------------------------------------------------------
+# wave 149: D'Agostino-Pearson K^2 omnibus normality test
+# ---------------------------------------------------------------------------
+_DAGO_BODY = """
+    SELECT n, s1, s2, s3, s4,
+           round(G1, 6) + 0 AS g1,
+           round(G2, 6) + 0 AS g2,
+           round(Z1, 6) + 0 AS z1,
+           round(Z2, 6) + 0 AS z2,
+           CASE WHEN Z1 IS NULL OR Z2 IS NULL THEN NULL
+                ELSE round(Z1 * Z1 + Z2 * Z2, 6) + 0 END AS k2
+    FROM fin
+"""
+
+
+@q(
+    "stat_dagostino",
+    """
+    WITH base AS (
+      SELECT CAST(round(value * 100) AS BIGINT) // 100 AS x
+      FROM events WHERE value IS NOT NULL),
+    ps AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(x), 0) AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS s2,
+             CAST(COALESCE(SUM(x * x * x), 0) AS BIGINT) AS s3,
+             CAST(COALESCE(SUM(x * x * x * x), 0) AS BIGINT) AS s4
+      FROM base),
+    mom AS (
+      SELECT n, s1, s2, s3, s4,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               AS m2,
+             CAST(s3 AS DOUBLE) / n
+               - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s2 AS DOUBLE) / n)
+               + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n) AS m3,
+             CAST(s4 AS DOUBLE) / n
+               - 4.0 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s3 AS DOUBLE) / n)
+               + 6.0 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s2 AS DOUBLE) / n)
+               - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n) AS m4
+      FROM ps),
+    g AS (
+      SELECT n, s1, s2, s3, s4,
+             CASE WHEN n < 20 OR m2 <= 0 THEN NULL
+                  ELSE m3 / (sqrt(m2) * m2) END AS G1,
+             CASE WHEN n < 20 OR m2 <= 0 THEN NULL
+                  ELSE m4 / (m2 * m2) END AS G2
+      FROM mom),
+    sk AS (
+      SELECT *,
+             G1 * sqrt((CAST(n AS DOUBLE) + 1.0) * (n + 3.0)
+                       / (6.0 * (n - 2.0))) AS Y,
+             3.0 * (CAST(n AS DOUBLE) * n + 27.0 * n - 70.0)
+               * (n + 1.0) * (n + 3.0)
+               / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+               AS beta2
+      FROM g),
+    sk2 AS (
+      SELECT *, sqrt(2.0 * (beta2 - 1.0)) - 1.0 AS w2 FROM sk),
+    sk3 AS (
+      SELECT *, 1.0 / sqrt(ln(sqrt(w2))) AS delta,
+             sqrt(2.0 / (w2 - 1.0)) AS alpha
+      FROM sk2),
+    z1c AS (
+      SELECT n, s1, s2, s3, s4, G1, G2,
+             CASE WHEN G1 IS NULL THEN NULL
+                  ELSE delta * ln(Y / alpha
+                                  + sqrt((Y / alpha) * (Y / alpha)
+                                         + 1.0)) END AS Z1
+      FROM sk3),
+    ku AS (
+      SELECT *,
+             3.0 * (CAST(n AS DOUBLE) - 1.0) / (n + 1.0) AS eb2,
+             24.0 * n * (n - 2.0) * (n - 3.0)
+               / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+               AS vb2
+      FROM z1c),
+    ku2 AS (
+      SELECT *,
+             (G2 - eb2) / sqrt(vb2) AS xx,
+             6.0 * (CAST(n AS DOUBLE) * n - 5.0 * n + 2.0)
+               / ((n + 7.0) * (n + 9.0))
+               * sqrt(6.0 * (n + 3.0) * (n + 5.0)
+                      / (CAST(n AS DOUBLE) * (n - 2.0) * (n - 3.0)))
+               AS sb1
+      FROM ku),
+    ku3 AS (
+      SELECT *,
+             6.0 + 8.0 / sb1 * (2.0 / sb1
+                                + sqrt(1.0 + 4.0 / (sb1 * sb1)))
+               AS aa
+      FROM ku2),
+    fin AS (
+      SELECT n, s1, s2, s3, s4, G1, G2, Z1,
+             CASE WHEN G2 IS NULL THEN NULL
+                  ELSE ((1.0 - 2.0 / (9.0 * aa))
+                        - cbrt((1.0 - 2.0 / aa)
+                               / (1.0 + xx * sqrt(2.0 / (aa - 4.0)))))
+                       / sqrt(2.0 / (9.0 * aa)) END AS Z2
+      FROM ku3)
+"""
+    + _DAGO_BODY,
+)
+def stat_dagostino(spark, sf):
+    """D'Agostino-Pearson K^2 omnibus normality test — the
+    skewness-AND-kurtosis companion to stat_jarque_bera (JB is the
+    asymptotic form; K^2 applies the finite-n normalizing
+    transforms, D'Agostino's Z1(sqrt(b1)) and the Anscombe-Glynn
+    Z2(b2), so it holds its size at moderate n where JB is badly
+    anticonservative). The input collapses to FOUR exact BIGINT
+    power sums of integer dollars (skew/kurtosis are location-scale
+    invariant, so the div-100 quantization only changes the sample,
+    not the validity; dollar^4 sums stay under 2^63 through sf0.1),
+    and every downstream step — central moments via the binomial
+    identities, both Z transforms with their ln/sqrt/cbrt chains —
+    is an embedded FORMULA evaluated in IDENTICAL op order on both
+    engines from those integers (the stat_bh_fdr/Acklam
+    discipline: simplify ONCE, spell twice). cbrt, not pow(x,1/3):
+    the kurtosis kernel goes negative on platykurtic samples and
+    pow would NaN where cbrt is defined. The heavy-tailed synthetic
+    values are far from normal, so K^2 is pinned LARGE in the
+    replay test (scipy-free replay via the same formulas). Guards:
+    n < 20 (the transforms' validity floor) and zero variance ->
+    NULL. One scan, one 1-row aggregate."""
+    base = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.expr(
+                "cast(round(value * 100) AS BIGINT) div 100"
+            ).alias("x")
+        )
+    )
+    x = F.col("x")
+    ps_ = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(x), F.lit(0)).cast("long").alias("s1"),
+        F.coalesce(F.sum(x * x), F.lit(0)).cast("long").alias("s2"),
+        F.coalesce(F.sum(x * x * x), F.lit(0))
+        .cast("long")
+        .alias("s3"),
+        F.coalesce(F.sum(x * x * x * x), F.lit(0))
+        .cast("long")
+        .alias("s4"),
+    )
+    # ANSI guard (transform chain): every output is gated on n < 20,
+    # but the Z-transform constants divide by n(n-2)(n-3) etc. — pin
+    # the double n used in the formulas at >= 20 so the gated path
+    # can never raise; values for real n >= 20 are unchanged
+    n = F.greatest(F.col("n").cast("double"), F.lit(20.0))
+    # ANSI guard: with n = 0 (empty corpus) every output is gated on
+    # n < 20 below, but Spark still evaluates the shared moment
+    # subexpressions — divide by max(n, 1) so the gated path never
+    # raises DIVIDE_BY_ZERO (values for n >= 20 are unchanged)
+    ns = F.greatest(F.col("n"), F.lit(1))
+    mu = F.col("s1").cast("double") / ns
+    m2 = F.col("s2").cast("double") / ns - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / ns
+        - F.lit(3.0) * mu * (F.col("s2").cast("double") / ns)
+        + F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / ns
+        - F.lit(4.0) * mu * (F.col("s3").cast("double") / ns)
+        + F.lit(6.0)
+        * mu
+        * mu
+        * (F.col("s2").cast("double") / ns)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    bad = (F.col("n") < 20) | (m2 <= 0)
+    g1 = F.when(bad, F.lit(None).cast("double")).otherwise(
+        m3 / (F.sqrt(m2) * m2)
+    )
+    g2 = F.when(bad, F.lit(None).cast("double")).otherwise(
+        m4 / (m2 * m2)
+    )
+    yv = g1 * F.sqrt(
+        (n + F.lit(1.0)) * (n + F.lit(3.0))
+        / (F.lit(6.0) * (n - F.lit(2.0)))
+    )
+    beta2 = (
+        F.lit(3.0)
+        * (n * n + F.lit(27.0) * n - F.lit(70.0))
+        * (n + F.lit(1.0))
+        * (n + F.lit(3.0))
+        / (
+            (n - F.lit(2.0))
+            * (n + F.lit(5.0))
+            * (n + F.lit(7.0))
+            * (n + F.lit(9.0))
+        )
+    )
+    w2 = F.sqrt(F.lit(2.0) * (beta2 - F.lit(1.0))) - F.lit(1.0)
+    delta = F.lit(1.0) / F.sqrt(F.log(F.sqrt(w2)))
+    alpha = F.sqrt(F.lit(2.0) / (w2 - F.lit(1.0)))
+    z1 = delta * F.log(
+        yv / alpha + F.sqrt((yv / alpha) * (yv / alpha) + F.lit(1.0))
+    )
+    eb2 = F.lit(3.0) * (n - F.lit(1.0)) / (n + F.lit(1.0))
+    vb2 = (
+        F.lit(24.0)
+        * n
+        * (n - F.lit(2.0))
+        * (n - F.lit(3.0))
+        / (
+            (n + F.lit(1.0))
+            * (n + F.lit(1.0))
+            * (n + F.lit(3.0))
+            * (n + F.lit(5.0))
+        )
+    )
+    xx = (g2 - eb2) / F.sqrt(vb2)
+    sb1 = (
+        F.lit(6.0)
+        * (n * n - F.lit(5.0) * n + F.lit(2.0))
+        / ((n + F.lit(7.0)) * (n + F.lit(9.0)))
+        * F.sqrt(
+            F.lit(6.0)
+            * (n + F.lit(3.0))
+            * (n + F.lit(5.0))
+            / (n * (n - F.lit(2.0)) * (n - F.lit(3.0)))
+        )
+    )
+    aa = F.lit(6.0) + F.lit(8.0) / sb1 * (
+        F.lit(2.0) / sb1
+        + F.sqrt(F.lit(1.0) + F.lit(4.0) / (sb1 * sb1))
+    )
+    z2 = (
+        (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * aa))
+        - F.cbrt(
+            (F.lit(1.0) - F.lit(2.0) / aa)
+            / (
+                F.lit(1.0)
+                + xx * F.sqrt(F.lit(2.0) / (aa - F.lit(4.0)))
+            )
+        )
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * aa))
+    return ps_.select(
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        (F.round(g1, 6) + F.lit(0.0)).alias("g1"),
+        (F.round(g2, 6) + F.lit(0.0)).alias("g2"),
+        (F.round(z1, 6) + F.lit(0.0)).alias("z1"),
+        (F.round(z2, 6) + F.lit(0.0)).alias("z2"),
+        F.when(
+            z1.isNull() | z2.isNull(), F.lit(None).cast("double")
+        )
+        .otherwise(F.round(z1 * z1 + z2 * z2, 6) + F.lit(0.0))
+        .alias("k2"),
+    )
