@@ -5170,3 +5170,118 @@ def stat_hodges_lehmann(spark, sf):
         .cast("long")
         .alias("hl_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 150: skip-bigram PMI — the non-adjacent companion to collocations
+# ---------------------------------------------------------------------------
+@q(
+    "text_skipgrams",
+    """
+    WITH tok AS (
+      SELECT string_split(text, ' ') AS arr FROM documents),
+    g AS (SELECT arr, unnest(generate_series(1, len(arr) - 2)) AS i
+          FROM tok WHERE len(arr) >= 3),
+    sg AS (SELECT arr[i] AS w1, arr[i + 2] AS w2 FROM g
+           WHERE arr[i] <> '' AND arr[i + 2] <> ''),
+    cb AS (SELECT w1, w2, COUNT(*) AS c_xy FROM sg GROUP BY 1, 2),
+    u AS (SELECT tk, COUNT(*) AS cu
+          FROM (SELECT unnest(string_split(text, ' ')) AS tk
+                FROM documents)
+          WHERE tk <> '' GROUP BY tk),
+    n AS (SELECT COUNT(*) AS nb FROM sg),
+    sc AS (
+      SELECT cb.w1, cb.w2, cb.c_xy,
+             CAST(round(1000000.0 * ln(
+                    (CAST(cb.c_xy AS DOUBLE) * n.nb) /
+                    (CAST(u1.cu AS DOUBLE) * u2.cu)), 0) AS BIGINT)
+               AS pmi_us
+      FROM cb
+      JOIN u u1 ON u1.tk = cb.w1
+      JOIN u u2 ON u2.tk = cb.w2
+      CROSS JOIN n
+      WHERE cb.c_xy >= 3)
+    SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+           round(CAST(pmi_us AS DOUBLE) / 1000000.0, 6) AS pmi
+    FROM sc
+    ORDER BY pmi_us DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_skipgrams(spark, sf):
+    """Skip-bigram (1-skip) PMI top-20 — text_collocations' machinery
+    with a ONE-TOKEN GAP: pairs (arr[i], arr[i+2]). Adjacent-bigram
+    PMI finds fixed phrases; the skip pair finds dependencies that
+    survive an intervening word ('new ___ york' templates,
+    determiner-noun frames, the word pairs a word2vec skip-gram
+    window trains on) — the signal used to pick context-window
+    widths and to mine templated boilerplate that line-level dedup
+    misses because the middle slot varies. Identical engine-parity
+    spelling: exact BIGINT counts, the single ln micros-quantized
+    before ranking (kg_adamic_adar), (pmi_us, w1, w2) total-order
+    tiebreak, count floor 3, TakeOrderedAndProject top-20. The
+    replay test pins the gap semantics (a planted 'a X b' template
+    battery surfaces (a,b)) and that the skip relation's total
+    pair count is sum(len-2) over docs. Scale shape identical to
+    collocations: map-side explode, vocab-sized aggregates,
+    unhinted marginal joins."""
+    d = t(spark, sf, "documents")
+    arr = d.select(F.split("text", " ").alias("arr")).filter(
+        F.size("arr") >= 3
+    )
+    sg = (
+        arr.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(arr) - 3),"
+                    " i -> struct(arr[i] AS w1, arr[i + 2] AS w2))"
+                )
+            ).alias("s")
+        )
+        .select("s.w1", "s.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    cb = sg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    u = (
+        d.select(F.explode(F.split("text", " ")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    n = sg.agg(F.count(F.lit(1)).alias("nb"))
+    pmi_us = F.round(
+        F.lit(1000000.0)
+        * F.log(
+            (F.col("c_xy").cast("double") * F.col("nb"))
+            / (F.col("cu1").cast("double") * F.col("cu2"))
+        ),
+        0,
+    ).cast("long")
+    sc = (
+        cb.filter(F.col("c_xy") >= 3)
+        .join(
+            u.select(
+                F.col("tk").alias("w1k"), F.col("cu").alias("cu1")
+            ),
+            F.col("w1") == F.col("w1k"),
+        )
+        .join(
+            u.select(
+                F.col("tk").alias("w2k"), F.col("cu").alias("cu2")
+            ),
+            F.col("w2") == F.col("w2k"),
+        )
+        .crossJoin(n)
+        .select("w1", "w2", "c_xy", pmi_us.alias("pmi_us"))
+    )
+    return (
+        sc.orderBy(F.desc("pmi_us"), "w1", "w2")
+        .limit(20)
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.round(
+                F.col("pmi_us").cast("double") / F.lit(1000000.0), 6
+            ).alias("pmi"),
+        )
+    )

@@ -2893,3 +2893,193 @@ def text_langid_confusion(spark, sf):
         .groupBy("lang", "guess")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 150: ANN recall certificate — IVF and multiprobe-LSH vs brute force
+# ---------------------------------------------------------------------------
+@q(
+    "ann_recall_cert",
+    f"""
+    WITH qs0 AS (SELECT vec_id AS qid, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+    cs0 AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+    sb AS (SELECT qid, nid, {_COS_SQL} AS cos
+           FROM qs0 qs, cs0 cs
+           WHERE qs.qid <> cs.nid),
+    bf AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, nid) AS nn_rank
+        FROM (SELECT qid, nid, cos FROM sb) z) w
+      WHERE nn_rank <= 3),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS cv,
+             {_NORM.format(v='embedding')} AS cn
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    vecs AS (
+      SELECT vec_id, embedding,
+             {_NORM.format(v='embedding')} AS vn FROM embeddings),
+    assign AS (
+      SELECT v.vec_id, v.embedding, v.vn, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_IVF_COS.format(a='v.embedding', b='c.cv',
+                                         an='v.vn', bn='c.cn')}
+                 DESC, c.cid) AS rn
+      FROM vecs v, cents c),
+    cell AS (SELECT vec_id, embedding, vn, cid
+             FROM assign WHERE rn = 1),
+    iq AS (SELECT vec_id AS qid, embedding AS qv, vn AS qn, cid
+           FROM cell WHERE vec_id < 10),
+    si AS (
+      SELECT iq.qid, c.vec_id AS nid,
+             {_IVF_COS.format(a='iq.qv', b='c.embedding',
+                              an='iq.qn', bn='c.vn')} AS cos
+      FROM iq JOIN cell c ON iq.cid = c.cid AND iq.qid <> c.vec_id),
+    ivf AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, nid) AS nn_rank
+        FROM si) w WHERE nn_rank <= 3),
+    b AS (
+      SELECT vec_id, embedding,
+             {_NORM.format(v='embedding')} AS vn,
+             {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings),
+    lq AS (SELECT vec_id AS qid, embedding AS qv, vn AS qn, bucket
+           FROM b WHERE vec_id < 10),
+    qp AS (
+      SELECT qid, qv, qn,
+             CASE WHEN j = 0 THEN bucket
+                  ELSE substr(bucket, 1, j - 1)
+                       || (CASE WHEN substr(bucket, j, 1) = '1'
+                                THEN '0' ELSE '1' END)
+                       || substr(bucket, j + 1)
+             END AS bucket
+      FROM lq, (SELECT unnest(range(0, {_LSH_PLANES} + 1)) AS j)),
+    sl AS (
+      SELECT qp.qid, c.vec_id AS nid,
+             {_IVF_COS.format(a='qp.qv', b='c.embedding',
+                              an='qp.qn', bn='c.vn')} AS cos
+      FROM qp JOIN b c ON qp.bucket = c.bucket
+                      AND qp.qid <> c.vec_id),
+    lsh AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, nid) AS nn_rank
+        FROM sl) w WHERE nn_rank <= 3)
+    SELECT bf.qid,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS ivf_hits,
+           CAST(SUM(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS lsh_hits,
+           round(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) + 0 AS recall_ivf,
+           round(SUM(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) + 0 AS recall_lsh
+    FROM bf
+    LEFT JOIN ivf i ON i.qid = bf.qid AND i.nid = bf.nid
+    LEFT JOIN lsh l ON l.qid = bf.qid AND l.nid = bf.nid
+    GROUP BY bf.qid ORDER BY bf.qid
+    """,
+)
+def ann_recall_cert(spark, sf):
+    """ANN recall@3 certificate — the number that decides whether the
+    scale path (IVF cells, multiprobe LSH buckets) may replace the
+    brute-force scan at 100 TB: per query, the exact top-3 neighbor
+    SET from the quadratic baseline (ann_cosine_topk's operator)
+    intersected with each approximate index's top-3
+    (ann_ivf_topk's single-probe IVF-Flat, ann_lsh_multiprobe's
+    Hamming-1 probe fan). Both index paths and the baseline are
+    fully deterministic (lowest-id coarse centroids, md5-derived
+    sign planes, (cos DESC, nid) total-order ranking), so recall
+    is an exact engine-checkable value, not a sampled estimate —
+    the dedup_minhash_eval estimator-quality pattern applied to
+    similarity search. Set intersection joins on (qid, nid) —
+    rank positions are irrelevant to recall, so rank
+    disagreements between engines cannot leak into the hash. The
+    replay test pins recall_multiprobe >= recall at one fewer
+    probe level conceptually via lsh >= 0 and the set-containment
+    sanity ivf_hits <= k. At corpus scale each leg is the already-
+    audited bucketed join; the certificate adds two broadcast-
+    sized set joins on the top-k relations."""
+    emb = t(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    bf = ann_ops.cosine_topk(qs, emb, k=3).select("qid", "nid")
+    ivf = (
+        ann_ops.ivf_topk(qs, emb, k=3)
+        .select(
+            F.col("qid").alias("iq"), F.col("nid").alias("inid")
+        )
+    )
+    lsh = (
+        ann_ops.lsh_bucketed_topk(
+            qs,
+            emb,
+            dim=_EMB_DIM,
+            k=3,
+            n_planes=_LSH_PLANES,
+            multiprobe=True,
+        )
+        .select(
+            F.col("qid").alias("lq"), F.col("nid").alias("lnid")
+        )
+    )
+    j = (
+        bf.join(
+            ivf,
+            (F.col("iq") == F.col("qid"))
+            & (F.col("inid") == F.col("nid")),
+            "left",
+        )
+        .join(
+            lsh,
+            (F.col("lq") == F.col("qid"))
+            & (F.col("lnid") == F.col("nid")),
+            "left",
+        )
+    )
+    return (
+        j.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(
+                F.when(F.col("inid").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ivf_hits"),
+            F.sum(
+                F.when(F.col("lnid").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("lsh_hits"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(F.col("inid").isNotNull(), 1)
+                        .otherwise(0)
+                    )
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("recall_ivf"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(F.col("lnid").isNotNull(), 1)
+                        .otherwise(0)
+                    )
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("recall_lsh"),
+        )
+        .orderBy("qid")
+    )
