@@ -2926,6 +2926,41 @@ def main() -> None:
         f"dunn={dunn_s} (want <=1); window-udf Arrow node={wb_ok}",
     )
 
+    # 103. waves 141-150: the pair-census faces never materialize
+    # pairs — Cliff's delta and Somers' D fold to window chains over
+    # the value-support grid with ZERO joins and one corpus scan;
+    # the concordance index consumes its user-panel checkpoint (no
+    # events re-scan after the per-user aggregate); Fleiss' kappa's
+    # two marginal consumers read the checkpointed cell relation.
+    def _plan_of(key):
+        return (
+            QUERIES[key](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p_cliff = _plan_of("stat_cliff_delta")
+    cliff_scans = len(re.findall(r"FileScan parquet", p_cliff))
+    cliff_joins = len(re.findall(r"Join", p_cliff))
+    p_som = _plan_of("stat_somers_d")
+    som_scans = len(re.findall(r"FileScan parquet", p_som))
+    som_joins = len(re.findall(r"Join", p_som))
+    p_cidx = _plan_of("ml_concordance_index")
+    cidx_ev = len(re.findall(r"events\.parquet", p_cidx))
+    p_fl = _plan_of("stat_fleiss_kappa")
+    fl_ev = len(re.findall(r"events\.parquet", p_fl))
+    check(
+        "waves 141-150: grid pair-census faces join-free on one "
+        "scan; concordance + Fleiss consume checkpoints",
+        cliff_scans == 1 and cliff_joins == 0 and som_scans == 1
+        and som_joins == 0 and cidx_ev == 0 and fl_ev == 0,
+        f"cliff scans={cliff_scans} joins={cliff_joins} (want 1/0); "
+        f"somers scans={som_scans} joins={som_joins} (want 1/0); "
+        f"c-index events-scans={cidx_ev} fleiss events-scans={fl_ev} "
+        "(want 0/0)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
