@@ -2183,3 +2183,83 @@ def scan_multipath(spark, sf):
             F.lit(bool(both)).alias("both_roots_listed"),
         )
         return parquet_checkpoint(out, "multipath_out")
+
+
+# ---------------------------------------------------------------------------
+# wave 151: multi-character CSV delimiter roundtrip
+# ---------------------------------------------------------------------------
+@q(
+    "csv_multichar_delim",
+    """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(substr(text, 1, 40))) AS BIGINT)
+             AS sum_head_len
+    FROM documents GROUP BY lang, source
+    """,
+)
+def csv_multichar_delim(spark, sf):
+    """Multi-character CSV delimiter ('||') roundtrip — the
+    interchange shape legacy ETL feeds actually use when the data
+    contains commas and tabs (double-pipe survives where single
+    chars collide): documents (ids, lang, source, n_chars, plus the
+    first 40 raw text chars as a hostile free-text column) written
+    with sep='||', read back with the SAME multi-char sep, an
+    explicit schema (inferSchema is a second scan AND a type
+    gamble), and multiLine for embedded newlines in the head
+    fragment. Spark 4 supports multi-char separators on BOTH write
+    and read (measured — this was read-only until Spark 3.0).
+    Values containing the separator are quoted by the writer and
+    unquoted by the reader — but quoting does NOT protect trailing
+    whitespace: the Univocity WRITER trims it by default
+    (ignoreLeading/TrailingWhiteSpace default TRUE on write, FALSE
+    on read — asymmetric!), measured as an off-by-one length mass
+    on every head fragment ending in a space; both flags are
+    explicitly disabled on the write. The aggregate twin over the
+    ORIGINAL parquet proves byte-lossless transit including the
+    head fragment's length mass (the csv_roundtrip hash-equality
+    idiom). Scale: the sink is a partitioned write, the read is
+    multiLine (one task per file — the documented multiLine
+    throughput tradeoff, acceptable for interchange exports)."""
+    d = _sink_dir(spark, "mcd")
+    (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.substring("text", 1, 40).alias("head40"),
+        )
+        .write.mode("overwrite")
+        .options(
+            header=True,
+            sep="||",
+            quoteAll=True,
+            escape='"',
+            # the WRITER trims whitespace by default (reader does
+            # not): a head fragment ending in a space loses it even
+            # inside quotes — measured as an off-by-one length mass
+            ignoreLeadingWhiteSpace=False,
+            ignoreTrailingWhiteSpace=False,
+        )
+        .csv(d)
+    )
+    back = (
+        spark.read.options(
+            header=True, sep="||", escape='"', multiLine=True
+        )
+        .schema(
+            "doc_id BIGINT, lang STRING, source STRING,"
+            " n_chars BIGINT, head40 STRING"
+        )
+        .csv(d)
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.length(F.coalesce(F.col("head40"), F.lit(""))))
+        .cast("long")
+        .alias("sum_head_len"),
+    )

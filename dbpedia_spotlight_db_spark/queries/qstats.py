@@ -8296,3 +8296,154 @@ def stat_dagostino(spark, sf):
         .otherwise(F.round(z1 * z1 + z2 * z2, 6) + F.lit(0.0))
         .alias("k2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 151: Lo-MacKinlay variance ratio VR(5) on daily revenue
+# ---------------------------------------------------------------------------
+@q(
+    "stat_variance_ratio",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) // 100000 AS kd
+      FROM orders GROUP BY 1),
+    lagd AS (
+      SELECT day, kd,
+             CAST(MIN(day) OVER () AS BIGINT) AS base,
+             LAG(day, 1) OVER (ORDER BY day) AS pd1,
+             LAG(kd, 1) OVER (ORDER BY day) AS pk1,
+             LAG(day, 5) OVER (ORDER BY day) AS pd5,
+             LAG(kd, 5) OVER (ORDER BY day) AS pk5
+      FROM daily),
+    d1 AS (
+      SELECT CAST(kd - pk1 AS BIGINT) AS x FROM lagd
+      WHERE pd1 IS NOT NULL AND day - pd1 = 1),
+    d5 AS (
+      SELECT CAST(kd - pk5 AS BIGINT) AS x FROM lagd
+      WHERE pd5 IS NOT NULL AND day - pd5 = 5
+        AND (day - base) % 5 = 0),
+    m1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(x), 0) AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS ss1
+      FROM d1),
+    m5 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n5,
+             CAST(COALESCE(SUM(x), 0) AS BIGINT) AS s5,
+             CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS ss5
+      FROM d5)
+    SELECT n1, n5,
+           CASE WHEN n1 < 2 OR n5 < 2
+                     OR n1 * ss1 - s1 * s1 <= 0 THEN NULL
+                ELSE round(
+                  (CAST(n5 * ss5 - s5 * s5 AS DOUBLE)
+                   / (CAST(n5 AS DOUBLE) * (n5 - 1)))
+                  / (5.0 * (CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                            / (CAST(n1 AS DOUBLE) * (n1 - 1)))),
+                  6) + 0 END AS vr5,
+           CASE WHEN n1 < 2 OR n5 < 2
+                     OR n1 * ss1 - s1 * s1 <= 0 THEN NULL
+                ELSE round(
+                  (CAST(n5 * ss5 - s5 * s5 AS DOUBLE)
+                   / (CAST(n5 AS DOUBLE) * (n5 - 1)))
+                  / (5.0 * (CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                            / (CAST(n1 AS DOUBLE) * (n1 - 1)))),
+                  6) < 0.5 END AS mean_reverting
+    FROM m1, m5
+    """,
+)
+def stat_variance_ratio(spark, sf):
+    """Lo-MacKinlay variance ratio VR(5) on the daily revenue
+    series — the third leg of the unit-root triad (stat_df_unit_root
+    rejects a unit root, stat_kpss accepts stationarity; VR says HOW
+    the series deviates from a random walk): VR(q) =
+    Var(q-day change)/(q * Var(1-day change)). A random walk gives
+    exactly 1; iid LEVELS give 1/q (the 1-day change is an MA(1)
+    with variance 2*sigma^2 while the q-day change is still just
+    2*sigma^2), so the fixture pins vr5 ~ 0.2 and mean_reverting
+    TRUE — a trending series would push VR above 1. Five-day
+    changes are NON-overlapping ((day - base) % 5 = 0, endpoints 5
+    consecutive calendar days apart via the LAG(…,5) + day-gap
+    check), so the two variance estimates are independent-sample
+    clean. Both variances assemble from exact BIGINT kilodollar
+    moments (n*ss - s^2 cross-products, the stat_df_unit_root
+    scaling) with the division chain in identical op order.
+    One scan, one |days|-sized window chain."""
+    daily = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate AS TIMESTAMP))"
+                " div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.expr(
+                "sum(cast(round(o_totalprice * 100) AS BIGINT))"
+                " div 100000"
+            )
+            .cast("long")
+            .alias("kd")
+        )
+    )
+    wl = Window.orderBy("day")
+    wall = Window.partitionBy()
+    lagd = daily.select(
+        "day",
+        "kd",
+        F.min("day").over(wall).cast("long").alias("base"),
+        F.lag("day", 1).over(wl).alias("pd1"),
+        F.lag("kd", 1).over(wl).alias("pk1"),
+        F.lag("day", 5).over(wl).alias("pd5"),
+        F.lag("kd", 5).over(wl).alias("pk5"),
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    lagd = parquet_checkpoint(lagd, "vr_lagd")
+    d1 = lagd.filter(
+        F.col("pd1").isNotNull() & (F.col("day") - F.col("pd1") == 1)
+    ).select((F.col("kd") - F.col("pk1")).cast("long").alias("x"))
+    d5 = lagd.filter(
+        F.col("pd5").isNotNull()
+        & (F.col("day") - F.col("pd5") == 5)
+        & ((F.col("day") - F.col("base")) % 5 == 0)
+    ).select((F.col("kd") - F.col("pk5")).cast("long").alias("x"))
+
+    def moms(df, np_, sp_, ssp_):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias(np_),
+            F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias(sp_),
+            F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0))
+            .cast("long")
+            .alias(ssp_),
+        )
+
+    j = moms(d1, "n1", "s1", "ss1").crossJoin(
+        moms(d5, "n5", "s5", "ss5")
+    )
+    n1, s1, ss1 = F.col("n1"), F.col("s1"), F.col("ss1")
+    n5, s5, ss5 = F.col("n5"), F.col("s5"), F.col("ss5")
+    a1 = n1 * ss1 - s1 * s1
+    a5 = n5 * ss5 - s5 * s5
+    bad = (n1 < 2) | (n5 < 2) | (a1 <= 0)
+    vr = F.round(
+        (a5.cast("double") / (n5.cast("double") * (n5 - 1)))
+        / (
+            F.lit(5.0)
+            * (a1.cast("double") / (n1.cast("double") * (n1 - 1)))
+        ),
+        6,
+    )
+    return j.select(
+        "n1",
+        "n5",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(vr + F.lit(0.0))
+        .alias("vr5"),
+        F.when(bad, F.lit(None).cast("boolean"))
+        .otherwise(vr < F.lit(0.5))
+        .alias("mean_reverting"),
+    )
