@@ -5285,3 +5285,176 @@ def text_skipgrams(spark, sf):
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 152: exact two-sample Poisson rate test (conditional binomial)
+# ---------------------------------------------------------------------------
+@q(
+    "stat_poisson_2sample",
+    """
+    WITH m AS (
+      SELECT CAST(SUM(CASE WHEN substr(md5(CAST(event_id AS VARCHAR)),
+                                       1, 1) < '8'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events),
+    s AS (
+      SELECT CAST(0 AS BIGINT) AS i
+      UNION ALL
+      SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) FROM events),
+    lf AS (
+      SELECT i, SUM(li) OVER (ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS lf
+      FROM (SELECT i,
+                   CASE WHEN i <= 1 THEN 0
+                        ELSE CAST(round(ln(CAST(i AS DOUBLE)) * 1000000)
+                                  AS BIGINT) END AS li
+            FROM s) z),
+    lp AS (
+      SELECT s.i AS k, m.k1, m.n,
+             lfn.lf - lfk.lf - lfnk.lf AS lbc
+      FROM m
+      JOIN s ON s.i BETWEEN 0 AND m.n
+      JOIN lf lfn ON lfn.i = m.n
+      JOIN lf lfk ON lfk.i = s.i
+      JOIN lf lfnk ON lfnk.i = m.n - s.i),
+    la AS (
+      SELECT lbc AS lbc_obs FROM lp WHERE k = k1)
+    SELECT MAX(lp.n) AS n, MAX(lp.k1) AS k1,
+           CAST(MAX(lp.n) - MAX(lp.k1) AS BIGINT) AS k2,
+           CASE WHEN MAX(lp.n) = MAX(lp.k1) OR MAX(lp.k1) = 0
+                THEN NULL
+                ELSE round(CAST(MAX(lp.k1) AS DOUBLE)
+                           / (MAX(lp.n) - MAX(lp.k1)), 6) + 0
+           END AS rate_ratio,
+           CAST(SUM(CASE WHEN lbc <= la.lbc_obs THEN 1 ELSE 0 END)
+                AS BIGINT) AS k_included,
+           CAST(SUM(CASE WHEN lbc <= la.lbc_obs THEN
+                  CAST(round(exp(CAST(lbc AS DOUBLE) / 1000000.0
+                                 + CAST(lp.n AS DOUBLE)
+                                   * ln(0.5)) * 1000000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS p_micros
+    FROM lp, la
+    """,
+)
+def stat_poisson_2sample(spark, sf):
+    """EXACT two-sample Poisson rate test (the conditional binomial
+    / C-test): are events arriving at the same rate in the two md5
+    halves? Conditional on the total n = k1 + k2, k1 ~
+    Binomial(n, t1/(t1+t2)) with equal exposures -> p = 1/2, which
+    collapses stat_binom_test's machinery beautifully: the logpmf's
+    p-dependent terms fold to the CONSTANT n*ln(1/2), so the
+    two-sided inclusion rule pmf(k) <= pmf(k1) becomes a pure
+    log-binomial-coefficient compare lC(n,k) <= lC(n,k1) — exact
+    BIGINT micros, no probability literals in the ranking at all —
+    and the constant re-enters only inside the final exp. Same
+    logfact discipline: support 0..n derived from the corpus via
+    ROW_NUMBER + a zero row, cumulative micros-ln sums, per-term
+    micros-rounded pmf mass. The md5 halves are a true A/A split,
+    so the test is pinned NOT significant (p > 5%) and rate_ratio
+    ~ 1 in the replay. Scale note as stat_binom_test: the grid is
+    n+1 rows; past ~1e7 events use stat_prop_ztest's normal form."""
+    m = t(spark, sf, "events").agg(
+        F.sum(
+            F.when(
+                F.substring(
+                    F.md5(F.col("event_id").cast("string")), 1, 1
+                )
+                < "8",
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("k1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    s = (
+        spark.range(1)
+        .select(F.lit(0).cast("long").alias("i"))
+        .union(
+            t(spark, sf, "events").select(
+                F.row_number()
+                .over(Window.orderBy(F.lit(1)))
+                .cast("long")
+                .alias("i")
+            )
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    lnm = (
+        F.when(F.col("i") <= 1, F.lit(0))
+        .otherwise(
+            F.round(F.log(F.col("i").cast("double")) * 1000000).cast(
+                "long"
+            )
+        )
+        .alias("li")
+    )
+    lf = parquet_checkpoint(
+        s.select("i", lnm).select(
+            "i",
+            F.sum("li")
+            .over(
+                Window.orderBy("i").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("lf"),
+        ),
+        "pois2_lf",
+    )
+    sk = s.withColumnRenamed("i", "k")
+    lp = (
+        m.join(sk, sk["k"].between(0, m["n"]))
+        .join(lf.alias("lfn"), F.col("lfn.i") == F.col("n"))
+        .join(lf.alias("lfk"), F.col("lfk.i") == F.col("k"))
+        .join(
+            lf.alias("lfnk"),
+            F.col("lfnk.i") == F.col("n") - F.col("k"),
+        )
+        .select(
+            "k",
+            "k1",
+            "n",
+            (
+                F.col("lfn.lf")
+                - F.col("lfk.lf")
+                - F.col("lfnk.lf")
+            ).alias("lbc"),
+        )
+    )
+    la = lp.filter(F.col("k") == F.col("k1")).select(
+        F.col("lbc").alias("lbc_obs")
+    )
+    j = lp.crossJoin(la)
+    inc = F.col("lbc") <= F.col("lbc_obs")
+    # n rides as a per-row column inside the SUM — F.max("n") here
+    # would be NESTED_AGGREGATE_FUNCTION (the stat_ljung_box lesson)
+    pmf_mic = F.round(
+        F.exp(
+            F.col("lbc").cast("double") / F.lit(1000000.0)
+            + F.col("n").cast("double") * F.log(F.lit(0.5))
+        )
+        * 1000000
+    ).cast("long")
+    n_, k1_ = F.max("n"), F.max("k1")
+    return j.agg(
+        n_.cast("long").alias("n"),
+        k1_.cast("long").alias("k1"),
+        (n_ - k1_).cast("long").alias("k2"),
+        F.when(
+            (n_ == k1_) | (k1_ == 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(k1_.cast("double") / (n_ - k1_), 6) + F.lit(0.0)
+        )
+        .alias("rate_ratio"),
+        F.sum(F.when(inc, 1).otherwise(0))
+        .cast("long")
+        .alias("k_included"),
+        F.sum(F.when(inc, pmf_mic).otherwise(0))
+        .cast("long")
+        .alias("p_micros"),
+    )

@@ -3605,3 +3605,111 @@ def date_business_days(spark, sf):
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 152: union of two streams -> one windowed aggregate (min watermark)
+# ---------------------------------------------------------------------------
+@q(
+    "stream_union",
+    """
+    WITH src AS (
+      SELECT epoch_us(ts) AS us,
+             CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS src,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    wms AS (
+      SELECT LEAST(
+               (SELECT (MAX(us) // 1000) * 1000 FROM src
+                WHERE src = 'a'),
+               (SELECT (MAX(us) // 1000) * 1000 FROM src
+                WHERE src = 'b')) - 3600000000 AS w),
+    day AS (
+      SELECT (us // 86400000000) * 86400000000 AS s, src,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM src GROUP BY 1, 2)
+    SELECT s AS day_start_us, src, n, cents
+    FROM day CROSS JOIN wms
+    WHERE s + 86400000000 <= wms.w
+    """,
+)
+def stream_union(spark, sf):
+    """UNION of two independent file-source streams feeding ONE
+    windowed aggregate — the fan-in topology (every prior streaming
+    face had a single source or a two-sided JOIN; metrics pipelines
+    routinely merge N regional feeds into one rollup). Each branch
+    carries its OWN withWatermark before the union, and Spark's
+    default multipleWatermarkPolicy = MIN advances the query
+    watermark only as far as the SLOWEST input — the twin computes
+    both branch watermarks (ms-floored max - 1h) and applies
+    LEAST(), so if Spark ever emitted on the faster branch's clock
+    the gate would catch the extra day. The even/odd event_id split
+    makes the two branches deterministic partitions of one table;
+    each keeps its source tag through the union so the output
+    proves BOTH branches flowed into the same state store (day x
+    src grid). availableNow drains both directories in one run;
+    append emits exactly the days whose END the final min-watermark
+    passed (the stream_window emission rule). State: one row per
+    open (day, src) cell, bounded by the watermark horizon."""
+    import os
+    import tempfile
+
+    name = f"stream_union_{next(_STREAM_Q_COUNTER)}"
+    schema = t(spark, sf, "events").schema
+    with tempfile.TemporaryDirectory(prefix="stream_union_") as tmp:
+        dir_a = os.path.join(tmp, "a")
+        dir_b = os.path.join(tmp, "b")
+        base = t(spark, sf, "events").filter(
+            F.col("ts").isNotNull() & F.col("value").isNotNull()
+        )
+        base.filter(F.col("event_id") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(dir_a)
+        base.filter(F.col("event_id") % 2 == 1).write.mode(
+            "overwrite"
+        ).parquet(dir_b)
+
+        def branch(d, tag):
+            return (
+                spark.readStream.schema(schema)
+                .parquet(d)
+                .filter(
+                    F.col("ts").isNotNull()
+                    & F.col("value").isNotNull()
+                )
+                .select(
+                    F.col("ts").cast("timestamp").alias("ets"),
+                    F.lit(tag).alias("src"),
+                    F.round(F.col("value") * 100)
+                    .cast("long")
+                    .alias("cents"),
+                )
+                .withWatermark("ets", "1 hour")
+            )
+
+        u = branch(dir_a, "a").unionAll(branch(dir_b, "b"))
+        day = u.groupBy(F.window("ets", "1 day"), "src").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        out = day.select(
+            F.unix_micros(F.col("window.start")).alias(
+                "day_start_us"
+            ),
+            "src",
+            "n",
+            "cents",
+        )
+        q_ = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", os.path.join(tmp, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return spark.table(name)
