@@ -1659,3 +1659,116 @@ def privacy_dp_mean(spark, sf):
         )
         .alias("dp_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 153: DP median via the exponential mechanism on the value support
+# ---------------------------------------------------------------------------
+@q(
+    "privacy_dp_quantile",
+    """
+    WITH sup AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    cw AS (
+      SELECT v, c,
+             CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM sup),
+    sc AS (
+      SELECT v, n,
+             -abs(2 * cum - c - n) AS util,
+             (('0x' || substr(md5('dpq:' || CAST(v AS VARCHAR)), 1, 8))
+                ::UBIGINT + 1) / 4294967298.0 AS u
+      FROM cw),
+    nz AS (
+      SELECT v, n,
+             CAST(round(1000000.0
+                        * (util / 2.0 + 2.0 * (-ln(-ln(u)))))
+               AS BIGINT) AS noisy_mic
+      FROM sc),
+    rk AS (
+      SELECT v, n, noisy_mic,
+             ROW_NUMBER() OVER (ORDER BY noisy_mic DESC, v) AS rnk
+      FROM nz)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(v AS BIGINT) AS released_median_cents,
+           noisy_mic
+    FROM rk WHERE rnk = 1
+    """,
+)
+def privacy_dp_quantile(spark, sf):
+    """Differentially private MEDIAN via the exponential mechanism —
+    the selection-typed release privacy_dp_mean's Laplace sum/count
+    cannot provide (a noisy mean is dragged arbitrarily far by one
+    outlier; the exponential-mechanism median has sensitivity-1
+    utility and needs NO clamping bound): each candidate value v in
+    the support scores util(v) = -|#less(v) - #greater(v)| =
+    -|2*cum - c - n| (0 at the exact median, falling by at most 2
+    per neighboring record -> Delta_u = 2... spelled with the
+    utility HALVED into util/2, scale 2/eps with eps = 1), and the
+    Gumbel-max trick turns the draw into an argmax over
+    noisy = util/2 + 2*Gumbel — privacy_dp_topk's machinery with a
+    QUANTILE utility instead of a count. Noise is md5-derived per
+    candidate value, u shifted off the poles, the noisy score
+    micros-quantized BEFORE the argmax with v as tiebreak, so the
+    release is bit-identical across engines. True counts never
+    appear in the output (n is public corpus size). The replay test
+    pins the release within the central mass of the distribution
+    (the mechanism concentrates exponentially around the true
+    median). One scan to the support, one window chain, one
+    argmax."""
+    sup = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.round(F.col("value") * 100).cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cw = sup.select(
+        "v",
+        "c",
+        F.sum("c").over(Window.orderBy("v")).cast("long").alias("cum"),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    util = -F.abs(2 * F.col("cum") - F.col("c") - F.col("n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dpq:"), F.col("v").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ) / F.lit(4294967298.0)
+    nz = cw.select(
+        "v",
+        "n",
+        F.round(
+            F.lit(1000000.0)
+            * (
+                util.cast("double") / F.lit(2.0)
+                + F.lit(2.0) * (-F.log(-F.log(u)))
+            )
+        )
+        .cast("long")
+        .alias("noisy_mic"),
+    )
+    w = Window.orderBy(F.desc("noisy_mic"), F.col("v"))
+    return (
+        nz.select(
+            "v",
+            "n",
+            "noisy_mic",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("v").cast("long").alias("released_median_cents"),
+            "noisy_mic",
+        )
+    )

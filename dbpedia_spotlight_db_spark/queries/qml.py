@@ -7141,3 +7141,71 @@ def ml_concordance_index(spark, sf):
         )
         .alias("c_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 153: MLlib Bucketizer — explicit-splits binning, map-only transform
+# ---------------------------------------------------------------------------
+@q(
+    "mllib_bucketizer",
+    """
+    WITH b AS (
+      SELECT CASE WHEN value < 10.0 THEN 0
+                  WHEN value < 50.0 THEN 1
+                  WHEN value < 100.0 THEN 2
+                  WHEN value < 500.0 THEN 3
+                  ELSE 4 END AS bucket,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def mllib_bucketizer(spark, sf):
+    """``pyspark.ml.feature.Bucketizer`` with EXPLICIT splits — the
+    third pyspark.ml face (mllib_feature_pipeline fits indexers,
+    mllib_scaler fits moments; Bucketizer is the no-fit transformer:
+    splits are constructor literals, transform is a pure map — the
+    shape a feature store ships to serving, where a fitted
+    QuantileDiscretizer would drift between training and serving
+    runs). Split semantics measured and mirrored in the twin's CASE
+    ladder: buckets are LEFT-CLOSED [a, b) (a value equal to an
+    interior split lands in the UPPER bucket), -inf/+inf sentinels
+    make the ladder total, and the bucket id comes back as a
+    DOUBLE column that the face casts to BIGINT for the grid. Per-
+    bucket count/sum/min/max over exact cents certify that the JVM
+    transformer binned every row exactly as the SQL ladder — one
+    scan, map-only transform ahead of one small aggregate. At 100
+    TB Bucketizer stays a narrow map stage fused into the scan."""
+    from pyspark.ml.feature import Bucketizer
+
+    e = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("value").cast("double").alias("value"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    buck = Bucketizer(
+        splits=[
+            float("-inf"), 10.0, 50.0, 100.0, 500.0, float("inf"),
+        ],
+        inputCol="value",
+        outputCol="bucket",
+    )
+    out = buck.transform(e)
+    return (
+        out.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+        .orderBy("bucket")
+    )
