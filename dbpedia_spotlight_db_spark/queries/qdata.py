@@ -3083,3 +3083,59 @@ def ann_recall_cert(spark, sf):
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 154: multi-column SCALAR_ITER pandas UDF — Iterator[Tuple[...]]
+# ---------------------------------------------------------------------------
+@q(
+    "udf_scalar_iter_multi",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[aeiou]'))
+                + n_chars % 7 AS INT) AS score
+    FROM documents
+    """,
+)
+def udf_scalar_iter_multi(spark, sf):
+    """Multi-column SCALAR_ITER pandas UDF —
+    ``Iterator[Tuple[Series, Series]] -> Iterator[Series]``, the
+    input-arity quadrant udf_scalar_iter's single-column form never
+    exercises: with 2+ input columns the iterator's elements arrive
+    as TUPLES of aligned Series (one per argument, same Arrow
+    batch), and pandas_udf infers SCALAR_ITER from exactly that
+    Tuple[...] annotation — annotate Iterator[Series] with two
+    args and registration fails, so the arity lives in the TYPE,
+    not the signature. Same once-per-task amortization story (the
+    compiled regex here stands in for a model handle shared across
+    every batch AND both columns); same stringized-annotations
+    workaround (`__future__.annotations` forces attaching real
+    typing objects via __annotations__ before decorating — the
+    udf_scalar_iter lesson). The body keeps the row contract
+    (vowels(text) + n_chars mod 7), so the plain-SQL twin gates
+    values exactly; NULL text propagates as NULL through nullable
+    Int32."""
+    from typing import Iterator, Tuple
+
+    def _score_fn(batches):
+        import re
+
+        vowel = re.compile(r"[aeiou]")  # once-per-task setup
+        for text, n_chars in batches:
+            vows = text.str.lower().map(
+                lambda s: len(vowel.findall(s))
+                if isinstance(s, str)
+                else None
+            )
+            yield (vows + n_chars % 7).astype("Int32")
+
+    _score_fn.__annotations__ = {
+        "batches": Iterator[Tuple[pd.Series, pd.Series]],
+        "return": Iterator[pd.Series],
+    }
+    _score = pandas_udf(T.IntegerType())(_score_fn)
+
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        _score(F.col("text"), F.col("n_chars")).alias("score"),
+    )

@@ -8447,3 +8447,150 @@ def stat_variance_ratio(spark, sf):
         .otherwise(vr < F.lit(0.5))
         .alias("mean_reverting"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 154: Bartels rank test — rank von Neumann ratio for randomness
+# ---------------------------------------------------------------------------
+@q(
+    "stat_bartels_rank",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    rk AS (
+      SELECT day,
+             CAST(2 * RANK() OVER (ORDER BY cents)
+                  + COUNT(*) OVER (PARTITION BY cents) - 1
+                  AS BIGINT) AS dr,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily),
+    df AS (
+      SELECT n, dr,
+             LEAD(dr) OVER (ORDER BY day) AS nxt
+      FROM rk),
+    m AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COALESCE(SUM((dr - nxt) * (dr - nxt)), 0)
+                  AS BIGINT) AS num,
+             CAST(COALESCE(SUM((dr - n - 1) * (dr - n - 1)), 0)
+                  AS BIGINT) AS den
+      FROM df)
+    SELECT n, num, den,
+           CASE WHEN den = 0 THEN NULL
+                ELSE round(CAST(num AS DOUBLE) / den, 6) + 0
+           END AS rvn,
+           CASE WHEN den = 0 OR n < 10 THEN NULL
+                ELSE round((CAST(num AS DOUBLE) / den - 2.0)
+                           / sqrt(4.0 / n), 6) + 0
+           END AS z,
+           CASE WHEN den = 0 OR n < 10 THEN NULL
+                ELSE abs((CAST(num AS DOUBLE) / den - 2.0)
+                         / sqrt(4.0 / n)) < 3.0
+           END AS random_ok
+    FROM m
+    """,
+)
+def stat_bartels_rank(spark, sf):
+    """Bartels' rank test of randomness — the rank von Neumann
+    ratio RVN = sum (R_t - R_{t+1})^2 / sum (R_t - Rbar)^2 over the
+    day-ordered revenue ranks: serial correlation pushes RVN below
+    2 (neighbors rank-close), oscillation above 2, iid sits at
+    exactly E[RVN] = 2 — the nonparametric complement to
+    stat_runs' median-dichotomized runs (runs discards rank
+    magnitude; Bartels keeps it) and to stat_durbin_watson (same
+    ratio on raw residuals; ranks immunize it against the heavy
+    tail). All-integer core: DOUBLED midranks via the
+    2*RANK + ties - 2 identity make every rank an exact integer
+    even under revenue ties, the doubled mean is exactly n+1 so
+    the centered denominator is a pure BIGINT sum, and the lagged
+    numerator is one LEAD over the day order. z uses the simple
+    asymptotic Var ~ 4/n (the exact 4(n-2)^2... form is a
+    consumer-side refinement, games_howell discipline). The iid
+    fixture pins |z| < 3; the replay test checks NUM/DEN exactly.
+    One scan, one |days|-sized window chain."""
+    daily = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate AS TIMESTAMP))"
+                " div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    rk = daily.select(
+        "day",
+        (
+            2 * F.rank().over(Window.orderBy("cents"))
+            + F.count(F.lit(1)).over(Window.partitionBy("cents"))
+            - 1
+        )
+        .cast("long")
+        .alias("dr"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n"),
+    )
+    df_ = rk.select(
+        "n",
+        "dr",
+        F.lead("dr").over(Window.orderBy("day")).alias("nxt"),
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    df_ = parquet_checkpoint(df_, "bartels_df")
+    num = (
+        df_.filter(F.col("nxt").isNotNull())
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("dr") - F.col("nxt"))
+                    * (F.col("dr") - F.col("nxt"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("num")
+        )
+    )
+    den = df_.agg(
+        F.max("n").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(
+                (F.col("dr") - F.col("n") - 1)
+                * (F.col("dr") - F.col("n") - 1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("den"),
+    )
+    j = den.crossJoin(num)
+    n, num_c, den_c = F.col("n"), F.col("num"), F.col("den")
+    rvn = num_c.cast("double") / den_c
+    z = (rvn - F.lit(2.0)) / F.sqrt(F.lit(4.0) / n)
+    return j.select(
+        n.alias("n"),
+        "num",
+        "den",
+        F.when(den_c == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(rvn, 6) + F.lit(0.0))
+        .alias("rvn"),
+        F.when((den_c == 0) | (n < 10), F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6) + F.lit(0.0))
+        .alias("z"),
+        F.when((den_c == 0) | (n < 10), F.lit(None).cast("boolean"))
+        .otherwise(F.abs(z) < F.lit(3.0))
+        .alias("random_ok"),
+    )
