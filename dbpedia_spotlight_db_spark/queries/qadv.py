@@ -5458,3 +5458,140 @@ def stat_poisson_2sample(spark, sf):
         .cast("long")
         .alias("p_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 155: word burstiness — Church-Gale cf/df dispersion census
+# ---------------------------------------------------------------------------
+@q(
+    "text_burstiness_words",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      FROM documents),
+    perdoc AS (
+      SELECT tk, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE tk <> '' GROUP BY tk, doc_id),
+    w AS (
+      SELECT tk,
+             CAST(SUM(c) AS BIGINT) AS cf,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(MAX(c) AS BIGINT) AS max_in_doc
+      FROM perdoc GROUP BY tk),
+    f AS (
+      SELECT tk, cf, df, max_in_doc,
+             round(CAST(cf AS DOUBLE) / df, 6) + 0 AS burstiness
+      FROM w WHERE df >= 5)
+    SELECT tk, cf, df, max_in_doc, burstiness
+    FROM f
+    ORDER BY burstiness DESC, cf DESC, tk LIMIT 20
+    """,
+)
+def text_burstiness_words(spark, sf):
+    """Word burstiness census — Church & Gale's cf/df ratio (mean
+    occurrences per CONTAINING document): function words spread
+    evenly (cf/df ~ 1), topical/templated words BURST (one doc uses
+    them many times), and the top of this ranking is exactly the
+    vocabulary a tf-idf or BM25 scorer treats differently from what
+    a unigram LM expects — the diagnostic run before picking
+    document-frequency floors (text_unigram_lm_pruned's df cut) and
+    before trusting bag-of-words independence anywhere. Exact
+    integer core: per-(token, doc) counts fold map-side, the
+    per-token (cf, df, max-in-doc) aggregate is one shuffle on the
+    token key, burstiness is one rounded division, df >= 5 floors
+    the ranking to stable tokens, and the (burstiness, cf, tk)
+    total-order tiebreak makes the top-20 engine-unique via
+    TakeOrderedAndProject. Scale shape: tokens explode map-side;
+    both aggregates are vocabulary-sized; no marginal joins at all
+    (contrast PMI faces — burstiness needs no pair relation)."""
+    d = t(spark, sf, "documents")
+    perdoc = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tk")
+        )
+        .filter(F.col("tk") != "")
+        .groupBy("tk", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = perdoc.groupBy("tk").agg(
+        F.sum("c").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.max("c").cast("long").alias("max_in_doc"),
+    )
+    f = w.filter(F.col("df") >= 5).select(
+        "tk",
+        "cf",
+        "df",
+        "max_in_doc",
+        (
+            F.round(F.col("cf").cast("double") / F.col("df"), 6)
+            + F.lit(0.0)
+        ).alias("burstiness"),
+    )
+    return f.orderBy(
+        F.desc("burstiness"), F.desc("cf"), "tk"
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# wave 155: positional-postings phrase query
+# ---------------------------------------------------------------------------
+@q(
+    "index_phrase_query",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tk,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents),
+    p1 AS (SELECT doc_id, pos FROM tok WHERE tk = 'hash'),
+    p2 AS (SELECT doc_id, pos FROM tok WHERE tk = 'join'),
+    hits AS (
+      SELECT p1.doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase
+      FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id
+                     AND p2.pos = p1.pos + 1
+      GROUP BY p1.doc_id)
+    SELECT doc_id, n_phrase
+    FROM hits ORDER BY n_phrase DESC, doc_id LIMIT 20
+    """,
+)
+def index_phrase_query(spark, sf):
+    """Exact PHRASE query ("hash join") over positional postings —
+    the operator that separates a real search index from a bag of
+    words (index_postings stores which docs contain a term; a
+    phrase needs WHERE, and the standard evaluation is a
+    positional-postings intersection: term-1 positions joined to
+    term-2 positions on (doc, pos+1)). Positions come from the
+    token explode with ordinals (DuckDB generate_subscripts is
+    1-based vs posexplode's 0-based — the qdata.py:241 idiom; both
+    sides only need CONSISTENT positions, so each engine keeps its
+    own base and the +1 adjacency predicate is base-invariant).
+    The per-term postings relations are filtered BEFORE the join —
+    two selective pushed predicates, then an equi-join on (doc_id,
+    position) keys — so at 100 TB this is two slim vocabulary-
+    filtered streams co-shuffled by doc, never a full-corpus
+    self-join; phrase counts per doc, (count DESC, doc) top-20 via
+    TakeOrderedAndProject. The replay test pins the phrase count
+    against a Python substring-over-token-list walk, including
+    overlapping and repeated matches."""
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tk"),
+    )
+    p1 = tok.filter(F.col("tk") == "hash").select(
+        "doc_id", F.col("pos").alias("pos1")
+    )
+    p2 = tok.filter(F.col("tk") == "join").select(
+        F.col("doc_id").alias("doc2"), F.col("pos").alias("pos2")
+    )
+    hits = (
+        p1.join(
+            p2,
+            (F.col("doc2") == F.col("doc_id"))
+            & (F.col("pos2") == F.col("pos1") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_phrase"))
+    )
+    return hits.orderBy(F.desc("n_phrase"), "doc_id").limit(20)
