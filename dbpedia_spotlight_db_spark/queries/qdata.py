@@ -3139,3 +3139,129 @@ def udf_scalar_iter_multi(spark, sf):
         "doc_id",
         _score(F.col("text"), F.col("n_chars")).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 156: content-defined chunking dedup census (rsync/CDC-style)
+# ---------------------------------------------------------------------------
+@q(
+    "dedup_cdc",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tk,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents),
+    fl AS (
+      SELECT doc_id, tk, pos,
+             CASE WHEN ('0x' || substr(md5(tk), 1, 4))::UBIGINT % 8
+                       = 0
+                  THEN 1 ELSE 0 END AS bnd
+      FROM tok WHERE tk <> ''),
+    isl AS (
+      SELECT doc_id, tk, pos,
+             SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM fl),
+    chunks AS (
+      SELECT doc_id, island,
+             string_agg(tk, ' ' ORDER BY pos) AS chunk
+      FROM isl GROUP BY doc_id, island),
+    census AS (
+      SELECT md5(chunk) AS h,
+             CAST(length(chunk) AS BIGINT) AS len,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM chunks GROUP BY md5(chunk), length(chunk))
+    SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS dup_chunks,
+           CAST(COALESCE(SUM(c * len), 0) AS BIGINT) AS chars_total,
+           CAST(COALESCE(SUM((c - 1) * len), 0) AS BIGINT)
+             AS chars_dedupable
+    FROM census
+    """,
+)
+def dedup_cdc(spark, sf):
+    """Content-defined chunking dedup census — the rsync/casync/
+    restic storage idea applied to corpus text: chunk boundaries
+    are placed where the CONTENT hashes to a boundary value
+    (md5(word) % 8 == 0, word-level), never at fixed offsets, so
+    inserting a sentence shifts every byte position but leaves all
+    other chunk boundaries attached to their words — exactly why
+    CDC dedup survives edits that defeat fixed-size blocking, and
+    the chunk-store planning number (chars_dedupable) a
+    deduplicating lake computes before ingest. Pipeline: token
+    positions (posexplode 0-based vs generate_subscripts 1-based —
+    consistent per engine, the qdata idiom), boundary flags,
+    islands via the cumulative-flag gaps-and-islands trick
+    (per-doc bounded window), chunk reassembly as
+    array_join(transform(array_sort(collect_list(struct(pos,
+    tk))))) on the Spark side vs string_agg(... ORDER BY pos) in
+    the twin (collect_list alone is order-unstable — the
+    kg_entity_card lesson), then an exact census over (md5(chunk),
+    length). One corpus scan; every relation after the explode is
+    chunk- or vocabulary-sized; the census is a
+    map-side-combinable aggregate on the chunk hash."""
+    d = t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tk"),
+    ).filter(F.col("tk") != "")
+    fl = tok.select(
+        "doc_id",
+        "tk",
+        "pos",
+        F.when(
+            F.conv(F.substring(F.md5("tk"), 1, 4), 16, 10)
+            .cast("long")
+            % 8
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("bnd"),
+    )
+    isl = fl.select(
+        "doc_id",
+        "tk",
+        "pos",
+        F.sum("bnd")
+        .over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("island"),
+    )
+    chunks = (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tk"))
+                    ),
+                    lambda x: x["tk"],
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+    census = chunks.groupBy(
+        F.md5("chunk").alias("h"),
+        F.length("chunk").cast("long").alias("len"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return census.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+        .cast("long")
+        .alias("dup_chunks"),
+        F.coalesce(F.sum(F.col("c") * F.col("len")), F.lit(0))
+        .cast("long")
+        .alias("chars_total"),
+        F.coalesce(F.sum((F.col("c") - 1) * F.col("len")), F.lit(0))
+        .cast("long")
+        .alias("chars_dedupable"),
+    )

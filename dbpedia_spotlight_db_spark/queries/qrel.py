@@ -3713,3 +3713,85 @@ def stream_union(spark, sf):
         )
         q_.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# wave 156: distribution window functions — percent_rank/cume_dist/ntile
+# ---------------------------------------------------------------------------
+@q(
+    "win_dist_fns",
+    """
+    WITH lab AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    w AS (
+      SELECT event_type, event_id, cents,
+             percent_rank() OVER
+               (PARTITION BY event_type
+                ORDER BY cents, event_id) AS pr,
+             cume_dist() OVER
+               (PARTITION BY event_type
+                ORDER BY cents, event_id) AS cd,
+             ntile(4) OVER
+               (PARTITION BY event_type
+                ORDER BY cents, event_id) AS quartile
+      FROM lab)
+    SELECT event_type,
+           CAST(quartile AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           round(MIN(pr), 6) + 0 AS min_pr,
+           round(MAX(pr), 6) + 0 AS max_pr,
+           round(MAX(cd), 6) + 0 AS max_cd
+    FROM w GROUP BY event_type, quartile
+    ORDER BY event_type, quartile
+    """,
+)
+def win_dist_fns(spark, sf):
+    """The DISTRIBUTION window-function trio — percent_rank,
+    cume_dist, ntile(4) — the last uncovered corner of the window
+    surface (win_rank_fns covers the rank family, win_nth_value /
+    value_range the frame family): percent_rank = (rank-1)/(n-1),
+    cume_dist = #(peers <=)/n, and ntile deals ceil-then-floor
+    sized buckets — three DIFFERENT tie/edge conventions that
+    engines silently disagree on unless the ordering is total, so
+    the (cents, event_id) tiebreak is mandatory and makes every
+    value an exact rational both engines compute identically (the
+    rounding is belt-and-braces, not load-bearing). The per-
+    (type, quartile) rollup pins bucket sizes (ntile's ceil/floor
+    split), the quartile boundary ranks (min/max percent_rank per
+    bucket), and the closing cume_dist = 1.0 on the last bucket.
+    One scan, one window partitioned by type — at 100 TB the
+    partition keys shard the sort; no global ordering anywhere."""
+    lab = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ww = lab.select(
+        "event_type",
+        "cents",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return (
+        ww.groupBy(
+            "event_type",
+            F.col("quartile").cast("long").alias("quartile"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            (F.round(F.min("pr"), 6) + F.lit(0.0)).alias("min_pr"),
+            (F.round(F.max("pr"), 6) + F.lit(0.0)).alias("max_pr"),
+            (F.round(F.max("cd"), 6) + F.lit(0.0)).alias("max_cd"),
+        )
+        .orderBy("event_type", "quartile")
+    )
