@@ -8594,3 +8594,307 @@ def stat_bartels_rank(spark, sf):
         .otherwise(F.abs(z) < F.lit(3.0))
         .alias("random_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 157: one-sample Anderson-Darling vs the md5-bucket uniform
+# ---------------------------------------------------------------------------
+@q(
+    "stat_ad_uniform",
+    """
+    WITH b AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+               ::UBIGINT AS bk
+      FROM documents),
+    c AS (
+      SELECT bk, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bk),
+    e AS (
+      SELECT bk, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bk) AS BIGINT) AS k,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM c),
+    terms AS (
+      SELECT n,
+             CAST(round(1000000.0 * (
+               cnt * (2 * (k - cnt) + cnt)
+                 * ln((bk + 0.5) / 256.0)
+               + cnt * (2 * n - 2 * (k - cnt) - cnt)
+                 * ln(1.0 - (bk + 0.5) / 256.0))) AS BIGINT)
+               AS t_mic
+      FROM e)
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(t_mic), 0) AS BIGINT) AS s_mic,
+           CASE WHEN MAX(n) IS NULL OR MAX(n) = 0 THEN NULL
+                ELSE round(-CAST(MAX(n) AS DOUBLE)
+                           - CAST(SUM(t_mic) AS DOUBLE)
+                             / 1000000.0 / MAX(n), 6) + 0
+           END AS a2,
+           CASE WHEN MAX(n) IS NULL OR MAX(n) = 0 THEN NULL
+                ELSE round(-CAST(MAX(n) AS DOUBLE)
+                           - CAST(SUM(t_mic) AS DOUBLE)
+                             / 1000000.0 / MAX(n), 6) < 3.857
+           END AS uniform_ok
+    FROM terms
+    """,
+)
+def stat_ad_uniform(spark, sf):
+    """One-sample Anderson-Darling A^2 against the md5-bucket
+    uniform — completing the uniformity-certificate trio
+    (stat_ks_uniform sees the worst single gap, stat_kuiper the
+    ring, AD weights the TAILS by 1/(F(1-F)) — the test that
+    catches a hash whose extreme buckets misbehave while the bulk
+    looks fine): A^2 = -n - (1/n) sum_i (2i-1)[ln F(x_i) +
+    ln(1-F(x_{n+1-i}))]. The per-observation (2i-1) weights FOLD
+    over each bucket's tie group in closed form — ascending:
+    sum = c(2a+c); order-reversed: c(2n-2a-c), with a = cum - c —
+    so the whole statistic is one pass over the 256-cell support,
+    never the n rows. F uses the MIDPOINT convention (b+0.5)/256
+    (the discrete-data standard; the raw right-CDF puts ln(0) on
+    the last bucket). Each bucket term micros-quantizes before the
+    exact integer sum (kg_adamic_adar); acceptance compares the
+    ROUNDED statistic to the fully-specified-null 1% critical
+    3.857 (embedded literal), pinned TRUE. One scan, one window
+    chain over 256 cells."""
+    b = t(spark, sf, "documents").select(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("bk")
+    )
+    c = b.groupBy("bk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    e = c.select(
+        "bk",
+        "cnt",
+        F.sum("cnt").over(Window.orderBy("bk")).cast("long").alias("k"),
+        F.sum("cnt")
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n"),
+    )
+    a = F.col("k") - F.col("cnt")
+    fmid = (F.col("bk") + F.lit(0.5)) / F.lit(256.0)
+    t_mic = F.round(
+        F.lit(1000000.0)
+        * (
+            F.col("cnt")
+            * (2 * a + F.col("cnt"))
+            * F.log(fmid)
+            + F.col("cnt")
+            * (2 * F.col("n") - 2 * a - F.col("cnt"))
+            * F.log(F.lit(1.0) - fmid)
+        )
+    ).cast("long")
+    terms = e.select("n", t_mic.alias("t_mic"))
+    n = F.max("n")
+    a2 = F.round(
+        -n.cast("double")
+        - F.sum("t_mic").cast("double") / F.lit(1000000.0) / n,
+        6,
+    )
+    bad = n.isNull() | (n == 0)
+    return terms.agg(
+        n.cast("long").alias("n"),
+        F.coalesce(F.sum("t_mic"), F.lit(0))
+        .cast("long")
+        .alias("s_mic"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(a2 + F.lit(0.0))
+        .alias("a2"),
+        F.when(bad, F.lit(None).cast("boolean"))
+        .otherwise(a2 < F.lit(3.857))
+        .alias("uniform_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 157: Cucconi location-scale omnibus — squared ranks from both ends
+# ---------------------------------------------------------------------------
+@q(
+    "stat_cucconi",
+    """
+    WITH lab AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 0 ELSE 1 END AS inb
+      FROM events WHERE value IS NOT NULL),
+    rk AS (
+      SELECT inb,
+             CAST(2 * RANK() OVER (ORDER BY v)
+                  + COUNT(*) OVER (PARTITION BY v) - 1
+                  AS BIGINT) AS dr,
+             CAST(SUM(inb) OVER () AS BIGINT) AS m,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nn
+      FROM lab),
+    s AS (
+      SELECT CAST(MAX(nn) AS BIGINT) AS nn,
+             CAST(MAX(m) AS BIGINT) AS m,
+             CAST(COALESCE(SUM(CASE WHEN inb = 1
+                                    THEN dr * dr END), 0)
+                  AS BIGINT) AS sd2,
+             CAST(COALESCE(SUM(CASE WHEN inb = 1
+                  THEN (2 * (nn + 1) - dr) * (2 * (nn + 1) - dr)
+                  END), 0) AS BIGINT) AS rd2
+      FROM rk)
+    SELECT nn AS n, m,
+           CASE WHEN m = 0 OR nn = m OR nn < 3 THEN NULL
+                ELSE round(
+                  ((6.0 * sd2 / 4.0 - m * (nn + 1.0) * (2 * nn + 1.0))
+                   / sqrt(CAST(m AS DOUBLE) * (nn - m) * (nn + 1.0)
+                          * (2 * nn + 1.0) * (8 * nn + 11.0) / 5.0))
+                  , 6) + 0 END AS u_stat,
+           CASE WHEN m = 0 OR nn = m OR nn < 3 THEN NULL
+                ELSE round(
+                  ((6.0 * rd2 / 4.0 - m * (nn + 1.0) * (2 * nn + 1.0))
+                   / sqrt(CAST(m AS DOUBLE) * (nn - m) * (nn + 1.0)
+                          * (2 * nn + 1.0) * (8 * nn + 11.0) / 5.0))
+                  , 6) + 0 END AS v_stat,
+           CASE WHEN m = 0 OR nn = m OR nn < 3 THEN NULL
+                ELSE round(
+                  (pow((6.0 * sd2 / 4.0
+                        - m * (nn + 1.0) * (2 * nn + 1.0))
+                       / sqrt(CAST(m AS DOUBLE) * (nn - m)
+                              * (nn + 1.0) * (2 * nn + 1.0)
+                              * (8 * nn + 11.0) / 5.0), 2)
+                   + pow((6.0 * rd2 / 4.0
+                          - m * (nn + 1.0) * (2 * nn + 1.0))
+                         / sqrt(CAST(m AS DOUBLE) * (nn - m)
+                                * (nn + 1.0) * (2 * nn + 1.0)
+                                * (8 * nn + 11.0) / 5.0), 2)
+                   - 2.0 * ((2.0 * (CAST(nn AS DOUBLE) * nn - 4.0))
+                            / ((2.0 * nn + 3.0) * (8.0 * nn + 11.0))
+                            - 1.0)
+                     * ((6.0 * sd2 / 4.0
+                         - m * (nn + 1.0) * (2 * nn + 1.0))
+                        / sqrt(CAST(m AS DOUBLE) * (nn - m)
+                               * (nn + 1.0) * (2 * nn + 1.0)
+                               * (8 * nn + 11.0) / 5.0))
+                     * ((6.0 * rd2 / 4.0
+                         - m * (nn + 1.0) * (2 * nn + 1.0))
+                        / sqrt(CAST(m AS DOUBLE) * (nn - m)
+                               * (nn + 1.0) * (2 * nn + 1.0)
+                               * (8 * nn + 11.0) / 5.0)))
+                  / (2.0 * (1.0
+                     - pow((2.0 * (CAST(nn AS DOUBLE) * nn - 4.0))
+                           / ((2.0 * nn + 3.0) * (8.0 * nn + 11.0))
+                           - 1.0, 2))), 6) + 0
+           END AS c_stat
+    FROM s
+    """,
+)
+def stat_cucconi(spark, sf):
+    """Cucconi's location-scale omnibus — the OTHER classical
+    combined test (stat_lepage adds independent Wilcoxon +
+    Ansari-Bradley Z^2s; Cucconi predates it and uses squared ranks
+    from BOTH ENDS of the pooled ordering, explicitly modeling
+    their negative correlation rho = 2(N^2-4)/((2N+3)(8N+11)) - 1
+    in a bivariate quadratic form C = (U^2 + V^2 - 2 rho U V) /
+    (2(1 - rho^2))): U standardizes sum S_j^2 (sample-B pooled
+    ranks squared), V the same with reflected ranks (N+1-S_j).
+    Doubled midranks keep every squared-rank sum an exact BIGINT
+    under ties (4*S^2 = dr^2; the /4 happens once, in the DOUBLE
+    standardization, identical op order both engines — note the
+    textbook no-tie moments are used for standardization, the
+    stat_lepage convention, documented rather than hidden). The
+    reflected sum needs NO second window: reflected dr is
+    2(N+1) - dr. The md5 halves share one distribution, so U, V
+    sit in the null bulk and C ~ order 1 (pinned; C's null is
+    approximately Exp(1) — P(C > c) = e^-c — so c < 4.6 is the 1%
+    acceptance, left to the consumer). One scan, one doubled-rank
+    window pass."""
+    lab = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+            F.when(
+                F.substring(
+                    F.md5(F.col("event_id").cast("string")), 1, 1
+                )
+                < "8",
+                0,
+            )
+            .otherwise(1)
+            .alias("inb"),
+        )
+    )
+    rk = lab.select(
+        "inb",
+        (
+            2 * F.rank().over(Window.orderBy("v"))
+            + F.count(F.lit(1)).over(Window.partitionBy("v"))
+            - 1
+        )
+        .cast("long")
+        .alias("dr"),
+        F.sum("inb").over(Window.partitionBy()).cast("long").alias("m"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("nn"),
+    )
+    refl = 2 * (F.col("nn") + 1) - F.col("dr")
+    s = rk.agg(
+        F.max("nn").cast("long").alias("nn"),
+        F.max("m").cast("long").alias("m"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("inb") == 1, F.col("dr") * F.col("dr")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sd2"),
+        F.coalesce(
+            F.sum(F.when(F.col("inb") == 1, refl * refl)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("rd2"),
+    )
+    nn, m = F.col("nn"), F.col("m")
+    nnd = nn.cast("double")
+    denom = F.sqrt(
+        m.cast("double")
+        * (nn - m)
+        * (nnd + 1.0)
+        * (2 * nnd + 1.0)
+        * (8 * nnd + 11.0)
+        / F.lit(5.0)
+    )
+    u = (
+        F.lit(6.0) * F.col("sd2") / F.lit(4.0)
+        - m * (nnd + 1.0) * (2 * nnd + 1.0)
+    ) / denom
+    v = (
+        F.lit(6.0) * F.col("rd2") / F.lit(4.0)
+        - m * (nnd + 1.0) * (2 * nnd + 1.0)
+    ) / denom
+    rho = (F.lit(2.0) * (nnd * nnd - 4.0)) / (
+        (F.lit(2.0) * nnd + 3.0) * (F.lit(8.0) * nnd + 11.0)
+    ) - F.lit(1.0)
+    cst = (
+        F.pow(u, 2)
+        + F.pow(v, 2)
+        - F.lit(2.0) * rho * u * v
+    ) / (F.lit(2.0) * (F.lit(1.0) - F.pow(rho, 2)))
+    bad = (m == 0) | (nn == m) | (nn < 3)
+    return s.select(
+        nn.alias("n"),
+        "m",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(u, 6) + F.lit(0.0))
+        .alias("u_stat"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(v, 6) + F.lit(0.0))
+        .alias("v_stat"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(cst, 6) + F.lit(0.0))
+        .alias("c_stat"),
+    )
