@@ -8898,3 +8898,233 @@ def stat_cucconi(spark, sf):
         .otherwise(F.round(cst, 6) + F.lit(0.0))
         .alias("c_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 158: Page-Hinkley online changepoint statistic
+# ---------------------------------------------------------------------------
+@q(
+    "events_page_hinkley",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    cum AS (
+      SELECT day, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS cs,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS tt
+      FROM daily
+      WINDOW w AS (ORDER BY day)),
+    dev AS (
+      SELECT day,
+             CAST(round(1000000.0 * (cents
+                        - CAST(cs AS DOUBLE) / tt
+                        - 5000.0)) AS BIGINT) AS d_mic
+      FROM cum),
+    mt AS (
+      SELECT day,
+             CAST(SUM(d_mic) OVER (ORDER BY day) AS BIGINT) AS m_mic
+      FROM dev),
+    ph AS (
+      SELECT day, m_mic,
+             CAST(MIN(m_mic) OVER (ORDER BY day) AS BIGINT)
+               AS min_mic
+      FROM mt)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COALESCE(MAX(m_mic - min_mic), 0) AS BIGINT)
+             AS ph_mic,
+           round(CAST(COALESCE(MAX(m_mic - min_mic), 0) AS DOUBLE)
+                 / 100000000.0, 6) + 0 AS ph_dollars,
+           COALESCE(MAX(m_mic - min_mic), 0)
+             > 5000000000000 AS alarm
+    FROM ph
+    """,
+)
+def events_page_hinkley(spark, sf):
+    """Page-Hinkley online UPWARD-changepoint statistic on daily
+    revenue — the streaming drift detector (river/MOA's default)
+    that events_changepoint's CUSUM cannot replace: PH maintains
+    m_t = sum_{s<=t}(x_s - xbar_s - delta) against its RUNNING
+    MINIMUM, where xbar_s is the mean of everything seen SO FAR
+    (the online property — no lookahead, so the statistic at day t
+    is exactly what a deployed monitor would have had on day t,
+    unlike the offline CUSUM's global mean). Each deviation term
+    divides by a DIFFERENT prefix length, so exact cross-
+    multiplication is impossible; instead each term micros-
+    quantizes in identical op order (kg_adamic_adar) and the two
+    window chains (prefix mean -> running sum -> running min) stay
+    exact BIGINT from there. delta = $50 daily tolerance and the
+    $50k alarm threshold are embedded literals; the trendless
+    fixture pins alarm FALSE, and the replay test walks the
+    recursion day by day. One scan, one |days|-sized window
+    chain."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+    cum = daily.select(
+        "day",
+        "cents",
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cs"),
+        F.row_number().over(w).cast("long").alias("tt"),
+    )
+    dev = cum.select(
+        "day",
+        F.round(
+            F.lit(1000000.0)
+            * (
+                F.col("cents")
+                - F.col("cs").cast("double") / F.col("tt")
+                - F.lit(5000.0)
+            )
+        )
+        .cast("long")
+        .alias("d_mic"),
+    )
+    mt = dev.select(
+        "day",
+        F.sum("d_mic").over(Window.orderBy("day")).cast("long").alias(
+            "m_mic"
+        ),
+    )
+    ph = mt.select(
+        "m_mic",
+        F.min("m_mic")
+        .over(Window.orderBy("day"))
+        .cast("long")
+        .alias("min_mic"),
+    )
+    stat = F.coalesce(
+        F.max(F.col("m_mic") - F.col("min_mic")), F.lit(0)
+    ).cast("long")
+    return ph.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        stat.alias("ph_mic"),
+        (
+            F.round(stat.cast("double") / F.lit(100000000.0), 6)
+            + F.lit(0.0)
+        ).alias("ph_dollars"),
+        (stat > F.lit(5000000000000)).alias("alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 158: Allen interval-algebra census over same-day user intervals
+# ---------------------------------------------------------------------------
+@q(
+    "events_allen_relations",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(MIN(epoch_us(ts)) AS BIGINT) AS s,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS e
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id, 2),
+    nb AS (
+      SELECT day, s, e,
+             LEAD(s) OVER w AS s2, LEAD(e) OVER w AS e2
+      FROM iv
+      WINDOW w AS (PARTITION BY day ORDER BY s, e, user_id)),
+    rel AS (
+      SELECT CASE
+               WHEN e < s2 THEN 'before'
+               WHEN e = s2 THEN 'meets'
+               WHEN s = s2 AND e = e2 THEN 'equals'
+               WHEN s = s2 AND e < e2 THEN 'starts'
+               WHEN s = s2 AND e > e2 THEN 'started_by'
+               WHEN e = e2 THEN 'finished_by'
+               WHEN e > e2 THEN 'contains'
+               ELSE 'overlaps'
+             END AS rel
+      FROM nb WHERE s2 IS NOT NULL)
+    SELECT rel, CAST(COUNT(*) AS BIGINT) AS n
+    FROM rel GROUP BY rel ORDER BY rel
+    """,
+)
+def events_allen_relations(spark, sf):
+    """Allen interval-algebra census — classify each pair of
+    ADJACENT same-day user activity intervals (sorted by start)
+    into Allen's relations: before / meets / overlaps / starts /
+    started_by / finished_by / contains / equals. The full 13-
+    relation matrix over all pairs is quadratic; sorting by start
+    and classifying only CONSECUTIVE pairs is the linear census a
+    concurrency monitor actually needs (it is exactly the
+    information a merge-sweep consumes, and `during`/`finishes`/
+    inverse-`overlaps` cannot occur between start-sorted neighbors
+    — the absent categories are themselves the sort-order
+    certificate, pinned in tests). The start-sort tiebreak (s, e,
+    user_id) is total, so the neighbor pairing and therefore the
+    census is engine-unique; every comparison is exact epoch-us
+    BIGINTs. One scan to per-(user, day) intervals, one
+    LEAD window partitioned by day — at 100 TB the window shards
+    by day with bounded partitions."""
+    iv = (
+        t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(
+            "user_id",
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+        )
+        .agg(
+            F.min(
+                F.expr("unix_micros(cast(ts AS TIMESTAMP))")
+            )
+            .cast("long")
+            .alias("s"),
+            F.max(
+                F.expr("unix_micros(cast(ts AS TIMESTAMP))")
+            )
+            .cast("long")
+            .alias("e"),
+        )
+    )
+    w = Window.partitionBy("day").orderBy("s", "e", "user_id")
+    nb = iv.select(
+        "day",
+        "s",
+        "e",
+        F.lead("s").over(w).alias("s2"),
+        F.lead("e").over(w).alias("e2"),
+    ).filter(F.col("s2").isNotNull())
+    s, e, s2, e2 = (
+        F.col("s"),
+        F.col("e"),
+        F.col("s2"),
+        F.col("e2"),
+    )
+    rel = (
+        F.when(e < s2, "before")
+        .when(e == s2, "meets")
+        .when((s == s2) & (e == e2), "equals")
+        .when((s == s2) & (e < e2), "starts")
+        .when((s == s2) & (e > e2), "started_by")
+        .when(e == e2, "finished_by")
+        .when(e > e2, "contains")
+        .otherwise("overlaps")
+    )
+    return (
+        nb.select(rel.alias("rel"))
+        .groupBy("rel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("rel")
+    )
