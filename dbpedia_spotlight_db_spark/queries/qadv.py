@@ -5595,3 +5595,108 @@ def index_phrase_query(spark, sf):
         .agg(F.count(F.lit(1)).cast("long").alias("n_phrase"))
     )
     return hits.orderBy(F.desc("n_phrase"), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# wave 159: sentence-length distribution per source
+# ---------------------------------------------------------------------------
+@q(
+    "text_sentence_stats",
+    """
+    WITH sent AS (
+      SELECT source,
+             unnest(string_split_regex(text, '[.!?]+')) AS s
+      FROM documents),
+    w AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(trim(s), ' '),
+                                  x -> x <> '')) AS BIGINT) AS nw
+      FROM sent WHERE trim(s) <> ''),
+    cc AS (
+      SELECT source, nw, CAST(COUNT(*) AS BIGINT) AS c
+      FROM w GROUP BY source, nw),
+    cw AS (
+      SELECT source, nw, c,
+             CAST(SUM(c) OVER (PARTITION BY source ORDER BY nw)
+                  AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n,
+             CAST(SUM(c * nw) OVER (PARTITION BY source) AS BIGINT)
+               AS tot_w
+      FROM cc)
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_sentences,
+           CAST(MAX(tot_w) AS BIGINT) AS n_words,
+           round(CAST(MAX(tot_w) AS DOUBLE) / MAX(n), 6) + 0
+             AS mean_len,
+           CAST(MIN(CASE WHEN 2 * cum >= n THEN nw END) AS BIGINT)
+             AS median_len,
+           CAST(MAX(nw) AS BIGINT) AS max_len
+    FROM cw GROUP BY source ORDER BY source
+    """,
+)
+def text_sentence_stats(spark, sf):
+    """Per-source sentence-length distribution — sentences split on
+    [.!?]+ runs, lengths in non-empty whitespace tokens, and the
+    (mean, exact lower median, max) profile a readability or
+    quality gate consumes (text_readability folds these into one
+    Flesch number; this face exposes the DISTRIBUTION, which is
+    what catches boilerplate sources whose mean looks fine but
+    whose median is 3 because every other 'sentence' is a nav
+    crumb). The median is the exact 2*cum >= n count-of-counts
+    rule over the length support (stat_weighted_median) — never a
+    sort of the sentence relation; the split regex is the same
+    class both engines compile identically (Java vs RE2 — no
+    lookahead, the text_token_bpe discipline). One scan,
+    support-sized windows per source."""
+    d = t(spark, sf, "documents")
+    sent = d.select(
+        "source",
+        F.explode(F.split("text", "[.!?]+")).alias("s"),
+    ).filter(F.trim(F.col("s")) != "")
+    w = sent.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("s")), " "),
+                lambda x: x != "",
+            )
+        )
+        .cast("long")
+        .alias("nw"),
+    )
+    cc = w.groupBy("source", "nw").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = Window.partitionBy("source").orderBy("nw")
+    wall = Window.partitionBy("source")
+    cw = cc.select(
+        "source",
+        "nw",
+        "c",
+        F.sum("c").over(wcum).cast("long").alias("cum"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("nw"))
+        .over(wall)
+        .cast("long")
+        .alias("tot_w"),
+    )
+    return (
+        cw.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_sentences"),
+            F.max("tot_w").cast("long").alias("n_words"),
+            (
+                F.round(
+                    F.max("tot_w").cast("double") / F.max("n"), 6
+                )
+                + F.lit(0.0)
+            ).alias("mean_len"),
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("n"), F.col("nw"))
+            )
+            .cast("long")
+            .alias("median_len"),
+            F.max("nw").cast("long").alias("max_len"),
+        )
+        .orderBy("source")
+    )

@@ -9128,3 +9128,88 @@ def events_allen_relations(spark, sf):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("rel")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 159: Fano factor — daily-count dispersion vs the Poisson null
+# ---------------------------------------------------------------------------
+@q(
+    "events_fano",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(c), 0) AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(c * c), 0) AS BIGINT) AS s2
+      FROM daily)
+    SELECT n, s1, s2,
+           CASE WHEN n < 2 OR s1 = 0 THEN NULL
+                ELSE round(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                           / (CAST(n AS DOUBLE) - 1.0) / s1, 6) + 0
+           END AS fano,
+           CASE WHEN n < 2 OR s1 = 0 THEN NULL
+                ELSE abs(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                         / (CAST(n AS DOUBLE) - 1.0) / s1 - 1.0)
+                     < 3.0 * sqrt(2.0 / (n - 1.0))
+           END AS poisson_ok
+    FROM m
+    """,
+)
+def events_fano(spark, sf):
+    """Fano factor of the daily event counts — the COUNT-dispersion
+    companion to events_burstiness (which measures GAP dispersion):
+    F = Var(N)/E(N) over day windows. A Poisson arrival process
+    gives exactly 1; clustering/contagion pushes it above
+    (overdispersion — the signature of crawl storms, retry loops,
+    batch upstream writers), suppressed/regular arrival below. The
+    variance assembles from two exact BIGINT power sums
+    cross-multiplied ((n*s2 - s1^2)/(n-1), then /mean — note
+    Var/mean = (n*s2 - s1^2)/((n-1)*s1) needs ONE double division
+    chain in identical op order; the integers are exact through
+    sf1 since daily counts are ~1e6). Under the Poisson null
+    (n-1)*F ~ chi2(n-1), so sd(F) ~ sqrt(2/(n-1)) and the
+    acceptance band is the embedded 3-sigma literal; the
+    iid-sampled fixture pins poisson_ok TRUE. One scan to the
+    |days| relation, one 1-row fold — the cheapest drift gate in
+    the battery, which is the point: run it every day."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("s1"),
+        F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0))
+        .cast("long")
+        .alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    fano = (
+        (n * s2 - s1 * s1).cast("double")
+        / (n.cast("double") - F.lit(1.0))
+        / s1
+    )
+    bad = (n < 2) | (s1 == 0)
+    return m.select(
+        "n",
+        "s1",
+        "s2",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(fano, 6) + F.lit(0.0))
+        .alias("fano"),
+        F.when(bad, F.lit(None).cast("boolean"))
+        .otherwise(
+            F.abs(fano - F.lit(1.0))
+            < F.lit(3.0) * F.sqrt(F.lit(2.0) / (n - F.lit(1.0)))
+        )
+        .alias("poisson_ok"),
+    )
