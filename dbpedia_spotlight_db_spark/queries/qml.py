@@ -7209,3 +7209,161 @@ def mllib_bucketizer(spark, sf):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 160: Nemenyi post-hoc critical-distance report after Friedman
+# ---------------------------------------------------------------------------
+@q(
+    "stat_nemenyi",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             event_type,
+             SUM(CAST(round(value * 100) AS BIGINT)) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+           FROM daily),
+    fb AS (
+      SELECT day_num FROM daily GROUP BY day_num
+      HAVING COUNT(*) = (SELECT k FROM kk)),
+    r AS (
+      SELECT d.event_type, d.day_num,
+             2 * RANK() OVER (PARTITION BY d.day_num ORDER BY d.v)
+               + COUNT(*) OVER (PARTITION BY d.day_num, d.v) - 1 AS dr
+      FROM daily d JOIN fb USING (day_num)),
+    tr AS (
+      SELECT event_type,
+             CAST(SUM(dr) AS BIGINT) AS rd,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM r GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.rd AS rd_a, b.rd AS rd_b, a.n AS n,
+             (SELECT k FROM kk) AS k
+      FROM tr a JOIN tr b ON a.event_type < b.event_type)
+    SELECT type_a, type_b,
+           round(rd_a / 2.0 / n, 6) + 0 AS mean_rank_a,
+           round(rd_b / 2.0 / n, 6) + 0 AS mean_rank_b,
+           round(abs(rd_a - rd_b) / 2.0 / n, 6) + 0 AS abs_diff,
+           CASE WHEN k <> 5 OR n = 0 THEN NULL
+                ELSE round(2.728 * sqrt(k * (k + 1.0) / (6.0 * n)),
+                           6) + 0 END AS cd_05,
+           CASE WHEN k <> 5 OR n = 0 THEN NULL
+                ELSE round(abs(rd_a - rd_b) / 2.0 / n, 6)
+                     > round(2.728 * sqrt(k * (k + 1.0) / (6.0 * n)),
+                             6) END AS significant
+    FROM pairs ORDER BY type_a, type_b
+    """,
+)
+def stat_nemenyi(spark, sf):
+    """Nemenyi post-hoc critical-distance report — the pairwise
+    follow-up stat_friedman licenses (an omnibus Q only says SOME
+    treatment differs; Nemenyi says WHICH, controlling the
+    familywise rate over all k(k-1)/2 comparisons — the standard
+    figure in ML benchmark papers, Demsar 2006's CD diagram): two
+    treatments differ at alpha if their mean-rank gap exceeds CD =
+    q_alpha/sqrt(2) * sqrt(k(k+1)/(6n)). Mean ranks come from the
+    SAME complete-block doubled-rank panel as stat_friedman (exact
+    BIGINT rank sums; the /2 de-doubling and /n happen once, in
+    the final float), q_{0.05, k=5}/sqrt(2) = 2.728 is an embedded
+    literal valid ONLY for k = 5 — the face NULLs the verdict
+    columns if the panel's treatment count ever differs, rather
+    than silently using a wrong table row (the games_howell
+    consumer-table discipline made explicit). The significance
+    compare runs on ROUNDED values (engine-stable). The fixture's
+    types share one revenue distribution, so no pair separates
+    (pinned). Scale: calendar x types cells; the pair grid is
+    k(k-1)/2 rows."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = e.groupBy(
+        F.expr(
+            "datediff(cast(ts AS DATE), DATE '2024-01-01')"
+        )
+        .cast("long")
+        .alias("day_num"),
+        "event_type",
+    ).agg(
+        F.expr(
+            "sum(cast(round(value * 100) AS BIGINT)) div 100"
+        )
+        .cast("long")
+        .alias("v")
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    daily = parquet_checkpoint(daily, "nemenyi_daily")
+    kk = daily.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    fb = (
+        daily.groupBy("day_num")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(kk)
+        .filter(F.col("cnt") == F.col("k"))
+        .select("day_num")
+    )
+    r = daily.join(fb, "day_num").select(
+        "event_type",
+        (
+            2
+            * F.rank().over(
+                Window.partitionBy("day_num").orderBy("v")
+            )
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("day_num", "v")
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("dr"),
+    )
+    tr = r.groupBy("event_type").agg(
+        F.sum("dr").cast("long").alias("rd"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = tr.alias("a")
+    b = tr.alias("b")
+    pairs = (
+        a.join(
+            b, F.col("a.event_type") < F.col("b.event_type")
+        )
+        .crossJoin(kk)
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.rd").alias("rd_a"),
+            F.col("b.rd").alias("rd_b"),
+            F.col("a.n").alias("n"),
+            "k",
+        )
+    )
+    n, k = F.col("n"), F.col("k")
+    diff = F.round(
+        F.abs(F.col("rd_a") - F.col("rd_b")) / F.lit(2.0) / n, 6
+    )
+    cd = F.round(
+        F.lit(2.728)
+        * F.sqrt(k * (k + F.lit(1.0)) / (F.lit(6.0) * n)),
+        6,
+    )
+    bad = (k != 5) | (n == 0)
+    return pairs.select(
+        "type_a",
+        "type_b",
+        (F.round(F.col("rd_a") / F.lit(2.0) / n, 6) + F.lit(0.0))
+        .alias("mean_rank_a"),
+        (F.round(F.col("rd_b") / F.lit(2.0) / n, 6) + F.lit(0.0))
+        .alias("mean_rank_b"),
+        (diff + F.lit(0.0)).alias("abs_diff"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(cd + F.lit(0.0))
+        .alias("cd_05"),
+        F.when(bad, F.lit(None).cast("boolean"))
+        .otherwise(diff > cd)
+        .alias("significant"),
+    ).orderBy("type_a", "type_b")

@@ -2621,3 +2621,94 @@ def kg_simrank(spark, sf_dir):
             ).alias("simrank2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 160: global transitivity on the degree-capped co-occurrence graph
+# ---------------------------------------------------------------------------
+@q(
+    "kg_transitivity",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    {_PAIRS_SQL},
+    {_UEDGES_SQL},
+    {_CEDGES_SQL},
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+            FROM ce GROUP BY src),
+    wdg AS (SELECT CAST(COALESCE(SUM(d * (d - 1) / 2), 0) AS BIGINT)
+              AS n_wedges FROM deg),
+    cp AS (SELECT src AS uri_a, dst AS uri_b FROM ce
+           WHERE src < dst),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM cp e1
+      JOIN cp e2 ON e2.uri_a = e1.uri_b
+      JOIN cp e3 ON e3.uri_a = e1.uri_a AND e3.uri_b = e2.uri_b)
+    SELECT w.n_wedges, t.n_triangles,
+           CASE WHEN w.n_wedges = 0 THEN NULL
+                ELSE round(3.0 * t.n_triangles / w.n_wedges, 6) + 0
+           END AS transitivity
+    FROM wdg w, tri t
+    """,
+)
+def kg_transitivity(spark, sf_dir):
+    """GLOBAL transitivity of the co-occurrence graph — 3*triangles
+    / wedges, the one-number clustering summary (kg_clustering's
+    per-node coefficients average the RATIO; transitivity ratios
+    the SUMS, so hubs weigh in by their wedge count — the two
+    diverge exactly when degree is skewed, which is why both are
+    reported in any serious graph profile). Computed on the
+    deg <= 64 induced subgraph (_capped_edges — the shared wedge
+    cap, mirrored in the twin): the wedge count is the CLOSED FORM
+    sum d(d-1)/2 over the capped degree relation (no wedge
+    materialization at all), and the triangle count reuses
+    kg_triangles' oriented a<b<c three-way self-join on the capped
+    orientation. Both numbers are exact BIGINTs; transitivity is
+    one guarded division, and 3T <= W is a structural invariant
+    pinned in the replay test. The edge relation is built once and
+    checkpointed for its two consumers (degree fold + triangle
+    join — the checkpoint-consumers rule)."""
+    from ..operators.dedup import parquet_checkpoint
+
+    e = _undirected_edges(spark, sf_dir)
+    ce = parquet_checkpoint(_capped_edges(e), "transitivity_ce")
+    deg = ce.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    wdg = deg.agg(
+        F.coalesce(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_wedges")
+    )
+    cp = ce.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("uri_a"), F.col("dst").alias("uri_b")
+    )
+    e1 = cp.alias("e1")
+    e2 = cp.alias("e2")
+    e3 = cp.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.uri_a") == F.col("e1.uri_b"))
+        .join(
+            e3,
+            (F.col("e3.uri_a") == F.col("e1.uri_a"))
+            & (F.col("e3.uri_b") == F.col("e2.uri_b")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    j = wdg.crossJoin(tri)
+    return j.select(
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("transitivity"),
+    )
