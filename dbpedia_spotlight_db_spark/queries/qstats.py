@@ -9213,3 +9213,306 @@ def events_fano(spark, sf):
         )
         .alias("poisson_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 161: one-sample Cramer-von Mises vs the md5-bucket uniform
+# ---------------------------------------------------------------------------
+@q(
+    "stat_cvm_uniform",
+    """
+    WITH b AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+               ::UBIGINT AS bk
+      FROM documents),
+    c AS (
+      SELECT bk, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bk),
+    e AS (
+      SELECT bk, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bk) AS BIGINT) AS k,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM c),
+    terms AS (
+      SELECT n,
+             CAST(round(1000000.0 * (
+               cnt * ((bk + 0.5) / 256.0) * ((bk + 0.5) / 256.0)
+               - ((bk + 0.5) / 256.0)
+                 * (cnt * (2.0 * (k - cnt) + cnt)) / n
+               + (CAST(k * (2 * k - 1) AS DOUBLE) * (2 * k + 1)
+                  - CAST((k - cnt) * (2 * (k - cnt) - 1) AS DOUBLE)
+                    * (2 * (k - cnt) + 1))
+                 / 3.0 / (4.0 * n * n))) AS BIGINT) AS t_mic
+      FROM e)
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(t_mic), 0) AS BIGINT) AS s_mic,
+           CASE WHEN MAX(n) IS NULL OR MAX(n) = 0 THEN NULL
+                ELSE round(1.0 / (12.0 * MAX(n))
+                           + CAST(SUM(t_mic) AS DOUBLE) / 1000000.0,
+                           6) + 0 END AS w2,
+           CASE WHEN MAX(n) IS NULL OR MAX(n) = 0 THEN NULL
+                ELSE round(1.0 / (12.0 * MAX(n))
+                           + CAST(SUM(t_mic) AS DOUBLE) / 1000000.0,
+                           6) < 0.743
+           END AS uniform_ok
+    FROM terms
+    """,
+)
+def stat_cvm_uniform(spark, sf):
+    """One-sample Cramer-von Mises W^2 against the md5-bucket
+    uniform — the fourth leg of the uniformity battery (KS = worst
+    gap, Kuiper = ring, AD = tails, CvM = mean-square over the
+    WHOLE range — the one most sensitive to broad low-amplitude
+    drift): W^2 = 1/(12n) + sum_i (F(x_i) - (2i-1)/(2n))^2. The
+    per-observation term varies WITHIN a tie group (same F,
+    different i), but the group sum folds in closed form:
+    expanding the square leaves sum(2i-1) = c(2a+c) and
+    sum(2i-1)^2 = S(a+c) - S(a) with S(m) = m(2m-1)(2m+1)/3 — the
+    odd-square prefix identity, all exact BIGINTs from the same
+    256-cell cumulative the KS/Kuiper/AD faces use, so the n-row
+    sum never materializes. Midpoint F (the AD convention); each
+    bucket term micros-quantizes in identical op order before the
+    exact sum; acceptance at the fully-specified-null 1% critical
+    0.743 (embedded literal), pinned TRUE. One scan, one window
+    over 256 cells."""
+    b = t(spark, sf, "documents").select(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("bk")
+    )
+    c = b.groupBy("bk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    e = c.select(
+        "bk",
+        "cnt",
+        F.sum("cnt").over(Window.orderBy("bk")).cast("long").alias("k"),
+        F.sum("cnt")
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n"),
+    )
+    a = F.col("k") - F.col("cnt")
+    fm = (F.col("bk") + F.lit(0.5)) / F.lit(256.0)
+    n_col = F.col("n")
+    odd_sq_hi = (
+        F.col("k").cast("double")
+        * (2 * F.col("k") - 1)
+        * (2 * F.col("k") + 1)
+    )
+    odd_sq_lo = a.cast("double") * (2 * a - 1) * (2 * a + 1)
+    t_mic = F.round(
+        F.lit(1000000.0)
+        * (
+            F.col("cnt") * fm * fm
+            - fm
+            * (
+                F.col("cnt").cast("double")
+                * (F.lit(2.0) * a + F.col("cnt"))
+            )
+            / n_col
+            + (odd_sq_hi - odd_sq_lo)
+            / F.lit(3.0)
+            / (F.lit(4.0) * n_col * n_col)
+        )
+    ).cast("long")
+    terms = e.select("n", t_mic.alias("t_mic"))
+    n = F.max("n")
+    w2 = F.round(
+        F.lit(1.0) / (F.lit(12.0) * n)
+        + F.sum("t_mic").cast("double") / F.lit(1000000.0),
+        6,
+    )
+    bad = n.isNull() | (n == 0)
+    return terms.agg(
+        n.cast("long").alias("n"),
+        F.coalesce(F.sum("t_mic"), F.lit(0))
+        .cast("long")
+        .alias("s_mic"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(w2 + F.lit(0.0))
+        .alias("w2"),
+        F.when(bad, F.lit(None).cast("boolean"))
+        .otherwise(w2 < F.lit(0.743))
+        .alias("uniform_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 161: winsorized Pearson correlation — robust daily revenue-vs-count
+# ---------------------------------------------------------------------------
+@q(
+    "stat_winsorized_corr",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    cx AS (
+      SELECT day, x, y,
+             CAST(ROW_NUMBER() OVER (ORDER BY x, day) AS BIGINT)
+               AS rx,
+             CAST(ROW_NUMBER() OVER (ORDER BY y, day) AS BIGINT)
+               AS ry,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily),
+    cuts AS (
+      SELECT MAX(CASE WHEN 10 * rx <= n THEN x END) AS lo_x,
+             MIN(CASE WHEN 10 * rx >= 9 * n THEN x END) AS hi_x,
+             MAX(CASE WHEN 10 * ry <= n THEN y END) AS lo_y,
+             MIN(CASE WHEN 10 * ry >= 9 * n THEN y END) AS hi_y
+      FROM cx),
+    wz AS (
+      SELECT LEAST(GREATEST(c.x, COALESCE(u.lo_x, c.x)),
+                   COALESCE(u.hi_x, c.x)) AS wx,
+             LEAST(GREATEST(c.y, COALESCE(u.lo_y, c.y)),
+                   COALESCE(u.hi_y, c.y)) AS wy
+      FROM cx c CROSS JOIN cuts u),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(wx), 0) AS BIGINT) AS sx,
+             CAST(COALESCE(SUM(wy), 0) AS BIGINT) AS sy,
+             CAST(COALESCE(SUM(wx * wy), 0) AS BIGINT) AS sxy,
+             CAST(COALESCE(SUM(wx * wx), 0) AS BIGINT) AS sxx,
+             CAST(COALESCE(SUM(wy * wy), 0) AS BIGINT) AS syy
+      FROM wz)
+    SELECT n,
+           CASE WHEN n < 2
+                     OR CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx <= 0
+                     OR CAST(n AS DOUBLE) * syy
+                        - CAST(sy AS DOUBLE) * sy <= 0 THEN NULL
+                ELSE round(
+                  (CAST(n AS DOUBLE) * sxy
+                   - CAST(sx AS DOUBLE) * sy)
+                  / sqrt(CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                  / sqrt(CAST(n AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy), 6) + 0
+           END AS r_winsorized
+    FROM m
+    """,
+)
+def stat_winsorized_corr(spark, sf):
+    """Winsorized Pearson correlation between daily revenue and
+    daily event count — the robust middle ground between raw
+    Pearson (one storm day owns the slope) and Spearman (rank-only
+    discards magnitude): both margins clip to their own [P10, P90]
+    before the ordinary product-moment formula. The cuts are exact
+    ORDER STATISTICS via the 10*rank-vs-n cross-multiplied rule
+    over the day-ordered row numbers (total order via the day
+    tiebreak; the agg_winsorized_mean discipline on a PAIRED
+    relation — clipping must happen per margin but on the SAME
+    rows, so the cuts attach as a 1-row cross join, never a
+    re-sort). Winsorized values stay exact BIGINTs (cents x
+    counts products are ~1e8*1e3 per day — safe through sf1), the
+    correlation assembles from five exact cross-multiplied
+    moments in one identical double chain. Revenue = value *
+    count per day means the two margins are strongly positively
+    dependent: r > 0.5 is pinned, and the replay test clips by
+    hand. One scan, one |days|-sized window chain, one 1-row
+    attach."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x"),
+            F.count(F.lit(1)).cast("long").alias("y"),
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    cx = parquet_checkpoint(
+        daily.select(
+            "day",
+            "x",
+            "y",
+            F.row_number()
+            .over(Window.orderBy("x", "day"))
+            .cast("long")
+            .alias("rx"),
+            F.row_number()
+            .over(Window.orderBy("y", "day"))
+            .cast("long")
+            .alias("ry"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy())
+            .cast("long")
+            .alias("n"),
+        ),
+        "wcorr_cx",
+    )
+    cuts = cx.agg(
+        F.max(
+            F.when(10 * F.col("rx") <= F.col("n"), F.col("x"))
+        ).alias("lo_x"),
+        F.min(
+            F.when(10 * F.col("rx") >= 9 * F.col("n"), F.col("x"))
+        ).alias("hi_x"),
+        F.max(
+            F.when(10 * F.col("ry") <= F.col("n"), F.col("y"))
+        ).alias("lo_y"),
+        F.min(
+            F.when(10 * F.col("ry") >= 9 * F.col("n"), F.col("y"))
+        ).alias("hi_y"),
+    )
+    wz = cx.crossJoin(cuts).select(
+        F.least(
+            F.greatest(
+                F.col("x"), F.coalesce(F.col("lo_x"), F.col("x"))
+            ),
+            F.coalesce(F.col("hi_x"), F.col("x")),
+        ).alias("wx"),
+        F.least(
+            F.greatest(
+                F.col("y"), F.coalesce(F.col("lo_y"), F.col("y"))
+            ),
+            F.coalesce(F.col("hi_y"), F.col("y")),
+        ).alias("wy"),
+    )
+    m = wz.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("wx"), F.lit(0)).cast("long").alias("sx"),
+        F.coalesce(F.sum("wy"), F.lit(0)).cast("long").alias("sy"),
+        F.coalesce(F.sum(F.col("wx") * F.col("wy")), F.lit(0))
+        .cast("long")
+        .alias("sxy"),
+        F.coalesce(F.sum(F.col("wx") * F.col("wx")), F.lit(0))
+        .cast("long")
+        .alias("sxx"),
+        F.coalesce(F.sum(F.col("wy") * F.col("wy")), F.lit(0))
+        .cast("long")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    vx = n.cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    vy = n.cast("double") * F.col("syy") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    cov = n.cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    bad = (n < 2) | (vx <= 0) | (vy <= 0)
+    return m.select(
+        "n",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(cov / F.sqrt(vx) / F.sqrt(vy), 6) + F.lit(0.0)
+        )
+        .alias("r_winsorized"),
+    )
