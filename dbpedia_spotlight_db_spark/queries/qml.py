@@ -7367,3 +7367,158 @@ def stat_nemenyi(spark, sf):
         .otherwise(diff > cd)
         .alias("significant"),
     ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# wave 162: multiclass confusion metrics — macro/micro F1 over the k x k grid
+# ---------------------------------------------------------------------------
+@q(
+    "ml_multiclass_f1",
+    """
+    WITH o AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS y,
+             CASE WHEN o_totalprice < 50000 THEN 1
+                  WHEN o_totalprice < 100000 THEN 2
+                  WHEN o_totalprice < 200000 THEN 3
+                  WHEN o_totalprice < 300000 THEN 4
+                  ELSE 5 END AS p
+      FROM orders),
+    cells AS (
+      SELECT y, p, CAST(COUNT(*) AS BIGINT) AS c
+      FROM o GROUP BY 1, 2),
+    m AS (
+      SELECT k AS cls,
+             CAST(COALESCE((SELECT SUM(c) FROM cells
+                            WHERE y = k AND p = k), 0) AS BIGINT)
+               AS tp,
+             CAST(COALESCE((SELECT SUM(c) FROM cells WHERE p = k), 0)
+                  AS BIGINT) AS pred,
+             CAST(COALESCE((SELECT SUM(c) FROM cells WHERE y = k), 0)
+                  AS BIGINT) AS act
+      FROM (SELECT UNNEST([1, 2, 3, 4, 5]) AS k) ks),
+    f AS (
+      SELECT cls, tp, pred, act,
+             CASE WHEN pred + act = 0 THEN NULL
+                  ELSE round(2.0 * tp / (pred + act), 6) + 0
+             END AS f1
+      FROM m)
+    SELECT cls, tp, pred, act, f1,
+           round((SELECT AVG(COALESCE(f1, 0.0)) FROM f), 6) + 0
+             AS macro_f1,
+           CASE WHEN (SELECT SUM(pred) FROM f) = 0 THEN NULL
+                ELSE round(CAST((SELECT SUM(tp) FROM f) AS DOUBLE)
+                           / (SELECT SUM(pred) FROM f), 6) + 0
+           END AS micro_f1
+    FROM f ORDER BY cls
+    """,
+)
+def ml_multiclass_f1(spark, sf):
+    """MULTICLASS confusion metrics — per-class F1 plus macro and
+    micro averages over the 5x5 priority-vs-price-band grid
+    (ml_confusion / ml_f1_sweep are binary; multiclass is where
+    the two averages tell different stories: macro weights every
+    class equally and punishes a model that ignores rare classes,
+    micro = overall accuracy in the single-label setting — the
+    identity micro_f1 == accuracy == sum(tp)/n is pinned in the
+    replay). Per-class F1 folds to 2*tp/(pred+act) (the 2TP+FP+FN
+    denominator identity from ml_f1_sweep), every count an exact
+    BIGINT from one corpus scan; absent classes guard to NULL and
+    contribute 0 to the macro mean (the documented sklearn
+    zero_division=0 convention, spelled explicitly). The class
+    axis is the FIXED literal 1..5 domain, not a data-derived
+    distinct — a class with zero support still gets its row (the
+    full-grid lesson from ml_weighted_kappa). Independent raters
+    in the fixture put both averages near 1/k. One scan to 25
+    cells; everything after is constant-sized."""
+    o = t(spark, sf, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("y"),
+        F.when(F.col("o_totalprice") < 50000, 1)
+        .when(F.col("o_totalprice") < 100000, 2)
+        .when(F.col("o_totalprice") < 200000, 3)
+        .when(F.col("o_totalprice") < 300000, 4)
+        .otherwise(5)
+        .cast("long")
+        .alias("p"),
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    cells = parquet_checkpoint(
+        o.groupBy("y", "p").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+        "mcf1_cells",
+    )
+    ks = spark.range(1, 6).select(F.col("id").alias("cls"))
+    tp = cells.filter(F.col("y") == F.col("p")).select(
+        F.col("y").alias("cls"), F.col("c").alias("tp_c")
+    )
+    pred = cells.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("c").cast("long").alias("pred")
+    )
+    act = cells.groupBy(F.col("y").alias("cls")).agg(
+        F.sum("c").cast("long").alias("act")
+    )
+    m = (
+        ks.join(tp, "cls", "left")
+        .join(pred, "cls", "left")
+        .join(act, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("tp_c"), F.lit(0))
+            .cast("long")
+            .alias("tp"),
+            F.coalesce(F.col("pred"), F.lit(0))
+            .cast("long")
+            .alias("pred"),
+            F.coalesce(F.col("act"), F.lit(0))
+            .cast("long")
+            .alias("act"),
+        )
+    )
+    f = m.select(
+        "cls",
+        "tp",
+        "pred",
+        "act",
+        F.when(
+            F.col("pred") + F.col("act") == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.lit(2.0) * F.col("tp")
+                / (F.col("pred") + F.col("act")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("f1"),
+    )
+    tot = f.agg(
+        (F.round(F.avg(F.coalesce(F.col("f1"), F.lit(0.0))), 6)
+         + F.lit(0.0)).alias("macro_f1"),
+        F.sum("tp").cast("long").alias("stp"),
+        F.sum("pred").cast("long").alias("spred"),
+    )
+    return (
+        f.crossJoin(tot)
+        .select(
+            "cls",
+            "tp",
+            "pred",
+            "act",
+            "f1",
+            "macro_f1",
+            F.when(
+                F.col("spred") == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.round(
+                    F.col("stp").cast("double") / F.col("spred"), 6
+                )
+                + F.lit(0.0)
+            )
+            .alias("micro_f1"),
+        )
+        .orderBy("cls")
+    )

@@ -9516,3 +9516,290 @@ def stat_winsorized_corr(spark, sf):
         )
         .alias("r_winsorized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 162: Cochrane-Orcutt AR(1)-corrected trend regression
+# ---------------------------------------------------------------------------
+@q(
+    "stat_cochrane_orcutt",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) // 100000 AS kd
+      FROM orders GROUP BY 1),
+    ix AS (
+      SELECT kd,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT)
+               AS x,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily),
+    m1 AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sx,
+             CAST(COALESCE(SUM(kd), 0) AS BIGINT) AS sy,
+             CAST(COALESCE(SUM(x * kd), 0) AS BIGINT) AS sxy,
+             CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS sxx
+      FROM ix),
+    ols AS (
+      SELECT n,
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx), 6) AS b1,
+             round((CAST(sy AS DOUBLE)
+                    - CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx) * sx) / n, 6)
+               AS a1
+      FROM m1 WHERE n >= 3),
+    res AS (
+      SELECT i.x,
+             CAST(round(1000000.0 * (i.kd - o.a1 - o.b1 * i.x))
+                  AS BIGINT) AS e_mic,
+             LAG(CAST(round(1000000.0 * (i.kd - o.a1 - o.b1 * i.x))
+                      AS BIGINT)) OVER (ORDER BY i.x) AS pe_mic,
+             i.kd,
+             LAG(i.kd) OVER (ORDER BY i.x) AS pkd,
+             LAG(i.x) OVER (ORDER BY i.x) AS px
+      FROM ix i CROSS JOIN ols o),
+    rh AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN pe_mic IS NOT NULL THEN
+               CAST(round(CAST(e_mic AS DOUBLE) * pe_mic
+                          / 1000000000000.0) AS BIGINT) END), 0)
+               AS BIGINT) AS s01,
+             CAST(COALESCE(SUM(CASE WHEN pe_mic IS NOT NULL THEN
+               CAST(round(CAST(pe_mic AS DOUBLE) * pe_mic
+                          / 1000000000000.0) AS BIGINT) END), 0)
+               AS BIGINT) AS s00
+      FROM res),
+    rho AS (
+      SELECT CASE WHEN s00 = 0 THEN 0.0
+                  ELSE round(CAST(s01 AS DOUBLE) / s00, 6)
+             END AS r
+      FROM rh),
+    q AS (
+      SELECT CAST(round(1000000.0 * (kd - rho.r * pkd)) AS BIGINT)
+               AS ys,
+             CAST(round(1000000.0 * (x - rho.r * px)) AS BIGINT)
+               AS xs
+      FROM res CROSS JOIN rho WHERE pkd IS NOT NULL),
+    m2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+             CAST(COALESCE(SUM(CAST(round(CAST(xs AS DOUBLE) * ys
+                        / 1000000000000.0 * 1000.0) AS BIGINT)), 0)
+               AS BIGINT) AS sxy_m,
+             CAST(COALESCE(SUM(CAST(round(CAST(xs AS DOUBLE) * xs
+                        / 1000000000000.0 * 1000.0) AS BIGINT)), 0)
+               AS BIGINT) AS sxx_m,
+             CAST(COALESCE(SUM(xs), 0) AS BIGINT) AS sxs,
+             CAST(COALESCE(SUM(ys), 0) AS BIGINT) AS sys
+      FROM q)
+    SELECT o.n, rho.r AS rho, o.b1 AS b_ols,
+           CASE WHEN m2.n2 < 3
+                     OR CAST(m2.n2 AS DOUBLE) * m2.sxx_m * 1000000000.0
+                        - CAST(m2.sxs AS DOUBLE) * m2.sxs <= 0
+                THEN NULL
+                ELSE round(
+                  (CAST(m2.n2 AS DOUBLE) * m2.sxy_m * 1000000000.0
+                   - CAST(m2.sxs AS DOUBLE) * m2.sys)
+                  / (CAST(m2.n2 AS DOUBLE) * m2.sxx_m * 1000000000.0
+                     - CAST(m2.sxs AS DOUBLE) * m2.sxs), 6) + 0
+           END AS b_co
+    FROM ols o, rho, m2
+    """,
+)
+def stat_cochrane_orcutt(spark, sf):
+    """Cochrane-Orcutt AR(1)-corrected trend slope on daily revenue
+    — the fix for the serial-correlation problem stat_durbin_watson
+    DETECTS (autocorrelated errors leave OLS slopes unbiased but
+    their t-tests wildly overconfident; CO re-estimates on quasi-
+    differences y_t - rho*y_{t-1}): step 1 OLS from exact integer
+    moments (kilodollars, day index), coefficients ROUNDED TO 6 on
+    both engines before any residual is formed (the rounding IS the
+    cross-engine contract — unrounded a/b differ in the last ulp
+    and every residual would inherit it); step 2 residual lag-1
+    autocorrelation with per-term quantized products (e_mic *
+    pe_mic / 1e12 rounded per ROW, then exact integer sums — sums
+    of raw doubles are partition-order-dependent, the recurring
+    lesson); rho rounded to 6; step 3 the quasi-differenced
+    regression with the same per-term product quantization (xs*ys
+    at milli resolution). The trendless fixture pins |b_ols| and
+    |b_co| both small and |rho| in the null bulk; the replay test
+    walks all three steps. Three window passes over the |days|
+    relation, one scan of the corpus."""
+    daily = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate AS TIMESTAMP))"
+                " div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.expr(
+                "sum(cast(round(o_totalprice * 100) AS BIGINT))"
+                " div 100000"
+            )
+            .cast("long")
+            .alias("kd")
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    ix = parquet_checkpoint(
+        daily.select(
+            "kd",
+            (F.row_number().over(Window.orderBy("day")) - 1)
+            .cast("long")
+            .alias("x"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy())
+            .cast("long")
+            .alias("n"),
+        ),
+        "co_ix",
+    )
+    m1 = ix.agg(
+        F.max("n").cast("long").alias("n"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("sx"),
+        F.coalesce(F.sum("kd"), F.lit(0)).cast("long").alias("sy"),
+        F.coalesce(F.sum(F.col("x") * F.col("kd")), F.lit(0))
+        .cast("long")
+        .alias("sxy"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0))
+        .cast("long")
+        .alias("sxx"),
+    ).filter(F.col("n") >= 3)
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    b1 = F.round(
+        (n * sxy - sx * sy).cast("double")
+        / (n.cast("double") * sxx - sx.cast("double") * sx),
+        6,
+    )
+    a1 = F.round(
+        (
+            sy.cast("double")
+            - (n * sxy - sx * sy).cast("double")
+            / (n.cast("double") * sxx - sx.cast("double") * sx)
+            * sx
+        )
+        / n,
+        6,
+    )
+    ols = m1.select(n.alias("n"), b1.alias("b1"), a1.alias("a1"))
+    e_mic = F.round(
+        F.lit(1000000.0)
+        * (F.col("kd") - F.col("a1") - F.col("b1") * F.col("x"))
+    ).cast("long")
+    res = parquet_checkpoint(
+        ix.crossJoin(ols).select(
+            "x",
+            "kd",
+            e_mic.alias("e_mic"),
+            F.lag(e_mic).over(Window.orderBy("x")).alias("pe_mic"),
+            F.lag("kd").over(Window.orderBy("x")).alias("pkd"),
+            F.lag("x").over(Window.orderBy("x")).alias("px"),
+        ),
+        "co_res",
+    )
+    rh = res.filter(F.col("pe_mic").isNotNull()).agg(
+        F.coalesce(
+            F.sum(
+                F.round(
+                    F.col("e_mic").cast("double")
+                    * F.col("pe_mic")
+                    / F.lit(1000000000000.0)
+                ).cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s01"),
+        F.coalesce(
+            F.sum(
+                F.round(
+                    F.col("pe_mic").cast("double")
+                    * F.col("pe_mic")
+                    / F.lit(1000000000000.0)
+                ).cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s00"),
+    )
+    rho = rh.select(
+        F.when(F.col("s00") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("s01").cast("double") / F.col("s00"), 6
+            )
+        )
+        .alias("r")
+    )
+    q_ = res.crossJoin(rho).filter(F.col("pkd").isNotNull()).select(
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("kd") - F.col("r") * F.col("pkd"))
+        )
+        .cast("long")
+        .alias("ys"),
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("x") - F.col("r") * F.col("px"))
+        )
+        .cast("long")
+        .alias("xs"),
+    )
+    m2 = q_.agg(
+        F.count(F.lit(1)).cast("long").alias("n2"),
+        F.coalesce(
+            F.sum(
+                F.round(
+                    F.col("xs").cast("double")
+                    * F.col("ys")
+                    / F.lit(1000000000000.0)
+                    * F.lit(1000.0)
+                ).cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sxy_m"),
+        F.coalesce(
+            F.sum(
+                F.round(
+                    F.col("xs").cast("double")
+                    * F.col("xs")
+                    / F.lit(1000000000000.0)
+                    * F.lit(1000.0)
+                ).cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sxx_m"),
+        F.coalesce(F.sum("xs"), F.lit(0)).cast("long").alias("sxs"),
+        F.coalesce(F.sum("ys"), F.lit(0)).cast("long").alias("sys"),
+    )
+    j = ols.crossJoin(rho).crossJoin(m2)
+    n2 = F.col("n2")
+    vx = (
+        n2.cast("double") * F.col("sxx_m") * F.lit(1000000000.0)
+        - F.col("sxs").cast("double") * F.col("sxs")
+    )
+    cov = (
+        n2.cast("double") * F.col("sxy_m") * F.lit(1000000000.0)
+        - F.col("sxs").cast("double") * F.col("sys")
+    )
+    return j.select(
+        "n",
+        F.col("r").alias("rho"),
+        F.col("b1").alias("b_ols"),
+        F.when((n2 < 3) | (vx <= 0), F.lit(None).cast("double"))
+        .otherwise(F.round(cov / vx, 6) + F.lit(0.0))
+        .alias("b_co"),
+    )
