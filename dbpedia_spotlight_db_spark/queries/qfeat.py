@@ -1772,3 +1772,144 @@ def privacy_dp_quantile(spark, sf):
             "noisy_mic",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 163: Neyman optimal stratified allocation
+# ---------------------------------------------------------------------------
+@q(
+    "sample_neyman",
+    """
+    WITH h AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(n_chars * n_chars), 0) AS BIGINT)
+               AS s2
+      FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, n,
+             CASE WHEN n < 2
+                       OR CAST(n AS DOUBLE) * s2
+                          - CAST(s1 AS DOUBLE) * s1 <= 0 THEN 0
+                  ELSE CAST(round(1000000.0 * n
+                         * sqrt((CAST(n AS DOUBLE) * s2
+                                 - CAST(s1 AS DOUBLE) * s1)
+                                / (CAST(n AS DOUBLE) * (n - 1))))
+                       AS BIGINT)
+             END AS w_mic
+      FROM h),
+    t AS (
+      SELECT lang, n, w_mic,
+             CAST(SUM(w_mic) OVER () AS BIGINT) AS tot_w
+      FROM w),
+    q AS (
+      SELECT lang, n, w_mic,
+             CASE WHEN tot_w = 0 THEN 0
+                  ELSE CAST((200 * w_mic) // tot_w AS BIGINT)
+             END AS base,
+             CASE WHEN tot_w = 0 THEN 0
+                  ELSE CAST((200 * w_mic) % tot_w AS BIGINT)
+             END AS rem,
+             tot_w
+      FROM t),
+    rk AS (
+      SELECT lang, n, w_mic, base, tot_w,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rnk,
+             CAST(200 - SUM(base) OVER () AS BIGINT) AS leftover
+      FROM q)
+    SELECT lang, n, w_mic,
+           CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM rk ORDER BY lang
+    """,
+)
+def sample_neyman(spark, sf):
+    """Neyman OPTIMAL stratified allocation of a 200-document
+    budget — sample_allocate's Hamilton machinery with the optimal
+    weight N_h * S_h instead of plain N_h (proportional allocation
+    minimizes nothing; Neyman minimizes the stratified-mean
+    variance by oversampling strata that are BOTH big and
+    internally heterogeneous — a high-variance language shard
+    deserves more eval labels than an equally large homogeneous
+    one). S_h is the exact-sample-variance sqrt from cross-
+    multiplied BIGINT character moments, and the weight
+    micros-quantizes (round(1e6 * n * S)) BEFORE apportionment so
+    the largest-remainder arithmetic — integer div/mod on the
+    quantized weights, leftover to the biggest remainders,
+    (rem DESC, lang) tiebreak — is exact and engine-identical all
+    the way down (float weights would make the quota boundary a
+    ulp lottery). Degenerate strata (n < 2 or zero variance) get
+    weight 0 rather than NULL so the budget still sums. Pinned:
+    sum(quota) == 200 exactly; a fabricated two-strata battery in
+    the test shows Neyman and Hamilton genuinely disagree. One
+    scan, strata-sized everything."""
+    h = t(spark, sf, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("n_chars"), F.lit(0))
+        .cast("long")
+        .alias("s1"),
+        F.coalesce(
+            F.sum(F.col("n_chars") * F.col("n_chars")), F.lit(0)
+        )
+        .cast("long")
+        .alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var_num = n.cast("double") * s2 - s1.cast("double") * s1
+    w = h.select(
+        "lang",
+        "n",
+        F.when((n < 2) | (var_num <= 0), F.lit(0))
+        .otherwise(
+            F.round(
+                F.lit(1000000.0)
+                * n
+                * F.sqrt(var_num / (n.cast("double") * (n - 1)))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("w_mic"),
+    )
+    wall = Window.partitionBy()
+    tq = w.select(
+        "lang",
+        "n",
+        "w_mic",
+        F.sum("w_mic").over(wall).cast("long").alias("tot_w"),
+    )
+    q = tq.select(
+        "lang",
+        "n",
+        "w_mic",
+        F.when(F.col("tot_w") == 0, F.lit(0))
+        .otherwise(F.expr("(200 * w_mic) div tot_w"))
+        .cast("long")
+        .alias("base"),
+        F.when(F.col("tot_w") == 0, F.lit(0))
+        .otherwise((200 * F.col("w_mic")) % F.col("tot_w"))
+        .cast("long")
+        .alias("rem"),
+    )
+    rk = q.select(
+        "lang",
+        "n",
+        "w_mic",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), "lang"))
+        .alias("rnk"),
+        (F.lit(200) - F.sum("base").over(wall))
+        .cast("long")
+        .alias("leftover"),
+    )
+    return rk.select(
+        "lang",
+        "n",
+        "w_mic",
+        (
+            F.col("base")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    ).orderBy("lang")

@@ -7522,3 +7522,179 @@ def ml_multiclass_f1(spark, sf):
         )
         .orderBy("cls")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 163: aligned-ranks Friedman (Hodges-Lehmann alignment)
+# ---------------------------------------------------------------------------
+@q(
+    "stat_friedman_aligned",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_num,
+             event_type,
+             SUM(CAST(round(value * 100) AS BIGINT)) // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+           FROM daily),
+    fb AS (
+      SELECT day_num FROM daily GROUP BY day_num
+      HAVING COUNT(*) = (SELECT k FROM kk)),
+    al AS (
+      SELECT d.event_type, d.day_num,
+             CAST((SELECT k FROM kk) * d.v
+                  - SUM(d.v) OVER (PARTITION BY d.day_num)
+                  AS BIGINT) AS a
+      FROM daily d JOIN fb USING (day_num)),
+    r AS (
+      SELECT event_type, day_num,
+             CAST(2 * RANK() OVER (ORDER BY a)
+                  + COUNT(*) OVER (PARTITION BY a) - 1
+                  AS BIGINT) AS dr
+      FROM al),
+    tj AS (
+      SELECT CAST(COALESCE(SUM(rd * rd), 0) AS BIGINT) AS srj2
+      FROM (SELECT event_type, CAST(SUM(dr) AS BIGINT) AS rd
+            FROM r GROUP BY event_type) z),
+    ti AS (
+      SELECT CAST(COALESCE(SUM(rd * rd), 0) AS BIGINT) AS sri2
+      FROM (SELECT day_num, CAST(SUM(dr) AS BIGINT) AS rd
+            FROM r GROUP BY day_num) z),
+    fin AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fb) AS n,
+             (SELECT k FROM kk) AS k,
+             (SELECT srj2 FROM tj) AS srj2,
+             (SELECT sri2 FROM ti) AS sri2)
+    SELECT n AS n_blocks, k, srj2, sri2,
+           CASE WHEN n = 0 OR k < 2
+                     OR 2 * k * (k * n) * (k * n + 1)
+                        * (2 * k * n + 1) - 3 * sri2 <= 0 THEN NULL
+                ELSE round(
+                  CAST(3 * k * (k - 1)
+                       * (srj2 - k * n * n * (k * n + 1)
+                                 * (k * n + 1)) AS DOUBLE)
+                  / (2 * k * (k * n) * (k * n + 1.0)
+                     * (2 * k * n + 1) - 3.0 * sri2), 6) + 0
+           END AS t_aligned
+    FROM fin
+    """,
+)
+def stat_friedman_aligned(spark, sf):
+    """ALIGNED-ranks Friedman (Hodges-Lehmann alignment) — the
+    higher-power variant for small treatment counts: plain Friedman
+    ranks WITHIN each block (only k levels of information per day);
+    aligning first — subtracting the block effect — and then
+    ranking GLOBALLY lets magnitudes compare across days, which is
+    where the power comes back when k is small. The alignment is
+    EXACT integer arithmetic: a = k*v - sum_block(v) (scaling by k
+    instead of dividing by it — the events_seasonal detrend trick),
+    global tie-averaged ranks via doubled midranks, and the
+    statistic folds to one division of exact BIGINTs after
+    clearing the de-doubling: T = 3k(k-1)[sum R_j^2 -
+    k n^2 (kn+1)^2] / (2k*kn(kn+1)(2kn+1) - 3 sum R_i.^2) with
+    DOUBLED rank sums throughout (x4 cancels between numerator
+    and denominator terms after the x12k clearing — derived once,
+    spelled twice, the bh_fdr discipline). Complete blocks only
+    (the stat_friedman panel); treatment-effect-free fixture pins
+    T in the chi2(k-1) null bulk and the replay test walks the
+    alignment + global ranking by hand. One scan to the calendar
+    x types cells; two support-sized window passes."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = e.groupBy(
+        F.expr("datediff(cast(ts AS DATE), DATE '2024-01-01')")
+        .cast("long")
+        .alias("day_num"),
+        "event_type",
+    ).agg(
+        F.expr("sum(cast(round(value * 100) AS BIGINT)) div 100")
+        .cast("long")
+        .alias("v")
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    daily = parquet_checkpoint(daily, "fal_daily")
+    kk = daily.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    fb = (
+        daily.groupBy("day_num")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(kk)
+        .filter(F.col("cnt") == F.col("k"))
+        .select("day_num")
+    )
+    al = (
+        daily.join(fb, "day_num")
+        .crossJoin(kk)
+        .select(
+            "event_type",
+            "day_num",
+            (
+                F.col("k") * F.col("v")
+                - F.sum("v").over(Window.partitionBy("day_num"))
+            )
+            .cast("long")
+            .alias("a"),
+        )
+    )
+    r = parquet_checkpoint(
+        al.select(
+            "event_type",
+            "day_num",
+            (
+                2 * F.rank().over(Window.orderBy("a"))
+                + F.count(F.lit(1)).over(Window.partitionBy("a"))
+                - 1
+            )
+            .cast("long")
+            .alias("dr"),
+        ),
+        "fal_r",
+    )
+    tj = (
+        r.groupBy("event_type")
+        .agg(F.sum("dr").cast("long").alias("rd"))
+        .agg(
+            F.coalesce(F.sum(F.col("rd") * F.col("rd")), F.lit(0))
+            .cast("long")
+            .alias("srj2")
+        )
+    )
+    ti = (
+        r.groupBy("day_num")
+        .agg(F.sum("dr").cast("long").alias("rd"))
+        .agg(
+            F.coalesce(F.sum(F.col("rd") * F.col("rd")), F.lit(0))
+            .cast("long")
+            .alias("sri2")
+        )
+    )
+    nfb = fb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    fin = nfb.crossJoin(kk).crossJoin(tj).crossJoin(ti)
+    n, k = F.col("n"), F.col("k")
+    srj2, sri2 = F.col("srj2"), F.col("sri2")
+    kn = k * n
+    den = (
+        2 * k * kn * (kn + F.lit(1.0)) * (2 * kn + 1)
+        - F.lit(3.0) * sri2
+    )
+    num = (
+        3 * k * (k - 1) * (srj2 - k * n * n * (kn + 1) * (kn + 1))
+    ).cast("double")
+    den_int = (
+        2 * k * kn * (kn + 1) * (2 * kn + 1) - 3 * sri2
+    )
+    bad = (n == 0) | (k < 2) | (den_int <= 0)
+    return fin.select(
+        n.alias("n_blocks"),
+        "k",
+        "srj2",
+        "sri2",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(F.round(num / den, 6) + F.lit(0.0))
+        .alias("t_aligned"),
+    )
