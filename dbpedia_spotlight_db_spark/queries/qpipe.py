@@ -2712,3 +2712,191 @@ def kg_transitivity(spark, sf_dir):
         )
         .alias("transitivity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 164: confidence-threshold survival sweep (the reference's knob)
+# ---------------------------------------------------------------------------
+@q(
+    "kg_confidence_sweep",
+    f"""
+    WITH {_GRAMS_SQL},
+    cand AS (
+      SELECT g.doc_id, g.pos, g.sf AS surface_form, d.uri, d.w
+      FROM grams g JOIN {_DICT_SQL} ON g.sf = d.sf),
+    best AS (
+      SELECT doc_id, pos, surface_form, uri,
+             round(CAST(w AS DOUBLE) / SUM(w) OVER (
+               PARTITION BY doc_id, pos, surface_form), 6) AS conf,
+             row_number() OVER (PARTITION BY doc_id, pos, surface_form
+                                ORDER BY w DESC, uri) AS rn
+      FROM cand),
+    men AS (SELECT uri, conf FROM best WHERE rn = 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM men),
+    sweep AS (
+      SELECT CAST(th AS BIGINT) AS thr_pct, m.uri, m.conf
+      FROM men m CROSS JOIN
+           (SELECT UNNEST([0, 10, 20, 30, 40, 50, 60, 70, 80, 90])
+              AS th) ts
+      WHERE m.conf >= th / 100.0)
+    SELECT s.thr_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(COUNT(DISTINCT s.uri) AS BIGINT) AS n_uris,
+           round(CAST(COUNT(*) AS DOUBLE) / MAX(t.n_total), 6) + 0
+             AS keep_rate
+    FROM sweep s CROSS JOIN tot t
+    GROUP BY s.thr_pct ORDER BY s.thr_pct
+    """,
+)
+def kg_confidence_sweep(spark, sf_dir):
+    """Confidence-threshold SURVIVAL SWEEP — the operating curve
+    behind the reference service's `confidence` request parameter
+    (SURVEY §3.1: the one knob every caller tunes): for each
+    threshold 0.0 .. 0.9, how many argmax annotations survive
+    conf >= tau and how many distinct entities remain, where conf
+    is the winner's normalized prior mass P(e|s) (kg_candidates'
+    p_e_given_s at rank 1 — ROUNDED to 6 before the compare, so
+    threshold membership can never straddle an engine ulp). This
+    is ml_pr_curve's sweep discipline applied to the annotation
+    pipeline itself: one pass builds the mention relation, a x10
+    literal threshold fan-out (map-side, the events_rolling_dau
+    trick) buckets it, and the keep-rate divides by the unfiltered
+    total attached as a 1-row aggregate. Monotonicity (n_kept
+    non-increasing in tau, n_uris <= n_kept) is pinned in the
+    replay test. Scale shape: mentions relation once, fan-out x10,
+    one group-by over 10 cells."""
+    grams = _grams_spark(spark, sf_dir)
+    cand = grams.join(
+        F.broadcast(_dict_df(spark)), "sf"
+    ).withColumnRenamed("sf", "surface_form")
+    key = ["doc_id", "pos", "surface_form"]
+    wname = Window.partitionBy(*key).orderBy(F.desc("w"), F.asc("uri"))
+    men = (
+        cand.withColumn(
+            "conf",
+            F.round(
+                F.col("w").cast("double")
+                / F.sum("w").over(Window.partitionBy(*key)),
+                6,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wname))
+        .filter(F.col("rn") == 1)
+        .select("uri", "conf")
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    men = parquet_checkpoint(men, "confsweep_men")
+    tot = men.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    ths = spark.range(0, 100, 10).select(
+        F.col("id").cast("long").alias("thr_pct")
+    )
+    sweep = men.crossJoin(F.broadcast(ths)).filter(
+        F.col("conf") >= F.col("thr_pct") / F.lit(100.0)
+    )
+    return (
+        sweep.groupBy("thr_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.countDistinct("uri").cast("long").alias("n_uris"),
+        )
+        .crossJoin(tot)
+        .select(
+            "thr_pct",
+            "n_kept",
+            "n_uris",
+            (
+                F.round(
+                    F.col("n_kept").cast("double")
+                    / F.col("n_total"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("keep_rate"),
+        )
+        .orderBy("thr_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 164: dictionary coverage of the corpus token stream
+# ---------------------------------------------------------------------------
+@q(
+    "kg_dict_coverage",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tk
+      FROM documents),
+    nt AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM tok WHERE tk <> '' GROUP BY lang),
+    hit AS (
+      SELECT t.lang, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM tok t JOIN (SELECT DISTINCT sf FROM {_DICT_SQL}) d
+        ON t.tk = d.sf
+      GROUP BY t.lang)
+    SELECT nt.lang, nt.n_tokens,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                 / nt.n_tokens, 6) + 0 AS coverage
+    FROM nt LEFT JOIN hit h ON h.lang = nt.lang
+    ORDER BY nt.lang
+    """,
+)
+def kg_dict_coverage(spark, sf_dir):
+    """CORPUS-side dictionary coverage per language — what fraction
+    of the token stream is a spotting-dictionary surface form
+    (spot_mentions counts hits per SF; this face asks the inverse
+    question a model-builder asks before shipping a dictionary to
+    a new language shard: how much of THIS corpus can the spotter
+    even see). Unigram tokens joined to the distinct-SF relation
+    (broadcast — the dictionary is model-sized by construction),
+    per-lang totals as a separate aggregate LEFT-joined so a lang
+    with zero hits still reports coverage 0.000000 rather than
+    vanishing (the absent-cell lesson). Exact integer counts, one
+    rounded division. Honesty note (measured): the SYNTHETIC lang
+    shards share one vocabulary, so en does NOT dominate here —
+    on real multilingual crawl data this face is exactly the
+    report that would catch an English-only dictionary shipped to
+    a zh shard; on this fixture it truthfully reports near-uniform
+    coverage (the text_langid_confusion disqualification shape).
+    One scan, map-side explode, two vocabulary-bounded
+    aggregates."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("tk"))
+        .filter(F.col("tk") != "")
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    tok = parquet_checkpoint(tok, "dictcov_tok")
+    nt = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    d = F.broadcast(_dict_df(spark).select("sf").distinct())
+    hit = (
+        tok.join(d, tok["tk"] == d["sf"])
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        nt.join(hit, "lang", "left")
+        .select(
+            "lang",
+            "n_tokens",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            (
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast(
+                        "double"
+                    )
+                    / F.col("n_tokens"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("coverage"),
+        )
+        .orderBy("lang")
+    )
