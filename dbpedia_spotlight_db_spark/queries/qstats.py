@@ -9803,3 +9803,303 @@ def stat_cochrane_orcutt(spark, sf):
         .otherwise(F.round(cov / vx, 6) + F.lit(0.0))
         .alias("b_co"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 165: turning-points (Wallis-Moore) randomness test
+# ---------------------------------------------------------------------------
+@q(
+    "stat_turning_points",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    w AS (
+      SELECT cents,
+             LAG(cents) OVER (ORDER BY day) AS prv,
+             LEAD(cents) OVER (ORDER BY day) AS nxt,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily),
+    tp AS (
+      SELECT n,
+             CASE WHEN prv IS NOT NULL AND nxt IS NOT NULL
+                       AND ((cents > prv AND cents > nxt)
+                            OR (cents < prv AND cents < nxt))
+                  THEN 1 ELSE 0 END AS is_tp
+      FROM w)
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(is_tp), 0) AS BIGINT) AS n_turning,
+           CASE WHEN MAX(n) < 4 THEN NULL
+                ELSE round((COALESCE(SUM(is_tp), 0)
+                            - 2.0 * (MAX(n) - 2) / 3.0)
+                           / sqrt((16.0 * MAX(n) - 29.0) / 90.0),
+                           6) + 0 END AS z,
+           CASE WHEN MAX(n) < 4 THEN NULL
+                ELSE abs((COALESCE(SUM(is_tp), 0)
+                          - 2.0 * (MAX(n) - 2) / 3.0)
+                         / sqrt((16.0 * MAX(n) - 29.0) / 90.0))
+                     < 3.0 END AS random_ok
+    FROM tp
+    """,
+)
+def stat_turning_points(spark, sf):
+    """Turning-points (Wallis-Moore) randomness test on daily
+    revenue — the third member of the randomness battery
+    (stat_runs dichotomizes at the median and sees LEVEL
+    clustering; stat_bartels_rank sees rank-serial correlation;
+    turning points count local extrema and see SMOOTHNESS: a
+    slowly-drifting series has too few turns, an oscillating one
+    too many). A day is a turning point iff it is a strict local
+    max or min among its two neighbors — three exact BIGINT
+    comparisons per interior day from one LAG/LEAD window. Under
+    iid, E[T] = 2(n-2)/3 and Var[T] = (16n-29)/90 (embedded
+    closed forms, identical op order); the iid fixture pins |z| <
+    3. Ties between neighbors count as non-turning (strict
+    inequalities — spelled identically on both engines, the
+    convention documented rather than left to engine default).
+    One scan, one |days|-sized window."""
+    daily = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate AS TIMESTAMP))"
+                " div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+    lab = daily.select(
+        "cents",
+        F.lag("cents").over(w).alias("prv"),
+        F.lead("cents").over(w).alias("nxt"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n"),
+    )
+    is_tp = F.when(
+        F.col("prv").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (
+            (
+                (F.col("cents") > F.col("prv"))
+                & (F.col("cents") > F.col("nxt"))
+            )
+            | (
+                (F.col("cents") < F.col("prv"))
+                & (F.col("cents") < F.col("nxt"))
+            )
+        ),
+        1,
+    ).otherwise(0)
+    tp = lab.select("n", is_tp.alias("is_tp"))
+    n = F.max("n")
+    t_cnt = F.coalesce(F.sum("is_tp"), F.lit(0))
+    z = (
+        t_cnt - F.lit(2.0) * (n - 2) / F.lit(3.0)
+    ) / F.sqrt((F.lit(16.0) * n - F.lit(29.0)) / F.lit(90.0))
+    return tp.agg(
+        n.cast("long").alias("n"),
+        t_cnt.cast("long").alias("n_turning"),
+        F.when(n < 4, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6) + F.lit(0.0))
+        .alias("z"),
+        F.when(n < 4, F.lit(None).cast("boolean"))
+        .otherwise(F.abs(z) < F.lit(3.0))
+        .alias("random_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 165: Tukey median polish — two unrolled sweeps on the day x type grid
+# ---------------------------------------------------------------------------
+@q(
+    "stat_median_polish",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             event_type,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               // 100 AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+           FROM daily),
+    fb AS (
+      SELECT day FROM daily GROUP BY day
+      HAVING COUNT(*) = (SELECT k FROM kk)),
+    g0 AS (SELECT d.day, d.event_type, d.v
+           FROM daily d JOIN fb USING (day)),
+    rm1 AS (
+      SELECT day, MIN(CASE WHEN 2 * rn >= cnt THEN v END) AS m
+      FROM (SELECT day, v,
+                   ROW_NUMBER() OVER (PARTITION BY day
+                     ORDER BY v, event_type) AS rn,
+                   COUNT(*) OVER (PARTITION BY day) AS cnt
+            FROM g0) z GROUP BY day),
+    g1 AS (SELECT g.day, g.event_type, CAST(g.v - r.m AS BIGINT) AS v
+           FROM g0 g JOIN rm1 r USING (day)),
+    cm1 AS (
+      SELECT event_type, MIN(CASE WHEN 2 * rn >= cnt THEN v END) AS m
+      FROM (SELECT event_type, v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY v, day) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+            FROM g1) z GROUP BY event_type),
+    g2 AS (SELECT g.day, g.event_type, CAST(g.v - c.m AS BIGINT) AS v
+           FROM g1 g JOIN cm1 c USING (event_type)),
+    rm2 AS (
+      SELECT day, MIN(CASE WHEN 2 * rn >= cnt THEN v END) AS m
+      FROM (SELECT day, v,
+                   ROW_NUMBER() OVER (PARTITION BY day
+                     ORDER BY v, event_type) AS rn,
+                   COUNT(*) OVER (PARTITION BY day) AS cnt
+            FROM g2) z GROUP BY day),
+    g3 AS (SELECT g.day, g.event_type, CAST(g.v - r.m AS BIGINT) AS v
+           FROM g2 g JOIN rm2 r USING (day)),
+    cm2 AS (
+      SELECT event_type, MIN(CASE WHEN 2 * rn >= cnt THEN v END) AS m
+      FROM (SELECT event_type, v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY v, day) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+            FROM g3) z GROUP BY event_type),
+    g4 AS (SELECT g.day, g.event_type, CAST(g.v - c.m AS BIGINT) AS v
+           FROM g3 g JOIN cm2 c USING (event_type)),
+    res AS (
+      SELECT CAST(COALESCE(SUM(abs(v)), 0) AS BIGINT) AS resid_abs,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM g4)
+    SELECT c1.event_type,
+           CAST(c1.m + c2.m AS BIGINT) AS col_effect,
+           r.resid_abs, r.n_cells
+    FROM cm1 c1 JOIN cm2 c2 USING (event_type)
+    CROSS JOIN res r
+    ORDER BY c1.event_type
+    """,
+)
+def stat_median_polish(spark, sf):
+    """Tukey MEDIAN POLISH of the day x type revenue grid — the
+    robust two-way decomposition (value = overall + row effect +
+    column effect + residual, fitted by MEDIANS instead of means,
+    so one storm day perturbs its own row effect and nothing
+    else — the robust sibling of what stat_anova's mean
+    decomposition does): two full sweeps, each sweep subtracting
+    row medians then column medians, unrolled exactly like the
+    kg_labelprop / embed_kmeans two-round discipline. Every median
+    is the exact LOWER median of integers (2*rn >= cnt over a
+    (value, tiebreak) total order — no interpolation, no floats
+    anywhere in the pipeline), so every intermediate grid is exact
+    BIGINT dollars and the final per-type column effects and the
+    absolute-residual mass are exact integers. Complete-block days
+    only (the stat_friedman panel). The replay test runs the same
+    two sweeps in Python and pins the sweep-2 effects being much
+    smaller than sweep-1's (convergence evidence). Scale: the grid
+    is calendar x types; four median passes are four bounded
+    windows + four map-side joins."""
+    e = t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = e.groupBy(
+        F.expr(
+            "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+        "event_type",
+    ).agg(
+        F.expr("sum(cast(round(value * 100) AS BIGINT)) div 100")
+        .cast("long")
+        .alias("v")
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    daily = parquet_checkpoint(daily, "mp_daily")
+    kk = daily.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    fb = (
+        daily.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(kk)
+        .filter(F.col("cnt") == F.col("k"))
+        .select("day")
+    )
+    g0 = daily.join(fb, "day").select("day", "event_type", "v")
+
+    def med(df, part, order_tb):
+        z = df.select(
+            part,
+            "v",
+            F.row_number()
+            .over(
+                Window.partitionBy(part).orderBy("v", order_tb)
+            )
+            .alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy(part))
+            .alias("cnt"),
+        )
+        return z.groupBy(part).agg(
+            F.min(
+                F.when(2 * F.col("rn") >= F.col("cnt"), F.col("v"))
+            ).alias("m")
+        )
+
+    g0 = parquet_checkpoint(g0, "mp_g0")
+    rm1 = med(g0, "day", "event_type")
+    g1 = parquet_checkpoint(
+        g0.join(rm1, "day").select(
+            "day",
+            "event_type",
+            (F.col("v") - F.col("m")).cast("long").alias("v"),
+        ),
+        "mp_g1",
+    )
+    cm1 = med(g1, "event_type", "day")
+    g2 = parquet_checkpoint(
+        g1.join(cm1, "event_type").select(
+            "day",
+            "event_type",
+            (F.col("v") - F.col("m")).cast("long").alias("v"),
+        ),
+        "mp_g2",
+    )
+    rm2 = med(g2, "day", "event_type")
+    g3 = parquet_checkpoint(
+        g2.join(rm2, "day").select(
+            "day",
+            "event_type",
+            (F.col("v") - F.col("m")).cast("long").alias("v"),
+        ),
+        "mp_g3",
+    )
+    cm2 = med(g3, "event_type", "day")
+    g4 = g3.join(cm2, "event_type").select(
+        (F.col("v") - F.col("m")).cast("long").alias("v")
+    )
+    res = g4.agg(
+        F.coalesce(F.sum(F.abs(F.col("v"))), F.lit(0))
+        .cast("long")
+        .alias("resid_abs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    out = (
+        cm1.withColumnRenamed("m", "m1")
+        .join(cm2.withColumnRenamed("m", "m2"), "event_type")
+        .crossJoin(res)
+        .select(
+            "event_type",
+            (F.col("m1") + F.col("m2")).cast("long").alias("col_effect"),
+            "resid_abs",
+            "n_cells",
+        )
+        .orderBy("event_type")
+    )
+    return out
