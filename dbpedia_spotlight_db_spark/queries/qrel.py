@@ -3795,3 +3795,125 @@ def win_dist_fns(spark, sf):
         )
         .orderBy("event_type", "quartile")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 166: TPC-H Q1 pricing summary — exact scaled-integer money chain
+# ---------------------------------------------------------------------------
+@q(
+    "lineitem_pricing_summary",
+    """
+    WITH l AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_h,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax_h
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
+    x AS (
+      SELECT l_returnflag, l_linestatus, qty, cents, disc_h, tax_h,
+             CAST(cents * (100 - disc_h) AS BIGINT) AS disc_e4,
+             CAST(cents * (100 - disc_h) * (100 + tax_h) AS BIGINT)
+               AS charge_e6
+      FROM l)
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           CAST(SUM(cents) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(disc_e4) AS BIGINT) AS sum_disc_price_e4,
+           CAST(SUM(charge_e6) AS BIGINT) AS sum_charge_e6,
+           round(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6) + 0
+             AS avg_qty,
+           round(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 6)
+             + 0 AS avg_price,
+           round(CAST(SUM(disc_h) AS DOUBLE) / COUNT(*) / 100.0, 6)
+             + 0 AS avg_disc
+    FROM x GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def lineitem_pricing_summary(spark, sf):
+    """The TPC-H Q1 pricing summary — the canonical scan-heavy
+    reporting aggregate this engine somehow never had as its own
+    face: per (returnflag, linestatus), order counts, quantity and
+    money sums, and the discounted / discounted+taxed money chain.
+    The money chain is EXACT scaled integers instead of the
+    specification's DECIMAL: price in cents, discount and tax in
+    exact hundredths (the fixture generates them on the 0.01
+    grid), so disc_price = cents*(100-disc_h) is an exact e4-
+    scaled BIGINT and charge = cents*(100-disc_h)*(100+tax_h) an
+    exact e6-scaled one — per-row magnitude ~1e13, safe through
+    sf0.1 corpus sums; at sf1+ the charge sum crosses 2^63 and
+    production would limb-split (lake_content_digest's hi/lo
+    trick, documented not implemented). The averages divide the
+    exact sums once, rounded. The shipdate filter is the spec's
+    fixed date, pushed to the scan. One scan, one map-side-
+    combinable aggregate over 6 cells — the plan IS the benchmark:
+    scan + partial agg + exchange + final agg, nothing else
+    (pinned in the audit)."""
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    x = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_h"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_h"),
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "qty",
+        "cents",
+        "disc_h",
+        (F.col("cents") * (100 - F.col("disc_h")))
+        .cast("long")
+        .alias("disc_e4"),
+        (
+            F.col("cents")
+            * (100 - F.col("disc_h"))
+            * (100 + F.col("tax_h"))
+        )
+        .cast("long")
+        .alias("charge_e6"),
+    )
+    return (
+        x.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+            F.sum("qty").cast("long").alias("sum_qty"),
+            F.sum("cents").cast("long").alias("sum_base_cents"),
+            F.sum("disc_e4").cast("long").alias("sum_disc_price_e4"),
+            F.sum("charge_e6").cast("long").alias("sum_charge_e6"),
+            (
+                F.round(
+                    F.sum("qty").cast("double") / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_qty"),
+            (
+                F.round(
+                    F.sum("cents").cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(100.0),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_price"),
+            (
+                F.round(
+                    F.sum("disc_h").cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(100.0),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

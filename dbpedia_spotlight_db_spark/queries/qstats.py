@@ -10103,3 +10103,114 @@ def stat_median_polish(spark, sf):
         .orderBy("event_type")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# wave 166: p-chart — SPC attribute control chart on daily purchase share
+# ---------------------------------------------------------------------------
+@q(
+    "stat_p_chart",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS d
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    pb AS (
+      SELECT CAST(SUM(d) AS BIGINT) AS td,
+             CAST(SUM(n) AS BIGINT) AS tn
+      FROM daily),
+    lim AS (
+      SELECT day, n, d, td, tn,
+             round(CAST(d AS DOUBLE) / n, 6) AS p_i,
+             round(CAST(td AS DOUBLE) / tn
+                   + 3.0 * sqrt(CAST(td AS DOUBLE) / tn
+                                * (1.0 - CAST(td AS DOUBLE) / tn)
+                                / n), 6) AS ucl,
+             round(GREATEST(CAST(td AS DOUBLE) / tn
+                   - 3.0 * sqrt(CAST(td AS DOUBLE) / tn
+                                * (1.0 - CAST(td AS DOUBLE) / tn)
+                                / n), 0.0), 6) AS lcl
+      FROM daily CROSS JOIN pb)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(CAST(MAX(td) AS DOUBLE) / MAX(tn), 6) + 0
+             AS p_bar,
+           CAST(SUM(CASE WHEN p_i > ucl OR p_i < lcl THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_violations,
+           SUM(CASE WHEN p_i > ucl OR p_i < lcl THEN 1 ELSE 0 END)
+             = 0 AS in_control
+    FROM lim
+    """,
+)
+def stat_p_chart(spark, sf):
+    """Shewhart p-CHART on the daily purchase share — the SPC
+    attribute chart (X-bar/R needs fixed subgroup sizes; the
+    p-chart's per-day 3-sigma limits p_bar +/- 3*sqrt(p_bar(1-
+    p_bar)/n_i) widen on thin days automatically, which is why it
+    is THE chart for rate monitoring with uneven traffic): daily
+    fraction vs limits computed from the POOLED p_bar, violations
+    counted, in_control the one-boolean verdict a dashboard pages
+    on. Every count is an exact BIGINT; the daily proportion AND
+    both limits round to 6 BEFORE the violation compare so chart
+    membership can never straddle an engine ulp (the
+    events_outliers rounded-filter rule); the LCL clamps at 0
+    (GREATEST spelled on both engines — a negative lower limit on
+    a proportion is the textbook's own convention). The uniform
+    1-in-5 fixture pins in_control TRUE; the replay test also
+    fabricates a shifted day to show a violation would register.
+    One scan to |days|, a 1-row pooled attach, one fold."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    daily = parquet_checkpoint(daily, "pchart_daily")
+    pb = daily.agg(
+        F.sum("d").cast("long").alias("td"),
+        F.sum("n").cast("long").alias("tn"),
+    )
+    j = daily.crossJoin(pb)
+    pbar = F.col("td").cast("double") / F.col("tn")
+    se = F.sqrt(pbar * (F.lit(1.0) - pbar) / F.col("n"))
+    lim = j.select(
+        "td",
+        "tn",
+        F.round(F.col("d").cast("double") / F.col("n"), 6).alias(
+            "p_i"
+        ),
+        F.round(pbar + F.lit(3.0) * se, 6).alias("ucl"),
+        F.round(
+            F.greatest(pbar - F.lit(3.0) * se, F.lit(0.0)), 6
+        ).alias("lcl"),
+    )
+    viol = F.when(
+        (F.col("p_i") > F.col("ucl")) | (F.col("p_i") < F.col("lcl")),
+        1,
+    ).otherwise(0)
+    return lim.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.round(
+                F.max("td").cast("double") / F.max("tn"), 6
+            )
+            + F.lit(0.0)
+        ).alias("p_bar"),
+        F.sum(viol).cast("long").alias("n_violations"),
+        (F.sum(viol) == 0).alias("in_control"),
+    )
