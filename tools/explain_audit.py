@@ -2961,6 +2961,33 @@ def main() -> None:
         "(want 0/0)",
     )
 
+    # 104. waves 151-166: the Q1 pricing summary is the minimal
+    # benchmark plan — ONE lineitem scan with the shipdate filter
+    # PUSHED to it, a partial-before-shuffle aggregate, no Window,
+    # no Join; the CDC census reads the corpus once; the p-chart
+    # consumes its daily checkpoint (no events re-scan).
+    p_q1 = _plan_of("lineitem_pricing_summary")
+    q1_scans = len(re.findall(r"FileScan parquet", p_q1))
+    q1_pushed = "PushedFilters" in p_q1 and "l_shipdate" in p_q1
+    q1_partial = "partial" in p_q1.lower()
+    q1_win = len(re.findall(r"\bWindow\b", p_q1))
+    q1_join = len(re.findall(r"Join", p_q1))
+    p_cdc = _plan_of("dedup_cdc")
+    cdc_scans = len(re.findall(r"documents\.parquet", p_cdc))
+    p_pc = _plan_of("stat_p_chart")
+    pc_ev = len(re.findall(r"events\.parquet", p_pc))
+    check(
+        "waves 151-166: Q1 minimal plan (1 scan, pushed filter, "
+        "partial agg, no window/join); CDC one corpus scan; "
+        "p-chart consumes checkpoint",
+        q1_scans == 1 and q1_pushed and q1_partial and q1_win == 0
+        and q1_join == 0 and cdc_scans == 1 and pc_ev == 0,
+        f"q1 scans={q1_scans} pushed={q1_pushed} "
+        f"partial={q1_partial} windows={q1_win} joins={q1_join} "
+        f"(want 1/T/T/0/0); cdc doc-scans={cdc_scans} (want 1); "
+        f"p-chart events-scans={pc_ev} (want 0)",
+    )
+
     # 13. whole-stage codegen present on the relational surface (AQE
     # finalizes codegen per stage at runtime: execute, then inspect
     # the final adaptive plan)
