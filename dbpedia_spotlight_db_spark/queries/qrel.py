@@ -3917,3 +3917,163 @@ def lineitem_pricing_summary(spark, sf):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 167: TPC-H Q3 shipping priority — 3-way join + revenue top-10
+# ---------------------------------------------------------------------------
+@q(
+    "orders_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100)
+                             AS BIGINT))) AS BIGINT) AS revenue_e4,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_e4 DESC, orderdate_us, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def orders_shipping_priority(spark, sf):
+    """TPC-H Q3 (shipping priority) — the canonical
+    filter-join-aggregate-topk: BUILDING-segment customers, orders
+    placed before the cut date with lineitems shipping after it,
+    revenue per order, top 10. The join-strategy story IS the
+    face: the segment filter prunes customers ~5x BEFORE the join
+    (predicate pushdown to the scan), the pruned customer side
+    broadcasts under AQE (unhinted — the text_unigram_lm rule: at
+    sf1e6 customers no longer fit and AQE shuffles instead, the
+    plan adapts, the answer doesn't), and the order-lineitem join
+    shuffles on the natural orderkey. Revenue is the exact e4-
+    scaled integer cents*(100-disc_h) (the pricing-summary money
+    discipline — the spec's DECIMAL sums reproduced without
+    DECIMAL), so the top-10 cut ranks exact BIGINTs with the
+    (revenue, orderdate, orderkey) total tiebreak, via
+    TakeOrderedAndProject — no global sort. Dates emitted as
+    exact epoch-us (the sub-second emission rule)."""
+    c = t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = t(spark, sf, "orders").filter(
+        F.col("o_orderdate")
+        < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate")
+        > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "l_orderkey",
+            F.expr(
+                "unix_micros(cast(o_orderdate AS TIMESTAMP))"
+            )
+            .cast("long")
+            .alias("orderdate_us"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("long").alias("revenue_e4"))
+        .select(
+            "l_orderkey", "revenue_e4", "orderdate_us",
+            "o_orderpriority",
+        )
+        .orderBy(
+            F.desc("revenue_e4"), "orderdate_us", "l_orderkey"
+        )
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 167: TPC-H Q5 local supplier volume — the 6-table snowflake
+# ---------------------------------------------------------------------------
+@q(
+    "orders_local_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100)
+                             AS BIGINT))) AS BIGINT) AS revenue_e4
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue_e4 DESC, nation
+    """,
+)
+def orders_local_volume(spark, sf):
+    """TPC-H Q5 (local supplier volume) — the 6-table snowflake
+    and the classic join-ORDER test: revenue by nation for EUROPE-
+    region customers served by suppliers in their OWN nation over
+    the 1995-98 window (the spec's ASIA + single-1994 window is
+    EMPTY on this fixture's 1995-2001 calendar and sparse
+    same-nation pairing — the granger degenerate-but-equal lesson:
+    a zero-row join both engines agree on proves nothing, so the
+    face pins region x window combinations measured non-empty, and
+    the replay test asserts rows exist). The correlated s_nationkey =
+    c_nationkey predicate is what makes Q5 famous — it is not an
+    FK edge, so a naive planner joins supplier by suppkey alone
+    and filters late, dragging the full supplier fan through the
+    shuffle; expressing it IN the join condition lets Catalyst
+    evaluate it at the join and lets the region->nation->customer
+    chain prune first (the filter reaches the region scan, the
+    two-row dim broadcasts, and AQE picks broadcast-vs-shuffle
+    per join by measured size — all unhinted). Money is the exact
+    e4 integer chain; the final 5-row ranking ties broken by
+    nation name. The replay test pins against a pure-Python
+    6-way dict join. At 100 TB: dims broadcast, the fact-fact
+    orderkey join shuffles once, the agg is 25-cells-bounded."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(
+        (
+            F.col("o_orderdate")
+            >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+        )
+        & (
+            F.col("o_orderdate")
+            < F.lit("1999-01-01 00:00:00").cast("timestamp")
+        )
+    )
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            s,
+            (s["s_suppkey"] == li["l_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(n, n["n_nationkey"] == c["c_nationkey"])
+        .join(r, r["r_regionkey"] == n["n_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("long").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "nation")
+    )
