@@ -4077,3 +4077,168 @@ def orders_local_volume(spark, sf):
         .agg(F.sum(rev).cast("long").alias("revenue_e4"))
         .orderBy(F.desc("revenue_e4"), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 168: TPC-H Q10 returned-item reporting — customer-grain top-20
+# ---------------------------------------------------------------------------
+@q(
+    "orders_returned_item",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100)
+                             AS BIGINT))) AS BIGINT) AS revenue_e4,
+           CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20
+    """,
+)
+def orders_returned_item(spark, sf):
+    """TPC-H Q10 (returned-item reporting) — the customer-grain
+    top-k: which customers RETURNED the most revenue in a quarter-
+    year window (the spec's 3-month window widened to the 1995
+    order year so the fixture's return flags populate every
+    nation). Shape: two selective predicates (returnflag = 'R'
+    pushed into the lineitem scan, the date window into orders),
+    the fact-fact orderkey join, the nation dim broadcast, and a
+    customer-grain aggregate whose group count is bounded by
+    |customers| — then TakeOrderedAndProject's top-20 on the exact
+    e4 revenue with custkey tiebreak. This is the query class
+    where the GROUP BY grain (customer) is much wider than the
+    output (20 rows): the ranking must happen after the full
+    aggregate, so the plan's cost lives in the shuffle on
+    custkey, and the partial-agg before it is what keeps the
+    exchange narrow. Exact integers throughout; acctbal emitted
+    as exact cents."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(
+        (
+            F.col("o_orderdate")
+            >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+        )
+        & (
+            F.col("o_orderdate")
+            < F.lit("1996-01-01 00:00:00").cast("timestamp")
+        )
+    )
+    li = t(spark, sf, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = t(spark, sf, "nation")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(n, n["n_nationkey"] == c["c_nationkey"])
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round(F.col("c_acctbal") * 100)
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+        .agg(F.sum(rev).cast("long").alias("revenue_e4"))
+        .select(
+            "c_custkey", "c_name", "nation", "revenue_e4",
+            "acctbal_cents",
+        )
+        .orderBy(F.desc("revenue_e4"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 168: TPC-H Q14 promotion effect — conditional-share aggregate
+# ---------------------------------------------------------------------------
+@q(
+    "part_promo_revenue",
+    """
+    WITH j AS (
+      SELECT p.p_type,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               AS rev_e4
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
+    SELECT CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN rev_e4 ELSE 0 END), 0)
+                AS BIGINT) AS promo_e4,
+           CAST(COALESCE(SUM(rev_e4), 0) AS BIGINT) AS total_e4,
+           CASE WHEN COALESCE(SUM(rev_e4), 0) = 0 THEN NULL
+                ELSE round(100.0
+                     * SUM(CASE WHEN p_type = 'PROMO'
+                                THEN rev_e4 ELSE 0 END)
+                     / SUM(rev_e4), 6) + 0
+           END AS promo_pct
+    FROM j
+    """,
+)
+def part_promo_revenue(spark, sf):
+    """TPC-H Q14 (promotion effect) — the conditional-share
+    aggregate: what percentage of a shipping year's discounted
+    revenue came from PROMO-type parts. The textbook spelling is a
+    CASE inside SUM over a fact-dim join — ONE pass computes both
+    the conditional and unconditional mass (never two branches,
+    which would scan the join twice — the stat_mutual_info
+    one-scan rule applied to the simplest possible query), the
+    date window pushes to the lineitem scan, and the part dim
+    joins on partkey (broadcast under AQE at test scale, shuffle
+    at 100 TB — unhinted as always). Revenue is the exact e4
+    chain; the single percentage is the only float. The fixture's
+    p_type is a flat categorical (PROMO is 1 of 6 values), so the
+    share pins near 1/6 in the replay — and the exact integers
+    make promo_e4 <= total_e4 a hard invariant rather than a
+    float hope."""
+    li = t(spark, sf, "lineitem").filter(
+        (
+            F.col("l_shipdate")
+            >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+        )
+        & (
+            F.col("l_shipdate")
+            < F.lit("1996-01-01 00:00:00").cast("timestamp")
+        )
+    )
+    p = t(spark, sf, "part")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    j = li.join(p, p["p_partkey"] == li["l_partkey"]).select(
+        "p_type", rev.alias("rev_e4")
+    )
+    promo = F.coalesce(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("rev_e4"))
+            .otherwise(0)
+        ),
+        F.lit(0),
+    ).cast("long")
+    tot = F.coalesce(F.sum("rev_e4"), F.lit(0)).cast("long")
+    return j.agg(
+        promo.alias("promo_e4"),
+        tot.alias("total_e4"),
+        F.when(tot == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(100.0) * promo / tot,
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("promo_pct"),
+    )
