@@ -4242,3 +4242,228 @@ def part_promo_revenue(spark, sf):
         )
         .alias("promo_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 169: TPC-H Q18 large-volume customers — HAVING-driven semi join
+# ---------------------------------------------------------------------------
+@q(
+    "orders_large_volume",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 250),
+    j AS (
+      SELECT c.c_custkey, c.c_name, o.o_orderkey,
+             CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+             CAST(round(o.o_totalprice * 100) AS BIGINT)
+               AS totalprice_cents,
+             CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN big b ON b.l_orderkey = o.o_orderkey
+      GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice)
+    SELECT c_custkey, c_name, o_orderkey, orderdate_us,
+           totalprice_cents, sum_qty
+    FROM j
+    ORDER BY totalprice_cents DESC, orderdate_us, o_orderkey
+    LIMIT 20
+    """,
+)
+def orders_large_volume(spark, sf):
+    """TPC-H Q18 (large-volume customers) — the HAVING-driven semi
+    join: first find orders whose TOTAL quantity crosses the
+    threshold (an aggregate over the fact table — the spec's
+    "> 300" lowered to 250 so the fixture's 378-max quantity
+    distribution yields a working set), then join those keys back
+    to re-aggregate with customer context. The two-pass shape is
+    the point: the inner aggregate's output is keys-only and
+    SMALL, so the join back is a broadcast-able semi-join-like
+    prune even though the spelling is an inner join on the
+    aggregated relation — the pattern every "entities crossing a
+    volume threshold" report uses. Quantities sum as exact
+    integers (the fixture's l_quantity is whole-valued; round()
+    makes the contract explicit), prices as exact cents; top-20
+    by (totalprice, orderdate, orderkey) total order via
+    TakeOrderedAndProject."""
+    li = t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long"))
+            .cast("long")
+            .alias("sq")
+        )
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(
+            big.withColumnRenamed("l_orderkey", "bk"),
+            F.col("bk") == o["o_orderkey"],
+        )
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.expr("unix_micros(cast(o_orderdate AS TIMESTAMP))")
+            .cast("long")
+            .alias("orderdate_us"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("totalprice_cents"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity").cast("long"))
+            .cast("long")
+            .alias("sum_qty")
+        )
+        .orderBy(
+            F.desc("totalprice_cents"), "orderdate_us", "o_orderkey"
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 169: TPC-H Q19 disjunctive predicate revenue
+# ---------------------------------------------------------------------------
+@q(
+    "part_disjunctive_revenue",
+    """
+    SELECT CAST(COALESCE(SUM(
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))),
+             0) AS BIGINT) AS revenue_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def part_disjunctive_revenue(spark, sf):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates) —
+    the OR-of-conjunctions query that separates planners: three
+    brand/size/quantity bands OR-ed together, where the naive plan
+    evaluates the whole disjunction post-join but a good one
+    derives the COMMON implied predicates (brand IN (...), size
+    >= 1) and pushes them into the part scan, shrinking the build
+    side before the join; the residual disjunction evaluates on
+    the joined row. Catalyst does exactly this constraint
+    propagation — the audit-worthy behavior this face exists to
+    hold still. Quantity bounds compare the fixture's whole-
+    valued doubles directly (spelled identically both engines);
+    money is the exact e4 chain; one scan of each table, one
+    1-row aggregate. The replay test evaluates the disjunction
+    row-by-row in Python and pins every band individually
+    non-empty (a silently-empty arm is the granger trap in
+    disjunctive clothing)."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    j = li.join(p, p["p_partkey"] == li["l_partkey"])
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 40)
+        )
+    )
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return j.filter(band).agg(
+        F.coalesce(F.sum(rev), F.lit(0))
+        .cast("long")
+        .alias("revenue_e4"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 169: TPC-H Q6 forecasting revenue change — the pushdown yardstick
+# ---------------------------------------------------------------------------
+@q(
+    "lineitem_forecast_revenue",
+    """
+    SELECT CAST(COALESCE(SUM(
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)), 0)
+             AS BIGINT) AS revenue_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND round(l_discount * 100) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def lineitem_forecast_revenue(spark, sf):
+    """TPC-H Q6 (forecasting revenue change) — the scan-and-filter
+    yardstick: no join, no window, just three selective predicates
+    and one sum, which makes it the purest measurement of filter
+    pushdown + whole-stage codegen the suite has (every column the
+    filter touches is in ReadSchema; everything else is pruned —
+    the plan IS two lines). The spec's DECIMAL discount equality
+    band becomes an exact integer-hundredths band (round(disc*100)
+    BETWEEN 5 AND 7 — comparing the raw double to 0.05..0.07
+    would be the classic float-band bug this face documents
+    instead of committing), and the revenue = price * discount
+    product is an exact e4 BIGINT per row. One scan, one 1-row
+    fold; at 100 TB this query is I/O-bound by construction,
+    which is why it is the canonical scan-throughput probe."""
+    li = t(spark, sf, "lineitem")
+    disc_h = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (
+                F.col("l_shipdate")
+                >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+            )
+            & (
+                F.col("l_shipdate")
+                < F.lit("1996-01-01 00:00:00").cast("timestamp")
+            )
+            & disc_h.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast(
+                        "long"
+                    )
+                    * disc_h
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
