@@ -4345,11 +4345,11 @@ def orders_large_volume(spark, sf):
              0) AS BIGINT) AS revenue_e4,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 50
            AND l.l_quantity >= 1 AND l.l_quantity <= 21)
-       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 50
            AND l.l_quantity >= 10 AND l.l_quantity <= 30)
-       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 50
            AND l.l_quantity >= 20 AND l.l_quantity <= 40)
     """,
 )
@@ -4363,32 +4363,35 @@ def part_disjunctive_revenue(spark, sf):
     side before the join; the residual disjunction evaluates on
     the joined row. Catalyst does exactly this constraint
     propagation — the audit-worthy behavior this face exists to
-    hold still. Quantity bounds compare the fixture's whole-
-    valued doubles directly (spelled identically both engines);
+    hold still. The spec's brand/size triplet is re-based
+    onto brands the fixture POPULATES AT EVERY SF (Brand#34 has
+    zero parts at sf0.001 — a silently-empty arm is the granger
+    degenerate-but-equal trap in disjunctive clothing, so the
+    test pins every arm individually non-empty). Quantity bounds
+    compare the fixture's whole-valued doubles directly (spelled
+    identically both engines);
     money is the exact e4 chain; one scan of each table, one
     1-row aggregate. The replay test evaluates the disjunction
-    row-by-row in Python and pins every band individually
-    non-empty (a silently-empty arm is the granger trap in
-    disjunctive clothing)."""
+    row-by-row in Python."""
     li = t(spark, sf, "lineitem")
     p = t(spark, sf, "part")
     j = li.join(p, p["p_partkey"] == li["l_partkey"])
     band = (
         (
-            (F.col("p_brand") == "Brand#12")
-            & F.col("p_size").between(1, 15)
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 50)
             & (F.col("l_quantity") >= 1)
             & (F.col("l_quantity") <= 21)
         )
         | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 25)
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 50)
             & (F.col("l_quantity") >= 10)
             & (F.col("l_quantity") <= 30)
         )
         | (
-            (F.col("p_brand") == "Brand#34")
-            & F.col("p_size").between(1, 35)
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 50)
             & (F.col("l_quantity") >= 20)
             & (F.col("l_quantity") <= 40)
         )

@@ -63,9 +63,9 @@ def test_q18_matches_replay(spark):
 
 def _band(brand, size, qv):
     return (
-        (brand == "Brand#12" and 1 <= size <= 15 and 1 <= qv <= 21)
-        or (brand == "Brand#23" and 1 <= size <= 25 and 10 <= qv <= 30)
-        or (brand == "Brand#34" and 1 <= size <= 35 and 20 <= qv <= 40)
+        (brand == "Brand#11" and 1 <= size <= 50 and 1 <= qv <= 21)
+        or (brand == "Brand#12" and 1 <= size <= 50 and 10 <= qv <= 30)
+        or (brand == "Brand#23" and 1 <= size <= 50 and 20 <= qv <= 40)
     )
 
 
@@ -87,7 +87,7 @@ def test_q19_matches_replay(spark):
             )
             n += 1
             for i, b in enumerate(
-                ("Brand#12", "Brand#23", "Brand#34")
+                ("Brand#11", "Brand#12", "Brand#23")
             ):
                 if brand == b:
                     arms[i] += 1
