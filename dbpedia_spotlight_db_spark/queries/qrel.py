@@ -4470,3 +4470,148 @@ def lineitem_forecast_revenue(spark, sf):
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 170: TPC-H Q22 analog — scalar-subquery threshold + anti join
+# ---------------------------------------------------------------------------
+@q(
+    "customer_dormant_value",
+    """
+    WITH thr AS (
+      SELECT AVG(CAST(round(c_acctbal * 100) AS BIGINT)) AS cut
+      FROM customer WHERE c_acctbal > 0.0),
+    rich AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer c CROSS JOIN thr
+      WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > thr.cut),
+    dormant AS (
+      SELECT r.c_custkey, r.c_nationkey, r.bal
+      FROM rich r
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = r.c_custkey
+                          AND o.o_orderdate
+                              >= TIMESTAMP '2000-01-01 00:00:00')),
+    nn AS (SELECT n_nationkey, n_name FROM nation)
+    SELECT nn.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(d.bal) AS BIGINT) AS total_bal_cents
+    FROM dormant d JOIN nn ON nn.n_nationkey = d.c_nationkey
+    GROUP BY nn.n_name ORDER BY nn.n_name
+    """,
+)
+def customer_dormant_value(spark, sf):
+    """TPC-H Q22 analog (global sales opportunity) — the scalar-
+    subquery-threshold + ANTI-JOIN composition: customers whose
+    balance exceeds the average positive balance (a 1-row global
+    aggregate attached to every row — Catalyst decorrelates the
+    scalar subquery to an aggregate-below-join, sql_scalar_subquery's
+    shape) who have placed no orders SINCE 2000 (NOT EXISTS over the
+    date-filtered orders -> LeftAnti on custkey,
+    join_exists_subq's shape; the spec's "no orders ever" is
+    EMPTY on this fixture — every custkey appears in orders — so
+    the face pins the recency-dormancy variant, which is what a
+    real win-back campaign asks anyway; the granger
+    degenerate-but-equal rule), rolled up by nation. The
+    spec's phone-prefix country filter is replaced by the nation
+    dim (no phone column in the fixture); the analytical content —
+    "rich, dormant, where" — is identical. The threshold compare
+    runs on exact integer cents against the exact average (DuckDB
+    AVG(BIGINT) and Spark avg(long) both compute in double from
+    exact integers, identical op order — and the compare is
+    strict, so the knife-edge row would need the average itself
+    to be representable ambiguously, which integer cents
+    preclude). At 100 TB: the anti-join build side is the orders
+    key projection, the dims broadcast, one shuffle."""
+    c = t(spark, sf, "customer")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg(
+            F.round(F.col("c_acctbal") * 100).cast("long")
+        ).alias("cut")
+    )
+    rich = (
+        c.crossJoin(thr)
+        .filter(
+            F.round(F.col("c_acctbal") * 100).cast("long")
+            > F.col("cut")
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100)
+            .cast("long")
+            .alias("bal"),
+        )
+    )
+    o = (
+        t(spark, sf, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    dormant = rich.join(
+        o, rich["c_custkey"] == o["o_custkey"], "left_anti"
+    )
+    n = t(spark, sf, "nation")
+    return (
+        dormant.join(n, n["n_nationkey"] == dormant["c_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.sum("bal").cast("long").alias("total_bal_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 170: TPC-H Q4 analog — EXISTS decorrelation on late shipping
+# ---------------------------------------------------------------------------
+@q(
+    "orders_priority_wait",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+            > 90 * 86400000000)
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def orders_priority_wait(spark, sf):
+    """TPC-H Q4 analog (order priority checking) — the canonical
+    EXISTS decorrelation: per priority, how many orders have AT
+    LEAST ONE lineitem shipping more than 90 days after the order
+    date (the spec's commitdate-vs-receiptdate lateness re-based
+    on the columns the fixture carries; the analytical shape —
+    count orders WHERE EXISTS a late line — is identical). EXISTS
+    with a correlated predicate lowers to a LEFT SEMI join on
+    orderkey with the lateness residual in the join condition —
+    one fact-fact shuffle, the semi form guaranteeing each order
+    counts ONCE no matter how many of its lines are late (the
+    mistake the inner-join spelling makes is exactly the
+    double-count this face's replay test would catch). Lateness
+    compares exact epoch-microsecond differences against the
+    literal 90-day span — never date arithmetic with its
+    boundary-crossing vs complete-units engine split
+    (date_interval_arith's lesson). 5-row output, count per
+    priority."""
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (
+        F.expr("unix_micros(cast(l_shipdate AS TIMESTAMP))")
+        - F.expr("unix_micros(cast(o_orderdate AS TIMESTAMP))")
+        > F.lit(90) * 86400000000
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
