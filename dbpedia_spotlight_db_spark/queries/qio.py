@@ -2263,3 +2263,102 @@ def csv_multichar_delim(spark, sf):
         .cast("long")
         .alias("sum_head_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 171: COUNT(*) answered from parquet footers — zero columns read
+# ---------------------------------------------------------------------------
+@q(
+    "scan_count_star",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+             AS n_orders,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+             AS n_lineitems
+    FROM events
+    """,
+)
+def scan_count_star(spark, sf):
+    """COUNT(*) answered from parquet FOOTER metadata — the
+    cheapest query a lakehouse serves, and the mechanism is worth
+    pinning because it is easy to silently lose: a bare count
+    reads ZERO data pages (ReadSchema: struct<> — the scan
+    projects no columns; row-group counts come from footers), but
+    add any predicate, or count a nullable COLUMN instead of *,
+    and the scan is back to reading pages. The face counts three
+    tables in one query; the plan test pins the empty ReadSchema
+    on every scan. At 100 TB the difference is a metadata
+    operation versus a full-table read — the reason `SELECT
+    COUNT(*)` is free on parquet and `COUNT(col)` is not, which
+    every table-stats dashboard should know before it polls."""
+    ev = t(spark, sf, "events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    od = t(spark, sf, "orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    li = t(spark, sf, "lineitem").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems")
+    )
+    return ev.crossJoin(od).crossJoin(li)
+
+
+# ---------------------------------------------------------------------------
+# wave 171: predicate pushdown THROUGH a UNION ALL
+# ---------------------------------------------------------------------------
+@q(
+    "scan_union_pushdown",
+    """
+    WITH u AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+      UNION ALL
+      SELECT o_orderpriority AS event_type,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM u WHERE cents > 10000
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scan_union_pushdown(spark, sf):
+    """Predicate pushdown THROUGH a UNION ALL — the optimizer
+    mechanism behind every unioned-sources view (this round's
+    stream_union in batch clothing, and the shape every
+    multi-region lake view has): a filter applied ABOVE the union
+    must reach BOTH branch scans, or one branch reads its full
+    table just to discard rows post-union. Catalyst's
+    PushProjectionThroughUnion + predicate pushdown rewrite the
+    filter into each branch; the plan test pins `cents > 10000`
+    appearing as a pushed/early filter on BOTH sides (the value
+    and totalprice expressions differ per branch, so the rewrite
+    must substitute through each branch's aliases — exactly the
+    part naive view-expansion engines get wrong). The union is
+    heterogeneous on purpose (events + orders share no lineage);
+    results are exact cents; one scan per branch, one aggregate
+    above."""
+    ev = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    od = t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("event_type"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    u = ev.unionByName(od).filter(F.col("cents") > 10000)
+    return (
+        u.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -4615,3 +4615,51 @@ def orders_priority_wait(spark, sf):
         .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 171: conditional-count aggregate family — count_if / any / every
+# ---------------------------------------------------------------------------
+@q(
+    "agg_count_if",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value > 100.0) AS BIGINT)
+             AS n_big,
+           CAST(COUNT(*) FILTER (WHERE value IS NULL) AS BIGINT)
+             AS n_null,
+           bool_or(value > 500.0) AS any_huge,
+           bool_and(value IS NOT NULL) AS every_valued
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_count_if(spark, sf):
+    """The conditional-aggregate family — count_if, any/bool_or,
+    every/bool_and — the predicates-as-aggregates trio every data-
+    quality rollup uses (check_constraints builds exactly these by
+    hand; the native forms are shorter and fold to the same
+    partial-aggregatable plan). Dialect mapping measured:
+    Spark 4's count_if(p) == DuckDB's COUNT(*) FILTER (WHERE p);
+    Spark `any`/`every` == DuckDB bool_or/bool_and — with the
+    THREE-VALUED-LOGIC footnote that matters: any(p) over a group
+    whose p values are all NULL is NULL, not FALSE, on both
+    engines, and count_if never counts NULL predicate results (a
+    NULL value fails `value > 100` silently — the n_null column
+    makes the invisible visible, the csv_permissive
+    touch-every-column lesson). Exact counts plus two booleans
+    per type; one scan, map-side-combinable throughout."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.expr("count_if(value > 100.0)")
+            .cast("long")
+            .alias("n_big"),
+            F.expr("count_if(value IS NULL)")
+            .cast("long")
+            .alias("n_null"),
+            F.expr("any(value > 500.0)").alias("any_huge"),
+            F.expr("every(value IS NOT NULL)").alias("every_valued"),
+        )
+        .orderBy("event_type")
+    )
