@@ -3265,3 +3265,146 @@ def dedup_cdc(spark, sf):
         .cast("long")
         .alias("chars_dedupable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 172: categorical (attribute) assortativity on the similarity graph
+# ---------------------------------------------------------------------------
+@q(
+    "kg_attr_assortativity",
+    f"""
+    WITH {_SH_SQL},
+    okd AS (SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) <= 1000),
+    shc AS (SELECT sh.id, sh.shingle FROM sh JOIN okd USING (shingle)),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM shc GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.2),
+    lg AS (SELECT doc_id, lang FROM documents),
+    dhalf AS (
+      SELECT la.lang AS lx, lb.lang AS ly
+      FROM pairs p JOIN lg la ON la.doc_id = p.id_a
+                  JOIN lg lb ON lb.doc_id = p.id_b
+      UNION ALL
+      SELECT lb.lang, la.lang
+      FROM pairs p JOIN lg la ON la.doc_id = p.id_a
+                  JOIN lg lb ON lb.doc_id = p.id_b),
+    mm AS (
+      SELECT lx, ly, CAST(COUNT(*) AS BIGINT) AS c
+      FROM dhalf GROUP BY lx, ly),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS m,
+             CAST(SUM(CASE WHEN lx = ly THEN c ELSE 0 END)
+                  AS BIGINT) AS diag
+      FROM mm),
+    rows_ AS (
+      SELECT CAST(COALESCE(SUM(rs * rs), 0) AS BIGINT) AS srow2
+      FROM (SELECT lx, CAST(SUM(c) AS BIGINT) AS rs
+            FROM mm GROUP BY lx) z)
+    SELECT t.m AS n_edge_ends, t.diag AS n_same_lang_ends,
+           r.srow2,
+           CASE WHEN t.m = 0 OR t.m * t.m = r.srow2 THEN NULL
+                ELSE round(CAST(t.m * t.diag - r.srow2 AS DOUBLE)
+                           / (CAST(t.m AS DOUBLE) * t.m - r.srow2),
+                           6) + 0
+           END AS assortativity
+    FROM tot t, rows_ r
+    """,
+)
+def kg_attr_assortativity(spark, sf):
+    """Newman's CATEGORICAL assortativity on the document-
+    similarity graph, mixing by language — kg_assortativity
+    measures degree-degree correlation; this face asks the
+    attribute question a dedup/contamination analyst asks: do
+    near-duplicate edges stay WITHIN a language shard (r -> 1,
+    translation-free corpus) or cross shards (r <= 0, template
+    reuse across locales — the fingerprint of machine-templated
+    spam)? Edges are dedup_jaccard's df-capped pairs (threshold
+    0.2, cap mirrored — the whole similarity machinery reused,
+    not rebuilt); the mixing matrix counts DIRECTED edge halves
+    (each undirected pair contributes both orientations, the
+    standard e_xy symmetrization), and r = (M*diag - sum
+    rowsum^2) / (M^2 - sum rowsum^2) clears every division into
+    exact BIGINTs with one final float. Degenerate guard: a
+    single-language edge set makes the denominator 0 -> NULL.
+    The shared-vocabulary fixture (the kg_dict_coverage finding)
+    yields cross-lang near-dups, so r is pinned WELL BELOW 1 —
+    the honest reading, asserted in the replay test."""
+    from ..operators import dedup as dd
+
+    pairs = dd.ngram_jaccard_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", shingle_n=3,
+        threshold=0.2, max_df=1000,
+    ).select("id_a", "id_b")
+    from ..operators.dedup import parquet_checkpoint
+
+    pairs = parquet_checkpoint(pairs, "attr_asso_pairs")
+    lg = t(spark, sf, "documents").select("doc_id", "lang")
+    j = (
+        pairs.join(
+            lg.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "lang", "la"
+            ),
+            "id_a",
+        )
+        .join(
+            lg.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "lang", "lb"
+            ),
+            "id_b",
+        )
+        .select("la", "lb")
+    )
+    dhalf = j.select(
+        F.col("la").alias("lx"), F.col("lb").alias("ly")
+    ).unionAll(
+        j.select(F.col("lb").alias("lx"), F.col("la").alias("ly"))
+    )
+    mm = dhalf.groupBy("lx", "ly").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from ..operators.dedup import parquet_checkpoint as _ck
+
+    mm = _ck(mm, "attr_asso_mm")
+    tot = mm.agg(
+        F.sum("c").cast("long").alias("m"),
+        F.sum(
+            F.when(F.col("lx") == F.col("ly"), F.col("c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("diag"),
+    )
+    rows_ = (
+        mm.groupBy("lx")
+        .agg(F.sum("c").cast("long").alias("rs"))
+        .agg(
+            F.coalesce(F.sum(F.col("rs") * F.col("rs")), F.lit(0))
+            .cast("long")
+            .alias("srow2")
+        )
+    )
+    jn = tot.crossJoin(rows_)
+    m, diag, srow2 = F.col("m"), F.col("diag"), F.col("srow2")
+    bad = (m == 0) | (m * m == srow2)
+    return jn.select(
+        m.alias("n_edge_ends"),
+        diag.alias("n_same_lang_ends"),
+        "srow2",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (m * diag - srow2).cast("double")
+                / (m.cast("double") * m - srow2),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("assortativity"),
+    )

@@ -2617,3 +2617,54 @@ def ps_api_pivot_table(spark, sf):
         else:
             cols.append(F.lit(None).cast("long").alias(f"d{k}"))
     return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# wave 172: QUALIFY dialect pair — window filter without a subquery
+# ---------------------------------------------------------------------------
+@q(
+    "sql_qualify",
+    """
+    SELECT event_type, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE value IS NOT NULL
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY round(value * 100) DESC,
+                                        event_id) <= 3
+    ORDER BY event_type, cents DESC, event_id
+    """,
+)
+def sql_qualify(spark, sf):
+    """The QUALIFY dialect pair — top-3 events per type by value.
+    DuckDB (following Snowflake/BigQuery/Teradata) filters on a
+    window function directly with QUALIFY; Spark 4 does NOT parse
+    QUALIFY (measured: PARSE_SYNTAX_ERROR), so the faithful
+    translation is the subquery-then-filter spelling — compute the
+    row_number in a derived relation, filter rn <= 3 outside (the
+    rank-filter idiom sql_distinct_on uses for DISTINCT ON; the
+    two dialect gaps share one Spark-side answer). The translation
+    preserves the evaluation-order contract QUALIFY encodes: the
+    WHERE runs BEFORE the window, the QUALIFY after — inlining the
+    rank predicate into the same WHERE would be semantically
+    impossible, which is why the keyword exists. Spark compiles
+    the subquery spelling to WindowGroupLimit exactly as it does
+    for DISTINCT ON (per-partition top-k before the shuffle); the
+    (value DESC, event_id) total order makes the kept set
+    engine-unique. One scan, one partitioned window."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.round(F.col("value") * 100).cast("long").desc(),
+        F.col("event_id"),
+    )
+    return (
+        e.select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("event_type", F.desc("cents"), "event_id")
+    )
