@@ -4663,3 +4663,128 @@ def agg_count_if(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 173: GROUPS window frames — dialect gap + exact emulation
+# ---------------------------------------------------------------------------
+@q(
+    "win_groups_frame",
+    """
+    WITH lab AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    per_day AS (
+      SELECT event_type, day,
+             CAST(SUM(cents) AS BIGINT) AS day_cents,
+             CAST(COUNT(*) AS BIGINT) AS day_n
+      FROM lab GROUP BY event_type, day)
+    SELECT event_type, day,
+           CAST(SUM(day_cents) OVER (PARTITION BY event_type
+             ORDER BY day
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)
+             AS win_cents,
+           CAST(SUM(day_n) OVER (PARTITION BY event_type
+             ORDER BY day
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)
+             AS win_n
+    FROM per_day ORDER BY event_type, day
+    """,
+)
+def win_groups_frame(spark, sf):
+    """GROUPS window frames — the third frame type (ROWS counts
+    rows, RANGE measures values, GROUPS counts DISTINCT ordering
+    values: 'previous day + today + next day, however many rows
+    each has'). NEITHER engine here has it — Spark 4.1's parser
+    accepts only ROWS/RANGE (the gap CLAUDE.md has documented
+    since round 4) and this DuckDB build answers "GROUPS mode ...
+    not implemented yet" (both rejections measured and pinned in
+    the test). The face therefore holds the SEMANTICS still via
+    the exact translation both engines can run: aggregate to one
+    row per (partition, ordering value), then a plain ROWS
+    BETWEEN 1 PRECEDING AND 1 FOLLOWING — over unique ordering
+    values, ROWS and GROUPS coincide by definition — carrying
+    both the frame sum and the per-group row count. Day
+    boundaries from epoch arithmetic; all sums exact cents. At
+    100 TB the emulation is strictly cheaper than a native GROUPS
+    frame would be: the window runs over the pre-aggregated
+    calendar-sized relation, not the raw rows."""
+    lab = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            )
+            .cast("long")
+            .alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    per_day = lab.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("long").alias("day_cents"),
+        F.count(F.lit(1)).cast("long").alias("day_n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-1, 1)
+    )
+    return per_day.select(
+        "event_type",
+        "day",
+        F.sum("day_cents").over(w).cast("long").alias("win_cents"),
+        F.sum("day_n").over(w).cast("long").alias("win_n"),
+    ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# wave 173: SHUFFLE_REPLICATE_NL — the fourth join-strategy hint
+# ---------------------------------------------------------------------------
+@q(
+    "join_replicate_nl",
+    """
+    SELECT a.r_name AS region_a, b.r_name AS region_b,
+           CAST(length(a.r_name) + length(b.r_name) AS BIGINT)
+             AS name_len
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    ORDER BY region_a, region_b
+    """,
+)
+def join_replicate_nl(spark, sf):
+    """SHUFFLE_REPLICATE_NL — the fourth and last join-strategy
+    hint (join_broadcast = BHJ, join_shuffle_hash = SHJ,
+    join_sortmerge = SMJ; this face pins the cartesian path): a
+    non-equi join has no key to hash or sort on, so Spark's only
+    strategies are broadcast-NL or replicate-NL, and the hint
+    forces the replicated form — each side partitioned, every
+    partition pair joined, the strategy that scales a
+    GENUINELY-cartesian workload past what one broadcast side
+    allows. Safe here by construction: the 5x5 region pair grid
+    with the inequality residual is the textbook bounded cross
+    product (the 'every non-broadcast crossJoin is a 1-row or
+    dim-bounded attach' rule). The plan test pins
+    CartesianProduct in the executed plan — the hint's visible
+    effect — and the result is the exact 20-row pair relation
+    with deterministic ordering. At scale the lesson inverts:
+    replicate-NL on two FACT tables is the scale-killer every
+    other face avoids; the face exists so the strategy's
+    legitimate bounded use has a pinned shape."""
+    a = t(spark, sf, "region").alias("a")
+    b = t(spark, sf, "region").alias("b")
+    j = a.hint("shuffle_replicate_nl").crossJoin(b).filter(
+        F.col("a.r_regionkey") != F.col("b.r_regionkey")
+    )
+    return j.select(
+        F.col("a.r_name").alias("region_a"),
+        F.col("b.r_name").alias("region_b"),
+        (
+            F.length(F.col("a.r_name")) + F.length(F.col("b.r_name"))
+        )
+        .cast("long")
+        .alias("name_len"),
+    ).orderBy("region_a", "region_b")
