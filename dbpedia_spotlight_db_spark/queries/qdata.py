@@ -3408,3 +3408,115 @@ def kg_attr_assortativity(spark, sf):
         )
         .alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 174: perceptual-hash-style near-dup pairs over binary media
+# ---------------------------------------------------------------------------
+@q(
+    "multimodal_phash",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             lower(hex(encode(text))) AS hx
+      FROM documents),
+    sh AS (
+      SELECT media_id,
+             substr(hx, (g - 1) * 8 + 1, 8) AS tok
+      FROM media,
+           UNNEST(generate_series(1, CAST(length(hx) // 8 AS BIGINT)))
+             AS t(g)),
+    hv AS (SELECT media_id, md5(tok) AS h FROM sh),
+    voted AS (
+      SELECT media_id,
+             {vote_cols}
+      FROM hv GROUP BY media_id),
+    fp AS (
+      SELECT media_id, {bit_concat} AS phash
+      FROM voted),
+    banded AS (
+      SELECT media_id, phash, j AS band,
+             substring(phash, j * 4 + 1, 4) AS bucket
+      FROM fp, (SELECT unnest([0, 1, 2, 3]) AS j)),
+    s AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             len(list_filter(range(1, 17),
+                 i -> substring(a.phash, i, 1)
+                      <> substring(b.phash, i, 1))) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.media_id < b.media_id)
+    SELECT DISTINCT id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM s WHERE hamming <= 3
+    """.replace(
+        "{vote_cols}",
+        ",\n             ".join(
+            "SUM(CASE WHEN substring(h, %d, 1) IN ('1','3','5','7',"
+            "'9','b','d','f') THEN 1 ELSE -1 END) AS v%d" % (j + 1, j)
+            for j in range(16)
+        ),
+    ).replace(
+        "{bit_concat}",
+        " || ".join(
+            "(CASE WHEN v%d > 0 THEN '1' ELSE '0' END)" % j
+            for j in range(16)
+        ),
+    ),
+)
+def multimodal_phash(spark, sf):
+    """Perceptual-hash-STYLE near-duplicate pairs over the binary
+    media payloads — the step after multimodal_dedup's exact CAS
+    census: byte-level 4-byte shingles (non-overlapping hex
+    8-grams, so volume stays LINEAR in blob size), a 16-bit
+    simhash by per-shingle md5-nibble parity votes (the
+    operators/dedup.simhash construction re-targeted from word
+    tokens to byte shingles — a real pHash would DCT decoded
+    pixels; this is the content-hash analog that works on
+    UNDECODABLE media, which is the honest claim), and the
+    dedup_simhash_pairs 4-band pigeonhole join guaranteeing exact
+    recall at hamming <= 3. Byte-identical blobs pair at hamming
+    0 (the CAS dups reappear — pinned against multimodal_dedup's
+    census); near-identical byte streams pair at small hamming.
+    Hex is lower()ed on BOTH engines before shingling (DuckDB
+    hex() is UPPERCASE, Spark's lower — the mix_domains trap).
+    Scale shape: map-side shingle explode, 16 conditional sums
+    per blob, banded equi-join with per-band buckets — never an
+    all-pairs comparison."""
+    from ..operators import dedup as dd
+
+    media = t(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.lower(F.hex(F.encode(F.col("text"), "utf-8"))).alias("hx"),
+    )
+    sh = media.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(hx) div 8),"
+                " g -> substring(hx, (g - 1) * 8 + 1, 8))"
+            )
+        ).alias("tok"),
+    )
+    hv = sh.select("id", F.md5("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", j + 1, 1).isin(
+                    "1", "3", "5", "7", "9", "b", "d", "f"
+                ),
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    voted = hv.groupBy("id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(16)
+    ]
+    fp = voted.select("id", F.concat(*bits).alias("simhash"))
+    return dd.simhash_pairs(fp, bits=16, bands=4, max_hamming=3).select(
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )

@@ -4788,3 +4788,98 @@ def join_replicate_nl(spark, sf):
         .cast("long")
         .alias("name_len"),
     ).orderBy("region_a", "region_b")
+
+
+# ---------------------------------------------------------------------------
+# wave 174: LAG ... IGNORE NULLS — the gap-skipping offset function
+# ---------------------------------------------------------------------------
+@q(
+    "win_lag_ignore_nulls",
+    """
+    WITH lab AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS us,
+             CASE WHEN value IS NULL OR value < 50.0 THEN NULL
+                  ELSE CAST(round(value * 100) AS BIGINT) END
+               AS big_cents
+      FROM events WHERE user_id IS NOT NULL),
+    w AS (
+      SELECT user_id, event_id, us, big_cents,
+             lag(big_cents IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY us, event_id)
+               AS prev_big
+      FROM lab)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(prev_big) AS BIGINT) AS n_with_prev,
+           CAST(COALESCE(SUM(CASE WHEN big_cents IS NOT NULL
+                                  THEN COALESCE(prev_big, 0)
+                             END), 0) AS BIGINT)
+             AS sum_prev_at_big
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def win_lag_ignore_nulls(spark, sf):
+    """``lag(...) IGNORE NULLS`` — the gap-skipping offset function
+    (plain lag returns whatever the previous ROW held, NULL
+    included; IGNORE NULLS returns the previous NON-NULL, which is
+    the 'value of my last big transaction' question — the
+    offset-function sibling of events_locf's last_value fill).
+    Dialect quirk measured and held still: BOTH engines support
+    it, in DIFFERENT syntactic positions — DuckDB takes the
+    modifier INSIDE the call (lag(x IGNORE NULLS) OVER ...; the
+    outside position is a parser error), Spark takes it OUTSIDE
+    (lag(x) IGNORE NULLS OVER ...) — one semantic feature, two
+    grammars, exactly the class of translation the dialect-pair
+    faces exist to pin. Sub-$50 values play the NULL role
+    (deterministic NULL injection), the per-user rollup hashes
+    the skip behavior (n_with_prev counts rows that HAVE a
+    preceding big value; the conditional sum fingerprints WHICH
+    value was carried), and the (us, event_id) order is total.
+    One scan, one per-user window."""
+    lab = (
+        t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("unix_micros(cast(ts AS TIMESTAMP))")
+            .cast("long")
+            .alias("us"),
+            F.when(
+                F.col("value").isNull() | (F.col("value") < 50.0),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(F.round(F.col("value") * 100).cast("long"))
+            .alias("big_cents"),
+        )
+    )
+    lab.createOrReplaceTempView("lag_in_probe")
+    w = lab.sparkSession.sql(
+        """
+        SELECT user_id, event_id, us, big_cents,
+               lag(big_cents) IGNORE NULLS OVER
+                 (PARTITION BY user_id ORDER BY us, event_id)
+                 AS prev_big
+        FROM lag_in_probe
+        """
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("prev_big").cast("long").alias("n_with_prev"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("big_cents").isNotNull(),
+                        F.coalesce(F.col("prev_big"), F.lit(0)),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("sum_prev_at_big"),
+        )
+        .orderBy("user_id")
+    )
