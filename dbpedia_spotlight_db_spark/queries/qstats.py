@@ -10214,3 +10214,248 @@ def stat_p_chart(spark, sf):
         F.sum(viol).cast("long").alias("n_violations"),
         (F.sum(viol) == 0).alias("in_control"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 175: partial correlation controlling for day-of-week
+# ---------------------------------------------------------------------------
+@q(
+    "stat_partial_corr",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+               AS dow,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    ctr AS (
+      SELECT day,
+             CAST(COUNT(*) OVER (PARTITION BY dow) * x
+                  - SUM(x) OVER (PARTITION BY dow) AS BIGINT) AS rx,
+             CAST(COUNT(*) OVER (PARTITION BY dow) * y
+                  - SUM(y) OVER (PARTITION BY dow) AS BIGINT) AS ry,
+             CAST(COUNT(*) OVER (PARTITION BY dow) AS BIGINT) AS m
+      FROM daily),
+    sc AS (
+      SELECT CAST(round(CAST(rx AS DOUBLE) / m) AS BIGINT) AS sx,
+             CAST(round(CAST(ry AS DOUBLE) / m) AS BIGINT) AS sy
+      FROM ctr),
+    mm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(sx * sy), 0) AS BIGINT) AS sxy,
+             CAST(COALESCE(SUM(sx * sx), 0) AS BIGINT) AS sxx,
+             CAST(COALESCE(SUM(sy * sy), 0) AS BIGINT) AS syy
+      FROM sc)
+    SELECT n,
+           CASE WHEN n < 3 OR sxx = 0 OR syy = 0 THEN NULL
+                ELSE round(CAST(sxy AS DOUBLE)
+                           / sqrt(CAST(sxx AS DOUBLE))
+                           / sqrt(CAST(syy AS DOUBLE)), 6) + 0
+           END AS r_partial
+    FROM mm
+    """,
+)
+def stat_partial_corr(spark, sf):
+    """PARTIAL correlation of daily revenue vs daily event count,
+    CONTROLLING for day-of-week — the confound-removal form of
+    stat_corr (raw correlation between two daily series is
+    inflated by any shared weekly cycle; partialling out the dow
+    factor answers 'are busy days rich days beyond the weekday
+    effect'): with a CATEGORICAL control, partialling is exactly
+    within-group centering, and the centering is EXACT integer
+    arithmetic — m*x - sum_dow(x) (the events_seasonal k*v -
+    sum detrend, here per dow stratum via two windows). The
+    centered values scale by the stratum size m, which differs
+    across strata, so each residual normalizes back by m with ONE
+    per-row rounded division to integer units (deterministic,
+    identical op order) before the exact cross-moment sums —
+    the only quantization in the pipeline, documented rather
+    than hidden. dow by pure epoch arithmetic, never
+    dayofweek(). The replay test computes the same residuals in
+    Python; r_partial stays strongly positive (revenue ~ count
+    within any stratum) but the test also pins it differing from
+    the RAW stat_winsorized_corr-style correlation only modestly
+    on this cycle-free fixture. One scan, two dow-partitioned
+    windows, one fold."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+            (
+                (
+                    F.expr(
+                        "unix_micros(cast(ts AS TIMESTAMP))"
+                        " div 86400000000"
+                    )
+                    + 4
+                )
+                % 7
+            ).alias("dow"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x"),
+            F.count(F.lit(1)).cast("long").alias("y"),
+        )
+    )
+    wd = Window.partitionBy("dow")
+    ctr = daily.select(
+        (
+            F.count(F.lit(1)).over(wd) * F.col("x")
+            - F.sum("x").over(wd)
+        )
+        .cast("long")
+        .alias("rx"),
+        (
+            F.count(F.lit(1)).over(wd) * F.col("y")
+            - F.sum("y").over(wd)
+        )
+        .cast("long")
+        .alias("ry"),
+        F.count(F.lit(1)).over(wd).cast("long").alias("m"),
+    )
+    sc = ctr.select(
+        F.round(F.col("rx").cast("double") / F.col("m"))
+        .cast("long")
+        .alias("sx"),
+        F.round(F.col("ry").cast("double") / F.col("m"))
+        .cast("long")
+        .alias("sy"),
+    )
+    mm = sc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.col("sx") * F.col("sy")), F.lit(0))
+        .cast("long")
+        .alias("sxy"),
+        F.coalesce(F.sum(F.col("sx") * F.col("sx")), F.lit(0))
+        .cast("long")
+        .alias("sxx"),
+        F.coalesce(F.sum(F.col("sy") * F.col("sy")), F.lit(0))
+        .cast("long")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    bad = (n < 3) | (F.col("sxx") == 0) | (F.col("syy") == 0)
+    return mm.select(
+        "n",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("sxy").cast("double")
+                / F.sqrt(F.col("sxx").cast("double"))
+                / F.sqrt(F.col("syy").cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("r_partial"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 175: one-way intraclass correlation ICC(1,1)
+# ---------------------------------------------------------------------------
+@q(
+    "stat_icc",
+    """
+    WITH lab AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    g AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ni,
+             CAST(SUM(v) AS BIGINT) AS si,
+             CAST(SUM(v * v) AS BIGINT) AS qi
+      FROM lab GROUP BY user_id),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ni) AS BIGINT) AS n,
+             CAST(SUM(si) AS BIGINT) AS s,
+             CAST(SUM(qi) AS BIGINT) AS q,
+             CAST(SUM(ni * ni) AS BIGINT) AS sn2,
+             SUM(CAST(si AS DOUBLE) * si / ni) AS sb
+      FROM g)
+    SELECT k AS n_groups, n AS n_obs,
+           CASE WHEN k < 2 OR n <= k THEN NULL
+                ELSE round(
+                  ((sb - CAST(s AS DOUBLE) * s / n) / (k - 1)
+                   - (CAST(q AS DOUBLE) - sb) / (n - k))
+                  / ((sb - CAST(s AS DOUBLE) * s / n) / (k - 1)
+                     + ((CAST(n AS DOUBLE)
+                         - CAST(sn2 AS DOUBLE) / n) / (k - 1) - 1.0)
+                       * ((CAST(q AS DOUBLE) - sb) / (n - k))),
+                  6) + 0
+           END AS icc1
+    FROM tot
+    """,
+)
+def stat_icc(spark, sf):
+    """One-way intraclass correlation ICC(1,1) — what fraction of
+    event-value variance lives BETWEEN users rather than within
+    them (the reliability/clustering statistic that decides
+    whether user is a meaningful random effect, and the design-
+    effect input every clustered-sampling variance correction
+    needs: deff = 1 + (m-1)*ICC): from the one-way ANOVA mean
+    squares, ICC = (MSB - MSW)/(MSB + (n0 - 1) MSW) with the
+    unbalanced-groups n0 = (N - sum n_i^2 / N)/(k-1). All inputs
+    are exact BIGINT power sums per user (counts, sums, sums of
+    squares; sum si^2/ni is the one term that must divide per
+    group — it accumulates in DOUBLE from exact integers in
+    identical op order, the stat_anova precedent); the assembly
+    is a single float expression. The fixture draws every user's
+    values from ONE distribution, so ICC pins near 0 — between-
+    user variance is pure noise — and the replay test walks the
+    ANOVA decomposition by hand. One scan, one per-user
+    aggregate, one fold."""
+    lab = (
+        t(spark, sf, "events")
+        .filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    g = lab.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.sum("v").cast("long").alias("si"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("qi"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("si").cast("long").alias("s"),
+        F.sum("qi").cast("long").alias("q"),
+        F.sum(F.col("ni") * F.col("ni")).cast("long").alias("sn2"),
+        F.sum(
+            F.col("si").cast("double") * F.col("si") / F.col("ni")
+        ).alias("sb"),
+    )
+    k, n = F.col("k"), F.col("n")
+    s, q_ = F.col("s"), F.col("q")
+    sb = F.col("sb")
+    msb = (sb - s.cast("double") * s / n) / (k - 1)
+    msw = (q_.cast("double") - sb) / (n - k)
+    n0 = (
+        n.cast("double") - F.col("sn2").cast("double") / n
+    ) / (k - 1)
+    bad = (k < 2) | (n <= k)
+    return tot.select(
+        k.alias("n_groups"),
+        n.alias("n_obs"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (msb - msw) / (msb + (n0 - F.lit(1.0)) * msw), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("icc1"),
+    )
