@@ -7698,3 +7698,109 @@ def stat_friedman_aligned(spark, sf):
         .otherwise(F.round(num / den, 6) + F.lit(0.0))
         .alias("t_aligned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 176: Youden's J optimal threshold — the ROC-based operating point
+# ---------------------------------------------------------------------------
+@q(
+    "ml_youden_j",
+    f"""
+    WITH {{SCORE}},
+    sweep AS (
+      SELECT cents AS threshold,
+             CAST(pprev + p AS BIGINT) AS tp,
+             CAST((cprev + cnt) - (pprev + p) AS BIGINT) AS fp,
+             CAST(pos_tot AS BIGINT) AS np,
+             CAST(n - pos_tot AS BIGINT) AS nn
+      FROM rk),
+    scored AS (
+      SELECT threshold, tp, fp, np, nn,
+             CAST(tp * nn - fp * np AS BIGINT) AS j_num
+      FROM sweep WHERE np > 0 AND nn > 0),
+    best AS (
+      SELECT threshold, tp, fp, np, nn, j_num,
+             ROW_NUMBER() OVER (ORDER BY j_num DESC, threshold)
+               AS rnk
+      FROM scored)
+    SELECT threshold, tp, fp, j_num,
+           round(CAST(j_num AS DOUBLE) / (CAST(np AS DOUBLE) * nn),
+                 6) + 0 AS youden_j
+    FROM best WHERE rnk = 1
+    """.replace("{SCORE}", _SCORE_SQL),
+)
+def ml_youden_j(spark, sf):
+    """Youden's J optimal threshold — the ROC-based operating point
+    (ml_f1_sweep maximizes F1, which moves with prevalence;
+    J = TPR - FPR = sensitivity + specificity - 1 is
+    prevalence-free, the epidemiology standard for cutting a
+    continuous score): sweep every distinct-cents threshold on the
+    shared _score_support relation, rank by the EXACT
+    cross-multiplied integer j_num = tp*nn - fp*np (dividing by
+    the constant np*nn cannot change the argmax, so the ranking
+    never touches a float — the ml_f1_sweep exact-argmax
+    discipline with the denominators cleared differently), break
+    ties toward the LOWER threshold, and report the winner with
+    its J. Cumulative-from-top tp/fp come from the same
+    descending windows every score face shares — one corpus scan,
+    one support-sized window chain, one argmax. The replay test
+    sweeps in Python and pins J in [0, 1] with the degenerate
+    all-one-class guard (np or nn zero -> empty sweep -> no
+    row)."""
+    sup = _score_support(spark, sf)
+    wdesc = (
+        Window.orderBy(F.desc("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy()
+    rk = sup.select(
+        F.col("cents").alias("threshold"),
+        (
+            F.coalesce(F.sum("p").over(wdesc), F.lit(0)) + F.col("p")
+        )
+        .cast("long")
+        .alias("tp"),
+        (
+            F.coalesce(F.sum("cnt").over(wdesc), F.lit(0))
+            + F.col("cnt")
+            - (
+                F.coalesce(F.sum("p").over(wdesc), F.lit(0))
+                + F.col("p")
+            )
+        )
+        .cast("long")
+        .alias("fp"),
+        F.sum("p").over(wall).cast("long").alias("np"),
+        (F.sum("cnt").over(wall) - F.sum("p").over(wall))
+        .cast("long")
+        .alias("nn"),
+    )
+    scored = rk.filter((F.col("np") > 0) & (F.col("nn") > 0)).select(
+        "threshold",
+        "tp",
+        "fp",
+        "np",
+        "nn",
+        (F.col("tp") * F.col("nn") - F.col("fp") * F.col("np"))
+        .cast("long")
+        .alias("j_num"),
+    )
+    w = Window.orderBy(F.desc("j_num"), F.col("threshold"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "j_num",
+            (
+                F.round(
+                    F.col("j_num").cast("double")
+                    / (F.col("np").cast("double") * F.col("nn")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("youden_j"),
+        )
+    )

@@ -9695,7 +9695,7 @@ def stat_cochrane_orcutt(spark, sf):
         * (F.col("kd") - F.col("a1") - F.col("b1") * F.col("x"))
     ).cast("long")
     res = parquet_checkpoint(
-        ix.crossJoin(ols).select(
+        ix.select("day", "kd", "x").crossJoin(ols).select(
             "x",
             "kd",
             e_mic.alias("e_mic"),
@@ -10458,4 +10458,253 @@ def stat_icc(spark, sf):
             + F.lit(0.0)
         )
         .alias("icc1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 176: regression influence census — leverage and Cook's distance
+# ---------------------------------------------------------------------------
+@q(
+    "stat_influence",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) // 100000 AS kd
+      FROM orders GROUP BY 1),
+    ix AS (
+      SELECT day, kd,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT)
+               AS x,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily),
+    m1 AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sx,
+             CAST(COALESCE(SUM(kd), 0) AS BIGINT) AS sy,
+             CAST(COALESCE(SUM(x * kd), 0) AS BIGINT) AS sxy,
+             CAST(COALESCE(SUM(x * x), 0) AS BIGINT) AS sxx
+      FROM ix),
+    ols AS (
+      SELECT n, sx, sxx,
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx), 6) AS b1,
+             round((CAST(sy AS DOUBLE)
+                    - CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx) * sx) / n, 6)
+               AS a1
+      FROM m1 WHERE n >= 4),
+    res AS (
+      SELECT i.day, i.x, o.n, o.sx, o.sxx,
+             CAST(round(1000000.0 * (i.kd - o.a1 - o.b1 * i.x))
+                  AS BIGINT) AS e_mic
+      FROM ix i CROSS JOIN ols o),
+    sse AS (
+      SELECT CAST(COALESCE(SUM(CAST(round(
+               CAST(e_mic AS DOUBLE) * e_mic / 1000000.0)
+               AS BIGINT)), 0) AS BIGINT) AS sse_mic
+      FROM res),
+    lev AS (
+      SELECT r.day, r.e_mic,
+             1.0 / r.n
+             + (r.x - CAST(r.sx AS DOUBLE) / r.n)
+               * (r.x - CAST(r.sx AS DOUBLE) / r.n)
+               / (r.sxx - CAST(r.sx AS DOUBLE) * r.sx / r.n) AS h,
+             (CAST(s.sse_mic AS DOUBLE) / 1000000.0)
+               / (r.n - 2) AS s2
+      FROM res r CROSS JOIN sse s),
+    cook AS (
+      SELECT day, e_mic, round(h, 6) + 0 AS leverage,
+             CAST(round(1000000.0
+               * ((CAST(e_mic AS DOUBLE) / 1000000.0)
+                  * (CAST(e_mic AS DOUBLE) / 1000000.0)
+                  * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))))
+               AS BIGINT) AS cookd_mic
+      FROM lev)
+    SELECT day, e_mic, leverage, cookd_mic,
+           round(CAST(cookd_mic AS DOUBLE) / 1000000.0, 6) + 0
+             AS cook_d
+    FROM cook
+    ORDER BY cookd_mic DESC, day LIMIT 5
+    """,
+)
+def stat_influence(spark, sf):
+    """Regression influence census — per-day leverage h_t and
+    Cook's distance for the daily-revenue trend OLS, top-5 most
+    influential days (the diagnostic that tells a forecaster
+    WHICH day is dragging the slope — endpoint days carry the
+    leverage, storm days carry the residual, Cook's D multiplies
+    the two): h_t = 1/n + (x - xbar)^2/Sxx needs only the exact
+    integer design moments; the residual takes the ROUNDED OLS
+    coefficients (the stat_cochrane_orcutt cross-engine
+    contract), SSE accumulates per-term-quantized e^2, and D_t =
+    e^2 h / (2 s^2 (1-h)^2) micros-quantizes BEFORE the top-5
+    ranking with the day tiebreak — the ranking never compares
+    raw doubles. The trendless iid fixture puts maximum leverage
+    at the calendar ENDPOINTS (pinned: top days' h exceeds the
+    1/n floor) while Cook's D stays below the D > 1 alarm
+    convention (pinned). One scan, two window passes, a 1-row
+    moment attach."""
+    daily = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate AS TIMESTAMP))"
+                " div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.expr(
+                "sum(cast(round(o_totalprice * 100) AS BIGINT))"
+                " div 100000"
+            )
+            .cast("long")
+            .alias("kd")
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    ix = parquet_checkpoint(
+        daily.select(
+            "day",
+            "kd",
+            (F.row_number().over(Window.orderBy("day")) - 1)
+            .cast("long")
+            .alias("x"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy())
+            .cast("long")
+            .alias("n"),
+        ),
+        "infl_ix",
+    )
+    m1 = ix.agg(
+        F.max("n").cast("long").alias("n"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("sx"),
+        F.coalesce(F.sum("kd"), F.lit(0)).cast("long").alias("sy"),
+        F.coalesce(F.sum(F.col("x") * F.col("kd")), F.lit(0))
+        .cast("long")
+        .alias("sxy"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0))
+        .cast("long")
+        .alias("sxx"),
+    ).filter(F.col("n") >= 4)
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    b1 = F.round(
+        (n * sxy - sx * sy).cast("double")
+        / (n.cast("double") * sxx - sx.cast("double") * sx),
+        6,
+    )
+    a1 = F.round(
+        (
+            sy.cast("double")
+            - (n * sxy - sx * sy).cast("double")
+            / (n.cast("double") * sxx - sx.cast("double") * sx)
+            * sx
+        )
+        / n,
+        6,
+    )
+    ols = m1.select(
+        n.alias("n"),
+        sx.alias("sx"),
+        sxx.alias("sxx"),
+        b1.alias("b1"),
+        a1.alias("a1"),
+    )
+    res = parquet_checkpoint(
+        ix.select("day", "kd", "x").crossJoin(ols).select(
+            "day",
+            "x",
+            "n",
+            "sx",
+            "sxx",
+            F.round(
+                F.lit(1000000.0)
+                * (
+                    F.col("kd")
+                    - F.col("a1")
+                    - F.col("b1") * F.col("x")
+                )
+            )
+            .cast("long")
+            .alias("e_mic"),
+        ),
+        "infl_res",
+    )
+    sse = res.agg(
+        F.coalesce(
+            F.sum(
+                F.round(
+                    F.col("e_mic").cast("double")
+                    * F.col("e_mic")
+                    / F.lit(1000000.0)
+                ).cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sse_mic")
+    )
+    lev = res.crossJoin(sse).select(
+        "day",
+        "e_mic",
+        (
+            F.lit(1.0) / F.col("n")
+            + (F.col("x") - F.col("sx").cast("double") / F.col("n"))
+            * (F.col("x") - F.col("sx").cast("double") / F.col("n"))
+            / (
+                F.col("sxx")
+                - F.col("sx").cast("double")
+                * F.col("sx")
+                / F.col("n")
+            )
+        ).alias("h"),
+        (
+            (F.col("sse_mic").cast("double") / F.lit(1000000.0))
+            / (F.col("n") - 2)
+        ).alias("s2"),
+    )
+    e_d = F.col("e_mic").cast("double") / F.lit(1000000.0)
+    cookd_mic = F.round(
+        F.lit(1000000.0)
+        * (
+            e_d
+            * e_d
+            * F.col("h")
+            / (
+                F.lit(2.0)
+                * F.col("s2")
+                * (F.lit(1.0) - F.col("h"))
+                * (F.lit(1.0) - F.col("h"))
+            )
+        )
+    ).cast("long")
+    cook = lev.select(
+        "day",
+        "e_mic",
+        (F.round(F.col("h"), 6) + F.lit(0.0)).alias("leverage"),
+        cookd_mic.alias("cookd_mic"),
+    )
+    return (
+        cook.orderBy(F.desc("cookd_mic"), "day")
+        .limit(5)
+        .select(
+            "day",
+            "e_mic",
+            "leverage",
+            "cookd_mic",
+            (
+                F.round(
+                    F.col("cookd_mic").cast("double")
+                    / F.lit(1000000.0),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cook_d"),
+        )
     )
