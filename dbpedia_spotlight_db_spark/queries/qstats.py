@@ -10708,3 +10708,223 @@ def stat_influence(spark, sf):
             ).alias("cook_d"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 177: weighted Jaccard (Ruzicka) between per-type value histograms
+# ---------------------------------------------------------------------------
+@q(
+    "stat_weighted_jaccard",
+    """
+    WITH lab AS (
+      SELECT event_type,
+             LEAST(CAST(round(value * 100) AS BIGINT) // 5000, 9)
+               AS bin
+      FROM events WHERE value IS NOT NULL),
+    h AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lab GROUP BY 1, 2),
+    grid AS (
+      SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+             b.bin,
+             CAST(COALESCE(ha.c, 0) AS BIGINT) AS ca,
+             CAST(COALESCE(hb.c, 0) AS BIGINT) AS cb
+      FROM (SELECT DISTINCT event_type FROM h) ta
+      JOIN (SELECT DISTINCT event_type FROM h) tb
+        ON ta.event_type < tb.event_type
+      CROSS JOIN (SELECT DISTINCT bin FROM h) b
+      LEFT JOIN h ha ON ha.event_type = ta.event_type
+                    AND ha.bin = b.bin
+      LEFT JOIN h hb ON hb.event_type = tb.event_type
+                    AND hb.bin = b.bin)
+    SELECT type_a, type_b,
+           CAST(SUM(LEAST(ca, cb)) AS BIGINT) AS inter_mass,
+           CAST(SUM(GREATEST(ca, cb)) AS BIGINT) AS union_mass,
+           CASE WHEN SUM(GREATEST(ca, cb)) = 0 THEN NULL
+                ELSE round(CAST(SUM(LEAST(ca, cb)) AS DOUBLE)
+                           / SUM(GREATEST(ca, cb)), 6) + 0
+           END AS w_jaccard
+    FROM grid GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def stat_weighted_jaccard(spark, sf):
+    """Weighted Jaccard (Ruzicka) similarity between per-type value
+    HISTOGRAMS — sum(min)/sum(max) over aligned bins, the
+    multiset generalization of set Jaccard (dedup_jaccard compares
+    shingle SETS; distributions need the mass-aware form, and
+    Ruzicka is what histogram-sketch stores compute when deciding
+    whether two shards can share a sketch): values bin into 10
+    fixed $50-wide buckets (top-coded at bin 9 — fixed edges, not
+    data-derived quantiles, so bins align across types BY
+    CONSTRUCTION, which is the whole requirement), histograms
+    zero-fill onto the shared pair x bin grid (the absent-cell
+    LEFT-join lesson — min(c, 0) and max(c, 0) must see the 0),
+    and both masses stay exact BIGINTs with one guarded division
+    per pair. The fixture's types share one value distribution,
+    so every pairwise similarity is HIGH (pinned > 0.5) without
+    being 1 (sampling noise, pinned < 1). k(k-1)/2 = 10 rows; one
+    corpus scan, everything after is |types x bins|-sized."""
+    lab = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.least(
+                F.expr(
+                    "cast(round(value * 100) AS BIGINT) div 5000"
+                ),
+                F.lit(9),
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    h = parquet_checkpoint(
+        lab.groupBy("event_type", "bin").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+        "wjac_h",
+    )
+    types = h.select("event_type").distinct()
+    bins = h.select("bin").distinct()
+    ta = types.withColumnRenamed("event_type", "type_a")
+    tb = types.withColumnRenamed("event_type", "type_b")
+    ha = h.select(
+        F.col("event_type").alias("ea"),
+        F.col("bin").alias("ba"),
+        F.col("c").alias("ca"),
+    )
+    hb = h.select(
+        F.col("event_type").alias("eb"),
+        F.col("bin").alias("bb"),
+        F.col("c").alias("cb"),
+    )
+    grid = (
+        ta.join(tb, F.col("type_a") < F.col("type_b"))
+        .crossJoin(bins)
+        .join(
+            ha,
+            (F.col("ea") == F.col("type_a"))
+            & (F.col("ba") == F.col("bin")),
+            "left",
+        )
+        .join(
+            hb,
+            (F.col("eb") == F.col("type_b"))
+            & (F.col("bb") == F.col("bin")),
+            "left",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce(F.col("ca"), F.lit(0)).cast("long").alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    inter = F.sum(F.least(F.col("ca"), F.col("cb"))).cast("long")
+    uni = F.sum(F.greatest(F.col("ca"), F.col("cb"))).cast("long")
+    return (
+        grid.groupBy("type_a", "type_b")
+        .agg(
+            inter.alias("inter_mass"),
+            uni.alias("union_mass"),
+            F.when(uni == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(inter.cast("double") / uni, 6) + F.lit(0.0)
+            )
+            .alias("w_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 177: calendar-cell completeness — the gapfill data-quality census
+# ---------------------------------------------------------------------------
+@q(
+    "events_completeness",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2),
+    bounds AS (
+      SELECT CAST(MIN(day) AS BIGINT) AS d0,
+             CAST(MAX(day) AS BIGINT) AS d1,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+      FROM daily),
+    pres AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS days_present
+      FROM daily GROUP BY event_type)
+    SELECT p.event_type,
+           p.days_present,
+           CAST(b.d1 - b.d0 + 1 AS BIGINT) AS days_expected,
+           round(CAST(p.days_present AS DOUBLE)
+                 / (b.d1 - b.d0 + 1), 6) + 0 AS completeness
+    FROM pres p CROSS JOIN bounds b
+    ORDER BY p.event_type
+    """,
+)
+def events_completeness(spark, sf):
+    """Calendar-cell completeness per event type — the data-quality
+    census events_gapfill's zero-fill implies but never reports:
+    of the days between the corpus' first and last event, how many
+    did each type actually appear on (a missing (type, day) cell
+    is either a real zero or an ingestion gap; this number is the
+    alarm that tells you to go find out which — the 'missing day
+    and zero day are different facts' doctrine turned into a
+    metric). The span comes from ONE 3-value aggregate over the
+    deduped (type, day) relation — the corpus is scanned once,
+    and the presence counts reuse the same relation (checkpoint-
+    free because both consumers fold the same tiny distinct set).
+    Exact integer counts, one rounded ratio; the dense synthetic
+    fixture pins completeness == 1.0 for every type, and the
+    replay test fabricates a gapped panel to show the metric
+    drops. |types| rows out."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            )
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    daily = parquet_checkpoint(daily, "compl_daily")
+    bounds = daily.agg(
+        F.min("day").cast("long").alias("d0"),
+        F.max("day").cast("long").alias("d1"),
+        F.countDistinct("event_type").cast("long").alias("k"),
+    )
+    pres = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("days_present")
+    )
+    return (
+        pres.crossJoin(bounds)
+        .select(
+            "event_type",
+            "days_present",
+            (F.col("d1") - F.col("d0") + 1)
+            .cast("long")
+            .alias("days_expected"),
+            (
+                F.round(
+                    F.col("days_present").cast("double")
+                    / (F.col("d1") - F.col("d0") + 1),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("completeness"),
+        )
+        .orderBy("event_type")
+    )
