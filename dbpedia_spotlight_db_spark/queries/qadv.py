@@ -5700,3 +5700,184 @@ def text_sentence_stats(spark, sf):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 178: exact paired sign test — day vs same weekday last week
+# ---------------------------------------------------------------------------
+@q(
+    "stat_sign_test",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT a.cents AS cur, b.cents AS prv
+      FROM daily a JOIN daily b ON b.day = a.day - 7),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN cur > prv THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k1,
+             CAST(SUM(CASE WHEN cur <> prv THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n
+      FROM pairs),
+    s AS (
+      SELECT CAST(0 AS BIGINT) AS i
+      UNION ALL
+      SELECT CAST(ROW_NUMBER() OVER () AS BIGINT)
+      FROM (SELECT * FROM daily LIMIT 10000)),
+    lf AS (
+      SELECT i, SUM(li) OVER (ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS lf
+      FROM (SELECT i,
+                   CASE WHEN i <= 1 THEN 0
+                        ELSE CAST(round(ln(CAST(i AS DOUBLE))
+                                        * 1000000) AS BIGINT) END
+                     AS li
+            FROM s) z),
+    lp AS (
+      SELECT s.i AS k, m.k1, m.n,
+             lfn.lf - lfk.lf - lfnk.lf AS lbc
+      FROM m
+      JOIN s ON s.i BETWEEN 0 AND m.n
+      JOIN lf lfn ON lfn.i = m.n
+      JOIN lf lfk ON lfk.i = s.i
+      JOIN lf lfnk ON lfnk.i = m.n - s.i),
+    la AS (SELECT lbc AS lbc_obs FROM lp WHERE k = k1)
+    SELECT MAX(lp.n) AS n_pairs, MAX(lp.k1) AS n_up,
+           CAST(SUM(CASE WHEN lbc <= la.lbc_obs THEN 1 ELSE 0 END)
+                AS BIGINT) AS k_included,
+           CAST(SUM(CASE WHEN lbc <= la.lbc_obs THEN
+                  CAST(round(exp(CAST(lbc AS DOUBLE) / 1000000.0
+                                 + CAST(lp.n AS DOUBLE) * ln(0.5))
+                             * 1000000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS p_micros
+    FROM lp, la
+    """,
+)
+def stat_sign_test(spark, sf):
+    """EXACT paired sign test — is revenue today higher than the
+    SAME WEEKDAY last week? The weakest-assumption paired test
+    there is (Wilcoxon needs symmetric differences, the t-test
+    needs moments; the sign test needs only that ties carry no
+    information): pair each day with day-7 (same weekday by
+    construction — pairing IS the deseasonalization, the
+    stat_seasonal_mk idea in two-sample form), drop exact ties,
+    and test #(up) ~ Binomial(n, 1/2). p = 1/2 collapses the
+    logpmf to the pure log-binomial-coefficient compare (the
+    stat_poisson_2sample simplification verbatim — one machinery,
+    three faces: binom GOF, rate ratio, paired signs); the
+    logfact support derives from a LIMIT-bounded corpus slice
+    (pairs <= days <= 10000 rows — the fisher ROW_NUMBER rule
+    with an explicit ceiling). Trendless fixture: the test is
+    pinned NOT significant and the up-share near 1/2. One scan
+    to the daily relation, the self-join is calendar-bounded."""
+    daily = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate AS TIMESTAMP))"
+                " div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    daily = parquet_checkpoint(daily, "sign_daily")
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b, F.col("b.day") == F.col("a.day") - 7
+    ).select(
+        F.col("a.cents").alias("cur"), F.col("b.cents").alias("prv")
+    )
+    m = pairs.agg(
+        F.sum(F.when(F.col("cur") > F.col("prv"), 1).otherwise(0))
+        .cast("long")
+        .alias("k1"),
+        F.sum(F.when(F.col("cur") != F.col("prv"), 1).otherwise(0))
+        .cast("long")
+        .alias("n"),
+    )
+    s = (
+        daily.sparkSession.range(1)
+        .select(F.lit(0).cast("long").alias("i"))
+        .union(
+            daily.limit(10000).select(
+                F.row_number()
+                .over(Window.orderBy(F.lit(1)))
+                .cast("long")
+                .alias("i")
+            )
+        )
+    )
+    lnm = (
+        F.when(F.col("i") <= 1, F.lit(0))
+        .otherwise(
+            F.round(F.log(F.col("i").cast("double")) * 1000000)
+            .cast("long")
+        )
+        .alias("li")
+    )
+    lf = parquet_checkpoint(
+        s.select("i", lnm).select(
+            "i",
+            F.sum("li")
+            .over(
+                Window.orderBy("i").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("lf"),
+        ),
+        "sign_lf",
+    )
+    sk = s.withColumnRenamed("i", "k")
+    lp = (
+        m.join(sk, sk["k"].between(0, m["n"]))
+        .join(lf.alias("lfn"), F.col("lfn.i") == F.col("n"))
+        .join(lf.alias("lfk"), F.col("lfk.i") == F.col("k"))
+        .join(
+            lf.alias("lfnk"),
+            F.col("lfnk.i") == F.col("n") - F.col("k"),
+        )
+        .select(
+            "k",
+            "k1",
+            "n",
+            (
+                F.col("lfn.lf")
+                - F.col("lfk.lf")
+                - F.col("lfnk.lf")
+            ).alias("lbc"),
+        )
+    )
+    la = lp.filter(F.col("k") == F.col("k1")).select(
+        F.col("lbc").alias("lbc_obs")
+    )
+    j = lp.crossJoin(la)
+    inc = F.col("lbc") <= F.col("lbc_obs")
+    pmf_mic = F.round(
+        F.exp(
+            F.col("lbc").cast("double") / F.lit(1000000.0)
+            + F.col("n").cast("double") * F.log(F.lit(0.5))
+        )
+        * 1000000
+    ).cast("long")
+    return j.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.max("k1").cast("long").alias("n_up"),
+        F.sum(F.when(inc, 1).otherwise(0))
+        .cast("long")
+        .alias("k_included"),
+        F.sum(F.when(inc, pmf_mic).otherwise(0))
+        .cast("long")
+        .alias("p_micros"),
+    )

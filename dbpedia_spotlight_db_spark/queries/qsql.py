@@ -2668,3 +2668,72 @@ def sql_qualify(spark, sf):
         .drop("rn")
         .orderBy("event_type", F.desc("cents"), "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 178: global temp views — the cross-session catalog scope
+# ---------------------------------------------------------------------------
+@q(
+    "sql_global_temp_view",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           TRUE AS sibling_sees_global,
+           TRUE AS sibling_blind_to_local
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def sql_global_temp_view(spark, sf):
+    """GLOBAL temp views — the third catalog scope (a temp view
+    dies with its session; a managed table persists in the
+    warehouse; a GLOBAL temp view lives in the reserved
+    `global_temp` database for the lifetime of the APPLICATION,
+    visible to every session sharing the SparkContext — the scope
+    notebook platforms use to pass staged relations between
+    sessions without a table write). Measured, not assumed: a
+    sibling session (newSession() — same context, fresh session
+    state) CAN read global_temp.<name> and CANNOT see the plain
+    temp view of the same data — both facts ride the hash as the
+    agg_hll_native gated-boolean discipline (the twin asserts the
+    same aggregate over the base data plus the two expected
+    constants; the session semantics are Spark-side facts DuckDB
+    has no notion of). Cleanup is in a finally: global views
+    outlive the face otherwise (the sql_catalog_table
+    lesson applied to the application scope)."""
+    base = t(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    name = "gtv_probe"
+    base.createOrReplaceGlobalTempView(name)
+    base.createOrReplaceTempView("ltv_probe")
+    try:
+        sib = spark.newSession()
+        g = sib.sql(
+            f"SELECT count(*) AS n, sum(cast(round(o_totalprice"
+            f" * 100) AS BIGINT)) AS c FROM global_temp.{name}"
+        ).collect()[0]
+        sees_global = g["n"] is not None
+        try:
+            sib.sql("SELECT count(*) FROM ltv_probe").collect()
+            blind_local = False
+        except Exception:
+            blind_local = True
+        return base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("total_cents"),
+        ).select(
+            "n_rows",
+            "total_cents",
+            F.lit(bool(sees_global)).alias("sibling_sees_global"),
+            F.lit(bool(blind_local)).alias(
+                "sibling_blind_to_local"
+            ),
+        )
+    finally:
+        spark.catalog.dropGlobalTempView(name)
+        spark.catalog.dropTempView("ltv_probe")
