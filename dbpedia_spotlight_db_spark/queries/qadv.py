@@ -5881,3 +5881,108 @@ def stat_sign_test(spark, sf):
         .cast("long")
         .alias("p_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 179: conditional entropy of the bigram language model
+# ---------------------------------------------------------------------------
+@q(
+    "text_bigram_entropy",
+    """
+    WITH tok AS (
+      SELECT string_split(text, ' ') AS arr FROM documents),
+    g AS (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
+          FROM tok WHERE len(arr) >= 2),
+    bg AS (SELECT arr[i] AS w1, arr[i + 1] AS w2 FROM g
+           WHERE arr[i] <> '' AND arr[i + 1] <> ''),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bg GROUP BY 1, 2),
+    m AS (
+      SELECT c,
+             CAST(SUM(c) OVER (PARTITION BY w1) AS BIGINT) AS cx,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM cb),
+    terms AS (
+      SELECT n,
+             CAST(round(1000000.0 * c
+                        * ln(CAST(cx AS DOUBLE) / c)) AS BIGINT)
+               AS t_mic
+      FROM m)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(SUM(t_mic), 0) AS BIGINT) AS h_mic,
+           CASE WHEN MAX(n) IS NULL OR MAX(n) = 0 THEN NULL
+                ELSE round(CAST(SUM(t_mic) AS DOUBLE)
+                           / 1000000.0 / MAX(n)
+                           / ln(2.0), 6) + 0
+           END AS h_bits
+    FROM terms
+    """,
+)
+def text_bigram_entropy(spark, sf):
+    """Conditional entropy H(next word | current word) of the
+    corpus bigram model, in BITS — the single number that says how
+    predictable the text is one token ahead (text_bigram_lm emits
+    the per-bigram probabilities; this face integrates them:
+    H(Y|X) = sum c_xy/N * ln(c_x/c_xy), the quantity a compressor
+    or a perplexity gate actually consumes — 2^H is the effective
+    branching factor, and ml_perplexity's unigram number minus
+    this is the information one token of context buys): per-bigram
+    micros-quantized ln terms (kg_adamic_adar) over exact BIGINT
+    counts with the head marginal as a WINDOW over the bigram
+    relation (the stat_mutual_info one-scan rule — never a
+    re-aggregation branch), final conversion to bits by ln 2 once.
+    The replay test pins H >= 0, H <= log2(vocab) and the exact
+    integer sum. One scan, map-side bigram explode, one window,
+    one fold."""
+    d = t(spark, sf, "documents")
+    arr = d.select(F.split("text", " ").alias("arr")).filter(
+        F.size("arr") >= 2
+    )
+    bg = (
+        arr.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(arr) - 2),"
+                    " i -> struct(arr[i] AS w1, arr[i + 1] AS w2))"
+                )
+            ).alias("s")
+        )
+        .select("s.w1", "s.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    cb = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m = cb.select(
+        "c",
+        F.sum("c").over(Window.partitionBy("w1")).cast("long").alias(
+            "cx"
+        ),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    t_mic = F.round(
+        F.lit(1000000.0)
+        * F.col("c")
+        * F.log(F.col("cx").cast("double") / F.col("c"))
+    ).cast("long")
+    terms = m.select("n", t_mic.alias("t_mic"))
+    n = F.max("n")
+    bad = n.isNull() | (n == 0)
+    return terms.agg(
+        n.cast("long").alias("n_bigrams"),
+        F.coalesce(F.sum("t_mic"), F.lit(0))
+        .cast("long")
+        .alias("h_mic"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sum("t_mic").cast("double")
+                / F.lit(1000000.0)
+                / n
+                / F.log(F.lit(2.0)),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("h_bits"),
+    )

@@ -10928,3 +10928,112 @@ def events_completeness(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 179: Cochran's C — variance-homogeneity outlier screen
+# ---------------------------------------------------------------------------
+@q(
+    "stat_cochrans_c",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)),
+                           0) AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)
+                               * CAST(round(value * 100)
+                                      AS BIGINT)), 0) AS BIGINT)
+               AS s2
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    v AS (
+      SELECT event_type, n,
+             (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+             / (CAST(n AS DOUBLE) * (n - 1)) AS var_i
+      FROM g WHERE n >= 2),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(var_i) AS sv, MAX(var_i) AS mv
+      FROM v),
+    top AS (
+      SELECT event_type AS max_var_type
+      FROM v ORDER BY var_i DESC, event_type LIMIT 1)
+    SELECT t.k AS n_groups, p.max_var_type,
+           CASE WHEN t.sv <= 0 THEN NULL
+                ELSE round(t.mv / t.sv, 6) + 0 END AS c_stat,
+           CASE WHEN t.sv <= 0 OR t.k = 0 THEN NULL
+                ELSE round(t.mv / t.sv, 6)
+                     < round(3.0 / t.k, 6) END AS homogeneous
+    FROM tot t, top p
+    """,
+)
+def stat_cochrans_c(spark, sf):
+    """Cochran's C — the variance-OUTLIER screen (stat_bartlett and
+    stat_levene test whether variances differ ANYWHERE; C =
+    max(s_i^2)/sum(s_i^2) asks the sharper production question:
+    is ONE group's variance eating the budget, and WHICH — the
+    test a pipeline runs before trusting a pooled variance or
+    allocating sampling budget a la sample_neyman): per-type
+    variances assemble from exact BIGINT cents moments (the
+    n*s2 - s1^2 cross-product in double, identical op order), C
+    is one division, and the argmax type is reported with a
+    (var DESC, type) total tiebreak. Under homogeneity C ~ 1/k;
+    the acceptance compares the ROUNDED statistic against the
+    loose 3/k band (an embedded heuristic literal — exact
+    Cochran criticals are a consumer table, the games_howell
+    discipline; 3/k is >4 sigma at these group sizes). The
+    shared-distribution fixture pins homogeneous TRUE and C near
+    1/5. One scan, one 5-row fold."""
+    g = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("s1"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+                * F.round(F.col("value") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("s2"),
+        )
+    )
+    v = g.filter(F.col("n") >= 2).select(
+        "event_type",
+        (
+            (
+                F.col("n").cast("double") * F.col("s2")
+                - F.col("s1").cast("double") * F.col("s1")
+            )
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("var_i"),
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    v = parquet_checkpoint(v, "cochc_v")
+    tot = v.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("var_i").alias("sv"),
+        F.max("var_i").alias("mv"),
+    )
+    top = (
+        v.orderBy(F.desc("var_i"), "event_type")
+        .limit(1)
+        .select(F.col("event_type").alias("max_var_type"))
+    )
+    j = tot.crossJoin(top)
+    c = F.round(F.col("mv") / F.col("sv"), 6)
+    bad = F.col("sv") <= 0
+    return j.select(
+        F.col("k").alias("n_groups"),
+        "max_var_type",
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(c + F.lit(0.0))
+        .alias("c_stat"),
+        F.when(bad | (F.col("k") == 0), F.lit(None).cast("boolean"))
+        .otherwise(c < F.round(F.lit(3.0) / F.col("k"), 6))
+        .alias("homogeneous"),
+    )
