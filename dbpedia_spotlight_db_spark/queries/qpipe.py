@@ -2900,3 +2900,160 @@ def kg_dict_coverage(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 180: centrality agreement — Spearman of degree vs PageRank
+# ---------------------------------------------------------------------------
+@q(
+    "kg_centrality_corr",
+    f"""
+    WITH {_GRAMS_SQL},
+    {_DOCENT_SQL},
+    p AS (
+      SELECT a.uri AS uri_a, b.uri AS uri_b
+      FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.uri < b.uri
+      GROUP BY a.uri, b.uri),
+    e AS (SELECT uri_a AS src, uri_b AS dst FROM p
+          UNION ALL SELECT uri_b, uri_a FROM p),
+    v AS (SELECT DISTINCT src AS uri FROM e),
+    nv AS (SELECT COUNT(*) AS n_v FROM v),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT v.uri, CAST(1.0 AS DOUBLE) / nv.n_v AS rank
+           FROM v CROSS JOIN nv),
+    {_pagerank_iter_sql("r0", "r1")},
+    {_pagerank_iter_sql("r1", "r2")},
+    {_pagerank_iter_sql("r2", "r3")},
+    cent AS (
+      SELECT d.src AS uri, CAST(d.outdeg AS BIGINT) AS degree,
+             round(r.rank, 6) AS pr
+      FROM deg d JOIN r3 r ON r.uri = d.src),
+    rk AS (
+      SELECT CAST(2 * RANK() OVER (ORDER BY degree)
+                  + COUNT(*) OVER (PARTITION BY degree) - 1
+                  AS BIGINT) AS dx,
+             CAST(2 * RANK() OVER (ORDER BY pr)
+                  + COUNT(*) OVER (PARTITION BY pr) - 1
+                  AS BIGINT) AS dy
+      FROM cent),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(dx), 0) AS BIGINT) AS sx,
+             CAST(COALESCE(SUM(dy), 0) AS BIGINT) AS sy,
+             CAST(COALESCE(SUM(dx * dy), 0) AS BIGINT) AS sxy,
+             CAST(COALESCE(SUM(dx * dx), 0) AS BIGINT) AS sxx,
+             CAST(COALESCE(SUM(dy * dy), 0) AS BIGINT) AS syy
+      FROM rk)
+    SELECT n AS n_entities,
+           CASE WHEN n < 3
+                     OR n * sxx - sx * sx <= 0
+                     OR n * syy - sy * sy <= 0 THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx
+                                       AS DOUBLE))
+                           / sqrt(CAST(n * syy - sy * sy
+                                       AS DOUBLE)), 6) + 0
+           END AS spearman_deg_pr
+    FROM m
+    """,
+)
+def kg_centrality_corr(spark, sf_dir):
+    """Centrality AGREEMENT — Spearman rank correlation between
+    degree and 3-round PageRank over the co-occurrence entities:
+    the graph-sanity number that says whether the expensive
+    centrality adds information beyond the cheap one (rho -> 1
+    means degree is a sufficient salience proxy and the PageRank
+    job can be skipped at serving time; a low rho localizes WHERE
+    the random walk disagrees with raw popularity — hub-adjacency
+    effects). Ranks are doubled midranks on BOTH axes (exact
+    BIGINTs; PageRank is float, so it is ROUNDED to 6 — the
+    operator's own published precision — BEFORE ranking, making
+    tie groups engine-identical), and rho is the Pearson of the
+    doubled ranks via cross-multiplied integer moments (doubling
+    cancels in the ratio). The entity relation is model-sized, so
+    every window is bounded. The replay test brute-forces
+    Spearman in Python and pins rho strongly positive; on the
+    small hub-free fixture the two rankings COINCIDE (rho rounds
+    to exactly 1 — measured), which is itself the result: skip
+    the PageRank job until the graph grows hubs."""
+    from ..operators.closure import pagerank
+
+    de = _doc_entities(spark, sf_dir)
+    pairs = (
+        de.alias("a")
+        .join(de.alias("b"), "doc_id")
+        .filter(F.col("a.uri") < F.col("b.uri"))
+        .select(
+            F.col("a.uri").alias("uri_a"),
+            F.col("b.uri").alias("uri_b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("uri_a").alias("src"), F.col("uri_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("uri_b").alias("src"), F.col("uri_a").alias("dst")
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    edges = parquet_checkpoint(edges, "centcorr_edges")
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85).select(
+        "uri", F.round("rank", 6).alias("pr")
+    )
+    cent = deg.join(pr, deg["src"] == pr["uri"]).select(
+        "degree", "pr"
+    )
+    rk = cent.select(
+        (
+            2 * F.rank().over(Window.orderBy("degree"))
+            + F.count(F.lit(1)).over(Window.partitionBy("degree"))
+            - 1
+        )
+        .cast("long")
+        .alias("dx"),
+        (
+            2 * F.rank().over(Window.orderBy("pr"))
+            + F.count(F.lit(1)).over(Window.partitionBy("pr"))
+            - 1
+        )
+        .cast("long")
+        .alias("dy"),
+    )
+    m = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("dx"), F.lit(0)).cast("long").alias("sx"),
+        F.coalesce(F.sum("dy"), F.lit(0)).cast("long").alias("sy"),
+        F.coalesce(F.sum(F.col("dx") * F.col("dy")), F.lit(0))
+        .cast("long")
+        .alias("sxy"),
+        F.coalesce(F.sum(F.col("dx") * F.col("dx")), F.lit(0))
+        .cast("long")
+        .alias("sxx"),
+        F.coalesce(F.sum(F.col("dy") * F.col("dy")), F.lit(0))
+        .cast("long")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    bad = (n < 3) | (vx <= 0) | (vy <= 0)
+    return m.select(
+        n.alias("n_entities"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                cov.cast("double")
+                / F.sqrt(vx.cast("double"))
+                / F.sqrt(vy.cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("spearman_deg_pr"),
+    )
