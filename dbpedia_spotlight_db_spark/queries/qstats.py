@@ -11037,3 +11037,237 @@ def stat_cochrans_c(spark, sf):
         .otherwise(c < F.round(F.lit(3.0) / F.col("k"), 6))
         .alias("homogeneous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 181: I-MR chart — individuals + moving range control limits
+# ---------------------------------------------------------------------------
+@q(
+    "stat_imr_chart",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    mr AS (
+      SELECT day, cents,
+             abs(cents - LAG(cents) OVER (ORDER BY day)) AS mrange
+      FROM daily),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(CAST(cents AS DOUBLE)) AS xbar,
+             AVG(CAST(mrange AS DOUBLE)) AS mrbar
+      FROM mr),
+    lim AS (
+      SELECT m.day, m.cents, m.mrange, b.n,
+             round(b.xbar + 2.66 * b.mrbar, 6) AS ucl_x,
+             round(b.xbar - 2.66 * b.mrbar, 6) AS lcl_x,
+             round(3.267 * b.mrbar, 6) AS ucl_mr
+      FROM mr m CROSS JOIN base b)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN cents > ucl_x OR cents < lcl_x
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS x_violations,
+           CAST(SUM(CASE WHEN mrange IS NOT NULL
+                         AND mrange > ucl_mr
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS mr_violations,
+           SUM(CASE WHEN cents > ucl_x OR cents < lcl_x
+                    THEN 1 ELSE 0 END)
+           + SUM(CASE WHEN mrange IS NOT NULL AND mrange > ucl_mr
+                      THEN 1 ELSE 0 END) = 0 AS in_control
+    FROM lim
+    """,
+)
+def stat_imr_chart(spark, sf):
+    """I-MR (individuals / moving-range) control chart on daily
+    revenue — the VARIABLES-chart companion to stat_p_chart's
+    attribute chart, and the one that works when there are no
+    rational subgroups (each day is a single observation; the
+    moving range |x_t - x_{t-1}| estimates short-term sigma
+    without any within-day replication): individuals limits
+    xbar +/- 2.66 * MRbar and the MR upper limit 3.267 * MRbar —
+    the E2/D4 constants for n=2 moving ranges, embedded literals
+    (Montgomery's tables, the stat_wilson_ci discipline). Both
+    averages compute in double from exact BIGINT cents; limits
+    ROUND to 6 before the violation compares (the p-chart rule);
+    the MR's first row is NULL and counts nowhere. The iid
+    fixture pins in_control TRUE — and the replay test fabricates
+    a level shift to show the chart fires. One scan, one LAG
+    window, a 1-row limits attach."""
+    daily = (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate AS TIMESTAMP))"
+                " div 86400000000"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    mr = parquet_checkpoint(
+        daily.select(
+            "day",
+            "cents",
+            F.abs(
+                F.col("cents")
+                - F.lag("cents").over(Window.orderBy("day"))
+            ).alias("mrange"),
+        ),
+        "imr_mr",
+    )
+    base = mr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.col("cents").cast("double")).alias("xbar"),
+        F.avg(F.col("mrange").cast("double")).alias("mrbar"),
+    )
+    lim = mr.crossJoin(base).select(
+        "cents",
+        "mrange",
+        "n",
+        F.round(
+            F.col("xbar") + F.lit(2.66) * F.col("mrbar"), 6
+        ).alias("ucl_x"),
+        F.round(
+            F.col("xbar") - F.lit(2.66) * F.col("mrbar"), 6
+        ).alias("lcl_x"),
+        F.round(F.lit(3.267) * F.col("mrbar"), 6).alias("ucl_mr"),
+    )
+    xv = F.sum(
+        F.when(
+            (F.col("cents") > F.col("ucl_x"))
+            | (F.col("cents") < F.col("lcl_x")),
+            1,
+        ).otherwise(0)
+    )
+    mv = F.sum(
+        F.when(
+            F.col("mrange").isNotNull()
+            & (F.col("mrange") > F.col("ucl_mr")),
+            1,
+        ).otherwise(0)
+    )
+    return lim.agg(
+        F.max("n").cast("long").alias("n_days"),
+        xv.cast("long").alias("x_violations"),
+        mv.cast("long").alias("mr_violations"),
+        ((xv + mv) == 0).alias("in_control"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 181: weekday effect size — eta^2 of day-of-week on daily revenue
+# ---------------------------------------------------------------------------
+@q(
+    "events_weekday_eta",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+               AS dow,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2),
+    g AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             SUM(CAST(cents AS DOUBLE) * cents) AS q
+      FROM daily GROUP BY dow),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS s,
+             SUM(q) AS q,
+             SUM(CAST(s AS DOUBLE) * s / n) AS sb
+      FROM g)
+    SELECT n AS n_days,
+           CASE WHEN n < 2
+                     OR q - CAST(s AS DOUBLE) * s / n <= 0 THEN NULL
+                ELSE round((sb - CAST(s AS DOUBLE) * s / n)
+                           / (q - CAST(s AS DOUBLE) * s / n), 6)
+                     + 0 END AS eta_sq,
+           CASE WHEN n < 2
+                     OR q - CAST(s AS DOUBLE) * s / n <= 0 THEN NULL
+                ELSE round((sb - CAST(s AS DOUBLE) * s / n)
+                           / (q - CAST(s AS DOUBLE) * s / n), 6)
+                     < 0.3 END AS weekday_weak
+    FROM tot
+    """,
+)
+def events_weekday_eta(spark, sf):
+    """Eta-squared of day-of-week on daily revenue — the EFFECT
+    SIZE the omnibus tests leave out (stat_anova / stat_friedman
+    say whether a weekday effect EXISTS; eta^2 = SSB/SST says how
+    much of the daily variance it explains, which is the number
+    that decides whether to deseasonalize at all — the companion
+    to stat_seasonal_strength's trend decomposition, here in the
+    one-way ANOVA frame): between-group mass sb = sum s_i^2/n_i
+    accumulates in DOUBLE from exact integer group sums (the
+    stat_icc convention; cents^2 crosses 2^63 so q also sums in
+    double in identical op order — the stat_anderson_darling
+    square-in-double rule), eta^2 is one guarded ratio. dow from
+    pure epoch arithmetic. The iid fixture has NO weekly cycle,
+    so eta^2 pins small (weekday_weak TRUE — deseasonalization
+    would be wasted work, the actionable reading). One scan, a
+    7-row group fold."""
+    daily = (
+        t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+            (
+                (
+                    F.expr(
+                        "unix_micros(cast(ts AS TIMESTAMP))"
+                        " div 86400000000"
+                    )
+                    + 4
+                )
+                % 7
+            ).alias("dow"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    g = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast("double") * F.col("cents")).alias(
+            "q"
+        ),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
+        F.sum("q").alias("q"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).alias("sb"),
+    )
+    n, s, q_, sb = F.col("n"), F.col("s"), F.col("q"), F.col("sb")
+    sst = q_ - s.cast("double") * s / n
+    ssb = sb - s.cast("double") * s / n
+    bad = (n < 2) | (sst <= 0)
+    eta = F.round(ssb / sst, 6)
+    return tot.select(
+        n.alias("n_days"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(eta + F.lit(0.0))
+        .alias("eta_sq"),
+        F.when(bad, F.lit(None).cast("boolean"))
+        .otherwise(eta < F.lit(0.3))
+        .alias("weekday_weak"),
+    )
