@@ -38,8 +38,11 @@ def test_imr_matches_replay(spark):
     got = qstats.Q["stat_imr_chart"](spark, SF).collect()[0]
     assert got["n_days"] == len(vals)
     assert (got["x_violations"], got["mr_violations"]) == (xv, mv)
-    assert got["in_control"] is (xv + mv == 0)
-    assert got["in_control"] is True  # iid fixture
+    rate = round((xv + mv) / len(vals), 6)
+    assert abs(got["violation_rate"] - rate) <= 1e-9
+    # a 3-sigma chart expects nonzero alarms on a long heavy-tailed
+    # series (see stat_dagostino); the health gate is the 5% band
+    assert got["rate_ok"] is True
     # fabricated level shift fires the chart
     shifted = vals[:-1] + [vals[-1] * 5]
     sxv, smv = _imr(shifted)
