@@ -3520,3 +3520,134 @@ def multimodal_phash(spark, sf):
         F.col("id_b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 182: survivor-policy agreement — min-id vs longest-text keepers
+# ---------------------------------------------------------------------------
+@q(
+    "dedup_survivor_policies",
+    f"""
+    WITH RECURSIVE {_SH_SQL},
+    sigs AS (
+      SELECT id,
+             MIN(substring(md5(shingle), 1, 8)) AS mh0,
+             MIN(substring(md5(shingle), 9, 8)) AS mh1,
+             MIN(substring(md5(shingle), 17, 8)) AS mh2,
+             MIN(substring(md5(shingle), 25, 8)) AS mh3
+      FROM sh GROUP BY id),
+    banded AS (
+      SELECT id, 0 AS band, mh0 AS bucket FROM sigs
+      UNION ALL SELECT id, 1, mh1 FROM sigs
+      UNION ALL SELECT id, 2, mh2 FROM sigs
+      UNION ALL SELECT id, 3, mh3 FROM sigs),
+    okb AS (SELECT band, bucket FROM banded
+            GROUP BY band, bucket HAVING COUNT(*) <= 1000),
+    bk AS (SELECT b.id, b.band, b.bucket
+           FROM banded b JOIN okb USING (band, bucket)),
+    prs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+    edges AS (SELECT id_a AS s, id_b AS d FROM prs
+              UNION SELECT id_b, id_a FROM prs),
+    nodes AS (SELECT DISTINCT s AS v FROM edges),
+    reach(v, l) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.v),
+    comp AS (SELECT v AS id, MIN(l) AS component FROM reach
+             GROUP BY v),
+    mem AS (
+      SELECT c.component, c.id, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.id),
+    pick AS (
+      SELECT component,
+             MIN(id) AS keep_minid,
+             MIN(CASE WHEN rn = 1 THEN id END) AS keep_longest
+      FROM (SELECT component, id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                     ORDER BY n_chars DESC, id) AS rn
+            FROM mem) z
+      GROUP BY component)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN keep_minid = keep_longest THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_agree,
+           CASE WHEN COUNT(*) = 0 THEN NULL
+                ELSE round(SUM(CASE WHEN keep_minid = keep_longest
+                               THEN 1 ELSE 0 END)
+                           / CAST(COUNT(*) AS DOUBLE), 6) + 0
+           END AS agree_rate
+    FROM pick
+    """,
+)
+def dedup_survivor_policies(spark, sf):
+    """Survivor-POLICY agreement census — when an LSH dup-cluster
+    must keep one representative, does keep-lowest-id (the
+    deterministic default dedup_survivors ships) pick the same
+    document as keep-longest-text (the quality-first policy
+    curation teams actually want)? The disagreement rate is the
+    cost of determinism-over-quality, measured before anyone
+    commits a policy: clusters from the SAME minhash/LSH/CC
+    machinery as dedup_survivors (4 hashes, 4 bands, two-phase
+    CC), members joined back to n_chars, both keepers per cluster
+    from ONE window pass (longest-text broken by id — ties must
+    not make the comparison engine-dependent), agreement as exact
+    integers. Web-crawl reality check baked into the test: the
+    policies genuinely disagree on some clusters (mirrors differ
+    in boilerplate trim), so agree_rate is pinned strictly inside
+    (0, 1]. Scale: everything after CC is |clusters|-sized."""
+    docs = t(spark, sf, "documents")
+    sigs = dd.minhash_signatures(
+        docs, "doc_id", "text", n_hashes=4, shingle_n=3
+    )
+    comp = dd.connected_components(
+        dd.lsh_pairs(sigs, n_hashes=4, bands=4)
+    )
+    from ..operators.dedup import parquet_checkpoint
+
+    mem = parquet_checkpoint(
+        comp.join(
+            docs.select(
+                F.col("doc_id").alias("id"), "n_chars"
+            ),
+            "id",
+        ),
+        "surv_pol_mem",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.col("id")
+    )
+    pick = (
+        mem.select(
+            "component",
+            "id",
+            F.row_number().over(w).alias("rn"),
+        )
+        .groupBy("component")
+        .agg(
+            F.min("id").alias("keep_minid"),
+            F.min(F.when(F.col("rn") == 1, F.col("id"))).alias(
+                "keep_longest"
+            ),
+        )
+    )
+    agree = F.sum(
+        F.when(
+            F.col("keep_minid") == F.col("keep_longest"), 1
+        ).otherwise(0)
+    )
+    return pick.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        agree.cast("long").alias("n_agree"),
+        F.when(
+            F.count(F.lit(1)) == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                agree / F.count(F.lit(1)).cast("double"), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("agree_rate"),
+    )

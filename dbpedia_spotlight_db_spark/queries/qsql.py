@@ -2737,3 +2737,70 @@ def sql_global_temp_view(spark, sf):
     finally:
         spark.catalog.dropGlobalTempView(name)
         spark.catalog.dropTempView("ltv_probe")
+
+
+# ---------------------------------------------------------------------------
+# wave 182: DISTRIBUTE BY / SORT BY — the physical-layout clauses
+# ---------------------------------------------------------------------------
+@q(
+    "sql_distribute_sort",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           TRUE AS repartitioned,
+           TRUE AS locally_sorted
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sql_distribute_sort(spark, sf):
+    """DISTRIBUTE BY / SORT BY — Spark's physical-LAYOUT clauses
+    (ORDER BY promises a global order and pays a range-partitioned
+    sort; DISTRIBUTE BY hashes rows to partitions and SORT BY
+    orders only WITHIN each — the layout every partitioned writer
+    and every merge-join-friendly staging step wants, at a
+    fraction of the cost). DuckDB has no such clauses (a
+    single-node engine has no partitions to lay out), so the
+    hashed answer is the layout-INDEPENDENT aggregate — the
+    semantic no-op property is the point: distributing and
+    locally sorting must change no values — and the two layout
+    facts ride the hash as Spark-side plan certificates: the
+    executed plan contains a hash RepartitionByExpression /
+    Exchange on event_type and a NON-global sort (the sort node
+    renders as `Sort [...], false, 0` — the false IS the global
+    flag; an ORDER BY spelling would be rangepartitioning — the
+    sql_offset_fetch contrast). The
+    measured distinction the docstring exists for: CLUSTER BY =
+    DISTRIBUTE BY + SORT BY on the same keys."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    laid = e.repartition(F.col("event_type")).sortWithinPartitions(
+        "event_type", "event_id"
+    )
+    plan = laid._jdf.queryExecution().executedPlan().toString()
+    repart = (
+        "hashpartitioning" in plan and "event_type" in plan
+    )
+    import re as _re
+
+    # executed-plan rendering: a local sort prints as
+    # `Sort [keys], false, 0` (the boolean IS the global flag)
+    local_sort = bool(_re.search(r"Sort \[.*\], false, ", plan))
+    return (
+        laid.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_cents",
+            F.lit(bool(repart)).alias("repartitioned"),
+            F.lit(bool(local_sort)).alias("locally_sorted"),
+        )
+        .orderBy("event_type")
+    )
