@@ -5986,3 +5986,105 @@ def text_bigram_entropy(spark, sf):
         )
         .alias("h_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 183: Chao1 species-richness estimate of the unseen vocabulary
+# ---------------------------------------------------------------------------
+@q(
+    "text_chao1",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+    vc AS (
+      SELECT tk, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE tk <> '' GROUP BY tk),
+    ff AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2
+      FROM vc)
+    SELECT s_obs, f1, f2,
+           CASE WHEN f2 > 0
+                THEN round(s_obs
+                           + CAST(f1 AS DOUBLE) * f1 / (2.0 * f2),
+                           6) + 0
+                ELSE round(s_obs
+                           + CAST(f1 AS DOUBLE) * (f1 - 1) / 2.0,
+                           6) + 0
+           END AS chao1,
+           CASE WHEN f2 > 0
+                THEN round(CAST(f1 AS DOUBLE) * f1 / (2.0 * f2), 6)
+                     + 0
+                ELSE round(CAST(f1 AS DOUBLE) * (f1 - 1) / 2.0, 6)
+                     + 0
+           END AS est_unseen
+    FROM ff
+    """,
+)
+def text_chao1(spark, sf):
+    """Chao1 species-richness estimate of the vocabulary — how many
+    word types exist that the corpus has NOT YET seen (the
+    ecology estimator S_obs + f1^2/(2 f2), driven entirely by the
+    hapax/dis-legomena counts; the bias-corrected f1(f1-1)/2 form
+    when f2 = 0 — the text_good_turing zero-hapax lesson baked
+    into the formula choice): the crawl-planning number that says
+    whether more data buys more vocabulary (large est_unseen) or
+    the lexicon is saturating — the closed-population complement
+    to text_heaps' growth-curve extrapolation and the
+    capture-recapture idea (stat_capture_recapture) with
+    frequency classes instead of two samples. All three inputs
+    are exact BIGINTs from one counts-of-counts fold; the
+    estimate is one guarded float expression. Pinned: chao1 >=
+    s_obs always (the estimator only ADDS), and on the
+    closed-vocabulary synthetic corpus the unseen mass is a small
+    fraction of s_obs. One scan, vocabulary-sized aggregate."""
+    tok = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tk"))
+        .filter(F.col("tk") != "")
+    )
+    vc = tok.groupBy("tk").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ff = vc.agg(
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    f1, f2, s_obs = F.col("f1"), F.col("f2"), F.col("s_obs")
+    unseen = F.when(
+        f2 > 0,
+        F.round(f1.cast("double") * f1 / (F.lit(2.0) * f2), 6),
+    ).otherwise(
+        F.round(f1.cast("double") * (f1 - 1) / F.lit(2.0), 6)
+    )
+    return ff.select(
+        "s_obs",
+        "f1",
+        "f2",
+        (
+            F.when(
+                f2 > 0,
+                F.round(
+                    s_obs
+                    + f1.cast("double") * f1 / (F.lit(2.0) * f2),
+                    6,
+                ),
+            ).otherwise(
+                F.round(
+                    s_obs
+                    + f1.cast("double") * (f1 - 1) / F.lit(2.0),
+                    6,
+                )
+            )
+            + F.lit(0.0)
+        ).alias("chao1"),
+        (unseen + F.lit(0.0)).alias("est_unseen"),
+    )

@@ -4883,3 +4883,75 @@ def win_lag_ignore_nulls(spark, sf):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 183: aggregation-based top-N — the window-free alternative plan
+# ---------------------------------------------------------------------------
+@q(
+    "agg_topn_array",
+    """
+    WITH lab AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) * 10000000000
+             + event_id AS keyed
+      FROM events WHERE value IS NOT NULL),
+    g AS (
+      SELECT event_type,
+             list_slice(list_sort(list(keyed), 'DESC'), 1, 3)
+               AS top3
+      FROM lab GROUP BY event_type)
+    SELECT event_type,
+           CAST(top3[1] // 10000000000 AS BIGINT) AS c1,
+           CAST(top3[2] // 10000000000 AS BIGINT) AS c2,
+           CAST(top3[3] // 10000000000 AS BIGINT) AS c3,
+           CAST(top3[1] % 10000000000 AS BIGINT) AS id1
+    FROM g ORDER BY event_type
+    """,
+)
+def agg_topn_array(spark, sf):
+    """Top-3 per group WITHOUT a window — collect, sort in-row,
+    slice: the aggregation-based alternative to win_topk's
+    rank-filter, and the plan-shape contrast is the face (the
+    window plans a per-partition sort of EVERY row with
+    WindowGroupLimit; the aggregate plans an ObjectHashAggregate
+    whose buffer holds the collected array — the agg wins when
+    groups are many and small, the window when groups are huge
+    and k tiny, and at 100 TB a skewed group OOMs the collect
+    buffer where the window only spills, which is why win_topk is
+    the default and this face documents the boundary). Values and
+    tiebreak pack into ONE composite integer (cents * 1e10 +
+    event_id — the agg_first_last keyed-struct trick in pure
+    arithmetic, id < 1e10 asserted by the fixture contract) so
+    the in-row sort is total and engine-identical; the unpack is
+    exact integer div/mod. collect_list alone is order-unstable —
+    the sort_array AFTER collection is load-bearing (the
+    kg_entity_card lesson). The twin mirrors with
+    list_sort/list_slice; both engines emit the top-3 cents and
+    the winner's id."""
+    lab = (
+        t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.round(F.col("value") * 100).cast("long")
+                * F.lit(10000000000)
+                + F.col("event_id")
+            ).alias("keyed"),
+        )
+    )
+    g = lab.groupBy("event_type").agg(
+        F.slice(
+            F.sort_array(F.collect_list("keyed"), asc=False), 1, 3
+        ).alias("top3")
+    )
+    return g.select(
+        "event_type",
+        F.expr("top3[0] div 10000000000").cast("long").alias("c1"),
+        F.expr("top3[1] div 10000000000").cast("long").alias("c2"),
+        F.expr("top3[2] div 10000000000").cast("long").alias("c3"),
+        (F.expr("top3[0]") % 10000000000)
+        .cast("long")
+        .alias("id1"),
+    ).orderBy("event_type")
