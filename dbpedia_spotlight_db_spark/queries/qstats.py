@@ -9695,7 +9695,7 @@ def stat_cochrane_orcutt(spark, sf):
         * (F.col("kd") - F.col("a1") - F.col("b1") * F.col("x"))
     ).cast("long")
     res = parquet_checkpoint(
-        ix.select("day", "kd", "x").crossJoin(ols).select(
+        ix.select("kd", "x").crossJoin(ols).select(
             "x",
             "kd",
             e_mic.alias("e_mic"),
