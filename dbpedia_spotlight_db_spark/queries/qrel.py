@@ -4955,3 +4955,80 @@ def agg_topn_array(spark, sf):
         .cast("long")
         .alias("id1"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# wave 184: shuffle-key skew census — the pre-join salting diagnostic
+# ---------------------------------------------------------------------------
+@q(
+    "agg_key_skew_census",
+    """
+    WITH kc AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    cw AS (
+      SELECT c,
+             CAST(SUM(c) OVER (ORDER BY c) AS BIGINT) AS cum_rows,
+             CAST(ROW_NUMBER() OVER (ORDER BY c, user_id) AS BIGINT)
+               AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_keys,
+             CAST(SUM(c) OVER () AS BIGINT) AS n_rows,
+             CAST(MAX(c) OVER () AS BIGINT) AS max_c
+      FROM kc)
+    SELECT CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+           CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+           CAST(MAX(max_c) AS BIGINT) AS max_key_rows,
+           round(CAST(MAX(max_c) AS DOUBLE) / MAX(n_rows), 6) + 0
+             AS top_key_share,
+           round(CAST(MAX(max_c) AS DOUBLE) * MAX(n_keys)
+                 / MAX(n_rows), 6) + 0 AS skew_factor,
+           round(CAST(MAX(max_c) AS DOUBLE) * MAX(n_keys)
+                 / MAX(n_rows), 6) > 4.0 AS salting_recommended
+    FROM cw
+    """,
+)
+def agg_key_skew_census(spark, sf):
+    """Shuffle-KEY skew census — the diagnostic that DECIDES whether
+    the salting machinery (agg_salted, join_salted, AQE skew join)
+    is worth its overhead before a big shuffle runs: per-key row
+    counts for the prospective shuffle key (user_id), the top key's
+    absolute and relative mass, and the skew factor max_c * n_keys
+    / n_rows (= top key's load versus a perfectly uniform
+    partition-per-key ideal; 1.0 is flat, and the 4x threshold is
+    the embedded rule of thumb at which one straggler task
+    dominates a stage's wall clock). Everything is exact BIGINTs
+    from ONE map-side-combinable groupBy plus windows over the
+    |keys|-sized support; the verdict boolean compares the ROUNDED
+    factor. The synthetic fixture's users are near-uniform, so
+    salting_recommended pins FALSE — and the replay test fabricates
+    a celebrity key to show the trigger fires. At 100 TB this
+    census costs one pass over the fact table and saves re-running
+    a skew-killed join; run it FIRST, not after the retry."""
+    kc = (
+        t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = kc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_key_rows"),
+    )
+    share = F.round(
+        F.col("max_key_rows").cast("double") / F.col("n_rows"), 6
+    )
+    factor = F.round(
+        F.col("max_key_rows").cast("double")
+        * F.col("n_keys")
+        / F.col("n_rows"),
+        6,
+    )
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        (share + F.lit(0.0)).alias("top_key_share"),
+        (factor + F.lit(0.0)).alias("skew_factor"),
+        (factor > F.lit(4.0)).alias("salting_recommended"),
+    )
